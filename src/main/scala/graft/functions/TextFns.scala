@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text columns built purely from `org.apache.spark.sql.functions._`
+  * (codegen'd / Catalyst-optimizable; no UDFs).
+  *
+  * Tokenization contract (shared with the DuckDB oracle): split on
+  * `\s+`, drop empty tokens. This mirrors the reference mapper's
+  * `line(1).split("\\s")` (/root/reference/src/main/scala/test/App.scala:162)
+  * minus its empty-token artifacts.
+  */
+object TextFns {
+  /** Whitespace tokens, empties removed. */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => length(t) > lit(0))
+
+  /** 3-token shingles joined by single spaces; empty array when the
+    * document has fewer than 3 tokens.
+    */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ",
+          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Normalization for near-dup dedup: lowercase, strip non [a-z0-9 ],
+    * squeeze runs of spaces, trim.
+    */
+  def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Stopword list used by quality scoring (vocabulary-appropriate). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "is", "in", "to")
+
+  /** Language marker tokens for the n-gram/stopword language-ID
+    * heuristic; argmax with alphabetical tie-break.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "los", "las", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def markerScore(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers)))
+}

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Vector kernels over Array[Float] embedding columns.
+  *
+  * All folds are strict left-to-right in element order so results are
+  * bitwise identical to the DuckDB oracle's
+  * `list_reduce(list_prepend(0.0, ...), (a,x) -> a+x)` form — which
+  * makes cosine scores exactly comparable across engines without
+  * tolerance windows.
+  */
+object VectorImpl {
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+  def norm2(a: ArrayData): Double = {
+    var s = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { val v = a.getFloat(i).toDouble; s += v * v; i += 1 }
+    s
+  }
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val d = dot(a, b)
+    val na = math.sqrt(norm2(a))
+    val nb = math.sqrt(norm2(b))
+    if (na == 0.0 || nb == 0.0) 0.0 else d / (na * nb)
+  }
+}
+
+/** Codegen'd cosine similarity — a native Catalyst Expression so the
+  * k-NN scan stays inside whole-stage codegen (a Scala UDF here would
+  * break codegen and serialize rows on the 100 TB hot path).
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorImpl.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorImpl.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+object VectorFns {
+  def cosineSim(a: Column, b: Column): Column =
+    GraftBridge.column(
+      CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+}

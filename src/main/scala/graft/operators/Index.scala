@@ -1,0 +1,231 @@
+package graft.operators
+
+import graft.functions.TextFns
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Search-engine core: positional inverted index + retrieval/ranking.
+  *
+  * Re-expresses the reference's capability surface
+  * (/root/reference/src/main/scala/test/App.scala — mapper emits
+  * (word, title) → positions, reducer builds word → [(title,
+  * positions)]) as declarative Spark plans:
+  *
+  *  - tokenize+posexplode is a narrow map stage (the "mapper");
+  *  - groupBy(term, doc) with count/collect is partial-aggregated
+  *    map-side (the reference's in-mapper combiner, App.scala:163-168);
+  *  - the final groupBy(term) shuffle is term-partitioned, mirroring
+  *    the reference's hash-on-word partitioner intent (App.scala:185).
+  *
+  * At 100 TB: one wide shuffle keyed on (term, doc) then term; AQE
+  * absorbs stopword skew; scans push down the two-column projection
+  * (doc_id, text).
+  */
+object Index {
+
+  /** (doc_id, term, pos) exploded token stream — the shared narrow
+    * stage every index/search operator builds on.
+    */
+  def tokenStream(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "term")))
+      .select(col("doc_id"), col("term"), col("pos").cast("long").as("pos"))
+
+  // ---- operators -------------------------------------------------------
+
+  def wordcount(spark: SparkSession, dir: String): DataFrame =
+    tokenStream(spark, dir)
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy("term")
+
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    tokenStream(spark, dir)
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("positions"))
+      .orderBy("term", "doc_id")
+
+  def postingsStats(spark: SparkSession, dir: String): DataFrame =
+    tokenStream(spark, dir)
+      .groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("total_tf"))
+      .orderBy("term")
+
+  def docStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"), col("text"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(array_distinct(col("tk"))).cast("long").as("n_distinct"))
+      .orderBy("doc_id")
+
+  def termSearch(spark: SparkSession, dir: String): DataFrame =
+    tokenStream(spark, dir)
+      .filter(col("term") === "spark")
+      .groupBy("doc_id").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("doc_id"))
+
+  def boolAndSearch(spark: SparkSession, dir: String): DataFrame =
+    tokenStream(spark, dir)
+      .filter(col("term").isin("spark", "join"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("term")).as("n_hit"))
+      .filter(col("n_hit") === 2)
+      .select("doc_id")
+      .orderBy("doc_id")
+
+  def boolOrSearch(spark: SparkSession, dir: String): DataFrame =
+    tokenStream(spark, dir)
+      .filter(col("term").isin("spark", "filter"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("term")).as("n_hit"), count(lit(1)).as("total_tf"))
+      .orderBy("doc_id")
+
+  /** Phrase query via positional adjacency — the capability the
+    * reference's positional postings exist for.
+    */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val tok = tokenStream(spark, dir)
+    val a = tok.filter(col("term") === "key").as("a")
+    val b = tok.filter(col("term") === "order").as("b")
+    a.join(b, col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+      .groupBy(col("a.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy("doc_id")
+  }
+
+  private val QueryTerms = Seq("spark", "query", "join")
+
+  def tfidfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val tok = tokenStream(spark, dir)
+    // Corpus size as a broadcast 1-row aggregate, not a driver action:
+    // keeps the plan lazy and the scalar join a BroadcastNestedLoop of 1 row.
+    val nDf = Tables.documents(spark, dir).agg(count(lit(1)).cast("double").as("n"))
+    val df = tok.groupBy("term")
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val tf = tok.filter(col("term").isin(QueryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nDf))
+      .withColumn("w", col("tf") * log(col("n") / col("df")))
+      .groupBy("doc_id").agg(round(sum(col("w")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    val (k1, b) = (1.2, 0.75)
+    val qterms = Seq("spark", "join")
+    val tok = tokenStream(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).cast("double").as("dl"))
+    val avgdlDf = dl.agg(avg(col("dl")).as("avgdl"))
+    val df = tok.groupBy("term")
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val tf = tok.filter(col("term").isin(qterms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    tf.join(broadcast(df), "term").join(dl, "doc_id")
+      .crossJoin(broadcast(nDf)).crossJoin(broadcast(avgdlDf))
+      .withColumn("idf", log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("w",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(round(sum(col("w")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  def topTermsPerDoc(spark: SparkSession, dir: String): DataFrame = {
+    val tf = tokenStream(spark, dir)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tf").desc, col("term"))
+    tf.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy("doc_id", "rk")
+  }
+
+  // ---- wiring ----------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wordcount" -> wordcount,
+    "inverted_index" -> invertedIndex,
+    "postings_stats" -> postingsStats,
+    "doc_stats" -> docStats,
+    "term_search" -> termSearch,
+    "bool_and_search" -> boolAndSearch,
+    "bool_or_search" -> boolOrSearch,
+    "phrase_search" -> phraseSearch,
+    "tfidf_topk" -> tfidfTopk,
+    "bm25_topk" -> bm25Topk,
+    "top_terms_per_doc" -> topTermsPerDoc)
+
+  /** Shared DuckDB CTE: identical tokenization contract to
+    * [[TextFns.tokens]] (split \s+, drop empties; 0-based positions).
+    */
+  val TokSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS tk
+      |  FROM documents
+      |), tok AS (
+      |  SELECT doc_id, unnest(tk) AS term, unnest(range(len(tk))) AS pos FROM toks
+      |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "wordcount" ->
+      s"$TokSql SELECT term, count(*) AS freq FROM tok GROUP BY term ORDER BY term",
+    "inverted_index" ->
+      s"""$TokSql SELECT term, doc_id, count(*) AS tf, list_sort(list(pos)) AS positions
+         |FROM tok GROUP BY term, doc_id ORDER BY term, doc_id""".stripMargin,
+    "postings_stats" ->
+      s"""$TokSql SELECT term, count(DISTINCT doc_id) AS df, count(*) AS total_tf
+         |FROM tok GROUP BY term ORDER BY term""".stripMargin,
+    "doc_stats" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |  len(list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0)) AS n_tokens,
+        |  len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0))) AS n_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "term_search" ->
+      s"""$TokSql SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'spark'
+         |GROUP BY doc_id ORDER BY tf DESC, doc_id""".stripMargin,
+    "bool_and_search" ->
+      s"""$TokSql SELECT doc_id FROM tok WHERE term IN ('spark', 'join')
+         |GROUP BY doc_id HAVING count(DISTINCT term) = 2 ORDER BY doc_id""".stripMargin,
+    "bool_or_search" ->
+      s"""$TokSql SELECT doc_id, count(DISTINCT term) AS n_hit, count(*) AS total_tf
+         |FROM tok WHERE term IN ('spark', 'filter') GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "phrase_search" ->
+      s"""$TokSql SELECT a.doc_id AS doc_id, count(*) AS n_matches
+         |FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |WHERE a.term = 'key' AND b.term = 'order'
+         |GROUP BY a.doc_id ORDER BY doc_id""".stripMargin,
+    "tfidf_topk" ->
+      s"""$TokSql, n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY term),
+         |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+         |       WHERE term IN ('spark', 'query', 'join') GROUP BY doc_id, term)
+         |SELECT doc_id, round(sum(tf * ln(n.n / df.df)), 4) AS score
+         |FROM tf JOIN df USING (term), n
+         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "bm25_topk" ->
+      s"""$TokSql, n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+         |avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+         |df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY term),
+         |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+         |       WHERE term IN ('spark', 'join') GROUP BY doc_id, term)
+         |SELECT tf.doc_id AS doc_id,
+         |  round(sum(ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |    * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))), 4) AS score
+         |FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, n, avgdl
+         |GROUP BY tf.doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "top_terms_per_doc" ->
+      s"""$TokSql, tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term)
+         |SELECT doc_id, term, tf, rk FROM (
+         |  SELECT doc_id, term, tf,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rk
+         |  FROM tf) WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin)
+}

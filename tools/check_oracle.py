@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <outDir>
+Reads <outDir>/<name>/ parquet (written by graft.Verify) and
+<outDir>/oracle_sql.json, runs each oracle SQL in DuckDB with views
+named after the tables in <sfDir>, and compares rows/schema/values
+(column-name-sorted, rounded-insensitive exact compare).
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize list/array cells to tuples so they hash/compare
+    for c in df.columns:
+        if df[c].map(lambda v: isinstance(v, (list, tuple)) or hasattr(v, "tolist") and not isinstance(v, str)).any():
+            df[c] = df[c].map(lambda v: tuple(v.tolist()) if hasattr(v, "tolist") else (tuple(v) if isinstance(v, (list, tuple)) else v))
+    return df.reset_index(drop=True)
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = canon(duckdb.connect().execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf())
+        except Exception as e:
+            print(f"[FAIL-read ] {name}: {e}")
+            continue
+        try:
+            want = canon(con.execute(sql).fetchdf())
+        except Exception as e:
+            print(f"[FAIL-sql  ] {name}: {e}")
+            continue
+        if list(got.columns) != list(want.columns):
+            print(f"[FAIL-cols ] {name}: got {list(got.columns)} want {list(want.columns)}")
+            continue
+        if len(got) != len(want):
+            print(f"[FAIL-rows ] {name}: got {len(got)} want {len(want)}")
+            continue
+        try:
+            pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+        except AssertionError as e:
+            print(f"[FAIL-vals ] {name}: {str(e).splitlines()[-1] if str(e) else e}")
+            # show first diff
+            for c in got.columns:
+                neq = ~(got[c].eq(want[c]) | (got[c].isna() & want[c].isna()))
+                if neq.any():
+                    i = neq.idxmax()
+                    print(f"    col={c} row={i}: got={got[c][i]!r} want={want[c][i]!r}")
+                    break
+            continue
+        n_ok += 1
+        print(f"[OK        ] {name} ({len(got)} rows)")
+    print(f"== {n_ok}/{len(oracle)} oracle-matched ==")
+    return 0 if n_ok == len(oracle) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
