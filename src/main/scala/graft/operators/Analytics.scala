@@ -1,0 +1,372 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational analytics over the TPC-H-ish star schema + events.
+  *
+  * Scale posture: dimension tables (region/nation/supplier/customer at
+  * dim-scale) are broadcast; fact-fact joins shuffle on their keys with
+  * AQE; every aggregate is partial-aggregation friendly; the as-of join
+  * is the union+window formulation (no per-key range explosion).
+  */
+object Analytics {
+
+  /** events with a micros-precision long `ts_us` (source parquet is
+    * TIMESTAMP(NANOS), which Spark only reads via the nanosAsLong
+    * legacy conf; integer div by 1000 keeps exactness — a double
+    * division would lose precision above 2^53).
+    */
+  def eventsUs(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.events(spark, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+  }
+
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def q3Topk(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1996-03-15"))
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1996-03-15"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  def q5Regional(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+    Tables.lineitem(spark, dir)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  def semiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.supplier(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Sum exact integer cents: windowed double sums are not
+    // cross-engine reproducible (DuckDB aggregates window frames via
+    // segment trees — different FP addition order than a sequential
+    // cumulative sum).
+    Tables.lineitem(spark, dir)
+      .withColumn("rev_cents",
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
+      .select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship"),
+        sum(col("rev_cents")).over(w).as("running_rev_cents"))
+      .orderBy(col("l_suppkey"), col("ship"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rk"))
+      .filter(col("rk") <= 3)
+      .orderBy("o_custkey", "rk")
+  }
+
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy("rf", "ls")
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = EventTypes.map(t =>
+      count(when(col("event_type") === t, 1)).as(s"n_$t")) :+ count(lit(1)).as("n_total")
+    eventsUs(spark, dir)
+      .groupBy("user_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("user_id")
+  }
+
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    eventsUs(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+
+  /** Gap-based sessionization (30-min inactivity): lag + cumulative
+    * session counter — single shuffle on user_id, no self-join.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    eventsUs(spark, dir)
+      .withColumn("prev", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("ts_us") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(timestamp_micros(min(col("ts_us"))), "yyyy-MM-dd HH:mm:ss").as("start_ts"),
+        date_format(timestamp_micros(max(col("ts_us"))), "yyyy-MM-dd HH:mm:ss").as("end_ts"))
+      .orderBy("user_id", "session_id")
+  }
+
+  def windowTumbling(spark: SparkSession, dir: String): DataFrame =
+    eventsUs(spark, dir)
+      .groupBy(window(timestamp_micros(col("ts_us")), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour_start", "event_type")
+
+  /** As-of join: for each event, the most recent order (by orderdate,
+    * then orderkey) of the same user at-or-before the event timestamp.
+    * Union+window formulation: one shuffle on user, no range explosion
+    * — the scalable shape for 100 TB (a join+filter+argmax would
+    * materialize |events|×|orders-per-user| rows first).
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsUs(spark, dir)
+      .select(col("user_id").as("u"), col("ts_us").as("t"),
+        lit(1L).as("kind"), lit(null).cast("long").as("okey"), col("event_id"))
+    val od = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("u"),
+        (unix_timestamp(col("o_orderdate")) * 1000000L).as("t"),
+        lit(0L).as("kind"), col("o_orderkey").as("okey"),
+        lit(null).cast("long").as("event_id"))
+    val w = Window.partitionBy("u")
+      .orderBy(col("t"), col("kind"), col("okey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(od)
+      .withColumn("last_order", last(col("okey"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("u").as("user_id"), col("last_order"))
+      .orderBy("event_id")
+  }
+
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lag_days",
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))).cast("long"))
+      .filter(col("lag_days").between(0, 30))
+      .groupBy("lag_days")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lag_days")
+
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"))
+      .orderBy("o_orderstatus")
+
+  /** HLL++ sketch — approximate by design, so rows-only (no exact
+    * cross-engine oracle is possible).
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_suppkey")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy("l_suppkey")
+
+  // ---- wiring ----------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg,
+    "q3_topk" -> q3Topk,
+    "q5_regional" -> q5Regional,
+    "anti_join" -> antiJoin,
+    "semi_join" -> semiJoin,
+    "window_running" -> windowRunning,
+    "topk_per_group" -> topkPerGroup,
+    "rollup_agg" -> rollupAgg,
+    "pivot_events" -> pivotEvents,
+    "json_extract" -> jsonExtract,
+    "sessionize" -> sessionize,
+    "window_tumbling" -> windowTumbling,
+    "asof_join" -> asofJoin,
+    "range_join" -> rangeJoin,
+    "percentiles" -> percentiles,
+    "approx_distinct" -> approxDistinct)
+
+  /** Shared DuckDB CTE for events at micros precision (source is ns). */
+  private val EvSql =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, value, props,
+      |         epoch_ns(ts) // 1000 AS ts_us
+      |  FROM events
+      |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_topk" ->
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS odate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < '1996-03-15' AND l_shipdate > '1996-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_regional" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "semi_join" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin,
+    "window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS ship,
+        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_rev_cents
+        |FROM lineitem ORDER BY l_suppkey, ship, l_orderkey, l_linenumber""".stripMargin,
+    "topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "rollup_agg" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "pivot_events" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+        |  count(*) AS n_total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "sessionize" ->
+      s"""$EvSql, lagged AS (
+         |  SELECT user_id, event_id, ts_us,
+         |    lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+         |  FROM ev
+         |), flagged AS (
+         |  SELECT user_id, event_id, ts_us,
+         |    CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END AS is_new
+         |  FROM lagged
+         |), sess AS (
+         |  SELECT user_id, event_id, ts_us,
+         |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM flagged
+         |)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |  strftime(make_timestamp(min(ts_us)), '%Y-%m-%d %H:%M:%S') AS start_ts,
+         |  strftime(make_timestamp(max(ts_us)), '%Y-%m-%d %H:%M:%S') AS end_ts
+         |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "window_tumbling" ->
+      s"""$EvSql
+         |SELECT strftime(make_timestamp((ts_us // 3600000000) * 3600000000),
+         |         '%Y-%m-%d %H:%M:%S') AS hour_start,
+         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         |FROM ev GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "asof_join" ->
+      s"""$EvSql, unioned AS (
+         |  SELECT user_id AS u, ts_us AS t, 1 AS kind, NULL::BIGINT AS okey, event_id FROM ev
+         |  UNION ALL
+         |  SELECT o_custkey AS u, epoch_us(o_orderdate) AS t, 0 AS kind,
+         |         o_orderkey AS okey, NULL::BIGINT AS event_id FROM orders
+         |)
+         |SELECT event_id, u AS user_id, last_order FROM (
+         |  SELECT event_id, u, kind,
+         |    last_value(okey IGNORE NULLS) OVER (PARTITION BY u ORDER BY t, kind, okey
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_order
+         |  FROM unioned)
+         |WHERE kind = 1 ORDER BY event_id""".stripMargin,
+    "range_join" ->
+      """SELECT date_diff('day', o_orderdate, l_shipdate) AS lag_days, count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE date_diff('day', o_orderdate, l_shipdate) BETWEEN 0 AND 30
+        |GROUP BY lag_days ORDER BY lag_days""".stripMargin,
+    "percentiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+}
