@@ -10,11 +10,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Index.queries ++ operators.Analytics.queries
+    operators.Index.queries ++ operators.Analytics.queries ++
+      operators.TextAnalysis.queries ++ operators.Dedup.queries ++
+      operators.Similarity.queries ++ operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    operators.Index.oracles ++ operators.Analytics.oracles
+    operators.Index.oracles ++ operators.Analytics.oracles ++
+      operators.TextAnalysis.oracles ++ operators.Dedup.oracles ++
+      operators.Similarity.oracles ++ operators.Multimodal.oracles
 }

@@ -16,14 +16,13 @@ object Analytics {
 
   /** events with a micros-precision long `ts_us` (source parquet is
     * TIMESTAMP(NANOS), which Spark only reads via the nanosAsLong
-    * legacy conf; integer div by 1000 keeps exactness — a double
-    * division would lose precision above 2^53).
+    * legacy conf — set at session construction by [[graft.GraftSession]];
+    * integer div by 1000 keeps exactness — a double division would lose
+    * precision above 2^53).
     */
-  def eventsUs(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def eventsUs(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .withColumn("ts_us", expr("ts div 1000"))
-  }
 
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -291,11 +290,12 @@ object Analytics {
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
         |ORDER BY s_suppkey""".stripMargin,
     "window_running" ->
-      """SELECT l_suppkey, l_orderkey, l_linenumber,
+      """SELECT l_suppkey, CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        |  CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |  strftime(l_shipdate, '%Y-%m-%d') AS ship,
-        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) OVER (
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) OVER (
         |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_rev_cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_rev_cents
         |FROM lineitem ORDER BY l_suppkey, ship, l_orderkey, l_linenumber""".stripMargin,
     "topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
@@ -331,8 +331,8 @@ object Analytics {
          |  FROM lagged
          |), sess AS (
          |  SELECT user_id, event_id, ts_us,
-         |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          |  FROM flagged
          |)
          |SELECT user_id, session_id, count(*) AS n_events,

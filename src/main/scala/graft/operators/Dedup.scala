@@ -1,0 +1,297 @@
+package graft.operators
+
+import graft.functions.{HashFns, TextFns, VectorFns}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (SURVEY §2.C): exact, normalized, MinHash
+  * LSH, n-gram Jaccard, SimHash, embedding near-dup.
+  *
+  * Scale posture (the point of each algorithm at 100 TB):
+  *  - signature computation (shingles → rolling hash → minhash /
+  *    simhash bits) is a narrow, codegen'd map stage — scan speed;
+  *  - candidate generation shuffles only on small band/bucket keys,
+  *    never materializing O(n²) pairs;
+  *  - verification (Jaccard / Hamming / cosine) runs only on bucket
+  *    candidates.
+  * The brute-force formulations (`ngram_jaccard` via the inverted
+  * shingle join, `embed_neardup` via crossJoin) are the exact
+  * baselines the sketch variants are judged against.
+  */
+object Dedup {
+
+  // ---- shared narrow stages -------------------------------------------
+
+  /** (doc_id, hs: array<long>) — rolling hash of every 3-token shingle.
+    * Pure codegen'd map stage (no shuffle).
+    */
+  def shingleHashes(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TextFns.shingles3(TextFns.tokens(col("text"))).as("sh"))
+      .select(col("doc_id"), transform(col("sh"), s => HashFns.rollingHash(s)).as("hs"))
+
+  /** doc_id, hs, m0..m15 — k=16 universal-hash MinHash signature:
+    * sig_i = min over shingle hashes h of (A_i*h + B_i) mod P.
+    */
+  def minhashSigs(docs: DataFrame): DataFrame = {
+    val sigCols = HashFns.MinhashA.zip(HashFns.MinhashB).zipWithIndex.map { case ((a, b), i) =>
+      coalesce(array_min(transform(col("hs"), h => (h * a + b) % HashFns.P)), lit(-1L)).as(s"m$i")
+    }
+    shingleHashes(docs).select(col("doc_id") +: col("hs") +: sigCols: _*)
+  }
+
+  /** (doc_id, simhash) — 32-bit SimHash: per-term 32-bit rolling hash,
+    * tf-weighted ±1 vote per bit, bit set where the vote is positive.
+    * One shuffle (groupBy doc_id, term then doc_id — both partial-agg
+    * friendly).
+    */
+  def simhashDf(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("h", HashFns.rollingHash(col("term"), HashFns.M32))
+    val sums = (0 until 32).map(b =>
+      sum(when(shiftright(col("h"), b) % 2 === 1, col("tf")).otherwise(-col("tf"))).as(s"b$b"))
+    val asm = (0 until 32).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    tf.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), asm.as("simhash"))
+  }
+
+  /** Exact Jaccard between distinct-shingle-hash sets, computed via the
+    * inverted shingle join (pairs only materialize for docs that SHARE
+    * a shingle — never a cross join).
+    */
+  private def jaccardPairs(docs: DataFrame): DataFrame = {
+    val sets = shingleHashes(docs).select(col("doc_id"), array_distinct(col("hs")).as("s"))
+    val sizes = sets.select(col("doc_id"), size(col("s")).cast("long").as("n"))
+    val ex = sets.select(col("doc_id"), explode(col("s")).as("hh"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.hh") === col("b.hh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("j", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+  }
+
+  // ---- operators -------------------------------------------------------
+
+  /** Exact dedup: md5-of-text groups with the canonical (min doc_id)
+    * member. At 100 TB this is the one-shuffle hash-groupBy dedup.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_doc"))
+      .orderBy("text_md5")
+
+  /** Dedup on normalized text (lowercase, strip punctuation, squeeze
+    * whitespace) — catches trivially-reformatted copies.
+    */
+  def dedupNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(TextFns.normText(col("text"))).as("norm_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_doc"))
+      .orderBy("norm_md5")
+
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    minhashSigs(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        concat_ws(",", (0 until 16).map(i => col(s"m$i").cast("string")): _*).as("sig"))
+      .orderBy("doc_id")
+
+  /** LSH banding (4 bands × 4 rows) over the MinHash signature:
+    * candidates = docs sharing a band key, then exact Jaccard ≥ 0.5
+    * verification on candidates only. The shuffle is keyed on (band,
+    * band key) — tiny — so no O(n²) stage exists anywhere.
+    */
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSigs(Tables.documents(spark, dir))
+    val bandCols = (0 until 4).map(bd =>
+      struct(lit(bd).as("band"),
+        concat_ws(",", (0 until 4).map(r => col(s"m${4 * bd + r}").cast("string")): _*).as("k")))
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.k").as("k"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.k") === col("b.k") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = sig.select(col("doc_id"), array_distinct(col("hs")).as("s"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("j", col("i").cast("double") /
+        (size(col("sa")).cast("long") + size(col("sb")).cast("long") - col("i")))
+      .filter(col("j") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact all-pairs 3-gram Jaccard ≥ 0.5 via the inverted shingle
+    * join — the exact baseline `minhash_lsh_pairs` approximates.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(Tables.documents(spark, dir))
+      .filter(col("j") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashDf(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** Near-dup pairs with SimHash Hamming distance ≤ 1, found by LSH
+    * banding on the two 16-bit halves: distance ≤ 1 implies at least
+    * one half matches exactly (pigeonhole), so the banded join finds
+    * EXACTLY the brute-force pair set — which is what the DuckDB
+    * oracle computes by cross join.
+    */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhashDf(Tables.documents(spark, dir))
+    val bands = sh.select(col("doc_id"), col("simhash"),
+        explode(array(
+          struct(lit(0).as("band"), (col("simhash") % 65536).as("v")),
+          struct(lit(1).as("band"), shiftright(col("simhash"), 16).as("v")))).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.v").as("v"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= 1)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding near-dup: each vector's single nearest neighbor by
+    * cosine. Brute-force N² baseline (codegen'd [[VectorFns.cosineSim]]
+    * keeps it in whole-stage codegen); the bucketed scale path is
+    * [[Similarity.knnIvf]].
+    */
+  def embedNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val b = e.select(col("vec_id").as("nn_id"), col("embedding").as("emb_b"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nn_id"))
+    e.select(col("vec_id"), col("embedding"))
+      .crossJoin(b)
+      .filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("cos", VectorFns.cosineSim(col("embedding"), col("emb_b")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("nn_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy("vec_id")
+  }
+
+  // ---- wiring ----------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_norm" -> dedupNorm,
+    "minhash_signatures" -> minhashSignatures,
+    "minhash_lsh_pairs" -> minhashLshPairs,
+    "ngram_jaccard" -> ngramJaccard,
+    "simhash" -> simhash,
+    "simhash_pairs" -> simhashPairs,
+    "embed_neardup" -> embedNeardup)
+
+  private val sigConcat =
+    (0 until 16).map(i => s"s$i").mkString("concat_ws(',', ", ", ", ")")
+
+  private val bandsSql = (0 until 4).map { bd =>
+    val k = (0 until 4).map(r => s"s${4 * bd + r}").mkString("concat_ws(',', ", ", ", ")")
+    s"SELECT doc_id, $bd AS band, $k AS k FROM sig"
+  }.mkString("\n  UNION ALL ")
+
+  private val simhashCte: String = {
+    val bitSums = (0 until 32).map(b =>
+      s"sum(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN tf ELSE -tf END) AS b$b").mkString(",\n    ")
+    val asm = (0 until 32).map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) AS tk
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY doc_id, term
+       |), hh AS (
+       |  SELECT doc_id, tf, ${OracleSql.roll("term", HashFns.M32)} AS h FROM tf
+       |), bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM hh GROUP BY doc_id
+       |), sh AS (
+       |  SELECT doc_id, CAST($asm AS BIGINT) AS simhash FROM bits
+       |)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS canonical_doc
+        |FROM documents GROUP BY text_md5 ORDER BY text_md5""".stripMargin,
+    "dedup_norm" ->
+      s"""SELECT md5(${OracleSql.Norm}) AS norm_md5, count(*) AS n_copies,
+         |  min(doc_id) AS canonical_doc
+         |FROM documents GROUP BY norm_md5 ORDER BY norm_md5""".stripMargin,
+    "minhash_signatures" ->
+      s"""${OracleSql.ShingleHashCte}${OracleSql.MinhashSigCte}
+         |SELECT doc_id, $sigConcat AS sig FROM sig ORDER BY doc_id""".stripMargin,
+    "minhash_lsh_pairs" ->
+      s"""${OracleSql.ShingleHashCte}${OracleSql.MinhashSigCte}, bands AS (
+         |  $bandsSql
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id
+         |), sets AS (
+         |  SELECT doc_id, list_distinct(h) AS s FROM hs
+         |), jac AS (
+         |  SELECT da, db,
+         |    len(list_intersect(x.s, y.s))::DOUBLE
+         |      / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS j
+         |  FROM cand JOIN sets x ON da = x.doc_id JOIN sets y ON db = y.doc_id
+         |)
+         |SELECT da AS doc_a, db AS doc_b, round(j, 4) AS jaccard
+         |FROM jac WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "ngram_jaccard" ->
+      s"""${OracleSql.ShingleHashCte}, sets AS (
+         |  SELECT doc_id, list_distinct(h) AS s FROM hs
+         |), ex AS (
+         |  SELECT doc_id, unnest(s) AS hh FROM sets
+         |), inter AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+         |  FROM ex a JOIN ex b ON a.hh = b.hh AND a.doc_id < b.doc_id
+         |  GROUP BY da, db
+         |), jac AS (
+         |  SELECT da, db, i::DOUBLE / (len(x.s) + len(y.s) - i) AS j
+         |  FROM inter JOIN sets x ON da = x.doc_id JOIN sets y ON db = y.doc_id
+         |)
+         |SELECT da AS doc_a, db AS doc_b, round(j, 4) AS jaccard
+         |FROM jac WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "simhash" ->
+      s"""$simhashCte
+         |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
+    "simhash_pairs" ->
+      s"""$simhashCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "embed_neardup" ->
+      s"""${OracleSql.NormCte}, p AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+         |    ${OracleSql.cosineN("a.embedding", "b.embedding", "a.nm", "b.nm")} AS c
+         |  FROM nrm a JOIN nrm b ON a.vec_id != b.vec_id
+         |), r AS (
+         |  SELECT vec_id, nn_id, c,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, nn_id) AS rn
+         |  FROM p
+         |)
+         |SELECT vec_id, nn_id, round(c, 6) AS cosine
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin)
+}

@@ -46,6 +46,14 @@ object Index {
       .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("positions"))
       .orderBy("term", "doc_id")
 
+  /** Oracle-comparable projection of [[invertedIndex]]: the positions
+    * array is emitted as a comma-joined string (the gate's comparator
+    * cannot hash raw array cells).
+    */
+  def invertedIndexFlat(spark: SparkSession, dir: String): DataFrame =
+    invertedIndex(spark, dir)
+      .withColumn("positions", array_join(col("positions").cast("array<string>"), ","))
+
   def postingsStats(spark: SparkSession, dir: String): DataFrame =
     tokenStream(spark, dir)
       .groupBy("term")
@@ -152,7 +160,7 @@ object Index {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wordcount" -> wordcount,
-    "inverted_index" -> invertedIndex,
+    "inverted_index" -> invertedIndexFlat,
     "postings_stats" -> postingsStats,
     "doc_stats" -> docStats,
     "term_search" -> termSearch,
@@ -178,7 +186,8 @@ object Index {
     "wordcount" ->
       s"$TokSql SELECT term, count(*) AS freq FROM tok GROUP BY term ORDER BY term",
     "inverted_index" ->
-      s"""$TokSql SELECT term, doc_id, count(*) AS tf, list_sort(list(pos)) AS positions
+      s"""$TokSql SELECT term, doc_id, count(*) AS tf,
+         |  array_to_string(list_sort(list(pos)), ',') AS positions
          |FROM tok GROUP BY term, doc_id ORDER BY term, doc_id""".stripMargin,
     "postings_stats" ->
       s"""$TokSql SELECT term, count(DISTINCT doc_id) AS df, count(*) AS total_tf

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.functions.VectorFns
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (SURVEY §2.D).
+  *
+  * `knn_bruteforce` is the exact baseline: broadcast the (tiny) query
+  * set against the full vector scan — one narrow pass, cosine inside
+  * whole-stage codegen, per-query top-k via window.
+  *
+  * `knn_ivf` is the scale path (IVF, nprobe=1): broadcast 16 seed
+  * centroids, assign every vector to its nearest centroid (narrow),
+  * then search only the query's bucket. At 100 TB the assignment is a
+  * scan-speed map and the search shuffle touches 1/16th of the data
+  * per query instead of all of it.
+  */
+object Similarity {
+
+  /** Deterministic query set: the first [[NQueries]] vec_ids. */
+  val NQueries = 5
+  /** Deterministic seed centroids: the first [[NCentroids]] vec_ids. */
+  val NCentroids = 16
+  val TopK = 10
+
+  def knnBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", VectorFns.cosineSim(col("qe"), col("embedding")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk"), col("vec_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** (vec_id, embedding, bucket) — nearest-centroid assignment, ties
+    * broken toward the lower centroid id. Narrow per-row argmax over
+    * the broadcast centroid array (no shuffle).
+    */
+  def ivfAssign(e: DataFrame): DataFrame = {
+    val cent = e.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", VectorFns.cosineSim(col("embedding"), col("ce")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("bucket"))
+  }
+
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = ivfAssign(Tables.embeddings(spark, dir))
+    val q = assigned.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    assigned
+      .join(broadcast(q), "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", VectorFns.cosineSim(col("qe"), col("embedding")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk"), col("vec_id"),
+        round(col("cos"), 6).as("cosine"), col("bucket"))
+      .orderBy("query_id", "rk")
+  }
+
+  // ---- wiring ----------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_bruteforce" -> knnBruteforce,
+    "knn_ivf" -> knnIvf)
+
+  /** `asg` CTE on top of [[OracleSql.NormCte]]: the IVF bucket
+    * assignment (argmax cosine over the 16 seed centroids).
+    */
+  private val AssignCte: String =
+    s""", ac AS (
+       |  SELECT v.vec_id, v.embedding, v.nm,
+       |    c.vec_id AS cid,
+       |    ${OracleSql.cosineN("v.embedding", "c.embedding", "v.nm", "c.nm")} AS ccos
+       |  FROM nrm v JOIN nrm c ON c.vec_id < $NCentroids
+       |), asg AS (
+       |  SELECT vec_id, embedding, nm, cid AS bucket FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+       |    FROM ac) WHERE crn = 1
+       |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "knn_bruteforce" ->
+      s"""${OracleSql.NormCte}, p AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+         |    ${OracleSql.cosineN("q.embedding", "b.embedding", "q.nm", "b.nm")} AS c
+         |  FROM nrm q JOIN nrm b ON q.vec_id < $NQueries AND b.vec_id != q.vec_id
+         |), r AS (
+         |  SELECT query_id, vec_id, c,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rk
+         |  FROM p
+         |)
+         |SELECT query_id, rk, vec_id, round(c, 6) AS cosine
+         |FROM r WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    "knn_ivf" ->
+      s"""${OracleSql.NormCte}$AssignCte, p AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id, b.bucket,
+         |    ${OracleSql.cosineN("q.embedding", "b.embedding", "q.nm", "b.nm")} AS c
+         |  FROM asg q JOIN asg b ON q.vec_id < $NQueries
+         |    AND b.bucket = q.bucket AND b.vec_id != q.vec_id
+         |), r AS (
+         |  SELECT query_id, vec_id, bucket, c,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rk
+         |  FROM p
+         |)
+         |SELECT query_id, rk, vec_id, round(c, 6) AS cosine, bucket
+         |FROM r WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin)
+}

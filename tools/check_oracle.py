@@ -17,11 +17,12 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    # Mirror the driver's t2 gate: sort columns by name, sort rows by all
+    # columns, and compare values WITH dtype (the driver hashes per-column
+    # including dtype — a HUGEINT->float64 vs int64 difference must fail
+    # here exactly like it fails there).
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize list/array cells to tuples so they hash/compare
-    for c in df.columns:
-        if df[c].map(lambda v: isinstance(v, (list, tuple)) or hasattr(v, "tolist") and not isinstance(v, str)).any():
-            df[c] = df[c].map(lambda v: tuple(v.tolist()) if hasattr(v, "tolist") else (tuple(v) if isinstance(v, (list, tuple)) else v))
+    df = df.sort_values(by=list(df.columns), kind="mergesort")
     return df.reset_index(drop=True)
 
 
@@ -48,8 +49,13 @@ def main(sf_dir: str, out_dir: str) -> int:
         if len(got) != len(want):
             print(f"[FAIL-rows ] {name}: got {len(got)} want {len(want)}")
             continue
+        dt_bad = [(c, str(got[c].dtype), str(want[c].dtype))
+                  for c in got.columns if str(got[c].dtype) != str(want[c].dtype)]
+        if dt_bad:
+            print(f"[FAIL-dtype] {name}: {dt_bad}")
+            continue
         try:
-            pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+            pd.testing.assert_frame_equal(got, want, check_dtype=True, check_exact=True)
         except AssertionError as e:
             print(f"[FAIL-vals ] {name}: {str(e).splitlines()[-1] if str(e) else e}")
             # show first diff
