@@ -20,7 +20,7 @@ object Stream {
 
   case class Ev(user_id: Long, ts: Timestamp, event_type: String)
   case class Session(user_id: Long, n_events: Long, start_us: Long, end_us: Long)
-  private case class SessState(n: Long, startUs: Long, endUs: Long)
+  case class SessState(n: Long, startUs: Long, endUs: Long)
 
   /** Watermarked tumbling 1-hour counts per event type — streaming
     * twin of `Analytics.windowTumbling`.

@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.{HashFns, HashImpl, TextFns, VectorFns, VectorImpl}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Kernel-level parity tests. The literal expected values were
+  * cross-checked against DuckDB's equivalent fold expressions, so these
+  * pin the cross-engine contract the oracle gate depends on.
+  */
+class FunctionsSpec extends SparkSpec {
+
+  private def roll(s: String, mod: Long = HashFns.P): Long =
+    HashImpl.roll(UTF8String.fromString(s), mod)
+
+  test("rolling hash matches the DuckDB fold contract") {
+    // duckdb: list_reduce(list_prepend(0, [unicode per char]), (a,x)->(a*31+x)%P)
+    assert(roll("ab") === 3105L)            // 97*31 + 98
+    assert(roll("") === 0L)
+    assert(roll("的") === 30340L)           // single BMP codepoint
+    // minhash fold over ['a b c','b c d'] with (A0,B0) — duckdb gives 354927082
+    val m = Seq("a b c", "b c d")
+      .map(s => (722159L * roll(s) + 463L) % HashFns.P).min
+    assert(m === 354927082L)
+  }
+
+  test("RollingHash expression evaluates through codegen") {
+    val got = spark.range(1)
+      .select(HashFns.rollingHash(lit("ab")).as("h"),
+        HashFns.rollingHash(lit("ab"), HashFns.M32).as("h32"))
+      .head()
+    assert(got.getLong(0) === 3105L)
+    assert(got.getLong(1) === 3105L)
+  }
+
+  // the exact double the oracle's fold SQL also produces: sequential
+  // dot, then dot / (sqrt(n2a) * sqrt(n2b))
+  private val CosAB = 8.0 / (math.sqrt(5.0) * math.sqrt(13.0))
+
+  test("cosine matches the sequential-fold contract") {
+    val a = ArrayData.toArrayData(Array(1f, 2f))
+    val b = ArrayData.toArrayData(Array(2f, 3f))
+    assert(VectorImpl.cosine(a, b) === CosAB)
+    assert(math.abs(VectorImpl.cosine(a, a) - 1.0) < 1e-15)
+    val z = ArrayData.toArrayData(Array(0f, 0f))
+    assert(VectorImpl.cosine(a, z) === 0.0)
+  }
+
+  test("CosineSim expression evaluates through codegen") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f), Array(2f, 3f))).toDF("a", "b")
+    val got = df.select(VectorFns.cosineSim(col("a"), col("b"))).head().getDouble(0)
+    assert(got === CosAB)
+  }
+
+  test("tokens drops empties; shingles and norm behave") {
+    import spark.implicits._
+    val df = Seq("  a  b c d ", "x y", "Héllo,  World!").toDF("text")
+    val rows = df.select(
+      TextFns.tokens(col("text")).as("tk"),
+      TextFns.shingles3(TextFns.tokens(col("text"))).as("sh"),
+      TextFns.normText(col("text")).as("nt")).collect()
+    assert(rows(0).getSeq[String](0) === Seq("a", "b", "c", "d"))
+    assert(rows(0).getSeq[String](1) === Seq("a b c", "b c d"))
+    assert(rows(1).getSeq[String](1) === Seq.empty)
+    assert(rows(2).getString(2) === "hllo world")
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.{Dedup, Index, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Operator-semantics tests on constructed inputs plus invariants on
+  * the sf0.001 corpus.
+  */
+class OperatorsSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "big data table scan fast"),
+      (1L, "big data table scan fast"),         // exact dup of 0
+      (2L, "big data table scan slow"),         // near dup of 0
+      (3L, "completely unrelated words entirely elsewhere"))
+      .toDF("doc_id", "text")
+  }
+
+  test("shingle hashes: identical docs share all shingles") {
+    val hs = Dedup.shingleHashes(docs).orderBy("doc_id").collect()
+    assert(hs(0).getSeq[Long](1) === hs(1).getSeq[Long](1))
+    assert(hs(0).getSeq[Long](1).size === 3) // 5 tokens -> 3 shingles
+    assert(hs(0).getSeq[Long](1).intersect(hs(3).getSeq[Long](1)).isEmpty)
+  }
+
+  test("minhash: dup docs have equal signatures, jaccard-1 pair found") {
+    val sig = Dedup.minhashSigs(docs).orderBy("doc_id").collect()
+    val s0 = (0 until 16).map(i => sig(0).getLong(2 + i))
+    val s1 = (0 until 16).map(i => sig(1).getLong(2 + i))
+    assert(s0 === s1)
+    val s3 = (0 until 16).map(i => sig(3).getLong(2 + i))
+    assert(s0 !== s3)
+  }
+
+  test("simhash: identical docs collide, disjoint docs differ") {
+    val sh = Dedup.simhashDf(docs).orderBy("doc_id").collect()
+    assert(sh(0).getLong(1) === sh(1).getLong(1))
+    assert(sh(0).getLong(1) !== sh(3).getLong(1))
+  }
+
+  test("inverted index: tf equals positions length, positions are ascending") {
+    val idx = Index.invertedIndex(spark, sfDir)
+    val bad = idx.filter(
+      size(col("positions")) =!= col("tf") ||
+        !(col("positions") === sort_array(col("positions"))))
+    assert(bad.count() === 0)
+    assert(idx.count() > 0)
+  }
+
+  test("wordcount total equals token-stream size") {
+    val total = Index.wordcount(spark, sfDir).agg(sum("freq")).head().getLong(0)
+    assert(total === Index.tokenStream(spark, sfDir).count())
+  }
+
+  test("sessionize: per-session event counts cover all events") {
+    val sess = SparkEntry.queries("sessionize")(spark, sfDir)
+    val nEvents = sess.agg(sum("n_events")).head().getLong(0)
+    val raw = graft.operators.Analytics.eventsUs(spark, sfDir).count()
+    assert(nEvents === raw)
+    assert(sess.filter(col("start_ts") > col("end_ts")).count() === 0)
+  }
+
+  test("knn: k results per query, cosine non-increasing in rank") {
+    val knn = Similarity.knnBruteforce(spark, sfDir).collect()
+    assert(knn.length === Similarity.NQueries * Similarity.TopK)
+    knn.groupBy(_.getLong(0)).values.foreach { rs =>
+      val byRank = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("ivf bucket search results are a subset-or-equal quality of brute force") {
+    val ivf = Similarity.knnIvf(spark, sfDir)
+    assert(ivf.count() > 0)
+    // every returned neighbor shares the query's bucket by construction
+    assert(ivf.select("bucket").distinct().count() <= Similarity.NCentroids)
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

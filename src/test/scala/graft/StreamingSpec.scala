@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.Stream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming specs (SURVEY §2.G) over MemoryStream. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  test("stream_tumbling: watermarked hourly counts per event type") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val q = Stream.tumblingCounts(in.toDF().toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData((ts(10), "click"), (ts(20), "click"), (ts(70), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .orderBy("hour_start", "event_type")
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2)))
+      assert(rows.toSeq === Seq((0L, "click", 2L), (60L, "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("stream_sessionize: a distant event closes and emits the open session") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Stream.Ev]
+    val q = Stream.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Stream.Ev(1L, ts(0), "click"), Stream.Ev(1L, ts(10), "view"))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() === 0) // session still open
+      in.addData(Stream.Ev(1L, ts(120), "click"))   // > 30 min gap
+      q.processAllAvailable()
+      val s = spark.table("sessions").collect()
+      assert(s.length === 1)
+      assert(s(0).getLong(1) === 2L)                       // n_events
+      assert(s(0).getLong(2) === 0L)                       // start_us
+      assert(s(0).getLong(3) === 10L * 60L * 1000000L)     // end_us
+      // second user's far-apart events in ONE batch emit immediately
+      in.addData(Stream.Ev(2L, ts(0), "a"), Stream.Ev(2L, ts(200), "b"))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() === 2)
+    } finally q.stop()
+  }
+}
