@@ -60,18 +60,27 @@ object Dedup {
       .select(col("doc_id"), asm.as("simhash"))
   }
 
-  /** Exact Jaccard between distinct-shingle-hash sets, computed via the
-    * inverted shingle join (pairs only materialize for docs that SHARE
-    * a shingle — never a cross join).
+  /** Exact Jaccard between distinct-shingle-hash sets via the inverted
+    * shingle index: group doc lists per shingle, emit each list's i<j
+    * combinations, count co-occurrences per pair. Pairs only
+    * materialize for docs that SHARE a shingle — never a cross join —
+    * and the combination explode emits each unordered pair once
+    * (a self-join would produce both orders and filter half away).
+    * The co-occurrence count is partial-aggregated map-side, so the
+    * pair stream never shuffles at full width.
     */
   private def jaccardPairs(docs: DataFrame): DataFrame = {
     val sets = shingleHashes(docs).select(col("doc_id"), array_distinct(col("hs")).as("s"))
     val sizes = sets.select(col("doc_id"), size(col("s")).cast("long").as("n"))
     val ex = sets.select(col("doc_id"), explode(col("s")).as("hh"))
-    val inter = ex.as("a").join(ex.as("b"),
-        col("a.hh") === col("b.hh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
+    val byShingle = ex.groupBy("hh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val pairs = byShingle.select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    val inter = pairs.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
@@ -110,7 +119,12 @@ object Dedup {
     * band key) — tiny — so no O(n²) stage exists anywhere.
     */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSigs(Tables.documents(spark, dir))
+    // The signature subtree feeds three plan branches (both band join
+    // sides + the verification sets); persist it so the narrow-but-
+    // per-element-interpreted minhash transform runs once. At 100 TB
+    // signatures are ~1% of corpus size — persisting them is the
+    // standard LSH shape.
+    val sig = minhashSigs(Tables.documents(spark, dir)).persist()
     val bandCols = (0 until 4).map(bd =>
       struct(lit(bd).as("band"),
         concat_ws(",", (0 until 4).map(r => col(s"m${4 * bd + r}").cast("string")): _*).as("k")))
@@ -176,13 +190,19 @@ object Dedup {
     * [[Similarity.knnIvf]].
     */
   def embedNeardup(spark: SparkSession, dir: String): DataFrame = {
+    // Precompute each vector's norm once; per pair only the dot product
+    // remains — same doubles as CosineSim (identical operation order)
+    // at a third of the N² flops.
     val e = Tables.embeddings(spark, dir)
-    val b = e.select(col("vec_id").as("nn_id"), col("embedding").as("emb_b"))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(VectorFns.norm2(col("embedding"))).as("nm"))
+    val b = e.select(col("vec_id").as("nn_id"), col("embedding").as("emb_b"),
+      col("nm").as("nm_b"))
     val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nn_id"))
-    e.select(col("vec_id"), col("embedding"))
-      .crossJoin(b)
+    e.crossJoin(b)
       .filter(col("vec_id") =!= col("nn_id"))
-      .withColumn("cos", VectorFns.cosineSim(col("embedding"), col("emb_b")))
+      .withColumn("cos",
+        VectorFns.dot(col("embedding"), col("emb_b")) / (col("nm") * col("nm_b")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("nn_id"), round(col("cos"), 6).as("cosine"))

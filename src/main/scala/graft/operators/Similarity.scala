@@ -26,46 +26,57 @@ object Similarity {
   val NCentroids = 16
   val TopK = 10
 
+  /** embeddings with a precomputed norm — per-pair cosine is then just
+    * `dot / (nmA * nmB)`, the same doubles as [[VectorFns.cosineSim]]
+    * at a third of the flops.
+    */
+  private def withNorm(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+      sqrt(VectorFns.norm2(col("embedding"))).as("nm"))
+
   def knnBruteforce(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = withNorm(Tables.embeddings(spark, dir))
     val q = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nm").as("qnm"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    e.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(q))
+    e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", VectorFns.cosineSim(col("qe"), col("embedding")))
+      .withColumn("cos",
+        VectorFns.dot(col("qe"), col("embedding")) / (col("qnm") * col("nm")))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= TopK)
       .select(col("query_id"), col("rk"), col("vec_id"), round(col("cos"), 6).as("cosine"))
       .orderBy("query_id", "rk")
   }
 
-  /** (vec_id, embedding, bucket) — nearest-centroid assignment, ties
-    * broken toward the lower centroid id. Narrow per-row argmax over
-    * the broadcast centroid array (no shuffle).
+  /** (vec_id, embedding, nm, bucket) — nearest-centroid assignment,
+    * ties broken toward the lower centroid id. Narrow per-row argmax
+    * over the broadcast centroid array (no shuffle).
     */
   def ivfAssign(e: DataFrame): DataFrame = {
-    val cent = e.filter(col("vec_id") < NCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val en = withNorm(e)
+    val cent = en.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nm").as("cnm"))
     val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
-    e.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cent))
-      .withColumn("ccos", VectorFns.cosineSim(col("embedding"), col("ce")))
+    en.crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        VectorFns.dot(col("embedding"), col("ce")) / (col("nm") * col("cnm")))
       .withColumn("crn", row_number().over(w))
       .filter(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid").as("bucket"))
+      .select(col("vec_id"), col("embedding"), col("nm"), col("cid").as("bucket"))
   }
 
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
     val assigned = ivfAssign(Tables.embeddings(spark, dir))
     val q = assigned.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nm").as("qnm"), col("bucket"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     assigned
       .join(broadcast(q), "bucket")
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", VectorFns.cosineSim(col("qe"), col("embedding")))
+      .withColumn("cos",
+        VectorFns.dot(col("qe"), col("embedding")) / (col("qnm") * col("nm")))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= TopK)
       .select(col("query_id"), col("rk"), col("vec_id"),
