@@ -3,8 +3,9 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared hash kernels, callable from both interpreted eval and
@@ -28,6 +29,72 @@ object HashImpl {
     }
     h
   }
+
+  private def rollInto(h0: Long, js: String, mod: Long): Long = {
+    var h = h0
+    var i = 0
+    while (i < js.length) {
+      val cp = js.codePointAt(i)
+      i += Character.charCount(cp)
+      h = (h * 31L + cp) % mod
+    }
+    h
+  }
+
+  /** Rolling hashes of every 3-token shingle (tokens joined by single
+    * spaces), identical to hashing the concatenated shingle string
+    * with [[roll]] — the polynomial fold is sequential, so folding
+    * token-by-token with a literal space (cp 32) between them yields
+    * the same value without materializing shingle strings. One tight
+    * JVM loop per document instead of per-element interpreted
+    * `transform` lambdas.
+    */
+  def shingleHashes(toks: ArrayData, mod: Long): ArrayData = {
+    val n = toks.numElements()
+    if (n < 3) return new GenericArrayData(Array.empty[Long])
+    val js = new Array[String](n)
+    var i = 0
+    while (i < n) { js(i) = toks.getUTF8String(i).toString; i += 1 }
+    val out = new Array[Long](n - 2)
+    i = 0
+    while (i < n - 2) {
+      var h = rollInto(0L, js(i), mod)
+      h = (h * 31L + 32L) % mod
+      h = rollInto(h, js(i + 1), mod)
+      h = (h * 31L + 32L) % mod
+      out(i) = rollInto(h, js(i + 2), mod)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** k-wide MinHash signature in one pass over the shingle-hash array:
+    * sig_i = min over h of (A(i)*h + B(i)) mod P, -1 for an empty
+    * array — same arithmetic as the per-permutation
+    * `array_min(transform(...))` formulation and the DuckDB oracle's
+    * `coalesce(list_min(list_transform(...)), -1)`.
+    */
+  def minhashSig(hs: ArrayData, a: Array[Long], b: Array[Long], mod: Long): ArrayData = {
+    val k = a.length
+    val out = Array.fill[Long](k)(-1L)
+    val n = hs.numElements()
+    if (n > 0) {
+      var j = 0
+      while (j < k) { out(j) = Long.MaxValue; j += 1 }
+      var i = 0
+      while (i < n) {
+        val h = hs.getLong(i)
+        j = 0
+        while (j < k) {
+          val v = (a(j) * h + b(j)) % mod
+          if (v < out(j)) out(j) = v
+          j += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Catalyst-native rolling hash (codegen'd; no Scala UDF on the hot
@@ -46,6 +113,41 @@ case class RollingHash(child: Expression, mod: Long)
   override protected def withNewChildInternal(c: Expression): RollingHash =
     copy(child = c)
   override def prettyName: String = "rolling_hash"
+}
+
+/** Codegen'd token-array → 3-gram shingle rolling hashes: one JVM
+  * kernel call per document (vs interpreted per-shingle `transform`
+  * lambdas — higher-order functions never enter whole-stage codegen).
+  */
+case class ShingleHash(child: Expression, mod: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashImpl.shingleHashes(v.asInstanceOf[ArrayData], mod)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.shingleHashes($c, ${mod}L)")
+  override protected def withNewChildInternal(c: Expression): ShingleHash =
+    copy(child = c)
+  override def prettyName: String = "shingle_hash"
+}
+
+/** Codegen'd shingle-hash array → k-wide MinHash signature array in a
+  * single pass (the per-permutation `array_min(transform(...))`
+  * formulation evaluates k interpreted lambdas per document).
+  */
+case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long], mod: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashImpl.minhashSig(v.asInstanceOf[ArrayData], a, b, mod)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", a, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", b, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashImpl.minhashSig($c, $aRef, $bRef, ${mod}L)")
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+  override def prettyName: String = "minhash_sig"
 }
 
 object HashFns {
@@ -67,4 +169,13 @@ object HashFns {
 
   def rollingHash(c: Column, mod: Long = P): Column =
     GraftBridge.column(RollingHash(GraftBridge.expression(c), mod))
+
+  /** 3-gram shingle rolling hashes straight from a token array. */
+  def shingleHash(toks: Column, mod: Long = P): Column =
+    GraftBridge.column(ShingleHash(GraftBridge.expression(toks), mod))
+
+  /** k=16 MinHash signature (array<long>) from a shingle-hash array. */
+  def minhashSig(hs: Column): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(hs),
+      MinhashA.toArray, MinhashB.toArray, P))
 }

@@ -70,16 +70,20 @@ object Analytics {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  // Semi/anti joins pre-aggregate the fact side to distinct keys: the
+  // build side shrinks from the fact table to its key cardinality, so
+  // AQE turns the join into a broadcast instead of sort-merging the
+  // full fact table against the dimension.
   def antiJoin(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
-      .join(Tables.orders(spark, dir),
+      .join(Tables.orders(spark, dir).select("o_custkey").distinct(),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
   def semiJoin(spark: SparkSession, dir: String): DataFrame =
     Tables.supplier(spark, dir)
-      .join(Tables.lineitem(spark, dir),
+      .join(Tables.lineitem(spark, dir).select("l_suppkey").distinct(),
         col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select("s_suppkey", "s_name")
       .orderBy("s_suppkey")

@@ -25,21 +25,22 @@ object Dedup {
   // ---- shared narrow stages -------------------------------------------
 
   /** (doc_id, hs: array<long>) — rolling hash of every 3-token shingle.
-    * Pure codegen'd map stage (no shuffle).
+    * Pure codegen'd map stage (no shuffle): one
+    * [[graft.functions.ShingleHash]] kernel call per document.
     */
   def shingleHashes(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), TextFns.shingles3(TextFns.tokens(col("text"))).as("sh"))
-      .select(col("doc_id"), transform(col("sh"), s => HashFns.rollingHash(s)).as("hs"))
+    docs.select(col("doc_id"),
+      HashFns.shingleHash(TextFns.tokens(col("text"))).as("hs"))
 
   /** doc_id, hs, m0..m15 — k=16 universal-hash MinHash signature:
-    * sig_i = min over shingle hashes h of (A_i*h + B_i) mod P.
+    * sig_i = min over shingle hashes h of (A_i*h + B_i) mod P,
+    * computed in one [[graft.functions.MinHashSig]] pass.
     */
   def minhashSigs(docs: DataFrame): DataFrame = {
-    val sigCols = HashFns.MinhashA.zip(HashFns.MinhashB).zipWithIndex.map { case ((a, b), i) =>
-      coalesce(array_min(transform(col("hs"), h => (h * a + b) % HashFns.P)), lit(-1L)).as(s"m$i")
-    }
-    shingleHashes(docs).select(col("doc_id") +: col("hs") +: sigCols: _*)
+    val mCols = (0 until 16).map(i => element_at(col("sig"), i + 1).as(s"m$i"))
+    shingleHashes(docs)
+      .withColumn("sig", HashFns.minhashSig(col("hs")))
+      .select(col("doc_id") +: col("hs") +: mCols: _*)
   }
 
   /** (doc_id, simhash) — 32-bit SimHash: per-term 32-bit rolling hash,
@@ -60,31 +61,56 @@ object Dedup {
       .select(col("doc_id"), asm.as("simhash"))
   }
 
-  /** Exact Jaccard between distinct-shingle-hash sets via the inverted
-    * shingle index: group doc lists per shingle, emit each list's i<j
-    * combinations, count co-occurrences per pair. Pairs only
-    * materialize for docs that SHARE a shingle — never a cross join —
-    * and the combination explode emits each unordered pair once
-    * (a self-join would produce both orders and filter half away).
-    * The co-occurrence count is partial-aggregated map-side, so the
-    * pair stream never shuffles at full width.
+  /** Per-bucket unordered pair expansion: each sorted doc list emits
+    * its i<j combinations exactly once (a self-join would produce both
+    * orders and filter half away, shuffling the exploded table twice).
     */
-  private def jaccardPairs(docs: DataFrame): DataFrame = {
-    val sets = shingleHashes(docs).select(col("doc_id"), array_distinct(col("hs")).as("s"))
-    val sizes = sets.select(col("doc_id"), size(col("s")).cast("long").as("n"))
-    val ex = sets.select(col("doc_id"), explode(col("s")).as("hh"))
-    val byShingle = ex.groupBy("hh")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1)
-    val pairs = byShingle.select(explode(flatten(transform(col("ds"), (x, i) =>
-        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+  private def bucketPairs(buckets: DataFrame, listCol: String): DataFrame =
+    buckets.filter(size(col(listCol)) > 1)
+      .select(explode(flatten(transform(col(listCol), (x, i) =>
+        transform(slice(col(listCol), i + lit(2), size(col(listCol))),
           y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-    val inter = pairs.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-      .withColumn("j", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+
+  /** Exact all-pairs Jaccard ≥ `threshold` between distinct-shingle
+    * sets via prefix filtering (the All-Pairs / PPJoin candidate rule,
+    * Bayardo et al. WWW'07): order shingles globally by (df, hash)
+    * ascending; a doc of n shingles only indexes its first
+    * n - ceil(t*n) + 1 shingles under that order. Any pair with
+    * J ≥ t shares its *smallest* common shingle inside both prefixes,
+    * so candidate generation from prefix co-occurrence is lossless —
+    * while the hot (high-df) shingles that drive the naive inverted
+    * join's d² blowup sort last and never enter a prefix. Candidates
+    * then get one exact array_intersect verification. At 100 TB this
+    * is the difference between quadratic stopword buckets and a
+    * bounded candidate stream.
+    */
+  private def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sets = shingleHashes(docs)
+      .select(col("doc_id"), sort_array(array_distinct(col("hs"))).as("s"))
+      .persist()
+    val ex = sets.select(col("doc_id"), explode(col("s")).as("hh"))
+    val dfs = ex.groupBy("hh").agg(count(lit(1)).as("df"))
+    // Global shingle order = (df asc, hash asc); no rank assignment
+    // needed — the (df, hh) struct itself is the sortable key.
+    val prefixes = ex.join(dfs, "hh")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("hh")))).as("os"))
+      .select(col("doc_id"),
+        slice(transform(col("os"), o => o("hh")), lit(1),
+          (size(col("os")) - ceil(size(col("os")) * threshold) + 1).cast("int")).as("pre"))
+    val byShingle = prefixes.select(col("doc_id"), explode(col("pre")).as("hh"))
+      .groupBy("hh").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    val cand = bucketPairs(byShingle, "ds").distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      // length filter: J >= t forces t <= |B|/|A| — reject before intersecting
+      .filter(greatest(size(col("sa")), size(col("sb"))) * threshold <=
+        least(size(col("sa")), size(col("sb"))))
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("j", col("i").cast("double") /
+        (size(col("sa")).cast("long") + size(col("sb")).cast("long") - col("i")))
   }
 
   // ---- operators -------------------------------------------------------
@@ -130,11 +156,11 @@ object Dedup {
         concat_ws(",", (0 until 4).map(r => col(s"m${4 * bd + r}").cast("string")): _*).as("k")))
     val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.k").as("k"))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.k") === col("b.k") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    // One shuffle on (band, key) + in-bucket combination expansion —
+    // cheaper than a two-sided self-join of the exploded band table.
+    val cand = bucketPairs(
+      bands.groupBy("band", "k").agg(sort_array(collect_list(col("doc_id"))).as("ds")),
+      "ds").distinct()
     val sets = sig.select(col("doc_id"), array_distinct(col("hs")).as("s"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
@@ -147,11 +173,12 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Exact all-pairs 3-gram Jaccard ≥ 0.5 via the inverted shingle
-    * join — the exact baseline `minhash_lsh_pairs` approximates.
+  /** Exact all-pairs 3-gram Jaccard ≥ 0.5 via prefix-filtered
+    * candidate generation — the exact baseline `minhash_lsh_pairs`
+    * approximates.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairs(Tables.documents(spark, dir))
+    jaccardPairs(Tables.documents(spark, dir), 0.5)
       .filter(col("j") >= 0.5)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -198,14 +225,19 @@ object Dedup {
         sqrt(VectorFns.norm2(col("embedding"))).as("nm"))
     val b = e.select(col("vec_id").as("nn_id"), col("embedding").as("emb_b"),
       col("nm").as("nm_b"))
-    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nn_id"))
-    e.crossJoin(b)
+    // argmax as a partial-aggregated max(struct): ties on cos resolve
+    // to the lower nn_id via the negated second field. Map-side
+    // combine collapses each vector's N-1 candidates before any
+    // shuffle — the window formulation would sort the full N² pair
+    // stream instead.
+    e.crossJoin(broadcast(b))
       .filter(col("vec_id") =!= col("nn_id"))
       .withColumn("cos",
         VectorFns.dot(col("embedding"), col("emb_b")) / (col("nm") * col("nm_b")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("nn_id"), round(col("cos"), 6).as("cosine"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos"), (-col("nn_id")).as("neg_nn"))).as("best"))
+      .select(col("vec_id"), (-col("best.neg_nn")).as("nn_id"),
+        round(col("best.cos"), 6).as("cosine"))
       .orderBy("vec_id")
   }
 
