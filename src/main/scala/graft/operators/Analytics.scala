@@ -216,6 +216,76 @@ object Analytics {
         round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"))
       .orderBy("o_orderstatus")
 
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy("rf", "ls")
+
+  /** Per-user inter-event gap (lag window); -1 for a user's first
+    * event so the column stays non-null int64 through the gate.
+    */
+  def leadLagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    eventsUs(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("ts_us") - lag(col("ts_us"), 1).over(byUser), lit(-1L)).as("delta_us"))
+      .orderBy("event_id")
+  }
+
+  /** Sliding 1-hour window every 15 minutes: each event lands in 4
+    * windows (explode is narrow; the shuffle is the grouped agg).
+    */
+  def windowSliding(spark: SparkSession, dir: String): DataFrame =
+    eventsUs(spark, dir)
+      .groupBy(window(timestamp_micros(col("ts_us")), "1 hour", "15 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"))
+      .orderBy("win_start", "event_type")
+
+  /** Fixed-width histogram of order totals (bin = floor(x / 50000)). */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(floor(col("o_totalprice") / 50000).as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bin")
+
+  /** Pearson correlation of quantity vs extended price per return
+    * flag, computed from EXACT integer moments (quantity as long,
+    * price in cents, decimal(38,0) sums) so the double arithmetic is
+    * a fixed expression over identical integers on both engines —
+    * a direct corr() would aggregate doubles in engine-specific order
+    * and break bitwise parity.
+    */
+  def corrAgg(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = round(col("l_quantity")).cast("long")
+    val y = round(col("l_extendedprice") * 100).cast("long")
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), x.cast(dec).as("x"), y.cast(dec).as("y"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast(dec).as("cn"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("l_returnflag"),
+        round(
+          (col("cn") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("cn") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("cn") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          6).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** HLL++ sketch — approximate by design, so rows-only (no exact
     * cross-engine oracle is possible).
     */
@@ -243,7 +313,12 @@ object Analytics {
     "asof_join" -> asofJoin,
     "range_join" -> rangeJoin,
     "percentiles" -> percentiles,
-    "approx_distinct" -> approxDistinct)
+    "approx_distinct" -> approxDistinct,
+    "cube_agg" -> cubeAgg,
+    "lead_lag_delta" -> leadLagDelta,
+    "window_sliding" -> windowSliding,
+    "histogram" -> histogram,
+    "corr_agg" -> corrAgg)
 
   /** Shared DuckDB CTE for events at micros precision (source is ns). */
   private val EvSql =
@@ -372,5 +447,47 @@ object Analytics {
         |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
         |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
         |  round(quantile_cont(o_totalprice, 0.99), 2) AS p99
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "cube_agg" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "lead_lag_delta" ->
+      s"""$EvSql
+         |SELECT event_id, user_id,
+         |  coalesce(ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id),
+         |           -1) AS delta_us
+         |FROM ev ORDER BY event_id""".stripMargin,
+    "window_sliding" ->
+      s"""$EvSql, slid AS (
+         |  SELECT event_type,
+         |    (ts_us // 900000000 - i) * 900000000 AS start_us
+         |  FROM ev CROSS JOIN (SELECT unnest(range(4)) AS i)
+         |)
+         |SELECT strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S') AS win_start,
+         |  event_type, count(*) AS n
+         |FROM slid GROUP BY start_us, event_type ORDER BY win_start, event_type""".stripMargin,
+    "histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin, count(*) AS n
+        |FROM orders GROUP BY bin ORDER BY bin""".stripMargin,
+    "corr_agg" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    count(*)::HUGEINT AS cn,
+        |    sum(CAST(round(l_quantity) AS BIGINT)::HUGEINT) AS sx,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)::HUGEINT) AS sy,
+        |    sum(CAST(round(l_quantity) AS BIGINT)::HUGEINT
+        |      * CAST(round(l_quantity) AS BIGINT)::HUGEINT) AS sxx,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)::HUGEINT
+        |      * CAST(round(l_extendedprice * 100) AS BIGINT)::HUGEINT) AS syy,
+        |    sum(CAST(round(l_quantity) AS BIGINT)::HUGEINT
+        |      * CAST(round(l_extendedprice * 100) AS BIGINT)::HUGEINT) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag,
+        |  round((cn * sxy - sx * sy)::DOUBLE /
+        |    (sqrt((cn * sxx - sx * sx)::DOUBLE) * sqrt((cn * syy - sy * sy)::DOUBLE)),
+        |    6) AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin)
 }

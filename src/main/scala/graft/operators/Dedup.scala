@@ -241,6 +241,37 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** Connected components over the [[simhashPairs]] near-dup graph by
+    * iterative min-label propagation (Pregel-style): each node adopts
+    * the minimum label among itself and its neighbors until fixpoint,
+    * so cluster_id = the smallest doc_id reachable. The driver-side
+    * loop runs O(component diameter) joins — near-dup components are
+    * shallow in practice — and each iteration localCheckpoints to keep
+    * the plan from growing (the standard shape for iterative dataflow
+    * on Spark; at 100 TB swap in large-star/small-star to cut rounds).
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val e = simhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val sym = e.union(e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = sym.select(col("doc_a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val nbrMin = sym.join(labels.select(col("node").as("doc_b"), col("lbl")), "doc_b")
+        .groupBy(col("doc_a").as("node")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("lbl", "prev"), "node")
+        .filter(col("lbl") < col("prev")).isEmpty
+      labels = next
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -251,7 +282,8 @@ object Dedup {
     "ngram_jaccard" -> ngramJaccard,
     "simhash" -> simhash,
     "simhash_pairs" -> simhashPairs,
-    "embed_neardup" -> embedNeardup)
+    "embed_neardup" -> embedNeardup,
+    "dedup_clusters" -> dedupClusters)
 
   private val sigConcat =
     (0 until 16).map(i => s"s$i").mkString("concat_ws(',', ", ", ", ")")
@@ -334,6 +366,20 @@ object Dedup {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_clusters" ->
+      s"""${simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, prs AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |), sym AS (
+         |  SELECT da AS a, db AS b FROM prs UNION ALL SELECT db, da FROM prs
+         |), reach AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+         |)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "embed_neardup" ->
       s"""${OracleSql.NormCte}, p AS (
          |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,

@@ -156,6 +156,54 @@ object Index {
       .orderBy("doc_id", "rk")
   }
 
+  /** Keyword-in-context: every occurrence of the query term with a
+    * ±2-token window — the user-facing payoff of *positional*
+    * postings (the reference stores positions for exactly this).
+    * Narrow stage: posexplode with the token array retained, context
+    * sliced from the same array.
+    */
+  def kwic(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"), posexplode(col("tk")).as(Seq("pos", "term")))
+      .filter(col("term") === "spark")
+      .withColumn("start1", greatest(col("pos") - 1, lit(1)))
+      .withColumn("end1", least(col("pos") + 3, size(col("tk"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        array_join(slice(col("tk"), col("start1"),
+          col("end1") - col("start1") + 1), " ").as("context"))
+      .orderBy("doc_id", "pos")
+
+  /** Bigram collocations by pointwise mutual information:
+    * pmi = ln(f_ab * N / (f_a * f_b)) over exact integer counts
+    * (products stay under 2^53, so the double is exact and the log is
+    * bitwise cross-engine). min f_ab >= 5, top 20.
+    */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+    val uni = toks.select(explode(col("tk")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("f"))
+    val nTotal = uni.agg(sum(col("f")).cast("double").as("n"))
+    val bi = toks
+      .select(explode(when(size(col("tk")) >= 2,
+        transform(sequence(lit(0), size(col("tk")) - 2),
+          i => struct(element_at(col("tk"), i + 1).as("term_a"),
+            element_at(col("tk"), i + 2).as("term_b"))))
+        .otherwise(array().cast("array<struct<term_a:string,term_b:string>>"))).as("bg"))
+      .select(col("bg.term_a").as("term_a"), col("bg.term_b").as("term_b"))
+      .groupBy("term_a", "term_b").agg(count(lit(1)).as("f_ab"))
+      .filter(col("f_ab") >= 5)
+    bi.join(broadcast(uni.select(col("term").as("term_a"), col("f").as("fa"))), "term_a")
+      .join(broadcast(uni.select(col("term").as("term_b"), col("f").as("fb"))), "term_b")
+      .crossJoin(broadcast(nTotal))
+      .select(col("term_a"), col("term_b"), col("f_ab"),
+        round(log(col("f_ab").cast("double") * col("n") /
+          (col("fa").cast("double") * col("fb").cast("double"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
+      .limit(20)
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -169,7 +217,9 @@ object Index {
     "phrase_search" -> phraseSearch,
     "tfidf_topk" -> tfidfTopk,
     "bm25_topk" -> bm25Topk,
-    "top_terms_per_doc" -> topTermsPerDoc)
+    "top_terms_per_doc" -> topTermsPerDoc,
+    "kwic" -> kwic,
+    "collocations" -> collocations)
 
   /** Shared DuckDB CTE: identical tokenization contract to
     * [[TextFns.tokens]] (split \s+, drop empties; 0-based positions).
@@ -236,5 +286,27 @@ object Index {
          |SELECT doc_id, term, tf, rk FROM (
          |  SELECT doc_id, term, tf,
          |    row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rk
-         |  FROM tf) WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin)
+         |  FROM tf) WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
+    "kwic" ->
+      s"""$TokSql
+         |SELECT t.doc_id AS doc_id, t.pos AS pos,
+         |  array_to_string(x.tk[greatest(t.pos - 1, 1):least(t.pos + 3, len(x.tk))], ' ')
+         |    AS context
+         |FROM tok t JOIN toks x ON t.doc_id = x.doc_id
+         |WHERE t.term = 'spark' ORDER BY doc_id, pos""".stripMargin,
+    "collocations" ->
+      s"""$TokSql, uni AS (
+         |  SELECT term, count(*) AS f FROM tok GROUP BY term
+         |), n AS (SELECT sum(f)::DOUBLE AS n FROM uni),
+         |bi AS (
+         |  SELECT tk[i+1] AS term_a, tk[i+2] AS term_b
+         |  FROM toks, unnest(range(greatest(len(tk) - 1, 0))) AS u(i)
+         |), bic AS (
+         |  SELECT term_a, term_b, count(*) AS f_ab FROM bi
+         |  GROUP BY term_a, term_b HAVING count(*) >= 5
+         |)
+         |SELECT term_a, term_b, f_ab,
+         |  round(ln(f_ab::DOUBLE * n.n / (a.f::DOUBLE * b.f::DOUBLE)), 4) AS pmi
+         |FROM bic JOIN uni a ON term_a = a.term JOIN uni b ON term_b = b.term, n
+         |ORDER BY pmi DESC, term_a, term_b LIMIT 20""".stripMargin)
 }
