@@ -25,13 +25,25 @@ import org.apache.spark.sql.functions._
   */
 object Index {
 
-  /** (doc_id, term, pos) exploded token stream — the shared narrow
-    * stage every index/search operator builds on.
+  /** (id, term, pos) exploded token stream over any document frame —
+    * the shared narrow stage every index/search operator builds on.
+    * Generic over the id column so TSV-sourced corpora (string titles,
+    * like the reference's) index identically to the parquet tables.
     */
+  def tokenStreamOf(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
+    docs
+      .select(col(id), posexplode(TextFns.tokens(col(text))).as(Seq("pos", "term")))
+      .select(col(id), col("term"), col("pos").cast("long").as("pos"))
+
   def tokenStream(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "term")))
-      .select(col("doc_id"), col("term"), col("pos").cast("long").as("pos"))
+    tokenStreamOf(Tables.documents(spark, dir))
+
+  /** Positional postings over any document frame (see [[invertedIndex]]). */
+  def invertedIndexOf(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
+    tokenStreamOf(docs, id, text)
+      .groupBy(col("term"), col(id))
+      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("positions"))
+      .orderBy(col("term"), col(id))
 
   // ---- operators -------------------------------------------------------
 
@@ -41,10 +53,7 @@ object Index {
       .orderBy("term")
 
   def invertedIndex(spark: SparkSession, dir: String): DataFrame =
-    tokenStream(spark, dir)
-      .groupBy("term", "doc_id")
-      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("positions"))
-      .orderBy("term", "doc_id")
+    invertedIndexOf(Tables.documents(spark, dir))
 
   /** Oracle-comparable projection of [[invertedIndex]]: the positions
     * array is emitted as a comma-joined string (the gate's comparator

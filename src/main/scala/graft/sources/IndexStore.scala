@@ -1,0 +1,48 @@
+package graft.sources
+
+import graft.functions.{HashFns, HashImpl}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Term-partitioned persistence for the positional inverted index —
+  * the Spark-native form of the reference's hash-on-word partitioner
+  * (/root/reference/src/main/scala/test/App.scala:185-190): all
+  * postings of a term land in one bucket, so a term lookup touches
+  * exactly one partition directory.
+  *
+  * The bucket key is the engine's own rolling hash mod `nBuckets`,
+  * computable both as a Catalyst column (write side) and driver-side
+  * (read side), so lookups prune partitions BEFORE the scan — at
+  * 100 TB a query reads 1/nBuckets of the index, not all of it, and
+  * the non-bucket predicate still pushes into parquet row groups.
+  */
+object IndexStore {
+  val DefaultBuckets = 64
+
+  /** Bucket of a term — same value in plan-space and driver-space. */
+  def bucketOf(term: String, nBuckets: Int): Long =
+    HashImpl.roll(UTF8String.fromString(term), HashFns.P) % nBuckets
+
+  /** Write `index` (term, ... columns) partitioned by term bucket. */
+  def save(index: DataFrame, path: String, nBuckets: Int = DefaultBuckets): Unit =
+    index
+      .withColumn("term_bucket", HashFns.rollingHash(col("term")) % nBuckets)
+      .repartition(col("term_bucket"))
+      .write.mode("overwrite")
+      .partitionBy("term_bucket")
+      .parquet(path)
+
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Partition-pruned single-term lookup: the `term_bucket` equality
+    * prunes directories at planning time; the `term` equality pushes
+    * down into the parquet scan of the one surviving bucket.
+    */
+  def lookup(spark: SparkSession, path: String, term: String,
+             nBuckets: Int = DefaultBuckets): DataFrame =
+    load(spark, path)
+      .filter(col("term_bucket") === bucketOf(term, nBuckets) && col("term") === term)
+      .drop("term_bucket")
+}

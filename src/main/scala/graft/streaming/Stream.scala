@@ -22,6 +22,18 @@ object Stream {
   case class Session(user_id: Long, n_events: Long, start_us: Long, end_us: Long)
   case class SessState(n: Long, startUs: Long, endUs: Long)
 
+  /** Streaming exact dedup — the streaming twin of
+    * `Dedup.dedupExact`: drop documents whose md5(text) was already
+    * seen within the watermark. State is the set of hashes inside the
+    * watermark horizon only, so a 100 TB/day firehose holds hours of
+    * fingerprints (16 bytes each), not history.
+    */
+  def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("text_md5", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("text_md5")
+
   /** Watermarked tumbling 1-hour counts per event type — streaming
     * twin of `Analytics.windowTumbling`.
     */

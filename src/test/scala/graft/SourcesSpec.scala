@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.functions.HashImpl
+import graft.operators.Index
+import graft.sources.{IndexStore, Tsv}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Specs for the reference-format TSV source, the term-partitioned
+  * index store, and the SQL function registry extensions.
+  */
+class SourcesSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("tsv source: title\\tbody lines, first-tab split, blank lines dropped") {
+    val dir = tmpDir("graft-tsv")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/docs.tsv"),
+      "Doc One\talpha beta alpha\n\nDoc Two\tbeta\tgamma\nNoBody\n")
+    val docs = Tsv.readDocuments(spark, s"$dir/docs.tsv").orderBy("title").collect()
+    assert(docs.map(r => (r.getString(0), r.getString(1))).toSeq === Seq(
+      ("Doc One", "alpha beta alpha"),
+      ("Doc Two", "beta\tgamma"),      // only the FIRST tab splits
+      ("NoBody", "")))
+  }
+
+  test("tsv -> positional inverted index keyed by title (reference semantics)") {
+    val dir = tmpDir("graft-tsv-idx")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/docs.tsv"),
+      "A\tx y x\nB\ty z\n")
+    val idx = Index.invertedIndexOf(
+        Tsv.readDocuments(spark, s"$dir/docs.tsv"), id = "title")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getSeq[Long](3))).toSeq
+    assert(idx === Seq(
+      ("x", "A", 2L, Seq(0L, 2L)),
+      ("y", "A", 1L, Seq(1L)),
+      ("y", "B", 1L, Seq(0L)),
+      ("z", "B", 1L, Seq(1L))))
+  }
+
+  test("index store: save/load round-trips and lookup prunes to one bucket") {
+    val path = tmpDir("graft-idxstore") + "/index"
+    val idx = Index.invertedIndex(spark, sfDir)
+    IndexStore.save(idx, path, nBuckets = 8)
+
+    val loaded = IndexStore.load(spark, path)
+    assert(loaded.count() === idx.count())
+
+    val term = "spark"
+    val got = IndexStore.lookup(spark, path, term, nBuckets = 8)
+      .select("term", "doc_id", "tf").orderBy("doc_id").collect()
+    val want = idx.filter(col("term") === term)
+      .select("term", "doc_id", "tf").orderBy("doc_id").collect()
+    assert(got.toSeq === want.toSeq)
+    assert(got.nonEmpty)
+
+    // the bucket equality must prune at planning time, not post-scan
+    val plan = IndexStore.lookup(spark, path, term, nBuckets = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("term_bucket"))
+  }
+
+  test("sql extensions: registered functions plan the native kernels") {
+    val h = spark.sql("SELECT rolling_hash('abc')").head().getLong(0)
+    assert(h === HashImpl.roll(UTF8String.fromString("abc"), 1000000007L))
+    val hm = spark.sql("SELECT rolling_hash('abc', 97)").head().getLong(0)
+    assert(hm === HashImpl.roll(UTF8String.fromString("abc"), 97L))
+
+    val sig = spark.sql(
+      "SELECT minhash_sig(shingle_hash(array('a','b','c','d')))").head().getSeq[Long](0)
+    assert(sig.length === 16 && sig.forall(_ >= 0))
+    assert(spark.sql("SELECT minhash_sig(shingle_hash(array('a','b')))")
+      .head().getSeq[Long](0).forall(_ === -1L)) // <3 tokens -> empty shingles
+
+    val cos = spark.sql(
+      "SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F))").head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+    assert(spark.sql("SELECT dot_product(array(1.0F,2.0F), array(3.0F,4.0F))")
+      .head().getDouble(0) === 11.0)
+    assert(spark.sql("SELECT norm2(array(3.0F,4.0F))").head().getDouble(0) === 25.0)
+  }
+}

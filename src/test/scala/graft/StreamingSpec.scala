@@ -29,6 +29,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_dedup: duplicate text within the watermark is dropped") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val q = Stream.dedupStream(in.toDF().toDF("ts", "text"))
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts(0), "alpha"), (ts(1), "alpha"), (ts(2), "beta"))
+      q.processAllAvailable()
+      in.addData((ts(3), "alpha"), (ts(4), "gamma")) // cross-batch dup
+      q.processAllAvailable()
+      val texts = spark.table("deduped").select("text")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(texts === Seq("alpha", "beta", "gamma"))
+    } finally q.stop()
+  }
+
   test("stream_sessionize: a distant event closes and emits the open session") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
