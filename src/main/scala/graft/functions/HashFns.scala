@@ -68,6 +68,35 @@ object HashImpl {
     new GenericArrayData(out)
   }
 
+  /** 32-bit SimHash straight from the token array: per token a rolling
+    * hash mod 2^32 votes ±1 on each bit; bits with a positive total
+    * are set. Summing ±1 per token OCCURRENCE equals the (doc, term)
+    * tf-weighted formulation (sum_t tf(t)·s(t) = sum over instances),
+    * so this narrow kernel replaces a groupBy(doc, term) shuffle while
+    * producing the identical integer.
+    */
+  def simhash32(toks: ArrayData, mod: Long): Long = {
+    val votes = new Array[Long](32)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val h = roll(toks.getUTF8String(i), mod)
+      var b = 0
+      while (b < 32) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /** k-wide MinHash signature in one pass over the shingle-hash array:
     * sig_i = min over h of (A(i)*h + B(i)) mod P, -1 for an empty
     * array — same arithmetic as the per-permutation
@@ -150,6 +179,18 @@ case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long], mod: Lo
   override def prettyName: String = "minhash_sig"
 }
 
+/** Codegen'd token-array → 32-bit SimHash (see [[HashImpl.simhash32]]). */
+case class SimHash32(child: Expression, mod: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    HashImpl.simhash32(v.asInstanceOf[ArrayData], mod)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.simhash32($c, ${mod}L)")
+  override protected def withNewChildInternal(c: Expression): SimHash32 =
+    copy(child = c)
+  override def prettyName: String = "simhash32"
+}
+
 object HashFns {
   /** Prime modulus for term/shingle hashing (fits 31*m + cp in i64). */
   val P: Long = 1000000007L
@@ -173,6 +214,10 @@ object HashFns {
   /** 3-gram shingle rolling hashes straight from a token array. */
   def shingleHash(toks: Column, mod: Long = P): Column =
     GraftBridge.column(ShingleHash(GraftBridge.expression(toks), mod))
+
+  /** 32-bit SimHash from a token array. */
+  def simhash32(toks: Column): Column =
+    GraftBridge.column(SimHash32(GraftBridge.expression(toks), M32))
 
   /** k=16 MinHash signature (array<long>) from a shingle-hash array. */
   def minhashSig(hs: Column): Column =

@@ -45,21 +45,13 @@ object Dedup {
 
   /** (doc_id, simhash) — 32-bit SimHash: per-term 32-bit rolling hash,
     * tf-weighted ±1 vote per bit, bit set where the vote is positive.
-    * One shuffle (groupBy doc_id, term then doc_id — both partial-agg
-    * friendly).
+    * Pure narrow map stage via the [[graft.functions.SimHash32]]
+    * kernel (±1 per token occurrence ≡ the tf-weighted per-term sum,
+    * so no (doc, term) shuffle is needed at all).
     */
-  def simhashDf(docs: DataFrame): DataFrame = {
-    val tf = docs
-      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .withColumn("h", HashFns.rollingHash(col("term"), HashFns.M32))
-    val sums = (0 until 32).map(b =>
-      sum(when(shiftright(col("h"), b) % 2 === 1, col("tf")).otherwise(-col("tf"))).as(s"b$b"))
-    val asm = (0 until 32).map(b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    tf.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"), asm.as("simhash"))
-  }
+  def simhashDf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      HashFns.simhash32(TextFns.tokens(col("text"))).as("simhash"))
 
   /** Per-bucket unordered pair expansion: each sorted doc list emits
     * its i<j combinations exactly once (a self-join would produce both
@@ -261,12 +253,21 @@ object Dedup {
     while (!converged) {
       val nbrMin = sym.join(labels.select(col("node").as("doc_b"), col("lbl")), "doc_b")
         .groupBy(col("doc_a").as("node")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("lbl"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("l1"))
+      // pointer jumping (path halving): also adopt the label OF my
+      // label — long chains collapse in O(log diameter) rounds instead
+      // of one hop per round. Every adopted value is a component
+      // member's id ≥ the component min, so monotone convergence to
+      // the min is preserved.
+      val jumped = stepped.join(
+          labels.select(col("node").as("l1"), col("lbl").as("l2")), Seq("l1"), "left")
+        .select(col("node"), col("lbl"),
+          least(col("l1"), coalesce(col("l2"), col("l1"))).as("new_lbl"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("lbl", "prev"), "node")
-        .filter(col("lbl") < col("prev")).isEmpty
-      labels = next
+      converged = jumped.filter(col("new_lbl") < col("lbl")).isEmpty
+      labels = jumped.select(col("node"), col("new_lbl").as("lbl"))
     }
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy("doc_id")
