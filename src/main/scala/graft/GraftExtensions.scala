@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo("graft", name), build))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.IntersectSizeRule)
     reg(ext, "rolling_hash", {
       case Seq(s)    => RollingHash(s, HashFns.P)
       case Seq(s, m) => RollingHash(s, foldLong(m, "rolling_hash"))

@@ -54,6 +54,40 @@ class FunctionsSpec extends SparkSpec {
     assert(got === CosAB)
   }
 
+  test("IntersectSizeRule rewrites size(array_intersect) and matches semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 2L, 2L, 3L), Seq(2L, 3L, 3L, 4L)), // dups count once -> 2
+      (Seq.empty[Long], Seq(1L, 2L)),             // empty -> 0
+      (Seq(5L, 6L), Seq(7L, 8L)))                 // disjoint -> 0
+      .toDF("a", "b")
+    val sized = df.select(size(array_intersect(col("a"), col("b"))).as("n"))
+    assert(sized.collect().map(_.getInt(0)).toSeq === Seq(2, 0, 0))
+    // literal inputs constant-fold away — assert the rewrite on a
+    // file-sourced plan, where it must survive into the optimized plan
+    val hs = graft.operators.Dedup.shingleHashes(
+      graft.sources.Tables.documents(spark, sfDir))
+    val filePlan = hs.select(size(array_intersect(col("hs"), col("hs"))).as("n"))
+    assert(filePlan.queryExecution.optimizedPlan.toString.contains("intersect_size"))
+    // large-side/small-side symmetry with collisions in the open table
+    val big = (0L until 1000L).toArray
+    val df2 = Seq((big.toSeq, big.filter(_ % 3 == 0).toSeq)).toDF("a", "b")
+    assert(df2.select(size(array_intersect(col("a"), col("b"))))
+      .head().getInt(0) === 334)
+    // seeded randomized parity with Set intersection (dense tables,
+    // duplicates, crossing probe chains)
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { _ =>
+      val a = Array.fill(rnd.nextInt(60))(rnd.nextInt(40).toLong)
+      val b = Array.fill(rnd.nextInt(60))(rnd.nextInt(40).toLong)
+      val want = a.toSet.intersect(b.toSet).size
+      val got = graft.plans.IntersectImpl.size(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(a),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(b))
+      assert(got === want, s"a=${a.toSeq} b=${b.toSeq}")
+    }
+  }
+
   test("tokens drops empties; shingles and norm behave") {
     import spark.implicits._
     val df = Seq("  a  b c d ", "x y", "Héllo,  World!").toDF("text")
