@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.VectorFns
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -84,11 +84,59 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Sign-LSH bits: 4 deterministic pseudo-random hyperplanes with
+    * rational components r(b,j) = ((709b + 1013j) mod 97 - 48) / 48 —
+    * exact integers before one division, so both engines derive
+    * bit-identical doubles. Cosine-preserving buckets (Charikar's
+    * random-hyperplane LSH), 2^4 = 16 of them.
+    */
+  val NBits = 4
+
+  private def planeDot(emb: Column, b: Int): Column =
+    aggregate(sequence(lit(0), size(emb) - 1), lit(0.0),
+      (acc, j) => acc + ((lit(b) * 709 + j * 1013) % 97 - 48).cast("double") / 48.0 *
+        element_at(emb, j + 1).cast("double"))
+
+  private def lshBucket(emb: Column): Column =
+    (0 until NBits).map(b =>
+      when(planeDot(emb, b) > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+
+  /** (vec_id, embedding, nm, bucket) — narrow hyperplane-sign
+    * assignment; no shuffle, no training pass (vs IVF's centroids).
+    */
+  def lshAssign(e: DataFrame): DataFrame =
+    withNorm(e).withColumn("bucket", lshBucket(col("embedding")))
+
+  /** LSH-bucketed ANN: search only the query's sign bucket, exact
+    * cosine re-rank inside it. Same shuffle shape as [[knnIvf]] —
+    * broadcast queries, join on bucket — but assignment is pure
+    * per-row compute, the right trade at 100 TB when a centroid pass
+    * is too expensive.
+    */
+  def knnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = lshAssign(Tables.embeddings(spark, dir))
+    val q = assigned.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nm").as("qnm"), col("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    assigned
+      .join(broadcast(q), "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        VectorFns.dot(col("qe"), col("embedding")) / (col("qnm") * col("nm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk"), col("vec_id"),
+        round(col("cos"), 6).as("cosine"), col("bucket"))
+      .orderBy("query_id", "rk")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_bruteforce" -> knnBruteforce,
-    "knn_ivf" -> knnIvf)
+    "knn_ivf" -> knnIvf,
+    "knn_lsh" -> knnLsh)
 
   /** `asg` CTE on top of [[OracleSql.NormCte]]: the IVF bucket
     * assignment (argmax cosine over the 16 seed centroids).
@@ -105,7 +153,34 @@ object Similarity {
        |    FROM ac) WHERE crn = 1
        |)""".stripMargin
 
+  /** DuckDB twin of [[planeDot]]/[[lshBucket]]: identical fold order. */
+  private val LshAssignCte: String = {
+    def pd(b: Int): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(len(embedding)), " +
+        s"j -> (($b * 709 + j * 1013) % 97 - 48)::DOUBLE / 48.0 * embedding[j+1]::DOUBLE)), " +
+        "(a, x) -> a + x)"
+    val bucket = (0 until NBits)
+      .map(b => s"(CASE WHEN ${pd(b)} > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s""", lasg AS (
+       |  SELECT vec_id, embedding, nm, CAST($bucket AS BIGINT) AS bucket FROM nrm
+       |)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "knn_lsh" ->
+      s"""${OracleSql.NormCte}$LshAssignCte, p AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id, b.bucket,
+         |    ${OracleSql.cosineN("q.embedding", "b.embedding", "q.nm", "b.nm")} AS c
+         |  FROM lasg q JOIN lasg b ON q.vec_id < $NQueries
+         |    AND b.bucket = q.bucket AND b.vec_id != q.vec_id
+         |), r AS (
+         |  SELECT query_id, vec_id, bucket, c,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rk
+         |  FROM p
+         |)
+         |SELECT query_id, rk, vec_id, round(c, 6) AS cosine, bucket
+         |FROM r WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
     "knn_bruteforce" ->
       s"""${OracleSql.NormCte}, p AS (
          |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,

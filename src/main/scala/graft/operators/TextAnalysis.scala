@@ -103,13 +103,54 @@ object TextAnalysis {
         HashFns.rollingHash(TextFns.normText(col("text"))).as("fp"))
       .orderBy("doc_id")
 
+  // ---- char_ngrams -----------------------------------------------------
+
+  /** Corpus-level character-trigram profile over normalized text —
+    * the n-gram tables language-ID models train on. Narrow per-doc
+    * explode, one partial-agg shuffle, top-30.
+    */
+  def charNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val nt = TextFns.normText(col("text"))
+    Tables.documents(spark, dir)
+      // guard: sequence(1, n) DESCENDS when n < 1, so short texts need
+      // an explicit empty (DuckDB's range(1, n+1) is empty there)
+      .select(explode(when(length(nt) >= 3,
+        transform(sequence(lit(1), length(nt) - 2), i => nt.substr(i, lit(3))))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("gram"))
+      .limit(30)
+  }
+
+  // ---- term_entropy ----------------------------------------------------
+
+  /** Per-document Shannon entropy of the term distribution,
+    * H = ln(n) - Σ tf·ln(tf) / n, folded over the SORTED per-term
+    * count list so the floating-point addition order is fixed —
+    * identical doubles cross-engine (an agg-ordered sum would not be).
+    */
+  def termEntropy(spark: SparkSession, dir: String): DataFrame =
+    Index.tokenStream(spark, dir)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("tf"))).as("cs"),
+        sum(col("tf")).cast("double").as("n"))
+      .select(col("doc_id"),
+        round(log(col("n")) -
+          aggregate(col("cs"), lit(0.0),
+            (acc, c) => acc + c.cast("double") * log(c.cast("double"))) / col("n"),
+          6).as("entropy"))
+      .orderBy("doc_id")
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lang_id" -> langId,
     "quality_score" -> qualityScore,
     "token_stats" -> tokenStats,
-    "doc_fingerprint" -> docFingerprint)
+    "doc_fingerprint" -> docFingerprint,
+    "char_ngrams" -> charNgrams,
+    "term_entropy" -> termEntropy)
 
   private def inList(xs: Seq[String]): String =
     xs.map(s => s"'$s'").mkString("(", ", ", ")")
@@ -170,5 +211,25 @@ object TextAnalysis {
     "doc_fingerprint" ->
       s"""WITH n AS (SELECT doc_id, ${OracleSql.Norm} AS nt FROM documents)
          |SELECT doc_id, ${OracleSql.roll("nt", HashFns.P)} AS fp
-         |FROM n ORDER BY doc_id""".stripMargin)
+         |FROM n ORDER BY doc_id""".stripMargin,
+    "char_ngrams" ->
+      s"""WITH n AS (SELECT ${OracleSql.Norm} AS nt FROM documents),
+         |g AS (
+         |  SELECT unnest(list_transform(range(1, greatest(length(nt) - 2, 0) + 1),
+         |    i -> substr(nt, i, 3))) AS gram
+         |  FROM n)
+         |SELECT gram, count(*) AS freq FROM g GROUP BY gram
+         |ORDER BY freq DESC, gram LIMIT 30""".stripMargin,
+    "term_entropy" ->
+      s"""${Index.TokSql}, tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+         |), agg AS (
+         |  SELECT doc_id, list_sort(list(tf)) AS cs, sum(tf)::DOUBLE AS n
+         |  FROM tf GROUP BY doc_id
+         |)
+         |SELECT doc_id,
+         |  round(ln(n) - list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(cs, c -> c::DOUBLE * ln(c::DOUBLE))), (a, x) -> a + x) / n,
+         |    6) AS entropy
+         |FROM agg ORDER BY doc_id""".stripMargin)
 }
