@@ -68,6 +68,23 @@ object HashImpl {
     new GenericArrayData(out)
   }
 
+  /** All character n-grams of a string, codepoint-correct (matches
+    * DuckDB substr semantics for non-BMP input). One kernel pass —
+    * an inline `transform(sequence(...), i -> substr(...))` would
+    * re-evaluate its child expression per element, interpreted.
+    */
+  def charNgrams(s: UTF8String, n: Int): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    if (cps.length < n) return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[AnyRef](cps.length - n + 1)
+    var i = 0
+    while (i <= cps.length - n) {
+      out(i) = UTF8String.fromString(new String(cps, i, n))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 32-bit SimHash straight from the token array: per token a rolling
     * hash mod 2^32 votes ±1 on each bit; bits with a positive total
     * are set. Summing ±1 per token OCCURRENCE equals the (doc, term)
@@ -179,6 +196,18 @@ case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long], mod: Lo
   override def prettyName: String = "minhash_sig"
 }
 
+/** Codegen'd character n-gram extraction (see [[HashImpl.charNgrams]]). */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashImpl.charNgrams(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.charNgrams($c, $n)")
+  override protected def withNewChildInternal(c: Expression): CharNgrams =
+    copy(child = c)
+  override def prettyName: String = "char_ngrams"
+}
+
 /** Codegen'd token-array → 32-bit SimHash (see [[HashImpl.simhash32]]). */
 case class SimHash32(child: Expression, mod: Long) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -214,6 +243,10 @@ object HashFns {
   /** 3-gram shingle rolling hashes straight from a token array. */
   def shingleHash(toks: Column, mod: Long = P): Column =
     GraftBridge.column(ShingleHash(GraftBridge.expression(toks), mod))
+
+  /** All character n-grams of a string column. */
+  def charNgrams(c: Column, n: Int): Column =
+    GraftBridge.column(CharNgrams(GraftBridge.expression(c), n))
 
   /** 32-bit SimHash from a token array. */
   def simhash32(toks: Column): Column =

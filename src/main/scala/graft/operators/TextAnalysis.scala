@@ -109,18 +109,12 @@ object TextAnalysis {
     * the n-gram tables language-ID models train on. Narrow per-doc
     * explode, one partial-agg shuffle, top-30.
     */
-  def charNgrams(spark: SparkSession, dir: String): DataFrame = {
-    val nt = TextFns.normText(col("text"))
+  def charNgrams(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      // guard: sequence(1, n) DESCENDS when n < 1, so short texts need
-      // an explicit empty (DuckDB's range(1, n+1) is empty there)
-      .select(explode(when(length(nt) >= 3,
-        transform(sequence(lit(1), length(nt) - 2), i => nt.substr(i, lit(3))))
-        .otherwise(array().cast("array<string>"))).as("gram"))
+      .select(explode(HashFns.charNgrams(TextFns.normText(col("text")), 3)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("gram"))
       .limit(30)
-  }
 
   // ---- term_entropy ----------------------------------------------------
 
