@@ -173,29 +173,18 @@ object Analytics {
       .orderBy("hour_start", "event_type")
 
   /** As-of join: for each event, the most recent order (by orderdate,
-    * then orderkey) of the same user at-or-before the event timestamp.
-    * Union+window formulation: one shuffle on user, no range explosion
-    * — the scalable shape for 100 TB (a join+filter+argmax would
-    * materialize |events|×|orders-per-user| rows first).
+    * then orderkey) of the same user at-or-before the event timestamp —
+    * an instantiation of the generic [[GraftOps.asofJoin]].
     */
-  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = eventsUs(spark, dir)
-      .select(col("user_id").as("u"), col("ts_us").as("t"),
-        lit(1L).as("kind"), lit(null).cast("long").as("okey"), col("event_id"))
-    val od = Tables.orders(spark, dir)
-      .select(col("o_custkey").as("u"),
-        (unix_timestamp(col("o_orderdate")) * 1000000L).as("t"),
-        lit(0L).as("kind"), col("o_orderkey").as("okey"),
-        lit(null).cast("long").as("event_id"))
-    val w = Window.partitionBy("u")
-      .orderBy(col("t"), col("kind"), col("okey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.unionByName(od)
-      .withColumn("last_order", last(col("okey"), ignoreNulls = true).over(w))
-      .filter(col("kind") === 1)
-      .select(col("event_id"), col("u").as("user_id"), col("last_order"))
+  def asofJoin(spark: SparkSession, dir: String): DataFrame =
+    GraftOps.asofJoin(
+        eventsUs(spark, dir).select("event_id", "user_id", "ts_us"),
+        Tables.orders(spark, dir),
+        leftKey = col("user_id"), rightKey = col("o_custkey"),
+        leftTime = col("ts_us"), rightTime = unix_timestamp(col("o_orderdate")) * 1000000L,
+        value = col("o_orderkey"), asCol = "last_order")
+      .select("event_id", "user_id", "last_order")
       .orderBy("event_id")
-  }
 
   def rangeJoin(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)

@@ -18,6 +18,24 @@ class OperatorsSpec extends SparkSpec {
       .toDF("doc_id", "text")
   }
 
+  test("asofJoin picks the latest at-or-before value per key") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "e1"), (1L, 25L, "e2"), (2L, 5L, "e3"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 8L, 100L), (1L, 10L, 200L), (1L, 20L, 300L), (2L, 7L, 400L))
+      .toDF("k", "t", "v")
+    val got = operators.GraftOps.asofJoin(l, r,
+        leftKey = col("k"), rightKey = col("k"),
+        leftTime = col("t"), rightTime = col("t"),
+        value = col("v"), asCol = "last_v")
+      .orderBy("tag")
+      .collect().map(row => (row.getString(2), Option(row.get(3)).map(_.asInstanceOf[Long])))
+    assert(got.toSeq === Seq(
+      ("e1", Some(200L)),  // equal timestamps join (at-or-before)
+      ("e2", Some(300L)),
+      ("e3", None)))       // no order before t=5 -> null
+  }
+
   test("shingle hashes: identical docs share all shingles") {
     val hs = Dedup.shingleHashes(docs).orderBy("doc_id").collect()
     assert(hs(0).getSeq[Long](1) === hs(1).getSeq[Long](1))
