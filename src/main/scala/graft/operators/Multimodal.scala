@@ -63,11 +63,43 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling over the opaque payload: fixed 256-byte frames,
+    * every 4th sampled (a video pipeline's keyframe stride), each
+    * emitted with its checksum. The explode is narrow — frame count
+    * derives from the byte length — and at 100 TB the sampled-frame
+    * stream is what the decode/feature stages consume, 1/4 the bytes
+    * of the source.
+    */
+  val FrameBytes = 256
+  val FrameStride = 4
+
+  def mediaFrames(spark: SparkSession, dir: String): DataFrame = {
+    val hexLen = FrameBytes * 2
+    mediaTable(spark, dir)
+      // frames are sliced on the hex encoding (2 chars/byte): the
+      // oracle engine cannot slice raw blobs, and checksumming the hex
+      // frame is byte-equivalent plumbing
+      .select(col("doc_id"), hex(col("media")).as("h"))
+      .withColumn("n_frames",
+        ceil(length(col("h")).cast("double") / hexLen).cast("int"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_no"))
+      .filter(col("frame_no") % FrameStride === 0)
+      .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+        expr(s"substring(h, frame_no * $hexLen + 1, $hexLen)").as("fh"))
+      .select(col("doc_id"), col("frame_no"),
+        (length(col("fh")) / 2).cast("long").as("frame_bytes"),
+        md5(col("fh")).as("frame_md5"))
+      .orderBy("doc_id", "frame_no")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> mediaMeta,
-    "media_features" -> mediaFeatures)
+    "media_features" -> mediaFeatures,
+    "media_frames" -> mediaFrames)
 
   /** media_features is rows-only: its decode stage is a stub. */
   val oracles: Map[String, String] = Map(
@@ -76,5 +108,19 @@ object Multimodal {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS media_md5,
         |  substring(hex(encode(text)), 1, 8) AS magic
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "media_frames" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, hex(encode(text)) AS h,
+         |    CAST(ceil(length(hex(encode(text)))::DOUBLE / ${FrameBytes * 2}) AS INT) AS n_frames
+         |  FROM documents
+         |), f AS (
+         |  SELECT doc_id, h, unnest(range(n_frames)) AS frame_no FROM m WHERE n_frames > 0
+         |)
+         |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+         |  CAST(length(substring(h, frame_no::INT * ${FrameBytes * 2} + 1, ${FrameBytes * 2})) // 2 AS BIGINT)
+         |    AS frame_bytes,
+         |  md5(substring(h, frame_no::INT * ${FrameBytes * 2} + 1, ${FrameBytes * 2})) AS frame_md5
+         |FROM f WHERE frame_no % $FrameStride = 0
+         |ORDER BY doc_id, frame_no""".stripMargin)
 }
