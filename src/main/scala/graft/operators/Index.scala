@@ -116,14 +116,26 @@ object Index {
 
   private val QueryTerms = Seq("spark", "query", "join")
 
+  /** (doc_id, term, tf) — the per-document term-frequency base both
+    * ranking queries derive every statistic from. df/dl/tf branches
+    * built on the SAME frame share its scan + tokenize + first shuffle
+    * via exchange reuse, instead of re-exploding the corpus per
+    * statistic.
+    */
+  private def tfBase(spark: SparkSession, dir: String): DataFrame =
+    tokenStream(spark, dir)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
   def tfidfTopk(spark: SparkSession, dir: String): DataFrame = {
-    val tok = tokenStream(spark, dir)
+    val base = tfBase(spark, dir)
     // Corpus size as a broadcast 1-row aggregate, not a driver action:
     // keeps the plan lazy and the scalar join a BroadcastNestedLoop of 1 row.
     val nDf = Tables.documents(spark, dir).agg(count(lit(1)).cast("double").as("n"))
-    val df = tok.groupBy("term")
-      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
-    val tf = tok.filter(col("term").isin(QueryTerms: _*))
+    val df = base.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    // query-term tf goes straight off the token stream: the isin filter
+    // is cheap pre-shuffle, and the tiny filtered agg beats routing the
+    // query terms through the full corpus-wide base aggregation
+    val tf = tokenStream(spark, dir).filter(col("term").isin(QueryTerms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
     tf.join(broadcast(df), "term")
       .crossJoin(broadcast(nDf))
@@ -136,14 +148,12 @@ object Index {
   def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
     val (k1, b) = (1.2, 0.75)
     val qterms = Seq("spark", "join")
-    val tok = tokenStream(spark, dir)
-    val docs = Tables.documents(spark, dir)
-    val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).cast("double").as("dl"))
+    val base = tfBase(spark, dir)
+    val nDf = Tables.documents(spark, dir).agg(count(lit(1)).cast("double").as("n"))
+    val dl = base.groupBy("doc_id").agg(sum(col("tf")).cast("double").as("dl"))
     val avgdlDf = dl.agg(avg(col("dl")).as("avgdl"))
-    val df = tok.groupBy("term")
-      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
-    val tf = tok.filter(col("term").isin(qterms: _*))
+    val df = base.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val tf = tokenStream(spark, dir).filter(col("term").isin(qterms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
     tf.join(broadcast(df), "term").join(dl, "doc_id")
       .crossJoin(broadcast(nDf)).crossJoin(broadcast(avgdlDf))
