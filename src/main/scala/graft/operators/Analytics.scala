@@ -284,6 +284,51 @@ object Analytics {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
       .orderBy("l_suppkey")
 
+  /** Exact twin of [[approxDistinct]] — the two-shuffle expanded
+    * distinct the sketch replaces (and the oracle-checkable one).
+    */
+  def exactDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_suppkey")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy("l_suppkey")
+
+  /** NTILE quartiles of order totals per status. */
+  def ntileQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Trailing 4-row moving average of revenue per supplier, exact:
+    * the window sums integer cents, one double division at the end.
+    */
+  def movingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(-3, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .withColumn("rev_cents",
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
+      .select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        round(sum(col("rev_cents")).over(w).cast("double") /
+          (count(lit(1)).over(w) * 100), 4).as("ma4_rev"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  /** Relational EXCEPT: customers who ordered, minus customers with an
+    * open ('O') order.
+    */
+  def setExcept(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(col("o_custkey"))
+      .except(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .orderBy("o_custkey")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -307,7 +352,11 @@ object Analytics {
     "lead_lag_delta" -> leadLagDelta,
     "window_sliding" -> windowSliding,
     "histogram" -> histogram,
-    "corr_agg" -> corrAgg)
+    "corr_agg" -> corrAgg,
+    "exact_distinct" -> exactDistinct,
+    "ntile_quartiles" -> ntileQuartiles,
+    "moving_avg" -> movingAvg,
+    "set_except" -> setExcept)
 
   /** Shared DuckDB CTE for events at micros precision (source is ns). */
   private val EvSql =
@@ -478,5 +527,27 @@ object Analytics {
         |  round((cn * sxy - sx * sy)::DOUBLE /
         |    (sqrt((cn * sxx - sx * sx)::DOUBLE) * sqrt((cn * syy - sy * sy)::DOUBLE)),
         |    6) AS corr_qty_price
-        |FROM m ORDER BY l_returnflag""".stripMargin)
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "exact_distinct" ->
+      """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "ntile_quartiles" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "moving_avg" ->
+      """SELECT l_suppkey, CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        |  CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) OVER w AS DOUBLE)
+        |    / (count(*) OVER w * 100), 4) AS ma4_rev
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "set_except" ->
+      """SELECT o_custkey FROM orders
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin)
 }

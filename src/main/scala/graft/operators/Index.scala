@@ -52,6 +52,20 @@ object Index {
       .groupBy("term").agg(count(lit(1)).as("freq"))
       .orderBy("term")
 
+  /** [[wordcount]] with an explicit two-stage salted aggregation:
+    * stage 1 groups on (term, salt) so a stopword's rows spread over
+    * 16 reducers, stage 2 sums the 16 partials. Identical result —
+    * this is the manual skew treatment for when a single key exceeds
+    * one executor even after map-side partial aggregation (AQE's
+    * skew-join handling doesn't split aggregation keys).
+    */
+  def wordcountSalted(spark: SparkSession, dir: String): DataFrame =
+    tokenStream(spark, dir)
+      .withColumn("salt", pmod(col("doc_id"), lit(16)))
+      .groupBy("term", "salt").agg(count(lit(1)).as("pf"))
+      .groupBy("term").agg(sum(col("pf")).as("freq"))
+      .orderBy("term")
+
   def invertedIndex(spark: SparkSession, dir: String): DataFrame =
     invertedIndexOf(Tables.documents(spark, dir))
 
@@ -227,6 +241,7 @@ object Index {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wordcount" -> wordcount,
+    "wordcount_salted" -> wordcountSalted,
     "inverted_index" -> invertedIndexFlat,
     "postings_stats" -> postingsStats,
     "doc_stats" -> docStats,
@@ -253,6 +268,8 @@ object Index {
 
   val oracles: Map[String, String] = Map(
     "wordcount" ->
+      s"$TokSql SELECT term, count(*) AS freq FROM tok GROUP BY term ORDER BY term",
+    "wordcount_salted" ->
       s"$TokSql SELECT term, count(*) AS freq FROM tok GROUP BY term ORDER BY term",
     "inverted_index" ->
       s"""$TokSql SELECT term, doc_id, count(*) AS tf,
