@@ -44,6 +44,20 @@ object Stream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
 
+  /** Stream–stream interval join: each event enriched with orders of
+    * the same user placed within the hour BEFORE the event. Both sides
+    * carry watermarks and the join condition bounds event time on both
+    * ends, so state eviction is watermark-driven — the 100 TB/day
+    * requirement for an unbounded join to hold only an hour of each
+    * side.
+    */
+  def enrichWithOrders(events: DataFrame, orders: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .join(orders.withWatermark("ots", "1 hour"),
+        expr("""user_id = o_custkey AND
+                ots BETWEEN ts - INTERVAL 1 HOUR AND ts"""))
+      .select(col("user_id"), col("ts"), col("o_orderkey"))
+
   /** Gap-based sessionization with explicit state: events for a user
     * extend the open session while within `gapMinutes`; a farther event
     * closes it and emits. Streaming twin of `Analytics.sessionize`

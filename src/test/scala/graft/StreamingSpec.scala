@@ -47,6 +47,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_join: events pick up orders within the preceding hour") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ev = MemoryStream[(Long, Timestamp)]
+    val od = MemoryStream[(Long, Timestamp, Long)]
+    val q = Stream.enrichWithOrders(
+        ev.toDF().toDF("user_id", "ts"),
+        od.toDF().toDF("o_custkey", "ots", "o_orderkey"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      od.addData((1L, ts(10), 100L), (1L, ts(200), 200L), (2L, ts(10), 300L))
+      ev.addData((1L, ts(30)))   // order 100 is 20 min earlier -> joins
+      ev.addData((1L, ts(100)))  // 90 min after order 100 -> outside window
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+      assert(rows === Seq((1L, 100L)))
+    } finally q.stop()
+  }
+
   test("stream_sessionize: a distant event closes and emits the open session") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
