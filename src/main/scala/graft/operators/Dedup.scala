@@ -233,45 +233,16 @@ object Dedup {
       .orderBy("vec_id")
   }
 
-  /** Connected components over the [[simhashPairs]] near-dup graph by
-    * iterative min-label propagation (Pregel-style): each node adopts
-    * the minimum label among itself and its neighbors until fixpoint,
-    * so cluster_id = the smallest doc_id reachable. The driver-side
-    * loop runs O(component diameter) joins — near-dup components are
-    * shallow in practice — and each iteration localCheckpoints to keep
-    * the plan from growing (the standard shape for iterative dataflow
-    * on Spark; at 100 TB swap in large-star/small-star to cut rounds).
+  /** Dedup clusters: connected components over the [[simhashPairs]]
+    * near-dup graph ([[GraftOps.connectedComponents]] — min-label
+    * propagation with path halving), cluster_id = the smallest doc_id
+    * reachable.
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val e = simhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
-    val sym = e.union(e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    var labels = sym.select(col("doc_a").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint()
-    var converged = false
-    while (!converged) {
-      val nbrMin = sym.join(labels.select(col("node").as("doc_b"), col("lbl")), "doc_b")
-        .groupBy(col("doc_a").as("node")).agg(min(col("lbl")).as("nlbl"))
-      val stepped = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), col("lbl"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("l1"))
-      // pointer jumping (path halving): also adopt the label OF my
-      // label — long chains collapse in O(log diameter) rounds instead
-      // of one hop per round. Every adopted value is a component
-      // member's id ≥ the component min, so monotone convergence to
-      // the min is preserved.
-      val jumped = stepped.join(
-          labels.select(col("node").as("l1"), col("lbl").as("l2")), Seq("l1"), "left")
-        .select(col("node"), col("lbl"),
-          least(col("l1"), coalesce(col("l2"), col("l1"))).as("new_lbl"))
-        .localCheckpoint()
-      converged = jumped.filter(col("new_lbl") < col("lbl")).isEmpty
-      labels = jumped.select(col("node"), col("new_lbl").as("lbl"))
-    }
-    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    GraftOps.connectedComponents(
+        simhashPairs(spark, dir), srcCol = "doc_a", dstCol = "doc_b")
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
       .orderBy("doc_id")
-  }
 
   // ---- wiring ----------------------------------------------------------
 

@@ -9,6 +9,43 @@ import org.apache.spark.sql.functions._
   */
 object GraftOps {
 
+  /** Connected components of an undirected graph given as an edge
+    * frame with two long columns: returns (node, component) where
+    * component = the smallest node id reachable.
+    *
+    * Pregel-style min-label propagation with path halving (each round
+    * a node adopts the min of its neighbors' labels AND its label's
+    * label), so chains collapse in O(log diameter) rounds. Every round
+    * localCheckpoints — constant-size plans, no lineage blowup — and
+    * the symmetrized edge list is partitioned by join key ONCE so the
+    * per-round join only shuffles the (much smaller) label table.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint()
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val nbrMin = sym.join(labels.select(col("node").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src").as("node")).agg(min(col("lbl")).as("nlbl"))
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("lbl"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("l1"))
+      val jumped = stepped.join(
+          labels.select(col("node").as("l1"), col("lbl").as("l2")), Seq("l1"), "left")
+        .select(col("node"), col("lbl"),
+          least(col("l1"), coalesce(col("l2"), col("l1"))).as("new_lbl"))
+        .localCheckpoint()
+      converged = jumped.filter(col("new_lbl") < col("lbl")).isEmpty
+      labels = jumped.select(col("node"), col("new_lbl").as("lbl"))
+    }
+    labels.select(col("node"), col("lbl").as("component"))
+  }
+
   /** Generic as-of join: for every left row, the latest right `value`
     * (by right time, then value as tie-break) among right rows of the
     * same key with time at-or-before the left row's time.

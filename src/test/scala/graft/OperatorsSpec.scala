@@ -18,6 +18,19 @@ class OperatorsSpec extends SparkSpec {
       .toDF("doc_id", "text")
   }
 
+  test("connectedComponents: chain, clique, and pair resolve to min labels") {
+    import spark.implicits._
+    // chain 1-2-3-4-5, clique {10,11,12}, pair {20,21}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L))
+      .toDF("a", "b")
+    val got = operators.GraftOps.connectedComponents(edges, "a", "b")
+      .orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("asofJoin picks the latest at-or-before value per key") {
     import spark.implicits._
     val l = Seq((1L, 10L, "e1"), (1L, 25L, "e2"), (2L, 5L, "e3"))
