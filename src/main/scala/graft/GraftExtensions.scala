@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.IntersectSizeRule)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     reg(ext, "rolling_hash", {
       case Seq(s)    => RollingHash(s, HashFns.P)
       case Seq(s, m) => RollingHash(s, foldLong(m, "rolling_hash"))

@@ -106,6 +106,18 @@ object Analytics {
       .orderBy(col("l_suppkey"), col("ship"), col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Same result set as [[topkPerGroup]] (minus the rank column) but
+    * planned through the custom [[graft.plans.TopKPerGroup]] physical
+    * operator — bounded per-group heaps with a map-side partial pass
+    * instead of the window's full per-partition sort. The oracle
+    * validates the custom exec end-to-end.
+    */
+  def topkCustom(spark: SparkSession, dir: String): DataFrame =
+    GraftOps.topKPerGroup(Tables.orders(spark, dir), 3,
+        col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "o_orderkey")
+
   def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -339,6 +351,7 @@ object Analytics {
     "semi_join" -> semiJoin,
     "window_running" -> windowRunning,
     "topk_per_group" -> topkPerGroup,
+    "topk_custom" -> topkCustom,
     "rollup_agg" -> rollupAgg,
     "pivot_events" -> pivotEvents,
     "json_extract" -> jsonExtract,
@@ -414,6 +427,12 @@ object Analytics {
         |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_rev_cents
         |FROM lineitem ORDER BY l_suppkey, ship, l_orderkey, l_linenumber""".stripMargin,
+    "topk_custom" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin,
     "topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.plans.TopKPerGroup
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -8,6 +10,24 @@ import org.apache.spark.sql.functions._
   * frames (the gate queries are instantiations of these).
   */
 object GraftOps {
+
+  /** Per-group top-k via the custom [[graft.plans.TopKPerGroup]]
+    * operator (map-side partial bounded heaps → shuffle on group →
+    * final bounded heaps; nothing larger than k rows per group is
+    * ever sorted). `orderCols` should end in a unique tie-break so
+    * the order is total; plain columns sort ascending.
+    */
+  def topKPerGroup(df: DataFrame, k: Int, group: Column, orderCols: Column*): DataFrame = {
+    // eager conversion: the lazy Column wrapper embeds non-serializable
+    // sql.internal nodes that would ride into the task closure
+    val sortOrders = orderCols.map(GraftBridge.eagerExpression(df.sparkSession, _)).map {
+      case s: SortOrder => s
+      case e => SortOrder(e, Ascending)
+    }
+    GraftBridge.ofRows(df.sparkSession,
+      TopKPerGroup(k, GraftBridge.eagerExpression(df.sparkSession, group), sortOrders,
+        GraftBridge.logicalPlan(df)))
+  }
 
   /** Connected components of an undirected graph given as an edge
     * frame with two long columns: returns (node, component) where

@@ -18,6 +18,25 @@ class OperatorsSpec extends SparkSpec {
       .toDF("doc_id", "text")
   }
 
+  test("TopKPerGroup custom plan matches the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val orders = sources.Tables.orders(spark, sfDir)
+    val got = operators.GraftOps.topKPerGroup(orders, 3,
+        col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "o_orderkey")
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val want = orders
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "o_orderkey")
+    assert(got.collect().toSeq === want.collect().toSeq)
+    // both the partial (pre-shuffle) and final execs must be planned
+    val plan = got.queryExecution.executedPlan.toString
+    assert("TopKPerGroup 3".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("connectedComponents: chain, clique, and pair resolve to min labels") {
     import spark.implicits._
     // chain 1-2-3-4-5, clique {10,11,12}, pair {20,21}
