@@ -12,7 +12,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Index.queries ++ operators.Analytics.queries ++
       operators.TextAnalysis.queries ++ operators.Dedup.queries ++
-      operators.Similarity.queries ++ operators.Multimodal.queries
+      operators.Similarity.queries ++ operators.Multimodal.queries ++
+      operators.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -20,5 +21,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Index.oracles ++ operators.Analytics.oracles ++
       operators.TextAnalysis.oracles ++ operators.Dedup.oracles ++
-      operators.Similarity.oracles ++ operators.Multimodal.oracles
+      operators.Similarity.oracles ++ operators.Multimodal.oracles ++
+      operators.Pipeline.oracles
 }
