@@ -54,6 +54,50 @@ class FunctionsSpec extends SparkSpec {
     assert(got === CosAB)
   }
 
+  test("kernels match their naive formulations (seeded property check)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "bb", "ccc", "的", "x1", "zz9", "héllo")
+    (0 until 100).foreach { _ =>
+      val toks = Vector.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+      val arr = new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+
+      // shingleHashes == roll of the space-joined shingle strings
+      val naiveShingles =
+        if (toks.size < 3) Seq.empty
+        else toks.sliding(3).map(w => roll(w.mkString(" "))).toSeq
+      val got = HashImpl.shingleHashes(arr, HashFns.P)
+      assert((0 until got.numElements()).map(got.getLong) === naiveShingles)
+
+      // minhashSig == per-permutation min over hashes (or -1)
+      val hs = new GenericArrayData(naiveShingles.toArray)
+      val sig = HashImpl.minhashSig(hs, HashFns.MinhashA.toArray,
+        HashFns.MinhashB.toArray, HashFns.P)
+      val naiveSig = HashFns.MinhashA.zip(HashFns.MinhashB).map { case (a, b) =>
+        if (naiveShingles.isEmpty) -1L
+        else naiveShingles.map(h => (a * h + b) % HashFns.P).min
+      }
+      assert((0 until 16).map(sig.getLong) === naiveSig)
+
+      // simhash32 == tf-weighted per-term bit votes
+      val tf = toks.groupBy(identity).map { case (t, g) => (roll(t, HashFns.M32), g.size.toLong) }
+      val naiveSim = (0 until 32).map { b =>
+        val v = tf.map { case (h, n) => if (((h >> b) & 1L) == 1L) n else -n }.sum
+        if (v > 0) 1L << b else 0L
+      }.sum
+      assert(HashImpl.simhash32(arr, HashFns.M32) === naiveSim)
+
+      // charNgrams == codepoint sliding windows
+      val s = toks.mkString(" ")
+      val cps = s.codePoints().toArray
+      val naiveGrams = if (cps.length < 3) Seq.empty
+        else cps.sliding(3).map(w => new String(w, 0, 3)).toSeq
+      val grams = HashImpl.charNgrams(UTF8String.fromString(s), 3)
+      assert((0 until grams.numElements()).map(i => grams.getUTF8String(i).toString)
+        === naiveGrams)
+    }
+  }
+
   test("IntersectSizeRule rewrites size(array_intersect) and matches semantics") {
     import spark.implicits._
     val df = Seq(
