@@ -189,6 +189,29 @@ object Index {
       .orderBy("doc_id", "rk")
   }
 
+  /** Fuzzy term lookup: vocabulary terms within edit distance 1 of the
+    * query, with their collection frequency — "did you mean". The
+    * distance runs over the (tiny, aggregated) vocabulary, never the
+    * token stream.
+    */
+  def fuzzyTerm(spark: SparkSession, dir: String): DataFrame =
+    tokenStream(spark, dir)
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .withColumn("dist", levenshtein(col("term"), lit("spark")).cast("long"))
+      .filter(col("dist") <= 1)
+      .orderBy("dist", "term")
+
+  /** Regex retrieval: documents matching a pattern, with match count
+    * per doc — grep over the corpus, pushdown-friendly (the rlike
+    * filter runs in the scan stage).
+    */
+  def regexSearch(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").rlike("qu[ae]ry"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("qu[ae]ry"), lit(0))).cast("long").as("n_matches"))
+      .orderBy("doc_id")
+
   /** Keyword-in-context: every occurrence of the query term with a
     * ±2-token window — the user-facing payoff of *positional*
     * postings (the reference stores positions for exactly this).
@@ -253,7 +276,9 @@ object Index {
     "bm25_topk" -> bm25Topk,
     "top_terms_per_doc" -> topTermsPerDoc,
     "kwic" -> kwic,
-    "collocations" -> collocations)
+    "collocations" -> collocations,
+    "fuzzy_term" -> fuzzyTerm,
+    "regex_search" -> regexSearch)
 
   /** Shared DuckDB CTE: identical tokenization contract to
     * [[TextFns.tokens]] (split \s+, drop empties; 0-based positions).
@@ -323,6 +348,16 @@ object Index {
          |  SELECT doc_id, term, tf,
          |    row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rk
          |  FROM tf) WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
+    "fuzzy_term" ->
+      s"""$TokSql SELECT term, count(*) AS freq,
+         |  CAST(levenshtein(term, 'spark') AS BIGINT) AS dist
+         |FROM tok GROUP BY term HAVING levenshtein(term, 'spark') <= 1
+         |ORDER BY dist, term""".stripMargin,
+    "regex_search" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, 'qu[ae]ry')) AS BIGINT) AS n_matches
+        |FROM documents WHERE regexp_matches(text, 'qu[ae]ry')
+        |ORDER BY doc_id""".stripMargin,
     "kwic" ->
       s"""$TokSql
          |SELECT t.doc_id AS doc_id, t.pos AS pos,

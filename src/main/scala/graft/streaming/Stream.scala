@@ -34,6 +34,55 @@ object Stream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("text_md5")
 
+  /** [[sessionize]] plus watermark-driven closing: an idle session
+    * also emits once the event-time watermark passes its gap deadline
+    * (EventTimeTimeout), not only when a later event for the same user
+    * happens to arrive — the production behavior for users who simply
+    * leave. State per user is one open session; the watermark bounds
+    * how long it can live.
+    */
+  def sessionizeWithTimeout(events: Dataset[Ev], gapMinutes: Long = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def tsUs(t: Timestamp): Long = t.getTime * 1000L
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, s.n, s.startUs, s.endUs))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => tsUs(e.ts))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = tsUs(e.ts)
+              cur match {
+                case Some(s) if t - s.endUs <= gapUs =>
+                  cur = Some(SessState(s.n + 1, s.startUs, math.max(s.endUs, t)))
+                case Some(s) =>
+                  closed += Session(userId, s.n, s.startUs, s.endUs)
+                  cur = Some(SessState(1L, t, t))
+                case None =>
+                  cur = Some(SessState(1L, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endUs / 1000L + gapMinutes * 60000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Watermarked tumbling 1-hour counts per event type — streaming
     * twin of `Analytics.windowTumbling`.
     */

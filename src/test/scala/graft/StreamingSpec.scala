@@ -29,6 +29,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_sessionize_timeout: idle session closes when the watermark passes") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Stream.Ev]
+    val q = Stream.sessionizeWithTimeout(in.toDS())
+      .writeStream.format("memory").queryName("timeout_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // first event off t=0: a row at exactly the initial watermark is
+      // discarded as late by the stateful operator
+      in.addData(Stream.Ev(1L, ts(5), "click"), Stream.Ev(1L, ts(10), "view"))
+      q.processAllAvailable()
+      assert(spark.table("timeout_sessions").count() === 0) // still open
+      // another USER's far-future event advances the watermark past
+      // user 1's gap deadline (10 + 30 min) -> timeout fires
+      in.addData(Stream.Ev(2L, ts(600), "click"))
+      q.processAllAvailable()
+      in.addData(Stream.Ev(2L, ts(601), "click")) // trigger a batch that processes timeouts
+      q.processAllAvailable()
+      val s = spark.table("timeout_sessions")
+        .filter(org.apache.spark.sql.functions.col("user_id") === 1L).collect()
+      assert(s.length === 1)
+      assert(s(0).getLong(1) === 2L)                   // n_events
+      assert(s(0).getLong(2) === 5L * 60L * 1000000L)  // start_us
+      assert(s(0).getLong(3) === 10L * 60L * 1000000L) // end_us
+    } finally q.stop()
+  }
+
   test("stream_dedup: duplicate text within the watermark is dropped") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
