@@ -14,10 +14,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def foldLong(e: Expression, fn: String): Long = e.eval() match {
-    case n: java.lang.Number => n.longValue()
-    case other => throw new IllegalArgumentException(
-      s"$fn expects a foldable integer modulus, got $other")
+  private def foldLong(e: Expression, fn: String): Long = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn expects a foldable integer modulus, got non-foldable $e")
+    e.eval() match {
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a foldable integer modulus, got $other")
+    }
   }
 
   private def reg(ext: SparkSessionExtensions, name: String,

@@ -54,10 +54,10 @@ case class CosineSim(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 }
 
-/** Codegen'd dot product. Pair-wise scans precompute each vector's
-  * norm ONCE and use `dot / (nmA * nmB)` — same doubles as
-  * [[CosineSim]] (identical operation order) at a third of the
-  * per-pair flops.
+/** Codegen'd raw dot product (sequential left-to-right accumulation —
+  * the oracle's fold order). Callers pair it with precomputed norms as
+  * `dot / (nmA * nmB)` to get [[CosineSim]]'s exact doubles at a third
+  * of the per-pair flops.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {

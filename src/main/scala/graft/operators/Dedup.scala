@@ -78,9 +78,10 @@ object Dedup {
     * bounded candidate stream.
     */
   private def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    // recomputing the kernel-hashed sets per branch is cheaper than a
+    // session-lifetime persist the lazy plan could never release
     val sets = shingleHashes(docs)
       .select(col("doc_id"), sort_array(array_distinct(col("hs"))).as("s"))
-      .persist()
     val ex = sets.select(col("doc_id"), explode(col("s")).as("hh"))
     val dfs = ex.groupBy("hh").agg(count(lit(1)).as("df"))
     // Global shingle order = (df asc, hash asc); no rank assignment
@@ -137,12 +138,11 @@ object Dedup {
     * band key) — tiny — so no O(n²) stage exists anywhere.
     */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    // The signature subtree feeds three plan branches (both band join
-    // sides + the verification sets); persist it so the narrow-but-
-    // per-element-interpreted minhash transform runs once. At 100 TB
-    // signatures are ~1% of corpus size — persisting them is the
-    // standard LSH shape.
-    val sig = minhashSigs(Tables.documents(spark, dir)).persist()
+    // The signature subtree feeds multiple plan branches; with the
+    // MinHashSig kernel the recompute is scan-speed, so no persist —
+    // a lazily-returned plan could never release the cached blocks
+    // (at 100 TB a caller owning the lifecycle would persist here).
+    val sig = minhashSigs(Tables.documents(spark, dir))
     val bandCols = (0 until 4).map(bd =>
       struct(lit(bd).as("band"),
         concat_ws(",", (0 until 4).map(r => col(s"m${4 * bd + r}").cast("string")): _*).as("k")))
@@ -212,9 +212,7 @@ object Dedup {
     // Precompute each vector's norm once; per pair only the dot product
     // remains — same doubles as CosineSim (identical operation order)
     // at a third of the N² flops.
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-        sqrt(VectorFns.norm2(col("embedding"))).as("nm"))
+    val e = Similarity.withNorm(Tables.embeddings(spark, dir))
     val b = e.select(col("vec_id").as("nn_id"), col("embedding").as("emb_b"),
       col("nm").as("nm_b"))
     // argmax as a partial-aggregated max(struct): ties on cos resolve
@@ -282,7 +280,10 @@ object Dedup {
        |    $bitSums
        |  FROM hh GROUP BY doc_id
        |), sh AS (
-       |  SELECT doc_id, CAST($asm AS BIGINT) AS simhash FROM bits
+       |  -- LEFT JOIN keeps zero-token documents (unnest drops them from
+       |  -- tf) with simhash 0, matching the Spark kernel on empty docs
+       |  SELECT d.doc_id, coalesce(CAST($asm AS BIGINT), 0) AS simhash
+       |  FROM documents d LEFT JOIN bits USING (doc_id)
        |)""".stripMargin
   }
 

@@ -30,7 +30,7 @@ object Similarity {
     * `dot / (nmA * nmB)`, the same doubles as [[VectorFns.cosineSim]]
     * at a third of the flops.
     */
-  private def withNorm(e: DataFrame): DataFrame =
+  private[operators] def withNorm(e: DataFrame): DataFrame =
     e.select(col("vec_id"), col("embedding"),
       sqrt(VectorFns.norm2(col("embedding"))).as("nm"))
 
@@ -66,8 +66,11 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("nm"), col("cid").as("bucket"))
   }
 
-  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = ivfAssign(Tables.embeddings(spark, dir))
+  /** Shared bucketed-ANN search body: broadcast the query rows of an
+    * assignment frame (vec_id, embedding, nm, bucket), join on bucket,
+    * exact cosine re-rank inside the bucket.
+    */
+  private def bucketedKnn(assigned: DataFrame): DataFrame = {
     val q = assigned.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nm").as("qnm"), col("bucket"))
@@ -84,6 +87,9 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  def knnIvf(spark: SparkSession, dir: String): DataFrame =
+    bucketedKnn(ivfAssign(Tables.embeddings(spark, dir)))
+
   /** Sign-LSH bits: 4 deterministic pseudo-random hyperplanes with
     * rational components r(b,j) = ((709b + 1013j) mod 97 - 48) / 48 —
     * exact integers before one division, so both engines derive
@@ -93,9 +99,13 @@ object Similarity {
   val NBits = 4
 
   private def planeDot(emb: Column, b: Int): Column =
-    aggregate(sequence(lit(0), size(emb) - 1), lit(0.0),
-      (acc, j) => acc + ((lit(b) * 709 + j * 1013) % 97 - 48).cast("double") / 48.0 *
-        element_at(emb, j + 1).cast("double"))
+    // empty guard: sequence(0, -1) DESCENDS and element_at would throw;
+    // an empty vector dots to 0 (bucket 0), like the oracle's empty range
+    when(size(emb) > 0,
+      aggregate(sequence(lit(0), size(emb) - 1), lit(0.0),
+        (acc, j) => acc + ((lit(b) * 709 + j * 1013) % 97 - 48).cast("double") / 48.0 *
+          element_at(emb, j + 1).cast("double")))
+      .otherwise(lit(0.0))
 
   private def lshBucket(emb: Column): Column =
     (0 until NBits).map(b =>
@@ -113,23 +123,8 @@ object Similarity {
     * per-row compute, the right trade at 100 TB when a centroid pass
     * is too expensive.
     */
-  def knnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = lshAssign(Tables.embeddings(spark, dir))
-    val q = assigned.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("nm").as("qnm"), col("bucket"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    assigned
-      .join(broadcast(q), "bucket")
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos",
-        VectorFns.dot(col("qe"), col("embedding")) / (col("qnm") * col("nm")))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= TopK)
-      .select(col("query_id"), col("rk"), col("vec_id"),
-        round(col("cos"), 6).as("cosine"), col("bucket"))
-      .orderBy("query_id", "rk")
-  }
+  def knnLsh(spark: SparkSession, dir: String): DataFrame =
+    bucketedKnn(lshAssign(Tables.embeddings(spark, dir)))
 
   // ---- wiring ----------------------------------------------------------
 

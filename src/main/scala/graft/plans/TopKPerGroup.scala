@@ -22,6 +22,12 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * top-k is a superset of the global top-k), and never sorts more
   * than k rows per (partition, group). At 100 TB with hot groups the
   * shuffle shrinks from |rows| to ≤ k·|partitions| per group.
+  *
+  * Memory contract: each task holds k rows per DISTINCT group in its
+  * partition on-heap with no spill path — right for hot/bounded group
+  * cardinality (the skew case windows handle worst). For extreme
+  * per-partition group cardinality prefer the window formulation,
+  * whose external sort spills.
   */
 case class TopKPerGroup(k: Int, group: Expression, order: Seq[SortOrder],
                         child: LogicalPlan) extends UnaryNode {

@@ -65,8 +65,11 @@ object Stream {
             sorted.foreach { e =>
               val t = tsUs(e.ts)
               cur match {
-                case Some(s) if t - s.endUs <= gapUs =>
-                  cur = Some(SessState(s.n + 1, s.startUs, math.max(s.endUs, t)))
+                // within gap of the open interval on EITHER side: an
+                // out-of-order (but in-watermark) event may precede the
+                // session start, so the start is lowered too
+                case Some(s) if t >= s.startUs - gapUs && t - s.endUs <= gapUs =>
+                  cur = Some(SessState(s.n + 1, math.min(s.startUs, t), math.max(s.endUs, t)))
                 case Some(s) =>
                   closed += Session(userId, s.n, s.startUs, s.endUs)
                   cur = Some(SessState(1L, t, t))
@@ -114,9 +117,10 @@ object Stream {
     * flatMapGroupsWithState — the custom-state escape hatch for
     * semantics windowed aggregation can't express.
     *
-    * Events are assumed in-order per user within the stream (the spec
-    * feeds them so); a production deployment adds a watermark +
-    * EventTimeTimeout to also close sessions on quiescence.
+    * Cross-batch out-of-order events within the gap of the open
+    * interval merge into it (lowering its start); a production
+    * deployment uses [[sessionizeWithTimeout]] to also close sessions
+    * on quiescence.
     */
   def sessionize(events: Dataset[Ev], gapMinutes: Long = 30): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -136,8 +140,10 @@ object Stream {
           sorted.foreach { e =>
             val t = tsUs(e.ts)
             cur match {
-              case Some(s) if t - s.endUs <= gapUs =>
-                cur = Some(SessState(s.n + 1, s.startUs, math.max(s.endUs, t)))
+              // see sessionizeWithTimeout: merge window is two-sided, the
+              // start lowers for out-of-order events
+              case Some(s) if t >= s.startUs - gapUs && t - s.endUs <= gapUs =>
+                cur = Some(SessState(s.n + 1, math.min(s.startUs, t), math.max(s.endUs, t)))
               case Some(s) =>
                 closed += Session(userId, s.n, s.startUs, s.endUs)
                 cur = Some(SessState(1L, t, t))
