@@ -118,6 +118,20 @@ class StreamingSpec extends SparkSpec {
       in.addData(Stream.Ev(2L, ts(0), "a"), Stream.Ev(2L, ts(200), "b"))
       q.processAllAvailable()
       assert(spark.table("sessions").count() === 2)
+      // out-of-order event within gap BEFORE the open session's start
+      // merges and lowers the start (no spurious session split)
+      in.addData(Stream.Ev(3L, ts(500), "a"))
+      q.processAllAvailable()
+      in.addData(Stream.Ev(3L, ts(480), "b")) // 20 min earlier, within gap
+      q.processAllAvailable()
+      in.addData(Stream.Ev(3L, ts(600), "c")) // > 30 min after 500 -> closes
+      q.processAllAvailable()
+      val u3 = spark.table("sessions")
+        .filter(org.apache.spark.sql.functions.col("user_id") === 3L).collect()
+      assert(u3.length === 1)
+      assert(u3(0).getLong(1) === 2L)                   // both events merged
+      assert(u3(0).getLong(2) === 480L * 60L * 1000000L) // start lowered
+      assert(u3(0).getLong(3) === 500L * 60L * 1000000L)
     } finally q.stop()
   }
 }
