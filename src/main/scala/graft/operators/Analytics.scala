@@ -331,6 +331,28 @@ object Analytics {
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
   }
 
+  /** Rank-statistics windows: percent_rank and cume_dist of each
+    * order's total within its status. Exact rational ratios of row
+    * counts, so cross-engine identical after rounding.
+    */
+  def rankStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Ordered string aggregation: the sorted distinct line statuses a
+    * return flag appears with, as one delimited string per flag.
+    */
+  def groupConcat(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"))
+      .orderBy("l_returnflag")
+
   /** Relational EXCEPT: customers who ordered, minus customers with an
     * open ('O') order.
     */
@@ -369,7 +391,9 @@ object Analytics {
     "exact_distinct" -> exactDistinct,
     "ntile_quartiles" -> ntileQuartiles,
     "moving_avg" -> movingAvg,
-    "set_except" -> setExcept)
+    "set_except" -> setExcept,
+    "rank_stats" -> rankStats,
+    "group_concat" -> groupConcat)
 
   /** Shared DuckDB CTE for events at micros precision (source is ns). */
   private val EvSql =
@@ -568,5 +592,16 @@ object Analytics {
       """SELECT o_custkey FROM orders
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-        |ORDER BY o_custkey""".stripMargin)
+        |ORDER BY o_custkey""".stripMargin,
+    "rank_stats" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "group_concat" ->
+      """SELECT l_returnflag,
+        |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }

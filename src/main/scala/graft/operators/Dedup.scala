@@ -231,6 +231,19 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** Apply the dedup decision: the corpus with only each normalized-
+    * text group's canonical (min doc_id) member kept — the step that
+    * actually shrinks a training corpus. Semi-join against the group
+    * table, so the big side streams through one broadcastable filter.
+    */
+  def dedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val canon = dedupNorm(spark, dir).select(col("canonical_doc").as("doc_id"))
+    Tables.documents(spark, dir)
+      .join(canon, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** Dedup clusters: connected components over the [[simhashPairs]]
     * near-dup graph ([[GraftOps.connectedComponents]] — min-label
     * propagation with path halving), cluster_id = the smallest doc_id
@@ -253,7 +266,8 @@ object Dedup {
     "simhash" -> simhash,
     "simhash_pairs" -> simhashPairs,
     "embed_neardup" -> embedNeardup,
-    "dedup_clusters" -> dedupClusters)
+    "dedup_clusters" -> dedupClusters,
+    "dedup_apply" -> dedupApply)
 
   private val sigConcat =
     (0 until 16).map(i => s"s$i").mkString("concat_ws(',', ", ", ", ")")
@@ -339,6 +353,13 @@ object Dedup {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_apply" ->
+      s"""WITH canon AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(${OracleSql.Norm})
+         |)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id IN (SELECT doc_id FROM canon)
+         |ORDER BY doc_id""".stripMargin,
     "dedup_clusters" ->
       s"""${simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, prs AS (
          |  SELECT a.doc_id AS da, b.doc_id AS db
