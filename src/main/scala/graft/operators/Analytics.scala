@@ -89,8 +89,12 @@ object Analytics {
       .orderBy("s_suppkey")
 
   def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    // rev_cents ends the window order: (shipdate, orderkey, linenumber)
+    // is NOT unique in the data, and engines order ties differently —
+    // with the amount as final key, equal-amount ties are the only ones
+    // left and those are interchangeable in a running sum.
     val w = Window.partitionBy("l_suppkey")
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("rev_cents"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // Sum exact integer cents: windowed double sums are not
     // cross-engine reproducible (DuckDB aggregates window frames via
@@ -318,8 +322,9 @@ object Analytics {
     * the window sums integer cents, one double division at the end.
     */
   def movingAvg(spark: SparkSession, dir: String): DataFrame = {
+    // rev_cents tie-break: see windowRunning
     val w = Window.partitionBy("l_suppkey")
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("rev_cents"))
       .rowsBetween(-3, Window.currentRow)
     Tables.lineitem(spark, dir)
       .withColumn("rev_cents",
@@ -448,7 +453,8 @@ object Analytics {
         |  CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |  strftime(l_shipdate, '%Y-%m-%d') AS ship,
         |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) OVER (
-        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |      CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_rev_cents
         |FROM lineitem ORDER BY l_suppkey, ship, l_orderkey, l_linenumber""".stripMargin,
     "topk_custom" ->
@@ -585,7 +591,8 @@ object Analytics {
         |  round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) OVER w AS DOUBLE)
         |    / (count(*) OVER w * 100), 4) AS ma4_rev
         |FROM lineitem
-        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |  CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
         |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "set_except" ->
