@@ -16,7 +16,12 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      SparkEntry.queries.get(n) match {
+        case Some(fn) => fn(spark, sfDir).explain("formatted")
+        case None =>
+          println(s"unknown query '$n'; valid names:\n  " +
+            SparkEntry.queries.keys.toSeq.sorted.mkString("\n  "))
+      }
     }
     spark.stop()
   }

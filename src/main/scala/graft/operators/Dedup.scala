@@ -191,6 +191,11 @@ object Dedup {
           struct(lit(0).as("band"), (col("simhash") % 65536).as("v")),
           struct(lit(1).as("band"), shiftright(col("simhash"), 16).as("v")))).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.v").as("v"))
+    // Self-join on the band key, NOT bucketPairs: this near-dup-heavy
+    // corpus has hot half-value buckets, and the codegen'd sort-merge
+    // pair stream beats the interpreted per-bucket combination lambda
+    // (measured 2.0s vs 1.2s at sf0.1 — the reverse of the small-bucket
+    // minhash case).
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
           col("a.doc_id") < col("b.doc_id"))

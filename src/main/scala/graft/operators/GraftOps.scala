@@ -16,6 +16,14 @@ object GraftOps {
     * final bounded heaps; nothing larger than k rows per group is
     * ever sorted). `orderCols` should end in a unique tie-break so
     * the order is total; plain columns sort ascending.
+    *
+    * MEMORY CONTRACT (mirrors [[graft.plans.TopKPerGroupExec]]): each
+    * task holds k rows per distinct group in its partition on-heap
+    * with NO spill path — right for hot/bounded group cardinality.
+    * For extreme per-partition group cardinality use the window
+    * formulation (`row_number().over(...)`), whose external sort
+    * spills. The exec's `peakGroups` SQLMetric (max distinct groups
+    * held per task) is the runtime gauge for this contract.
     */
   def topKPerGroup(df: DataFrame, k: Int, group: Column, orderCols: Column*): DataFrame = {
     // eager conversion: the lazy Column wrapper embeds non-serializable
@@ -45,13 +53,26 @@ object GraftOps {
     * has collapsed to its minimum node, whose id never changes (its
     * neighbors are always larger). Each round localCheckpoints —
     * constant-size plans, no lineage blowup.
+    *
+    * Local finish: once the contracted edge set fits under
+    * `localFinishMaxEdges` (default 1M directed edges ≈ 16 MB), one
+    * driver-side union-find replaces the remaining O(log n)
+    * distributed rounds — each of which costs a fixed scheduling
+    * latency floor (~0.45s at local[32]) regardless of how few edges
+    * remain, and the tail rounds are ALWAYS tiny. At 100 TB the first
+    * rounds run distributed and geometric shrink reaches the
+    * threshold in 2–3 rounds; the same constant bounds driver memory.
     */
-  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          localFinishMaxEdges: Long = 1000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b")).localCheckpoint()
     var labels = e0.select(col("a").as("node")).union(e0.select(col("b").as("node")))
       .distinct().withColumn("lbl", col("node")).localCheckpoint()
     var cur = e0.union(e0.select(col("b").as("a"), col("a").as("b"))).localCheckpoint()
-    while (!cur.isEmpty) {
+    var nEdges = cur.count()
+    while (nEdges > localFinishMaxEdges) {
       val m = cur.groupBy("a").agg(least(min(col("b")), first(col("a"))).as("m"))
         .select(col("a").as("sn"), col("m"))
       labels = labels.join(m.select(col("sn").as("lbl"), col("m")), Seq("lbl"), "left")
@@ -63,6 +84,29 @@ object GraftOps {
         .filter(col("a") =!= col("b"))
         .distinct()
         .localCheckpoint()
+      nEdges = cur.count()
+    }
+    if (nEdges > 0) {
+      // Union-find with min-id roots over the collected remainder.
+      // Supernode ids are original node ids (min-merges only ever keep
+      // existing ids), so the local component min IS the global one.
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      cur.select(col("a"), col("b")).as[(Long, Long)].collect().foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val roots = parent.keys.toSeq.map(k => (k, find(k)))
+      labels = labels
+        .join(broadcast(roots.toDF("sn", "root")),
+          labels("lbl") === col("sn"), "left")
+        .select(col("node"), coalesce(col("root"), col("lbl")).as("lbl"))
     }
     labels.select(col("node"), col("lbl").as("component"))
   }

@@ -241,13 +241,16 @@ object Index {
     val uni = toks.select(explode(col("tk")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("f"))
     val nTotal = uni.agg(sum(col("f")).cast("double").as("n"))
+    // adjacent-pair zip of tk[0..n-2] with tk[1..n-1]: slice+arrays_zip
+    // are codegen'd expressions, vs the transform(sequence(...)) lambda
+    // formulation which interprets per element (size guard: slice
+    // throws on negative length for 0/1-token docs)
     val bi = toks
       .select(explode(when(size(col("tk")) >= 2,
-        transform(sequence(lit(0), size(col("tk")) - 2),
-          i => struct(element_at(col("tk"), i + 1).as("term_a"),
-            element_at(col("tk"), i + 2).as("term_b"))))
-        .otherwise(array().cast("array<struct<term_a:string,term_b:string>>"))).as("bg"))
-      .select(col("bg.term_a").as("term_a"), col("bg.term_b").as("term_b"))
+        arrays_zip(slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1)))
+        .otherwise(array().cast("array<struct<`0`:string,`1`:string>>"))).as("bg"))
+      .select(col("bg.0").as("term_a"), col("bg.1").as("term_b"))
       .groupBy("term_a", "term_b").agg(count(lit(1)).as("f_ab"))
       .filter(col("f_ab") >= 5)
     bi.join(broadcast(uni.select(col("term").as("term_a"), col("f").as("fa"))), "term_a")

@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Logical per-group top-k: keep each group's first `k` rows under
   * `order` (which must be a TOTAL order — include a unique tie-break).
@@ -60,11 +61,20 @@ case class TopKPerGroupExec(k: Int, group: Expression, order: Seq[SortOrder],
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(Seq(group)) :: Nil
 
+  // Memory observability for the documented no-spill contract: on-heap
+  // usage is k rows × the task's distinct-group count. A size metric
+  // reports min/med/max across tasks — the max is the pressure gauge a
+  // caller checks before trusting this node on a new group key.
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "peakGroups" -> SQLMetrics.createSizeMetric(sparkContext,
+      "distinct groups held per task"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val groupExprs = Seq(group)
     val orderLocal = order
     val childOutput = child.output
+    val peakGroups = longMetric("peakGroups")
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(groupExprs, childOutput)
       val ord = GenerateOrdering.generate(orderLocal, childOutput)
@@ -88,6 +98,7 @@ case class TopKPerGroupExec(k: Int, group: Expression, order: Seq[SortOrder],
           heap.add(row.copy())
         }
       }
+      peakGroups.add(heaps.size)
       heaps.valuesIterator.flatMap { h =>
         Iterator.continually(h.poll()).takeWhile(_ != null)
       }

@@ -118,10 +118,16 @@ object Stream {
     * semantics windowed aggregation can't express.
     *
     * Cross-batch out-of-order events within the gap of the open
-    * interval merge into it (lowering its start); a production
-    * deployment uses [[sessionizeWithTimeout]] to also close sessions
-    * on quiescence.
+    * interval merge into it (lowering its start).
+    *
+    * '''Spec/demo-only.''' NoTimeout + no watermark means the open
+    * session of any user who stops sending events is state retained
+    * FOREVER, and out-of-order arrival is unbounded — this variant
+    * exists to spec the pure merge semantics in isolation. Production
+    * deployments must use [[sessionizeWithTimeout]], whose
+    * EventTimeTimeout + watermark bound both.
     */
+  @deprecated("spec/demo-only: unbounded state; use sessionizeWithTimeout", "r3")
   def sessionize(events: Dataset[Ev], gapMinutes: Long = 30): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L

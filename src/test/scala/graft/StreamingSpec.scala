@@ -100,6 +100,9 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Stream.Ev]
+    // the deprecated no-timeout variant is exactly what this spec
+    // isolates: pure merge semantics with no watermark interference
+    @scala.annotation.nowarn("cat=deprecation")
     val q = Stream.sessionize(in.toDS())
       .writeStream.format("memory").queryName("sessions")
       .outputMode(OutputMode.Append()).start()
