@@ -140,7 +140,13 @@ object Index {
     tokenStream(spark, dir)
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
-  def tfidfTopk(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, score) — TF-IDF score (4dp) over [[QueryTerms]];
+    * shared by [[tfidfTopk]] and [[rrfFusion]]. Scores are rounded
+    * BEFORE any ordering: a 3-term double sum is addition-order-
+    * sensitive at the ulp level, so ranks must come off the rounded
+    * value to be cross-engine stable.
+    */
+  private def tfidfScored(spark: SparkSession, dir: String): DataFrame = {
     val base = tfBase(spark, dir)
     // Corpus size as a broadcast 1-row aggregate, not a driver action:
     // keeps the plan lazy and the scalar join a BroadcastNestedLoop of 1 row.
@@ -155,11 +161,18 @@ object Index {
       .crossJoin(broadcast(nDf))
       .withColumn("w", col("tf") * log(col("n") / col("df")))
       .groupBy("doc_id").agg(round(sum(col("w")), 4).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(20)
   }
 
-  def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+  def tfidfTopk(spark: SparkSession, dir: String): DataFrame =
+    tfidfScored(spark, dir)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+
+  /** (doc_id, score) — BM25 score (4dp) over "spark"/"join"; shared
+    * by [[bm25Topk]] and [[rrfFusion]] (rounded before ordering, see
+    * [[tfidfScored]]).
+    */
+  private def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
     val (k1, b) = (1.2, 0.75)
     val qterms = Seq("spark", "join")
     val base = tfBase(spark, dir)
@@ -176,8 +189,72 @@ object Index {
         col("idf") * (col("tf") * (k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy("doc_id").agg(round(sum(col("w")), 4).as("score"))
+  }
+
+  def bm25Topk(spark: SparkSession, dir: String): DataFrame =
+    bm25Scored(spark, dir)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
+
+  /** Hybrid rank fusion: reciprocal rank fusion (RRF, Cormack et al.
+    * SIGIR'09) of the BM25 and TF-IDF rankings —
+    * rrf = Σ_r 1/(60 + rank_r), a doc missing from a ranker's
+    * candidate set contributes 0. The fusion runs over the two
+    * CANDIDATE sets (docs containing a query term), never the corpus:
+    * rank assignment is a single-partition window over bounded ranked
+    * lists (top-N per ranker in production), then one full-outer join
+    * on doc_id. The score is a fixed two-term expression of integer
+    * ranks — bitwise cross-engine.
+    */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    def ranked(scored: DataFrame, rankCol: String): DataFrame =
+      scored.withColumn(rankCol,
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col(rankCol))
+    val rb = ranked(bm25Scored(spark, dir), "rank_bm25")
+    val rt = ranked(tfidfScored(spark, dir), "rank_tfidf")
+    rb.join(rt, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60.0) + col("rank_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("rank_tfidf")), lit(0.0)), 6))
+      // rank 0 = "not in this ranker's candidate set": nullable int
+      // columns degrade to float64 in the gate's pandas comparator
+      .select(col("doc_id"), coalesce(col("rank_bm25"), lit(0L)).as("rank_bm25"),
+        coalesce(col("rank_tfidf"), lit(0L)).as("rank_tfidf"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Dictionary prefix lookup: vocabulary terms starting with "s" with
+    * their document and collection frequencies — the wildcard/prefix
+    * query surface of a term dictionary. Runs over the aggregated
+    * vocabulary (tiny), and the StartsWith predicate is
+    * pushdown-eligible when the dictionary is stored term-sorted
+    * ([[graft.sources.IndexStore]]).
+    */
+  def prefixSearch(spark: SparkSession, dir: String): DataFrame =
+    tokenStream(spark, dir)
+      .filter(col("term").startsWith("s"))
+      .groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("total_tf"))
+      .orderBy("term")
+
+  /** Proximity search: docs where "spark" and "join" co-occur within
+    * 5 token positions, with the pair count and closest distance —
+    * the ranked NEAR/k operator positional postings exist for (phrase
+    * search is the k=1 special case). Both postings lists are filtered
+    * BEFORE the self-join, so the join is tiny-on-tiny.
+    */
+  def proximitySearch(spark: SparkSession, dir: String): DataFrame = {
+    val tok = tokenStream(spark, dir)
+    val a = tok.filter(col("term") === "spark").as("a")
+    val b = tok.filter(col("term") === "join").as("b")
+    a.join(b, col("a.doc_id") === col("b.doc_id") &&
+        abs(col("b.pos") - col("a.pos")) <= 5)
+      .groupBy(col("a.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("b.pos") - col("a.pos"))).as("min_dist"))
+      .orderBy("doc_id")
   }
 
   def topTermsPerDoc(spark: SparkSession, dir: String): DataFrame = {
@@ -281,7 +358,10 @@ object Index {
     "kwic" -> kwic,
     "collocations" -> collocations,
     "fuzzy_term" -> fuzzyTerm,
-    "regex_search" -> regexSearch)
+    "regex_search" -> regexSearch,
+    "prefix_search" -> prefixSearch,
+    "proximity_search" -> proximitySearch,
+    "rrf_fusion" -> rrfFusion)
 
   /** Shared DuckDB CTE: identical tokenization contract to
     * [[TextFns.tokens]] (split \s+, drop empties; 0-based positions).
@@ -368,6 +448,48 @@ object Index {
          |    AS context
          |FROM tok t JOIN toks x ON t.doc_id = x.doc_id
          |WHERE t.term = 'spark' ORDER BY doc_id, pos""".stripMargin,
+    "prefix_search" ->
+      s"""$TokSql SELECT term, count(DISTINCT doc_id) AS df, count(*) AS total_tf
+         |FROM tok WHERE term LIKE 's%' GROUP BY term ORDER BY term""".stripMargin,
+    "proximity_search" ->
+      s"""$TokSql SELECT a.doc_id AS doc_id, count(*) AS n_pairs,
+         |  min(abs(b.pos - a.pos)) AS min_dist
+         |FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND abs(b.pos - a.pos) <= 5
+         |WHERE a.term = 'spark' AND b.term = 'join'
+         |GROUP BY a.doc_id ORDER BY doc_id""".stripMargin,
+    "rrf_fusion" ->
+      s"""$TokSql, n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY term),
+         |bdl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+         |avgdl AS (SELECT avg(dl) AS avgdl FROM bdl),
+         |btf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+         |        WHERE term IN ('spark', 'join') GROUP BY doc_id, term),
+         |bscore AS (
+         |  SELECT btf.doc_id AS doc_id,
+         |    round(sum(ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |      * (btf.tf * 2.2) / (btf.tf + 1.2 * (1.0 - 0.75 + 0.75 * bdl.dl / avgdl.avgdl))), 4) AS score
+         |  FROM btf JOIN df USING (term) JOIN bdl ON btf.doc_id = bdl.doc_id, n, avgdl
+         |  GROUP BY btf.doc_id),
+         |brank AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_bm25
+         |  FROM bscore),
+         |ttf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+         |        WHERE term IN ('spark', 'query', 'join') GROUP BY doc_id, term),
+         |tscore AS (
+         |  SELECT doc_id, round(sum(tf * ln(n.n / df.df)), 4) AS score
+         |  FROM ttf JOIN df USING (term), n GROUP BY doc_id),
+         |trank AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_tfidf
+         |  FROM tscore)
+         |SELECT coalesce(b.doc_id, t.doc_id) AS doc_id,
+         |  coalesce(b.rank_bm25, 0) AS rank_bm25,
+         |  coalesce(t.rank_tfidf, 0) AS rank_tfidf,
+         |  round(coalesce(1.0 / (60.0 + b.rank_bm25), 0.0)
+         |    + coalesce(1.0 / (60.0 + t.rank_tfidf), 0.0), 6) AS rrf
+         |FROM brank b FULL OUTER JOIN trank t ON b.doc_id = t.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     "collocations" ->
       s"""$TokSql, uni AS (
          |  SELECT term, count(*) AS f FROM tok GROUP BY term

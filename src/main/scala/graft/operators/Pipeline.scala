@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.{HashFns, TextFns}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dataset-assembly operators a training-data pipeline runs after
@@ -49,12 +50,45 @@ object Pipeline {
         sum(col("n_chr")).as("n_chars"))
       .orderBy("source", "lang")
 
+  /** Uniform deterministic k-sample: the 100 documents with the
+    * smallest md5 of a salted doc key — reproducible uniform-without-
+    * replacement sampling (change the salt to redraw). Order-by-hash +
+    * limit plans as TakeOrderedAndProject: per-partition bounded
+    * heaps, no global sort — at 100 TB each executor ships only its
+    * local top-100.
+    */
+  def sampleK(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat(lit("sample:"), col("doc_id").cast("string"))).as("h"))
+      .orderBy("h")
+      .limit(100)
+
+  /** Deterministic source-interleaved curriculum: each source's docs
+    * are ranked by a content hash, then emitted round-robin (all the
+    * rank-1 docs across sources, then rank-2, ...) so any prefix of
+    * the output is source-balanced — the data-mixing step before
+    * training. One shuffle (the per-source rank window); the final
+    * orderBy is presentation-only.
+    */
+  def interleaveSources(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(HashFns.rollingHash(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rnd", row_number().over(w).cast("long"))
+      .filter(col("rnd") <= 5)
+      .orderBy("rnd", "source", "doc_id")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "train_test_split" -> trainTestSplit,
     "stratified_sample" -> stratifiedSample,
-    "corpus_stats" -> corpusStats)
+    "corpus_stats" -> corpusStats,
+    "sample_k" -> sampleK,
+    "interleave_sources" -> interleaveSources)
 
   private def hashPct(e: String): String =
     s"${OracleSql.roll(e, HashFns.P)} % 100"
@@ -71,5 +105,17 @@ object Pipeline {
       """SELECT source, lang, count(*) AS n_docs,
         |  CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0))) AS BIGINT) AS n_tokens,
         |  CAST(sum(length(text)) AS BIGINT) AS n_chars
-        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin)
+        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+    "sample_k" ->
+      """SELECT doc_id, md5('sample:' || doc_id::VARCHAR) AS h
+        |FROM documents ORDER BY h LIMIT 100""".stripMargin,
+    "interleave_sources" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, source,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY ${OracleSql.roll("doc_id::VARCHAR", HashFns.P)}, doc_id) AS BIGINT) AS rnd
+         |  FROM documents
+         |)
+         |SELECT doc_id, source, rnd FROM r WHERE rnd <= 5
+         |ORDER BY rnd, source, doc_id""".stripMargin)
 }

@@ -126,12 +126,92 @@ object Similarity {
   def knnLsh(spark: SparkSession, dir: String): DataFrame =
     bucketedKnn(lshAssign(Tables.embeddings(spark, dir)))
 
+  /** IVF with one deterministic Lloyd refinement: assign to the seed
+    * centroids, recompute each bucket's centroid as the dimension-wise
+    * mean of its members, re-assign every vector to the nearest
+    * TRAINED centroid, then search as in [[knnIvf]]. The mean is
+    * folded over the (vec_id, value)-sorted member list so the
+    * floating-point addition order is fixed (a plain avg() would be
+    * partial-agg-order-dependent and break cross-engine parity), and
+    * the result is truncated to float — one exact rounding both
+    * engines share. At 100 TB: the refinement is one extra
+    * (bucket, dim)-keyed shuffle of narrow rows; a production run
+    * iterates this same stage k times and drops the sorted fold for
+    * a plain partial-aggregated avg (bitwise reproducibility is a
+    * gate constraint, not a training requirement).
+    */
+  def ivfTrainedAssign(e: DataFrame): DataFrame = {
+    val asg = ivfAssign(e)
+    val contrib = asg.select(col("bucket"), col("vec_id"),
+      posexplode(col("embedding")).as(Seq("j", "v")))
+    val dims = contrib.groupBy("bucket", "j")
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("vs"),
+        count(lit(1)).as("cnt"))
+      .select(col("bucket"), col("j"),
+        (aggregate(col("vs"), lit(0.0), (acc, s) => acc + s("v").cast("double"))
+          / col("cnt")).cast("float").as("c"))
+    val cents = dims.groupBy("bucket")
+      .agg(sort_array(collect_list(struct(col("j"), col("c")))).as("jc"))
+      .select(col("bucket").as("cid2"),
+        transform(col("jc"), s => s("c")).as("ce"))
+      .withColumn("cnm", sqrt(VectorFns.norm2(col("ce"))))
+    val en = withNorm(e)
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid2"))
+    en.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        VectorFns.dot(col("embedding"), col("ce")) / (col("nm") * col("cnm")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nm"), col("cid2").as("bucket"))
+  }
+
+  def knnIvfTrained(spark: SparkSession, dir: String): DataFrame =
+    bucketedKnn(ivfTrainedAssign(Tables.embeddings(spark, dir)))
+
+  /** kNN majority-label classification of the query vectors: each
+    * query's 10 brute-force nearest neighbors vote with their `label`;
+    * prediction = most votes, ties to the smaller label. The label
+    * join runs on the tiny neighbor set, never the full vector table.
+    */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val w = Window.partitionBy("query_id").orderBy(col("votes").desc, col("label"))
+    knnBruteforce(spark, dir)
+      .join(labels, "vec_id")
+      .groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+      .orderBy("query_id")
+  }
+
+  /** Recall@10 of the LSH ANN against the brute-force ground truth —
+    * the measurement loop any production ANN deployment runs on a
+    * query sample before trusting the index. Both sides are the tiny
+    * per-query top-k sets, so the audit is free at any corpus size.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val bf = knnBruteforce(spark, dir).select(col("query_id"), col("vec_id"))
+    val ann = knnLsh(spark, dir)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    bf.join(ann, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits") / 10.0, 4).as("recall"))
+      .orderBy("query_id")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_bruteforce" -> knnBruteforce,
     "knn_ivf" -> knnIvf,
-    "knn_lsh" -> knnLsh)
+    "knn_lsh" -> knnLsh,
+    "knn_ivf_trained" -> knnIvfTrained,
+    "knn_classify" -> knnClassify,
+    "ann_recall" -> annRecall)
 
   /** `asg` CTE on top of [[OracleSql.NormCte]]: the IVF bucket
     * assignment (argmax cosine over the 16 seed centroids).
@@ -200,5 +280,85 @@ object Similarity {
          |  FROM p
          |)
          |SELECT query_id, rk, vec_id, round(c, 6) AS cosine, bucket
-         |FROM r WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin)
+         |FROM r WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    "knn_ivf_trained" ->
+      s"""${OracleSql.NormCte}$AssignCte, cx AS (
+         |  SELECT bucket, vec_id, j, embedding[j+1] AS v
+         |  FROM asg, unnest(range(len(embedding))) AS u(j)
+         |), cd AS (
+         |  SELECT bucket, j,
+         |    CAST(list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+         |      list_sort(list(struct_pack(a := vec_id, b := v))), s -> s.b::DOUBLE)),
+         |      (x, y) -> x + y) / count(*) AS FLOAT) AS c
+         |  FROM cx GROUP BY bucket, j
+         |), c2 AS (
+         |  SELECT bucket AS cid2, list(c ORDER BY j) AS ce FROM cd GROUP BY bucket
+         |), c2n AS (
+         |  SELECT cid2, ce, sqrt(${OracleSql.norm2("ce")}) AS cnm FROM c2
+         |), a2 AS (
+         |  SELECT v.vec_id, v.embedding, v.nm, c.cid2,
+         |    ${OracleSql.cosineN("v.embedding", "c.ce", "v.nm", "c.cnm")} AS ccos
+         |  FROM nrm v, c2n c
+         |), asg2 AS (
+         |  SELECT vec_id, embedding, nm, cid2 AS bucket FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid2) AS crn
+         |    FROM a2) WHERE crn = 1
+         |), p2 AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id, b.bucket,
+         |    ${OracleSql.cosineN("q.embedding", "b.embedding", "q.nm", "b.nm")} AS c
+         |  FROM asg2 q JOIN asg2 b ON q.vec_id < $NQueries
+         |    AND b.bucket = q.bucket AND b.vec_id != q.vec_id
+         |), r2 AS (
+         |  SELECT query_id, vec_id, bucket, c,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rk
+         |  FROM p2
+         |)
+         |SELECT query_id, rk, vec_id, round(c, 6) AS cosine, bucket
+         |FROM r2 WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    "knn_classify" ->
+      s"""${OracleSql.NormCte}, p AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+         |    ${OracleSql.cosineN("q.embedding", "b.embedding", "q.nm", "b.nm")} AS c
+         |  FROM nrm q JOIN nrm b ON q.vec_id < $NQueries AND b.vec_id != q.vec_id
+         |), r AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+         |  FROM p
+         |), votes AS (
+         |  SELECT r.query_id AS query_id, CAST(e.label AS BIGINT) AS label,
+         |    count(*) AS votes
+         |  FROM r JOIN embeddings e ON r.vec_id = e.vec_id
+         |  WHERE r.rk <= $TopK GROUP BY r.query_id, e.label
+         |), best AS (
+         |  SELECT query_id, label, votes,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+         |  FROM votes
+         |)
+         |SELECT query_id, label AS pred_label, votes
+         |FROM best WHERE rn = 1 ORDER BY query_id""".stripMargin,
+    "ann_recall" ->
+      s"""${OracleSql.NormCte}$LshAssignCte, bp AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+         |    ${OracleSql.cosineN("q.embedding", "b.embedding", "q.nm", "b.nm")} AS c
+         |  FROM nrm q JOIN nrm b ON q.vec_id < $NQueries AND b.vec_id != q.vec_id
+         |), br AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+         |  FROM bp
+         |), bf AS (SELECT query_id, vec_id FROM br WHERE rk <= $TopK),
+         |lp AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+         |    ${OracleSql.cosineN("q.embedding", "b.embedding", "q.nm", "b.nm")} AS c
+         |  FROM lasg q JOIN lasg b ON q.vec_id < $NQueries
+         |    AND b.bucket = q.bucket AND b.vec_id != q.vec_id
+         |), lr AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+         |  FROM lp
+         |), lf AS (SELECT query_id, vec_id FROM lr WHERE rk <= $TopK)
+         |SELECT bf.query_id AS query_id,
+         |  CAST(sum(CASE WHEN lf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  round(sum(CASE WHEN lf.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0, 4) AS recall
+         |FROM bf LEFT JOIN lf ON bf.query_id = lf.query_id AND bf.vec_id = lf.vec_id
+         |GROUP BY bf.query_id ORDER BY query_id""".stripMargin)
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.{HashFns, TextFns}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis pipeline operators (SURVEY §2.B): language ID,
@@ -136,6 +137,26 @@ object TextAnalysis {
           6).as("entropy"))
       .orderBy("doc_id")
 
+  // ---- vocab_growth ----------------------------------------------------
+
+  /** Vocabulary growth (Heaps-law) curve: for each doc_id that
+    * introduces at least one never-before-seen term (in doc_id order),
+    * the number of new terms and the cumulative vocabulary size.
+    * Distributed formulation: first occurrence = min(doc_id) per term
+    * (one partial-agg shuffle over the token stream), then a running
+    * sum over the ≤|vocab| introduction points — the window is over
+    * the aggregated curve, never the corpus, so the single-partition
+    * running sum is bounded by vocabulary size, not 100 TB of tokens.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    Index.tokenStream(spark, dir)
+      .groupBy("term").agg(min(col("doc_id")).as("first_doc"))
+      .groupBy("first_doc").agg(count(lit(1)).as("new_terms"))
+      .withColumn("vocab_size",
+        sum(col("new_terms")).over(Window.orderBy("first_doc")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("first_doc")
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -144,7 +165,8 @@ object TextAnalysis {
     "token_stats" -> tokenStats,
     "doc_fingerprint" -> docFingerprint,
     "char_ngrams" -> charNgrams,
-    "term_entropy" -> termEntropy)
+    "term_entropy" -> termEntropy,
+    "vocab_growth" -> vocabGrowth)
 
   private def inList(xs: Seq[String]): String =
     xs.map(s => s"'$s'").mkString("(", ", ", ")")
@@ -225,5 +247,15 @@ object TextAnalysis {
          |  round(ln(n) - list_reduce(list_prepend(0.0::DOUBLE,
          |    list_transform(cs, c -> c::DOUBLE * ln(c::DOUBLE))), (a, x) -> a + x) / n,
          |    6) AS entropy
-         |FROM agg ORDER BY doc_id""".stripMargin)
+         |FROM agg ORDER BY doc_id""".stripMargin,
+    "vocab_growth" ->
+      s"""${Index.TokSql}, fd AS (
+         |  SELECT term, min(doc_id) AS first_doc FROM tok GROUP BY term
+         |), g AS (
+         |  SELECT first_doc, count(*) AS new_terms FROM fd GROUP BY first_doc
+         |)
+         |SELECT first_doc, new_terms,
+         |  CAST(sum(new_terms) OVER (ORDER BY first_doc
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
+         |FROM g ORDER BY first_doc""".stripMargin)
 }

@@ -128,6 +128,60 @@ class OperatorsSpec extends SparkSpec {
     assert(ivf.select("bucket").distinct().count() <= Similarity.NCentroids)
   }
 
+  test("rrf_fusion: scores in (0, 2/61], ranks positive or absent-as-0") {
+    val r = SparkEntry.queries("rrf_fusion")(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val rrf = row.getDouble(3)
+      assert(rrf > 0.0 && rrf <= 2.0 / 61.0 + 1e-9)
+      assert(row.getLong(1) >= 0L && row.getLong(2) >= 0L)
+    }
+    // fused head must dominate: rrf is non-increasing in output order
+    val vals = r.map(_.getDouble(3)).toSeq
+    assert(vals.zip(vals.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("proximity_search: every hit doc also phrase-matches-or-better bool AND") {
+    val prox = SparkEntry.queries("proximity_search")(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val both = SparkEntry.queries("bool_and_search")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    // a doc with spark and join within 5 tokens certainly contains both
+    assert(prox.subsetOf(both))
+  }
+
+  test("ann_recall: one row per query, recall in [0,1], consistent with n_hits") {
+    val r = SparkEntry.queries("ann_recall")(spark, sfDir).collect()
+    assert(r.length === Similarity.NQueries)
+    r.foreach { row =>
+      val (hits, rec) = (row.getLong(1), row.getDouble(2))
+      assert(hits >= 0L && hits <= Similarity.TopK)
+      assert(math.abs(rec - hits / 10.0) < 1e-9)
+    }
+  }
+
+  test("knn_classify predicts a label present among the neighbors") {
+    val preds = SparkEntry.queries("knn_classify")(spark, sfDir).collect()
+    assert(preds.length === Similarity.NQueries)
+    preds.foreach(row => assert(row.getLong(2) >= 1L && row.getLong(2) <= 10L))
+  }
+
+  test("interleave_sources: any prefix across full rounds is source-balanced") {
+    val rows = SparkEntry.queries("interleave_sources")(spark, sfDir).collect()
+    val nSources = rows.map(_.getString(1)).distinct.length
+    // per-source rank never exceeds 5 and each (rnd, source) appears once
+    assert(rows.length <= nSources * 5)
+    assert(rows.map(r => (r.getLong(2), r.getString(1))).distinct.length === rows.length)
+  }
+
+  test("vocab_growth: cumulative sum is monotone and ends at vocab size") {
+    val g = SparkEntry.queries("vocab_growth")(spark, sfDir).collect()
+    val sizes = g.map(_.getLong(2)).toSeq
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a < b })
+    val vocab = Index.wordcount(spark, sfDir).count()
+    assert(sizes.last === vocab)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
