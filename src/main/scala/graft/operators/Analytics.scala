@@ -368,6 +368,58 @@ object Analytics {
       .orderBy("o_custkey")
   }
 
+  /** Funnel analysis with greedy earliest-match semantics: step 1 =
+    * a user's first "view"; step 2 = first "click" strictly after
+    * that; step 3 = first "purchase" strictly after step 2. Emits
+    * (step, event_type, n_users) — the classic conversion funnel.
+    * Each step is one key-shuffled aggregation over ONLY its event
+    * type's rows (the type filter pushes into the scan), so at 100 TB
+    * the funnel costs three filtered aggs, not a per-user event-list
+    * assembly.
+    */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val e = eventsUs(spark, dir)
+    def firstAfter(evType: String, prev: DataFrame, prevCol: String, outCol: String): DataFrame =
+      e.filter(col("event_type") === evType)
+        .join(prev, "user_id")
+        .filter(col("ts_us") > col(prevCol))
+        .groupBy("user_id").agg(min(col("ts_us")).as(outCol))
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts_us")).as("t1"))
+    val t2 = firstAfter("click", t1, "t1", "t2")
+    val t3 = firstAfter("purchase", t2.select("user_id", "t2"), "t2", "t3")
+    t1.agg(count(lit(1)).as("n_users")).select(lit(1L).as("step"), lit("view").as("event_type"), col("n_users"))
+      .unionByName(t2.agg(count(lit(1)).as("n_users"))
+        .select(lit(2L).as("step"), lit("click").as("event_type"), col("n_users")))
+      .unionByName(t3.agg(count(lit(1)).as("n_users"))
+        .select(lit(3L).as("step"), lit("purchase").as("event_type"), col("n_users")))
+      .orderBy("step")
+  }
+
+  /** Cohort retention: cohort = a user's first active day (integer
+    * day index = ts_us div 86.4e9 — pure integer arithmetic, no
+    * calendar functions to disagree cross-engine); for each (cohort,
+    * day offset ≤ 7) the count of distinct users active that day.
+    * Two key-shuffled aggregations over the distinct (user, day)
+    * frame — the activity table is the dedup'd projection, orders of
+    * magnitude smaller than the event log at 100 TB.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val days = eventsUs(spark, dir)
+      // div, not /: long / long in Spark is DOUBLE division, and a
+      // cast-truncated double can land one day off the exact floor
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct()
+    val first = days.groupBy("user_id").agg(min(col("day")).as("cohort"))
+    days.join(first, "user_id")
+      .withColumn("day_offset", col("day") - col("cohort"))
+      .filter(col("day_offset") <= 7)
+      .groupBy("cohort", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort", "day_offset")
+  }
+
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -398,7 +450,9 @@ object Analytics {
     "moving_avg" -> movingAvg,
     "set_except" -> setExcept,
     "rank_stats" -> rankStats,
-    "group_concat" -> groupConcat)
+    "group_concat" -> groupConcat,
+    "funnel_steps" -> funnelSteps,
+    "retention_cohorts" -> retentionCohorts)
 
   /** Shared DuckDB CTE for events at micros precision (source is ns). */
   private val EvSql =
@@ -610,5 +664,34 @@ object Analytics {
     "group_concat" ->
       """SELECT l_returnflag,
         |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "funnel_steps" ->
+      s"""$EvSql, t1 AS (
+         |  SELECT user_id, min(ts_us) AS t1 FROM ev
+         |  WHERE event_type = 'view' GROUP BY user_id
+         |), t2 AS (
+         |  SELECT e.user_id AS user_id, min(e.ts_us) AS t2
+         |  FROM ev e JOIN t1 ON e.user_id = t1.user_id
+         |  WHERE e.event_type = 'click' AND e.ts_us > t1.t1 GROUP BY e.user_id
+         |), t3 AS (
+         |  SELECT e.user_id AS user_id, min(e.ts_us) AS t3
+         |  FROM ev e JOIN t2 ON e.user_id = t2.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts_us > t2.t2 GROUP BY e.user_id
+         |)
+         |SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, count(*) AS n_users FROM t1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), 'click', count(*) FROM t2
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM t3
+         |ORDER BY step""".stripMargin,
+    "retention_cohorts" ->
+      s"""$EvSql, days AS (
+         |  SELECT DISTINCT user_id, ts_us // 86400000000 AS day FROM ev
+         |), fs AS (
+         |  SELECT user_id, min(day) AS cohort FROM days GROUP BY user_id
+         |)
+         |SELECT cohort, day - cohort AS day_offset, count(DISTINCT d.user_id) AS n_users
+         |FROM days d JOIN fs f ON d.user_id = f.user_id
+         |WHERE day - cohort <= 7
+         |GROUP BY cohort, day_offset ORDER BY cohort, day_offset""".stripMargin)
 }

@@ -45,4 +45,26 @@ object IndexStore {
     load(spark, path)
       .filter(col("term_bucket") === bucketOf(term, nBuckets) && col("term") === term)
       .drop("term_bucket")
+
+  /** Incremental index maintenance: merge a delta index (the postings
+    * of new + re-crawled documents) into a base index. Document
+    * granularity: every doc_id present in the delta REPLACES its base
+    * postings entirely (a re-crawled document's old terms must
+    * disappear), then the delta unions in. The anti-join's build side
+    * is the delta's distinct doc set — no broadcast hint: AQE picks
+    * broadcast when the delta is small (the common case) and falls
+    * back to a shuffled join for bulk re-crawls, so the base streams
+    * through one filter either way and is re-bucketed only by
+    * [[save]]'s term-bucket repartition.
+    */
+  def merge(spark: SparkSession, basePath: String, deltaPath: String,
+            outPath: String, nBuckets: Int = DefaultBuckets): Unit = {
+    val base = load(spark, basePath).drop("term_bucket")
+    val delta = load(spark, deltaPath).drop("term_bucket")
+    val updated = delta.select("doc_id").distinct()
+    val merged = base.join(updated, Seq("doc_id"), "left_anti")
+      .unionByName(delta)
+      .select(base.columns.map(col): _*)
+    save(merged, outPath, nBuckets)
+  }
 }

@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import graft.functions.HashImpl
 import graft.operators.Index
-import graft.sources.{IndexStore, Tsv}
+import graft.sources.{IndexStore, Jsonl, Tsv}
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -62,6 +62,49 @@ class SourcesSpec extends SparkSpec {
     val plan = IndexStore.lookup(spark, path, term, nBuckets = 8)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("term_bucket"))
+  }
+
+  test("jsonl source: explicit schema, corrupt lines quarantined not fatal") {
+    val dir = tmpDir("graft-jsonl")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/docs.jsonl"),
+      """{"doc_id": 0, "text": "alpha beta", "lang": "en", "source": "s0"}
+        |{"doc_id": 1, "text": "gamma", "lang": "es", "source": "s1"}
+        |not json at all
+        |{"text": "no id", "lang": "en", "source": "s2"}
+        |""".stripMargin)
+    val docs = Jsonl.readDocuments(spark, s"$dir/docs.jsonl").orderBy("doc_id").collect()
+    assert(docs.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((0L, "alpha beta"), (1L, "gamma")))
+    // quarantine carries both the unparseable line and the id-less row
+    val bad = Jsonl.readCorrupt(spark, s"$dir/docs.jsonl").collect().map(_.getString(0))
+    assert(bad.length === 2)
+    assert(bad.exists(_.contains("not json at all")))
+    // a jsonl corpus indexes like any other document frame
+    val idx = Index.invertedIndexOf(Jsonl.readDocuments(spark, s"$dir/docs.jsonl"))
+    assert(idx.count() === 3) // alpha, beta, gamma
+  }
+
+  test("index merge: delta docs replace base postings at doc granularity") {
+    import spark.implicits._
+    val base = tmpDir("graft-merge") + "/base"
+    val delta = tmpDir("graft-merge") + "/delta"
+    val out = tmpDir("graft-merge") + "/merged"
+    val docs1 = Seq((0L, "x y"), (1L, "y z")).toDF("doc_id", "text")
+    val docs2 = Seq((1L, "y q")).toDF("doc_id", "text") // doc 1 re-crawled
+    IndexStore.save(Index.invertedIndexOf(docs1), base, nBuckets = 4)
+    IndexStore.save(Index.invertedIndexOf(docs2), delta, nBuckets = 4)
+    IndexStore.merge(spark, base, delta, out, nBuckets = 4)
+
+    val want = Index.invertedIndexOf(
+        Seq((0L, "x y"), (1L, "y q")).toDF("doc_id", "text"))
+      .select("term", "doc_id", "tf")
+      .orderBy("term", "doc_id").collect().toSeq
+    val got = IndexStore.load(spark, out)
+      .select("term", "doc_id", "tf")
+      .orderBy("term", "doc_id").collect().toSeq
+    assert(got === want)
+    // doc 1's old term "z" must be gone
+    assert(IndexStore.lookup(spark, out, "z", nBuckets = 4).count() === 0)
   }
 
   test("sql extensions: registered functions plan the native kernels") {
