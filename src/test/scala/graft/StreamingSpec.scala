@@ -96,6 +96,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_index: document stream keeps the saved index fresh across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft-stream-idx").toString + "/index"
+    val in = MemoryStream[(Long, String)]
+    val q = Stream.indexMaintenance(in.toDF().toDF("doc_id", "text"), path, nBuckets = 4)
+      .start()
+    try {
+      in.addData((0L, "x y"), (1L, "y z"))
+      q.processAllAvailable()
+      assert(graft.sources.IndexStore.lookup(spark, path, "z", nBuckets = 4).count() === 1)
+      // batch 2: doc 1 re-crawled (z -> q), doc 2 new
+      in.addData((1L, "y q"), (2L, "x"))
+      q.processAllAvailable()
+      val idx = graft.sources.IndexStore.load(spark, path)
+        .select("term", "doc_id", "tf").orderBy("term", "doc_id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(idx === Seq(
+        ("q", 1L, 1L), ("x", 0L, 1L), ("x", 2L, 1L),
+        ("y", 0L, 1L), ("y", 1L, 1L)))
+      // doc 1's old "z" posting is gone after the re-crawl merge
+      assert(graft.sources.IndexStore.lookup(spark, path, "z", nBuckets = 4).count() === 0)
+    } finally q.stop()
+  }
+
   test("stream_sessionize: a distant event closes and emits the open session") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
