@@ -309,6 +309,64 @@ object Analytics {
       .agg(countDistinct(col("l_partkey")).as("n_parts"))
       .orderBy("l_suppkey")
 
+  /** Explicit GROUPING SETS — the general form cube/rollup are
+    * special cases of: per-returnflag totals, per-linestatus totals,
+    * and the grand total, WITHOUT the (rf, ls) cross cells a CUBE
+    * would also compute. At 100 TB skipping unneeded grouping sets is
+    * the point: each set is one partial-aggregated pass, so cost is
+    * proportional to the sets you actually ask for.
+    */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy("rf", "ls")
+
+  /** Manual salt treatment for a skewed JOIN key (the join twin of
+    * [[Index.wordcountSalted]]'s aggregation salting): the big probe
+    * side gets a deterministic salt in [0, 8); the build side is
+    * exploded ×8 so every (key, salt) bucket still finds its match.
+    * A key whose rows would swamp one task now spreads over 8. The
+    * oracle is the UNSALTED join — proving salting never changes the
+    * result. (AQE's skew-join split covers sort-merge joins at
+    * runtime; explicit salting is the portable fallback and works for
+    * aggregations and broadcast joins too.)
+    */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val nSalts = 8L
+    val l = Tables.lineitem(spark, dir)
+      .withColumn("salt", pmod(col("l_linenumber").cast("long"), lit(nSalts)))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        explode(sequence(lit(0L), lit(nSalts - 1L))).as("salt"))
+    l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
+      .groupBy("o_orderstatus")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Approximate percentile sketch (GK/KLL-family) — the sketch twin
+    * of [[percentiles]], mergeable map-side like every sketch here;
+    * approximate by design so rows-only (no exact cross-engine
+    * oracle is possible).
+    */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)").as("pcts"))
+      .select(col("o_orderstatus"),
+        round(element_at(col("pcts"), 1), 2).as("p50"),
+        round(element_at(col("pcts"), 2), 2).as("p90"),
+        round(element_at(col("pcts"), 3), 2).as("p99"))
+      .orderBy("o_orderstatus")
+
   /** NTILE quartiles of order totals per status. */
   def ntileQuartiles(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"), col("o_orderkey"))
@@ -452,7 +510,10 @@ object Analytics {
     "rank_stats" -> rankStats,
     "group_concat" -> groupConcat,
     "funnel_steps" -> funnelSteps,
-    "retention_cohorts" -> retentionCohorts)
+    "retention_cohorts" -> retentionCohorts,
+    "grouping_sets" -> groupingSetsAgg,
+    "salted_join" -> saltedJoin,
+    "approx_percentiles" -> approxPercentiles)
 
   /** Shared DuckDB CTE for events at micros precision (source is ns). */
   private val EvSql =
@@ -693,5 +754,18 @@ object Analytics {
          |SELECT cohort, day - cohort AS day_offset, count(DISTINCT d.user_id) AS n_users
          |FROM days d JOIN fs f ON d.user_id = f.user_id
          |WHERE day - cohort <= 7
-         |GROUP BY cohort, day_offset ORDER BY cohort, day_offset""".stripMargin)
+         |GROUP BY cohort, day_offset ORDER BY cohort, day_offset""".stripMargin,
+    "grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin,
+    "salted_join" ->
+      """SELECT o_orderstatus,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 }
