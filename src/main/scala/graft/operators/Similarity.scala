@@ -193,8 +193,10 @@ object Similarity {
     */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     val bf = knnBruteforce(spark, dir).select(col("query_id"), col("vec_id"))
-    val ann = knnLsh(spark, dir)
-      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    // both sides are <= |queries|*k rows; the explicit hint spares the
+    // sort-merge a cost-less plan would pick (stats are unknown here)
+    val ann = broadcast(knnLsh(spark, dir)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit")))
     bf.join(ann, Seq("query_id", "vec_id"), "left")
       .groupBy("query_id")
       .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
