@@ -94,12 +94,25 @@ object Multimodal {
       .orderBy("doc_id", "frame_no")
   }
 
+  /** Exact payload dedup over the opaque binary column — the
+    * multimodal twin of [[Dedup.dedupExact]]: one hash-groupBy on the
+    * content digest, canonical (min doc_id) member kept. The digest is
+    * computed in the scan stage, so at 100 TB the shuffle carries
+    * 16-byte hashes + ids, never payloads.
+    */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .groupBy(md5(col("media")).as("media_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_doc"))
+      .orderBy("media_md5")
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> mediaMeta,
     "media_features" -> mediaFeatures,
-    "media_frames" -> mediaFrames)
+    "media_frames" -> mediaFrames,
+    "media_dedup" -> mediaDedup)
 
   /** media_features is rows-only: its decode stage is a stub. */
   val oracles: Map[String, String] = Map(
@@ -122,5 +135,9 @@ object Multimodal {
          |    AS frame_bytes,
          |  md5(substring(h, frame_no::INT * ${FrameBytes * 2} + 1, ${FrameBytes * 2})) AS frame_md5
          |FROM f WHERE frame_no % $FrameStride = 0
-         |ORDER BY doc_id, frame_no""".stripMargin)
+         |ORDER BY doc_id, frame_no""".stripMargin,
+    "media_dedup" ->
+      """SELECT md5(text) AS media_md5, count(*) AS n_copies,
+        |  min(doc_id) AS canonical_doc
+        |FROM documents GROUP BY media_md5 ORDER BY media_md5""".stripMargin)
 }
