@@ -11,7 +11,9 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
                 else Seq("q1_agg", "q3_topk", "term_search", "semi_join",
-                  "asof_join", "inverted_index", "knn_ivf", "minhash_lsh_pairs")
+                  "asof_join", "inverted_index", "knn_ivf", "minhash_lsh_pairs",
+                  "rrf_fusion", "funnel_steps", "salted_join", "sample_k",
+                  "postings_compress")
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

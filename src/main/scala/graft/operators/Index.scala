@@ -340,6 +340,39 @@ object Index {
       .limit(20)
   }
 
+  /** Index-size engineering: per-term postings cost under delta-gap
+    * encoding — positions stored as (first, gap, gap, ...), each gap
+    * costing its binary length in bits (the core of every compressed
+    * positional index: VByte/PForDelta refine exactly this quantity).
+    * `gap_bits / raw_bits` is the compression headroom a term's
+    * postings have; dense/stopword terms compress hardest. Bit cost =
+    * length of the base-2 string — exact integer arithmetic both
+    * engines share (a floor(log2) would ride on double rounding at
+    * power-of-two boundaries). One shuffle: the postings build itself.
+    */
+  def postingsCompress(spark: SparkSession, dir: String): DataFrame = {
+    val idx = invertedIndex(spark, dir) // (term, doc_id, tf, positions sorted)
+    val gaps = concat(
+      slice(col("positions"), 1, 1), // first position absolute
+      zip_with(
+        slice(col("positions"), lit(2), size(col("positions")) - 1),
+        slice(col("positions"), lit(1), size(col("positions")) - 1),
+        (a, b) => a - b))
+    idx
+      .withColumn("gaps", gaps) // size-1 lists: both slices are empty, gaps = [first]
+      .withColumn("posting_bits",
+        aggregate(col("gaps"), lit(0L),
+          (acc, g) => acc + length(conv(greatest(g, lit(1L)), 10, 2)).cast("long")))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sum(size(col("positions"))).cast("long").as("n_positions"),
+        sum(col("posting_bits")).as("gap_bits"),
+        (sum(size(col("positions"))) * 64L).cast("long").as("raw_bits"))
+      .withColumn("ratio",
+        round(col("gap_bits").cast("double") / col("raw_bits"), 4))
+      .orderBy("term")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -361,7 +394,8 @@ object Index {
     "regex_search" -> regexSearch,
     "prefix_search" -> prefixSearch,
     "proximity_search" -> proximitySearch,
-    "rrf_fusion" -> rrfFusion)
+    "rrf_fusion" -> rrfFusion,
+    "postings_compress" -> postingsCompress)
 
   /** Shared DuckDB CTE: identical tokenization contract to
     * [[TextFns.tokens]] (split \s+, drop empties; 0-based positions).
@@ -451,6 +485,28 @@ object Index {
     "prefix_search" ->
       s"""$TokSql SELECT term, count(DISTINCT doc_id) AS df, count(*) AS total_tf
          |FROM tok WHERE term LIKE 's%' GROUP BY term ORDER BY term""".stripMargin,
+    "postings_compress" ->
+      s"""$TokSql, idx AS (
+         |  SELECT term, doc_id, list_sort(list(pos)) AS positions
+         |  FROM tok GROUP BY term, doc_id
+         |), g AS (
+         |  SELECT term, len(positions) AS np,
+         |    list_concat(positions[1:1],
+         |      list_transform(range(1, len(positions)), i -> positions[i+1] - positions[i])) AS gaps
+         |  FROM idx
+         |), pb AS (
+         |  SELECT term, np,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(gaps, x -> length(bin(greatest(x, 1)))::BIGINT)),
+         |      (a, b) -> a + b) AS posting_bits
+         |  FROM g
+         |)
+         |SELECT term, count(*) AS df,
+         |  CAST(sum(np) AS BIGINT) AS n_positions,
+         |  CAST(sum(posting_bits) AS BIGINT) AS gap_bits,
+         |  CAST(sum(np) * 64 AS BIGINT) AS raw_bits,
+         |  round(sum(posting_bits)::DOUBLE / (sum(np) * 64)::DOUBLE, 4) AS ratio
+         |FROM pb GROUP BY term ORDER BY term""".stripMargin,
     "proximity_search" ->
       s"""$TokSql SELECT a.doc_id AS doc_id, count(*) AS n_pairs,
          |  min(abs(b.pos - a.pos)) AS min_dist
