@@ -260,6 +260,26 @@ object Dedup {
       .select(col("node").as("doc_id"), col("component").as("cluster_id"))
       .orderBy("doc_id")
 
+  /** End-to-end near-dup REMOVAL: the corpus with only each simhash
+    * cluster's canonical (min doc_id) member kept — the full pipeline
+    * step ([[simhashPairs]] → [[GraftOps.connectedComponents]] →
+    * anti-join) that [[dedupApply]] performs for exact-normalized
+    * groups. Cluster ids ARE the canonical doc ids (component = min
+    * reachable node), so "drop non-canonical members" is one anti-join
+    * against the nodes whose component differs from themselves — a
+    * frame bounded by the near-dup graph, not the corpus.
+    */
+  def neardupApply(spark: SparkSession, dir: String): DataFrame = {
+    val drop = GraftOps.connectedComponents(
+        simhashPairs(spark, dir), srcCol = "doc_a", dstCol = "doc_b")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"))
+    Tables.documents(spark, dir)
+      .join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -272,7 +292,8 @@ object Dedup {
     "simhash_pairs" -> simhashPairs,
     "embed_neardup" -> embedNeardup,
     "dedup_clusters" -> dedupClusters,
-    "dedup_apply" -> dedupApply)
+    "dedup_apply" -> dedupApply,
+    "neardup_apply" -> neardupApply)
 
   private val sigConcat =
     (0 until 16).map(i => s"s$i").mkString("concat_ws(',', ", ", ", ")")
@@ -379,6 +400,25 @@ object Dedup {
          |)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "neardup_apply" ->
+      s"""${simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, prs AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |), sym AS (
+         |  SELECT da AS a, db AS b FROM prs UNION ALL SELECT db, da FROM prs
+         |), reach AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+         |), cl AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |  FROM reach GROUP BY a
+         |)
+         |SELECT d.doc_id AS doc_id, d.lang AS lang, d.source AS source
+         |FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id != cluster_id)
+         |ORDER BY doc_id""".stripMargin,
     "embed_neardup" ->
       s"""${OracleSql.NormCte}, p AS (
          |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,

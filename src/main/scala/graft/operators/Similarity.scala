@@ -168,6 +168,39 @@ object Similarity {
   def knnIvfTrained(spark: SparkSession, dir: String): DataFrame =
     bucketedKnn(ivfTrainedAssign(Tables.embeddings(spark, dir)))
 
+  /** Multi-probe IVF (nprobe=2): each query searches its TWO nearest
+    * centroid buckets instead of one — the production recall/cost
+    * knob ([[annRecall]] measures what it buys). Data-side cost is
+    * unchanged (one bucket per vector); only the broadcast query set
+    * doubles, so at 100 TB nprobe scales recall with zero extra
+    * passes over the corpus.
+    */
+  def knnIvfProbe2(spark: SparkSession, dir: String): DataFrame = {
+    val en = withNorm(Tables.embeddings(spark, dir))
+    val cent = en.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nm").as("cnm"))
+    val wq = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    val qp = en.filter(col("vec_id") < NQueries)
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        VectorFns.dot(col("embedding"), col("ce")) / (col("nm") * col("cnm")))
+      .withColumn("crn", row_number().over(wq))
+      .filter(col("crn") <= 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nm").as("qnm"), col("cid").as("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    ivfAssign(Tables.embeddings(spark, dir))
+      .join(broadcast(qp), "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        VectorFns.dot(col("qe"), col("embedding")) / (col("qnm") * col("nm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk"), col("vec_id"),
+        round(col("cos"), 6).as("cosine"), col("bucket"))
+      .orderBy("query_id", "rk")
+  }
+
   /** kNN majority-label classification of the query vectors: each
     * query's 10 brute-force nearest neighbors vote with their `label`;
     * prediction = most votes, ties to the smaller label. The label
@@ -212,6 +245,7 @@ object Similarity {
     "knn_ivf" -> knnIvf,
     "knn_lsh" -> knnLsh,
     "knn_ivf_trained" -> knnIvfTrained,
+    "knn_ivf_probe2" -> knnIvfProbe2,
     "knn_classify" -> knnClassify,
     "ann_recall" -> annRecall)
 
@@ -317,6 +351,27 @@ object Similarity {
          |)
          |SELECT query_id, rk, vec_id, round(c, 6) AS cosine, bucket
          |FROM r2 WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    "knn_ivf_probe2" ->
+      s"""${OracleSql.NormCte}$AssignCte, qc AS (
+         |  SELECT q.vec_id AS query_id, q.embedding AS qe, q.nm AS qnm,
+         |    c.vec_id AS cid,
+         |    ${OracleSql.cosineN("q.embedding", "c.embedding", "q.nm", "c.nm")} AS ccos
+         |  FROM nrm q JOIN nrm c ON q.vec_id < $NQueries AND c.vec_id < $NCentroids
+         |), qp AS (
+         |  SELECT query_id, qe, qnm, cid AS bucket FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, cid) AS crn
+         |    FROM qc) WHERE crn <= 2
+         |), p3 AS (
+         |  SELECT q.query_id AS query_id, b.vec_id AS vec_id, b.bucket,
+         |    ${OracleSql.cosineN("q.qe", "b.embedding", "q.qnm", "b.nm")} AS c
+         |  FROM qp q JOIN asg b ON b.bucket = q.bucket AND b.vec_id != q.query_id
+         |), r3 AS (
+         |  SELECT query_id, vec_id, bucket, c,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rk
+         |  FROM p3
+         |)
+         |SELECT query_id, rk, vec_id, round(c, 6) AS cosine, bucket
+         |FROM r3 WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
     "knn_classify" ->
       s"""${OracleSql.NormCte}, p AS (
          |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
