@@ -50,6 +50,22 @@ class OperatorsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents: distributed contraction path matches local finish") {
+    import spark.implicits._
+    // a 64-node path graph needs several contraction rounds; threshold
+    // 0 forbids the driver-side union-find so every round runs
+    // distributed (the default path would collect this graph instantly)
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val dist = operators.GraftOps.connectedComponents(edges, "a", "b",
+        localFinishMaxEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dist.size === 64)
+    assert(dist.values.forall(_ === 0L)) // one component, min label 0
+    val local = operators.GraftOps.connectedComponents(edges, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dist === local)
+  }
+
   test("asofJoin picks the latest at-or-before value per key") {
     import spark.implicits._
     val l = Seq((1L, 10L, "e1"), (1L, 25L, "e2"), (2L, 5L, "e3"))
