@@ -426,6 +426,17 @@ object Analytics {
       .orderBy("o_custkey")
   }
 
+  /** Relational INTERSECT (distinct semantics) — customers holding
+    * orders in BOTH statuses; with [[setExcept]] completes the set-op
+    * family. Plans as a left-semi join over pre-distincted sides.
+    */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .orderBy("o_custkey")
+  }
+
   /** Funnel analysis with greedy earliest-match semantics: step 1 =
     * a user's first "view"; step 2 = first "click" strictly after
     * that; step 3 = first "purchase" strictly after step 2. Emits
@@ -507,6 +518,7 @@ object Analytics {
     "ntile_quartiles" -> ntileQuartiles,
     "moving_avg" -> movingAvg,
     "set_except" -> setExcept,
+    "set_intersect" -> setIntersect,
     "rank_stats" -> rankStats,
     "group_concat" -> groupConcat,
     "funnel_steps" -> funnelSteps,
@@ -713,6 +725,11 @@ object Analytics {
     "set_except" ->
       """SELECT o_custkey FROM orders
         |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+    "set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_custkey""".stripMargin,
     "rank_stats" ->

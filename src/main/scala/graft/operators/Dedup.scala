@@ -280,6 +280,35 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Sketch MERGEABILITY payoff: a MinHash signature over a UNION of
+    * sets is the element-wise min of the per-set signatures, so a
+    * whole source's signature aggregates with 16 plain min()s —
+    * partial-aggregated map-side like any min, no re-hash of the
+    * union. Pairwise sketch agreement (matching components / 16) then
+    * estimates the shingle-set Jaccard BETWEEN SOURCES — corpus-level
+    * similarity for the price of one tiny aggregation. Empty-doc
+    * sentinel signatures (-1) are excluded from the min as true merge
+    * identities. At 100 TB this pattern (per-partition sketch → merge)
+    * is how any sketch statistic rolls up without touching raw data
+    * twice.
+    */
+  def sourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sig = minhashSigs(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val minCols = (0 until 16).map(i =>
+      coalesce(min(when(col(s"m$i") =!= -1L, col(s"m$i"))), lit(-1L)).as(s"m$i"))
+    val merged = sig.groupBy("source").agg(minCols.head, minCols.tail: _*)
+    val agree = (0 until 16).map(i =>
+      when(col(s"a.m$i") === col(s"b.m$i") && col(s"a.m$i") =!= -1L, 1L)
+        .otherwise(0L)).reduce(_ + _)
+    merged.as("a").join(merged.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        agree.as("n_agree"))
+      .withColumn("est_jaccard", round(col("n_agree") / 16.0, 4))
+      .orderBy("source_a", "source_b")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -293,7 +322,8 @@ object Dedup {
     "embed_neardup" -> embedNeardup,
     "dedup_clusters" -> dedupClusters,
     "dedup_apply" -> dedupApply,
-    "neardup_apply" -> neardupApply)
+    "neardup_apply" -> neardupApply,
+    "source_similarity" -> sourceSimilarity)
 
   private val sigConcat =
     (0 until 16).map(i => s"s$i").mkString("concat_ws(',', ", ", ", ")")
@@ -400,6 +430,23 @@ object Dedup {
          |)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "source_similarity" -> {
+      val mins = (0 until 16).map(i =>
+        s"coalesce(min(CASE WHEN s$i != -1 THEN s$i END), -1) AS m$i").mkString(",\n    ")
+      val agree = (0 until 16).map(i =>
+        s"(CASE WHEN a.m$i = b.m$i AND a.m$i != -1 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""${OracleSql.ShingleHashCte}${OracleSql.MinhashSigCte}, ssig AS (
+         |  SELECT d.source AS source,
+         |    $mins
+         |  FROM sig JOIN documents d USING (doc_id)
+         |  GROUP BY d.source
+         |)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST($agree AS BIGINT) AS n_agree,
+         |  round(CAST($agree AS BIGINT) / 16.0, 4) AS est_jaccard
+         |FROM ssig a JOIN ssig b ON a.source < b.source
+         |ORDER BY source_a, source_b""".stripMargin
+    },
     "neardup_apply" ->
       s"""${simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, prs AS (
          |  SELECT a.doc_id AS da, b.doc_id AS db
