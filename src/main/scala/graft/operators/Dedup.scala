@@ -309,6 +309,43 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** PageRank (2 fixed iterations, d=0.85) over the symmetric simhash
+    * near-dup graph — ranks the HUB duplicates a triage pass should
+    * look at first. Iteration = one edge-keyed shuffle: each node
+    * sends pr/degree along its edges, receivers fold the contribution
+    * list SORTED BY SENDER so the double addition order is fixed
+    * (bitwise cross-engine — a plain grouped sum would not be; a
+    * production run drops the sorted fold and keeps the plain sum,
+    * exactly like the trained-IVF mean). Teleport mass (1-d)/N needs
+    * no dangling handling: the symmetric graph has no zero-degree
+    * nodes.
+    */
+  def neardupPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val d = 0.85
+    val prs = simhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val sym = prs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(prs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    val deg = sym.groupBy("a").agg(count(lit(1)).cast("double").as("deg"))
+    val nDf = deg.agg(count(lit(1)).cast("double").as("n"))
+    // pr0 = 1/n for every node; each iteration joins current pr onto
+    // the sender side and folds sorted (sender, contribution) structs
+    def iterate(pr: DataFrame): DataFrame =
+      sym.join(pr, "a").join(deg, "a")
+        .select(col("b").as("node"), col("a"), (col("pr") / col("deg")).as("c"))
+        .groupBy("node")
+        .agg(sort_array(collect_list(struct(col("a"), col("c")))).as("cs"))
+        .crossJoin(broadcast(nDf))
+        .select(col("node").as("a"),
+          (lit(1.0 - d) / col("n") + lit(d) *
+            aggregate(col("cs"), lit(0.0), (acc, s) => acc + s("c"))).as("pr"))
+    val pr0 = deg.select(col("a")).crossJoin(broadcast(nDf))
+      .select(col("a"), (lit(1.0) / col("n")).as("pr"))
+    iterate(iterate(pr0))
+      .select(col("a").as("doc_id"), round(col("pr"), 6).as("pagerank"))
+      .orderBy(col("pagerank").desc, col("doc_id"))
+      .limit(50)
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -323,7 +360,8 @@ object Dedup {
     "dedup_clusters" -> dedupClusters,
     "dedup_apply" -> dedupApply,
     "neardup_apply" -> neardupApply,
-    "source_similarity" -> sourceSimilarity)
+    "source_similarity" -> sourceSimilarity,
+    "neardup_pagerank" -> neardupPagerank)
 
   private val sigConcat =
     (0 until 16).map(i => s"s$i").mkString("concat_ws(',', ", ", ", ")")
@@ -430,6 +468,33 @@ object Dedup {
          |)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "neardup_pagerank" -> {
+      def fold(listExpr: String): String =
+        s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_sort($listExpr), " +
+          "x -> x.c)), (x, y) -> x + y)"
+      def iter(prev: String): String =
+        s"""SELECT s.b AS a,
+           |    (0.15 / any_value(n.n) + 0.85 * ${fold("list(struct_pack(s := s.a, c := p.pr / d.deg))")}) AS pr
+           |  FROM sym s JOIN $prev p ON s.a = p.a JOIN deg d ON s.a = d.a, n
+           |  GROUP BY s.b""".stripMargin
+      s"""$simhashCte, prs AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |), sym AS (
+         |  SELECT da AS a, db AS b FROM prs UNION ALL SELECT db, da FROM prs
+         |), deg AS (
+         |  SELECT a, count(*)::DOUBLE AS deg FROM sym GROUP BY a
+         |), n AS (SELECT count(*)::DOUBLE AS n FROM deg),
+         |pr0 AS (SELECT a, 1.0 / n.n AS pr FROM deg, n),
+         |it1 AS (
+         |  ${iter("pr0")}
+         |), it2 AS (
+         |  ${iter("it1")}
+         |)
+         |SELECT a AS doc_id, round(pr, 6) AS pagerank FROM it2
+         |ORDER BY pagerank DESC, doc_id LIMIT 50""".stripMargin
+    },
     "source_similarity" -> {
       val mins = (0 until 16).map(i =>
         s"coalesce(min(CASE WHEN s$i != -1 THEN s$i END), -1) AS m$i").mkString(",\n    ")
