@@ -13,7 +13,7 @@ object SparkEntry {
     operators.Index.queries ++ operators.Analytics.queries ++
       operators.TextAnalysis.queries ++ operators.Dedup.queries ++
       operators.Similarity.queries ++ operators.Multimodal.queries ++
-      operators.Pipeline.queries
+      operators.Pipeline.queries ++ operators.Query.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -22,5 +22,5 @@ object SparkEntry {
     operators.Index.oracles ++ operators.Analytics.oracles ++
       operators.TextAnalysis.oracles ++ operators.Dedup.oracles ++
       operators.Similarity.oracles ++ operators.Multimodal.oracles ++
-      operators.Pipeline.oracles
+      operators.Pipeline.oracles ++ operators.Query.oracles
 }

@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Boolean/phrase query-string surface over the positional index —
+  * the user-facing retrieval API of a search engine (the reference
+  * stores positional postings so exactly these queries can run).
+  *
+  * Grammar (precedence low→high, parentheses + quoted phrases):
+  * {{{
+  *   query  := or
+  *   or     := and (OR and)*
+  *   and    := unary (AND unary)*
+  *   unary  := NOT unary | '(' query ')' | '"' term+ '"' | term
+  * }}}
+  *
+  * Each AST node compiles to a DataFrame of matching doc ids:
+  * terms/phrases filter the (already term-filtered) token stream, AND
+  * is a left-semi join, OR a union-distinct, NOT an anti-join against
+  * the document universe. The plan is fully declarative — Catalyst
+  * sees one tree, pushes every term equality into the scan, and AQE
+  * broadcasts the small sides; nothing is evaluated per-document on
+  * the driver. At 100 TB each leaf touches only its term's postings
+  * (one scan-pruned filter), never the corpus.
+  */
+object Query {
+
+  sealed trait Q
+  final case class Term(t: String) extends Q
+  final case class Phrase(ts: Seq[String]) extends Q
+  final case class And(l: Q, r: Q) extends Q
+  final case class Or(l: Q, r: Q) extends Q
+  final case class Not(q: Q) extends Q
+
+  /** Recursive-descent parser for the grammar above. Bare words are
+    * query terms; AND/OR/NOT (case-sensitive keywords) are operators.
+    */
+  def parse(s: String): Q = {
+    val toks = s.replace("(", " ( ").replace(")", " ) ").replace("\"", " \" ")
+      .trim.split("\\s+").filter(_.nonEmpty).toList
+    var rest = toks
+    def peek: Option[String] = rest.headOption
+    def next(): String = { val h = rest.head; rest = rest.tail; h }
+    def expect(t: String): Unit = {
+      val got = if (rest.isEmpty) "<end>" else next()
+      require(got == t, s"expected '$t', got '$got' in query: $s")
+    }
+    def unary(): Q = peek match {
+      case Some("NOT") => next(); Not(unary())
+      case Some("(") => next(); val q = or(); expect(")"); q
+      case Some("\"") =>
+        next()
+        val ws = Iterator.continually(peek)
+          .takeWhile(h => h.isDefined && h.get != "\"")
+          .map(_ => next()).toVector
+        expect("\"")
+        require(ws.nonEmpty, s"empty phrase in query: $s")
+        if (ws.size == 1) Term(ws.head) else Phrase(ws)
+      case Some(w) if w != "AND" && w != "OR" && w != ")" => next(); Term(w)
+      case other => throw new IllegalArgumentException(
+        s"unexpected ${other.getOrElse("<end>")} in query: $s")
+    }
+    def and(): Q = {
+      var q = unary()
+      while (peek.contains("AND")) { next(); q = And(q, unary()) }
+      q
+    }
+    def or(): Q = {
+      var q = and()
+      while (peek.contains("OR")) { next(); q = Or(q, and()) }
+      q
+    }
+    val q = or()
+    require(rest.isEmpty, s"trailing tokens '${rest.mkString(" ")}' in query: $s")
+    q
+  }
+
+  /** Compile an AST to the frame of matching ids. `tok` is a
+    * positional token stream (id, term, pos); `universe` is the
+    * distinct id frame NOT ranges over.
+    */
+  def eval(tok: DataFrame, universe: DataFrame, q: Q, id: String = "doc_id"): DataFrame = q match {
+    case Term(t) =>
+      tok.filter(col("term") === t).select(col(id)).distinct()
+    case Phrase(ts) =>
+      // positional adjacency chain anchored on the first word: one
+      // filtered frame per word, joined on (id, pos offset)
+      val anchor = tok.filter(col("term") === ts.head)
+        .select(col(id), col("pos"))
+      ts.zipWithIndex.tail.foldLeft(anchor) { case (acc, (w, i)) =>
+        val nxt = tok.filter(col("term") === w)
+          .select(col(id).as("__id"), col("pos").as("__p"))
+        acc.join(nxt, acc(id) === col("__id") && col("__p") === acc("pos") + i)
+          .select(acc(id), acc("pos"))
+      }.select(col(id)).distinct()
+    case And(l, r) =>
+      eval(tok, universe, l, id)
+        .join(eval(tok, universe, r, id), Seq(id), "left_semi")
+    case Or(l, r) =>
+      eval(tok, universe, l, id)
+        .unionByName(eval(tok, universe, r, id)).distinct()
+    case Not(inner) =>
+      universe.join(eval(tok, universe, inner, id), Seq(id), "left_anti")
+  }
+
+  /** Parse + run a query string against a document corpus. */
+  def search(docs: DataFrame, query: String, id: String = "doc_id",
+             text: String = "text"): DataFrame = {
+    val tok = Index.tokenStreamOf(docs, id, text)
+    eval(tok, docs.select(col(id)).distinct(), parse(query), id)
+  }
+
+  /** Gate query: a fixed compound query over the documents table. */
+  def querySearch(spark: SparkSession, dir: String): DataFrame =
+    search(Tables.documents(spark, dir), """"key order" OR (spark AND NOT slow)""")
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "query_search" -> querySearch)
+
+  val oracles: Map[String, String] = Map(
+    "query_search" ->
+      s"""${Index.TokSql}
+         |SELECT DISTINCT doc_id FROM (
+         |  SELECT a.doc_id AS doc_id
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  WHERE a.term = 'key' AND b.term = 'order'
+         |  UNION
+         |  SELECT doc_id FROM tok WHERE term = 'spark'
+         |  AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'slow')
+         |)
+         |ORDER BY doc_id""".stripMargin)
+}

@@ -198,6 +198,30 @@ class OperatorsSpec extends SparkSpec {
     assert(sizes.last === vocab)
   }
 
+  test("query parser: precedence, parens, phrases, NOT") {
+    import operators.Query._
+    assert(parse("a AND b OR c") === Or(And(Term("a"), Term("b")), Term("c")))
+    assert(parse("a AND (b OR c)") === And(Term("a"), Or(Term("b"), Term("c"))))
+    assert(parse("NOT a AND b") === And(Not(Term("a")), Term("b")))
+    assert(parse("\"x y z\"") === Phrase(Seq("x", "y", "z")))
+    assert(parse("\"x\"") === Term("x"))
+    intercept[IllegalArgumentException](parse("a AND"))
+    intercept[IllegalArgumentException](parse("(a OR b"))
+  }
+
+  test("query search: boolean and phrase semantics on a toy corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "x y z"), (1L, "x z"), (2L, "y x"), (3L, "w")).toDF("doc_id", "text")
+    def ids(q: String): Seq[Long] =
+      operators.Query.search(corpus, q).orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids("x AND y") === Seq(0L, 2L))
+    assert(ids("x AND NOT y") === Seq(1L))
+    assert(ids("\"x y\"") === Seq(0L))          // adjacency, not co-occurrence
+    assert(ids("\"y x\" OR w") === Seq(2L, 3L))
+    assert(ids("(x OR w) AND NOT \"x y\"") === Seq(1L, 2L, 3L))
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
