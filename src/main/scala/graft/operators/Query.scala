@@ -112,6 +112,51 @@ object Query {
     eval(tok, docs.select(col(id)).distinct(), parse(query), id)
   }
 
+  /** The positive (non-negated) words of a query — the terms ranking
+    * should score. NOT-subtrees only exclude documents.
+    */
+  def positiveTerms(q: Q): Seq[String] = q match {
+    case Term(t) => Seq(t)
+    case Phrase(ts) => ts
+    case And(l, r) => (positiveTerms(l) ++ positiveTerms(r)).distinct
+    case Or(l, r) => (positiveTerms(l) ++ positiveTerms(r)).distinct
+    case Not(_) => Seq.empty
+  }
+
+  /** [[search]] plus BM25 ranking (k1=1.2, b=0.75) of the matches by
+    * the query's positive terms — the full retrieve-then-rank path of
+    * a search engine. Matching and corpus statistics come off the
+    * same token stream (shared scan via exchange reuse); the score
+    * join runs on the match set, not the corpus.
+    */
+  def searchRanked(docs: DataFrame, query: String, k: Int = 20,
+                   id: String = "doc_id", text: String = "text"): DataFrame = {
+    val (k1, b) = (1.2, 0.75)
+    val ast = parse(query)
+    val terms = positiveTerms(ast)
+    require(terms.nonEmpty, s"query has no positive terms to rank by: $query")
+    val tok = Index.tokenStreamOf(docs, id, text)
+    val matches = eval(tok, docs.select(col(id)).distinct(), ast, id)
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
+    val dl = tok.groupBy(id).agg(count(lit(1)).cast("double").as("dl"))
+    val avgdlDf = dl.agg(avg(col("dl")).as("avgdl"))
+    val df = tok.groupBy("term")
+      .agg(countDistinct(col(id)).cast("double").as("df"))
+    val tf = tok.filter(col("term").isin(terms: _*))
+      .join(matches, Seq(id), "left_semi")
+      .groupBy(col(id), col("term")).agg(count(lit(1)).cast("double").as("tf"))
+    tf.join(broadcast(df.filter(col("term").isin(terms: _*))), "term")
+      .join(dl, id)
+      .crossJoin(broadcast(nDf)).crossJoin(broadcast(avgdlDf))
+      .withColumn("w",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(id).agg(round(sum(col("w")), 4).as("score"))
+      .orderBy(col("score").desc, col(id))
+      .limit(k)
+  }
+
   /** Gate query: a fixed compound query over the documents table. */
   def querySearch(spark: SparkSession, dir: String): DataFrame =
     search(Tables.documents(spark, dir), """"key order" OR (spark AND NOT slow)""")

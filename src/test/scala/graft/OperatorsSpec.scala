@@ -222,6 +222,22 @@ class OperatorsSpec extends SparkSpec {
     assert(ids("(x OR w) AND NOT \"x y\"") === Seq(1L, 2L, 3L))
   }
 
+  test("ranked query search: only matches appear, scores non-increasing") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "x x x y"), (1L, "x z"), (2L, "y x"), (3L, "w w")).toDF("doc_id", "text")
+    val ranked = operators.Query.searchRanked(corpus, "x AND NOT z")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // doc 1 excluded by NOT z; doc 3 has no positive term
+    assert(ranked.map(_._1).toSet === Set(0L, 2L))
+    // doc 0 has tf(x)=3 vs doc 2's 1 -> must rank first
+    assert(ranked.head._1 === 0L)
+    val scores = ranked.map(_._2).toSeq
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(operators.Query.positiveTerms(
+      operators.Query.parse("\"a b\" AND NOT c OR d")) === Seq("a", "b", "d"))
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
