@@ -138,6 +138,22 @@ object Stream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
 
+  /** Running global term frequencies over a document stream in Update
+    * mode — the streaming twin of the batch `wordcount` (and the live
+    * "trending terms" surface a search deployment watches). A pure
+    * streaming aggregation: partial counts merge into state per
+    * micro-batch, and Update mode emits only the changed rows — the
+    * consumer (a top-k dashboard) keeps its own bounded view, so
+    * nothing unbounded leaves the query. State is one row per
+    * distinct term.
+    */
+  def runningWordcount(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(col("text"), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term")
+      .agg(count(lit(1)).as("freq"))
+
   /** Stream–stream interval join: each event enriched with orders of
     * the same user placed within the hour BEFORE the event. Both sides
     * carry watermarks and the join condition bounds event time on both

@@ -121,6 +121,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_topk: update-mode running wordcount merges across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = Stream.runningWordcount(in.toDF().toDF("text"))
+      .writeStream.format("memory").queryName("running_wc")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData("a b a", "b c")
+      q.processAllAvailable()
+      in.addData("a c c")
+      q.processAllAvailable()
+      // memory sink in Update mode appends changed rows; the LAST
+      // emission per term is its current running count
+      val last = spark.table("running_wc").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (t, rs) => (t, rs.map(_._2).max) }
+      assert(last === Map("a" -> 3L, "b" -> 2L, "c" -> 3L))
+    } finally q.stop()
+  }
+
   test("stream_sessionize: a distant event closes and emits the open session") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
