@@ -322,6 +322,11 @@ object Dedup {
     */
   def neardupPagerank(spark: SparkSession, dir: String): DataFrame = {
     val d = 0.85
+    // literal 0.15, NOT 1.0 - d: the Scala expression folds to
+    // 0.15000000000000002 (one ulp off the double the oracle's 0.15
+    // literal denotes) and the bitwise contract would fail whenever a
+    // pr lands within an ulp of a round(_, 6) boundary
+    val teleport = 0.15
     val prs = simhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
     val sym = prs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(prs.select(col("doc_b").as("a"), col("doc_a").as("b")))
@@ -336,7 +341,7 @@ object Dedup {
         .agg(sort_array(collect_list(struct(col("a"), col("c")))).as("cs"))
         .crossJoin(broadcast(nDf))
         .select(col("node").as("a"),
-          (lit(1.0 - d) / col("n") + lit(d) *
+          (lit(teleport) / col("n") + lit(d) *
             aggregate(col("cs"), lit(0.0), (acc, s) => acc + s("c"))).as("pr"))
     val pr0 = deg.select(col("a")).crossJoin(broadcast(nDf))
       .select(col("a"), (lit(1.0) / col("n")).as("pr"))

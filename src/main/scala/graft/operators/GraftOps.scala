@@ -65,14 +65,28 @@ object GraftOps {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           localFinishMaxEdges: Long = 1000000L): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
     val spark = edges.sparkSession
-    import spark.implicits._
     val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b")).localCheckpoint()
+    // The local union-find needs a driver-side ordering matching
+    // least()/min() semantics for the id type; for id types without
+    // one here, the loop simply runs distributed to exhaustion — the
+    // utility stays generic over any orderable Spark type.
+    val idType = e0.schema("a").dataType
+    val localOrd: Option[Ordering[Any]] = idType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(Ordering.by((x: Any) => x.asInstanceOf[Number].longValue))
+      case StringType => Some(Ordering.by((x: Any) => x.toString))
+      case _ => None
+    }
+    val threshold = if (localOrd.isDefined) localFinishMaxEdges.max(0L) else 0L
     var labels = e0.select(col("a").as("node")).union(e0.select(col("b").as("node")))
       .distinct().withColumn("lbl", col("node")).localCheckpoint()
     var cur = e0.union(e0.select(col("b").as("a"), col("a").as("b"))).localCheckpoint()
     var nEdges = cur.count()
-    while (nEdges > localFinishMaxEdges) {
+    while (nEdges > threshold) {
       val m = cur.groupBy("a").agg(least(min(col("b")), first(col("a"))).as("m"))
         .select(col("a").as("sn"), col("m"))
       labels = labels.join(m.select(col("sn").as("lbl"), col("m")), Seq("lbl"), "left")
@@ -90,22 +104,24 @@ object GraftOps {
       // Union-find with min-id roots over the collected remainder.
       // Supernode ids are original node ids (min-merges only ever keep
       // existing ids), so the local component min IS the global one.
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
+      val ord = localOrd.get // nEdges > 0 implies threshold > 0 implies defined
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
         var r = x
         while (parent.getOrElse(r, r) != r) r = parent(r)
         var c = x // path compression
         while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      cur.select(col("a"), col("b")).as[(Long, Long)].collect().foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      cur.select(col("a"), col("b")).collect().foreach { row =>
+        val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+        if (ra != rb) { if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
       }
-      val roots = parent.keys.toSeq.map(k => (k, find(k)))
+      val rootRows = parent.keys.toSeq.map(k => Row(k, find(k)))
+      val mapDf = spark.createDataFrame(rootRows.asJava,
+        StructType(Seq(StructField("sn", idType), StructField("root", idType))))
       labels = labels
-        .join(broadcast(roots.toDF("sn", "root")),
-          labels("lbl") === col("sn"), "left")
+        .join(broadcast(mapDf), labels("lbl") === col("sn"), "left")
         .select(col("node"), coalesce(col("root"), col("lbl")).as("lbl"))
     }
     labels.select(col("node"), col("lbl").as("component"))

@@ -234,7 +234,7 @@ object Similarity {
       .groupBy("query_id")
       .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
       .select(col("query_id"), col("n_hits"),
-        round(col("n_hits") / 10.0, 4).as("recall"))
+        round(col("n_hits") / lit(TopK.toDouble), 4).as("recall"))
       .orderBy("query_id")
   }
 
@@ -415,7 +415,7 @@ object Similarity {
          |), lf AS (SELECT query_id, vec_id FROM lr WHERE rk <= $TopK)
          |SELECT bf.query_id AS query_id,
          |  CAST(sum(CASE WHEN lf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-         |  round(sum(CASE WHEN lf.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0, 4) AS recall
+         |  round(sum(CASE WHEN lf.vec_id IS NOT NULL THEN 1 ELSE 0 END) / $TopK.0, 4) AS recall
          |FROM bf LEFT JOIN lf ON bf.query_id = lf.query_id AND bf.vec_id = lf.vec_id
          |GROUP BY bf.query_id ORDER BY query_id""".stripMargin)
 }

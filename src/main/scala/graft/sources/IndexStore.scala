@@ -37,8 +37,12 @@ object IndexStore {
   def save(index: DataFrame, path: String, nBuckets: Int = DefaultBuckets): Unit =
     index
       .withColumn("term_bucket", HashFns.rollingHash(col("term")) % nBuckets)
+      // term_bucket leads the sort: the dynamic-partition writer
+      // requires ordering by the partition column and would otherwise
+      // stack a second bucket-only sort on top, leaving term clustering
+      // to sort stability (an implementation detail, not a contract)
       .repartition(col("term_bucket"))
-      .sortWithinPartitions("term")
+      .sortWithinPartitions("term_bucket", "term")
       .write.mode("overwrite")
       .partitionBy("term_bucket")
       .parquet(path)

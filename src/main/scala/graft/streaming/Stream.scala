@@ -97,12 +97,18 @@ object Stream {
     *
     * foreachBatch is the right tool (vs a streaming agg sink): the
     * merge is an arbitrary batch job — anti-join + union + bucketed
-    * rewrite — not an incremental aggregation, and exactly-once comes
-    * from the sink's atomic directory swap per batch. State lives in
-    * the store, not executor memory, so a 100 TB index streams
-    * through; the per-batch cost is one delta-sized index build plus
-    * one base rewrite (a production deployment rewrites only the
-    * buckets the delta touches — same layout, smaller I/O).
+    * rewrite — not an incremental aggregation. Exactly-once =
+    * IDEMPOTENT REPLAY, not atomicity: the doc-granular merge applied
+    * twice is a no-op (delta docs replace their postings either way),
+    * and the two-rename swap (base → backup, merged → base, drop
+    * backup last) never has a moment with zero index copies on disk —
+    * a crash at any point is repaired by the recovery step at the
+    * next batch (restore backup if the swap died in the middle, then
+    * re-merge). State lives in the store, not executor memory, so a
+    * 100 TB index streams through; the per-batch cost is one
+    * delta-sized index build plus one base rewrite (a production
+    * deployment rewrites only the buckets the delta touches — same
+    * layout, smaller I/O).
     */
   def indexMaintenance(docs: DataFrame, indexPath: String,
                        nBuckets: Int = 8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -110,17 +116,24 @@ object Stream {
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        val basePath = new org.apache.hadoop.fs.Path(indexPath)
+        // indexPath's OWN filesystem — FileSystem.get(conf) would
+        // resolve fs.defaultFS and break for s3a://-style index paths
+        val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val backup = new org.apache.hadoop.fs.Path(s"$indexPath.backup")
+        // recovery: a crash between the two swap renames leaves no
+        // base but a backup — restore it, then replay merges on top
+        if (!fs.exists(basePath) && fs.exists(backup)) fs.rename(backup, basePath)
+        if (fs.exists(backup)) fs.delete(backup, true) // stale from a completed swap
         val delta = graft.operators.Index.invertedIndexOf(batch)
         val tmp = s"$indexPath.delta-$batchId"
         graft.sources.IndexStore.save(delta, tmp, nBuckets)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val basePath = new org.apache.hadoop.fs.Path(indexPath)
         if (fs.exists(basePath)) {
           val merged = s"$indexPath.merged-$batchId"
           graft.sources.IndexStore.merge(spark, indexPath, tmp, merged, nBuckets)
-          fs.delete(basePath, true)
+          fs.rename(basePath, backup)
           fs.rename(new org.apache.hadoop.fs.Path(merged), basePath)
+          fs.delete(backup, true)
           fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
         } else {
           fs.rename(new org.apache.hadoop.fs.Path(tmp), basePath)

@@ -66,6 +66,16 @@ class OperatorsSpec extends SparkSpec {
     assert(dist === local)
   }
 
+  test("connectedComponents stays generic over string node ids") {
+    import spark.implicits._
+    // title-keyed corpora (the TSV source) produce string-id graphs
+    val edges = Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("s", "d")
+    val got = operators.GraftOps.connectedComponents(edges, "s", "d")
+      .orderBy("node")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got === Seq("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
   test("asofJoin picks the latest at-or-before value per key") {
     import spark.implicits._
     val l = Seq((1L, 10L, "e1"), (1L, 25L, "e2"), (2L, 5L, "e3"))
