@@ -340,6 +340,35 @@ object Index {
       .limit(20)
   }
 
+  /** Result-page snippet: for each matching document, the FIRST
+    * occurrence of the query term rendered as
+    * "… left context [term] right context …" (±3 tokens, ellipses
+    * only where text continues) — the human-facing layer over the
+    * positional postings [[kwic]] exposes raw. One narrow pass:
+    * the first-occurrence argmin folds into the same groupBy that
+    * carries the token array, so no second scan or join.
+    */
+  def snippetExtract(spark: SparkSession, dir: String): DataFrame = {
+    val term = "spark"
+    val win = 3
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+      .withColumn("pos", array_position(col("tk"), term)) // 1-based, 0 = absent
+      .filter(col("pos") > 0)
+      .withColumn("s", greatest(col("pos") - win, lit(1L)))
+      .withColumn("e", least(col("pos") + win, size(col("tk")).cast("long")))
+      .select(col("doc_id"), (col("pos") - 1).as("pos"),
+        concat(
+          when(col("s") > 1, lit("… ")).otherwise(lit("")),
+          array_join(slice(col("tk"), col("s").cast("int"), (col("pos") - col("s")).cast("int")), " "),
+          when(col("pos") > col("s"), lit(" ")).otherwise(lit("")),
+          lit("["), lit(term), lit("]"),
+          when(col("e") > col("pos"), lit(" ")).otherwise(lit("")),
+          array_join(slice(col("tk"), (col("pos") + 1).cast("int"), (col("e") - col("pos")).cast("int")), " "),
+          when(col("e") < size(col("tk")), lit(" …")).otherwise(lit(""))).as("snippet"))
+      .orderBy("doc_id")
+  }
+
   /** Index-size engineering: per-term postings cost under delta-gap
     * encoding — positions stored as (first, gap, gap, ...), each gap
     * costing its binary length in bits (the core of every compressed
@@ -395,7 +424,8 @@ object Index {
     "prefix_search" -> prefixSearch,
     "proximity_search" -> proximitySearch,
     "rrf_fusion" -> rrfFusion,
-    "postings_compress" -> postingsCompress)
+    "postings_compress" -> postingsCompress,
+    "snippet_extract" -> snippetExtract)
 
   /** Shared DuckDB CTE: identical tokenization contract to
     * [[TextFns.tokens]] (split \s+, drop empties; 0-based positions).
@@ -485,6 +515,28 @@ object Index {
     "prefix_search" ->
       s"""$TokSql SELECT term, count(DISTINCT doc_id) AS df, count(*) AS total_tf
          |FROM tok WHERE term LIKE 's%' GROUP BY term ORDER BY term""".stripMargin,
+    "snippet_extract" ->
+      s"""${TokSql.split("\\), tok AS")(0)})
+         |, p AS (
+         |  -- duckdb list_position: 0 when absent (not NULL)
+         |  SELECT doc_id, tk, list_position(tk, 'spark') AS pos FROM toks
+         |  WHERE coalesce(list_position(tk, 'spark'), 0) > 0
+         |), b AS (
+         |  SELECT doc_id, tk, pos, greatest(pos - 3, 1) AS s,
+         |    least(pos + 3, len(tk)) AS e
+         |  FROM p
+         |)
+         |SELECT doc_id, CAST(pos - 1 AS BIGINT) AS pos,
+         |  -- coalesce: an empty slice (term at a text edge) is NULL in
+         |  -- duckdb and || would null the whole snippet
+         |  (CASE WHEN s > 1 THEN '… ' ELSE '' END) ||
+         |  coalesce(array_to_string(tk[s : pos - 1], ' '), '') ||
+         |  (CASE WHEN pos > s THEN ' ' ELSE '' END) ||
+         |  '[spark]' ||
+         |  (CASE WHEN e > pos THEN ' ' ELSE '' END) ||
+         |  coalesce(array_to_string(tk[pos + 1 : e], ' '), '') ||
+         |  (CASE WHEN e < len(tk) THEN ' …' ELSE '' END) AS snippet
+         |FROM b ORDER BY doc_id""".stripMargin,
     "postings_compress" ->
       s"""$TokSql, idx AS (
          |  SELECT term, doc_id, list_sort(list(pos)) AS positions

@@ -219,23 +219,43 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** (query_id, n_hits, recall) of an ANN result against the
+    * brute-force ground truth. Both sides are <= |queries|*k rows; the
+    * explicit broadcast hint spares the sort-merge a cost-less plan
+    * would pick (stats are unknown on derived frames).
+    */
+  private def recallOf(bf: DataFrame, ann: DataFrame): DataFrame =
+    bf.join(
+        broadcast(ann.select(col("query_id"), col("vec_id"), lit(1L).as("hit"))),
+        Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits") / lit(TopK.toDouble), 4).as("recall"))
+
   /** Recall@10 of the LSH ANN against the brute-force ground truth —
     * the measurement loop any production ANN deployment runs on a
     * query sample before trusting the index. Both sides are the tiny
     * per-query top-k sets, so the audit is free at any corpus size.
     */
-  def annRecall(spark: SparkSession, dir: String): DataFrame = {
-    val bf = knnBruteforce(spark, dir).select(col("query_id"), col("vec_id"))
-    // both sides are <= |queries|*k rows; the explicit hint spares the
-    // sort-merge a cost-less plan would pick (stats are unknown here)
-    val ann = broadcast(knnLsh(spark, dir)
-      .select(col("query_id"), col("vec_id"), lit(1L).as("hit")))
-    bf.join(ann, Seq("query_id", "vec_id"), "left")
-      .groupBy("query_id")
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-      .select(col("query_id"), col("n_hits"),
-        round(col("n_hits") / lit(TopK.toDouble), 4).as("recall"))
+  def annRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(
+        knnBruteforce(spark, dir).select(col("query_id"), col("vec_id")),
+        knnLsh(spark, dir))
       .orderBy("query_id")
+
+  /** The nprobe knob, quantified: recall@10 of single-probe vs
+    * two-probe IVF on the same query sample — the measurement that
+    * justifies (or not) the extra probe's bucket reads.
+    */
+  def annRecallIvf(spark: SparkSession, dir: String): DataFrame = {
+    val bf = knnBruteforce(spark, dir).select(col("query_id"), col("vec_id"))
+    recallOf(bf, knnIvf(spark, dir))
+      .withColumn("variant", lit("ivf_probe1"))
+      .unionByName(recallOf(bf, knnIvfProbe2(spark, dir))
+        .withColumn("variant", lit("ivf_probe2")))
+      .select(col("variant"), col("query_id"), col("n_hits"), col("recall"))
+      .orderBy("variant", "query_id")
   }
 
   // ---- wiring ----------------------------------------------------------
@@ -247,7 +267,8 @@ object Similarity {
     "knn_ivf_trained" -> knnIvfTrained,
     "knn_ivf_probe2" -> knnIvfProbe2,
     "knn_classify" -> knnClassify,
-    "ann_recall" -> annRecall)
+    "ann_recall" -> annRecall,
+    "ann_recall_ivf" -> annRecallIvf)
 
   /** `asg` CTE on top of [[OracleSql.NormCte]]: the IVF bucket
     * assignment (argmax cosine over the 16 seed centroids).
@@ -393,6 +414,51 @@ object Similarity {
          |)
          |SELECT query_id, label AS pred_label, votes
          |FROM best WHERE rn = 1 ORDER BY query_id""".stripMargin,
+    "ann_recall_ivf" -> {
+      def pairs(asgName: String, p: String): String =
+        s"""$p AS (
+           |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+           |    ${OracleSql.cosineN("q.embedding", "b.embedding", "q.nm", "b.nm")} AS c
+           |  FROM $asgName q JOIN asg b ON q.vec_id < $NQueries
+           |    AND b.bucket = q.bucket AND b.vec_id != q.vec_id
+           |), ${p}r AS (
+           |  SELECT query_id, vec_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+           |  FROM $p
+           |), ${p}f AS (SELECT query_id, vec_id FROM ${p}r WHERE rk <= $TopK)""".stripMargin
+      def recall(variant: String, f: String): String =
+        s"""SELECT '$variant' AS variant, bfr.query_id AS query_id,
+           |  CAST(sum(CASE WHEN $f.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           |  round(sum(CASE WHEN $f.vec_id IS NOT NULL THEN 1 ELSE 0 END) / $TopK.0, 4) AS recall
+           |FROM bfr LEFT JOIN $f ON bfr.query_id = $f.query_id AND bfr.vec_id = $f.vec_id
+           |GROUP BY bfr.query_id""".stripMargin
+      s"""${OracleSql.NormCte}$AssignCte, qc AS (
+         |  SELECT q.vec_id AS query_id, q.embedding AS qe, q.nm AS qnm,
+         |    c.vec_id AS cid,
+         |    ${OracleSql.cosineN("q.embedding", "c.embedding", "q.nm", "c.nm")} AS ccos
+         |  FROM nrm q JOIN nrm c ON q.vec_id < $NQueries AND c.vec_id < $NCentroids
+         |), qp AS (
+         |  SELECT query_id AS vec_id, qe AS embedding, qnm AS nm, cid AS bucket FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, cid) AS crn
+         |    FROM qc) WHERE crn <= 2
+         |), bp AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+         |    ${OracleSql.cosineN("q.embedding", "b.embedding", "q.nm", "b.nm")} AS c
+         |  FROM nrm q JOIN nrm b ON q.vec_id < $NQueries AND b.vec_id != q.vec_id
+         |), br AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+         |  FROM bp
+         |), bfr AS (SELECT query_id, vec_id FROM br WHERE rk <= $TopK),
+         |${pairs("asg", "i1p")},
+         |${pairs("qp", "i2p")}
+         |SELECT variant, query_id, n_hits, recall FROM (
+         |  ${recall("ivf_probe1", "i1pf")}
+         |  UNION ALL
+         |  ${recall("ivf_probe2", "i2pf")}
+         |)
+         |ORDER BY variant, query_id""".stripMargin
+    },
     "ann_recall" ->
       s"""${OracleSql.NormCte}$LshAssignCte, bp AS (
          |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
