@@ -13,7 +13,12 @@ object Bench {
     // the min is the stable warm-throughput number. A run that throws
     // reports the sentinel -1 and lands in "errors" — a broken query
     // must never masquerade as a fast one.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY: comma-separated subset for local iteration; the
+    // driver never sets it, so its runs always time the full surface.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }

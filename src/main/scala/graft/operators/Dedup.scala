@@ -89,18 +89,34 @@ object Dedup {
     val prefixes = ex.join(dfs, "hh")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("hh")))).as("os"))
-      .select(col("doc_id"),
-        slice(transform(col("os"), o => o("hh")), lit(1),
-          (size(col("os")) - ceil(size(col("os")) * threshold) + 1).cast("int")).as("pre"))
-    val byShingle = prefixes.select(col("doc_id"), explode(col("pre")).as("hh"))
-      .groupBy("hh").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-    val cand = bucketPairs(byShingle, "ds").distinct()
+      .select(col("doc_id"), size(col("os")).as("n"),
+        posexplode(slice(transform(col("os"), o => o("hh")), lit(1),
+          (size(col("os")) - ceil(size(col("os")) * threshold) + 1).cast("int"))))
+      .withColumnRenamed("col", "hh")
+    // PPJoin positional filter: a shared prefix element at (0-based)
+    // positions (pa, pb) of the ordered sets bounds the overlap by
+    // ub = min(na-pa, nb-pb) — everything before the shared element in
+    // either set is provably outside the intersection under the global
+    // order. A pair survives only if its BEST shared prefix position
+    // still allows J >= t, i.e. ub*(1+t) >= t*(na+nb) (kept as an exact
+    // integer-times-dyadic product — no ceil, no double-slop pruning of
+    // a valid pair). This also subsumes the classic length filter
+    // (min >= t*max follows from ub <= min), so candidates reach the
+    // exact array_intersect verification already overlap-feasible.
+    val byShingle = prefixes
+      .groupBy("hh")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("pos"), col("n")))).as("ds"))
+    val cand = bucketPairs(byShingle, "ds")
+      .select(col("doc_a.doc_id").as("doc_a"), col("doc_b.doc_id").as("doc_b"),
+        least(col("doc_a.n") - col("doc_a.pos"), col("doc_b.n") - col("doc_b.pos")).as("ub"),
+        col("doc_a.n").as("na"), col("doc_b.n").as("nb"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(max(col("ub")).as("ub"))
+      .filter(col("ub") * (1.0 + threshold) >= (col("na") + col("nb")) * threshold)
+      .select("doc_a", "doc_b")
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
-      // length filter: J >= t forces t <= |B|/|A| — reject before intersecting
-      .filter(greatest(size(col("sa")), size(col("sb"))) * threshold <=
-        least(size(col("sa")), size(col("sb"))))
       .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("j", col("i").cast("double") /
         (size(col("sa")).cast("long") + size(col("sb")).cast("long") - col("i")))
