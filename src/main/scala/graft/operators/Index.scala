@@ -402,6 +402,37 @@ object Index {
       .orderBy("term")
   }
 
+  /** Windowed co-occurrence PMI: term pairs co-occurring within +3
+    * token positions (ordered — (a,b) at distance d means b follows a
+    * within d), scored by pointwise mutual information over the
+    * co-occurrence matrix marginals — the association statistic
+    * word-vector models (GloVe et al.) factorize, and the general form
+    * [[collocations]]' adjacent-bigram PMI specializes (window = 1).
+    * The position-banded self-join is doc-keyed — linear in corpus ×
+    * window, never O(n²) — and all counts are exact integers whose
+    * products stay under 2^53, so the log is bitwise cross-engine.
+    */
+  def cooccurPmi(spark: SparkSession, dir: String): DataFrame = {
+    val tok = tokenStream(spark, dir)
+    val pairs = tok.as("a").join(tok.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.pos") > col("a.pos") && col("b.pos") <= col("a.pos") + 3)
+      .select(col("a.term").as("term_a"), col("b.term").as("term_b"))
+      .groupBy("term_a", "term_b").agg(count(lit(1)).as("n_ab"))
+    val tot = pairs.agg(sum(col("n_ab")).cast("double").as("n"))
+    val ca = pairs.groupBy("term_a").agg(sum(col("n_ab")).as("ca"))
+    val cb = pairs.groupBy("term_b").agg(sum(col("n_ab")).as("cb"))
+    pairs.filter(col("n_ab") >= 5)
+      .join(broadcast(ca), "term_a")
+      .join(broadcast(cb), "term_b")
+      .crossJoin(broadcast(tot))
+      .select(col("term_a"), col("term_b"), col("n_ab"),
+        round(log(col("n_ab").cast("double") * col("n") /
+          (col("ca").cast("double") * col("cb").cast("double"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
+      .limit(20)
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -425,7 +456,8 @@ object Index {
     "proximity_search" -> proximitySearch,
     "rrf_fusion" -> rrfFusion,
     "postings_compress" -> postingsCompress,
-    "snippet_extract" -> snippetExtract)
+    "snippet_extract" -> snippetExtract,
+    "cooccur_pmi" -> cooccurPmi)
 
   /** Shared DuckDB CTE: identical tokenization contract to
     * [[TextFns.tokens]] (split \s+, drop empties; 0-based positions).
@@ -612,5 +644,19 @@ object Index {
          |SELECT term_a, term_b, f_ab,
          |  round(ln(f_ab::DOUBLE * n.n / (a.f::DOUBLE * b.f::DOUBLE)), 4) AS pmi
          |FROM bic JOIN uni a ON term_a = a.term JOIN uni b ON term_b = b.term, n
+         |ORDER BY pmi DESC, term_a, term_b LIMIT 20""".stripMargin,
+    "cooccur_pmi" ->
+      s"""$TokSql, pr AS (
+         |  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+         |  FROM tok a JOIN tok b
+         |    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
+         |  GROUP BY a.term, b.term
+         |), n AS (SELECT sum(n_ab)::DOUBLE AS n FROM pr),
+         |ca AS (SELECT term_a, CAST(sum(n_ab) AS BIGINT) AS ca FROM pr GROUP BY term_a),
+         |cb AS (SELECT term_b, CAST(sum(n_ab) AS BIGINT) AS cb FROM pr GROUP BY term_b)
+         |SELECT p.term_a, p.term_b, p.n_ab,
+         |  round(ln(p.n_ab::DOUBLE * n.n / (ca.ca::DOUBLE * cb.cb::DOUBLE)), 4) AS pmi
+         |FROM pr p JOIN ca USING (term_a) JOIN cb USING (term_b), n
+         |WHERE p.n_ab >= 5
          |ORDER BY pmi DESC, term_a, term_b LIMIT 20""".stripMargin)
 }

@@ -81,9 +81,40 @@ object Pipeline {
       .orderBy("rnd", "source", "doc_id")
   }
 
+  /** Benchmark decontamination: holdout documents sharing a 3-token
+    * shingle with any train document, under the [[trainTestSplit]]
+    * assignment — the overlap audit run before a holdout set is
+    * trusted. Ubiquitous shingles (corpus df > 100) are dropped first,
+    * exactly as production decontamination ignores boilerplate n-grams
+    * — which also bounds the join's per-key fan-out at 100 TB (no
+    * stopword-shingle quadratic bucket can exist after the cap). One
+    * shingle-keyed shuffle joins the two sides; everything upstream is
+    * the same narrow codegen'd shingle kernel the dedup family shares.
+    */
+  def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleHashes(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(array_distinct(col("hs"))).as("hh"))
+    val keep = sh.groupBy("hh")
+      .agg(countDistinct(col("doc_id")).as("sdf"))
+      .filter(col("sdf") <= 100)
+      .select("hh")
+    val informative = sh.join(keep, "hh")
+    val isTrain = HashFns.rollingHash(col("doc_id").cast("string")) % 100 < 90
+    val train = informative.filter(isTrain)
+      .select(col("hh"), col("doc_id").as("train_doc"))
+    val hold = informative.filter(!isTrain)
+      .select(col("hh"), col("doc_id").as("holdout_doc"))
+    hold.join(train, "hh")
+      .groupBy("holdout_doc")
+      .agg(countDistinct(col("train_doc")).as("n_train_docs"),
+        countDistinct(col("hh")).as("n_shared_shingles"))
+      .orderBy("holdout_doc")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "contamination_check" -> contaminationCheck,
     "train_test_split" -> trainTestSplit,
     "stratified_sample" -> stratifiedSample,
     "corpus_stats" -> corpusStats,
@@ -94,6 +125,21 @@ object Pipeline {
     s"${OracleSql.roll(e, HashFns.P)} % 100"
 
   val oracles: Map[String, String] = Map(
+    "contamination_check" ->
+      s"""${OracleSql.ShingleHashCte}, ex AS (
+         |  SELECT doc_id, unnest(list_distinct(h)) AS hh FROM hs
+         |), keep AS (
+         |  SELECT hh FROM ex GROUP BY hh HAVING count(DISTINCT doc_id) <= 100
+         |), lab AS (
+         |  SELECT ex.doc_id, ex.hh,
+         |    (${hashPct("ex.doc_id::VARCHAR")} < 90) AS is_train
+         |  FROM ex JOIN keep USING (hh)
+         |)
+         |SELECT h.doc_id AS holdout_doc,
+         |  CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_train_docs,
+         |  CAST(count(DISTINCT h.hh) AS BIGINT) AS n_shared_shingles
+         |FROM lab h JOIN lab t ON h.hh = t.hh AND NOT h.is_train AND t.is_train
+         |GROUP BY h.doc_id ORDER BY holdout_doc""".stripMargin,
     "train_test_split" ->
       s"""SELECT doc_id,
          |  CASE WHEN ${hashPct("doc_id::VARCHAR")} < 90 THEN 'train' ELSE 'holdout' END AS split

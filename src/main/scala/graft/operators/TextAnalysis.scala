@@ -157,6 +157,168 @@ object TextAnalysis {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .orderBy("first_doc")
 
+  // ---- bigram_lm -------------------------------------------------------
+
+  /** Add-one-smoothed bigram language model: for the 20 most frequent
+    * bigrams, P(w2|w1) = (c(w1,w2)+1) / (c(w1·)+|V|) where c(w1·) is
+    * w1's count as a bigram context and |V| the corpus vocabulary —
+    * the n-gram LM a perplexity-based quality filter scores against.
+    * Counts are exact integers and the probability is one division, so
+    * the double is bitwise cross-engine. Bigrams come from the
+    * codegen'd slice+arrays_zip adjacent-pair zip ([[collocations]]'
+    * pattern); the model table itself is one partial-agg shuffle.
+    */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+    val vocab = toks.select(explode(col("tk")).as("term"))
+      .agg(countDistinct(col("term")).cast("double").as("v"))
+    val bi = toks
+      .select(explode(when(size(col("tk")) >= 2,
+        arrays_zip(slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1)))
+        .otherwise(array().cast("array<struct<`0`:string,`1`:string>>"))).as("bg"))
+      .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = bi.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    bi.join(broadcast(ctx), "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"), col("c12"),
+        round((col("c12") + 1L).cast("double") / (col("c1").cast("double") + col("v")),
+          6).as("p_smooth"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  // ---- quality_filter --------------------------------------------------
+
+  /** Gopher-style rule-based quality filter: per-document boolean
+    * rules (token-count bounds, mean-word-length band, stopword-ratio
+    * floor, type-token-ratio floor) and the conjunctive keep decision.
+    * The flags make the filter auditable — per-rule rejection rates
+    * fall out of one aggregation. Narrow scan-speed map; every ratio
+    * is a single exact division, so the threshold comparisons are
+    * deterministic cross-engine.
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val tk = TextFns.tokens(col("text"))
+    val flags = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(tk).cast("long").as("n_tokens"),
+        length(regexp_replace(col("text"), "\\s", "")).cast("long").as("ntc"),
+        size(filter(tk, t => t.isInCollection(TextFns.Stopwords))).cast("long").as("ns"),
+        size(array_distinct(tk)).cast("long").as("nd"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens").between(20L, 80L), 1L).otherwise(0L).as("r_len"),
+        when((col("ntc").cast("double") / greatest(col("n_tokens"), lit(1L)))
+          .between(2.0, 8.0), 1L).otherwise(0L).as("r_wordlen"),
+        when(col("ns").cast("double") / greatest(col("n_tokens"), lit(1L)) >= 0.05, 1L)
+          .otherwise(0L).as("r_stop"),
+        when(col("nd").cast("double") / greatest(col("n_tokens"), lit(1L)) >= 0.3, 1L)
+          .otherwise(0L).as("r_ttr"))
+    flags
+      .withColumn("keep",
+        col("r_len") * col("r_wordlen") * col("r_stop") * col("r_ttr"))
+      .orderBy("doc_id")
+  }
+
+  // ---- readability -----------------------------------------------------
+
+  /** Flesch reading ease with a deterministic syllable proxy (vowel-
+    * group count — the standard dictionary-free approximation):
+    * 206.835 - 1.015·(words/sentences) - 84.6·(syllables/words).
+    * Sentences = punctuation-run count (floored at 1 — the synthetic
+    * corpus is punctuation-free, so there it measures pure word/
+    * syllable rate; the spec exercises multi-sentence text). Narrow
+    * scan-speed map, fixed expression → bitwise cross-engine.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    readabilityOf(Tables.documents(spark, dir))
+
+  /** [[readability]] over any (doc_id, text) frame. */
+  def readabilityOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        greatest(size(TextFns.tokens(col("text"))).cast("long"), lit(1L)).as("n_words"),
+        greatest(size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+          .cast("long"), lit(1L)).as("n_syllables"),
+        greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+          .cast("long"), lit(1L)).as("n_sentences"))
+      .select(col("doc_id"), col("n_words"), col("n_syllables"), col("n_sentences"),
+        round(lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") / col("n_sentences")) -
+          lit(84.6) * (col("n_syllables").cast("double") / col("n_words")),
+          4).as("flesch"))
+      .orderBy("doc_id")
+
+  // ---- pii_scrub -------------------------------------------------------
+
+  /** Email addresses — matched leftmost-greedy identically by Java
+    * regex and RE2. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** `ddd[-.]ddd[-.]dddd` phone shapes, word-bounded. */
+  val PhoneRe = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+
+  /** PII redaction: match counts per category plus the md5 of the
+    * scrubbed text (emails → `[EMAIL]`, phones → `[PHONE]`) — the
+    * pre-training scrub pass. Narrow scan-speed map. The synthetic
+    * corpus is PII-free, so the gate certifies the no-op path
+    * byte-for-byte (scrubbed hash = original hash); the ScalaTest spec
+    * drives the redaction path on crafted rows through the same
+    * function.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiScrubOf(Tables.documents(spark, dir))
+
+  /** [[piiScrub]] over any (doc_id, text) frame. */
+  def piiScrubOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("text"), EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]")).as("scrubbed_md5"))
+      .orderBy("doc_id")
+
+  // ---- zipf_fit --------------------------------------------------------
+
+  /** Zipf's-law fit: least-squares slope/intercept of ln(freq) against
+    * ln(rank) over the top-100 terms — the corpus-law summary statistic
+    * (a healthy natural corpus slopes ≈ -1; synthetic or boilerplate-
+    * heavy corpora flatten). The regression sums fold over the RANK-
+    * SORTED point list so double addition order is fixed cross-engine;
+    * the window runs over the aggregated vocabulary, never the token
+    * stream.
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Index.tokenStream(spark, dir)
+      .groupBy("term").agg(count(lit(1)).as("f"))
+    val pts = tf
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("f").desc, col("term"))).cast("long"))
+      .filter(col("rk") <= 100)
+      .select(col("rk"), log(col("rk").cast("double")).as("x"),
+        log(col("f").cast("double")).as("y"))
+      .agg(sort_array(collect_list(struct(col("rk"), col("x"), col("y")))).as("ps"),
+        count(lit(1)).cast("double").as("n"))
+    def fsum(f: Column => Column): Column =
+      aggregate(col("ps"), lit(0.0), (acc, p) => acc + f(p))
+    pts
+      .select(col("n"),
+        fsum(p => p("x")).as("sx"), fsum(p => p("y")).as("sy"),
+        fsum(p => p("x") * p("x")).as("sxx"),
+        fsum(p => p("x") * p("y")).as("sxy"))
+      .select(col("n"), col("sx"), col("sy"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("sl"))
+      .select(col("n").cast("long").as("n_terms"),
+        round(col("sl"), 6).as("slope"),
+        round((col("sy") - col("sl") * col("sx")) / col("n"), 6).as("intercept"))
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -166,7 +328,12 @@ object TextAnalysis {
     "doc_fingerprint" -> docFingerprint,
     "char_ngrams" -> charNgrams,
     "term_entropy" -> termEntropy,
-    "vocab_growth" -> vocabGrowth)
+    "vocab_growth" -> vocabGrowth,
+    "bigram_lm" -> bigramLm,
+    "quality_filter" -> qualityFilter,
+    "readability" -> readability,
+    "pii_scrub" -> piiScrub,
+    "zipf_fit" -> zipfFit)
 
   private def inList(xs: Seq[String]): String =
     xs.map(s => s"'$s'").mkString("(", ", ", ")")
@@ -257,5 +424,86 @@ object TextAnalysis {
          |SELECT first_doc, new_terms,
          |  CAST(sum(new_terms) OVER (ORDER BY first_doc
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
-         |FROM g ORDER BY first_doc""".stripMargin)
+         |FROM g ORDER BY first_doc""".stripMargin,
+    "bigram_lm" ->
+      s"""${Index.TokSql}, v AS (
+         |  SELECT count(DISTINCT term)::DOUBLE AS v FROM tok
+         |), bi AS (
+         |  SELECT tk[i+1] AS w1, tk[i+2] AS w2
+         |  FROM toks, unnest(range(greatest(len(tk) - 1, 0))) AS u(i)
+         |), bc AS (
+         |  SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2
+         |), ctx AS (
+         |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1
+         |)
+         |SELECT bc.w1, bc.w2, bc.c12,
+         |  round((bc.c12 + 1)::DOUBLE / (ctx.c1::DOUBLE + v.v), 6) AS p_smooth
+         |FROM bc JOIN ctx USING (w1), v
+         |ORDER BY c12 DESC, w1, w2 LIMIT 20""".stripMargin,
+    "quality_filter" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS ntc,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t IN ${inList(TextFns.Stopwords)})) AS BIGINT) AS ns,
+         |    CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0))) AS BIGINT) AS nd
+         |  FROM documents
+         |), f AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS BIGINT) AS r_len,
+         |    CAST(CASE WHEN ntc::DOUBLE / greatest(n_tokens, 1) BETWEEN 2.0 AND 8.0 THEN 1 ELSE 0 END AS BIGINT) AS r_wordlen,
+         |    CAST(CASE WHEN ns::DOUBLE / greatest(n_tokens, 1) >= 0.05 THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+         |    CAST(CASE WHEN nd::DOUBLE / greatest(n_tokens, 1) >= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS r_ttr
+         |  FROM q
+         |)
+         |SELECT doc_id, n_tokens, r_len, r_wordlen, r_stop, r_ttr,
+         |  r_len * r_wordlen * r_stop * r_ttr AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "readability" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    greatest(CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0)) AS BIGINT), 1) AS n_words,
+        |    greatest(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT), 1) AS n_syllables,
+        |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS n_sentences
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_words, n_syllables, n_sentences,
+        |  round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+        |    - 84.6 * (n_syllables::DOUBLE / n_words), 4) AS flesch
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "pii_scrub" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${EmailRe.replace("\\", "\\\\")}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${PhoneRe.replace("\\", "\\\\")}')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(text, '${EmailRe.replace("\\", "\\\\")}', '[EMAIL]', 'g'),
+         |    '${PhoneRe.replace("\\", "\\\\")}', '[PHONE]', 'g')) AS scrubbed_md5
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "zipf_fit" ->
+      s"""${Index.TokSql}, tf AS (
+         |  SELECT term, count(*) AS f FROM tok GROUP BY term
+         |), rk AS (
+         |  SELECT term, f,
+         |    CAST(row_number() OVER (ORDER BY f DESC, term) AS BIGINT) AS rk
+         |  FROM tf
+         |), pt AS (
+         |  SELECT rk, ln(rk::DOUBLE) AS x, ln(f::DOUBLE) AS y FROM rk WHERE rk <= 100
+         |), ag AS (
+         |  SELECT list_sort(list(struct_pack(rk := rk, x := x, y := y))) AS ps,
+         |    count(*)::DOUBLE AS n
+         |  FROM pt
+         |), sm AS (
+         |  SELECT n,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(ps, p -> p['x'])), (a, v) -> a + v) AS sx,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(ps, p -> p['y'])), (a, v) -> a + v) AS sy,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(ps, p -> p['x'] * p['x'])), (a, v) -> a + v) AS sxx,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(ps, p -> p['x'] * p['y'])), (a, v) -> a + v) AS sxy
+         |  FROM ag
+         |), sl AS (
+         |  SELECT n, sx, sy,
+         |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS sl
+         |  FROM sm
+         |)
+         |SELECT CAST(n AS BIGINT) AS n_terms, round(sl, 6) AS slope,
+         |  round((sy - sl * sx) / n, 6) AS intercept
+         |FROM sl""".stripMargin)
 }

@@ -248,6 +248,72 @@ class OperatorsSpec extends SparkSpec {
       operators.Query.parse("\"a b\" AND NOT c OR d")) === Seq("a", "b", "d"))
   }
 
+  test("pii_scrub redacts emails and phones and counts them") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "contact bob@example.com or 555-867-5309 now"),
+      (1L, "call 555-123.4567 and mail a.b-c%d@sub.domain.org today"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.piiScrubOf(rows).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((0L, 1L, 1L), (1L, 1L, 1L), (2L, 0L, 0L)))
+    // scrubbed text differs from the original exactly when something matched
+    val origMd5 = rows.select(col("doc_id"), md5(col("text")).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { r =>
+      val changed = r.getString(3) != origMd5(r.getLong(0))
+      assert(changed === (r.getLong(1) + r.getLong(2) > 0))
+    }
+  }
+
+  test("readability: more syllables per word lowers flesch; sentences counted") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "the cat sat. the dog ran. all good!"),
+      (1L, "extraordinary multisyllabic vocabulary overwhelmingly complicated")).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.readabilityOf(rows).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getLong(3) === 3L) // three sentences
+    assert(got(1L).getLong(3) === 1L) // floor at 1
+    assert(got(0L).getDouble(4) > got(1L).getDouble(4)) // simple text reads easier
+  }
+
+  test("bigram_lm: probabilities in (0,1], context counts consistent") {
+    val lm = operators.TextAnalysis.bigramLm(spark, sfDir).collect()
+    assert(lm.nonEmpty)
+    lm.foreach { r =>
+      val p = r.getDouble(3)
+      assert(p > 0.0 && p <= 1.0)
+    }
+  }
+
+  test("quality_filter: keep is exactly the conjunction of the rule flags") {
+    val qf = operators.TextAnalysis.qualityFilter(spark, sfDir).collect()
+    assert(qf.nonEmpty)
+    qf.foreach { r =>
+      val (len, wl, st, ttr, keep) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(keep === len * wl * st * ttr)
+      Seq(len, wl, st, ttr).foreach(f => assert(f === 0L || f === 1L))
+    }
+  }
+
+  test("contamination_check: flagged docs are holdout-side and counts positive") {
+    val c = operators.Pipeline.contaminationCheck(spark, sfDir).collect()
+    val split = operators.Pipeline.trainTestSplit(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    c.foreach { r =>
+      assert(split(r.getLong(0)) === "holdout")
+      assert(r.getLong(1) >= 1L && r.getLong(2) >= 1L)
+    }
+  }
+
+  test("zipf_fit: slope is negative (frequency decreases with rank)") {
+    val z = operators.TextAnalysis.zipfFit(spark, sfDir).collect()
+    assert(z.length === 1)
+    assert(z(0).getDouble(1) < 0.0)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
