@@ -489,9 +489,39 @@ object Analytics {
   }
 
 
+  /** Peak-concurrency sweep line: sessionize (30-min gap), emit
+    * (start, +1) / (end+1µs, -1) boundary deltas, net them per
+    * timestamp, and prefix-sum over global time order — concurrency(t)
+    * = sessions active at t; the curve's max is the capacity-planning
+    * peak. The prefix sum is [[GraftOps.runningTotal]]'s two-phase
+    * scan (bucketed by day), NOT a single-partition global window —
+    * the sweep line stays distributed at any timeline length.
+    */
+  def concurrencyPeak(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    val ses = eventsUs(spark, dir)
+      .withColumn("prev", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("ts_us") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts_us")).as("st"), max(col("ts_us")).as("en"))
+    val deltas = ses.select(col("st").as("t"), lit(1L).as("delta"))
+      .unionByName(ses.select((col("en") + 1L).as("t"), lit(-1L).as("delta")))
+      .groupBy("t").agg(sum(col("delta")).as("delta"))
+    GraftOps.runningTotal(deltas, col("t"), col("delta"),
+        expr("t div 86400000000"))
+      .withColumnRenamed("running", "concurrency")
+      .select("t", "delta", "concurrency")
+      .orderBy("t")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "concurrency_peak" -> concurrencyPeak,
     "q1_agg" -> q1Agg,
     "q3_topk" -> q3Topk,
     "q5_regional" -> q5Regional,
@@ -536,6 +566,34 @@ object Analytics {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "concurrency_peak" ->
+      s"""$EvSql, lagged AS (
+         |  SELECT user_id, event_id, ts_us,
+         |    lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+         |  FROM ev
+         |), flagged AS (
+         |  SELECT user_id, event_id, ts_us,
+         |    CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END AS is_new
+         |  FROM lagged
+         |), sess AS (
+         |  SELECT user_id, ts_us,
+         |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM flagged
+         |), ses AS (
+         |  SELECT user_id, session_id, min(ts_us) AS st, max(ts_us) AS en
+         |  FROM sess GROUP BY user_id, session_id
+         |), d AS (
+         |  SELECT st AS t, 1 AS delta FROM ses
+         |  UNION ALL
+         |  SELECT en + 1 AS t, -1 AS delta FROM ses
+         |), g AS (
+         |  SELECT t, CAST(sum(delta) AS BIGINT) AS delta FROM d GROUP BY t
+         |)
+         |SELECT t, delta,
+         |  CAST(sum(delta) OVER (ORDER BY t
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS concurrency
+         |FROM g ORDER BY t""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

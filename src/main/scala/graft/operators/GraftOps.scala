@@ -159,4 +159,39 @@ object GraftOps {
       .filter(col("__kind") === 1)
       .select(leftCols.map(c => col(s"__payload.$c").as(c)) :+ col("__last").as(asCol): _*)
   }
+
+  /** Distributed running total: prefix sums of `value` over the TOTAL
+    * order `order` WITHOUT a single-partition window — the classic
+    * two-phase scan. Phase 1 aggregates per-bucket partial sums into a
+    * tiny offset table (one row per bucket; its cumulative window is
+    * |buckets| rows — the only serialized stage); phase 2 broadcasts
+    * the offsets and runs per-bucket windows in parallel, each row's
+    * running value = bucket offset + within-bucket prefix.
+    *
+    * Contract: `bucket` must be a deterministic NON-DECREASING
+    * function of `order` (e.g. the day of an event-time column), and
+    * `order` must be unique within a bucket (pre-aggregate ties
+    * first) or the within-bucket prefix is tie-order-dependent. At
+    * 100 TB the `Window.orderBy(t)` formulation funnels the whole
+    * frame through one task; this shape only serializes the
+    * buckets-row offset scan.
+    *
+    * Output: the input columns + `running`.
+    */
+  def runningTotal(df: DataFrame, order: Column, value: Column,
+                   bucket: Column): DataFrame = {
+    val b = df.withColumn("__b", bucket)
+    val offsets = b.groupBy("__b").agg(sum(value).as("__s"))
+      .withColumn("__off", coalesce(
+        sum(col("__s")).over(
+          Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__b"), col("__off"))
+    b.join(broadcast(offsets), "__b")
+      .withColumn("running",
+        col("__off") + sum(value).over(
+          Window.partitionBy("__b").orderBy(order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__b", "__off")
+  }
 }

@@ -258,9 +258,72 @@ object Similarity {
       .orderBy("variant", "query_id")
   }
 
+  /** Number of product-quantization subspaces. */
+  val NSub = 4
+
+  /** (vec_id, m, sv): each vector split into [[NSub]] contiguous
+    * subvectors — the narrow decomposition product quantization codes
+    * against. slice is codegen'd; no shuffle.
+    */
+  private def pqParts(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+        explode(sequence(lit(0), lit(NSub - 1))).as("m"), col("embedding"))
+      .withColumn("l", (size(col("embedding")) / NSub).cast("int"))
+      .select(col("vec_id"), col("m"),
+        slice(col("embedding"), col("m") * col("l") + 1, col("l")).as("sv"))
+
+  /** Squared L2 distance via the codegen'd kernels, in the one fixed
+    * operation order both engines share: (‖a‖² + ‖b‖²) − 2·a·b.
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    (VectorFns.norm2(a) + VectorFns.norm2(b)) - lit(2.0) * VectorFns.dot(a, b)
+
+  /** Product-quantization ANN (ADC): codebook = the first
+    * [[NCentroids]] vectors' subvectors per subspace; every vector is
+    * encoded as [[NSub]] one-byte codes (argmin subspace L2); a query
+    * precomputes its distance table to all codes and ranks the corpus
+    * by the table-sum approximation Σ_m d(q_m, code_m(x)) — never
+    * touching raw vectors at query time. THE memory-bounded ANN shape
+    * at billions of vectors: the corpus compresses from d floats to
+    * [[NSub]] bytes per vector, the distance table is
+    * queries × subspaces × codes (broadcast), and the rank is one
+    * aggregation over the code table. The per-pair sum folds over the
+    * m-sorted distance list so the double addition order is fixed
+    * cross-engine.
+    */
+  def knnPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val parts = pqParts(e)
+    val cb = parts.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("cid"), col("m"), col("sv").as("cv"))
+    val wEnc = Window.partitionBy("vec_id", "m").orderBy(col("d").asc, col("cid"))
+    val codes = parts.join(broadcast(cb), "m")
+      .withColumn("d", l2sq(col("sv"), col("cv")))
+      .withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cid").as("code"))
+    val dtab = parts.filter(col("vec_id") < NQueries)
+      .join(broadcast(cb), "m")
+      .withColumn("dq", l2sq(col("sv"), col("cv")))
+      .select(col("vec_id").as("query_id"), col("m"), col("cid").as("code"), col("dq"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("adist").asc, col("vec_id"))
+    codes.join(broadcast(dtab), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sort_array(collect_list(struct(col("m"), col("dq")))).as("ds"))
+      .withColumn("adist",
+        aggregate(col("ds"), lit(0.0), (acc, s) => acc + s("dq")))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk"), col("vec_id"),
+        round(col("adist"), 6).as("adist"))
+      .orderBy("query_id", "rk")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_pq" -> knnPq,
     "knn_bruteforce" -> knnBruteforce,
     "knn_ivf" -> knnIvf,
     "knn_lsh" -> knnLsh,
@@ -300,6 +363,41 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "knn_pq" -> {
+      def l2(a: String, b: String): String =
+        s"((${OracleSql.norm2(a)}) + (${OracleSql.norm2(b)})) - 2.0 * (${OracleSql.dot(a, b)})"
+      s"""WITH pp AS (
+         |  SELECT vec_id, u.m AS m,
+         |    embedding[(u.m * (len(embedding) // $NSub) + 1):((u.m + 1) * (len(embedding) // $NSub))] AS sv
+         |  FROM embeddings, unnest(range($NSub)) AS u(m)
+         |), cb AS (
+         |  SELECT vec_id AS cid, m, sv AS cv FROM pp WHERE vec_id < $NCentroids
+         |), enc AS (
+         |  SELECT p.vec_id, p.m, c.cid, ${l2("p.sv", "c.cv")} AS d
+         |  FROM pp p JOIN cb c ON p.m = c.m
+         |), codes AS (
+         |  SELECT vec_id, m, cid AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, cid) AS rn
+         |    FROM enc) WHERE rn = 1
+         |), dt AS (
+         |  SELECT q.vec_id AS query_id, q.m, c.cid AS code, ${l2("q.sv", "c.cv")} AS dq
+         |  FROM pp q JOIN cb c ON q.m = c.m WHERE q.vec_id < $NQueries
+         |), ad AS (
+         |  SELECT d.query_id, x.vec_id,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+         |      list_sort(list(struct_pack(m := x.m, dq := d.dq))), s -> s['dq'])),
+         |      (a, v) -> a + v) AS adist
+         |  FROM codes x JOIN dt d ON x.m = d.m AND x.code = d.code
+         |  WHERE x.vec_id != d.query_id
+         |  GROUP BY d.query_id, x.vec_id
+         |), r AS (
+         |  SELECT query_id, vec_id, adist,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id) AS BIGINT) AS rk
+         |  FROM ad
+         |)
+         |SELECT query_id, rk, vec_id, round(adist, 6) AS adist
+         |FROM r WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
+    },
     "knn_lsh" ->
       s"""${OracleSql.NormCte}$LshAssignCte, p AS (
          |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id, b.bucket,

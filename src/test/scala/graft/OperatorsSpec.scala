@@ -314,6 +314,38 @@ class OperatorsSpec extends SparkSpec {
     assert(z(0).getDouble(1) < 0.0)
   }
 
+  test("runningTotal two-phase scan matches the global-window prefix sum") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong * 7 % 1009, (i % 13).toLong - 6))
+      .distinct.toDF("t", "v")
+    val got = operators.GraftOps.runningTotal(df, col("t"), col("v"), expr("t div 100"))
+      .select("t", "running").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.withColumn("running",
+        sum(col("v")).over(org.apache.spark.sql.expressions.Window.orderBy("t")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === want)
+  }
+
+  test("concurrency_peak: curve stays non-negative and returns to zero") {
+    val c = operators.Analytics.concurrencyPeak(spark, sfDir)
+      .orderBy("t").collect()
+    assert(c.nonEmpty)
+    c.foreach(r => assert(r.getLong(2) >= 0L))
+    assert(c.last.getLong(2) === 0L) // every session eventually closes
+    assert(c.map(_.getLong(1)).sum === 0L) // +1s and -1s balance
+  }
+
+  test("knn_pq: k results per query, approx distance non-decreasing in rank") {
+    val pq = operators.Similarity.knnPq(spark, sfDir).collect()
+    val byQ = pq.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      assert(rows.length === operators.Similarity.TopK)
+      val ds = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
