@@ -344,8 +344,13 @@ object Dedup {
     // pr lands within an ulp of a round(_, 6) boundary
     val teleport = 0.15
     val prs = simhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    // the edge list feeds degree + both iterations (5 plan branches):
+    // materialize it once — without this the simhash-pair join tree
+    // recomputes per branch (measured 3.4s → the checkpoint pays for
+    // itself several times over; same pattern as connectedComponents)
     val sym = prs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(prs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .localCheckpoint()
     val deg = sym.groupBy("a").agg(count(lit(1)).cast("double").as("deg"))
     val nDf = deg.agg(count(lit(1)).cast("double").as("n"))
     // pr0 = 1/n for every node; each iteration joins current pr onto
