@@ -200,26 +200,36 @@ object TextAnalysis {
     * is a single exact division, so the threshold comparisons are
     * deterministic cross-engine.
     */
-  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    qualityFlagsOf(Tables.documents(spark, dir))
+      .select("doc_id", "n_tokens", "r_len", "r_wordlen", "r_stop", "r_ttr", "keep")
+      .orderBy("doc_id")
+
+  /** The input frame plus (n_tokens, rule flags, keep) — the reusable
+    * core [[qualityFilter]] gates and [[graft.streaming.Stream.qualityGate]]
+    * routes micro-batches with.
+    */
+  def qualityFlagsOf(docs: DataFrame): DataFrame = {
     val tk = TextFns.tokens(col("text"))
-    val flags = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        size(tk).cast("long").as("n_tokens"),
-        length(regexp_replace(col("text"), "\\s", "")).cast("long").as("ntc"),
-        size(filter(tk, t => t.isInCollection(TextFns.Stopwords))).cast("long").as("ns"),
-        size(array_distinct(tk)).cast("long").as("nd"))
-      .select(col("doc_id"), col("n_tokens"),
-        when(col("n_tokens").between(20L, 80L), 1L).otherwise(0L).as("r_len"),
-        when((col("ntc").cast("double") / greatest(col("n_tokens"), lit(1L)))
-          .between(2.0, 8.0), 1L).otherwise(0L).as("r_wordlen"),
-        when(col("ns").cast("double") / greatest(col("n_tokens"), lit(1L)) >= 0.05, 1L)
-          .otherwise(0L).as("r_stop"),
-        when(col("nd").cast("double") / greatest(col("n_tokens"), lit(1L)) >= 0.3, 1L)
-          .otherwise(0L).as("r_ttr"))
-    flags
+    docs
+      .withColumn("n_tokens", size(tk).cast("long"))
+      .withColumn("__ntc", length(regexp_replace(col("text"), "\\s", "")).cast("long"))
+      .withColumn("__ns",
+        size(filter(tk, t => t.isInCollection(TextFns.Stopwords))).cast("long"))
+      .withColumn("__nd", size(array_distinct(tk)).cast("long"))
+      .withColumn("r_len", when(col("n_tokens").between(20L, 80L), 1L).otherwise(0L))
+      .withColumn("r_wordlen",
+        when((col("__ntc").cast("double") / greatest(col("n_tokens"), lit(1L)))
+          .between(2.0, 8.0), 1L).otherwise(0L))
+      .withColumn("r_stop",
+        when(col("__ns").cast("double") / greatest(col("n_tokens"), lit(1L)) >= 0.05, 1L)
+          .otherwise(0L))
+      .withColumn("r_ttr",
+        when(col("__nd").cast("double") / greatest(col("n_tokens"), lit(1L)) >= 0.3, 1L)
+          .otherwise(0L))
       .withColumn("keep",
         col("r_len") * col("r_wordlen") * col("r_stop") * col("r_ttr"))
-      .orderBy("doc_id")
+      .drop("__ntc", "__ns", "__nd")
   }
 
   // ---- readability -----------------------------------------------------

@@ -141,6 +141,32 @@ object Stream {
         () // foreachBatch wants (Dataset, Long) => Unit, not => Boolean
       }
 
+  /** Streaming corpus triage: every micro-batch is scored by the
+    * batch quality rules ([[graft.operators.TextAnalysis.qualityFlagsOf]]
+    * — the SAME rule code, so batch and stream can never drift) and
+    * routed to a clean or quarantine corpus, one directory per batch
+    * id. Exactly-once by idempotent replay: a restarted batch
+    * overwrites its own `batch=<id>` directory, so duplicate landing
+    * is impossible without a transactional sink. The flags frame is
+    * computed once per batch (persist) and both routes stream from
+    * it; rejected docs keep their rule flags for quarantine triage.
+    */
+  def qualityGate(docs: DataFrame, cleanPath: String, quarantinePath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val flagged = graft.operators.TextAnalysis.qualityFlagsOf(batch).persist()
+        try {
+          flagged.filter(col("keep") === 1L)
+            .drop("n_tokens", "r_len", "r_wordlen", "r_stop", "r_ttr", "keep")
+            .write.mode("overwrite").parquet(s"$cleanPath/batch=$batchId")
+          flagged.filter(col("keep") === 0L)
+            .write.mode("overwrite").parquet(s"$quarantinePath/batch=$batchId")
+        } finally flagged.unpersist()
+        ()
+      }
+
   /** Watermarked tumbling 1-hour counts per event type — streaming
     * twin of `Analytics.windowTumbling`.
     */

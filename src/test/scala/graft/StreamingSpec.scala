@@ -121,6 +121,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_quality_gate: batches route to clean and quarantine corpora") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-qgate").toString
+    val (clean, quar) = (s"$base/clean", s"$base/quarantine")
+    val in = MemoryStream[(Long, String)]
+    val good = (1 to 8).map(i => s"the quick value$i moves a row of data$i fast")
+      .mkString(" ") // 72 tokens, stopword ratio 1/3, TTR 23/72 > 0.3
+    val q = Stream.qualityGate(in.toDF().toDF("doc_id", "text"), clean, quar).start()
+    try {
+      in.addData((0L, good), (1L, "too short"))
+      q.processAllAvailable()
+      val cleanIds = spark.read.parquet(clean).select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(cleanIds === Seq(0L))
+      val quarRows = spark.read.parquet(quar)
+        .select("doc_id", "r_len", "keep").collect()
+      assert(quarRows.map(_.getLong(0)).toSeq === Seq(1L))
+      assert(quarRows.head.getLong(1) === 0L) // rejected by the length rule
+      assert(quarRows.head.getLong(2) === 0L)
+      // second batch lands in its own directory; first is untouched
+      in.addData((2L, good))
+      q.processAllAvailable()
+      assert(spark.read.parquet(clean).select("doc_id")
+        .collect().map(_.getLong(0)).toSet === Set(0L, 2L))
+    } finally q.stop()
+  }
+
   test("stream_topk: update-mode running wordcount merges across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
