@@ -518,9 +518,30 @@ object Analytics {
       .orderBy("t")
   }
 
+  /** Join-key skew diagnostics: the 20 heaviest `l_suppkey` values
+    * with their row share and multiple-of-mean — the report that
+    * decides whether a key needs salting ([[saltedJoin]]) or AQE skew
+    * handling before a fact-fact join is launched. One partial-agg
+    * shuffle; the mean is a broadcast 1-row aggregate, so the report
+    * costs a scan at any corpus size.
+    */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).cast("double").as("total"),
+      count(lit(1)).cast("double").as("nkeys"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("l_suppkey"), col("n"),
+        round(col("n") / col("total"), 6).as("share"),
+        round(col("n") / (col("total") / col("nkeys")), 4).as("x_mean"))
+      .orderBy(col("n").desc, col("l_suppkey"))
+      .limit(20)
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_report" -> skewReport,
     "concurrency_peak" -> concurrencyPeak,
     "q1_agg" -> q1Agg,
     "q3_topk" -> q3Topk,
@@ -566,6 +587,16 @@ object Analytics {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "skew_report" ->
+      """WITH c AS (
+        |  SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey
+        |), t AS (
+        |  SELECT sum(n)::DOUBLE AS total, count(*)::DOUBLE AS nkeys FROM c
+        |)
+        |SELECT l_suppkey, n,
+        |  round(n / t.total, 6) AS share,
+        |  round(n / (t.total / t.nkeys), 4) AS x_mean
+        |FROM c, t ORDER BY n DESC, l_suppkey LIMIT 20""".stripMargin,
     "concurrency_peak" ->
       s"""$EvSql, lagged AS (
          |  SELECT user_id, event_id, ts_us,

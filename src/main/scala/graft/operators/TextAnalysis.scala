@@ -329,9 +329,34 @@ object TextAnalysis {
         round((col("sy") - col("sl") * col("sx")) / col("n"), 6).as("intercept"))
   }
 
+  // ---- bpe_merges ------------------------------------------------------
+
+  /** First-round BPE merge candidates: the 20 most frequent adjacent
+    * character pairs inside whitespace tokens — the statistic the
+    * first byte-pair-encoding merge is chosen from (tokenizer
+    * training's inner loop; a production trainer iterates this count
+    * after applying each merge). Same codegen'd slice+arrays_zip
+    * adjacent-pair zip as [[bigramLm]], one character level down; one
+    * partial-agg shuffle over (c1, c2).
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val cs = split(col("term"), "")
+    Index.tokenStream(spark, dir)
+      .select(cs.as("cs"))
+      .select(explode(when(size(col("cs")) >= 2,
+        arrays_zip(slice(col("cs"), lit(1), size(col("cs")) - 1),
+          slice(col("cs"), lit(2), size(col("cs")) - 1)))
+        .otherwise(array().cast("array<struct<`0`:string,`1`:string>>"))).as("p"))
+      .select(col("p.0").as("c1"), col("p.1").as("c2"))
+      .groupBy("c1", "c2").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("c1"), col("c2"))
+      .limit(20)
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_merges" -> bpeMerges,
     "lang_id" -> langId,
     "quality_score" -> qualityScore,
     "token_stats" -> tokenStats,
@@ -373,6 +398,15 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "bpe_merges" ->
+      s"""${Index.TokSql}, ch AS (
+         |  SELECT string_split(term, '') AS cs FROM tok
+         |), pr AS (
+         |  SELECT cs[i+1] AS c1, cs[i+2] AS c2
+         |  FROM ch, unnest(range(greatest(len(cs) - 1, 0))) AS u(i)
+         |)
+         |SELECT c1, c2, count(*) AS freq FROM pr GROUP BY c1, c2
+         |ORDER BY freq DESC, c1, c2 LIMIT 20""".stripMargin,
     "lang_id" -> langIdSql,
     "quality_score" ->
       s"""WITH q AS (
