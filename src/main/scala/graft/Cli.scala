@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.{Index, Query}
+import graft.sources.{IndexStore, Tsv}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's command-line surface, Spark-native. The reference
+  * runs as `ToolRunner` with (input-path, output-path, num-reducers)
+  * (/root/reference/src/main/scala/test/App.scala: the CLI wraps the
+  * index job; the commented-out partitioner hashes on word = our term
+  * buckets). A user of the reference drives the same three actions
+  * here:
+  *
+  *   - `index <input.tsv> <indexPath> [nBuckets]` — build the
+  *     positional index from `title \t body` lines and save it
+  *     term-bucketed (nBuckets plays the reference's num-reducers
+  *     role: it fixes the index's partition fan-out).
+  *   - `search <indexPath> <term> [k]` — term lookup against the
+  *     SAVED index, tf-ranked; planning-time bucket pruning means one
+  *     partition is read, not the index.
+  *   - `query <input.tsv> '<boolean query>' [k]` — parsed
+  *     boolean/phrase retrieval (AND/OR/NOT/"...") with BM25 ranking
+  *     over a corpus.
+  */
+object Cli {
+
+  /** Dispatch + result frame (separated from [[main]] so specs can
+    * assert on the returned rows).
+    */
+  def run(spark: SparkSession, args: Seq[String]): DataFrame = args match {
+    case Seq("index", input, out, rest @ _*) =>
+      val nBuckets = rest.headOption.map(_.toInt).getOrElse(IndexStore.DefaultBuckets)
+      val idx = Index.invertedIndexOf(Tsv.readDocuments(spark, input), id = "title")
+      IndexStore.save(idx, out, nBuckets)
+      IndexStore.load(spark, out)
+        .groupBy().agg(count(lit(1)).as("postings"),
+          countDistinct(col("term")).as("terms"))
+    case Seq("search", indexPath, term, rest @ _*) =>
+      val k = rest.headOption.map(_.toInt).getOrElse(10)
+      // must match the nBuckets the index was saved with (exactly as
+      // the reference's reducer count shaped its output layout)
+      val nBuckets = rest.lift(1).map(_.toInt).getOrElse(IndexStore.DefaultBuckets)
+      IndexStore.lookup(spark, indexPath, term, nBuckets)
+        .orderBy(col("tf").desc, col("title"))
+        .limit(k)
+    case Seq("query", input, q, rest @ _*) =>
+      val k = rest.headOption.map(_.toInt).getOrElse(10)
+      Query.searchRanked(Tsv.readDocuments(spark, input), q, k,
+        id = "title")
+    case _ =>
+      throw new IllegalArgumentException(
+        "usage: index <in.tsv> <indexPath> [nBuckets] | " +
+          "search <indexPath> <term> [k] | query <in.tsv> '<query>' [k]")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args.toSeq).show(100, truncate = false)
+    finally spark.stop()
+  }
+}

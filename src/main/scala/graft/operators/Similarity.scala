@@ -320,9 +320,22 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** The compression-vs-recall trade quantified: recall@10 of the
+    * PQ/ADC ranking ([[knnPq]]) against brute-force ground truth, per
+    * query — what a deployment checks before swapping raw vectors for
+    * codes. Same free audit shape as [[annRecall]]: both sides are
+    * per-query top-k sets.
+    */
+  def annRecallPq(spark: SparkSession, dir: String): DataFrame =
+    recallOf(
+        knnBruteforce(spark, dir).select(col("query_id"), col("vec_id")),
+        knnPq(spark, dir))
+      .orderBy("query_id")
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_recall_pq" -> annRecallPq,
     "knn_pq" -> knnPq,
     "knn_bruteforce" -> knnBruteforce,
     "knn_ivf" -> knnIvf,
@@ -362,42 +375,69 @@ object Similarity {
        |)""".stripMargin
   }
 
+  /** PQ CTE chain (`pp` → `cb` → `enc` → `codes` → `dt` → `ad`):
+    * subvector split, codebook, encoding, distance table, ADC sums —
+    * mirrors [[knnPq]] op-for-op. No leading WITH so it composes.
+    */
+  private val PqCte: String = {
+    def l2(a: String, b: String): String =
+      s"((${OracleSql.norm2(a)}) + (${OracleSql.norm2(b)})) - 2.0 * (${OracleSql.dot(a, b)})"
+    s"""pp AS (
+       |  SELECT vec_id, u.m AS m,
+       |    embedding[(u.m * (len(embedding) // $NSub) + 1):((u.m + 1) * (len(embedding) // $NSub))] AS sv
+       |  FROM embeddings, unnest(range($NSub)) AS u(m)
+       |), cb AS (
+       |  SELECT vec_id AS cid, m, sv AS cv FROM pp WHERE vec_id < $NCentroids
+       |), enc AS (
+       |  SELECT p.vec_id, p.m, c.cid, ${l2("p.sv", "c.cv")} AS d
+       |  FROM pp p JOIN cb c ON p.m = c.m
+       |), codes AS (
+       |  SELECT vec_id, m, cid AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, cid) AS rn
+       |    FROM enc) WHERE rn = 1
+       |), dt AS (
+       |  SELECT q.vec_id AS query_id, q.m, c.cid AS code, ${l2("q.sv", "c.cv")} AS dq
+       |  FROM pp q JOIN cb c ON q.m = c.m WHERE q.vec_id < $NQueries
+       |), ad AS (
+       |  SELECT d.query_id, x.vec_id,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+       |      list_sort(list(struct_pack(m := x.m, dq := d.dq))), s -> s['dq'])),
+       |      (a, v) -> a + v) AS adist
+       |  FROM codes x JOIN dt d ON x.m = d.m AND x.code = d.code
+       |  WHERE x.vec_id != d.query_id
+       |  GROUP BY d.query_id, x.vec_id
+       |)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "knn_pq" -> {
-      def l2(a: String, b: String): String =
-        s"((${OracleSql.norm2(a)}) + (${OracleSql.norm2(b)})) - 2.0 * (${OracleSql.dot(a, b)})"
-      s"""WITH pp AS (
-         |  SELECT vec_id, u.m AS m,
-         |    embedding[(u.m * (len(embedding) // $NSub) + 1):((u.m + 1) * (len(embedding) // $NSub))] AS sv
-         |  FROM embeddings, unnest(range($NSub)) AS u(m)
-         |), cb AS (
-         |  SELECT vec_id AS cid, m, sv AS cv FROM pp WHERE vec_id < $NCentroids
-         |), enc AS (
-         |  SELECT p.vec_id, p.m, c.cid, ${l2("p.sv", "c.cv")} AS d
-         |  FROM pp p JOIN cb c ON p.m = c.m
-         |), codes AS (
-         |  SELECT vec_id, m, cid AS code FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, cid) AS rn
-         |    FROM enc) WHERE rn = 1
-         |), dt AS (
-         |  SELECT q.vec_id AS query_id, q.m, c.cid AS code, ${l2("q.sv", "c.cv")} AS dq
-         |  FROM pp q JOIN cb c ON q.m = c.m WHERE q.vec_id < $NQueries
-         |), ad AS (
-         |  SELECT d.query_id, x.vec_id,
-         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(
-         |      list_sort(list(struct_pack(m := x.m, dq := d.dq))), s -> s['dq'])),
-         |      (a, v) -> a + v) AS adist
-         |  FROM codes x JOIN dt d ON x.m = d.m AND x.code = d.code
-         |  WHERE x.vec_id != d.query_id
-         |  GROUP BY d.query_id, x.vec_id
-         |), r AS (
+    "knn_pq" ->
+      s"""WITH $PqCte, r AS (
          |  SELECT query_id, vec_id, adist,
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id) AS BIGINT) AS rk
          |  FROM ad
          |)
          |SELECT query_id, rk, vec_id, round(adist, 6) AS adist
-         |FROM r WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin
-    },
+         |FROM r WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    "ann_recall_pq" ->
+      s"""${OracleSql.NormCte}, $PqCte, pqr AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id) AS rk
+         |  FROM ad
+         |), pqf AS (SELECT query_id, vec_id FROM pqr WHERE rk <= $TopK),
+         |bp AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+         |    ${OracleSql.cosineN("q.embedding", "b.embedding", "q.nm", "b.nm")} AS c
+         |  FROM nrm q JOIN nrm b ON q.vec_id < $NQueries AND b.vec_id != q.vec_id
+         |), br AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+         |  FROM bp
+         |), bfr AS (SELECT query_id, vec_id FROM br WHERE rk <= $TopK)
+         |SELECT bfr.query_id AS query_id,
+         |  CAST(sum(CASE WHEN pqf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  round(sum(CASE WHEN pqf.vec_id IS NOT NULL THEN 1 ELSE 0 END) / $TopK.0, 4) AS recall
+         |FROM bfr LEFT JOIN pqf ON bfr.query_id = pqf.query_id AND bfr.vec_id = pqf.vec_id
+         |GROUP BY bfr.query_id ORDER BY query_id""".stripMargin,
     "knn_lsh" ->
       s"""${OracleSql.NormCte}$LshAssignCte, p AS (
          |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id, b.bucket,

@@ -107,6 +107,24 @@ class SourcesSpec extends SparkSpec {
     assert(IndexStore.lookup(spark, out, "z", nBuckets = 4).count() === 0)
   }
 
+  test("cli: index/search/query mirror the reference's command surface") {
+    val dir = tmpDir("graft-cli")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/docs.tsv"),
+      "Doc One\tspark join spark\nDoc Two\tspark filter\nDoc Three\tsort merge\n")
+    val stats = Cli.run(spark,
+      Seq("index", s"$dir/docs.tsv", s"$dir/index", "4")).collect()
+    assert(stats.head.getLong(0) === 6L) // 6 (term, title) postings
+    assert(stats.head.getLong(1) === 5L) // 5 distinct terms
+    val hits = Cli.run(spark,
+        Seq("search", s"$dir/index", "spark", "10", "4")).collect()
+      .map(r => (r.getAs[String]("title"), r.getAs[Long]("tf")))
+    assert(hits.toSeq === Seq(("Doc One", 2L), ("Doc Two", 1L)))
+    val q = Cli.run(spark,
+        Seq("query", s"$dir/docs.tsv", "spark AND NOT filter")).collect()
+    assert(q.map(_.getAs[String]("title")).toSeq === Seq("Doc One"))
+    intercept[IllegalArgumentException](Cli.run(spark, Seq("bogus")))
+  }
+
   test("sql extensions: registered functions plan the native kernels") {
     val h = spark.sql("SELECT rolling_hash('abc')").head().getLong(0)
     assert(h === HashImpl.roll(UTF8String.fromString("abc"), 1000000007L))
