@@ -200,8 +200,12 @@ object Dedup {
     * EXACTLY the brute-force pair set — which is what the DuckDB
     * oracle computes by cross join.
     */
-  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhashDf(Tables.documents(spark, dir))
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsOf(Tables.documents(spark, dir))
+
+  /** [[simhashPairs]] over any (doc_id, text) frame. */
+  def simhashPairsOf(docs: DataFrame): DataFrame = {
+    val sh = simhashDf(docs)
     val bands = sh.select(col("doc_id"), col("simhash"),
         explode(array(
           struct(lit(0).as("band"), (col("simhash") % 65536).as("v")),
@@ -397,13 +401,18 @@ object Dedup {
     s"SELECT doc_id, $bd AS band, $k AS k FROM sig"
   }.mkString("\n  UNION ALL ")
 
-  private val simhashCte: String = {
+  /** `toks` → `tf` → `hh` → `bits` → `sh` simhash chain over any
+    * (doc_id, text) source relation — no WITH prefix, so it composes
+    * after other CTEs ([[oracles]]' pipeline_clean scopes it to the
+    * dedup survivors).
+    */
+  private[operators] def simhashBody(src: String): String = {
     val bitSums = (0 until 32).map(b =>
       s"sum(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN tf ELSE -tf END) AS b$b").mkString(",\n    ")
     val asm = (0 until 32).map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) AS tk
-       |  FROM documents
+       |  FROM $src
        |), tf AS (
        |  SELECT doc_id, term, count(*) AS tf
        |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY doc_id, term
@@ -417,9 +426,11 @@ object Dedup {
        |  -- LEFT JOIN keeps zero-token documents (unnest drops them from
        |  -- tf) with simhash 0, matching the Spark kernel on empty docs
        |  SELECT d.doc_id, coalesce(CAST($asm AS BIGINT), 0) AS simhash
-       |  FROM documents d LEFT JOIN bits USING (doc_id)
+       |  FROM $src d LEFT JOIN bits USING (doc_id)
        |)""".stripMargin
   }
+
+  private val simhashCte: String = s"WITH ${simhashBody("documents")}"
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->

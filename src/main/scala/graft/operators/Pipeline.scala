@@ -111,9 +111,44 @@ object Pipeline {
       .orderBy("holdout_doc")
   }
 
+  /** The end-to-end cleaning funnel a training corpus goes through,
+    * as ONE composed query: raw → quality rules
+    * ([[TextAnalysis.qualityFlagsOf]]) → exact dedup (canonical
+    * md5(text) member) → near-dup removal (simhash pairs AMONG the
+    * survivors → connected components → drop non-canonicals) → train
+    * split. Output = documents surviving each stage — the dataset-card
+    * funnel, and the audit that every cleaning stage actually ran.
+    * Each stage is the already-proven operator applied to the previous
+    * stage's survivors; nothing here is new machinery, which is the
+    * point: the pipeline is composition, not a monolith.
+    */
+  def pipelineClean(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val qd = TextAnalysis.qualityFlagsOf(docs).filter(col("keep") === 1L)
+      .select(docs.columns.map(col): _*)
+    val canon = qd.groupBy(md5(col("text")).as("k"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val ed = qd.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+    val drop = GraftOps.connectedComponents(
+        Dedup.simhashPairsOf(ed).select("doc_a", "doc_b"),
+        srcCol = "doc_a", dstCol = "doc_b")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"))
+    val nd = ed.join(drop, Seq("doc_id"), "left_anti")
+    val tr = nd.filter(HashFns.rollingHash(col("doc_id").cast("string")) % 100 < 90)
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
+    Seq(stage("0_raw", docs), stage("1_quality", qd),
+        stage("2_exact_dedup", ed), stage("3_near_dedup", nd),
+        stage("4_train", tr))
+      .reduce(_ unionByName _)
+      .orderBy("stage")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_clean" -> pipelineClean,
     "contamination_check" -> contaminationCheck,
     "train_test_split" -> trainTestSplit,
     "stratified_sample" -> stratifiedSample,
@@ -125,6 +160,49 @@ object Pipeline {
     s"${OracleSql.roll(e, HashFns.P)} % 100"
 
   val oracles: Map[String, String] = Map(
+    "pipeline_clean" ->
+      s"""WITH RECURSIVE q0 AS (
+         |  SELECT *,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS ntc,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t IN ${TextAnalysis.inList(TextFns.Stopwords)})) AS BIGINT) AS ns,
+         |    CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0))) AS BIGINT) AS ndt
+         |  FROM documents
+         |), q AS (
+         |  SELECT doc_id, text, lang, source, n_chars FROM q0
+         |  WHERE n_tokens BETWEEN 20 AND 80
+         |    AND ntc::DOUBLE / greatest(n_tokens, 1) BETWEEN 2.0 AND 8.0
+         |    AND ns::DOUBLE / greatest(n_tokens, 1) >= 0.05
+         |    AND ndt::DOUBLE / greatest(n_tokens, 1) >= 0.3
+         |), e AS (
+         |  SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)
+         |), ed AS (
+         |  SELECT q.* FROM q JOIN e USING (doc_id)
+         |), ${Dedup.simhashBody("ed")}, prs AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |), sym AS (
+         |  SELECT da AS a, db AS b FROM prs UNION ALL SELECT db, da FROM prs
+         |), reach AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+         |), dropd AS (
+         |  SELECT a AS doc_id FROM reach GROUP BY a HAVING least(a, min(b)) != a
+         |), nd2 AS (
+         |  SELECT ed.* FROM ed LEFT JOIN dropd USING (doc_id)
+         |  WHERE dropd.doc_id IS NULL
+         |), tr AS (
+         |  SELECT * FROM nd2 WHERE ${hashPct("doc_id::VARCHAR")} < 90
+         |)
+         |SELECT * FROM (
+         |  SELECT '0_raw' AS stage, count(*) AS n_docs FROM documents
+         |  UNION ALL SELECT '1_quality', count(*) FROM q
+         |  UNION ALL SELECT '2_exact_dedup', count(*) FROM ed
+         |  UNION ALL SELECT '3_near_dedup', count(*) FROM nd2
+         |  UNION ALL SELECT '4_train', count(*) FROM tr
+         |) ORDER BY stage""".stripMargin,
     "contamination_check" ->
       s"""${OracleSql.ShingleHashCte}, ex AS (
          |  SELECT doc_id, unnest(list_distinct(h)) AS hh FROM hs

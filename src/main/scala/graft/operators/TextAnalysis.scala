@@ -370,7 +370,7 @@ object TextAnalysis {
     "pii_scrub" -> piiScrub,
     "zipf_fit" -> zipfFit)
 
-  private def inList(xs: Seq[String]): String =
+  private[operators] def inList(xs: Seq[String]): String =
     xs.map(s => s"'$s'").mkString("(", ", ", ")")
 
   private val langIdSql: String = {

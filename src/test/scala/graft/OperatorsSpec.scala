@@ -346,6 +346,16 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("pipeline_clean: funnel is monotone non-increasing from raw to train") {
+    val f = operators.Pipeline.pipelineClean(spark, sfDir)
+      .orderBy("stage").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(f.map(_._1).toSeq ===
+      Seq("0_raw", "1_quality", "2_exact_dedup", "3_near_dedup", "4_train"))
+    val ns = f.map(_._2)
+    assert(ns.zip(ns.tail).forall { case (a, b) => b <= a })
+    assert(ns.head > 0L && ns.last > 0L)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
