@@ -186,8 +186,15 @@ object Dedup {
     * approximates.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairs(Tables.documents(spark, dir), 0.5)
-      .filter(col("j") >= 0.5)
+    jaccardPairsOf(Tables.documents(spark, dir), 0.5)
+
+  /** Exact all-pairs shingle-Jaccard ≥ `threshold` over any
+    * (doc_id, text) frame — the public form of [[jaccardPairs]]
+    * (prefix + positional filtering, then exact verification).
+    */
+  def jaccardPairsOf(docs: DataFrame, threshold: Double): DataFrame =
+    jaccardPairs(docs, threshold)
+      .filter(col("j") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 

@@ -356,6 +356,36 @@ class OperatorsSpec extends SparkSpec {
     assert(ns.head > 0L && ns.last > 0L)
   }
 
+  test("jaccardPairsOf: prefix+positional filtering is lossless vs brute force") {
+    import spark.implicits._
+    // seeded random word-salad docs over a small vocab → many near-dup pairs
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val rows = (0L until 60L).map { i =>
+      val n = 3 + rnd.nextInt(10)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val docs = rows.toDF("doc_id", "text")
+      val got = operators.Dedup.jaccardPairsOf(docs, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // naive brute force over the same kernel-hashed distinct shingle sets
+      val sets = operators.Dedup.shingleHashes(docs)
+        .select(col("doc_id"), array_distinct(col("hs")).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val want = (for {
+        a <- rows.map(_._1); b <- rows.map(_._1) if a < b
+        sa = sets(a); sb = sets(b)
+        i = (sa & sb).size
+        u = sa.size + sb.size - i
+        if u > 0
+        j = i.toDouble / u
+        if j >= t
+      } yield (a, b, BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+      assert(got === want, s"threshold $t")
+    }
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
