@@ -13,7 +13,9 @@ object Explain {
                 else Seq("q1_agg", "q3_topk", "term_search", "semi_join",
                   "asof_join", "inverted_index", "knn_ivf", "minhash_lsh_pairs",
                   "rrf_fusion", "funnel_steps", "salted_join", "sample_k",
-                  "postings_compress")
+                  "postings_compress", "ngram_jaccard", "knn_pq",
+                  "contamination_check", "concurrency_peak", "cooccur_pmi",
+                  "skew_report", "pipeline_clean")
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

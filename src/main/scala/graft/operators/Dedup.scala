@@ -383,9 +383,33 @@ object Dedup {
       .limit(50)
   }
 
+  /** The LSH banding design curve: candidate probability
+    * P = 1 − (1 − j^r)^b at Jaccard j for the configured 4×4 banding
+    * ([[minhashLshPairs]]) — the table that justifies (or re-tunes)
+    * the b/r choice before a 100 TB run: read off the false-negative
+    * rate at the dedup threshold and the false-candidate rate below
+    * it. Powers are explicit squarings (j²·j², not pow) so every
+    * double is a product — bitwise cross-engine. Data-free: the curve
+    * depends only on the banding, so it costs one 19-row map.
+    */
+  def lshTuningCurve(spark: SparkSession, dir: String): DataFrame = {
+    val j = (col("i").cast("double") / 20.0).as("j")
+    val j2 = col("j") * col("j")
+    val j4 = (j2 * j2).as("jr")        // j^r, r = 4
+    val m = (lit(1.0) - col("jr")).as("m")
+    val m2 = col("m") * col("m")
+    val p = (lit(1.0) - m2 * m2).as("p_cand") // 1 - (1-j^r)^b, b = 4
+    spark.range(1, 20).select(col("id").as("i"))
+      .select(col("i"), j).select(col("i"), col("j"), j4)
+      .select(col("i"), col("j"), col("jr"), m)
+      .select(col("i"), round(col("j"), 2).as("j"), round(p, 6).as("p_cand"))
+      .orderBy("i")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lsh_tuning_curve" -> lshTuningCurve,
     "dedup_exact" -> dedupExact,
     "dedup_norm" -> dedupNorm,
     "minhash_signatures" -> minhashSignatures,
@@ -440,6 +464,13 @@ object Dedup {
   private val simhashCte: String = s"WITH ${simhashBody("documents")}"
 
   val oracles: Map[String, String] = Map(
+    "lsh_tuning_curve" ->
+      """WITH r AS (SELECT unnest(range(1, 20)) AS i),
+        |a AS (SELECT i, i::DOUBLE / 20.0 AS j FROM r),
+        |b AS (SELECT i, j, (j * j) * (j * j) AS jr FROM a),
+        |c AS (SELECT i, j, jr, 1.0 - jr AS m FROM b)
+        |SELECT i, round(j, 2) AS j, round(1.0 - (m * m) * (m * m), 6) AS p_cand
+        |FROM c ORDER BY i""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS canonical_doc
         |FROM documents GROUP BY text_md5 ORDER BY text_md5""".stripMargin,
