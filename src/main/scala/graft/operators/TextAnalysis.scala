@@ -329,6 +329,27 @@ object TextAnalysis {
         round((col("sy") - col("sl") * col("sx")) / col("n"), 6).as("intercept"))
   }
 
+  // ---- source_quality_report ------------------------------------------
+
+  /** Per-source quality audit: document counts, per-rule pass counts
+    * and the keep rate — [[qualityFilter]] rolled up to the
+    * dataset-card view that decides which sources are worth crawling
+    * again. One partial-agg shuffle over ≤|sources| groups; rates are
+    * single divisions of exact counts.
+    */
+  def sourceQualityReport(spark: SparkSession, dir: String): DataFrame =
+    qualityFlagsOf(Tables.documents(spark, dir))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("r_len")).as("n_len_ok"),
+        sum(col("r_wordlen")).as("n_wordlen_ok"),
+        sum(col("r_stop")).as("n_stop_ok"),
+        sum(col("r_ttr")).as("n_ttr_ok"),
+        sum(col("keep")).as("n_keep"))
+      .withColumn("keep_rate",
+        round(col("n_keep").cast("double") / col("n_docs"), 4))
+      .orderBy("source")
+
   // ---- bpe_merges ------------------------------------------------------
 
   /** First-round BPE merge candidates: the 20 most frequent adjacent
@@ -366,6 +387,7 @@ object TextAnalysis {
     "vocab_growth" -> vocabGrowth,
     "bigram_lm" -> bigramLm,
     "quality_filter" -> qualityFilter,
+    "source_quality_report" -> sourceQualityReport,
     "readability" -> readability,
     "pii_scrub" -> piiScrub,
     "zipf_fit" -> zipfFit)
@@ -484,6 +506,33 @@ object TextAnalysis {
          |  round((bc.c12 + 1)::DOUBLE / (ctx.c1::DOUBLE + v.v), 6) AS p_smooth
          |FROM bc JOIN ctx USING (w1), v
          |ORDER BY c12 DESC, w1, w2 LIMIT 20""".stripMargin,
+    "source_quality_report" ->
+      s"""WITH q AS (
+         |  SELECT source,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS ntc,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t IN ${inList(TextFns.Stopwords)})) AS BIGINT) AS ns,
+         |    CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0))) AS BIGINT) AS ndt
+         |  FROM documents
+         |), f AS (
+         |  SELECT source,
+         |    CAST(CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS BIGINT) AS r_len,
+         |    CAST(CASE WHEN ntc::DOUBLE / greatest(n_tokens, 1) BETWEEN 2.0 AND 8.0 THEN 1 ELSE 0 END AS BIGINT) AS r_wordlen,
+         |    CAST(CASE WHEN ns::DOUBLE / greatest(n_tokens, 1) >= 0.05 THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+         |    CAST(CASE WHEN ndt::DOUBLE / greatest(n_tokens, 1) >= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS r_ttr
+         |  FROM q
+         |), g AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(r_len) AS BIGINT) AS n_len_ok,
+         |    CAST(sum(r_wordlen) AS BIGINT) AS n_wordlen_ok,
+         |    CAST(sum(r_stop) AS BIGINT) AS n_stop_ok,
+         |    CAST(sum(r_ttr) AS BIGINT) AS n_ttr_ok,
+         |    CAST(sum(r_len * r_wordlen * r_stop * r_ttr) AS BIGINT) AS n_keep
+         |  FROM f GROUP BY source
+         |)
+         |SELECT source, n_docs, n_len_ok, n_wordlen_ok, n_stop_ok, n_ttr_ok, n_keep,
+         |  round(n_keep::DOUBLE / n_docs, 4) AS keep_rate
+         |FROM g ORDER BY source""".stripMargin,
     "quality_filter" ->
       s"""WITH q AS (
          |  SELECT doc_id,
