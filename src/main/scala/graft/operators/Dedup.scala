@@ -406,9 +406,32 @@ object Dedup {
       .orderBy("i")
   }
 
+  /** Triangle enumeration on the near-dup graph: doc triples that are
+    * pairwise near-duplicates — the densest duplication structure
+    * (every triangle is three docs one canonical should replace; the
+    * triangle rate is the standard graph-health statistic for a dedup
+    * graph). Edge-iterator formulation on (a < b)-oriented edges —
+    * each triangle found exactly once, two edge-keyed joins, never a
+    * node-keyed neighborhood explosion; the oriented edge list is the
+    * frame all three branches share (checkpointed once, like
+    * [[neardupPagerank]]'s).
+    */
+  def neardupTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = simhashPairs(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .localCheckpoint()
+    e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+      .as("t")
+      .join(e.as("e3"),
+        col("t.a") === col("e3.a") && col("t.c") === col("e3.b"), "left_semi")
+      .orderBy("a", "b", "c")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "neardup_triangles" -> neardupTriangles,
     "lsh_tuning_curve" -> lshTuningCurve,
     "dedup_exact" -> dedupExact,
     "dedup_norm" -> dedupNorm,
@@ -464,6 +487,17 @@ object Dedup {
   private val simhashCte: String = s"WITH ${simhashBody("documents")}"
 
   val oracles: Map[String, String] = Map(
+    "neardup_triangles" ->
+      s"""$simhashCte, prs AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |)
+         |SELECT e1.a AS a, e1.b AS b, e2.b AS c
+         |FROM prs e1
+         |JOIN prs e2 ON e1.b = e2.a
+         |JOIN prs e3 ON e1.a = e3.a AND e2.b = e3.b
+         |ORDER BY a, b, c""".stripMargin,
     "lsh_tuning_curve" ->
       """WITH r AS (SELECT unnest(range(1, 20)) AS i),
         |a AS (SELECT i, i::DOUBLE / 20.0 AS j FROM r),

@@ -291,23 +291,39 @@ object Similarity {
     * m-sorted distance list so the double addition order is fixed
     * cross-engine.
     */
-  def knnPq(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val parts = pqParts(e)
-    val cb = parts.filter(col("vec_id") < NCentroids)
+  /** PQ codebook: the first [[NCentroids]] vectors' subvectors. */
+  private def pqCodebook(parts: DataFrame): DataFrame =
+    parts.filter(col("vec_id") < NCentroids)
       .select(col("vec_id").as("cid"), col("m"), col("sv").as("cv"))
+
+  /** (vec_id, m, code): argmin-L2 code per subspace — the [[NSub]]-byte
+    * compressed representation of every vector.
+    */
+  private def pqCodes(parts: DataFrame, cb: DataFrame): DataFrame = {
     val wEnc = Window.partitionBy("vec_id", "m").orderBy(col("d").asc, col("cid"))
-    val codes = parts.join(broadcast(cb), "m")
+    parts.join(broadcast(cb), "m")
       .withColumn("d", l2sq(col("sv"), col("cv")))
       .withColumn("rn", row_number().over(wEnc))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("m"), col("cid").as("code"))
-    val dtab = parts.filter(col("vec_id") < NQueries)
+  }
+
+  /** (query_id, m, code, dq): each query's distance table to every
+    * codebook entry — queries × subspaces × codes rows, broadcast.
+    */
+  private def pqDtab(parts: DataFrame, cb: DataFrame): DataFrame =
+    parts.filter(col("vec_id") < NQueries)
       .join(broadcast(cb), "m")
       .withColumn("dq", l2sq(col("sv"), col("cv")))
       .select(col("vec_id").as("query_id"), col("m"), col("cid").as("code"), col("dq"))
+
+  /** Rank candidate (query, vector) code matches by the ADC table-sum
+    * Σ_m dq(m, code_m) — folded over the m-sorted list so the double
+    * addition order is fixed cross-engine.
+    */
+  private def adcRank(matches: DataFrame): DataFrame = {
     val wRank = Window.partitionBy("query_id").orderBy(col("adist").asc, col("vec_id"))
-    codes.join(broadcast(dtab), Seq("m", "code"))
+    matches
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
       .agg(sort_array(collect_list(struct(col("m"), col("dq")))).as("ds"))
@@ -318,6 +334,33 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("vec_id"),
         round(col("adist"), 6).as("adist"))
       .orderBy("query_id", "rk")
+  }
+
+  def knnPq(spark: SparkSession, dir: String): DataFrame = {
+    val parts = pqParts(Tables.embeddings(spark, dir))
+    val cb = pqCodebook(parts)
+    adcRank(pqCodes(parts, cb).join(broadcast(pqDtab(parts, cb)), Seq("m", "code")))
+  }
+
+  /** IVF + PQ — the standard billion-scale ANN architecture (an IVF
+    * coarse quantizer routes each query to its nearest-centroid
+    * bucket; inside the bucket, candidates rank by their global PQ
+    * codes via the ADC table): the corpus is stored as (bucket,
+    * [[NSub]] codes) per vector — a handful of bytes — and a query
+    * reads one bucket's codes, never raw vectors. Data-side shape is
+    * [[knnIvf]]'s bucket join; compute-side is [[knnPq]]'s table-sum.
+    */
+  def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val parts = pqParts(e)
+    val cb = pqCodebook(parts)
+    val asg = ivfAssign(e).select(col("vec_id"), col("bucket"))
+    val qb = asg.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("bucket"))
+    val dtabB = pqDtab(parts, cb).join(qb, "query_id")
+    adcRank(
+      pqCodes(parts, cb).join(asg, "vec_id")
+        .join(broadcast(dtabB), Seq("m", "code", "bucket")))
   }
 
   /** The compression-vs-recall trade quantified: recall@10 of the
@@ -337,6 +380,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall_pq" -> annRecallPq,
     "knn_pq" -> knnPq,
+    "knn_ivf_pq" -> knnIvfPq,
     "knn_bruteforce" -> knnBruteforce,
     "knn_ivf" -> knnIvf,
     "knn_lsh" -> knnLsh,
@@ -418,6 +462,27 @@ object Similarity {
          |)
          |SELECT query_id, rk, vec_id, round(adist, 6) AS adist
          |FROM r WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    "knn_ivf_pq" ->
+      s"""${OracleSql.NormCte}$AssignCte, $PqCte, qb AS (
+         |  SELECT vec_id AS query_id, bucket FROM asg WHERE vec_id < $NQueries
+         |), ad2 AS (
+         |  SELECT d.query_id, x.vec_id,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+         |      list_sort(list(struct_pack(m := x.m, dq := d.dq))), s -> s['dq'])),
+         |      (a, v) -> a + v) AS adist
+         |  FROM codes x
+         |  JOIN asg ba ON x.vec_id = ba.vec_id
+         |  JOIN dt d ON x.m = d.m AND x.code = d.code
+         |  JOIN qb ON qb.query_id = d.query_id AND qb.bucket = ba.bucket
+         |  WHERE x.vec_id != d.query_id
+         |  GROUP BY d.query_id, x.vec_id
+         |), r2 AS (
+         |  SELECT query_id, vec_id, adist,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id) AS BIGINT) AS rk
+         |  FROM ad2
+         |)
+         |SELECT query_id, rk, vec_id, round(adist, 6) AS adist
+         |FROM r2 WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
     "ann_recall_pq" ->
       s"""${OracleSql.NormCte}, $PqCte, pqr AS (
          |  SELECT query_id, vec_id,
