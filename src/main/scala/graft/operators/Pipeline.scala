@@ -128,7 +128,12 @@ object Pipeline {
       .select(docs.columns.map(col): _*)
     val canon = qd.groupBy(md5(col("text")).as("k"))
       .agg(min(col("doc_id")).as("doc_id"))
+    // the exact-dedup survivor frame feeds four downstream branches
+    // (simhash pairs, near-dup anti-join, train filter, stage counts):
+    // materialize it once — the branches differ, so ReusedExchange
+    // cannot dedupe them (same reasoning as neardupPagerank's edges)
     val ed = qd.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     val drop = GraftOps.connectedComponents(
         Dedup.simhashPairsOf(ed).select("doc_a", "doc_b"),
         srcCol = "doc_a", dstCol = "doc_b")
