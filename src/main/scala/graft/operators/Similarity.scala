@@ -375,10 +375,21 @@ object Similarity {
         knnPq(spark, dir))
       .orderBy("query_id")
 
+  /** Recall@10 of the composed IVF+PQ path ([[knnIvfPq]]) — the audit
+    * of the full billion-scale architecture: coarse-quantizer routing
+    * loss AND code-compression loss in one number, per query.
+    */
+  def annRecallIvfPq(spark: SparkSession, dir: String): DataFrame =
+    recallOf(
+        knnBruteforce(spark, dir).select(col("query_id"), col("vec_id")),
+        knnIvfPq(spark, dir))
+      .orderBy("query_id")
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall_pq" -> annRecallPq,
+    "ann_recall_ivfpq" -> annRecallIvfPq,
     "knn_pq" -> knnPq,
     "knn_ivf_pq" -> knnIvfPq,
     "knn_bruteforce" -> knnBruteforce,
@@ -483,6 +494,39 @@ object Similarity {
          |)
          |SELECT query_id, rk, vec_id, round(adist, 6) AS adist
          |FROM r2 WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    "ann_recall_ivfpq" ->
+      s"""${OracleSql.NormCte}$AssignCte, $PqCte, qb AS (
+         |  SELECT vec_id AS query_id, bucket FROM asg WHERE vec_id < $NQueries
+         |), ad2 AS (
+         |  SELECT d.query_id, x.vec_id,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+         |      list_sort(list(struct_pack(m := x.m, dq := d.dq))), s -> s['dq'])),
+         |      (a, v) -> a + v) AS adist
+         |  FROM codes x
+         |  JOIN asg ba ON x.vec_id = ba.vec_id
+         |  JOIN dt d ON x.m = d.m AND x.code = d.code
+         |  JOIN qb ON qb.query_id = d.query_id AND qb.bucket = ba.bucket
+         |  WHERE x.vec_id != d.query_id
+         |  GROUP BY d.query_id, x.vec_id
+         |), ipr AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id) AS rk
+         |  FROM ad2
+         |), ipf AS (SELECT query_id, vec_id FROM ipr WHERE rk <= $TopK),
+         |bp AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+         |    ${OracleSql.cosineN("q.embedding", "b.embedding", "q.nm", "b.nm")} AS c
+         |  FROM nrm q JOIN nrm b ON q.vec_id < $NQueries AND b.vec_id != q.vec_id
+         |), br AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+         |  FROM bp
+         |), bfr AS (SELECT query_id, vec_id FROM br WHERE rk <= $TopK)
+         |SELECT bfr.query_id AS query_id,
+         |  CAST(sum(CASE WHEN ipf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  round(sum(CASE WHEN ipf.vec_id IS NOT NULL THEN 1 ELSE 0 END) / $TopK.0, 4) AS recall
+         |FROM bfr LEFT JOIN ipf ON bfr.query_id = ipf.query_id AND bfr.vec_id = ipf.vec_id
+         |GROUP BY bfr.query_id ORDER BY query_id""".stripMargin,
     "ann_recall_pq" ->
       s"""${OracleSql.NormCte}, $PqCte, pqr AS (
          |  SELECT query_id, vec_id,

@@ -107,6 +107,20 @@ class SourcesSpec extends SparkSpec {
     assert(IndexStore.lookup(spark, out, "z", nBuckets = 4).count() === 0)
   }
 
+  test("corpus store: lang-partitioned layout prunes single-language reads") {
+    val dir = tmpDir("graft-corpus") + "/corpus"
+    val docs = sources.Tables.documents(spark, sfDir)
+    sources.CorpusStore.save(docs, dir)
+    val back = sources.CorpusStore.load(spark, dir)
+    assert(back.count() === docs.count())
+    val de = sources.CorpusStore.loadLang(spark, dir, "de")
+    assert(de.count() ===
+      docs.filter(col("lang") === "de").count())
+    // the lang filter must prune at planning time, not post-scan
+    val plan = de.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"))
+  }
+
   test("cli: index/search/query mirror the reference's command surface") {
     val dir = tmpDir("graft-cli")
     Files.writeString(java.nio.file.Paths.get(s"$dir/docs.tsv"),
