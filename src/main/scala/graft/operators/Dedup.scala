@@ -416,22 +416,55 @@ object Dedup {
     * frame all three branches share (checkpointed once, like
     * [[neardupPagerank]]'s).
     */
-  def neardupTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val e = simhashPairs(spark, dir)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .localCheckpoint()
+  /** (a, b, c) triangles of an (a < b)-oriented edge frame. */
+  private def trianglesOf(e: DataFrame): DataFrame =
     e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
       .as("t")
       .join(e.as("e3"),
         col("t.a") === col("e3.a") && col("t.c") === col("e3.b"), "left_semi")
+
+  def neardupTriangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesOf(
+        simhashPairs(spark, dir)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+          .localCheckpoint())
       .orderBy("a", "b", "c")
+
+  /** Local clustering structure of the near-dup graph: per node its
+    * degree, triangle participation and clustering coefficient
+    * 2T / (deg·(deg−1)) — separates tight duplicate cliques
+    * (coefficient ≈ 1: pick one canonical, drop the rest) from hub
+    * false-positive stars (coefficient ≈ 0: a hash collision chain to
+    * split, exactly the docs [[neardupPagerank]] surfaces). Degrees
+    * and triangles both derive from the one checkpointed edge frame;
+    * the coefficient is one exact-integer division.
+    */
+  def neardupClustering(spark: SparkSession, dir: String): DataFrame = {
+    val e = simhashPairs(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .localCheckpoint()
+    val deg = e.select(col("a").as("doc_id"))
+      .unionByName(e.select(col("b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    val tc = trianglesOf(e)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("t"))
+    deg.join(tc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("t"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("t"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)), 4))
+          .otherwise(lit(0.0)).as("clustering"))
+      .orderBy("doc_id")
   }
 
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "neardup_triangles" -> neardupTriangles,
+    "neardup_clustering" -> neardupClustering,
     "lsh_tuning_curve" -> lshTuningCurve,
     "dedup_exact" -> dedupExact,
     "dedup_norm" -> dedupNorm,
@@ -487,6 +520,31 @@ object Dedup {
   private val simhashCte: String = s"WITH ${simhashBody("documents")}"
 
   val oracles: Map[String, String] = Map(
+    "neardup_clustering" ->
+      s"""$simhashCte, prs AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |), tri AS (
+         |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+         |  FROM prs e1
+         |  JOIN prs e2 ON e1.b = e2.a
+         |  JOIN prs e3 ON e1.a = e3.a AND e2.b = e3.b
+         |), tn AS (
+         |  SELECT unnest([a, b, c]) AS doc_id FROM tri
+         |), tc AS (
+         |  SELECT doc_id, count(*) AS t FROM tn GROUP BY doc_id
+         |), sym AS (
+         |  SELECT a AS doc_id FROM prs UNION ALL SELECT b FROM prs
+         |), dg AS (
+         |  SELECT doc_id, count(*) AS degree FROM sym GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, d.degree,
+         |  CAST(coalesce(tc.t, 0) AS BIGINT) AS n_triangles,
+         |  CASE WHEN d.degree >= 2
+         |    THEN round(2.0 * coalesce(tc.t, 0) / (d.degree * (d.degree - 1)), 4)
+         |    ELSE 0.0 END AS clustering
+         |FROM dg d LEFT JOIN tc USING (doc_id) ORDER BY doc_id""".stripMargin,
     "neardup_triangles" ->
       s"""$simhashCte, prs AS (
          |  SELECT a.doc_id AS a, b.doc_id AS b
