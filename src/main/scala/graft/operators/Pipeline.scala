@@ -150,6 +150,18 @@ object Pipeline {
       .orderBy("stage")
   }
 
+  /** Persist a corpus's distinct shingle-hash set — the reference
+    * artifact [[graft.streaming.Stream.contaminationGate]] screens
+    * incoming documents against. One column, repartitioned by hash
+    * range so the per-batch join shuffles evenly.
+    */
+  def saveShingleSet(docs: DataFrame, path: String): Unit =
+    Dedup.shingleHashes(docs)
+      .select(explode(array_distinct(col("hs"))).as("hh"))
+      .distinct()
+      .repartitionByRange(32, col("hh"))
+      .write.mode("overwrite").parquet(path)
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -167,6 +167,35 @@ object Stream {
         ()
       }
 
+  /** Streaming benchmark-contamination screen: every micro-batch's
+    * documents are shingled (the same kernel the batch
+    * `contamination_check` uses) and joined against a SAVED train-
+    * shingle set ([[graft.operators.Pipeline.saveShingleSet]]);
+    * documents sharing any shingle land in a quarantine directory per
+    * batch (idempotent replay, like [[qualityGate]]) with their
+    * overlap count. State lives in the store, not executor memory —
+    * the indexMaintenance pattern — so the screen handles any train
+    * corpus size; a production deployment swaps the join for a bloom
+    * filter broadcast when the shingle set fits one.
+    */
+  def contaminationGate(docs: DataFrame, trainShinglePath: String,
+                        quarantinePath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val train = spark.read.parquet(trainShinglePath)
+        val hits = graft.operators.Dedup.shingleHashes(batch)
+          .select(col("doc_id"), explode(array_distinct(col("hs"))).as("hh"))
+          .join(train, "hh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shared_shingles"))
+        batch.join(hits, "doc_id")
+          .write.mode("overwrite").parquet(s"$quarantinePath/batch=$batchId")
+        ()
+      }
+
   /** Watermarked tumbling 1-hour counts per event type — streaming
     * twin of `Analytics.windowTumbling`.
     */

@@ -149,6 +149,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_contamination: docs sharing train shingles are quarantined") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-cgate").toString
+    val train = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    graft.operators.Pipeline.saveShingleSet(train, s"$base/shingles")
+    val in = MemoryStream[(Long, String)]
+    val q = Stream.contaminationGate(in.toDF().toDF("doc_id", "text"),
+      s"$base/shingles", s"$base/quarantine").start()
+    try {
+      in.addData(
+        (0L, "contains the quick brown fox verbatim"), // shares shingles
+        (1L, "totally different words entirely here")) // shares none
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$base/quarantine")
+        .select("doc_id", "n_shared_shingles").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.map(_._1).toSeq === Seq(0L))
+      assert(rows.head._2 >= 1L) // "the quick brown" + "quick brown fox"
+    } finally q.stop()
+  }
+
   test("stream_topk: update-mode running wordcount merges across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
