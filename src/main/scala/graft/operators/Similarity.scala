@@ -201,6 +201,36 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Residual-encoded IVF+PQ — the faithful billion-scale
+    * formulation: PQ codes quantize the RESIDUAL x − c(bucket(x))
+    * rather than x itself (residuals are smaller and centered, so the
+    * same 16-code budget spends its resolution where the data
+    * actually is — the textbook reason IVF-PQ beats flat PQ). The
+    * residual subtraction is per-element float arithmetic (one exact
+    * IEEE op both engines share); everything downstream is
+    * [[knnIvfPq]]'s machinery over the residual frame, including the
+    * query's own-bucket residual distance table.
+    */
+  def knnIvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents = e.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val res = ivfAssign(e)
+      .join(broadcast(cents), col("bucket") === col("cid"))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("ce"), (a, b) => a - b).as("embedding"),
+        col("bucket"))
+    val parts = pqParts(res.select("vec_id", "embedding"))
+    val cb = pqCodebook(parts)
+    val asg = res.select("vec_id", "bucket")
+    val qb = asg.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("bucket"))
+    val dtabB = pqDtab(parts, cb).join(qb, "query_id")
+    adcRank(
+      pqCodes(parts, cb).join(asg, "vec_id")
+        .join(broadcast(dtabB), Seq("m", "code", "bucket")))
+  }
+
   /** kNN majority-label classification of the query vectors: each
     * query's 10 brute-force nearest neighbors vote with their `label`;
     * prediction = most votes, ties to the smaller label. The label
@@ -392,6 +422,7 @@ object Similarity {
     "ann_recall_ivfpq" -> annRecallIvfPq,
     "knn_pq" -> knnPq,
     "knn_ivf_pq" -> knnIvfPq,
+    "knn_ivf_pq_residual" -> knnIvfPqResidual,
     "knn_bruteforce" -> knnBruteforce,
     "knn_ivf" -> knnIvf,
     "knn_lsh" -> knnLsh,
@@ -434,13 +465,13 @@ object Similarity {
     * subvector split, codebook, encoding, distance table, ADC sums —
     * mirrors [[knnPq]] op-for-op. No leading WITH so it composes.
     */
-  private val PqCte: String = {
+  private def pqCteOn(src: String): String = {
     def l2(a: String, b: String): String =
       s"((${OracleSql.norm2(a)}) + (${OracleSql.norm2(b)})) - 2.0 * (${OracleSql.dot(a, b)})"
     s"""pp AS (
        |  SELECT vec_id, u.m AS m,
        |    embedding[(u.m * (len(embedding) // $NSub) + 1):((u.m + 1) * (len(embedding) // $NSub))] AS sv
-       |  FROM embeddings, unnest(range($NSub)) AS u(m)
+       |  FROM $src, unnest(range($NSub)) AS u(m)
        |), cb AS (
        |  SELECT vec_id AS cid, m, sv AS cv FROM pp WHERE vec_id < $NCentroids
        |), enc AS (
@@ -466,15 +497,42 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "knn_pq" ->
-      s"""WITH $PqCte, r AS (
+      s"""WITH ${pqCteOn("embeddings")}, r AS (
          |  SELECT query_id, vec_id, adist,
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id) AS BIGINT) AS rk
          |  FROM ad
          |)
          |SELECT query_id, rk, vec_id, round(adist, 6) AS adist
          |FROM r WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    "knn_ivf_pq_residual" ->
+      s"""${OracleSql.NormCte}$AssignCte, cres AS (
+         |  SELECT a.vec_id,
+         |    list_transform(range(len(a.embedding)),
+         |      i -> a.embedding[i+1] - c.embedding[i+1]) AS embedding,
+         |    a.bucket
+         |  FROM asg a JOIN nrm c ON c.vec_id = a.bucket
+         |), ${pqCteOn("cres")}, qb AS (
+         |  SELECT vec_id AS query_id, bucket FROM cres WHERE vec_id < $NQueries
+         |), ad2 AS (
+         |  SELECT d.query_id, x.vec_id,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+         |      list_sort(list(struct_pack(m := x.m, dq := d.dq))), s -> s['dq'])),
+         |      (a, v) -> a + v) AS adist
+         |  FROM codes x
+         |  JOIN cres ba ON x.vec_id = ba.vec_id
+         |  JOIN dt d ON x.m = d.m AND x.code = d.code
+         |  JOIN qb ON qb.query_id = d.query_id AND qb.bucket = ba.bucket
+         |  WHERE x.vec_id != d.query_id
+         |  GROUP BY d.query_id, x.vec_id
+         |), r2 AS (
+         |  SELECT query_id, vec_id, adist,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id) AS BIGINT) AS rk
+         |  FROM ad2
+         |)
+         |SELECT query_id, rk, vec_id, round(adist, 6) AS adist
+         |FROM r2 WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
     "knn_ivf_pq" ->
-      s"""${OracleSql.NormCte}$AssignCte, $PqCte, qb AS (
+      s"""${OracleSql.NormCte}$AssignCte, ${pqCteOn("embeddings")}, qb AS (
          |  SELECT vec_id AS query_id, bucket FROM asg WHERE vec_id < $NQueries
          |), ad2 AS (
          |  SELECT d.query_id, x.vec_id,
@@ -495,7 +553,7 @@ object Similarity {
          |SELECT query_id, rk, vec_id, round(adist, 6) AS adist
          |FROM r2 WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
     "ann_recall_ivfpq" ->
-      s"""${OracleSql.NormCte}$AssignCte, $PqCte, qb AS (
+      s"""${OracleSql.NormCte}$AssignCte, ${pqCteOn("embeddings")}, qb AS (
          |  SELECT vec_id AS query_id, bucket FROM asg WHERE vec_id < $NQueries
          |), ad2 AS (
          |  SELECT d.query_id, x.vec_id,
@@ -528,7 +586,7 @@ object Similarity {
          |FROM bfr LEFT JOIN ipf ON bfr.query_id = ipf.query_id AND bfr.vec_id = ipf.vec_id
          |GROUP BY bfr.query_id ORDER BY query_id""".stripMargin,
     "ann_recall_pq" ->
-      s"""${OracleSql.NormCte}, $PqCte, pqr AS (
+      s"""${OracleSql.NormCte}, ${pqCteOn("embeddings")}, pqr AS (
          |  SELECT query_id, vec_id,
          |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id) AS rk
          |  FROM ad
