@@ -416,13 +416,43 @@ object Dedup {
     * frame all three branches share (checkpointed once, like
     * [[neardupPagerank]]'s).
     */
-  /** (a, b, c) triangles of an (a < b)-oriented edge frame. */
-  private def trianglesOf(e: DataFrame): DataFrame =
-    e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
-      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
-      .as("t")
-      .join(e.as("e3"),
-        col("t.a") === col("e3.a") && col("t.c") === col("e3.b"), "left_semi")
+  /** (a, b, c) triangles (id-ordered) of an (a < b)-oriented edge
+    * frame, via DEGREE-ORDERED edge iteration: re-orient every edge
+    * from its lower-(degree, id) endpoint to the higher, form wedges
+    * only at each edge's low end, and close them against the oriented
+    * edge set. Under this orientation a node's out-degree is O(√m),
+    * so wedge count is bounded even on dense duplicate cliques — the
+    * id orientation would fan every wedge out of a clique's lowest id
+    * (quadratic in clique size at the one node). Found triples are
+    * re-sorted to id order for output.
+    */
+  private def trianglesOf(e: DataFrame): DataFrame = {
+    val deg = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // rank = (degree, id): a total order; struct comparison is
+    // lexicographic, so orientation and wedge ordering use it directly
+    val o = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(
+        when(struct(col("da").as("d"), col("a").as("n")) <
+            struct(col("db").as("d"), col("b").as("n")), col("a"))
+          .otherwise(col("b")).as("lo"),
+        when(struct(col("da").as("d"), col("a").as("n")) <
+            struct(col("db").as("d"), col("b").as("n")),
+          struct(col("db").as("d"), col("b").as("n")))
+          .otherwise(struct(col("da").as("d"), col("a").as("n"))).as("rhi"))
+      .withColumn("hi", col("rhi")("n"))
+      .localCheckpoint()
+    o.as("x").join(o.as("y"),
+        col("x.lo") === col("y.lo") && col("x.rhi") < col("y.rhi"))
+      .select(col("x.lo").as("u"), col("x.hi").as("p"), col("y.hi").as("q"))
+      .as("w")
+      .join(o.as("z"), col("w.p") === col("z.lo") && col("w.q") === col("z.hi"),
+        "left_semi")
+      .select(array_sort(array(col("u"), col("p"), col("q"))).as("t"))
+      .select(col("t")(0).as("a"), col("t")(1).as("b"), col("t")(2).as("c"))
+  }
 
   def neardupTriangles(spark: SparkSession, dir: String): DataFrame =
     trianglesOf(
