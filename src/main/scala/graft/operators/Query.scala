@@ -29,6 +29,7 @@ object Query {
 
   sealed trait Q
   final case class Term(t: String) extends Q
+  final case class Prefix(p: String) extends Q
   final case class Phrase(ts: Seq[String]) extends Q
   final case class And(l: Q, r: Q) extends Q
   final case class Or(l: Q, r: Q) extends Q
@@ -58,7 +59,11 @@ object Query {
         expect("\"")
         require(ws.nonEmpty, s"empty phrase in query: $s")
         if (ws.size == 1) Term(ws.head) else Phrase(ws)
-      case Some(w) if w != "AND" && w != "OR" && w != ")" => next(); Term(w)
+      case Some(w) if w != "AND" && w != "OR" && w != ")" =>
+        next()
+        // trailing-* wildcard = dictionary prefix query (the parser
+        // surface of prefixSearch); bare '*' alone is rejected
+        if (w.endsWith("*") && w.length > 1) Prefix(w.dropRight(1)) else Term(w)
       case other => throw new IllegalArgumentException(
         s"unexpected ${other.getOrElse("<end>")} in query: $s")
     }
@@ -84,6 +89,10 @@ object Query {
   def eval(tok: DataFrame, universe: DataFrame, q: Q, id: String = "doc_id"): DataFrame = q match {
     case Term(t) =>
       tok.filter(col("term") === t).select(col(id)).distinct()
+    case Prefix(p) =>
+      // StartsWith pushes into the scan like the equality; over a
+      // term-sorted IndexStore bucket it min/max-prunes row groups too
+      tok.filter(col("term").startsWith(p)).select(col(id)).distinct()
     case Phrase(ts) =>
       // positional adjacency chain anchored on the first word: one
       // filtered frame per word, joined on (id, pos offset)
@@ -117,6 +126,9 @@ object Query {
     */
   def positiveTerms(q: Q): Seq[String] = q match {
     case Term(t) => Seq(t)
+    // a prefix retrieves but does not rank: scoring would need the
+    // expanded term set, which only the match step materializes
+    case Prefix(_) => Seq.empty
     case Phrase(ts) => ts
     case And(l, r) => (positiveTerms(l) ++ positiveTerms(r)).distinct
     case Or(l, r) => (positiveTerms(l) ++ positiveTerms(r)).distinct
@@ -162,10 +174,25 @@ object Query {
     search(Tables.documents(spark, dir), """"key order" OR (spark AND NOT slow)""")
       .orderBy("doc_id")
 
+  /** Gate query: trailing-* prefix wildcard inside the boolean
+    * grammar ([[Prefix]] — the parser surface of the dictionary
+    * prefix lookup `prefix_search` exposes as a standalone operator).
+    */
+  def wildcardSearch(spark: SparkSession, dir: String): DataFrame =
+    search(Tables.documents(spark, dir), "quer* AND NOT slow")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "query_search" -> querySearch)
+    "query_search" -> querySearch,
+    "wildcard_search" -> wildcardSearch)
 
   val oracles: Map[String, String] = Map(
+    "wildcard_search" ->
+      s"""${Index.TokSql}
+         |SELECT DISTINCT doc_id FROM tok
+         |WHERE term LIKE 'quer%'
+         |  AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'slow')
+         |ORDER BY doc_id""".stripMargin,
     "query_search" ->
       s"""${Index.TokSql}
          |SELECT DISTINCT doc_id FROM (

@@ -215,8 +215,23 @@ class OperatorsSpec extends SparkSpec {
     assert(parse("NOT a AND b") === And(Not(Term("a")), Term("b")))
     assert(parse("\"x y z\"") === Phrase(Seq("x", "y", "z")))
     assert(parse("\"x\"") === Term("x"))
+    assert(parse("spar* AND b") === And(Prefix("spar"), Term("b")))
+    assert(parse("*") === Term("*")) // bare star is a literal, not a wildcard
     intercept[IllegalArgumentException](parse("a AND"))
     intercept[IllegalArgumentException](parse("(a OR b"))
+  }
+
+  test("wildcard query: prefix matches docs the expanded OR would") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "sparkle shines"), (1L, "spark runs"), (2L, "sparse matrix"),
+      (3L, "nothing here")).toDF("doc_id", "text")
+    val got = operators.Query.search(docs, "spar*")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(0L, 1L, 2L))
+    val not = operators.Query.search(docs, "spar* AND NOT matrix")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(not === Seq(0L, 1L))
   }
 
   test("query search: boolean and phrase semantics on a toy corpus") {
