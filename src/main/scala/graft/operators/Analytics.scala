@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -538,9 +538,49 @@ object Analytics {
       .limit(20)
   }
 
+  /** RFM customer segmentation — recency (days since last order),
+    * frequency (orders), monetary (lifetime spend) with NTILE(4)
+    * scores and the concatenated segment code: the classic warehouse
+    * marketing rollup. Monetary sums run in DECIMAL so the aggregate
+    * is addition-order-free (a double sum would be partial-agg-order
+    * dependent); every ntile orders by a rounded/exact key with a
+    * custkey tie-break (total order). The windows run over the
+    * per-customer AGGREGATE frame, |customers| rows; at 100 TB the
+    * quartile boundaries come from an approx-quantile sketch and a
+    * broadcast threshold compare replaces the global ntile (same
+    * output contract).
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val maxD = o.agg(max(col("o_orderdate")).as("maxd"))
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("lastd"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("mdec"))
+      .crossJoin(broadcast(maxD))
+      .select(col("o_custkey"),
+        datediff(col("maxd"), col("lastd")).cast("long").as("recency_days"),
+        col("frequency"),
+        col("mdec").cast("double").as("monetary"))
+    def score(c: String, asc: Boolean): Column =
+      ntile(4).over(Window.orderBy(
+        (if (asc) col(c).asc else col(c).desc), col("o_custkey"))).cast("long")
+    cust
+      .withColumn("r_score", score("recency_days", asc = true))
+      .withColumn("f_score", score("frequency", asc = false))
+      .withColumn("m_score", score("monetary", asc = false))
+      .withColumn("segment",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        round(col("monetary"), 2).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"), col("segment"))
+      .orderBy("o_custkey")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rfm_segments" -> rfmSegments,
     "skew_report" -> skewReport,
     "concurrency_peak" -> concurrencyPeak,
     "q1_agg" -> q1Agg,
@@ -587,6 +627,25 @@ object Analytics {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "rfm_segments" ->
+      """WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+        |c AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', max(o_orderdate)::DATE, (SELECT maxd FROM mx)::DATE) AS BIGINT) AS recency_days,
+        |    count(*) AS frequency,
+        |    CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS monetary
+        |  FROM orders GROUP BY o_custkey
+        |), s AS (
+        |  SELECT o_custkey, recency_days, frequency, monetary,
+        |    CAST(ntile(4) OVER (ORDER BY recency_days ASC, o_custkey) AS BIGINT) AS r_score,
+        |    CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_score,
+        |    CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT) AS m_score
+        |  FROM c
+        |)
+        |SELECT o_custkey, recency_days, frequency, round(monetary, 2) AS monetary,
+        |  r_score, f_score, m_score,
+        |  r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS segment
+        |FROM s ORDER BY o_custkey""".stripMargin,
     "skew_report" ->
       """WITH c AS (
         |  SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey
