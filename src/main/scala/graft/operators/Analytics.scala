@@ -577,9 +577,40 @@ object Analytics {
       .orderBy("o_custkey")
   }
 
+  /** Revenue concentration (Pareto) report: customers bucketed into
+    * spend deciles (1 = biggest spenders), each decile's revenue
+    * share and the cumulative share — "the top 10% of customers carry
+    * X% of revenue". Sums are DECIMAL (addition-order-free); the
+    * cumulative window runs over the 10-row decile frame, never
+    * customers. The decile ntile is the same |customers|-bounded
+    * aggregate window as [[rfmSegments]] (approx-quantile thresholds
+    * replace it at extreme cardinality).
+    */
+  def revenuePareto(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("m"))
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(col("m").desc, col("o_custkey"))).cast("long"))
+    val tot = cust.agg(sum(col("m")).cast("double").as("total"))
+    cust.groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum(col("m")).as("rev"))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_customers"),
+        (col("rev").cast("double") / col("total")).as("share0"))
+      .withColumn("cum0",
+        sum(col("share0")).over(Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("decile"), col("n_customers"),
+        round(col("share0"), 4).as("rev_share"),
+        round(col("cum0"), 4).as("cum_share"))
+      .orderBy("decile")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "revenue_pareto" -> revenuePareto,
     "rfm_segments" -> rfmSegments,
     "skew_report" -> skewReport,
     "concurrency_peak" -> concurrencyPeak,
@@ -627,6 +658,28 @@ object Analytics {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "revenue_pareto" ->
+      """WITH cust AS (
+        |  SELECT o_custkey, sum(o_totalprice::DECIMAL(18,2)) AS m
+        |  FROM orders GROUP BY o_custkey
+        |), d AS (
+        |  SELECT o_custkey, m,
+        |    CAST(ntile(10) OVER (ORDER BY m DESC, o_custkey) AS BIGINT) AS decile
+        |  FROM cust
+        |), t AS (SELECT sum(m)::DOUBLE AS total FROM cust),
+        |g AS (
+        |  SELECT decile, count(*) AS n_customers, sum(m) AS rev FROM d GROUP BY decile
+        |), s AS (
+        |  SELECT decile, n_customers, rev::DOUBLE / t.total AS share0 FROM g, t
+        |), c AS (
+        |  SELECT decile, n_customers, share0,
+        |    sum(share0) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum0
+        |  FROM s
+        |)
+        |SELECT decile, n_customers, round(share0, 4) AS rev_share,
+        |  round(cum0, 4) AS cum_share
+        |FROM c ORDER BY decile""".stripMargin,
     "rfm_segments" ->
       """WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
         |c AS (
