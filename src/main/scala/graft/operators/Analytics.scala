@@ -607,9 +607,26 @@ object Analytics {
       .orderBy("decile")
   }
 
+  /** Order seasonality: per (year, month) order counts, revenue
+    * (decimal-exact sum) and average order value — the time-series
+    * rollup a demand dashboard reads. One partial-agg shuffle over
+    * ≤|months| groups; AOV is one double division of exact values.
+    */
+  def ordersSeasonality(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("rdec"))
+      .select(col("yr"), col("mo"), col("n_orders"),
+        round(col("rdec").cast("double"), 2).as("revenue"),
+        round(col("rdec").cast("double") / col("n_orders"), 2).as("avg_order_value"))
+      .orderBy("yr", "mo")
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_seasonality" -> ordersSeasonality,
     "revenue_pareto" -> revenuePareto,
     "rfm_segments" -> rfmSegments,
     "skew_report" -> skewReport,
@@ -658,6 +675,18 @@ object Analytics {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "orders_seasonality" ->
+      """WITH g AS (
+        |  SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+        |    CAST(date_part('month', o_orderdate) AS BIGINT) AS mo,
+        |    count(*) AS n_orders,
+        |    sum(o_totalprice::DECIMAL(18,2)) AS rdec
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT yr, mo, n_orders,
+        |  round(rdec::DOUBLE, 2) AS revenue,
+        |  round(rdec::DOUBLE / n_orders, 2) AS avg_order_value
+        |FROM g ORDER BY yr, mo""".stripMargin,
     "revenue_pareto" ->
       """WITH cust AS (
         |  SELECT o_custkey, sum(o_totalprice::DECIMAL(18,2)) AS m
