@@ -623,9 +623,31 @@ object Analytics {
         round(col("rdec").cast("double") / col("n_orders"), 2).as("avg_order_value"))
       .orderBy("yr", "mo")
 
+  /** Cohort lifetime value: customers grouped by first-order year,
+    * each cohort's revenue tracked per calendar year — the LTV matrix
+    * ([[retentionCohorts]]' revenue-weighted sibling). The cohort
+    * assignment is one partial-agg shuffle; its result joins back on
+    * the customer key (AQE broadcasts it at dim scale), and sums are
+    * DECIMAL-exact.
+    */
+  def customerLtvCohort(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val cohort = o.groupBy(col("o_custkey"))
+      .agg(year(min(col("o_orderdate"))).cast("long").as("cohort"))
+    o.join(cohort, "o_custkey")
+      .groupBy(col("cohort"), year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("rdec"))
+      .select(col("cohort"), col("yr"), col("n_customers"), col("n_orders"),
+        round(col("rdec").cast("double"), 2).as("revenue"))
+      .orderBy("cohort", "yr")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "customer_ltv_cohort" -> customerLtvCohort,
     "orders_seasonality" -> ordersSeasonality,
     "revenue_pareto" -> revenuePareto,
     "rfm_segments" -> rfmSegments,
@@ -675,6 +697,19 @@ object Analytics {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "customer_ltv_cohort" ->
+      """WITH f AS (
+        |  SELECT o_custkey,
+        |    CAST(date_part('year', min(o_orderdate)) AS BIGINT) AS cohort
+        |  FROM orders GROUP BY o_custkey
+        |)
+        |SELECT f.cohort AS cohort,
+        |  CAST(date_part('year', o.o_orderdate) AS BIGINT) AS yr,
+        |  CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+        |  count(*) AS n_orders,
+        |  round(sum(o.o_totalprice::DECIMAL(18,2))::DOUBLE, 2) AS revenue
+        |FROM orders o JOIN f USING (o_custkey)
+        |GROUP BY 1, 2 ORDER BY cohort, yr""".stripMargin,
     "orders_seasonality" ->
       """WITH g AS (
         |  SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
