@@ -644,9 +644,37 @@ object Analytics {
       .orderBy("cohort", "yr")
   }
 
+  /** Daily event-volume anomaly flags: z-score of each day's event
+    * count against the corpus mean/stddev, computed from EXACT integer
+    * moments (n, Σc, Σc²) so mean, sample variance and every z are
+    * single fixed double expressions — bitwise cross-engine, the same
+    * moment trick as [[corrAgg]]. The monitoring query an ingestion
+    * pipeline alerts on. Daily counts are one partial-agg shuffle;
+    * the moment rollup is a broadcast single row.
+    */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = eventsUs(spark, dir)
+      .groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val m = daily.agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
+      sum(col("c") * col("c")).as("sxx"))
+    daily.crossJoin(broadcast(m))
+      .withColumn("mean", col("sx").cast("double") / col("n"))
+      .withColumn("sd", sqrt(
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+          (col("n").cast("double") * (col("n") - 1L).cast("double"))))
+      .select(col("day"), col("c").as("n_events"),
+        round(col("mean"), 4).as("mean"),
+        round((col("c") - col("mean")) / col("sd"), 4).as("z"),
+        when(abs((col("c") - col("mean")) / col("sd")) >= 2.0, 1L)
+          .otherwise(0L).as("is_anomaly"))
+      .orderBy("day")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_anomaly" -> eventsAnomaly,
     "customer_ltv_cohort" -> customerLtvCohort,
     "orders_seasonality" -> ordersSeasonality,
     "revenue_pareto" -> revenuePareto,
@@ -697,6 +725,22 @@ object Analytics {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "events_anomaly" ->
+      s"""$EvSql, d AS (
+         |  SELECT ts_us // 86400000000 AS day, count(*) AS c FROM ev GROUP BY 1
+         |), m AS (
+         |  SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS sx,
+         |    CAST(sum(c * c) AS BIGINT) AS sxx
+         |  FROM d
+         |)
+         |SELECT day, c AS n_events,
+         |  round(sx::DOUBLE / n, 4) AS mean,
+         |  round((c - sx::DOUBLE / n) /
+         |    sqrt((n * sxx - sx * sx)::DOUBLE / (n::DOUBLE * (n - 1)::DOUBLE)), 4) AS z,
+         |  CAST(CASE WHEN abs((c - sx::DOUBLE / n) /
+         |    sqrt((n * sxx - sx * sx)::DOUBLE / (n::DOUBLE * (n - 1)::DOUBLE))) >= 2.0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+         |FROM d, m ORDER BY day""".stripMargin,
     "customer_ltv_cohort" ->
       """WITH f AS (
         |  SELECT o_custkey,

@@ -162,9 +162,32 @@ object Pipeline {
       .repartitionByRange(32, col("hh"))
       .write.mode("overwrite").parquet(path)
 
+  /** Source-mix rebalancing weights: each source's token count vs the
+    * uniform target share, and the per-source sampling rate
+    * min(1, target/actual) that downsamples overrepresented sources
+    * to the target mix — the computation behind every "data mixture"
+    * table in a training run. One partial-agg shuffle + a broadcast
+    * 1-row total; rates are a fixed two-division double expression.
+    */
+  def samplingWeights(spark: SparkSession, dir: String): DataFrame = {
+    val perSrc = Tables.documents(spark, dir)
+      .select(col("source"), size(TextFns.tokens(col("text"))).cast("long").as("t"))
+      .groupBy("source").agg(sum(col("t")).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).cast("double").as("total"),
+      count(lit(1)).cast("double").as("nsrc"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        round(lit(1.0) / col("nsrc"), 6).as("target_share"),
+        round(col("n_tokens") / col("total"), 6).as("actual_share"),
+        round(least(lit(1.0),
+          (col("total") / col("nsrc")) / col("n_tokens")), 6).as("sample_rate"))
+      .orderBy("source")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sampling_weights" -> samplingWeights,
     "pipeline_clean" -> pipelineClean,
     "contamination_check" -> contaminationCheck,
     "train_test_split" -> trainTestSplit,
@@ -177,6 +200,19 @@ object Pipeline {
     s"${OracleSql.roll(e, HashFns.P)} % 100"
 
   val oracles: Map[String, String] = Map(
+    "sampling_weights" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source
+        |), t AS (
+        |  SELECT sum(n_tokens)::DOUBLE AS total, count(*)::DOUBLE AS nsrc FROM s
+        |)
+        |SELECT source, n_tokens,
+        |  round(1.0 / t.nsrc, 6) AS target_share,
+        |  round(n_tokens / t.total, 6) AS actual_share,
+        |  round(least(1.0, (t.total / t.nsrc) / n_tokens), 6) AS sample_rate
+        |FROM s, t ORDER BY source""".stripMargin,
     "pipeline_clean" ->
       s"""WITH RECURSIVE q0 AS (
          |  SELECT *,
