@@ -401,6 +401,37 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("rfm: scores in 1..4, segment concatenates them") {
+    val r = operators.Analytics.rfmSegments(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (rs, fs, ms) = (row.getLong(4), row.getLong(5), row.getLong(6))
+      Seq(rs, fs, ms).foreach(s => assert(s >= 1L && s <= 4L))
+      assert(row.getString(7) === s"$rs$fs$ms")
+    }
+  }
+
+  test("revenue_pareto: cumulative share is monotone and ends at 1") {
+    val p = operators.Analytics.revenuePareto(spark, sfDir)
+      .orderBy("decile").collect()
+    assert(p.length === 10)
+    val cums = p.map(_.getDouble(3))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a })
+    assert(math.abs(cums.last - 1.0) < 1e-9)
+    // decile 1 (top spenders) carries the largest share
+    assert(p.head.getDouble(2) === p.map(_.getDouble(2)).max)
+  }
+
+  test("events_anomaly: flag is exactly |z| >= 2") {
+    val a = operators.Analytics.eventsAnomaly(spark, sfDir).collect()
+    assert(a.nonEmpty)
+    a.foreach { row =>
+      val z = math.abs(row.getDouble(3)) // rounded 4dp; skip the knife-edge
+      if (math.abs(z - 2.0) > 1e-3)
+        assert((row.getLong(4) === 1L) === (z >= 2.0))
+    }
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
