@@ -184,9 +184,45 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** [[contaminationCheck]] with a Bloom pre-filter: a bloom filter of
+    * the train-side shingles (1% fpp) screens holdout shingles BEFORE
+    * the join, so at 100 TB the shuffle carries only probable matches
+    * (typically a tiny fraction) instead of every holdout shingle.
+    * Blooms have no false negatives and the exact join still verifies
+    * every survivor, so the output is IDENTICAL to the unfiltered
+    * operator — the gate runs both against the same oracle. The
+    * filter rides a scala UDF because an opaque broadcast sketch is
+    * exactly what UDFs are for (there is nothing per-element for
+    * codegen to fuse); production Spark uses the same shape for its
+    * runtime bloom-join filters.
+    */
+  def contaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleHashes(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(array_distinct(col("hs"))).as("hh"))
+    val keep = sh.groupBy("hh")
+      .agg(countDistinct(col("doc_id")).as("sdf"))
+      .filter(col("sdf") <= 100)
+      .select("hh")
+    val informative = sh.join(keep, "hh")
+    val isTrain = HashFns.rollingHash(col("doc_id").cast("string")) % 100 < 90
+    val train = informative.filter(isTrain)
+      .select(col("hh"), col("doc_id").as("train_doc"))
+    val bloom = train.stat.bloomFilter("hh", 200000L, 0.01)
+    val mightContain = udf((h: Long) => bloom.mightContain(h))
+    val hold = informative.filter(!isTrain)
+      .select(col("hh"), col("doc_id").as("holdout_doc"))
+      .filter(mightContain(col("hh")))
+    hold.join(train, "hh")
+      .groupBy("holdout_doc")
+      .agg(countDistinct(col("train_doc")).as("n_train_docs"),
+        countDistinct(col("hh")).as("n_shared_shingles"))
+      .orderBy("holdout_doc")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "contamination_bloom" -> contaminationBloom,
     "sampling_weights" -> samplingWeights,
     "pipeline_clean" -> pipelineClean,
     "contamination_check" -> contaminationCheck,
@@ -199,7 +235,28 @@ object Pipeline {
   private def hashPct(e: String): String =
     s"${OracleSql.roll(e, HashFns.P)} % 100"
 
+  /** Shared by contamination_check and contamination_bloom: the bloom
+    * pre-filter provably does not change results (no false negatives +
+    * exact verification), so both gate against this one oracle.
+    */
+  private val contaminationSql: String =
+    s"""${OracleSql.ShingleHashCte}, ex AS (
+       |  SELECT doc_id, unnest(list_distinct(h)) AS hh FROM hs
+       |), keep AS (
+       |  SELECT hh FROM ex GROUP BY hh HAVING count(DISTINCT doc_id) <= 100
+       |), lab AS (
+       |  SELECT ex.doc_id, ex.hh,
+       |    (${hashPct("ex.doc_id::VARCHAR")} < 90) AS is_train
+       |  FROM ex JOIN keep USING (hh)
+       |)
+       |SELECT h.doc_id AS holdout_doc,
+       |  CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_train_docs,
+       |  CAST(count(DISTINCT h.hh) AS BIGINT) AS n_shared_shingles
+       |FROM lab h JOIN lab t ON h.hh = t.hh AND NOT h.is_train AND t.is_train
+       |GROUP BY h.doc_id ORDER BY holdout_doc""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "contamination_bloom" -> contaminationSql,
     "sampling_weights" ->
       """WITH s AS (
         |  SELECT source,
@@ -256,21 +313,7 @@ object Pipeline {
          |  UNION ALL SELECT '3_near_dedup', count(*) FROM nd2
          |  UNION ALL SELECT '4_train', count(*) FROM tr
          |) ORDER BY stage""".stripMargin,
-    "contamination_check" ->
-      s"""${OracleSql.ShingleHashCte}, ex AS (
-         |  SELECT doc_id, unnest(list_distinct(h)) AS hh FROM hs
-         |), keep AS (
-         |  SELECT hh FROM ex GROUP BY hh HAVING count(DISTINCT doc_id) <= 100
-         |), lab AS (
-         |  SELECT ex.doc_id, ex.hh,
-         |    (${hashPct("ex.doc_id::VARCHAR")} < 90) AS is_train
-         |  FROM ex JOIN keep USING (hh)
-         |)
-         |SELECT h.doc_id AS holdout_doc,
-         |  CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_train_docs,
-         |  CAST(count(DISTINCT h.hh) AS BIGINT) AS n_shared_shingles
-         |FROM lab h JOIN lab t ON h.hh = t.hh AND NOT h.is_train AND t.is_train
-         |GROUP BY h.doc_id ORDER BY holdout_doc""".stripMargin,
+    "contamination_check" -> contaminationSql,
     "train_test_split" ->
       s"""SELECT doc_id,
          |  CASE WHEN ${hashPct("doc_id::VARCHAR")} < 90 THEN 'train' ELSE 'holdout' END AS split
