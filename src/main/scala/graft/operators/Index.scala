@@ -433,9 +433,29 @@ object Index {
       .limit(20)
   }
 
+  /** Corpus-driven stopword induction: terms whose document frequency
+    * exceeds half the corpus — the data-derived version of the
+    * hardcoded stopword lists quality scoring uses (real pipelines
+    * induce per-corpus lists exactly this way; a legal corpus's
+    * "plaintiff" is a stopword, a web crawl's isn't). Runs over the
+    * aggregated vocabulary; the corpus size is a broadcast 1-row
+    * aggregate.
+    */
+  def stopwordInduction(spark: SparkSession, dir: String): DataFrame = {
+    val df = tokenStream(spark, dir)
+      .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).cast("double").as("n"))
+    df.crossJoin(broadcast(n))
+      .withColumn("df_ratio", round(col("df") / col("n"), 4))
+      .filter(col("df") / col("n") > 0.5)
+      .select("term", "df", "df_ratio")
+      .orderBy(col("df").desc, col("term"))
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stopword_induction" -> stopwordInduction,
     "wordcount" -> wordcount,
     "wordcount_salted" -> wordcountSalted,
     "inverted_index" -> invertedIndexFlat,
@@ -471,6 +491,13 @@ object Index {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "stopword_induction" ->
+      s"""$TokSql, v AS (
+         |  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+         |), n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+         |SELECT term, CAST(df AS BIGINT) AS df, round(df / n.n, 4) AS df_ratio
+         |FROM v, n WHERE df / n.n > 0.5
+         |ORDER BY df DESC, term""".stripMargin,
     "wordcount" ->
       s"$TokSql SELECT term, count(*) AS freq FROM tok GROUP BY term ORDER BY term",
     "wordcount_salted" ->

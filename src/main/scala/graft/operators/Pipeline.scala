@@ -207,6 +207,10 @@ object Pipeline {
     val isTrain = HashFns.rollingHash(col("doc_id").cast("string")) % 100 < 90
     val train = informative.filter(isTrain)
       .select(col("hh"), col("doc_id").as("train_doc"))
+    // expectedNumItems sizes the sketch for the gate corpus; an
+    // undersized bloom only raises the false-positive rate (more rows
+    // reach the exact verify), never correctness — production sizes it
+    // from the train side's countApprox
     val bloom = train.stat.bloomFilter("hh", 200000L, 0.01)
     val mightContain = udf((h: Long) => bloom.mightContain(h))
     val hold = informative.filter(!isTrain)
