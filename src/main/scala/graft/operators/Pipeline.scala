@@ -223,9 +223,70 @@ object Pipeline {
       .orderBy("holdout_doc")
   }
 
+  /** Fixed-size token chunking with overlap (size 32, stride 24): the
+    * context-window shaping step before embedding or training. Chunk
+    * starts are `sequence(0, n-1, stride)` so every token is covered
+    * and consecutive chunks share `size - stride` tokens. Entirely
+    * narrow — explode + slice over the per-doc token array, no shuffle
+    * (the orderBy is presentation-only); at 100 TB this runs at scan
+    * speed and the output feeds the embedding UDF stage directly.
+    */
+  def docChunking(spark: SparkSession, dir: String): DataFrame =
+    docChunkingOf(Tables.documents(spark, dir), chunkSize = 32, stride = 24)
+
+  def docChunkingOf(docs: DataFrame, chunkSize: Int, stride: Int): DataFrame =
+    docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")).cast("long"))
+      .filter(col("n") > 0L)
+      .select(col("doc_id"), col("tk"),
+        posexplode(sequence(lit(0L), col("n") - 1L, lit(stride.toLong))).as(Seq("chunk_id", "s")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("tk"), col("s") + 1L, lit(chunkSize)).as("ck"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ck")).cast("long").as("n_tokens"),
+        array_join(col("ck"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** Concat-and-chunk sequence packing: the corpus token stream in
+    * doc_id order, cut into fixed 256-token packs (docs may straddle a
+    * boundary — the standard LLM pretraining packing). Per pack:
+    * contributing docs, token count, first/last doc. The global
+    * positions come from [[GraftOps.runningTotal]]'s two-phase prefix
+    * sum (per-bucket partials + broadcast offsets), so no stage ever
+    * funnels the corpus through one task — the 100 TB-safe form of the
+    * "one big window" formulation. Each doc then explodes to only the
+    * packs it touches (≤ n/budget + 1 rows) and one partial-agg
+    * shuffle builds the pack table.
+    */
+  def packChunks(spark: SparkSession, dir: String): DataFrame =
+    packChunksOf(Tables.documents(spark, dir), budget = 256L)
+
+  def packChunksOf(docs: DataFrame, budget: Long): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), size(TextFns.tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0L)
+    val cum = GraftOps.runningTotal(counts, order = col("doc_id"),
+        value = col("n"), bucket = expr("doc_id div 64"))
+      .withColumn("cb", col("running") - col("n"))
+    cum
+      .select(col("doc_id"), col("n"), col("cb"),
+        explode(sequence(expr(s"cb div $budget"),
+          expr(s"(cb + n - 1) div $budget"))).as("pack_id"))
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("cb") + col("n"), (col("pack_id") + 1L) * budget) -
+          greatest(col("cb"), col("pack_id") * budget)).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("pack_id")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_chunking" -> docChunking,
+    "pack_chunks" -> packChunks,
     "contamination_bloom" -> contaminationBloom,
     "sampling_weights" -> samplingWeights,
     "pipeline_clean" -> pipelineClean,
@@ -260,6 +321,41 @@ object Pipeline {
        |GROUP BY h.doc_id ORDER BY holdout_doc""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "doc_chunking" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), st AS (
+        |  SELECT doc_id, tk,
+        |    unnest(range(0, len(tk), 24)) AS s,
+        |    unnest(range(len(range(0, len(tk), 24)))) AS chunk_id
+        |  FROM toks WHERE len(tk) > 0
+        |)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(len(tk[s+1:s+32]) AS BIGINT) AS n_tokens,
+        |  array_to_string(tk[s+1:s+32], ' ') AS chunk_text
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+    "pack_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n FROM toks WHERE len(tk) > 0
+        |), r AS (
+        |  SELECT doc_id, n,
+        |    CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) - n AS cb
+        |  FROM c
+        |), ex AS (
+        |  SELECT doc_id, n, cb,
+        |    unnest(range(cb // 256, (cb + n - 1) // 256 + 1)) AS pack_id
+        |  FROM r
+        |)
+        |SELECT CAST(pack_id AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs,
+        |  CAST(sum(least(cb + n, (pack_id + 1) * 256) - greatest(cb, pack_id * 256)) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc,
+        |  max(doc_id) AS last_doc
+        |FROM ex GROUP BY pack_id ORDER BY pack_id""".stripMargin,
     "contamination_bloom" -> contaminationSql,
     "sampling_weights" ->
       """WITH s AS (

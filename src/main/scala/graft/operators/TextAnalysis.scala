@@ -374,9 +374,99 @@ object TextAnalysis {
       .limit(20)
   }
 
+  // ---- repetition_ratio ------------------------------------------------
+
+  /** Gopher-style repetition diagnostics per document: the share of
+    * bigrams taken by the single most frequent bigram, and the
+    * fraction of 3-token shingles that are repeats of an earlier one
+    * (1 − distinct/total) — the two signals repetition-based quality
+    * filters threshold on (looping boilerplate scores high on both).
+    * Two doc_id-keyed partial-agg shuffles over the narrow codegen'd
+    * bigram/shingle kernels the dedup family shares; each ratio is a
+    * single exact division.
+    */
+  def repetitionRatio(spark: SparkSession, dir: String): DataFrame =
+    repetitionRatioOf(Tables.documents(spark, dir))
+
+  def repetitionRatioOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+    val bg = toks
+      .select(col("doc_id"), explode(when(size(col("tk")) >= 2,
+        arrays_zip(slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1)))
+        .otherwise(array().cast("array<struct<`0`:string,`1`:string>>"))).as("p"))
+      .select(col("doc_id"), concat_ws(" ", col("p.0"), col("p.1")).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(round(max(col("c")).cast("double") / sum(col("c")).cast("double"), 6)
+        .as("top_bigram_share"))
+    val tg = toks
+      .select(col("doc_id"), explode(TextFns.shingles3(col("tk"))).as("s"))
+      .groupBy("doc_id")
+      .agg(round(lit(1.0) -
+          countDistinct(col("s")).cast("double") / count(lit(1)).cast("double"), 6)
+        .as("dup_trigram_frac"))
+    toks.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(bg, Seq("doc_id"), "left")
+      .join(tg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("top_bigram_share"), lit(0.0)).as("top_bigram_share"),
+        coalesce(col("dup_trigram_frac"), lit(0.0)).as("dup_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  // ---- perplexity_doc --------------------------------------------------
+
+  /** Per-document cross-entropy under the corpus's own add-one bigram
+    * LM ([[bigramLm]]'s model, un-truncated): avg negative log prob of
+    * the document's bigrams, and its exp (pseudo-perplexity) — the
+    * score perplexity-based quality filters threshold on (an external
+    * LM would ship its table the same way). The LM is built once
+    * (one (w1,w2) partial-agg shuffle) and joined back to the doc
+    * bigram stream; per-doc log-prob sums fold over a SORTED collected
+    * list so double addition order is deterministic cross-engine
+    * ([[termEntropy]]'s contract). At 100 TB the model table is
+    * vocab-bounded — broadcast or shuffle-joined by (w1,w2), never
+    * corpus-sized state.
+    */
+  def perplexityDoc(spark: SparkSession, dir: String): DataFrame =
+    perplexityDocOf(Tables.documents(spark, dir))
+
+  def perplexityDocOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+    val docBg = toks
+      .select(col("doc_id"), explode(when(size(col("tk")) >= 2,
+        arrays_zip(slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1)))
+        .otherwise(array().cast("array<struct<`0`:string,`1`:string>>"))).as("p"))
+      .select(col("doc_id"), col("p.0").as("w1"), col("p.1").as("w2"))
+    val vocab = toks.select(explode(col("tk")).as("term"))
+      .agg(countDistinct(col("term")).cast("double").as("v"))
+    val lm = docBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = lm.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val scored = lm.join(broadcast(ctx), "w1").crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        log((col("c12") + 1L).cast("double") /
+          (col("c1").cast("double") + col("v"))).as("lp"))
+    docBg.join(scored, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("lp"))).as("lps"),
+        count(lit(1)).cast("double").as("nbg"))
+      .select(col("doc_id"), col("nbg").cast("long").as("n_bigrams"),
+        round(-aggregate(col("lps"), lit(0.0), (a, x) => a + x) / col("nbg"), 6)
+          .as("avg_nll"),
+        round(exp(-aggregate(col("lps"), lit(0.0), (a, x) => a + x) / col("nbg")), 4)
+          .as("ppl"))
+      .orderBy("doc_id")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "repetition_ratio" -> repetitionRatio,
+    "perplexity_doc" -> perplexityDoc,
     "bpe_merges" -> bpeMerges,
     "lang_id" -> langId,
     "quality_score" -> qualityScore,
@@ -420,6 +510,53 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "repetition_ratio" ->
+      s"""${Index.TokSql}, bg AS (
+         |  SELECT doc_id, tk[i+1] || ' ' || tk[i+2] AS b
+         |  FROM toks, unnest(range(greatest(len(tk) - 1, 0))) AS u(i)
+         |), bs AS (
+         |  SELECT doc_id,
+         |    round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS top_bigram_share
+         |  FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b)
+         |  GROUP BY doc_id
+         |), tg AS (
+         |  SELECT doc_id, tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS s
+         |  FROM toks, unnest(range(greatest(len(tk) - 2, 0))) AS u(i)
+         |), ts AS (
+         |  SELECT doc_id,
+         |    round(1.0 - count(DISTINCT s)::DOUBLE / count(*)::DOUBLE, 6) AS dup_trigram_frac
+         |  FROM tg GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+         |  coalesce(bs.top_bigram_share, 0.0) AS top_bigram_share,
+         |  coalesce(ts.dup_trigram_frac, 0.0) AS dup_trigram_frac
+         |FROM toks t
+         |LEFT JOIN bs ON t.doc_id = bs.doc_id
+         |LEFT JOIN ts ON t.doc_id = ts.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+    "perplexity_doc" ->
+      s"""${Index.TokSql}, v AS (
+         |  SELECT count(DISTINCT term)::DOUBLE AS v FROM tok
+         |), bi AS (
+         |  SELECT doc_id, tk[i+1] AS w1, tk[i+2] AS w2
+         |  FROM toks, unnest(range(greatest(len(tk) - 1, 0))) AS u(i)
+         |), bc AS (
+         |  SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2
+         |), ctx AS (
+         |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1
+         |), sc AS (
+         |  SELECT bc.w1, bc.w2,
+         |    ln((bc.c12 + 1)::DOUBLE / (ctx.c1::DOUBLE + v.v)) AS lp
+         |  FROM bc JOIN ctx USING (w1), v
+         |), d AS (
+         |  SELECT bi.doc_id, list_sort(list(sc.lp)) AS lps, count(*)::DOUBLE AS nbg
+         |  FROM bi JOIN sc ON bi.w1 = sc.w1 AND bi.w2 = sc.w2
+         |  GROUP BY bi.doc_id
+         |)
+         |SELECT doc_id, CAST(nbg AS BIGINT) AS n_bigrams,
+         |  round(-(list_reduce(list_prepend(0.0::DOUBLE, lps), (a, x) -> a + x)) / nbg, 6) AS avg_nll,
+         |  round(exp(-(list_reduce(list_prepend(0.0::DOUBLE, lps), (a, x) -> a + x)) / nbg), 4) AS ppl
+         |FROM d ORDER BY doc_id""".stripMargin,
     "bpe_merges" ->
       s"""${Index.TokSql}, ch AS (
          |  SELECT string_split(term, '') AS cs FROM tok
