@@ -196,6 +196,41 @@ object Index {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
 
+  /** Query-likelihood ranking with Dirichlet smoothing (Zhai & Lafferty
+    * SIGIR'01) — the LM-based alternative to BM25:
+    * score(q,d) = Σ_t ln((tf + μ·cf(t)/|C|) / (dl + μ)), μ=100. The
+    * candidate set is docs containing ≥1 query term (everything else
+    * ties at the background score); a missing term still contributes
+    * its smoothed background mass via the left join's tf=0 branch.
+    * Collection stats (cf, |C|) are 1-to-few-row broadcast aggregates;
+    * the per-doc sum folds over the term-sorted pair list so double
+    * addition order is fixed cross-engine.
+    */
+  def qlmTopk(spark: SparkSession, dir: String): DataFrame = {
+    val mu = 100.0
+    val qterms = Seq("spark", "join")
+    val base = tfBase(spark, dir)
+    val dl = base.groupBy("doc_id").agg(sum(col("tf")).cast("double").as("dl"))
+    val cDf = base.agg(sum(col("tf")).cast("double").as("c"))
+    val cf = base.filter(col("term").isin(qterms: _*))
+      .groupBy("term").agg(sum(col("tf")).cast("double").as("cf"))
+    val tf = tokenStream(spark, dir).filter(col("term").isin(qterms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    tf.select("doc_id").distinct()
+      .crossJoin(broadcast(cf.crossJoin(cDf)))
+      .join(tf, Seq("doc_id", "term"), "left")
+      .join(dl, "doc_id")
+      .withColumn("w",
+        log((coalesce(col("tf"), lit(0.0)) + lit(mu) * col("cf") / col("c")) /
+          (col("dl") + lit(mu))))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("term"), col("w")))).as("ws"))
+      .select(col("doc_id"),
+        round(aggregate(col("ws"), lit(0.0), (a, s) => a + s("w")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** Hybrid rank fusion: reciprocal rank fusion (RRF, Cormack et al.
     * SIGIR'09) of the BM25 and TF-IDF rankings —
     * rrf = Σ_r 1/(60 + rank_r), a doc missing from a ranker's
@@ -467,6 +502,7 @@ object Index {
     "phrase_search" -> phraseSearch,
     "tfidf_topk" -> tfidfTopk,
     "bm25_topk" -> bm25Topk,
+    "qlm_topk" -> qlmTopk,
     "top_terms_per_doc" -> topTermsPerDoc,
     "kwic" -> kwic,
     "collocations" -> collocations,
@@ -536,6 +572,26 @@ object Index {
          |SELECT doc_id, round(sum(tf * ln(n.n / df.df)), 4) AS score
          |FROM tf JOIN df USING (term), n
          |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "qlm_topk" ->
+      s"""$TokSql, c AS (SELECT count(*)::DOUBLE AS c FROM tok),
+         |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+         |cf AS (SELECT term, count(*)::DOUBLE AS cf FROM tok
+         |       WHERE term IN ('spark', 'join') GROUP BY term),
+         |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+         |       WHERE term IN ('spark', 'join') GROUP BY doc_id, term),
+         |cand AS (SELECT DISTINCT doc_id FROM tf),
+         |w AS (
+         |  SELECT cand.doc_id, cf.term,
+         |    ln((coalesce(tf.tf, 0.0) + 100.0 * cf.cf / c.c) / (dl.dl + 100.0)) AS w
+         |  FROM cand CROSS JOIN cf CROSS JOIN c
+         |  LEFT JOIN tf ON tf.doc_id = cand.doc_id AND tf.term = cf.term
+         |  JOIN dl ON dl.doc_id = cand.doc_id
+         |)
+         |SELECT doc_id,
+         |  round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+         |    list_sort(list(struct_pack(term := term, w := w))), s -> s['w'])),
+         |    (a, x) -> a + x), 4) AS score
+         |FROM w GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "bm25_topk" ->
       s"""$TokSql, n AS (SELECT count(*)::DOUBLE AS n FROM documents),
          |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),

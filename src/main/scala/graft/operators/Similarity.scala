@@ -351,14 +351,22 @@ object Similarity {
     * Σ_m dq(m, code_m) — folded over the m-sorted list so the double
     * addition order is fixed cross-engine.
     */
-  private def adcRank(matches: DataFrame): DataFrame = {
-    val wRank = Window.partitionBy("query_id").orderBy(col("adist").asc, col("vec_id"))
+  /** (query_id, vec_id, adist): the raw ADC table-sum distances,
+    * folded over the m-sorted list so the double addition order is
+    * fixed cross-engine. Shared by the final rank and the two-stage
+    * shortlist.
+    */
+  private def adcDistances(matches: DataFrame): DataFrame =
     matches
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
       .agg(sort_array(collect_list(struct(col("m"), col("dq")))).as("ds"))
       .withColumn("adist",
         aggregate(col("ds"), lit(0.0), (acc, s) => acc + s("dq")))
+
+  private def adcRank(matches: DataFrame): DataFrame = {
+    val wRank = Window.partitionBy("query_id").orderBy(col("adist").asc, col("vec_id"))
+    adcDistances(matches)
       .withColumn("rk", row_number().over(wRank).cast("long"))
       .filter(col("rk") <= TopK)
       .select(col("query_id"), col("rk"), col("vec_id"),
@@ -393,6 +401,53 @@ object Similarity {
         .join(broadcast(dtabB), Seq("m", "code", "bucket")))
   }
 
+  /** ADC shortlist size for the two-stage re-rank path. */
+  val Shortlist = 50
+
+  /** Two-stage retrieval — PQ/ADC shortlist → exact re-rank: the
+    * production ANN serving shape (FAISS's `IndexRefineFlat`). Stage 1
+    * ranks the whole corpus by compressed codes and keeps only
+    * [[Shortlist]] candidates per query; stage 2 fetches those
+    * candidates' RAW vectors and re-scores them with exact cosine. At
+    * billions of vectors the expensive exact math touches 50 rows per
+    * query instead of the corpus, and the raw-vector fetch is a
+    * semi-join — point reads against the vector store, never a scan.
+    * Recovers most of the recall PQ compression loses ([[annRecallRerank]]
+    * vs [[annRecallPq]] quantifies it).
+    */
+  def knnPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val parts = pqParts(e)
+    val cb = pqCodebook(parts)
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adist").asc, col("vec_id"))
+    val short = adcDistances(
+        pqCodes(parts, cb).join(broadcast(pqDtab(parts, cb)), Seq("m", "code")))
+      .withColumn("srk", row_number().over(wAdc))
+      .filter(col("srk") <= Shortlist)
+      .select("query_id", "vec_id")
+    val en = withNorm(e)
+    val q = en.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nm").as("qnm"))
+    val wR = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    short.join(en, "vec_id").join(broadcast(q), "query_id")
+      .withColumn("cos",
+        VectorFns.dot(col("qe"), col("embedding")) / (col("qnm") * col("nm")))
+      .withColumn("rk", row_number().over(wR).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk"), col("vec_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** Recall@10 of the two-stage shortlist+re-rank path — read next to
+    * [[annRecallPq]]: the delta is exactly what the exact re-rank of 50
+    * candidates buys back from the code-compression loss.
+    */
+  def annRecallRerank(spark: SparkSession, dir: String): DataFrame =
+    recallOf(
+        knnBruteforce(spark, dir).select(col("query_id"), col("vec_id")),
+        knnPqRerank(spark, dir))
+      .orderBy("query_id")
+
   /** The compression-vs-recall trade quantified: recall@10 of the
     * PQ/ADC ranking ([[knnPq]]) against brute-force ground truth, per
     * query — what a deployment checks before swapping raw vectors for
@@ -420,6 +475,8 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall_pq" -> annRecallPq,
     "ann_recall_ivfpq" -> annRecallIvfPq,
+    "knn_pq_rerank" -> knnPqRerank,
+    "ann_recall_rerank" -> annRecallRerank,
     "knn_pq" -> knnPq,
     "knn_ivf_pq" -> knnIvfPq,
     "knn_ivf_pq_residual" -> knnIvfPqResidual,
@@ -495,7 +552,48 @@ object Similarity {
        |)""".stripMargin
   }
 
+  /** Shortlist + exact re-rank CTE chain on top of `nrm` + the PQ
+    * chain: `sr` (ADC top-[[Shortlist]]) → `rr` (exact cosine) → `rrk`
+    * (re-ranked). Mirrors [[knnPqRerank]] op-for-op.
+    */
+  private val RerankCte: String =
+    s""", sr AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id) AS srk
+       |    FROM ad) WHERE srk <= $Shortlist
+       |), rr AS (
+       |  SELECT sr.query_id, sr.vec_id,
+       |    ${OracleSql.cosineN("q.embedding", "b.embedding", "q.nm", "b.nm")} AS c
+       |  FROM sr JOIN nrm b ON b.vec_id = sr.vec_id JOIN nrm q ON q.vec_id = sr.query_id
+       |), rrk AS (
+       |  SELECT query_id, vec_id, c,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rk
+       |  FROM rr
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "knn_pq_rerank" ->
+      s"""${OracleSql.NormCte}, ${pqCteOn("embeddings")}$RerankCte
+         |SELECT query_id, rk, vec_id, round(c, 6) AS cosine
+         |FROM rrk WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    "ann_recall_rerank" ->
+      s"""${OracleSql.NormCte}, ${pqCteOn("embeddings")}$RerankCte,
+         |rrf2 AS (SELECT query_id, vec_id FROM rrk WHERE rk <= $TopK),
+         |bp AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+         |    ${OracleSql.cosineN("q.embedding", "b.embedding", "q.nm", "b.nm")} AS c
+         |  FROM nrm q JOIN nrm b ON q.vec_id < $NQueries AND b.vec_id != q.vec_id
+         |), br AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+         |  FROM bp
+         |), bfr AS (SELECT query_id, vec_id FROM br WHERE rk <= $TopK)
+         |SELECT bfr.query_id AS query_id,
+         |  CAST(sum(CASE WHEN rrf2.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  round(sum(CASE WHEN rrf2.vec_id IS NOT NULL THEN 1 ELSE 0 END) / $TopK.0, 4) AS recall
+         |FROM bfr LEFT JOIN rrf2 ON bfr.query_id = rrf2.query_id AND bfr.vec_id = rrf2.vec_id
+         |GROUP BY bfr.query_id ORDER BY query_id""".stripMargin,
     "knn_pq" ->
       s"""WITH ${pqCteOn("embeddings")}, r AS (
          |  SELECT query_id, vec_id, adist,

@@ -361,6 +361,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("knn_pq_rerank: recall at least matches plain PQ per query") {
+    // rerank-top10 = exact-cosine top10 of the ADC shortlist, and the
+    // PQ top10 is a subset of that shortlist — so every brute-force
+    // hit PQ finds, the re-rank keeps. Strict invariant, not a heuristic.
+    val pq = SparkEntry.queries("ann_recall_pq")(spark, sfDir)
+      .select("query_id", "n_hits").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rr = SparkEntry.queries("ann_recall_rerank")(spark, sfDir)
+      .select("query_id", "n_hits").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rr.keySet === pq.keySet)
+    rr.foreach { case (q, hits) => assert(hits >= pq(q), s"query $q") }
+  }
+
+  test("qlm_topk: scores negative, descending, and candidates hold a query term") {
+    val r = SparkEntry.queries("qlm_topk")(spark, sfDir).collect()
+    assert(r.nonEmpty && r.length <= 20)
+    val scores = r.map(_.getDouble(1))
+    assert(scores.forall(_ < 0.0))                      // log-probs sum below zero
+    assert(scores.sameElements(scores.sortBy(-_)))      // ranked best-first
+    val cand = r.map(_.getLong(0)).toSet
+    val withTerm = sources.Tables.documents(spark, sfDir)
+      .filter(col("text").rlike("(^| )(spark|join)( |$)"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cand.subsetOf(withTerm))
+  }
+
   test("pipeline_clean: funnel is monotone non-increasing from raw to train") {
     val f = operators.Pipeline.pipelineClean(spark, sfDir)
       .orderBy("stage").collect().map(r => (r.getString(0), r.getLong(1)))
