@@ -671,9 +671,76 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** TPC-H Q6 — the forecast-revenue-change filter-agg, and the
+    * pushdown showcase: every predicate (shipdate year, discount band,
+    * quantity cap) reaches the parquet scan as a PushedFilter over a
+    * 4-column ReadSchema, so at 100 TB the scan skips whole row groups
+    * on column statistics before any Spark code runs. The revenue sum
+    * multiplies DECIMAL(18,2) operands — integer-scaled arithmetic, so
+    * the aggregate is addition-order-free and bitwise cross-engine.
+    */
+  def q6Revenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(18,2)")).cast("double"), 2).as("revenue"))
+
+  /** OHLC bars: per (event_type, hour) the opening/closing `value`
+    * (first/last by the total order (ts_us, event_id)) plus high/low/
+    * count — the time-series downsampling shape every metrics store
+    * runs. One shuffle on the composite bar key; open/close come from
+    * rank-1 rows of the two directed windows (values pass through
+    * untouched, so parity is bitwise), high/low/count are partial aggs.
+    */
+  def eventsOhlc(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsUs(spark, dir)
+      .select(col("event_type"), expr("ts_us div 3600000000").as("hour"),
+        col("ts_us"), col("event_id"), col("value"))
+    val asc = Window.partitionBy("event_type", "hour")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val desc = Window.partitionBy("event_type", "hour")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    ev.withColumn("ra", row_number().over(asc))
+      .withColumn("rd", row_number().over(desc))
+      .groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("ra") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rd") === 1, col("value"))).as("close"))
+      .orderBy("event_type", "hour")
+  }
+
+  /** DAU/WAU stickiness: daily actives joined to their calendar week's
+    * weekly actives (day/week = exact integer division of epoch days —
+    * `div`, never `/`). Both sides are exact distinct-user rollups of
+    * the same (user, day) frame; the ratio is one double division.
+    * The DAU-side distinct pre-shrinks to one row per (user, day), so
+    * at 100 TB the heavy shuffle happens once and both rollups reuse it.
+    */
+  def dauStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val days = eventsUs(spark, dir)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct()
+    val dau = days.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = days.select(col("user_id"), expr("day div 7").as("week")).distinct()
+      .groupBy("week").agg(count(lit(1)).as("wau"))
+    dau.withColumn("week", expr("day div 7"))
+      .join(broadcast(wau), "week")
+      .select(col("day"), col("dau"), col("week"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 4).as("stickiness"))
+      .orderBy("day")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_revenue" -> q6Revenue,
+    "events_ohlc" -> eventsOhlc,
+    "dau_stickiness" -> dauStickiness,
     "events_anomaly" -> eventsAnomaly,
     "customer_ltv_cohort" -> customerLtvCohort,
     "orders_seasonality" -> ordersSeasonality,
@@ -845,6 +912,39 @@ object Analytics {
          |  CAST(sum(delta) OVER (ORDER BY t
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS concurrency
          |FROM g ORDER BY t""".stripMargin,
+    "q6_revenue" ->
+      """SELECT count(*) AS n_items,
+        |  round(CAST(sum(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2)) AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "events_ohlc" ->
+      s"""$EvSql, b AS (
+         |  SELECT event_type, ts_us // 3600000000 AS hour, ts_us, event_id, value,
+         |    row_number() OVER (PARTITION BY event_type, ts_us // 3600000000
+         |      ORDER BY ts_us ASC, event_id ASC) AS ra,
+         |    row_number() OVER (PARTITION BY event_type, ts_us // 3600000000
+         |      ORDER BY ts_us DESC, event_id DESC) AS rd
+         |  FROM ev
+         |)
+         |SELECT event_type, hour, count(*) AS n_events,
+         |  max(CASE WHEN ra = 1 THEN value END) AS open,
+         |  max(value) AS high, min(value) AS low,
+         |  max(CASE WHEN rd = 1 THEN value END) AS close
+         |FROM b GROUP BY event_type, hour ORDER BY event_type, hour""".stripMargin,
+    "dau_stickiness" ->
+      s"""$EvSql, days AS (
+         |  SELECT DISTINCT user_id, ts_us // 86400000000 AS day FROM ev
+         |), dau AS (
+         |  SELECT day, count(*) AS dau FROM days GROUP BY day
+         |), wau AS (
+         |  SELECT week, count(*) AS wau FROM (
+         |    SELECT DISTINCT user_id, day // 7 AS week FROM days) GROUP BY week
+         |)
+         |SELECT day, dau, week, wau,
+         |  round(dau::DOUBLE / wau::DOUBLE, 4) AS stickiness
+         |FROM dau JOIN wau ON day // 7 = week
+         |ORDER BY day""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -361,6 +361,36 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q6_revenue: all three predicates reach the parquet scan") {
+    val qe = SparkEntry.queries("q6_revenue")(spark, sfDir).queryExecution
+    val scan = qe.executedPlan.toString
+    assert(scan.contains("PushedFilters:"), scan)
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(scan.contains(s"IsNotNull($c)") || scan.contains(s"GreaterThan($c") ||
+        scan.contains(s"LessThan($c"), s"no pushed filter on $c\n$scan")
+    }
+  }
+
+  test("events_ohlc: low <= open/close <= high, counts positive") {
+    val r = SparkEntry.queries("events_ohlc")(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (n, open, high, low, close) =
+        (row.getLong(2), row.getDouble(3), row.getDouble(4), row.getDouble(5), row.getDouble(6))
+      assert(n > 0L)
+      assert(low <= high && low <= open && open <= high && low <= close && close <= high)
+    }
+  }
+
+  test("dau_stickiness: ratio in (0,1], wau >= dau") {
+    val r = SparkEntry.queries("dau_stickiness")(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (dau, wau, s) = (row.getLong(1), row.getLong(3), row.getDouble(4))
+      assert(wau >= dau && s > 0.0 && s <= 1.0)
+    }
+  }
+
   test("knn_pq_rerank: recall at least matches plain PQ per query") {
     // rerank-top10 = exact-cosine top10 of the ADC shortlist, and the
     // PQ top10 is a subset of that shortlist — so every brute-force
