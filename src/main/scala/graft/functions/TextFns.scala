@@ -26,6 +26,16 @@ object TextFns {
           element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
       .otherwise(array().cast("array<string>"))
 
+  /** k-token shingles joined by single spaces; empty array when the
+    * document has fewer than k tokens. slice takes the Column overload
+    * (lit length) so the whole expression stays codegen-eligible.
+    */
+  def shinglesK(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => array_join(slice(toks, i + 1, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+
   /** Normalization for near-dup dedup: lowercase, strip non [a-z0-9 ],
     * squeeze runs of spaces, trim.
     */

@@ -492,7 +492,40 @@ object Dedup {
 
   // ---- wiring ----------------------------------------------------------
 
+  /** Duplicate-8-gram coverage (the C4/RefinedWeb substring-dedup
+    * signal): per document, the fraction of its 8-token shingle
+    * instances whose shingle also appears in at least one OTHER
+    * document. Thresholding this is how block-level dedup decides a
+    * doc is mostly boilerplate even when no whole-doc pair matches.
+    * One gram-keyed partial-agg shuffle builds the cross-doc df table
+    * and one join scores the instance stream against it — both keyed
+    * on the gram, so at 100 TB this is two shuffles of the shingle
+    * stream and never an all-pairs comparison. Docs shorter than 8
+    * tokens carry coverage 0 via the left join.
+    */
+  def dupNgramCoverage(spark: SparkSession, dir: String): DataFrame =
+    dupNgramCoverageOf(Tables.documents(spark, dir))
+
+  def dupNgramCoverageOf(docs: DataFrame): DataFrame = {
+    val g = docs.select(col("doc_id"),
+      explode(TextFns.shinglesK(TextFns.tokens(col("text")), 8)).as("g"))
+    val df = g.groupBy("g").agg(countDistinct(col("doc_id")).as("gdf"))
+    val cov = g.join(df, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gdf") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    docs.select("doc_id").join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(col("n_grams").isNull, lit(0.0))
+          .otherwise(round(col("n_dup").cast("double") / col("n_grams").cast("double"), 6))
+          .as("dup_coverage"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dup_ngram_coverage" -> dupNgramCoverage,
     "neardup_triangles" -> neardupTriangles,
     "neardup_clustering" -> neardupClustering,
     "lsh_tuning_curve" -> lshTuningCurve,
@@ -550,6 +583,24 @@ object Dedup {
   private val simhashCte: String = s"WITH ${simhashBody("documents")}"
 
   val oracles: Map[String, String] = Map(
+    "dup_ngram_coverage" ->
+      s"""${Index.TokSql}, gr AS (
+         |  SELECT doc_id, array_to_string(tk[i+1:i+8], ' ') AS g
+         |  FROM toks, unnest(range(greatest(len(tk) - 7, 0))) AS u(i)
+         |), dfx AS (
+         |  SELECT g, count(DISTINCT doc_id) AS gdf FROM gr GROUP BY g
+         |), cov AS (
+         |  SELECT gr.doc_id, count(*) AS n_grams,
+         |    CAST(sum(CASE WHEN dfx.gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |  FROM gr JOIN dfx USING (g) GROUP BY gr.doc_id
+         |)
+         |SELECT d.doc_id,
+         |  coalesce(cov.n_grams, 0) AS n_grams,
+         |  coalesce(cov.n_dup, 0) AS n_dup,
+         |  CASE WHEN cov.n_grams IS NULL THEN 0.0
+         |       ELSE round(cov.n_dup::DOUBLE / cov.n_grams::DOUBLE, 6) END AS dup_coverage
+         |FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "neardup_clustering" ->
       s"""$simhashCte, prs AS (
          |  SELECT a.doc_id AS a, b.doc_id AS b

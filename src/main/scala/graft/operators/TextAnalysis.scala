@@ -462,9 +462,56 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ---- keyword_textrank ------------------------------------------------
+
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04): terms
+    * are nodes, co-occurrence counts within a ±3 window are undirected
+    * edge weights, and two damped power iterations
+    * s ← 0.15 + 0.85·Σ_v (w_uv / wdeg_v)·s_v rank the vocabulary.
+    * The graph is vocabulary-sized (tiny next to the corpus): the
+    * expensive part is the one windowed self-join that builds edge
+    * counts, shared shape with [[Index.cooccurPmi]]. Damping constants
+    * are literal 0.15/0.85 on BOTH engines (1.0 − 0.85 ≠ 0.15 in
+    * doubles); per-node sums fold over the sender-sorted neighbor list
+    * so double addition order is fixed cross-engine.
+    */
+  def keywordTextrank(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "term")))
+    val pr = tok.as("a").join(tok.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.pos") > col("a.pos") && col("b.pos") <= col("a.pos") + 3 &&
+          col("a.term") =!= col("b.term"))
+      .select(col("a.term").as("u"), col("b.term").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+    val edges = pr
+      .unionAll(pr.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .groupBy("u", "v").agg(sum(col("w")).as("w"))
+    val wdeg = edges.groupBy(col("u").as("v")).agg(sum(col("w")).as("wdeg"))
+    def iterate(s: DataFrame): DataFrame =
+      edges.join(broadcast(wdeg), "v")
+        .join(broadcast(s.withColumnRenamed("term", "v")), "v")
+        .select(col("u"),
+          struct(col("v"),
+            (col("w").cast("double") / col("wdeg").cast("double") * col("score")).as("c"))
+            .as("vc"))
+        .groupBy("u")
+        .agg(sort_array(collect_list(col("vc"))).as("cs"))
+        .select(col("u").as("term"),
+          (lit(0.15) + lit(0.85) *
+            aggregate(col("cs"), lit(0.0), (a, s) => a + s("c"))).as("score"))
+    val s1 = iterate(wdeg.select(col("v").as("term"), lit(1.0).as("score")))
+    iterate(s1)
+      .join(broadcast(wdeg.withColumnRenamed("v", "term")), "term")
+      .select(col("term"), col("wdeg"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("term"))
+      .limit(20)
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "keyword_textrank" -> keywordTextrank,
     "repetition_ratio" -> repetitionRatio,
     "perplexity_doc" -> perplexityDoc,
     "bpe_merges" -> bpeMerges,
@@ -510,6 +557,37 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "keyword_textrank" ->
+      s"""${Index.TokSql}, pr AS (
+         |  SELECT a.term AS u, b.term AS v, count(*) AS w
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+         |    AND b.pos > a.pos AND b.pos <= a.pos + 3 AND a.term <> b.term
+         |  GROUP BY 1, 2
+         |), ed AS (
+         |  SELECT u, v, CAST(sum(w) AS BIGINT) AS w FROM (
+         |    SELECT u, v, w FROM pr UNION ALL SELECT v AS u, u AS v, w FROM pr)
+         |  GROUP BY u, v
+         |), dg AS (
+         |  SELECT u AS v, CAST(sum(w) AS BIGINT) AS wdeg FROM ed GROUP BY u
+         |), s1 AS (
+         |  SELECT e.u AS term,
+         |    0.15 + 0.85 * list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+         |      list_sort(list(struct_pack(v := e.v,
+         |        c := e.w::DOUBLE / dg.wdeg::DOUBLE * 1.0))), s -> s['c'])),
+         |      (a, x) -> a + x) AS score
+         |  FROM ed e JOIN dg ON e.v = dg.v GROUP BY e.u
+         |), s2 AS (
+         |  SELECT e.u AS term,
+         |    0.15 + 0.85 * list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+         |      list_sort(list(struct_pack(v := e.v,
+         |        c := e.w::DOUBLE / dg.wdeg::DOUBLE * s1.score))), s -> s['c'])),
+         |      (a, x) -> a + x) AS score
+         |  FROM ed e JOIN dg ON e.v = dg.v JOIN s1 ON s1.term = e.v
+         |  GROUP BY e.u
+         |)
+         |SELECT s2.term, dg2.wdeg, round(s2.score, 6) AS score
+         |FROM s2 JOIN dg dg2 ON dg2.v = s2.term
+         |ORDER BY score DESC, s2.term LIMIT 20""".stripMargin,
     "repetition_ratio" ->
       s"""${Index.TokSql}, bg AS (
          |  SELECT doc_id, tk[i+1] || ' ' || tk[i+2] AS b

@@ -361,6 +361,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("dup_ngram_coverage: shared blocks counted, short docs coast at zero") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"w$i").mkString(" ")   // 10 tokens → 3 8-grams
+    val d = Seq(
+      (0L, boiler),                       // shares all grams with doc 1
+      (1L, boiler + " unique tail here"), // 13 tokens → 6 grams, first 3 shared
+      (2L, "too short for grams"))        // < 8 tokens → zero grams
+      .toDF("doc_id", "text")
+    val r = operators.Dedup.dupNgramCoverageOf(d).collect()
+      .map(row => row.getLong(0) -> ((row.getLong(1), row.getLong(2), row.getDouble(3)))).toMap
+    assert(r(0L) === ((3L, 3L, 1.0)))
+    assert(r(1L)._1 === 6L && r(1L)._2 === 3L && math.abs(r(1L)._3 - 0.5) < 1e-9)
+    assert(r(2L) === ((0L, 0L, 0.0)))
+  }
+
+  test("keyword_textrank: scores bounded below by the teleport mass, ranked") {
+    val r = SparkEntry.queries("keyword_textrank")(spark, sfDir).collect()
+    assert(r.nonEmpty && r.length <= 20)
+    val scores = r.map(_.getDouble(2))
+    assert(scores.forall(_ >= 0.15))                 // damped iteration floor
+    assert(scores.sameElements(scores.sortBy(-(_: Double))))
+    assert(r.map(_.getLong(1)).forall(_ > 0L))       // every keyword has edges
+  }
+
   test("q6_revenue: all three predicates reach the parquet scan") {
     val qe = SparkEntry.queries("q6_revenue")(spark, sfDir).queryExecution
     val scan = qe.executedPlan.toString
