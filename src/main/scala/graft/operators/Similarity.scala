@@ -34,12 +34,14 @@ object Similarity {
     e.select(col("vec_id"), col("embedding"),
       sqrt(VectorFns.norm2(col("embedding"))).as("nm"))
 
-  def knnBruteforce(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(spark, dir))
-    val q = e.filter(col("vec_id") < NQueries)
+  /** Brute-force per-query top-k over any (vec_id, embedding, nm)
+    * frame — shared by the raw baseline and the SQ8 variant.
+    */
+  private def bruteKnnOn(en: DataFrame): DataFrame = {
+    val q = en.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nm").as("qnm"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    e.crossJoin(broadcast(q))
+    en.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos",
         VectorFns.dot(col("qe"), col("embedding")) / (col("qnm") * col("nm")))
@@ -48,6 +50,51 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("vec_id"), round(col("cos"), 6).as("cosine"))
       .orderBy("query_id", "rk")
   }
+
+  def knnBruteforce(spark: SparkSession, dir: String): DataFrame =
+    bruteKnnOn(withNorm(Tables.embeddings(spark, dir)))
+
+  /** SQ8 scalar quantization: per-dimension corpus min/max (one tiny
+    * dimension-keyed agg, broadcast back as two arrays), each value
+    * encoded to an 8-bit level q = ⌊(x−mn)/(mx−mn)·255 + 0.5⌋ and
+    * dequantized to FLOAT — 4× smaller vectors at billions of rows,
+    * with none of PQ's codebook machinery. floor (not round) keeps the
+    * halfway cases engine-agnostic, and the final float cast collapses
+    * both engines' doubles to the same 32-bit value, so downstream
+    * cosine is bitwise cross-engine.
+    */
+  def sq8Embeddings(e: DataFrame): DataFrame = {
+    val stats = e.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val arrs = stats.agg(
+      transform(sort_array(collect_list(struct(col("i"), col("mn")))), s => s("mn")).as("mns"),
+      transform(sort_array(collect_list(struct(col("i"), col("mx")))), s => s("mx")).as("mxs"))
+    e.crossJoin(broadcast(arrs))
+      .select(col("vec_id"),
+        transform(col("embedding"), (x, i) => {
+          val mn = element_at(col("mns"), i + 1).cast("double")
+          val mx = element_at(col("mxs"), i + 1).cast("double")
+          val q = when(mx > mn,
+            floor((x.cast("double") - mn) / (mx - mn) * 255.0 + 0.5)).otherwise(lit(0.0))
+          (mn + q / lit(255.0) * (mx - mn)).cast("float")
+        }).as("embedding"))
+  }
+
+  /** Exact top-k over the SQ8-dequantized corpus — what serving looks
+    * like when raw vectors are dropped for the 4×-compressed form.
+    */
+  def knnSq8(spark: SparkSession, dir: String): DataFrame =
+    bruteKnnOn(withNorm(sq8Embeddings(Tables.embeddings(spark, dir))))
+
+  /** Recall@10 of the SQ8 ranking vs raw brute force — the scalar
+    * quantization row of the compression/recall table ([[annRecallPq]]
+    * and [[annRecallRerank]] are the PQ rows).
+    */
+  def annRecallSq8(spark: SparkSession, dir: String): DataFrame =
+    recallOf(
+        knnBruteforce(spark, dir).select(col("query_id"), col("vec_id")),
+        knnSq8(spark, dir))
+      .orderBy("query_id")
 
   /** (vec_id, embedding, nm, bucket) — nearest-centroid assignment,
     * ties broken toward the lower centroid id. Narrow per-row argmax
@@ -477,6 +524,8 @@ object Similarity {
     "ann_recall_ivfpq" -> annRecallIvfPq,
     "knn_pq_rerank" -> knnPqRerank,
     "ann_recall_rerank" -> annRecallRerank,
+    "knn_sq8" -> knnSq8,
+    "ann_recall_sq8" -> annRecallSq8,
     "knn_pq" -> knnPq,
     "knn_ivf_pq" -> knnIvfPq,
     "knn_ivf_pq_residual" -> knnIvfPqResidual,
@@ -572,7 +621,72 @@ object Similarity {
        |  FROM rr
        |)""".stripMargin
 
+  /** CTE chain `st` → `ar` → `dq` → `nrm`: per-dim min/max, the
+    * broadcast arrays, the SQ8 dequantized corpus, and its norms —
+    * mirrors [[sq8Embeddings]] op-for-op (same float cast).
+    */
+  private val Sq8Cte: String =
+    s"""WITH st AS (
+       |  SELECT u.i AS i, min(e.embedding[u.i+1]) AS mn, max(e.embedding[u.i+1]) AS mx
+       |  FROM embeddings e, unnest(range(len(e.embedding))) AS u(i) GROUP BY u.i
+       |), ar AS (
+       |  SELECT
+       |    list_transform(list_sort(list(struct_pack(i := i, v := mn))), s -> s['v']) AS mns,
+       |    list_transform(list_sort(list(struct_pack(i := i, v := mx))), s -> s['v']) AS mxs
+       |  FROM st
+       |), dq AS (
+       |  SELECT vec_id,
+       |    list_transform(range(len(embedding)), i -> CAST(
+       |      CASE WHEN ar.mxs[i+1]::DOUBLE > ar.mns[i+1]::DOUBLE THEN
+       |        ar.mns[i+1]::DOUBLE +
+       |        floor((embedding[i+1]::DOUBLE - ar.mns[i+1]::DOUBLE) /
+       |          (ar.mxs[i+1]::DOUBLE - ar.mns[i+1]::DOUBLE) * 255.0 + 0.5) / 255.0 *
+       |          (ar.mxs[i+1]::DOUBLE - ar.mns[i+1]::DOUBLE)
+       |      ELSE ar.mns[i+1]::DOUBLE END AS FLOAT)) AS embedding
+       |  FROM embeddings, ar
+       |), nrm AS (
+       |  SELECT vec_id, embedding, sqrt(${OracleSql.norm2("embedding")}) AS nm FROM dq
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "knn_sq8" ->
+      s"""$Sq8Cte, p AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+         |    ${OracleSql.cosineN("q.embedding", "b.embedding", "q.nm", "b.nm")} AS c
+         |  FROM nrm q JOIN nrm b ON q.vec_id < $NQueries AND b.vec_id != q.vec_id
+         |), r AS (
+         |  SELECT query_id, vec_id, c,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rk
+         |  FROM p
+         |)
+         |SELECT query_id, rk, vec_id, round(c, 6) AS cosine
+         |FROM r WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    "ann_recall_sq8" ->
+      s"""$Sq8Cte, nrmr AS (
+         |  SELECT vec_id, embedding, sqrt(${OracleSql.norm2("embedding")}) AS nm FROM embeddings
+         |), sp AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+         |    ${OracleSql.cosineN("q.embedding", "b.embedding", "q.nm", "b.nm")} AS c
+         |  FROM nrm q JOIN nrm b ON q.vec_id < $NQueries AND b.vec_id != q.vec_id
+         |), sr AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+         |  FROM sp
+         |), sqf AS (SELECT query_id, vec_id FROM sr WHERE rk <= $TopK),
+         |bp AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+         |    ${OracleSql.cosineN("q.embedding", "b.embedding", "q.nm", "b.nm")} AS c
+         |  FROM nrmr q JOIN nrmr b ON q.vec_id < $NQueries AND b.vec_id != q.vec_id
+         |), br AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+         |  FROM bp
+         |), bfr AS (SELECT query_id, vec_id FROM br WHERE rk <= $TopK)
+         |SELECT bfr.query_id AS query_id,
+         |  CAST(sum(CASE WHEN sqf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  round(sum(CASE WHEN sqf.vec_id IS NOT NULL THEN 1 ELSE 0 END) / $TopK.0, 4) AS recall
+         |FROM bfr LEFT JOIN sqf ON bfr.query_id = sqf.query_id AND bfr.vec_id = sqf.vec_id
+         |GROUP BY bfr.query_id ORDER BY query_id""".stripMargin,
     "knn_pq_rerank" ->
       s"""${OracleSql.NormCte}, ${pqCteOn("embeddings")}$RerankCte
          |SELECT query_id, rk, vec_id, round(c, 6) AS cosine

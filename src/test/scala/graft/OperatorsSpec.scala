@@ -415,6 +415,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("sq8: dequantized values sit within half a quantization step") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(0.0f, 1.0f, -1.0f)),
+      (1L, Array(0.5f, 0.25f, 3.0f)),
+      (2L, Array(1.0f, -0.5f, 7.0f))).toDF("vec_id", "embedding")
+    val orig = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val dq = operators.Similarity.sq8Embeddings(e).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val dims = orig.values.head.indices
+    val steps = dims.map { i =>
+      val vs = orig.values.map(_(i)); (vs.max - vs.min) / 255.0
+    }
+    orig.foreach { case (id, vec) =>
+      dims.foreach { i =>
+        assert(math.abs(dq(id)(i) - vec(i)) <= steps(i) / 2 + 1e-6,
+          s"vec $id dim $i: ${vec(i)} -> ${dq(id)(i)}")
+      }
+    }
+  }
+
   test("knn_pq_rerank: recall at least matches plain PQ per query") {
     // rerank-top10 = exact-cosine top10 of the ADC shortlist, and the
     // PQ top10 is a subset of that shortlist — so every brute-force
