@@ -685,8 +685,11 @@ object Analytics {
         col("l_shipdate") < lit("1997-01-01") &&
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
       .agg(count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice").cast("decimal(18,2)") *
-          col("l_discount").cast("decimal(18,2)")).cast("double"), 2).as("revenue"))
+        // no round(_, 2) after the double cast: rounding a double at a
+        // half-cent tie is engine-specific; the decimal sum is already
+        // exact and its nearest-double cast is deterministic
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(18,2)")).cast("double").as("revenue"))
 
   /** OHLC bars: per (event_type, hour) the opening/closing `value`
     * (first/last by the total order (ts_us, event_id)) plus high/low/
@@ -735,9 +738,49 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** Decimal-exact line revenue `extprice · (1 − discount)` — the
+    * integer-scaled arithmetic both engines share bit-for-bit.
+    */
+  private def lineRevenueDec =
+    col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1.0).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+
+  /** Q9-flavored product-line report: revenue per (brand, ship year)
+    * via a BROADCAST join of the part dimension into the lineitem
+    * scan — the dimension is keys × brands (tiny at any SF), so the
+    * fact table never shuffles for the join; the only exchange is the
+    * final (brand, year) rollup of partial aggregates.
+    */
+  def partBrandRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(lineRevenueDec).cast("double").as("revenue"))
+      .orderBy("p_brand", "ship_year")
+
+  /** Q7-flavored trade matrix: revenue per (supplier nation, ship
+    * year). Two broadcast dimension hops (supplier → nation) into the
+    * fact scan, one rollup shuffle — the snowflake pattern at 100 TB:
+    * dimensions broadcast, facts stay put.
+    */
+  def nationTradeMatrix(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(lineRevenueDec).cast("double").as("revenue"))
+      .orderBy("n_name", "ship_year")
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "part_brand_revenue" -> partBrandRevenue,
+    "nation_trade_matrix" -> nationTradeMatrix,
     "q6_revenue" -> q6Revenue,
     "events_ohlc" -> eventsOhlc,
     "dau_stickiness" -> dauStickiness,
@@ -912,9 +955,24 @@ object Analytics {
          |  CAST(sum(delta) OVER (ORDER BY t
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS concurrency
          |FROM g ORDER BY t""".stripMargin,
+    "part_brand_revenue" ->
+      """SELECT p_brand, year(l_shipdate)::BIGINT AS ship_year,
+        |  count(*) AS n_items,
+        |  CAST(sum(l_extendedprice::DECIMAL(18,2) *
+        |    (1.0::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand, ship_year ORDER BY p_brand, ship_year""".stripMargin,
+    "nation_trade_matrix" ->
+      """SELECT n_name, year(l_shipdate)::BIGINT AS ship_year,
+        |  count(*) AS n_items,
+        |  CAST(sum(l_extendedprice::DECIMAL(18,2) *
+        |    (1.0::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name, ship_year ORDER BY n_name, ship_year""".stripMargin,
     "q6_revenue" ->
       """SELECT count(*) AS n_items,
-        |  round(CAST(sum(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2)) AS DOUBLE), 2) AS revenue
+        |  CAST(sum(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2)) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,

@@ -524,7 +524,24 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Degree distribution of the near-dup graph: how many docs have k
+    * near-duplicates. The shape (power-law tail vs dense clique mass)
+    * is the first thing to read before picking a clustering strategy —
+    * and the input to [[Analytics.skewReport]]-style salting decisions
+    * on the pair join. One count rollup over the pair stream.
+    */
+  def neardupDegreeHist(spark: SparkSession, dir: String): DataFrame = {
+    val e = simhashPairs(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    e.select(col("a").as("doc_id"))
+      .unionByName(e.select(col("b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "neardup_degree_hist" -> neardupDegreeHist,
     "dup_ngram_coverage" -> dupNgramCoverage,
     "neardup_triangles" -> neardupTriangles,
     "neardup_clustering" -> neardupClustering,
@@ -583,6 +600,17 @@ object Dedup {
   private val simhashCte: String = s"WITH ${simhashBody("documents")}"
 
   val oracles: Map[String, String] = Map(
+    "neardup_degree_hist" ->
+      s"""$simhashCte, prs AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |), dn AS (
+         |  SELECT doc_id, count(*) AS degree FROM (
+         |    SELECT a AS doc_id FROM prs UNION ALL SELECT b AS doc_id FROM prs)
+         |  GROUP BY doc_id
+         |)
+         |SELECT degree, count(*) AS n_nodes FROM dn GROUP BY degree ORDER BY degree""".stripMargin,
     "dup_ngram_coverage" ->
       s"""${Index.TokSql}, gr AS (
          |  SELECT doc_id, array_to_string(tk[i+1:i+8], ' ') AS g

@@ -415,6 +415,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("nation_trade_matrix: both dimension hops plan as broadcast joins") {
+    val plan = SparkEntry.queries("nation_trade_matrix")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("neardup_degree_hist: histogram masses sum to the node count") {
+    val hist = SparkEntry.queries("neardup_degree_hist")(spark, sfDir).collect()
+    val pairs = SparkEntry.queries("simhash_pairs")(spark, sfDir)
+    val nodes = pairs.select(col("doc_a").as("d"))
+      .unionByName(pairs.select(col("doc_b").as("d"))).distinct().count()
+    assert(hist.map(_.getLong(1)).sum === nodes)
+    assert(hist.map(_.getLong(0)).forall(_ >= 1L))
+  }
+
   test("sq8: dequantized values sit within half a quantization step") {
     import spark.implicits._
     val e = Seq(
