@@ -776,9 +776,34 @@ object Analytics {
         sum(lineRevenueDec).cast("double").as("revenue"))
       .orderBy("n_name", "ship_year")
 
+  /** Calendar gap-fill: daily order counts densified over the full
+    * [min, max] date span so zero-order days appear explicitly — the
+    * densification every time-series chart/model needs before
+    * windowing. The calendar generates from a 1-row bounds aggregate
+    * (`sequence` of epoch days — no driver action, no data-dependent
+    * skew), and the left join back to the daily rollup is
+    * calendar × 1: at 100 TB the heavy side was already reduced to
+    * one row per day by the first partial agg.
+    */
+  def ordersGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+        .cast("long").as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val cal = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    cal.join(daily, Seq("day"), "left")
+      .select(
+        date_format(date_add(lit("1970-01-01").cast("date"), col("day").cast("int")),
+          "yyyy-MM-dd").as("order_date"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("order_date")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_gap_fill" -> ordersGapFill,
     "part_brand_revenue" -> partBrandRevenue,
     "nation_trade_matrix" -> nationTradeMatrix,
     "q6_revenue" -> q6Revenue,
@@ -955,6 +980,18 @@ object Analytics {
          |  CAST(sum(delta) OVER (ORDER BY t
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS concurrency
          |FROM g ORDER BY t""".stripMargin,
+    "orders_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT AS day,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1
+        |), cal AS (
+        |  SELECT unnest(range(min(day), max(day) + 1)) AS day FROM daily
+        |)
+        |SELECT strftime(DATE '1970-01-01' + INTERVAL (cal.day) DAY, '%Y-%m-%d') AS order_date,
+        |  coalesce(daily.n_orders, 0) AS n_orders
+        |FROM cal LEFT JOIN daily ON cal.day = daily.day
+        |ORDER BY order_date""".stripMargin,
     "part_brand_revenue" ->
       """SELECT p_brand, year(l_shipdate)::BIGINT AS ship_year,
         |  count(*) AS n_items,

@@ -106,9 +106,53 @@ object Multimodal {
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_doc"))
       .orderBy("media_md5")
 
+  /** Near-dup media pairs by frame-fingerprint Jaccard ≥ 0.5: each
+    * payload becomes its SET of 256-byte frame checksums, candidate
+    * pairs come from a join on shared checksums (hash-keyed — never
+    * all-pairs), and the overlap count verifies the Jaccard exactly.
+    * This is perceptual-dedup plumbing with the codec stubbed: swap
+    * the frame checksum for a real pHash and the plan is unchanged.
+    * Shuffles carry 32-char digests + ids, never payloads.
+    */
+  def mediaNeardup(spark: SparkSession, dir: String): DataFrame =
+    mediaNeardupOf(mediaTable(spark, dir))
+
+  /** [[mediaNeardup]] over any (doc_id, media binary) frame. */
+  def mediaNeardupOf(media: DataFrame): DataFrame = {
+    val hexLen = FrameBytes * 2
+    val fr = media
+      .select(col("doc_id"), hex(col("media")).as("h"))
+      .withColumn("n_frames",
+        ceil(length(col("h")).cast("double") / hexLen).cast("int"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("fno"))
+      .select(col("doc_id"),
+        md5(expr(s"substring(h, fno * $hexLen + 1, $hexLen)")).as("fmd5"))
+      .distinct()
+    val sizes = fr.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    fr.as("a").join(fr.as("b"),
+        col("a.fmd5") === col("b.fmd5") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("ov"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nf").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nf").as("nb")), "doc_b")
+      .withColumn("jraw",
+        col("ov").cast("double") /
+          (col("na") + col("nb") - col("ov")).cast("double"))
+      // filter on the RAW ratio (what the oracle filters on), round
+      // only for output — a value rounding up across 0.5 must not
+      // change membership on one engine only
+      .filter(col("jraw") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("ov"),
+        round(col("jraw"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_neardup" -> mediaNeardup,
     "media_meta" -> mediaMeta,
     "media_features" -> mediaFeatures,
     "media_frames" -> mediaFrames,
@@ -116,6 +160,27 @@ object Multimodal {
 
   /** media_features is rows-only: its decode stage is a stub. */
   val oracles: Map[String, String] = Map(
+    "media_neardup" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, hex(encode(text)) AS h,
+         |    CAST(ceil(length(hex(encode(text)))::DOUBLE / ${FrameBytes * 2}) AS INT) AS n_frames
+         |  FROM documents
+         |), fr AS (
+         |  SELECT DISTINCT doc_id,
+         |    md5(substring(h, fno::INT * ${FrameBytes * 2} + 1, ${FrameBytes * 2})) AS fmd5
+         |  FROM (SELECT doc_id, h, unnest(range(n_frames)) AS fno FROM m WHERE n_frames > 0)
+         |), sz AS (
+         |  SELECT doc_id, count(*) AS nf FROM fr GROUP BY doc_id
+         |), ov AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ov
+         |  FROM fr a JOIN fr b ON a.fmd5 = b.fmd5 AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, ov,
+         |  round(ov::DOUBLE / (sa.nf + sb.nf - ov)::DOUBLE, 6) AS jaccard
+         |FROM ov JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+         |WHERE ov::DOUBLE / (sa.nf + sb.nf - ov)::DOUBLE >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "media_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -282,9 +282,38 @@ object Pipeline {
       .orderBy("pack_id")
   }
 
+  /** The dataset card in one row: corpus size, token volume, source/
+    * language spread, exact-duplicate rate, and the quality keep rate —
+    * the numbers a released dataset publishes. Each component is a
+    * 1-row aggregate over one corpus pass (cross-joined broadcast
+    * scalars, never a driver action), so the card costs three scans at
+    * any corpus size and composes with [[pipelineClean]]'s funnel.
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(md5(col("text"))).as("n_unique"))
+    val tok = docs
+      .select(size(TextFns.tokens(col("text"))).cast("long").as("n"))
+      .agg(sum(col("n")).as("n_tokens"))
+    val keep = TextAnalysis.qualityFlagsOf(docs).agg(sum(col("keep")).as("n_keep"))
+    base.crossJoin(broadcast(tok)).crossJoin(broadcast(keep))
+      .select(col("n_docs"), col("n_tokens"), col("n_sources"), col("n_langs"),
+        round(col("n_tokens").cast("double") / col("n_docs").cast("double"), 4)
+          .as("avg_doc_tokens"),
+        round(lit(1.0) - col("n_unique").cast("double") / col("n_docs").cast("double"), 6)
+          .as("exact_dup_rate"),
+        round(col("n_keep").cast("double") / col("n_docs").cast("double"), 6)
+          .as("quality_keep_rate"))
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dataset_card" -> datasetCard,
     "doc_chunking" -> docChunking,
     "pack_chunks" -> packChunks,
     "contamination_bloom" -> contaminationBloom,
@@ -321,6 +350,37 @@ object Pipeline {
        |GROUP BY h.doc_id ORDER BY holdout_doc""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dataset_card" ->
+      s"""WITH b AS (
+         |  SELECT count(*) AS n_docs,
+         |    count(DISTINCT source) AS n_sources,
+         |    count(DISTINCT lang) AS n_langs,
+         |    count(DISTINCT md5(text)) AS n_unique
+         |  FROM documents
+         |), t AS (
+         |  SELECT CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |    x -> len(x) > 0))) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), q AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS ntc,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x IN ${TextAnalysis.inList(TextFns.Stopwords)})) AS BIGINT) AS ns,
+         |    CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0))) AS BIGINT) AS nd
+         |  FROM documents
+         |), k AS (
+         |  SELECT CAST(sum(
+         |    (CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1 ELSE 0 END) *
+         |    (CASE WHEN ntc::DOUBLE / greatest(n_tokens, 1) BETWEEN 2.0 AND 8.0 THEN 1 ELSE 0 END) *
+         |    (CASE WHEN ns::DOUBLE / greatest(n_tokens, 1) >= 0.05 THEN 1 ELSE 0 END) *
+         |    (CASE WHEN nd::DOUBLE / greatest(n_tokens, 1) >= 0.3 THEN 1 ELSE 0 END)) AS BIGINT) AS n_keep
+         |  FROM q
+         |)
+         |SELECT b.n_docs, t.n_tokens, b.n_sources, b.n_langs,
+         |  round(t.n_tokens::DOUBLE / b.n_docs::DOUBLE, 4) AS avg_doc_tokens,
+         |  round(1.0 - b.n_unique::DOUBLE / b.n_docs::DOUBLE, 6) AS exact_dup_rate,
+         |  round(k.n_keep::DOUBLE / b.n_docs::DOUBLE, 6) AS quality_keep_rate
+         |FROM b, t, k""".stripMargin,
     "doc_chunking" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS tk

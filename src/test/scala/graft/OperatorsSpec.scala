@@ -415,6 +415,42 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("media_neardup: frame-set jaccard computed on crafted payloads") {
+    import spark.implicits._
+    val blk = (c: Char) => c.toString * operators.Multimodal.FrameBytes
+    val media = Seq(
+      (0L, (blk('a') + blk('b')).getBytes("UTF-8")),            // {A, B}
+      (1L, (blk('a') + blk('b') + blk('c')).getBytes("UTF-8")), // {A, B, C} → j=2/3
+      (2L, (blk('x') + blk('y')).getBytes("UTF-8")))            // disjoint
+      .toDF("doc_id", "media")
+    val r = operators.Multimodal.mediaNeardupOf(media).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(0) === 0L && r(0).getLong(1) === 1L)
+    assert(r(0).getLong(2) === 2L)                              // two shared frames
+    assert(math.abs(r(0).getDouble(3) - 2.0 / 3) < 1e-5)
+  }
+
+  test("orders_gap_fill: dense daily calendar, fill days carry zero") {
+    val r = SparkEntry.queries("orders_gap_fill")(spark, sfDir).collect()
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    val days = r.map(row => java.time.LocalDate.parse(row.getString(0), fmt).toEpochDay)
+    assert(days.length === (days.max - days.min + 1))           // no gaps
+    assert(days.sameElements(days.sorted))
+    val total = r.map(_.getLong(1)).sum
+    assert(total === sources.Tables.orders(spark, sfDir).count())
+  }
+
+  test("dataset_card: one row, rates in [0,1], doc count consistent") {
+    val r = SparkEntry.queries("dataset_card")(spark, sfDir).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert(row.getLong(0) === sources.Tables.documents(spark, sfDir).count())
+    Seq(5, 6).foreach { i =>
+      val v = row.getDouble(i)
+      assert(v >= 0.0 && v <= 1.0, s"col $i = $v")
+    }
+  }
+
   test("nation_trade_matrix: both dimension hops plan as broadcast joins") {
     val plan = SparkEntry.queries("nation_trade_matrix")(spark, sfDir)
       .queryExecution.executedPlan.toString
