@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.{HashFns, TextFns, VectorFns}
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -201,36 +201,69 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashDf(Tables.documents(spark, dir)).orderBy("doc_id")
 
-  /** Near-dup pairs with SimHash Hamming distance ≤ 1, found by LSH
-    * banding on the two 16-bit halves: distance ≤ 1 implies at least
-    * one half matches exactly (pigeonhole), so the banded join finds
-    * EXACTLY the brute-force pair set — which is what the DuckDB
-    * oracle computes by cross join.
+  /** Near-dup pairs with SimHash Hamming distance ≤ 6 (the SURVEY §2
+    * operator contract), via [[simhashPairsOf]]'s 7-band lossless
+    * banding. NOTE: on this corpus the ≤6 relation is ~67% of ALL
+    * pairs (31-word vocab ⇒ simhashes cluster; measured 8.4M of 12.5M
+    * pairs at sf0.1), so the downstream graph family deliberately
+    * consumes the sparser [[neardupEdges]] (≤1) edge set instead —
+    * triangle enumeration on the ≤6 graph would be output-bound at
+    * ~6 × 10⁹ rows.
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
-    simhashPairsOf(Tables.documents(spark, dir))
+    simhashPairsOf(Tables.documents(spark, dir), maxHamming = 6)
 
-  /** [[simhashPairs]] over any (doc_id, text) frame. */
-  def simhashPairsOf(docs: DataFrame): DataFrame = {
+  /** The near-dup GRAPH edge set: [[simhashPairsOf]] at Hamming ≤ 1.
+    * All graph analytics (`dedup_clusters`, `neardup_*`) build on this
+    * sparser relation — see [[simhashPairs]] for why ≤6 is not usable
+    * as a graph on this corpus.
+    */
+  def neardupEdges(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsOf(Tables.documents(spark, dir), maxHamming = 1)
+
+  /** Near-dup pairs with SimHash Hamming distance ≤ `maxHamming` over
+    * any (doc_id, text) frame, by LOSSLESS LSH banding: the 32 bits
+    * split into `maxHamming + 1` disjoint bands, so a pair within the
+    * distance budget has at least one band with zero differing bits
+    * (pigeonhole) and the banded equi-join finds EXACTLY the
+    * brute-force pair set the DuckDB oracle computes by cross join.
+    * Candidates are exact-verified with `bit_count`, and each pair is
+    * emitted by its FIRST matching band only (all earlier bands of the
+    * xor must be non-zero) — a codegen'd filter instead of a
+    * `distinct()` over the multi-band candidate stream.
+    *
+    * Self-join on the band key, NOT bucketPairs: this near-dup-heavy
+    * corpus has hot band-value buckets, and the codegen'd sort-merge
+    * pair stream beats the interpreted per-bucket combination lambda
+    * (measured 2.0s vs 1.2s at sf0.1 — the reverse of the small-bucket
+    * minhash case).
+    */
+  def simhashPairsOf(docs: DataFrame, maxHamming: Int = 1): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming out of range: $maxHamming")
+    val nb = maxHamming + 1
+    // wider bands first: 32 = nb*base + rem → `rem` bands of base+1 bits
+    val base = 32 / nb
+    val widths = Seq.tabulate(nb)(i => if (i < 32 % nb) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    def bandOf(c: Column, i: Int): Column =
+      shiftright(c, offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
     val sh = simhashDf(docs)
     val bands = sh.select(col("doc_id"), col("simhash"),
-        explode(array(
-          struct(lit(0).as("band"), (col("simhash") % 65536).as("v")),
-          struct(lit(1).as("band"), shiftright(col("simhash"), 16).as("v")))).as("bk"))
+        explode(array(Seq.tabulate(nb)(i =>
+          struct(lit(i).as("band"), bandOf(col("simhash"), i).as("v"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.v").as("v"))
-    // Self-join on the band key, NOT bucketPairs: this near-dup-heavy
-    // corpus has hot half-value buckets, and the codegen'd sort-merge
-    // pair stream beats the interpreted per-bucket combination lambda
-    // (measured 2.0s vs 1.2s at sf0.1 — the reverse of the small-bucket
-    // minhash case).
+    val firstBand = Seq.range(0, nb).foldRight(lit(-1): Column) { (i, rest) =>
+      when(bandOf(col("xr"), i) === 0, lit(i)).otherwise(rest)
+    }
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
-      .distinct()
-      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
-      .filter(col("hamming") <= 1)
+        col("a.band").as("band"),
+        col("a.simhash").bitwiseXOR(col("b.simhash")).as("xr"))
+      .filter(col("band") === firstBand)
+      .withColumn("hamming", expr("bit_count(xr)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
@@ -283,7 +316,7 @@ object Dedup {
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     GraftOps.connectedComponents(
-        simhashPairs(spark, dir), srcCol = "doc_a", dstCol = "doc_b")
+        neardupEdges(spark, dir), srcCol = "doc_a", dstCol = "doc_b")
       .select(col("node").as("doc_id"), col("component").as("cluster_id"))
       .orderBy("doc_id")
 
@@ -298,7 +331,7 @@ object Dedup {
     */
   def neardupApply(spark: SparkSession, dir: String): DataFrame = {
     val drop = GraftOps.connectedComponents(
-        simhashPairs(spark, dir), srcCol = "doc_a", dstCol = "doc_b")
+        neardupEdges(spark, dir), srcCol = "doc_a", dstCol = "doc_b")
       .filter(col("node") =!= col("component"))
       .select(col("node").as("doc_id"))
     Tables.documents(spark, dir)
@@ -354,7 +387,7 @@ object Dedup {
     // literal denotes) and the bitwise contract would fail whenever a
     // pr lands within an ulp of a round(_, 6) boundary
     val teleport = 0.15
-    val prs = simhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val prs = neardupEdges(spark, dir).select(col("doc_a"), col("doc_b"))
     // the edge list feeds degree + both iterations (5 plan branches):
     // materialize it once — without this the simhash-pair join tree
     // recomputes per branch (measured 3.4s → the checkpoint pays for
@@ -456,7 +489,7 @@ object Dedup {
 
   def neardupTriangles(spark: SparkSession, dir: String): DataFrame =
     trianglesOf(
-        simhashPairs(spark, dir)
+        neardupEdges(spark, dir)
           .select(col("doc_a").as("a"), col("doc_b").as("b"))
           .localCheckpoint())
       .orderBy("a", "b", "c")
@@ -471,7 +504,7 @@ object Dedup {
     * the coefficient is one exact-integer division.
     */
   def neardupClustering(spark: SparkSession, dir: String): DataFrame = {
-    val e = simhashPairs(spark, dir)
+    val e = neardupEdges(spark, dir)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
       .localCheckpoint()
     val deg = e.select(col("a").as("doc_id"))
@@ -531,7 +564,7 @@ object Dedup {
     * on the pair join. One count rollup over the pair stream.
     */
   def neardupDegreeHist(spark: SparkSession, dir: String): DataFrame = {
-    val e = simhashPairs(spark, dir)
+    val e = neardupEdges(spark, dir)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     e.select(col("a").as("doc_id"))
       .unionByName(e.select(col("b").as("doc_id")))
@@ -721,7 +754,7 @@ object Dedup {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_apply" ->
       s"""WITH canon AS (

@@ -116,6 +116,30 @@ class OperatorsSpec extends SparkSpec {
     assert(sh(0).getLong(1) !== sh(3).getLong(1))
   }
 
+  test("simhash banding is lossless: banded pairs == brute force, k in {1, 6}") {
+    // sfDir docs exercise the real kernel; brute force over the collected
+    // simhashes is the ground truth the banded join must reproduce exactly
+    val docsDf = graft.sources.Tables.documents(spark, sfDir)
+    val sh = Dedup.simhashDf(docsDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    for (k <- Seq(1, 6)) {
+      val want = (for {
+        (ia, ha) <- sh; (ib, hb) <- sh
+        if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= k
+      } yield (ia, ib, java.lang.Long.bitCount(ha ^ hb).toLong)).toSet
+      val got = Dedup.simhashPairsOf(docsDf, maxHamming = k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want, s"maxHamming=$k")
+    }
+  }
+
+  test("simhash banded pair stream emits each pair exactly once (no distinct)") {
+    val docsDf = graft.sources.Tables.documents(spark, sfDir)
+    val prs = Dedup.simhashPairsOf(docsDf, maxHamming = 6)
+      .groupBy("doc_a", "doc_b").count().filter(col("count") > 1)
+    assert(prs.count() === 0)
+  }
+
   test("inverted index: tf equals positions length, positions are ascending") {
     val idx = Index.invertedIndex(spark, sfDir)
     val bad = idx.filter(
@@ -460,7 +484,9 @@ class OperatorsSpec extends SparkSpec {
 
   test("neardup_degree_hist: histogram masses sum to the node count") {
     val hist = SparkEntry.queries("neardup_degree_hist")(spark, sfDir).collect()
-    val pairs = SparkEntry.queries("simhash_pairs")(spark, sfDir)
+    // the graph family builds on the Hamming <= 1 edge set, not the
+    // gated (<= 6) simhash_pairs relation
+    val pairs = Dedup.neardupEdges(spark, sfDir)
     val nodes = pairs.select(col("doc_a").as("d"))
       .unionByName(pairs.select(col("doc_b").as("d"))).distinct().count()
     assert(hist.map(_.getLong(1)).sum === nodes)
