@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Vector kernels over Array[Float] embedding columns.
   *
@@ -35,6 +35,53 @@ object VectorImpl {
     val na = math.sqrt(norm2(a))
     val nb = math.sqrt(norm2(b))
     if (na == 0.0 || nb == 0.0) 0.0 else d / (na * nb)
+  }
+
+  /** Sign-LSH bucket of Charikar's random-hyperplane scheme with the
+    * deterministic rational planes r(b,j) = ((709b + 1013j) mod 97 − 48)/48.
+    * Term order and grouping — (c/48.0) * x, left-to-right accumulation —
+    * match the DuckDB oracle's fold exactly, so bucket assignment is
+    * bitwise cross-engine. An empty vector dots to 0 on every plane
+    * (no strict positive) → bucket 0.
+    */
+  def lshBucket(emb: ArrayData, nBits: Int): Long = {
+    var bucket = 0L
+    val n = emb.numElements()
+    var b = 0
+    while (b < nBits) {
+      var s = 0.0
+      var j = 0
+      while (j < n) {
+        val c = ((b * 709 + j * 1013) % 97 - 48).toDouble / 48.0
+        s += c * emb.getFloat(j).toDouble
+        j += 1
+      }
+      if (s > 0.0) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
+
+  /** SQ8 dequantized vector: per element, quantize x to the 8-bit level
+    * q = ⌊(x−mn)/(mx−mn)·255 + 0.5⌋ against the per-dimension (mn, mx)
+    * arrays, then decode to mn + q/255·(mx−mn) as FLOAT. Every double op
+    * is in the oracle's exact order (subtract, divide, scale, add-half,
+    * floor; then mn + (q/255)·(mx−mn)), and the final float cast
+    * collapses both engines' doubles to the same 32-bit value.
+    */
+  def sq8Dequant(emb: ArrayData, mns: ArrayData, mxs: ArrayData): ArrayData = {
+    val n = emb.numElements()
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      val x = emb.getFloat(i).toDouble
+      val mn = mns.getFloat(i).toDouble
+      val mx = mxs.getFloat(i).toDouble
+      val q = if (mx > mn) math.floor((x - mn) / (mx - mn) * 255.0 + 0.5) else 0.0
+      out(i) = (mn + q / 255.0 * (mx - mn)).toFloat
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 }
 
@@ -82,6 +129,38 @@ case class Norm2(child: Expression) extends UnaryExpression {
   override def prettyName: String = "norm2"
 }
 
+/** Codegen'd sign-LSH bucket assignment — the whole nBits-plane loop in
+  * one kernel call, replacing an interpreted `aggregate` lambda per row
+  * per hyperplane (the SURVEY §3 no-interpreted-hot-loop rule).
+  */
+case class LshBucket(child: Expression, nBits: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any): Any =
+    VectorImpl.lshBucket(a.asInstanceOf[ArrayData], nBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorImpl.lshBucket($a, $nBits)")
+  override protected def withNewChildInternal(c: Expression): LshBucket = copy(child = c)
+  override def prettyName: String = "lsh_bucket"
+}
+
+/** Codegen'd SQ8 quantize→dequantize against broadcast per-dimension
+  * (mn, mx) arrays — one kernel call per row instead of an interpreted
+  * `transform` lambda with per-element `element_at`.
+  */
+case class Sq8Dequant(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(e: Any, mn: Any, mx: Any): Any =
+    VectorImpl.sq8Dequant(e.asInstanceOf[ArrayData],
+      mn.asInstanceOf[ArrayData], mx.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (e, mn, mx) => s"graft.functions.VectorImpl.sq8Dequant($e, $mn, $mx)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Sq8Dequant =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "sq8_dequant"
+}
+
 object VectorFns {
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(
@@ -93,4 +172,11 @@ object VectorFns {
 
   def norm2(a: Column): Column =
     GraftBridge.column(Norm2(GraftBridge.expression(a)))
+
+  def lshBucket(emb: Column, nBits: Int): Column =
+    GraftBridge.column(LshBucket(GraftBridge.expression(emb), nBits))
+
+  def sq8Dequant(emb: Column, mns: Column, mxs: Column): Column =
+    GraftBridge.column(Sq8Dequant(GraftBridge.expression(emb),
+      GraftBridge.expression(mns), GraftBridge.expression(mxs)))
 }

@@ -69,15 +69,12 @@ object Similarity {
     val arrs = stats.agg(
       transform(sort_array(collect_list(struct(col("i"), col("mn")))), s => s("mn")).as("mns"),
       transform(sort_array(collect_list(struct(col("i"), col("mx")))), s => s("mx")).as("mxs"))
+    // quantize/dequantize in one codegen'd kernel per row
+    // ([[graft.functions.Sq8Dequant]]) — the interpreted `transform`
+    // lambda with per-element element_at was a per-row hot loop
     e.crossJoin(broadcast(arrs))
       .select(col("vec_id"),
-        transform(col("embedding"), (x, i) => {
-          val mn = element_at(col("mns"), i + 1).cast("double")
-          val mx = element_at(col("mxs"), i + 1).cast("double")
-          val q = when(mx > mn,
-            floor((x.cast("double") - mn) / (mx - mn) * 255.0 + 0.5)).otherwise(lit(0.0))
-          (mn + q / lit(255.0) * (mx - mn)).cast("float")
-        }).as("embedding"))
+        VectorFns.sq8Dequant(col("embedding"), col("mns"), col("mxs")).as("embedding"))
   }
 
   /** Exact top-k over the SQ8-dequantized corpus — what serving looks
@@ -145,18 +142,11 @@ object Similarity {
     */
   val NBits = 4
 
-  private def planeDot(emb: Column, b: Int): Column =
-    // empty guard: sequence(0, -1) DESCENDS and element_at would throw;
-    // an empty vector dots to 0 (bucket 0), like the oracle's empty range
-    when(size(emb) > 0,
-      aggregate(sequence(lit(0), size(emb) - 1), lit(0.0),
-        (acc, j) => acc + ((lit(b) * 709 + j * 1013) % 97 - 48).cast("double") / 48.0 *
-          element_at(emb, j + 1).cast("double")))
-      .otherwise(lit(0.0))
-
+  // all NBits plane dots + sign bits in one codegen'd kernel call
+  // ([[graft.functions.LshBucket]]) — the interpreted `aggregate`
+  // lambda per row per hyperplane was a per-row hot loop
   private def lshBucket(emb: Column): Column =
-    (0 until NBits).map(b =>
-      when(planeDot(emb, b) > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    VectorFns.lshBucket(emb, NBits)
 
   /** (vec_id, embedding, nm, bucket) — narrow hyperplane-sign
     * assignment; no shuffle, no training pass (vs IVF's centroids).
