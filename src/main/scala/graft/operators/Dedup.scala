@@ -557,6 +557,53 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Span-level substring dedup (the C4/RefinedWeb removal step):
+    * rewrite each document with every token that participates in a
+    * CROSS-DOCUMENT duplicate 8-gram excised — [[dupNgramCoverage]]
+    * computes the signal, this operator applies it. A token position
+    * is covered when any 8-token shingle instance containing it also
+    * appears in at least one other document; covered runs are removed
+    * and the survivors rejoin in position order.
+    *
+    * Scale shape: gram-keyed df shuffle (partial-agg) → instance⋈dup
+    * gram join (gram-keyed) → (doc, pos) distinct for coverage → one
+    * doc-keyed reassembly — every stage is keyed on grams or docs,
+    * never pairwise. The coverage explode is ≤ 8× the duplicate-gram
+    * instance stream, not the corpus.
+    */
+  def dedupSpans(spark: SparkSession, dir: String): DataFrame =
+    dedupSpansOf(Tables.documents(spark, dir), k = 8)
+
+  def dedupSpansOf(docs: DataFrame, k: Int): DataFrame = {
+    val tok = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+    val g = tok.select(col("doc_id"),
+      posexplode(TextFns.shinglesK(col("tk"), k)).as(Seq("s", "g")))
+    val dup = g.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("gdf"))
+      .filter(col("gdf") >= 2)
+      .select("g")
+    val covered = g.join(dup, "g")
+      .select(col("doc_id"),
+        explode(sequence(col("s").cast("long"), col("s") + lit(k - 1).cast("long"))).as("pos"))
+      .distinct()
+    val ts = tok.select(col("doc_id"),
+        posexplode(col("tk")).as(Seq("pos", "term")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("term"))
+    val kept = ts.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("term")))),
+          s => s("term")), " ").as("cleaned_text"))
+    docs.select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
   /** Degree distribution of the near-dup graph: how many docs have k
     * near-duplicates. The shape (power-law tail vs dense clique mass)
     * is the first thing to read before picking a clustering strategy —
@@ -576,6 +623,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "neardup_degree_hist" -> neardupDegreeHist,
     "dup_ngram_coverage" -> dupNgramCoverage,
+    "dedup_spans" -> dedupSpans,
     "neardup_triangles" -> neardupTriangles,
     "neardup_clustering" -> neardupClustering,
     "lsh_tuning_curve" -> lshTuningCurve,
@@ -661,6 +709,32 @@ object Dedup {
          |  CASE WHEN cov.n_grams IS NULL THEN 0.0
          |       ELSE round(cov.n_dup::DOUBLE / cov.n_grams::DOUBLE, 6) END AS dup_coverage
          |FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "dedup_spans" ->
+      s"""${Index.TokSql.split("\\), tok AS")(0)}), gr AS (
+         |  SELECT doc_id, i AS s, array_to_string(tk[i+1:i+8], ' ') AS g
+         |  FROM toks, unnest(range(greatest(len(tk) - 7, 0))) AS u(i)
+         |), dup AS (
+         |  SELECT g FROM gr GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+         |), cov AS (
+         |  SELECT DISTINCT gr.doc_id, gr.s + j AS pos
+         |  FROM gr JOIN dup USING (g), unnest(range(8)) AS v(j)
+         |), tokp AS (
+         |  SELECT doc_id, unnest(tk) AS term, unnest(range(len(tk))) AS pos FROM toks
+         |), kept AS (
+         |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    array_to_string(list_transform(
+         |      list_sort(list(struct_pack(pos := t.pos, term := t.term))),
+         |      x -> x['term']), ' ') AS cleaned_text
+         |  FROM tokp t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+         |  WHERE c.doc_id IS NULL
+         |  GROUP BY t.doc_id
+         |)
+         |SELECT d.doc_id,
+         |  CAST(len(d.tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(d.tk) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+         |  coalesce(k.cleaned_text, '') AS cleaned_text
+         |FROM toks d LEFT JOIN kept k USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
     "neardup_clustering" ->
       s"""$simhashCte, prs AS (

@@ -400,6 +400,22 @@ class OperatorsSpec extends SparkSpec {
     assert(r(2L) === ((0L, 0L, 0.0)))
   }
 
+  test("dedup_spans: cross-doc duplicate runs excised, uniques survive") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"w$i").mkString(" ")   // 10 tokens, all covered
+    val d = Seq(
+      (0L, boiler),                       // fully duplicate → empty rewrite
+      (1L, boiler + " unique tail here"), // 13 tokens, first 10 covered
+      (2L, "too short for grams"))        // < 8 tokens → untouched
+      .toDF("doc_id", "text")
+    val r = operators.Dedup.dedupSpansOf(d, k = 8).collect()
+      .map(row => row.getLong(0) ->
+        ((row.getLong(1), row.getLong(2), row.getString(3)))).toMap
+    assert(r(0L) === ((10L, 10L, "")))
+    assert(r(1L) === ((13L, 10L, "unique tail here")))
+    assert(r(2L) === ((4L, 0L, "too short for grams")))
+  }
+
   test("keyword_textrank: scores bounded below by the teleport mass, ranked") {
     val r = SparkEntry.queries("keyword_textrank")(spark, sfDir).collect()
     assert(r.nonEmpty && r.length <= 20)
