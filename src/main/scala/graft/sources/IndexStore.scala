@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.functions.{HashFns, HashImpl}
+import graft.functions.{HashFns, HashImpl, PostingsFns}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
@@ -33,9 +33,24 @@ object IndexStore {
     * lookup inside the one surviving bucket skips every row group the
     * term can't be in. At 100 TB this is the difference between
     * scanning a bucket and scanning a few row groups of it.
+    *
+    * A `positions` column is stored DELTA-GAP ENCODED (`gaps` =
+    * (first, gap, gap, ...) — the codec whose bit cost
+    * `Index.postingsCompress` prices): gaps are small and repetitive,
+    * so parquet's dictionary/RLE layer compresses them far tighter
+    * than raw absolute positions. [[load]] decodes transparently —
+    * every reader sees `positions` again and [[lookup]]/[[merge]]
+    * results are unchanged. The codec is a codegen'd kernel pair
+    * ([[graft.functions.PostingsFns]]), so the whole-corpus write
+    * path stays inside whole-stage codegen.
     */
-  def save(index: DataFrame, path: String, nBuckets: Int = DefaultBuckets): Unit =
-    index
+  def save(index: DataFrame, path: String, nBuckets: Int = DefaultBuckets): Unit = {
+    val encoded =
+      if (index.columns.contains("positions"))
+        index.withColumn("gaps", PostingsFns.deltaEncode(col("positions")))
+          .drop("positions")
+      else index
+    encoded
       .withColumn("term_bucket", HashFns.rollingHash(col("term")) % nBuckets)
       // term_bucket leads the sort: the dynamic-partition writer
       // requires ordering by the partition column and would otherwise
@@ -46,9 +61,20 @@ object IndexStore {
       .write.mode("overwrite")
       .partitionBy("term_bucket")
       .parquet(path)
+  }
 
-  def load(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  /** Read an index back, transparently decoding a delta-gap `gaps`
+    * column to absolute `positions` (see [[save]]). The decode is a
+    * narrow codegen'd map AFTER scan filters apply, so partition
+    * pruning and term pushdown are unaffected.
+    */
+  def load(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.parquet(path)
+    if (raw.columns.contains("gaps"))
+      raw.withColumn("positions", PostingsFns.deltaDecode(col("gaps")))
+        .drop("gaps")
+    else raw
+  }
 
   /** Partition-pruned single-term lookup: the `term_bucket` equality
     * prunes directories at planning time; the `term` equality pushes

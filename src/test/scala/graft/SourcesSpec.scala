@@ -64,6 +64,48 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("term_bucket"))
   }
 
+  test("index store: positions stored delta-gap encoded, decoded on read") {
+    val base = tmpDir("graft-idxgaps")
+    val path = s"$base/index"
+    val rawPath = s"$base/raw"
+    val idx = Index.invertedIndex(spark, sfDir)
+    IndexStore.save(idx, path, nBuckets = 8)
+
+    // on disk: gaps, not positions (the codec actually applied)
+    val disk = spark.read.parquet(path)
+    assert(disk.columns.contains("gaps") && !disk.columns.contains("positions"))
+
+    // load decodes: positions round-trip exactly
+    val got = IndexStore.load(spark, path)
+      .select("term", "doc_id", "positions")
+      .orderBy("term", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2))).toSeq
+    val want = idx.select("term", "doc_id", "positions")
+      .orderBy("term", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2))).toSeq
+    assert(got === want)
+
+    // lookup still decodes through the pruned path
+    val lk = IndexStore.lookup(spark, path, "spark", nBuckets = 8).collect()
+    assert(lk.nonEmpty)
+
+    // and the encoded store is smaller than the same frame written raw
+    idx.withColumn("term_bucket",
+        graft.functions.HashFns.rollingHash(col("term")) % 8)
+      .repartition(col("term_bucket"))
+      .sortWithinPartitions("term_bucket", "term")
+      .write.partitionBy("term_bucket").parquet(rawPath)
+    def bytes(p: String): Long = {
+      val d = new java.io.File(p)
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length() else 0L
+      walk(d)
+    }
+    assert(bytes(path) < bytes(rawPath),
+      s"encoded ${bytes(path)} !< raw ${bytes(rawPath)}")
+  }
+
   test("jsonl source: explicit schema, corrupt lines quarantined not fatal") {
     val dir = tmpDir("graft-jsonl")
     Files.writeString(java.nio.file.Paths.get(s"$dir/docs.jsonl"),
