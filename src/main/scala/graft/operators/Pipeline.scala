@@ -2,9 +2,12 @@ package graft.operators
 
 import graft.functions.{HashFns, TextFns}
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
 
 /** Dataset-assembly operators a training-data pipeline runs after
   * cleaning/dedup: deterministic splits, stratified sampling, and the
@@ -184,17 +187,24 @@ object Pipeline {
       .orderBy("source")
   }
 
-  /** [[contaminationCheck]] with a Bloom pre-filter: a bloom filter of
-    * the train-side shingles (1% fpp) screens holdout shingles BEFORE
-    * the join, so at 100 TB the shuffle carries only probable matches
-    * (typically a tiny fraction) instead of every holdout shingle.
-    * Blooms have no false negatives and the exact join still verifies
-    * every survivor, so the output is IDENTICAL to the unfiltered
-    * operator — the gate runs both against the same oracle. The
-    * filter rides a scala UDF because an opaque broadcast sketch is
-    * exactly what UDFs are for (there is nothing per-element for
-    * codegen to fuse); production Spark uses the same shape for its
-    * runtime bloom-join filters.
+  /** [[contaminationCheck]] with a Bloom pre-filter — the PRIMARY
+    * contamination path (the exact unfiltered join is the audit twin):
+    * a bloom filter of the train-side shingles screens holdout
+    * shingles BEFORE the join, so at 100 TB the shuffle carries only
+    * probable matches (typically a tiny fraction) instead of every
+    * holdout shingle. Blooms have no false negatives and the exact
+    * join still verifies every survivor, so the output is IDENTICAL
+    * to the unfiltered operator — the gate runs both against the same
+    * oracle.
+    *
+    * Fully codegen'd, no UDF: the sketch is built by Spark's own
+    * `BloomFilterAggregate` (partial-aggregated and merged like any
+    * sketch — the [[Dedup.sourceSimilarity]] mergeability pattern),
+    * deliberately materialized once on the driver (a ~100 KB binary,
+    * the same shape as `stat.bloomFilter` but declarative until the
+    * one action), and applied with the codegen'd
+    * `BloomFilterMightContain` predicate — exactly the expression
+    * pair Spark's runtime bloom-join filters inject.
     */
   def contaminationBloom(spark: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shingleHashes(Tables.documents(spark, dir))
@@ -211,11 +221,15 @@ object Pipeline {
     // undersized bloom only raises the false-positive rate (more rows
     // reach the exact verify), never correctness — production sizes it
     // from the train side's countApprox
-    val bloom = train.stat.bloomFilter("hh", 200000L, 0.01)
-    val mightContain = udf((h: Long) => bloom.mightContain(h))
+    val bloomAgg = GraftBridge.column(
+      new BloomFilterAggregate(GraftBridge.expression(col("hh")), 200000L)
+        .toAggregateExpression())
+    val bf = train.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val mightContain = GraftBridge.column(BloomFilterMightContain(
+      Literal(bf, BinaryType), GraftBridge.expression(col("hh"))))
     val hold = informative.filter(!isTrain)
       .select(col("hh"), col("doc_id").as("holdout_doc"))
-      .filter(mightContain(col("hh")))
+      .filter(mightContain)
     hold.join(train, "hh")
       .groupBy("holdout_doc")
       .agg(countDistinct(col("train_doc")).as("n_train_docs"),
