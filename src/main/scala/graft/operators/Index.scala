@@ -93,40 +93,69 @@ object Index {
         size(array_distinct(col("tk"))).cast("long").as("n_distinct"))
       .orderBy("doc_id")
 
+  /** Single-term lookup ranked by tf over any corpus — the
+    * parameterized form the `term_search` gate entry instantiates.
+    */
+  def termSearchOf(docs: DataFrame, term: String,
+                   id: String = "doc_id", text: String = "text"): DataFrame =
+    tokenStreamOf(docs, id, text)
+      .filter(col("term") === term)
+      .groupBy(id).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col(id))
+
   def termSearch(spark: SparkSession, dir: String): DataFrame =
-    tokenStream(spark, dir)
-      .filter(col("term") === "spark")
-      .groupBy("doc_id").agg(count(lit(1)).as("tf"))
-      .orderBy(col("tf").desc, col("doc_id"))
+    termSearchOf(Tables.documents(spark, dir), "spark")
+
+  /** Conjunctive boolean retrieval: documents containing ALL `terms`. */
+  def boolAndSearchOf(docs: DataFrame, terms: Seq[String],
+                      id: String = "doc_id", text: String = "text"): DataFrame =
+    tokenStreamOf(docs, id, text)
+      .filter(col("term").isin(terms: _*))
+      .groupBy(id)
+      .agg(countDistinct(col("term")).as("n_hit"))
+      .filter(col("n_hit") === terms.distinct.size)
+      .select(id)
+      .orderBy(id)
 
   def boolAndSearch(spark: SparkSession, dir: String): DataFrame =
-    tokenStream(spark, dir)
-      .filter(col("term").isin("spark", "join"))
-      .groupBy("doc_id")
-      .agg(countDistinct(col("term")).as("n_hit"))
-      .filter(col("n_hit") === 2)
-      .select("doc_id")
-      .orderBy("doc_id")
+    boolAndSearchOf(Tables.documents(spark, dir), Seq("spark", "join"))
+
+  /** Disjunctive boolean retrieval: per-doc hit count over `terms`. */
+  def boolOrSearchOf(docs: DataFrame, terms: Seq[String],
+                     id: String = "doc_id", text: String = "text"): DataFrame =
+    tokenStreamOf(docs, id, text)
+      .filter(col("term").isin(terms: _*))
+      .groupBy(id)
+      .agg(countDistinct(col("term")).as("n_hit"), count(lit(1)).as("total_tf"))
+      .orderBy(id)
 
   def boolOrSearch(spark: SparkSession, dir: String): DataFrame =
-    tokenStream(spark, dir)
-      .filter(col("term").isin("spark", "filter"))
-      .groupBy("doc_id")
-      .agg(countDistinct(col("term")).as("n_hit"), count(lit(1)).as("total_tf"))
-      .orderBy("doc_id")
+    boolOrSearchOf(Tables.documents(spark, dir), Seq("spark", "filter"))
 
-  /** Phrase query via positional adjacency — the capability the
-    * reference's positional postings exist for.
+  /** n-word phrase query via the positional adjacency chain (one
+    * doc+offset-keyed join per extra word) — the capability the
+    * reference's positional postings exist for. Every word's postings
+    * are filtered BEFORE joining.
     */
-  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
-    val tok = tokenStream(spark, dir)
-    val a = tok.filter(col("term") === "key").as("a")
-    val b = tok.filter(col("term") === "order").as("b")
-    a.join(b, col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
-      .groupBy(col("a.doc_id").as("doc_id"))
+  def phraseSearchOf(docs: DataFrame, words: Seq[String],
+                     id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(words.size >= 2, s"phrase needs at least 2 words, got $words")
+    val tok = tokenStreamOf(docs, id, text)
+    val anchor = tok.filter(col("term") === words.head)
+      .select(col(id).as("id0"), col("pos").as("p0"))
+    val joined = words.tail.zipWithIndex.foldLeft(anchor) { case (acc, (w, i)) =>
+      val f = tok.filter(col("term") === w)
+        .select(col(id).as(s"id${i + 1}"), col("pos").as(s"p${i + 1}"))
+      acc.join(f, col("id0") === col(s"id${i + 1}") &&
+        col(s"p${i + 1}") === col("p0") + (i + 1))
+    }
+    joined.groupBy(col("id0").as(id))
       .agg(count(lit(1)).as("n_matches"))
-      .orderBy("doc_id")
+      .orderBy(id)
   }
+
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame =
+    phraseSearchOf(Tables.documents(spark, dir), Seq("key", "order"))
 
   private val QueryTerms = Seq("spark", "query", "join")
 
@@ -136,26 +165,26 @@ object Index {
     * via exchange reuse, instead of re-exploding the corpus per
     * statistic.
     */
-  private def tfBase(spark: SparkSession, dir: String): DataFrame =
-    tokenStream(spark, dir)
+  private def tfBaseOf(docs: DataFrame): DataFrame =
+    tokenStreamOf(docs)
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
-  /** (doc_id, score) — TF-IDF score (4dp) over [[QueryTerms]];
+  /** (doc_id, score) — TF-IDF score (4dp) of `terms` over any corpus;
     * shared by [[tfidfTopk]] and [[rrfFusion]]. Scores are rounded
-    * BEFORE any ordering: a 3-term double sum is addition-order-
+    * BEFORE any ordering: a multi-term double sum is addition-order-
     * sensitive at the ulp level, so ranks must come off the rounded
     * value to be cross-engine stable.
     */
-  private def tfidfScored(spark: SparkSession, dir: String): DataFrame = {
-    val base = tfBase(spark, dir)
+  def tfidfScoredOf(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val base = tfBaseOf(docs)
     // Corpus size as a broadcast 1-row aggregate, not a driver action:
     // keeps the plan lazy and the scalar join a BroadcastNestedLoop of 1 row.
-    val nDf = Tables.documents(spark, dir).agg(count(lit(1)).cast("double").as("n"))
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
     val df = base.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     // query-term tf goes straight off the token stream: the isin filter
     // is cheap pre-shuffle, and the tiny filtered agg beats routing the
     // query terms through the full corpus-wide base aggregation
-    val tf = tokenStream(spark, dir).filter(col("term").isin(QueryTerms: _*))
+    val tf = tokenStreamOf(docs).filter(col("term").isin(terms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
     tf.join(broadcast(df), "term")
       .crossJoin(broadcast(nDf))
@@ -163,24 +192,26 @@ object Index {
       .groupBy("doc_id").agg(round(sum(col("w")), 4).as("score"))
   }
 
-  def tfidfTopk(spark: SparkSession, dir: String): DataFrame =
-    tfidfScored(spark, dir)
+  def tfidfTopkOf(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame =
+    tfidfScoredOf(docs, terms)
       .orderBy(col("score").desc, col("doc_id"))
-      .limit(20)
+      .limit(k)
 
-  /** (doc_id, score) — BM25 score (4dp) over "spark"/"join"; shared
-    * by [[bm25Topk]] and [[rrfFusion]] (rounded before ordering, see
-    * [[tfidfScored]]).
+  def tfidfTopk(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopkOf(Tables.documents(spark, dir), QueryTerms)
+
+  /** (doc_id, score) — BM25 score (4dp, k1=1.2, b=0.75) of `terms`
+    * over any corpus; shared by [[bm25Topk]] and [[rrfFusion]]
+    * (rounded before ordering, see [[tfidfScoredOf]]).
     */
-  private def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
+  def bm25ScoredOf(docs: DataFrame, terms: Seq[String]): DataFrame = {
     val (k1, b) = (1.2, 0.75)
-    val qterms = Seq("spark", "join")
-    val base = tfBase(spark, dir)
-    val nDf = Tables.documents(spark, dir).agg(count(lit(1)).cast("double").as("n"))
+    val base = tfBaseOf(docs)
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
     val dl = base.groupBy("doc_id").agg(sum(col("tf")).cast("double").as("dl"))
     val avgdlDf = dl.agg(avg(col("dl")).as("avgdl"))
     val df = base.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val tf = tokenStream(spark, dir).filter(col("term").isin(qterms: _*))
+    val tf = tokenStreamOf(docs).filter(col("term").isin(terms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
     tf.join(broadcast(df), "term").join(dl, "doc_id")
       .crossJoin(broadcast(nDf)).crossJoin(broadcast(avgdlDf))
@@ -191,10 +222,13 @@ object Index {
       .groupBy("doc_id").agg(round(sum(col("w")), 4).as("score"))
   }
 
-  def bm25Topk(spark: SparkSession, dir: String): DataFrame =
-    bm25Scored(spark, dir)
+  def bm25TopkOf(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame =
+    bm25ScoredOf(docs, terms)
       .orderBy(col("score").desc, col("doc_id"))
-      .limit(20)
+      .limit(k)
+
+  def bm25Topk(spark: SparkSession, dir: String): DataFrame =
+    bm25TopkOf(Tables.documents(spark, dir), Seq("spark", "join"))
 
   /** Query-likelihood ranking with Dirichlet smoothing (Zhai & Lafferty
     * SIGIR'01) — the LM-based alternative to BM25:
@@ -206,15 +240,14 @@ object Index {
     * the per-doc sum folds over the term-sorted pair list so double
     * addition order is fixed cross-engine.
     */
-  def qlmTopk(spark: SparkSession, dir: String): DataFrame = {
+  def qlmTopkOf(docs: DataFrame, qterms: Seq[String], k: Int = 20): DataFrame = {
     val mu = 100.0
-    val qterms = Seq("spark", "join")
-    val base = tfBase(spark, dir)
+    val base = tfBaseOf(docs)
     val dl = base.groupBy("doc_id").agg(sum(col("tf")).cast("double").as("dl"))
     val cDf = base.agg(sum(col("tf")).cast("double").as("c"))
     val cf = base.filter(col("term").isin(qterms: _*))
       .groupBy("term").agg(sum(col("tf")).cast("double").as("cf"))
-    val tf = tokenStream(spark, dir).filter(col("term").isin(qterms: _*))
+    val tf = tokenStreamOf(docs).filter(col("term").isin(qterms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
     tf.select("doc_id").distinct()
       .crossJoin(broadcast(cf.crossJoin(cDf)))
@@ -228,8 +261,11 @@ object Index {
       .select(col("doc_id"),
         round(aggregate(col("ws"), lit(0.0), (a, s) => a + s("w")), 4).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
-      .limit(20)
+      .limit(k)
   }
+
+  def qlmTopk(spark: SparkSession, dir: String): DataFrame =
+    qlmTopkOf(Tables.documents(spark, dir), Seq("spark", "join"))
 
   /** Hybrid rank fusion: reciprocal rank fusion (RRF, Cormack et al.
     * SIGIR'09) of the BM25 and TF-IDF rankings —
@@ -246,8 +282,9 @@ object Index {
       scored.withColumn(rankCol,
         row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
         .select(col("doc_id"), col(rankCol))
-    val rb = ranked(bm25Scored(spark, dir), "rank_bm25")
-    val rt = ranked(tfidfScored(spark, dir), "rank_tfidf")
+    val docs = Tables.documents(spark, dir)
+    val rb = ranked(bm25ScoredOf(docs, Seq("spark", "join")), "rank_bm25")
+    val rt = ranked(tfidfScoredOf(docs, QueryTerms), "rank_tfidf")
     rb.join(rt, Seq("doc_id"), "full_outer")
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (lit(60.0) + col("rank_bm25")), lit(0.0)) +
@@ -267,30 +304,58 @@ object Index {
     * pushdown-eligible when the dictionary is stored term-sorted
     * ([[graft.sources.IndexStore]]).
     */
-  def prefixSearch(spark: SparkSession, dir: String): DataFrame =
-    tokenStream(spark, dir)
-      .filter(col("term").startsWith("s"))
+  def prefixSearchOf(docs: DataFrame, prefix: String): DataFrame =
+    tokenStreamOf(docs)
+      .filter(col("term").startsWith(prefix))
       .groupBy("term")
       .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("total_tf"))
       .orderBy("term")
 
-  /** Proximity search: docs where "spark" and "join" co-occur within
-    * 5 token positions, with the pair count and closest distance —
-    * the ranked NEAR/k operator positional postings exist for (phrase
-    * search is the k=1 special case). Both postings lists are filtered
-    * BEFORE the self-join, so the join is tiny-on-tiny.
+  def prefixSearch(spark: SparkSession, dir: String): DataFrame =
+    prefixSearchOf(Tables.documents(spark, dir), "s")
+
+  /** n-term NEAR/k: documents where ALL `terms` co-occur inside a
+    * `window`-position span, with the number of qualifying position
+    * tuples and the tightest span — the ranked proximity operator
+    * positional postings exist for (phrase search is the
+    * window = n−1, ordered special case). Every postings list is
+    * filtered BEFORE the join chain, so each join is tiny-on-tiny,
+    * and all joins are doc-keyed — at 100 TB the cost is the terms'
+    * postings, never the corpus.
     */
-  def proximitySearch(spark: SparkSession, dir: String): DataFrame = {
-    val tok = tokenStream(spark, dir)
-    val a = tok.filter(col("term") === "spark").as("a")
-    val b = tok.filter(col("term") === "join").as("b")
-    a.join(b, col("a.doc_id") === col("b.doc_id") &&
-        abs(col("b.pos") - col("a.pos")) <= 5)
-      .groupBy(col("a.doc_id").as("doc_id"))
-      .agg(count(lit(1)).as("n_pairs"),
-        min(abs(col("b.pos") - col("a.pos"))).as("min_dist"))
-      .orderBy("doc_id")
+  def proximitySearchOf(docs: DataFrame, terms: Seq[String], window: Int,
+                        id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(terms.size >= 2, s"NEAR needs at least 2 terms, got $terms")
+    val tok = tokenStreamOf(docs, id, text)
+    val frames = terms.zipWithIndex.map { case (t, i) =>
+      tok.filter(col("term") === t)
+        .select(col(id).as(s"id$i"), col("pos").as(s"p$i"))
+    }
+    val joined = frames.tail.zipWithIndex.foldLeft(frames.head) {
+      case (acc, (f, i)) => acc.join(f, col("id0") === col(s"id${i + 1}"))
+    }
+    val ps = terms.indices.map(i => col(s"p$i"))
+    val span = greatest(ps: _*) - least(ps: _*)
+    joined.filter(span <= window)
+      .groupBy(col("id0").as(id))
+      .agg(count(lit(1)).as("n_matches"), min(span).as("min_span"))
+      .orderBy(id)
   }
+
+  /** Proximity search gate entry: "spark" NEAR/5 "join" — the 2-term
+    * instantiation of [[proximitySearchOf]] (span of a pair = their
+    * absolute distance).
+    */
+  def proximitySearch(spark: SparkSession, dir: String): DataFrame =
+    proximitySearchOf(Tables.documents(spark, dir), Seq("spark", "join"), 5)
+      .withColumnRenamed("n_matches", "n_pairs")
+      .withColumnRenamed("min_span", "min_dist")
+
+  /** 3-term NEAR/5 gate entry: the >2-term positional plan
+    * ([[proximitySearchOf]] chains one doc-keyed join per extra term).
+    */
+  def proximity3Search(spark: SparkSession, dir: String): DataFrame =
+    proximitySearchOf(Tables.documents(spark, dir), Seq("spark", "join", "filter"), 5)
 
   def topTermsPerDoc(spark: SparkSession, dir: String): DataFrame = {
     val tf = tokenStream(spark, dir)
@@ -306,23 +371,29 @@ object Index {
     * distance runs over the (tiny, aggregated) vocabulary, never the
     * token stream.
     */
-  def fuzzyTerm(spark: SparkSession, dir: String): DataFrame =
-    tokenStream(spark, dir)
+  def fuzzyTermOf(docs: DataFrame, query: String, maxDist: Int = 1): DataFrame =
+    tokenStreamOf(docs)
       .groupBy("term").agg(count(lit(1)).as("freq"))
-      .withColumn("dist", levenshtein(col("term"), lit("spark")).cast("long"))
-      .filter(col("dist") <= 1)
+      .withColumn("dist", levenshtein(col("term"), lit(query)).cast("long"))
+      .filter(col("dist") <= maxDist)
       .orderBy("dist", "term")
+
+  def fuzzyTerm(spark: SparkSession, dir: String): DataFrame =
+    fuzzyTermOf(Tables.documents(spark, dir), "spark")
 
   /** Regex retrieval: documents matching a pattern, with match count
     * per doc — grep over the corpus, pushdown-friendly (the rlike
     * filter runs in the scan stage).
     */
-  def regexSearch(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .filter(col("text").rlike("qu[ae]ry"))
+  def regexSearchOf(docs: DataFrame, pattern: String): DataFrame =
+    docs
+      .filter(col("text").rlike(pattern))
       .select(col("doc_id"),
-        size(regexp_extract_all(col("text"), lit("qu[ae]ry"), lit(0))).cast("long").as("n_matches"))
+        size(regexp_extract_all(col("text"), lit(pattern), lit(0))).cast("long").as("n_matches"))
       .orderBy("doc_id")
+
+  def regexSearch(spark: SparkSession, dir: String): DataFrame =
+    regexSearchOf(Tables.documents(spark, dir), "qu[ae]ry")
 
   /** Keyword-in-context: every occurrence of the query term with a
     * ±2-token window — the user-facing payoff of *positional*
@@ -331,10 +402,13 @@ object Index {
     * sliced from the same array.
     */
   def kwic(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    kwicOf(Tables.documents(spark, dir), "spark")
+
+  def kwicOf(docs: DataFrame, term: String): DataFrame =
+    docs
       .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
       .select(col("doc_id"), col("tk"), posexplode(col("tk")).as(Seq("pos", "term")))
-      .filter(col("term") === "spark")
+      .filter(col("term") === term)
       .withColumn("start1", greatest(col("pos") - 1, lit(1)))
       .withColumn("end1", least(col("pos") + 3, size(col("tk"))))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
@@ -383,10 +457,11 @@ object Index {
     * the first-occurrence argmin folds into the same groupBy that
     * carries the token array, so no second scan or join.
     */
-  def snippetExtract(spark: SparkSession, dir: String): DataFrame = {
-    val term = "spark"
-    val win = 3
-    Tables.documents(spark, dir)
+  def snippetExtract(spark: SparkSession, dir: String): DataFrame =
+    snippetExtractOf(Tables.documents(spark, dir), "spark")
+
+  def snippetExtractOf(docs: DataFrame, term: String, win: Int = 3): DataFrame = {
+    docs
       .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
       .withColumn("pos", array_position(col("tk"), term)) // 1-based, 0 = absent
       .filter(col("pos") > 0)
@@ -510,6 +585,7 @@ object Index {
     "regex_search" -> regexSearch,
     "prefix_search" -> prefixSearch,
     "proximity_search" -> proximitySearch,
+    "proximity3_search" -> proximity3Search,
     "rrf_fusion" -> rrfFusion,
     "postings_compress" -> postingsCompress,
     "snippet_extract" -> snippetExtract,
@@ -679,6 +755,14 @@ object Index {
          |  min(abs(b.pos - a.pos)) AS min_dist
          |FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND abs(b.pos - a.pos) <= 5
          |WHERE a.term = 'spark' AND b.term = 'join'
+         |GROUP BY a.doc_id ORDER BY doc_id""".stripMargin,
+    "proximity3_search" ->
+      s"""$TokSql SELECT a.doc_id AS doc_id, count(*) AS n_matches,
+         |  min(greatest(a.pos, b.pos, c.pos) - least(a.pos, b.pos, c.pos)) AS min_span
+         |FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+         |  JOIN tok c ON a.doc_id = c.doc_id
+         |WHERE a.term = 'spark' AND b.term = 'join' AND c.term = 'filter'
+         |  AND greatest(a.pos, b.pos, c.pos) - least(a.pos, b.pos, c.pos) <= 5
          |GROUP BY a.doc_id ORDER BY doc_id""".stripMargin,
     "rrf_fusion" ->
       s"""$TokSql, n AS (SELECT count(*)::DOUBLE AS n FROM documents),

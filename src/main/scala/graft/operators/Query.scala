@@ -182,11 +182,28 @@ object Query {
     search(Tables.documents(spark, dir), "quer* AND NOT slow")
       .orderBy("doc_id")
 
+  /** Gate query: a 3-term quoted phrase — exercises the n-term
+    * positional adjacency chain in [[eval]]'s Phrase plan (one
+    * doc+offset-keyed join per extra word; 2-term `phrase_search` is
+    * the shortest instance).
+    */
+  def phrase3Search(spark: SparkSession, dir: String): DataFrame =
+    search(Tables.documents(spark, dir), "\"small query line\"")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "query_search" -> querySearch,
-    "wildcard_search" -> wildcardSearch)
+    "wildcard_search" -> wildcardSearch,
+    "phrase3_search" -> phrase3Search)
 
   val oracles: Map[String, String] = Map(
+    "phrase3_search" ->
+      s"""${Index.TokSql}
+         |SELECT DISTINCT a.doc_id AS doc_id
+         |FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+         |WHERE a.term = 'small' AND b.term = 'query' AND c.term = 'line'
+         |ORDER BY doc_id""".stripMargin,
     "wildcard_search" ->
       s"""${Index.TokSql}
          |SELECT DISTINCT doc_id FROM tok
