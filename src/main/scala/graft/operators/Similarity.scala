@@ -99,8 +99,17 @@ object Similarity {
     */
   def ivfAssign(e: DataFrame): DataFrame = {
     val en = withNorm(e)
-    val cent = en.filter(col("vec_id") < NCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nm").as("cnm"))
+    ivfAssignTo(en, en.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nm").as("cnm")))
+  }
+
+  /** Nearest-centroid assignment of a pre-normed frame against an
+    * EXPLICIT centroid table (cid, ce, cnm) — the form streaming
+    * maintenance needs, where centroids are fixed in a store and
+    * batches arrive over time ([[ivfAssign]] derives the centroids
+    * from the frame itself).
+    */
+  def ivfAssignTo(en: DataFrame, cent: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
     en.crossJoin(broadcast(cent))
       .withColumn("ccos",
@@ -109,6 +118,21 @@ object Similarity {
       .filter(col("crn") === 1)
       .select(col("vec_id"), col("embedding"), col("nm"), col("cid").as("bucket"))
   }
+
+  /** Persist the IVF centroid table (cid, ce, cnm) a streaming
+    * maintenance loop assigns against — the coarse quantizer is
+    * TRAINED ONCE and then fixed, so bucket ids stay stable across
+    * batches (re-training would silently re-bucket the whole store).
+    */
+  def saveCentroids(e: DataFrame, path: String): Unit =
+    withNorm(e).filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nm").as("cnm"))
+      .write.mode("overwrite").parquet(path)
+
+  /** [[withNorm]] for callers outside the operator package (the
+    * streaming loop norms each batch before [[ivfAssignTo]]).
+    */
+  def withNormOf(e: DataFrame): DataFrame = withNorm(e)
 
   /** Shared bucketed-ANN search body: broadcast the query rows of an
     * assignment frame (vec_id, embedding, nm, bucket), join on bucket,
@@ -325,6 +349,83 @@ object Similarity {
       .orderBy("variant", "query_id")
   }
 
+  /** kNN-graph out-degree / search beam width / greedy hops. */
+  val GraphDegree = 8
+  val GraphBeam = 16
+  val GraphHops = 2
+
+  /** Directed kNN graph: each vector's [[GraphDegree]] nearest
+    * IN-BUCKET neighbors (cosine desc, vec_id tiebreak) — the
+    * approximate neighbor graph construction every graph-ANN family
+    * (HNSW/NSW/NSG) starts from, built the scalable way: candidates
+    * come from the IVF bucket join (bucket-keyed shuffle), never an
+    * all-pairs pass. At 100 TB: one assignment map + one bucket-keyed
+    * self-join + a per-src bounded window.
+    */
+  def graphEdges(e: DataFrame): DataFrame = {
+    val assigned = ivfAssign(e)
+    val b = assigned.select(col("vec_id").as("dst"), col("embedding").as("de"),
+      col("nm").as("dnm"), col("bucket"))
+    val w = Window.partitionBy("src").orderBy(col("ecos").desc, col("dst"))
+    assigned.select(col("vec_id").as("src"), col("embedding").as("se"),
+        col("nm").as("snm"), col("bucket"))
+      .join(b, "bucket")
+      .filter(col("dst") =!= col("src"))
+      .withColumn("ecos", VectorFns.dot(col("se"), col("de")) / (col("snm") * col("dnm")))
+      .withColumn("ern", row_number().over(w))
+      .filter(col("ern") <= GraphDegree)
+      .select("src", "dst")
+  }
+
+  /** Graph ANN: greedy beam search over the [[graphEdges]] kNN graph —
+    * the NSW/HNSW-family query path, deterministic. Entry set = the
+    * [[NCentroids]] centroid vectors (the "upper layer" of an HNSW:
+    * the bucket-built graph has one island per IVF bucket, and the
+    * centroid set reaches every island — single-entry search could
+    * never leave its bucket). Then [[GraphHops]] expansion rounds,
+    * beam [[GraphBeam]] by cosine with vec_id tiebreaks, final exact
+    * top-k of the visited beam. Per hop: one edge join
+    * (frontier-sized) + one bounded window — query cost is
+    * O(beam × degree) VECTOR READS regardless of corpus size, the
+    * property that makes graph ANN the serving-side standard. The
+    * edge frame feeds every hop, so it is materialized once
+    * (localCheckpoint, the pagerank pattern).
+    */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val en = withNorm(Tables.embeddings(spark, dir))
+    val edges = graphEdges(Tables.embeddings(spark, dir)).localCheckpoint()
+    val q = en.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nm").as("qnm"))
+    def beam(cand: DataFrame, keep: Int): DataFrame =
+      cand.join(en, "vec_id").join(broadcast(q), "query_id")
+        .withColumn("cos",
+          VectorFns.dot(col("qe"), col("embedding")) / (col("qnm") * col("nm")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+        .filter(col("rk") <= keep)
+    val entry = q.select(col("query_id")).crossJoin(
+      broadcast(en.filter(col("vec_id") < NCentroids).select(col("vec_id"))))
+    val visited = (1 to GraphHops).foldLeft(entry) { (cand, _) =>
+      val exp = cand.join(edges, cand("vec_id") === edges("src"))
+        .select(cand("query_id"), col("dst").as("vec_id"))
+      beam(cand.unionByName(exp).distinct(), GraphBeam)
+        .select("query_id", "vec_id")
+    }
+    beam(visited.filter(col("vec_id") =!= col("query_id")), TopK)
+      .select(col("query_id"), col("rk"), col("vec_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** Recall@10 of the graph search vs brute force — the routing-loss
+    * number for the beam/degree/hops triple.
+    */
+  def annRecallGraph(spark: SparkSession, dir: String): DataFrame =
+    recallOf(
+        knnBruteforce(spark, dir).select(col("query_id"), col("vec_id")),
+        knnGraph(spark, dir))
+      .orderBy("query_id")
+
   /** Number of product-quantization subspaces. */
   val NSub = 4
 
@@ -526,7 +627,9 @@ object Similarity {
     "knn_ivf_probe2" -> knnIvfProbe2,
     "knn_classify" -> knnClassify,
     "ann_recall" -> annRecall,
-    "ann_recall_ivf" -> annRecallIvf)
+    "ann_recall_ivf" -> annRecallIvf,
+    "knn_graph" -> knnGraph,
+    "ann_recall_graph" -> annRecallGraph)
 
   /** `asg` CTE on top of [[OracleSql.NormCte]]: the IVF bucket
     * assignment (argmax cosine over the 16 seed centroids).
@@ -541,6 +644,57 @@ object Similarity {
        |  SELECT vec_id, embedding, nm, cid AS bucket FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
        |    FROM ac) WHERE crn = 1
+       |)""".stripMargin
+
+  /** CTE chain for the graph search: kNN-graph edges off the IVF
+    * buckets, then [[GraphHops]] beam-expansion rounds — the DuckDB
+    * twin of [[graphEdges]]/[[knnGraph]] (same cosine fold, same
+    * tiebreaks). `s$GraphHops` is the final visited beam.
+    */
+  private val GraphCtes: String = {
+    def hop(i: Int, prev: String): String =
+      s"""e$i AS (
+         |  SELECT query_id, vec_id FROM $prev
+         |  UNION
+         |  SELECT p.query_id, eg.dst AS vec_id FROM $prev p JOIN eg ON p.vec_id = eg.src
+         |), s$i AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT e.query_id, e.vec_id,
+         |      row_number() OVER (PARTITION BY e.query_id
+         |        ORDER BY ${OracleSql.cosineN("q.qe", "n.embedding", "q.qnm", "n.nm")} DESC, e.vec_id) AS rk
+         |    FROM e$i e JOIN nrm n ON n.vec_id = e.vec_id
+         |      JOIN qr q ON q.query_id = e.query_id
+         |  ) WHERE rk <= $GraphBeam
+         |)""".stripMargin
+    s""", eg AS (
+       |  SELECT src, dst FROM (
+       |    SELECT a.vec_id AS src, b.vec_id AS dst,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${OracleSql.cosineN("a.embedding", "b.embedding", "a.nm", "b.nm")} DESC, b.vec_id) AS ern
+       |    FROM asg a JOIN asg b ON b.bucket = a.bucket AND b.vec_id != a.vec_id
+       |  ) WHERE ern <= $GraphDegree
+       |), qr AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, nm AS qnm FROM nrm
+       |  WHERE vec_id < $NQueries
+       |), s0 AS (
+       |  SELECT q.query_id, c.vec_id FROM qr q, nrm c WHERE c.vec_id < $NCentroids
+       |), ${(1 to GraphHops).map(i => hop(i, s"s${i - 1}")).mkString(", ")}""".stripMargin
+  }
+
+  /** Final top-k of the visited beam (self excluded) — shared by the
+    * `knn_graph` oracle and the recall audit's graph side.
+    */
+  private val GraphFinalCte: String =
+    s""", gp AS (
+       |  SELECT s.query_id, s.vec_id,
+       |    ${OracleSql.cosineN("q.qe", "n.embedding", "q.qnm", "n.nm")} AS c
+       |  FROM s$GraphHops s JOIN nrm n ON n.vec_id = s.vec_id
+       |    JOIN qr q ON q.query_id = s.query_id
+       |  WHERE s.vec_id != s.query_id
+       |), gr AS (
+       |  SELECT query_id, vec_id, c,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rk
+       |  FROM gp
        |)""".stripMargin
 
   /** DuckDB twin of [[planeDot]]/[[lshBucket]]: identical fold order. */
@@ -990,5 +1144,27 @@ object Similarity {
          |  CAST(sum(CASE WHEN lf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
          |  round(sum(CASE WHEN lf.vec_id IS NOT NULL THEN 1 ELSE 0 END) / $TopK.0, 4) AS recall
          |FROM bf LEFT JOIN lf ON bf.query_id = lf.query_id AND bf.vec_id = lf.vec_id
+         |GROUP BY bf.query_id ORDER BY query_id""".stripMargin,
+    "knn_graph" ->
+      s"""${OracleSql.NormCte}$AssignCte$GraphCtes$GraphFinalCte
+         |SELECT query_id, rk, vec_id, round(c, 6) AS cosine
+         |FROM gr WHERE rk <= $TopK
+         |ORDER BY query_id, rk""".stripMargin,
+    "ann_recall_graph" ->
+      s"""${OracleSql.NormCte}$AssignCte$GraphCtes$GraphFinalCte, gf AS (
+         |  SELECT query_id, vec_id FROM gr WHERE rk <= $TopK
+         |), bp AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+         |    ${OracleSql.cosineN("q.embedding", "b.embedding", "q.nm", "b.nm")} AS c
+         |  FROM nrm q JOIN nrm b ON q.vec_id < $NQueries AND b.vec_id != q.vec_id
+         |), br AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+         |  FROM bp
+         |), bf AS (SELECT query_id, vec_id FROM br WHERE rk <= $TopK)
+         |SELECT bf.query_id AS query_id,
+         |  CAST(sum(CASE WHEN gf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  round(sum(CASE WHEN gf.vec_id IS NOT NULL THEN 1 ELSE 0 END) / $TopK.0, 4) AS recall
+         |FROM bf LEFT JOIN gf ON bf.query_id = gf.query_id AND bf.vec_id = gf.vec_id
          |GROUP BY bf.query_id ORDER BY query_id""".stripMargin)
 }
