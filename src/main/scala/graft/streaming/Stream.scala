@@ -110,6 +110,30 @@ object Stream {
     * deployment rewrites only the buckets the delta touches — same
     * layout, smaller I/O).
     */
+  /** Recover from a crash between [[swapStore]]'s two renames (no base
+    * but a backup → restore), then clear any stale backup. Store paths
+    * use their OWN filesystem — FileSystem.get(conf) would resolve
+    * fs.defaultFS and break for s3a://-style paths.
+    */
+  private def recoverStore(fs: org.apache.hadoop.fs.FileSystem,
+                           base: org.apache.hadoop.fs.Path): Unit = {
+    val backup = new org.apache.hadoop.fs.Path(base.toString + ".backup")
+    if (!fs.exists(base) && fs.exists(backup)) fs.rename(backup, base)
+    if (fs.exists(backup)) fs.delete(backup, true) // stale from a completed swap
+  }
+
+  /** Two-rename replacement (base → backup, merged → base, drop backup
+    * last): never a moment with zero store copies on disk; a crash at
+    * any point is repaired by [[recoverStore]] at the next batch.
+    */
+  private def swapStore(fs: org.apache.hadoop.fs.FileSystem,
+                        base: org.apache.hadoop.fs.Path, merged: String): Unit = {
+    val backup = new org.apache.hadoop.fs.Path(base.toString + ".backup")
+    fs.rename(base, backup)
+    fs.rename(new org.apache.hadoop.fs.Path(merged), base)
+    fs.delete(backup, true)
+  }
+
   def indexMaintenance(docs: DataFrame, indexPath: String,
                        nBuckets: Int = 8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
@@ -117,28 +141,67 @@ object Stream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val basePath = new org.apache.hadoop.fs.Path(indexPath)
-        // indexPath's OWN filesystem — FileSystem.get(conf) would
-        // resolve fs.defaultFS and break for s3a://-style index paths
         val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val backup = new org.apache.hadoop.fs.Path(s"$indexPath.backup")
-        // recovery: a crash between the two swap renames leaves no
-        // base but a backup — restore it, then replay merges on top
-        if (!fs.exists(basePath) && fs.exists(backup)) fs.rename(backup, basePath)
-        if (fs.exists(backup)) fs.delete(backup, true) // stale from a completed swap
+        recoverStore(fs, basePath)
         val delta = graft.operators.Index.invertedIndexOf(batch)
         val tmp = s"$indexPath.delta-$batchId"
         graft.sources.IndexStore.save(delta, tmp, nBuckets)
         if (fs.exists(basePath)) {
           val merged = s"$indexPath.merged-$batchId"
           graft.sources.IndexStore.merge(spark, indexPath, tmp, merged, nBuckets)
-          fs.rename(basePath, backup)
-          fs.rename(new org.apache.hadoop.fs.Path(merged), basePath)
-          fs.delete(backup, true)
+          swapStore(fs, basePath, merged)
           fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
         } else {
           fs.rename(new org.apache.hadoop.fs.Path(tmp), basePath)
         }
         () // foreachBatch wants (Dataset, Long) => Unit, not => Boolean
+      }
+
+  /** Continuous ANN-index maintenance — the embedding twin of
+    * [[indexMaintenance]]: an embedding stream keeps a saved
+    * bucket-partitioned IVF assignment store fresh. Per micro-batch:
+    * norm the batch, assign each vector to its nearest centroid from
+    * a SAVED centroid table ([[graft.operators.Similarity
+    * .saveCentroids]] — the coarse quantizer is trained once and
+    * fixed, so bucket ids stay stable across batches), then merge at
+    * VECTOR granularity (a re-embedded vec_id's old assignment
+    * disappears — the re-crawled-document rule applied to vectors)
+    * and rewrite the store partitioned by bucket, so query-time
+    * bucket reads prune directories exactly like the term-bucketed
+    * IndexStore. Exactly-once by idempotent replay + the same
+    * two-rename crash-safe swap.
+    */
+  def embedIndexMaintenance(vecs: DataFrame, centroidPath: String,
+                            storePath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val basePath = new org.apache.hadoop.fs.Path(storePath)
+        val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverStore(fs, basePath)
+        val cent = spark.read.parquet(centroidPath)
+        val assigned = graft.operators.Similarity
+          .ivfAssignTo(graft.operators.Similarity.withNormOf(batch), cent)
+          .select(col("vec_id"), col("embedding"), col("nm"), col("bucket"))
+        def write(df: DataFrame, path: String): Unit =
+          df.repartition(col("bucket"))
+            .write.mode("overwrite").partitionBy("bucket").parquet(path)
+        if (fs.exists(basePath)) {
+          val base = spark.read.parquet(storePath)
+            .select(col("vec_id"), col("embedding"), col("nm"), col("bucket"))
+          val merged = base
+            .join(assigned.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+            .unionByName(assigned)
+          val tmp = s"$storePath.merged-$batchId"
+          write(merged, tmp)
+          swapStore(fs, basePath, tmp)
+        } else {
+          val tmp = s"$storePath.init-$batchId"
+          write(assigned, tmp)
+          fs.rename(new org.apache.hadoop.fs.Path(tmp), basePath)
+        }
+        ()
       }
 
   /** Streaming corpus triage: every micro-batch is scored by the
@@ -236,55 +299,4 @@ object Stream {
                 ots BETWEEN ts - INTERVAL 1 HOUR AND ts"""))
       .select(col("user_id"), col("ts"), col("o_orderkey"))
 
-  /** Gap-based sessionization with explicit state: events for a user
-    * extend the open session while within `gapMinutes`; a farther event
-    * closes it and emits. Streaming twin of `Analytics.sessionize`
-    * (same 30-minute gap semantics), built on
-    * flatMapGroupsWithState — the custom-state escape hatch for
-    * semantics windowed aggregation can't express.
-    *
-    * Cross-batch out-of-order events within the gap of the open
-    * interval merge into it (lowering its start).
-    *
-    * '''Spec/demo-only.''' NoTimeout + no watermark means the open
-    * session of any user who stops sending events is state retained
-    * FOREVER, and out-of-order arrival is unbounded — this variant
-    * exists to spec the pure merge semantics in isolation. Production
-    * deployments must use [[sessionizeWithTimeout]], whose
-    * EventTimeTimeout + watermark bound both.
-    */
-  @deprecated("spec/demo-only: unbounded state; use sessionizeWithTimeout", "r3")
-  def sessionize(events: Dataset[Ev], gapMinutes: Long = 30): Dataset[Session] = {
-    import events.sparkSession.implicits._
-    val gapUs = gapMinutes * 60L * 1000000L
-
-    def tsUs(t: Timestamp): Long = t.getTime * 1000L
-
-    events
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessState, Session](
-        org.apache.spark.sql.streaming.OutputMode.Append(),
-        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
-        (userId: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
-          val sorted = evs.toSeq.sortBy(e => tsUs(e.ts))
-          var cur = state.getOption
-          val closed = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            val t = tsUs(e.ts)
-            cur match {
-              // see sessionizeWithTimeout: merge window is two-sided, the
-              // start lowers for out-of-order events
-              case Some(s) if t >= s.startUs - gapUs && t - s.endUs <= gapUs =>
-                cur = Some(SessState(s.n + 1, math.min(s.startUs, t), math.max(s.endUs, t)))
-              case Some(s) =>
-                closed += Session(userId, s.n, s.startUs, s.endUs)
-                cur = Some(SessState(1L, t, t))
-              case None =>
-                cur = Some(SessState(1L, t, t))
-            }
-          }
-          cur.foreach(state.update)
-          closed.result().iterator
-      }
-  }
 }

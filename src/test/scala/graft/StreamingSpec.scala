@@ -121,6 +121,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_embed_index: embedding stream keeps the IVF store fresh across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-embed-idx").toString
+    val (centPath, storePath) = (s"$base/centroids", s"$base/store")
+    // two axis-aligned centroids (vec_id < NCentroids are centroids)
+    graft.operators.Similarity.saveCentroids(
+      Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f))).toDF("vec_id", "embedding"),
+      centPath)
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = Stream.embedIndexMaintenance(
+      in.toDF().toDF("vec_id", "embedding"), centPath, storePath).start()
+    try {
+      in.addData((100L, Array(0.9f, 0.1f)), (101L, Array(0.1f, 0.8f)))
+      q.processAllAvailable()
+      val s1 = spark.read.parquet(storePath)
+        .select(col("vec_id"), col("bucket").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(s1 === Map(100L -> 0L, 101L -> 1L))
+      // batch 2: vec 100 re-embedded into bucket 1, vec 102 new in bucket 0
+      in.addData((100L, Array(0.05f, 0.9f)), (102L, Array(1f, 0.2f)))
+      q.processAllAvailable()
+      val s2 = spark.read.parquet(storePath)
+        .select(col("vec_id"), col("bucket").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(s2 === Map(100L -> 1L, 101L -> 1L, 102L -> 0L)) // old 100→0 row gone
+      // bucket-partitioned layout: a bucket read prunes directories
+      val plan = spark.read.parquet(storePath).filter(col("bucket") === 0L)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("bucket"))
+    } finally q.stop()
+  }
+
   test("stream_quality_gate: batches route to clean and quarantine corpora") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
@@ -193,43 +227,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("stream_sessionize: a distant event closes and emits the open session") {
+  test("stream_sessionize: gap closing + out-of-order merge (timeout variant)") {
     import spark.implicits._
+    import org.apache.spark.sql.functions.col
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Stream.Ev]
-    // the deprecated no-timeout variant is exactly what this spec
-    // isolates: pure merge semantics with no watermark interference
-    @scala.annotation.nowarn("cat=deprecation")
-    val q = Stream.sessionize(in.toDS())
+    val q = Stream.sessionizeWithTimeout(in.toDS())
       .writeStream.format("memory").queryName("sessions")
       .outputMode(OutputMode.Append()).start()
+    def user(id: Long) = spark.table("sessions").filter(col("user_id") === id)
     try {
-      in.addData(Stream.Ev(1L, ts(0), "click"), Stream.Ev(1L, ts(10), "view"))
+      // first event off t=0: a row at exactly the initial watermark is
+      // discarded as late by the stateful operator
+      in.addData(Stream.Ev(1L, ts(5), "click"), Stream.Ev(1L, ts(10), "view"))
       q.processAllAvailable()
       assert(spark.table("sessions").count() === 0) // session still open
-      in.addData(Stream.Ev(1L, ts(120), "click"))   // > 30 min gap
+      in.addData(Stream.Ev(1L, ts(120), "click"))   // > 30 min gap -> closes
       q.processAllAvailable()
-      val s = spark.table("sessions").collect()
+      val s = user(1L).collect()
       assert(s.length === 1)
       assert(s(0).getLong(1) === 2L)                       // n_events
-      assert(s(0).getLong(2) === 0L)                       // start_us
+      assert(s(0).getLong(2) === 5L * 60L * 1000000L)      // start_us
       assert(s(0).getLong(3) === 10L * 60L * 1000000L)     // end_us
       // second user's far-apart events in ONE batch emit immediately
-      in.addData(Stream.Ev(2L, ts(0), "a"), Stream.Ev(2L, ts(200), "b"))
+      // (both above the running watermark of 120 - 30 = 90 min)
+      in.addData(Stream.Ev(2L, ts(300), "a"), Stream.Ev(2L, ts(500), "b"))
       q.processAllAvailable()
-      assert(spark.table("sessions").count() === 2)
+      val u2 = user(2L).collect()
+      assert(u2.length === 1 && u2(0).getLong(1) === 1L)
+      assert(u2(0).getLong(2) === 300L * 60L * 1000000L)
       // out-of-order event within gap BEFORE the open session's start
-      // merges and lowers the start (no spurious session split)
+      // (and above the watermark) merges and lowers the start
       in.addData(Stream.Ev(3L, ts(500), "a"))
       q.processAllAvailable()
       in.addData(Stream.Ev(3L, ts(480), "b")) // 20 min earlier, within gap
       q.processAllAvailable()
       in.addData(Stream.Ev(3L, ts(600), "c")) // > 30 min after 500 -> closes
       q.processAllAvailable()
-      val u3 = spark.table("sessions")
-        .filter(org.apache.spark.sql.functions.col("user_id") === 3L).collect()
+      val u3 = user(3L).collect()
       assert(u3.length === 1)
-      assert(u3(0).getLong(1) === 2L)                   // both events merged
+      assert(u3(0).getLong(1) === 2L)                    // both events merged
       assert(u3(0).getLong(2) === 480L * 60L * 1000000L) // start lowered
       assert(u3(0).getLong(3) === 500L * 60L * 1000000L)
     } finally q.stop()
