@@ -2,11 +2,69 @@ package graft
 
 /** Plan audit: prints the formatted physical plan of selected queries
   * so scan pushdown (PushedFilters/ReadSchema), broadcast choices and
-  * WholeStageCodegen spans can be inspected per round.
+  * WholeStageCodegen spans can be inspected per round — and ASSERTS
+  * the invariants via [[audit]] (spec-gated, so an unpushed filter or
+  * accidental cartesian product fails `sbt test`, not just a reviewer).
   *
   * Usage: runMain graft.Explain [sfDir] [query ...]
   */
 object Explain {
+
+  /** Plan substrings that must / must not appear for a query. */
+  final case class Rule(required: Seq[String] = Nil, forbidden: Seq[String] = Nil)
+
+  /** Invariants for the most expensive / most shuffle-prone queries.
+    * Every rule also forbids `CartesianProduct` (a non-broadcast
+    * cartesian is never intended anywhere in the engine — the declared
+    * N² baselines are BROADCAST nested loops, which stream one side).
+    * `required` entries pin the plan features the 100 TB posture
+    * depends on: dimension broadcasts, scan-level filter pushdown,
+    * and column pruning on the two-column document scans.
+    */
+  val AuditRules: Map[String, Rule] = Map(
+    // fact-dim joins must broadcast the dims, never shuffle the fact twice
+    "q3_topk" -> Rule(required = Seq("BroadcastHashJoin")),
+    "q5_regional" -> Rule(required = Seq("BroadcastHashJoin")),
+    "part_brand_revenue" -> Rule(required = Seq("BroadcastHashJoin")),
+    "nation_trade_matrix" -> Rule(required = Seq("BroadcastHashJoin")),
+    // every predicate of the filter-agg reaches the parquet scan
+    "q6_revenue" -> Rule(required = Seq("PushedFilters: [IsNotNull")),
+    // two-column document scans must prune to (doc_id, text)
+    "term_search" -> Rule(required = Seq("ReadSchema: struct<doc_id:bigint,text:string>")),
+    "inverted_index" -> Rule(required = Seq("ReadSchema: struct<doc_id:bigint,text:string>")),
+    "dedup_spans" -> Rule(required = Seq("ReadSchema: struct<doc_id:bigint,text:string>")),
+    // the expensive dedup/graph family: candidate generation must stay
+    // bucket/gram-keyed (no cartesian anywhere in the tree)
+    "contamination_check" -> Rule(),
+    "contamination_bloom" -> Rule(),
+    "ngram_jaccard" -> Rule(),
+    "simhash_pairs" -> Rule(),
+    "dedup_clusters" -> Rule(),
+    "neardup_triangles" -> Rule(),
+    "neardup_pagerank" -> Rule(),
+    "pipeline_clean" -> Rule(),
+    "cooccur_pmi" -> Rule(),
+    "minhash_lsh_pairs" -> Rule(),
+    // ANN: centroid assignment broadcasts the centroid table
+    "knn_ivf" -> Rule(required = Seq("BroadcastNestedLoopJoin")),
+    "bm25_topk" -> Rule(required = Seq("BroadcastHashJoin")),
+    "rrf_fusion" -> Rule())
+
+  /** Violations ("query: missing/forbidden …") over [[AuditRules]] —
+    * empty = every audited plan holds its invariants. Plans are built,
+    * not executed: the initial physical plan already fixes join
+    * strategies for hinted broadcasts, scan pushdown and cartesians.
+    */
+  def audit(spark: org.apache.spark.sql.SparkSession, sfDir: String): Seq[String] =
+    AuditRules.toSeq.sortBy(_._1).flatMap { case (name, rule) =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      (rule.forbidden :+ "CartesianProduct").filter(plan.contains)
+        .map(f => s"$name: forbidden plan feature $f") ++
+        rule.required.filterNot(plan.contains)
+          .map(r => s"$name: missing plan feature $r")
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
@@ -27,6 +85,10 @@ object Explain {
             SparkEntry.queries.keys.toSeq.sorted.mkString("\n  "))
       }
     }
+    println("\n========== audit ==========")
+    val violations = audit(spark, sfDir)
+    if (violations.isEmpty) println(s"OK: ${AuditRules.size} audited plans hold their invariants")
+    else violations.foreach(v => println(s"VIOLATION $v"))
     spark.stop()
   }
 }

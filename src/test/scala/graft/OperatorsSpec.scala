@@ -425,6 +425,25 @@ class OperatorsSpec extends SparkSpec {
     assert(r.map(_.getLong(1)).forall(_ > 0L))       // every keyword has edges
   }
 
+  test("knn_graph: centroid entries reach every bucket island, recall holds") {
+    val g = SparkEntry.queries("knn_graph")(spark, sfDir).collect()
+    val byQ = g.groupBy(_.getLong(0))
+    assert(byQ.size === operators.Similarity.NQueries)
+    byQ.values.foreach { rows =>
+      assert(rows.length === operators.Similarity.TopK)
+      val cs = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }) // ranked by cosine
+    }
+    val rec = SparkEntry.queries("ann_recall_graph")(spark, sfDir).collect()
+    assert(rec.map(_.getDouble(2)).forall(_ >= 0.8),
+      rec.map(r => s"${r.getLong(0)}:${r.getDouble(2)}").mkString(","))
+  }
+
+  test("plan audit: expensive queries hold pushdown/broadcast/no-cartesian invariants") {
+    val violations = Explain.audit(spark, sfDir)
+    assert(violations.isEmpty, violations.mkString("\n"))
+  }
+
   test("q6_revenue: all three predicates reach the parquet scan") {
     val qe = SparkEntry.queries("q6_revenue")(spark, sfDir).queryExecution
     val scan = qe.executedPlan.toString
