@@ -213,7 +213,11 @@ object Pipeline {
       .agg(countDistinct(col("doc_id")).as("sdf"))
       .filter(col("sdf") <= 100)
       .select("hh")
-    val informative = sh.join(keep, "hh")
+    // the df-capped shingle stream feeds BOTH the eager bloom build
+    // (one driver materialization) and the lazy verify join:
+    // checkpoint it once or the whole shingle+df pipeline runs twice
+    // (same reasoning as pipelineClean's exact-dedup survivor frame)
+    val informative = sh.join(keep, "hh").localCheckpoint()
     val isTrain = HashFns.rollingHash(col("doc_id").cast("string")) % 100 < 90
     val train = informative.filter(isTrain)
       .select(col("hh"), col("doc_id").as("train_doc"))
