@@ -41,8 +41,10 @@ object Multimodal {
     * decode call is the deliberate stub — a real pipeline opens a codec
     * once per partition where `it =>` begins and maps frames to
     * features; the partitioning, batch shape, and schema here are what
-    * that pipeline runs on. Rows-only gate (no SQL oracle for the
-    * stubbed codec path).
+    * that pipeline runs on. Because the stub decode is deterministic
+    * (UTF-8 bytes), the histogram IS cross-engine checkable: the
+    * oracle counts high nibbles off the hex encoding — so even the
+    * mapPartitions path runs under the full rows+schema+hash gate.
     */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -158,8 +160,30 @@ object Multimodal {
     "media_frames" -> mediaFrames,
     "media_dedup" -> mediaDedup)
 
-  /** media_features is rows-only: its decode stage is a stub. */
   val oracles: Map[String, String] = Map(
+    "media_features" ->
+      """WITH m AS (
+        |  SELECT doc_id, hex(encode(text)) AS h FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    strpos('0123456789ABCDEF', substring(h, 2 * i::INT + 1, 1)) - 1 AS bucket
+        |  FROM m, unnest(range(length(h) // 2)) AS u(i)
+        |), gc AS (
+        |  SELECT doc_id, bucket, count(*) AS n FROM g GROUP BY doc_id, bucket
+        |), fl AS (
+        |  SELECT m.doc_id, r.bucket FROM m, (SELECT unnest(range(16)) AS bucket) r
+        |), j AS (
+        |  SELECT fl.doc_id, fl.bucket, coalesce(gc.n, 0) AS n
+        |  FROM fl LEFT JOIN gc USING (doc_id, bucket)
+        |), hist AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(
+        |      list_sort(list(struct_pack(b := bucket, n := n))),
+        |      x -> x['n']::VARCHAR), ',') AS byte_hist
+        |  FROM j GROUP BY doc_id
+        |)
+        |SELECT m.doc_id, CAST(length(m.h) // 2 AS BIGINT) AS n_bytes, hist.byte_hist
+        |FROM m JOIN hist USING (doc_id) ORDER BY doc_id""".stripMargin,
     "media_neardup" ->
       s"""WITH m AS (
          |  SELECT doc_id, hex(encode(text)) AS h,
