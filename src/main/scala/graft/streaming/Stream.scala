@@ -204,6 +204,42 @@ object Stream {
         ()
       }
 
+  /** Streaming ANN serving — the query side of [[embedIndexMaintenance]]:
+    * each micro-batch of query vectors is assigned to its IVF bucket
+    * against the saved centroid table, joined against ONLY that bucket
+    * of the saved assignment store (the `bucket` equality prunes the
+    * partitioned store's directories at planning time, exactly like a
+    * term lookup on the IndexStore), exact-cosine top-k re-ranked, and
+    * landed per batch (idempotent replay, like [[qualityGate]]). At
+    * 100 TB the per-batch read is |buckets hit| / |buckets| of the
+    * store, never a full scan.
+    */
+  def knnServe(queries: DataFrame, centroidPath: String, storePath: String,
+               outPath: String, k: Int = 5): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val cent = spark.read.parquet(centroidPath)
+        val q = graft.operators.Similarity
+          .ivfAssignTo(graft.operators.Similarity.withNormOf(batch), cent)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+            col("nm").as("qnm"), col("bucket"))
+        val store = spark.read.parquet(storePath)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+        store.join(broadcast(q), "bucket")
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cos", graft.functions.VectorFns.dot(col("qe"), col("embedding")) /
+            (col("qnm") * col("nm")))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= k)
+          .select(col("query_id"), col("rk"), col("vec_id"),
+            round(col("cos"), 6).as("cosine"))
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        ()
+      }
+
   /** Streaming corpus triage: every micro-batch is scored by the
     * batch quality rules ([[graft.operators.TextAnalysis.qualityFlagsOf]]
     * — the SAME rule code, so batch and stream can never drift) and

@@ -155,6 +155,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_knn: query batches served from the saved bucket-pruned store") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-knn").toString
+    val (centPath, storePath, outPath) = (s"$base/centroids", s"$base/store", s"$base/out")
+    graft.operators.Similarity.saveCentroids(
+      Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f))).toDF("vec_id", "embedding"),
+      centPath)
+    // store: two vectors per bucket
+    val idx = MemoryStream[(Long, Array[Float])]
+    val qi = Stream.embedIndexMaintenance(
+      idx.toDF().toDF("vec_id", "embedding"), centPath, storePath).start()
+    try {
+      idx.addData((100L, Array(0.9f, 0.1f)), (101L, Array(0.8f, 0.3f)),
+        (102L, Array(0.1f, 0.9f)), (103L, Array(0.2f, 0.8f)))
+      qi.processAllAvailable()
+    } finally qi.stop()
+    val qs = MemoryStream[(Long, Array[Float])]
+    val q = Stream.knnServe(qs.toDF().toDF("vec_id", "embedding"),
+      centPath, storePath, outPath, k = 2).start()
+    try {
+      qs.addData((1000L, Array(1f, 0.05f))) // bucket 0: expect 100 then 101
+      q.processAllAvailable()
+      val r = spark.read.parquet(s"$outPath/batch=0")
+        .orderBy("query_id", "rk").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      assert(r.toSeq === Seq((1000L, 1L, 100L), (1000L, 2L, 101L)))
+      // bucket-1 vectors (102/103) never appear: the store read pruned to bucket 0
+      assert(!r.map(_._3).toSet.exists(Set(102L, 103L)))
+    } finally q.stop()
+  }
+
   test("stream_quality_gate: batches route to clean and quarantine corpora") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
