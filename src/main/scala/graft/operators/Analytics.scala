@@ -800,9 +800,42 @@ object Analytics {
       .orderBy("order_date")
   }
 
+  /** Market-basket association: top-20 part pairs by LIFT
+    * (P(a,b) / (P(a)·P(b)) over order baskets, support ≥ 3 orders) —
+    * the association-rule mining shape (Apriori's pair stage) at
+    * engine level. The pair stream is an order-keyed self-join of the
+    * distinct basket table, so its size is Σ_orders k² (k = basket
+    * width, ~4 here), never |parts|²; supports and lift are exact
+    * integer counts and one double ratio, partial-agg friendly
+    * everywhere. At 100 TB the only skew risk is a mega-basket, which
+    * the distinct-ification and AQE absorb.
+    */
+  def basketLift(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nDf = b.agg(countDistinct(col("l_orderkey")).cast("double").as("n"))
+    val pa = b.groupBy(col("l_partkey")).agg(count(lit(1)).as("na"))
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("part_a"), col("y.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 3)
+    pairs
+      .join(broadcast(pa.select(col("l_partkey").as("part_a"), col("na"))), "part_a")
+      .join(broadcast(pa.select(col("l_partkey").as("part_b"), col("na").as("nb"))), "part_b")
+      .crossJoin(broadcast(nDf))
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        round(col("n_ab").cast("double") * col("n") /
+          (col("na").cast("double") * col("nb").cast("double")), 4).as("lift"))
+      .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "basket_lift" -> basketLift,
     "orders_gap_fill" -> ordersGapFill,
     "part_brand_revenue" -> partBrandRevenue,
     "nation_trade_matrix" -> nationTradeMatrix,
@@ -860,6 +893,24 @@ object Analytics {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "basket_lift" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), n AS (
+        |  SELECT count(DISTINCT l_orderkey)::DOUBLE AS n FROM b
+        |), pa AS (
+        |  SELECT l_partkey, count(*) AS na FROM b GROUP BY l_partkey
+        |), pr AS (
+        |  SELECT x.l_partkey AS part_a, y.l_partkey AS part_b, count(*) AS n_ab
+        |  FROM b x JOIN b y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |)
+        |SELECT part_a, part_b, n_ab,
+        |  round(n_ab::DOUBLE * n.n / (a.na::DOUBLE * b2.na::DOUBLE), 4) AS lift
+        |FROM pr JOIN pa a ON pr.part_a = a.l_partkey
+        |  JOIN pa b2 ON pr.part_b = b2.l_partkey, n
+        |ORDER BY lift DESC, part_a, part_b LIMIT 20""".stripMargin,
     "events_anomaly" ->
       s"""$EvSql, d AS (
          |  SELECT ts_us // 86400000000 AS day, count(*) AS c FROM ev GROUP BY 1

@@ -340,6 +340,25 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** End-to-end MinHash near-dup REMOVAL — the application step of the
+    * MinHash-LSH family ([[neardupApply]]'s simhash twin): verified
+    * Jaccard ≥ 0.5 LSH pairs → connected components → drop every
+    * non-canonical member. The two near-dup families catch different
+    * duplicates (token-shingle sets vs bit fingerprints), so a real
+    * cleaning pipeline runs both; the application machinery is shared.
+    */
+  def minhashDedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val drop = GraftOps.connectedComponents(
+        minhashLshPairs(spark, dir).select("doc_a", "doc_b"),
+        srcCol = "doc_a", dstCol = "doc_b")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"))
+    Tables.documents(spark, dir)
+      .join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** Sketch MERGEABILITY payoff: a MinHash signature over a UNION of
     * sets is the element-wise min of the per-set signatures, so a
     * whole source's signature aggregates with 16 plain min()s —
@@ -631,6 +650,7 @@ object Dedup {
     "dedup_norm" -> dedupNorm,
     "minhash_signatures" -> minhashSignatures,
     "minhash_lsh_pairs" -> minhashLshPairs,
+    "minhash_dedup_apply" -> minhashDedupApply,
     "ngram_jaccard" -> ngramJaccard,
     "simhash" -> simhash,
     "simhash_pairs" -> simhashPairs,
@@ -648,6 +668,25 @@ object Dedup {
     val k = (0 until 4).map(r => s"s${4 * bd + r}").mkString("concat_ws(',', ", ", ", ")")
     s"SELECT doc_id, $bd AS band, $k AS k FROM sig"
   }.mkString("\n  UNION ALL ")
+
+  /** Banding → candidates → exact-Jaccard CTE chain on top of
+    * [[OracleSql.ShingleHashCte]] — shared by the pair listing and the
+    * end-to-end MinHash removal oracle.
+    */
+  private val minhashPairsCtes: String =
+    s"""${OracleSql.MinhashSigCte}, bands AS (
+       |  $bandsSql
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id
+       |), sets AS (
+       |  SELECT doc_id, list_distinct(h) AS s FROM hs
+       |), jac AS (
+       |  SELECT da, db,
+       |    len(list_intersect(x.s, y.s))::DOUBLE
+       |      / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS j
+       |  FROM cand JOIN sets x ON da = x.doc_id JOIN sets y ON db = y.doc_id
+       |)""".stripMargin
 
   /** `toks` → `tf` → `hh` → `bits` → `sh` simhash chain over any
     * (doc_id, text) source relation — no WITH prefix, so it composes
@@ -790,21 +829,26 @@ object Dedup {
       s"""${OracleSql.ShingleHashCte}${OracleSql.MinhashSigCte}
          |SELECT doc_id, $sigConcat AS sig FROM sig ORDER BY doc_id""".stripMargin,
     "minhash_lsh_pairs" ->
-      s"""${OracleSql.ShingleHashCte}${OracleSql.MinhashSigCte}, bands AS (
-         |  $bandsSql
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id
-         |), sets AS (
-         |  SELECT doc_id, list_distinct(h) AS s FROM hs
-         |), jac AS (
-         |  SELECT da, db,
-         |    len(list_intersect(x.s, y.s))::DOUBLE
-         |      / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS j
-         |  FROM cand JOIN sets x ON da = x.doc_id JOIN sets y ON db = y.doc_id
-         |)
+      s"""${OracleSql.ShingleHashCte}$minhashPairsCtes
          |SELECT da AS doc_a, db AS doc_b, round(j, 4) AS jaccard
          |FROM jac WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "minhash_dedup_apply" ->
+      s"""${OracleSql.ShingleHashCte.replaceFirst("WITH ", "WITH RECURSIVE ")}$minhashPairsCtes, prs AS (
+         |  SELECT da, db FROM jac WHERE j >= 0.5
+         |), sym AS (
+         |  SELECT da AS a, db AS b FROM prs UNION ALL SELECT db, da FROM prs
+         |), reach AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+         |), cl AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |  FROM reach GROUP BY a
+         |)
+         |SELECT d.doc_id AS doc_id, d.lang AS lang, d.source AS source
+         |FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id != cluster_id)
+         |ORDER BY doc_id""".stripMargin,
     "ngram_jaccard" ->
       s"""${OracleSql.ShingleHashCte}, sets AS (
          |  SELECT doc_id, list_distinct(h) AS s FROM hs

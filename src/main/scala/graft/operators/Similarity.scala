@@ -349,6 +349,35 @@ object Similarity {
       .orderBy("variant", "query_id")
   }
 
+  /** Per-dimension embedding health statistics: n, mean, std, min,
+    * max — the drift/degenerate-dimension check run before trusting a
+    * new embedding batch (a collapsed dimension shows std ≈ 0, a
+    * scale bug shows in min/max). One narrow posexplode + one
+    * dim-keyed shuffle of 16 rows. Sums fold over vec_id-sorted
+    * lists so the double addition order is fixed cross-engine (the
+    * qlm/pagerank pattern — production drops the sorted fold for the
+    * plain partial-agg sum); min/max are order-free.
+    */
+  def embeddingStats(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("x").cast("double").as("x"))
+    ex.groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("mn"), max(col("x")).as("mx"),
+        sort_array(collect_list(struct(col("vec_id"), col("x")))).as("xs"))
+      .withColumn("s", aggregate(col("xs"), lit(0.0), (a, s) => a + s("x")))
+      .withColumn("s2", aggregate(col("xs"), lit(0.0), (a, s) => a + s("x") * s("x")))
+      .withColumn("mean", col("s") / col("n"))
+      .select(col("dim"), col("n"),
+        round(col("mean"), 6).as("mean"),
+        round(sqrt(col("s2") / col("n") - col("mean") * col("mean")), 6).as("std"),
+        round(col("mn"), 6).as("mn"),
+        round(col("mx"), 6).as("mx"))
+      .orderBy("dim")
+  }
+
   /** kNN-graph out-degree / search beam width / greedy hops. */
   val GraphDegree = 8
   val GraphBeam = 16
@@ -629,7 +658,8 @@ object Similarity {
     "ann_recall" -> annRecall,
     "ann_recall_ivf" -> annRecallIvf,
     "knn_graph" -> knnGraph,
-    "ann_recall_graph" -> annRecallGraph)
+    "ann_recall_graph" -> annRecallGraph,
+    "embedding_stats" -> embeddingStats)
 
   /** `asg` CTE on top of [[OracleSql.NormCte]]: the IVF bucket
     * assignment (argmax cosine over the 16 seed centroids).
@@ -1166,5 +1196,27 @@ object Similarity {
          |  CAST(sum(CASE WHEN gf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
          |  round(sum(CASE WHEN gf.vec_id IS NOT NULL THEN 1 ELSE 0 END) / $TopK.0, 4) AS recall
          |FROM bf LEFT JOIN gf ON bf.query_id = gf.query_id AND bf.vec_id = gf.vec_id
-         |GROUP BY bf.query_id ORDER BY query_id""".stripMargin)
+         |GROUP BY bf.query_id ORDER BY query_id""".stripMargin,
+    "embedding_stats" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(i AS BIGINT) AS dim, embedding[i + 1]::DOUBLE AS x
+        |  FROM embeddings, unnest(range(len(embedding))) AS u(i)
+        |), g AS (
+        |  SELECT dim, count(*) AS n, min(x) AS mn, max(x) AS mx,
+        |    list_sort(list(struct_pack(vec_id := vec_id, x := x))) AS xs
+        |  FROM ex GROUP BY dim
+        |), f AS (
+        |  SELECT dim, n, mn, mx,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(xs, s -> s['x'])),
+        |      (a, v) -> a + v) AS s,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(xs, s -> s['x'] * s['x'])),
+        |      (a, v) -> a + v) AS s2
+        |  FROM g
+        |)
+        |SELECT dim, n,
+        |  round(s / n, 6) AS mean,
+        |  round(sqrt(s2 / n - (s / n) * (s / n)), 6) AS std,
+        |  round(mn, 6) AS mn,
+        |  round(mx, 6) AS mx
+        |FROM f ORDER BY dim""".stripMargin)
 }
