@@ -47,8 +47,11 @@ object Explain {
     "minhash_lsh_pairs" -> Rule(),
     // ANN: centroid assignment broadcasts the centroid table
     "knn_ivf" -> Rule(required = Seq("BroadcastNestedLoopJoin")),
+    "knn_graph" -> Rule(),
     "bm25_topk" -> Rule(required = Seq("BroadcastHashJoin")),
-    "rrf_fusion" -> Rule())
+    "rrf_fusion" -> Rule(),
+    "minhash_dedup_apply" -> Rule(),
+    "basket_lift" -> Rule(required = Seq("BroadcastHashJoin")))
 
   /** Violations ("query: missing/forbidden …") over [[AuditRules]] —
     * empty = every audited plan holds its invariants. Plans are built,

