@@ -832,9 +832,52 @@ object Analytics {
       .limit(20)
   }
 
+  /** Q4-flavored late-shipment report: order count per priority class
+    * among orders with at least one lineitem shipped > 60 days after
+    * the order date — the EXISTS-correlated-subquery shape, planned as
+    * one LEFT SEMI join with a compound (key equality + range)
+    * condition so the fact table streams through a single probe; the
+    * priority rollup is a 5-row partial agg. At 100 TB the semi-join
+    * shuffles on the order key once and nothing is duplicated by
+    * multi-match orders (semi, not inner).
+    */
+  def q4Priority(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    Tables.orders(spark, dir)
+      .join(l, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Trailing 30-day revenue per supplier via a RANGE window frame
+    * (29 preceding days .. current, on the integer day key) over the
+    * per-(supplier, day) daily rollup — the time-based frame shape
+    * ROWS frames can't express when days are missing. Revenue sums
+    * are DECIMAL inside the window (addition-order-free exactness),
+    * cast to double only at output. One rollup shuffle + one window
+    * shuffle, both keyed on the supplier.
+    */
+  def windowRangeRev(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"),
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      .agg(sum(lineRevenueDec).as("rev_dec"))
+    val w = Window.partitionBy("l_suppkey").orderBy("day").rangeBetween(-29, 0)
+    daily
+      .withColumn("rev30", sum(col("rev_dec")).over(w).cast("double"))
+      .select(col("l_suppkey"), col("day"),
+        col("rev_dec").cast("double").as("rev_day"), col("rev30"))
+      .orderBy("l_suppkey", "day")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_priority" -> q4Priority,
+    "window_range_rev" -> windowRangeRev,
     "basket_lift" -> basketLift,
     "orders_gap_fill" -> ordersGapFill,
     "part_brand_revenue" -> partBrandRevenue,
@@ -893,6 +936,27 @@ object Analytics {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "window_range_rev" ->
+      """WITH d AS (
+        |  SELECT l_suppkey,
+        |    date_diff('day', DATE '1970-01-01', l_shipdate::DATE)::BIGINT AS day,
+        |    sum(l_extendedprice::DECIMAL(18,2) *
+        |      (1.0::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS rev_dec
+        |  FROM lineitem GROUP BY l_suppkey, day
+        |)
+        |SELECT l_suppkey, day,
+        |  CAST(rev_dec AS DOUBLE) AS rev_day,
+        |  CAST(sum(rev_dec) OVER (PARTITION BY l_suppkey ORDER BY day
+        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev30
+        |FROM d ORDER BY l_suppkey, day""".stripMargin,
     "basket_lift" ->
       """WITH b AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
