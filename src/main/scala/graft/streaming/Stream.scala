@@ -240,6 +240,80 @@ object Stream {
         ()
       }
 
+  /** Streaming sequence packing — [[graft.operators.Pipeline
+    * .packChunksOf]] kept current over a document stream: each
+    * micro-batch's token counts extend the global token line from the
+    * stored offset (state-in-store: the pack table itself carries the
+    * running total as Σ n_tokens), new pack contributions merge with
+    * the stored table at PACK granularity (a boundary-straddling pack's
+    * partial rows sum, first/last docs min/max), and the two-rename
+    * swap lands it crash-safe. The result provably equals batch
+    * packing of the concatenated stream (spec-asserted), so a training
+    * run can consume packs while the corpus is still arriving. Within
+    * a batch the prefix sum is the distributed two-phase
+    * [[graft.operators.GraftOps.runningTotal]] — no global window.
+    *
+    * Unlike the doc-granular index merges, summing partial pack rows
+    * is NOT naturally replay-idempotent — so each applied batch leaves
+    * an `_applied_<batchId>` marker inside the store (underscore
+    * prefix: invisible to parquet readers) and a replayed batch no-ops
+    * on seeing its own marker. Only the last uncommitted batch can
+    * ever replay, so one marker generation suffices.
+    */
+  def packMaintenance(docs: DataFrame, storePath: String,
+                      budget: Long = 256L): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val basePath = new org.apache.hadoop.fs.Path(storePath)
+        val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverStore(fs, basePath)
+        val marker = new org.apache.hadoop.fs.Path(s"$storePath/_applied_$batchId")
+        if (!fs.exists(marker)) { // replayed batch: already applied → no-op
+          val counts = batch
+            .select(col("doc_id"),
+              size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n"))
+            .filter(col("n") > 0L)
+          val offset: Long =
+            if (fs.exists(basePath))
+              spark.read.parquet(storePath)
+                .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
+            else 0L
+          val cum = graft.operators.GraftOps.runningTotal(counts,
+              order = col("doc_id"), value = col("n"), bucket = expr("doc_id div 64"))
+            .withColumn("cb", col("running") - col("n") + lit(offset))
+          val delta = cum
+            .select(col("doc_id"), col("n"), col("cb"),
+              explode(sequence(expr(s"cb div $budget"),
+                expr(s"(cb + n - 1) div $budget"))).as("pack_id"))
+            .groupBy("pack_id")
+            .agg(count(lit(1)).as("n_docs"),
+              sum(least(col("cb") + col("n"), (col("pack_id") + 1L) * budget) -
+                greatest(col("cb"), col("pack_id") * budget)).as("n_tokens"),
+              min(col("doc_id")).as("first_doc"),
+              max(col("doc_id")).as("last_doc"))
+          if (fs.exists(basePath)) {
+            val merged = spark.read.parquet(storePath).unionByName(delta)
+              .groupBy("pack_id")
+              .agg(sum(col("n_docs")).as("n_docs"),
+                sum(col("n_tokens")).as("n_tokens"),
+                min(col("first_doc")).as("first_doc"),
+                max(col("last_doc")).as("last_doc"))
+            val tmp = s"$storePath.merged-$batchId"
+            merged.write.mode("overwrite").parquet(tmp)
+            fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_applied_$batchId")).close()
+            swapStore(fs, basePath, tmp)
+          } else {
+            val tmp = s"$storePath.init-$batchId"
+            delta.write.mode("overwrite").parquet(tmp)
+            fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_applied_$batchId")).close()
+            fs.rename(new org.apache.hadoop.fs.Path(tmp), basePath)
+          }
+        }
+        ()
+      }
+
   /** Streaming corpus triage: every micro-batch is scored by the
     * batch quality rules ([[graft.operators.TextAnalysis.qualityFlagsOf]]
     * — the SAME rule code, so batch and stream can never drift) and

@@ -239,6 +239,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_pack: carried offset makes streamed packs equal batch packing") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft-spack").toString + "/packs"
+    def doc(id: Long, n: Int): (Long, String) = (id, (1 to n).map(i => s"t$i").mkString(" "))
+    val b1 = Seq(doc(0L, 100), doc(1L, 100))          // 200 tokens
+    val b2 = Seq(doc(2L, 100), doc(3L, 60))           // pack 0 finishes inside doc 2
+    val in = MemoryStream[(Long, String)]
+    val q = Stream.packMaintenance(in.toDF().toDF("doc_id", "text"), store, budget = 256L)
+      .start()
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(store)
+      .select("pack_id", "n_docs", "n_tokens", "first_doc", "last_doc")
+      .orderBy("pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val want = graft.operators.Pipeline.packChunksOf(
+        (b1 ++ b2).toDF("doc_id", "text"), budget = 256L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === want.toSeq)
+    // the boundary pack really straddles the batches (docs from both)
+    assert(got.exists(p => p._4 < 2L && p._5 >= 2L))
+  }
+
   test("stream_topk: update-mode running wordcount merges across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
