@@ -44,6 +44,47 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Language-ID evaluation view: the (gold lang × predicted lang)
+    * confusion matrix over [[langId]]'s predictions — the table that
+    * decides whether the classifier is good enough to route documents
+    * ([[graft.sources.CorpusStore]] partitions by its output). One
+    * 16-cell rollup over the prediction frame.
+    */
+  def langidConfusion(spark: SparkSession, dir: String): DataFrame =
+    langId(spark, dir)
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "pred_lang")
+
+  /** Source-vs-corpus distribution drift: per source, the KL
+    * divergence KL(P_source ‖ P_corpus) over the term vocabulary —
+    * the number that quantifies how far a source's language drifts
+    * from the mix (the "is this source weird" check behind data-mix
+    * decisions, the distributional sibling of `sampling_weights`).
+    * All probabilities are exact-integer ratios; the per-source sum
+    * folds term-sorted so the doubles are bitwise cross-engine
+    * (production keeps the plain partial-agg sum).
+    */
+  def sourceKl(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("term"))
+    val sc = st.groupBy("source", "term").agg(count(lit(1)).as("n"))
+    val stot = sc.groupBy("source").agg(sum(col("n")).as("tot"))
+    val cc = st.groupBy("term").agg(count(lit(1)).as("cn"))
+    val ctot = cc.agg(sum(col("cn")).cast("double").as("ct"))
+    sc.join(broadcast(cc), "term")
+      .join(stot, "source")
+      .crossJoin(broadcast(ctot))
+      .withColumn("ps", col("n").cast("double") / col("tot").cast("double"))
+      .withColumn("contrib",
+        col("ps") * log(col("ps") / (col("cn").cast("double") / col("ct"))))
+      .groupBy("source")
+      .agg(sort_array(collect_list(struct(col("term"), col("contrib")))).as("cs"))
+      .select(col("source"),
+        round(aggregate(col("cs"), lit(0.0), (a, s) => a + s("contrib")), 6).as("kl"))
+      .orderBy("source")
+  }
+
   // ---- quality_score ---------------------------------------------------
 
   /** Quality features: token/char counts, punctuation ratio, stopword
@@ -516,6 +557,8 @@ object TextAnalysis {
     "perplexity_doc" -> perplexityDoc,
     "bpe_merges" -> bpeMerges,
     "lang_id" -> langId,
+    "langid_confusion" -> langidConfusion,
+    "source_kl" -> sourceKl,
     "quality_score" -> qualityScore,
     "token_stats" -> tokenStats,
     "doc_fingerprint" -> docFingerprint,
@@ -557,6 +600,34 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "langid_confusion" ->
+      s"""SELECT lang, pred_lang, count(*) AS n_docs
+         |FROM ($langIdSql)
+         |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+    "source_kl" ->
+      """WITH st AS (
+        |  SELECT source, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |    t -> len(t) > 0)) AS term
+        |  FROM documents
+        |), sc AS (
+        |  SELECT source, term, count(*) AS n FROM st GROUP BY source, term
+        |), stot AS (
+        |  SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM sc GROUP BY source
+        |), cc AS (
+        |  SELECT term, count(*) AS cn FROM st GROUP BY term
+        |), ctot AS (
+        |  SELECT sum(cn)::DOUBLE AS ct FROM cc
+        |), contrib AS (
+        |  SELECT sc.source, sc.term,
+        |    (sc.n::DOUBLE / stot.tot::DOUBLE) *
+        |      ln((sc.n::DOUBLE / stot.tot::DOUBLE) / (cc.cn::DOUBLE / ctot.ct)) AS c
+        |  FROM sc JOIN cc USING (term) JOIN stot USING (source), ctot
+        |)
+        |SELECT source,
+        |  round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+        |    list_sort(list(struct_pack(term := term, c := c))), s -> s['c'])),
+        |    (a, x) -> a + x), 6) AS kl
+        |FROM contrib GROUP BY source ORDER BY source""".stripMargin,
     "keyword_textrank" ->
       s"""${Index.TokSql}, pr AS (
          |  SELECT a.term AS u, b.term AS v, count(*) AS w

@@ -86,6 +86,21 @@ object IndexStore {
       .filter(col("term_bucket") === bucketOf(term, nBuckets) && col("term") === term)
       .drop("term_bucket")
 
+  /** Multi-term lookup (a boolean query's leaf set fetched in ONE
+    * scan): the bucket IN-list prunes to at most |distinct buckets|
+    * directories at planning time and the term IN-list pushes into
+    * the surviving buckets' row groups — for a q-term query the read
+    * is ≤ q/nBuckets of the index however large the index is.
+    */
+  def lookupTerms(spark: SparkSession, path: String, terms: Seq[String],
+                  nBuckets: Int = DefaultBuckets): DataFrame = {
+    require(terms.nonEmpty, "lookupTerms needs at least one term")
+    val buckets = terms.map(bucketOf(_, nBuckets)).distinct
+    load(spark, path)
+      .filter(col("term_bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .drop("term_bucket")
+  }
+
   /** Incremental index maintenance: merge a delta index (the postings
     * of new + re-crawled documents) into a base index. Document
     * granularity: every doc_id present in the delta REPLACES its base

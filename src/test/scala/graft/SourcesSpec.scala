@@ -64,6 +64,22 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("term_bucket"))
   }
 
+  test("index store: multi-term lookup prunes to the terms' buckets in one scan") {
+    val path = tmpDir("graft-idxmulti") + "/index"
+    val idx = Index.invertedIndex(spark, sfDir)
+    IndexStore.save(idx, path, nBuckets = 8)
+    val terms = Seq("spark", "join", "filter")
+    val got = IndexStore.lookupTerms(spark, path, terms, nBuckets = 8)
+      .select("term", "doc_id", "tf").orderBy("term", "doc_id").collect()
+    val want = idx.filter(col("term").isin(terms: _*))
+      .select("term", "doc_id", "tf").orderBy("term", "doc_id").collect()
+    assert(got.toSeq === want.toSeq && got.nonEmpty)
+    // planning-time partition pruning on the bucket IN-list
+    val plan = IndexStore.lookupTerms(spark, path, terms, nBuckets = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("term_bucket"))
+  }
+
   test("index store: positions stored delta-gap encoded, decoded on read") {
     val base = tmpDir("graft-idxgaps")
     val path = s"$base/index"
