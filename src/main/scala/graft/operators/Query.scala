@@ -121,6 +121,53 @@ object Query {
     eval(tok, docs.select(col(id)).distinct(), parse(query), id)
   }
 
+  /** The exact-term and prefix leaves of an AST — what a saved-index
+    * evaluation must fetch.
+    */
+  private def leaves(q: Q): (Seq[String], Seq[String]) = q match {
+    case Term(t) => (Seq(t), Nil)
+    case Prefix(p) => (Nil, Seq(p))
+    case Phrase(ts) => (ts, Nil)
+    case And(l, r) => val (a, b) = leaves(l); val (c, d) = leaves(r); (a ++ c, b ++ d)
+    case Or(l, r) => val (a, b) = leaves(l); val (c, d) = leaves(r); (a ++ c, b ++ d)
+    case Not(inner) => leaves(inner)
+  }
+
+  /** Parse + run a query string against a SAVED index
+    * ([[graft.sources.IndexStore]]) instead of re-tokenizing a corpus —
+    * the index-once / query-many path the reference builds its index
+    * for. Exact-term leaves arrive via ONE bucket-pruned multi-term
+    * scan ([[graft.sources.IndexStore.lookupTerms]]); prefix leaves
+    * scan with a pushed StartsWith (term-sorted row groups prune
+    * inside each bucket); positions explode back to the (doc, term,
+    * pos) stream [[eval]] compiles against, so phrase adjacency and
+    * boolean composition are the SAME plan as the corpus path — only
+    * the leaf source changes, and it reads ≤ |query terms| / nBuckets
+    * of the index.
+    *
+    * NOT ranges over the INDEXED documents (the index has no row for
+    * a zero-token document — same universe the reference's artifact
+    * defines).
+    */
+  def searchIndex(spark: SparkSession, indexPath: String, query: String,
+                  nBuckets: Int = graft.sources.IndexStore.DefaultBuckets): DataFrame = {
+    val ast = parse(query)
+    val (ts, ps) = leaves(ast)
+    val byTerm =
+      if (ts.nonEmpty)
+        Seq(graft.sources.IndexStore.lookupTerms(spark, indexPath, ts.distinct, nBuckets))
+      else Nil
+    val byPrefix = ps.distinct.map(p =>
+      graft.sources.IndexStore.load(spark, indexPath)
+        .filter(col("term").startsWith(p)).drop("term_bucket"))
+    require(byTerm.nonEmpty || byPrefix.nonEmpty, s"query has no leaves: $query")
+    val tok = (byTerm ++ byPrefix).reduce(_ unionByName _)
+      .select(col("doc_id"), col("term"), explode(col("positions")).as("pos"))
+    val universe = graft.sources.IndexStore.load(spark, indexPath)
+      .select("doc_id").distinct()
+    eval(tok, universe, ast)
+  }
+
   /** The positive (non-negated) words of a query — the terms ranking
     * should score. NOT-subtrees only exclude documents.
     */

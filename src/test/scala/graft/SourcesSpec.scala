@@ -165,6 +165,25 @@ class SourcesSpec extends SparkSpec {
     assert(IndexStore.lookup(spark, out, "z", nBuckets = 4).count() === 0)
   }
 
+  test("query over saved index: boolean/phrase/prefix match the corpus path") {
+    import spark.implicits._
+    val path = tmpDir("graft-idxquery") + "/index"
+    val docs = Seq(
+      (0L, "spark makes key order fast"),
+      (1L, "key order matters in a sort"),
+      (2L, "slow spark query with key order"),
+      (3L, "nothing relevant here"),
+      (4L, "querying keys out of order")).toDF("doc_id", "text")
+    IndexStore.save(Index.invertedIndexOf(docs), path, nBuckets = 4)
+    val q = """("key order" AND NOT slow) OR quer*"""
+    val fromIndex = operators.Query.searchIndex(spark, path, q, nBuckets = 4)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val fromCorpus = operators.Query.search(docs, q)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(fromIndex === fromCorpus)
+    assert(fromIndex === Seq(0L, 1L, 2L, 4L)) // 2 via quer*, not the AND branch
+  }
+
   test("corpus store: lang-partitioned layout prunes single-language reads") {
     val dir = tmpDir("graft-corpus") + "/corpus"
     val docs = sources.Tables.documents(spark, sfDir)
