@@ -623,6 +623,29 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Sketch-quality audit — the dedup analog of `ann_recall`:
+    * precision/recall/F1 of the SimHash Hamming ≤ 6 pair set against
+    * the exact 3-gram Jaccard ≥ 0.5 truth ([[ngramJaccard]]). One row;
+    * both sides are the already-bounded pair streams, joined on the
+    * (doc_a, doc_b) key — the measurement a pipeline runs on a corpus
+    * sample before trusting the cheap sketch at 100 TB. F1's division
+    * is the only double; counts are exact.
+    */
+  def neardupEval(spark: SparkSession, dir: String): DataFrame = {
+    val truth = jaccardPairs(Tables.documents(spark, dir), 0.5)
+      .filter(col("j") >= 0.5).select("doc_a", "doc_b")
+    val pred = simhashPairsOf(Tables.documents(spark, dir), maxHamming = 6)
+      .select("doc_a", "doc_b")
+    val nT = truth.agg(count(lit(1)).as("n_truth"))
+    val nP = pred.agg(count(lit(1)).as("n_pred"))
+    val nH = truth.join(pred, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nT.crossJoin(broadcast(nP)).crossJoin(broadcast(nH))
+      .select(col("n_truth"), col("n_pred"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_pred").cast("double"), 6).as("prec"),
+        round(col("n_hit").cast("double") / col("n_truth").cast("double"), 6).as("recall"))
+  }
+
   /** Degree distribution of the near-dup graph: how many docs have k
     * near-duplicates. The shape (power-law tail vs dense clique mass)
     * is the first thing to read before picking a clustering strategy —
@@ -643,6 +666,7 @@ object Dedup {
     "neardup_degree_hist" -> neardupDegreeHist,
     "dup_ngram_coverage" -> dupNgramCoverage,
     "dedup_spans" -> dedupSpans,
+    "neardup_eval" -> neardupEval,
     "neardup_triangles" -> neardupTriangles,
     "neardup_clustering" -> neardupClustering,
     "lsh_tuning_curve" -> lshTuningCurve,
@@ -693,14 +717,22 @@ object Dedup {
     * after other CTEs ([[oracles]]' pipeline_clean scopes it to the
     * dedup survivors).
     */
-  private[operators] def simhashBody(src: String): String = {
-    val bitSums = (0 until 32).map(b =>
-      s"sum(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN tf ELSE -tf END) AS b$b").mkString(",\n    ")
-    val asm = (0 until 32).map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+  private[operators] def simhashBody(src: String): String =
     s"""toks AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) AS tk
        |  FROM $src
-       |), tf AS (
+       |), ${simhashAfterToks(src)}""".stripMargin
+
+  /** The tf → hh → bits → sh chain ASSUMING a `toks` CTE already
+    * exists — composes with [[OracleSql.ShingleHashCte]] (which defines
+    * an identical `toks`) when one oracle needs both the shingle and
+    * simhash chains.
+    */
+  private[operators] def simhashAfterToks(src: String): String = {
+    val bitSums = (0 until 32).map(b =>
+      s"sum(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN tf ELSE -tf END) AS b$b").mkString(",\n    ")
+    val asm = (0 until 32).map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""tf AS (
        |  SELECT doc_id, term, count(*) AS tf
        |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY doc_id, term
        |), hh AS (
@@ -775,6 +807,33 @@ object Dedup {
          |  coalesce(k.cleaned_text, '') AS cleaned_text
          |FROM toks d LEFT JOIN kept k USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    "neardup_eval" ->
+      s"""${OracleSql.ShingleHashCte}, ${simhashAfterToks("documents")}, prs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         |), sets AS (
+         |  SELECT doc_id, list_distinct(h) AS s FROM hs
+         |), expl AS (
+         |  SELECT doc_id, unnest(s) AS hh FROM sets
+         |), inter AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+         |  FROM expl a JOIN expl b ON a.hh = b.hh AND a.doc_id < b.doc_id
+         |  GROUP BY da, db
+         |), tr AS (
+         |  SELECT da, db FROM inter
+         |  JOIN sets x ON da = x.doc_id JOIN sets y ON db = y.doc_id
+         |  WHERE i::DOUBLE / (len(x.s) + len(y.s) - i) >= 0.5
+         |), nt AS (SELECT count(*) AS n_truth FROM tr),
+         |np AS (SELECT count(*) AS n_pred FROM prs),
+         |nh AS (
+         |  SELECT count(*) AS n_hit
+         |  FROM tr JOIN prs ON tr.da = prs.doc_a AND tr.db = prs.doc_b
+         |)
+         |SELECT n_truth, n_pred, n_hit,
+         |  round(n_hit::DOUBLE / n_pred::DOUBLE, 6) AS prec,
+         |  round(n_hit::DOUBLE / n_truth::DOUBLE, 6) AS recall
+         |FROM nt, np, nh""".stripMargin,
     "neardup_clustering" ->
       s"""$simhashCte, prs AS (
          |  SELECT a.doc_id AS a, b.doc_id AS b
