@@ -22,6 +22,9 @@ import org.apache.spark.sql.functions._
   *   - `query <input.tsv> '<boolean query>' [k]` — parsed
   *     boolean/phrase retrieval (AND/OR/NOT/"...") with BM25 ranking
   *     over a corpus.
+  *   - `bquery <indexPath> '<boolean query>' [nBuckets]` — the same
+  *     grammar against the SAVED index (bucket-pruned leaf reads:
+  *     index once, query many times).
   */
 object Cli {
 
@@ -48,10 +51,17 @@ object Cli {
       val k = rest.headOption.map(_.toInt).getOrElse(10)
       Query.searchRanked(Tsv.readDocuments(spark, input), q, k,
         id = "title")
+    case Seq("bquery", indexPath, q, rest @ _*) =>
+      // boolean/phrase/prefix retrieval against the SAVED index: only
+      // the query terms' buckets are read (Query.searchIndex)
+      val nBuckets = rest.headOption.map(_.toInt).getOrElse(IndexStore.DefaultBuckets)
+      Query.searchIndex(spark, indexPath, q, nBuckets, id = "title")
+        .orderBy("title")
     case _ =>
       throw new IllegalArgumentException(
         "usage: index <in.tsv> <indexPath> [nBuckets] | " +
-          "search <indexPath> <term> [k] | query <in.tsv> '<query>' [k]")
+          "search <indexPath> <term> [k] | query <in.tsv> '<query>' [k] | " +
+          "bquery <indexPath> '<query>' [nBuckets]")
   }
 
   def main(args: Array[String]): Unit = {

@@ -150,7 +150,8 @@ object Query {
     * defines).
     */
   def searchIndex(spark: SparkSession, indexPath: String, query: String,
-                  nBuckets: Int = graft.sources.IndexStore.DefaultBuckets): DataFrame = {
+                  nBuckets: Int = graft.sources.IndexStore.DefaultBuckets,
+                  id: String = "doc_id"): DataFrame = {
     val ast = parse(query)
     val (ts, ps) = leaves(ast)
     val byTerm =
@@ -162,10 +163,10 @@ object Query {
         .filter(col("term").startsWith(p)).drop("term_bucket"))
     require(byTerm.nonEmpty || byPrefix.nonEmpty, s"query has no leaves: $query")
     val tok = (byTerm ++ byPrefix).reduce(_ unionByName _)
-      .select(col("doc_id"), col("term"), explode(col("positions")).as("pos"))
+      .select(col(id), col("term"), explode(col("positions")).as("pos"))
     val universe = graft.sources.IndexStore.load(spark, indexPath)
-      .select("doc_id").distinct()
-    eval(tok, universe, ast)
+      .select(id).distinct()
+    eval(tok, universe, ast, id)
   }
 
   /** The positive (non-negated) words of a query — the terms ranking

@@ -213,6 +213,9 @@ class SourcesSpec extends SparkSpec {
     val q = Cli.run(spark,
         Seq("query", s"$dir/docs.tsv", "spark AND NOT filter")).collect()
     assert(q.map(_.getAs[String]("title")).toSeq === Seq("Doc One"))
+    val bq = Cli.run(spark,
+        Seq("bquery", s"$dir/index", "spark AND NOT filter", "4")).collect()
+    assert(bq.map(_.getAs[String]("title")).toSeq === Seq("Doc One"))
     intercept[IllegalArgumentException](Cli.run(spark, Seq("bogus")))
   }
 
