@@ -873,9 +873,52 @@ object Analytics {
       .orderBy("l_suppkey", "day")
   }
 
+  /** Q10-flavored returned-item report: revenue lost to returns per
+    * customer (l_returnflag = 'R'), top 20 — the flag filter pushes
+    * into the fact scan, the customer dimension broadcasts, and the
+    * rollup is decimal-exact. The classic "who returns the most"
+    * triage view.
+    */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir).select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(count(lit(1)).as("n_items"),
+        sum(lineRevenueDec).cast("double").as("lost_revenue"))
+      .orderBy(col("lost_revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** First-order Markov transitions over each user's time-ordered
+    * event stream: P(next event type | current) from exact pair
+    * counts — the navigation model behind funnel design and
+    * next-event prediction baselines. One lead window per user (the
+    * sessionize shuffle) + a 9-cell rollup; probabilities are single
+    * integer divisions.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = pairs.groupBy("from_type").agg(sum(col("n")).as("tot"))
+    pairs.join(broadcast(tot), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("tot").cast("double"), 6).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_returns" -> q10Returns,
+    "event_transitions" -> eventTransitions,
     "q4_priority" -> q4Priority,
     "window_range_rev" -> windowRangeRev,
     "basket_lift" -> basketLift,
@@ -936,6 +979,29 @@ object Analytics {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, count(*) AS n_items,
+        |  CAST(sum(l_extendedprice::DECIMAL(18,2) *
+        |    (1.0::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS DOUBLE) AS lost_revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "event_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events
+        |), c AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+        |), t AS (
+        |  SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY from_type
+        |)
+        |SELECT from_type, to_type, n, round(n::DOUBLE / tot::DOUBLE, 6) AS p
+        |FROM c JOIN t USING (from_type) ORDER BY from_type, to_type""".stripMargin,
     "q4_priority" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders o
