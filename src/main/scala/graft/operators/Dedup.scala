@@ -632,13 +632,23 @@ object Dedup {
     * is the only double; counts are exact.
     */
   def neardupEval(spark: SparkSession, dir: String): DataFrame = {
+    // feeds the n_truth and n_hit branches; checkpoint or the
+    // prefix-filtered exact join runs twice
     val truth = jaccardPairs(Tables.documents(spark, dir), 0.5)
       .filter(col("j") >= 0.5).select("doc_a", "doc_b")
-    val pred = simhashPairsOf(Tables.documents(spark, dir), maxHamming = 6)
-      .select("doc_a", "doc_b")
+      .localCheckpoint()
+    val sh = simhashDf(Tables.documents(spark, dir))
     val nT = truth.agg(count(lit(1)).as("n_truth"))
-    val nP = pred.agg(count(lit(1)).as("n_pred"))
-    val nH = truth.join(pred, Seq("doc_a", "doc_b"), "left_semi")
+    val nP = simhashPairsOf(Tables.documents(spark, dir), maxHamming = 6)
+      .agg(count(lit(1)).as("n_pred"))
+    // membership in the ≤6 pair set IS hamming ≤ 6 (the banding is
+    // lossless), so hits come from one broadcast fingerprint join on
+    // the SMALL truth set — never a semi-join against the dense
+    // multi-million-row prediction stream
+    val nH = truth
+      .join(broadcast(sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))), "doc_a")
+      .join(broadcast(sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))), "doc_b")
+      .filter(expr("bit_count(ha ^ hb)") <= 6)
       .agg(count(lit(1)).as("n_hit"))
     nT.crossJoin(broadcast(nP)).crossJoin(broadcast(nH))
       .select(col("n_truth"), col("n_pred"), col("n_hit"),
