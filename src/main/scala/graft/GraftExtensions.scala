@@ -64,5 +64,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case args => throw new IllegalArgumentException(
         s"norm2(a) got ${args.length} args")
     })
+    // aggregate: the analyzer wraps a returned AggregateFunction in an
+    // AggregateExpression, so this registers like any SQL aggregate
+    reg(ext, "minhash_union", {
+      case Seq(a) => MinHashUnion(a)
+      case args => throw new IllegalArgumentException(
+        s"minhash_union(sig) got ${args.length} args")
+    })
   }
 }

@@ -373,13 +373,19 @@ object Dedup {
     */
   def sourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sig = minhashSigs(docs)
+    val sig = shingleHashes(docs)
+      .withColumn("sig", HashFns.minhashSig(col("hs")))
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
-    val minCols = (0 until 16).map(i =>
-      coalesce(min(when(col(s"m$i") =!= -1L, col(s"m$i"))), lit(-1L)).as(s"m$i"))
-    val merged = sig.groupBy("source").agg(minCols.head, minCols.tail: _*)
+    // one custom declarative aggregate instead of 16 min() columns:
+    // MinHashUnion is the sketch-mergeability primitive (element-wise
+    // min with the empty-signature identity), partial-aggregated
+    // map-side like any min — the oracle is unchanged, proving the
+    // aggregate computes exactly the 16-column idiom
+    val merged = sig.groupBy("source")
+      .agg(graft.functions.AggFns.minhashUnion(col("sig")).as("ms"))
     val agree = (0 until 16).map(i =>
-      when(col(s"a.m$i") === col(s"b.m$i") && col(s"a.m$i") =!= -1L, 1L)
+      when(element_at(col("a.ms"), i + 1) === element_at(col("b.ms"), i + 1) &&
+          element_at(col("a.ms"), i + 1) =!= -1L, 1L)
         .otherwise(0L)).reduce(_ + _)
     merged.as("a").join(merged.as("b"), col("a.source") < col("b.source"))
       .select(col("a.source").as("source_a"), col("b.source").as("source_b"),

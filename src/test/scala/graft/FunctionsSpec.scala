@@ -132,6 +132,40 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("minhash_union: element-wise-min aggregate with empty-sig identity") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s0", "alpha beta gamma delta"),
+      ("s0", "epsilon zeta eta theta"),
+      ("s1", "xx"), // < 3 tokens -> all -1 sentinel signature
+      ("s1", "alpha beta gamma delta")).toDF("source", "text")
+    docs.createOrReplaceTempView("mu_docs")
+    val got = spark.sql(
+      """SELECT source, minhash_union(minhash_sig(shingle_hash(
+        |  filter(split(text, '\\s+'), t -> length(t) > 0)))) AS ms
+        |FROM mu_docs GROUP BY source ORDER BY source""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // s0: min over two real signatures, componentwise
+    val sigs = spark.sql(
+      """SELECT minhash_sig(shingle_hash(
+        |  filter(split(text, '\\s+'), t -> length(t) > 0))) AS s
+        |FROM mu_docs WHERE source = 's0'""".stripMargin)
+      .collect().map(_.getSeq[Long](0))
+    val want = sigs(0).zip(sigs(1)).map { case (a, b) => math.min(a, b) }
+    assert(got("s0") === want)
+    // s1: the empty signature is the identity -> equals the real doc's sig
+    val real = spark.sql(
+      """SELECT minhash_sig(shingle_hash(
+        |  filter(split(text, '\\s+'), t -> length(t) > 0))) AS s
+        |FROM mu_docs WHERE text LIKE 'alpha%' LIMIT 1""".stripMargin)
+      .head().getSeq[Long](0)
+    assert(got("s1") === real)
+    // all-empty group unions to the empty signature
+    val empt = spark.sql(
+      "SELECT minhash_union(array(-1L, -1L)) FROM range(3)").head().getSeq[Long](0)
+    assert(empt === Seq(-1L, -1L))
+  }
+
   test("tokens drops empties; shingles and norm behave") {
     import spark.implicits._
     val df = Seq("  a  b c d ", "x y", "Héllo,  World!").toDF("text")
