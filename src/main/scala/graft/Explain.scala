@@ -54,9 +54,13 @@ object Explain {
     "basket_lift" -> Rule(required = Seq("BroadcastHashJoin")))
 
   /** Violations ("query: missing/forbidden …") over [[AuditRules]] —
-    * empty = every audited plan holds its invariants. Plans are built,
-    * not executed: the initial physical plan already fixes join
-    * strategies for hinted broadcasts, scan pushdown and cartesians.
+    * empty = every audited plan holds its invariants. The audited
+    * QUERY never runs (the initial physical plan already fixes hinted
+    * broadcasts, scan pushdown and cartesians), but building some
+    * plans executes the eager steps those pipelines declare — bloom
+    * builds, localCheckpoints, connected-components rounds — so the
+    * audit's cost scales with the sfDir it points at (specs run it at
+    * sf0.001).
     */
   def audit(spark: org.apache.spark.sql.SparkSession, sfDir: String): Seq[String] =
     AuditRules.toSeq.sortBy(_._1).flatMap { case (name, rule) =>

@@ -26,10 +26,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class MinHashUnion(child: Expression)
     extends DeclarativeAggregate with UnaryLike[Expression] {
 
+  // containsNull = false required: a null element would leak through
+  // the min-merge into the declared non-null result array, and a
+  // codegen consumer trusting containsNull=false would read garbage
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"minhash_union expects array<bigint>, got $other")
+      s"minhash_union expects array<bigint> with non-null elements, got $other")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true // a group with no non-null inputs

@@ -648,12 +648,14 @@ object Dedup {
     val nP = simhashPairsOf(Tables.documents(spark, dir), maxHamming = 6)
       .agg(count(lit(1)).as("n_pred"))
     // membership in the ≤6 pair set IS hamming ≤ 6 (the banding is
-    // lossless), so hits come from one broadcast fingerprint join on
-    // the SMALL truth set — never a semi-join against the dense
-    // multi-million-row prediction stream
+    // lossless), so hits come from joining fingerprints onto the SMALL
+    // truth set — never a semi-join against the dense multi-million-row
+    // prediction stream. No broadcast hint: the fingerprint side is
+    // corpus-sized (one row per doc — too big to broadcast at 100 TB);
+    // AQE broadcasts the checkpointed truth side instead.
     val nH = truth
-      .join(broadcast(sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))), "doc_a")
-      .join(broadcast(sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))), "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), "doc_b")
       .filter(expr("bit_count(ha ^ hb)") <= 6)
       .agg(count(lit(1)).as("n_hit"))
     nT.crossJoin(broadcast(nP)).crossJoin(broadcast(nH))
@@ -798,7 +800,7 @@ object Dedup {
          |FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     "dedup_spans" ->
-      s"""${Index.TokSql.split("\\), tok AS")(0)}), gr AS (
+      s"""${OracleSql.ToksCte}, gr AS (
          |  SELECT doc_id, i AS s, array_to_string(tk[i+1:i+8], ' ') AS g
          |  FROM toks, unnest(range(greatest(len(tk) - 7, 0))) AS u(i)
          |), dup AS (

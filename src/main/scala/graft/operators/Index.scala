@@ -707,7 +707,7 @@ object Index {
       s"""$TokSql SELECT term, count(DISTINCT doc_id) AS df, count(*) AS total_tf
          |FROM tok WHERE term LIKE 's%' GROUP BY term ORDER BY term""".stripMargin,
     "snippet_extract" ->
-      s"""${TokSql.split("\\), tok AS")(0)})
+      s"""${OracleSql.ToksCte}
          |, p AS (
          |  -- duckdb list_position: 0 when absent (not NULL)
          |  SELECT doc_id, tk, list_position(tk, 'spark') AS pos FROM toks

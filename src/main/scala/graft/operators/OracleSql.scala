@@ -23,6 +23,16 @@ object OracleSql {
   val Norm: String =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
+  /** `WITH toks AS (...)` — the tokenized-documents CTE alone, for
+    * oracles that build straight on the token arrays (identical
+    * tokenization contract to [[graft.functions.TextFns.tokens]]).
+    */
+  val ToksCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS tk
+      |  FROM documents
+      |)""".stripMargin
+
   /** CTE chain `toks` → `shl` → `hs`: whitespace tokens, 3-token
     * shingles, per-shingle rolling hashes — mirrors
     * [[graft.functions.TextFns.shingles3]] + [[Dedup.shingleHashes]].

@@ -76,15 +76,36 @@ object IndexStore {
     else raw
   }
 
+  /** Fail loudly when the caller's `nBuckets` cannot be the one the
+    * index was SAVED with — a too-small value re-hashes terms into
+    * bucket ids the layout doesn't use and a lookup would silently
+    * return empty/partial postings (the layout contract plays the
+    * reference's reducer-count role). One driver-side directory
+    * listing, no job.
+    */
+  private def requireBucketsMatch(spark: SparkSession, path: String,
+                                  nBuckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("term_bucket="))
+      .map(_.stripPrefix("term_bucket=").toLong)
+    require(ids.isEmpty || ids.max < nBuckets,
+      s"index at $path has bucket ids up to ${ids.max} — it was not saved " +
+        s"with nBuckets=$nBuckets; pass the bucket count used at save time")
+  }
+
   /** Partition-pruned single-term lookup: the `term_bucket` equality
     * prunes directories at planning time; the `term` equality pushes
     * down into the parquet scan of the one surviving bucket.
     */
   def lookup(spark: SparkSession, path: String, term: String,
-             nBuckets: Int = DefaultBuckets): DataFrame =
+             nBuckets: Int = DefaultBuckets): DataFrame = {
+    requireBucketsMatch(spark, path, nBuckets)
     load(spark, path)
       .filter(col("term_bucket") === bucketOf(term, nBuckets) && col("term") === term)
       .drop("term_bucket")
+  }
 
   /** Multi-term lookup (a boolean query's leaf set fetched in ONE
     * scan): the bucket IN-list prunes to at most |distinct buckets|
@@ -95,6 +116,7 @@ object IndexStore {
   def lookupTerms(spark: SparkSession, path: String, terms: Seq[String],
                   nBuckets: Int = DefaultBuckets): DataFrame = {
     require(terms.nonEmpty, "lookupTerms needs at least one term")
+    requireBucketsMatch(spark, path, nBuckets)
     val buckets = terms.map(bucketOf(_, nBuckets)).distinct
     load(spark, path)
       .filter(col("term_bucket").isin(buckets: _*) && col("term").isin(terms: _*))

@@ -110,15 +110,29 @@ object Stream {
     * deployment rewrites only the buckets the delta touches — same
     * layout, smaller I/O).
     */
+  /** rename that FAILS LOUDLY: Hadoop FileSystem.rename reports most
+    * failures by returning false, not throwing — swallowing it would
+    * let the streaming offset commit while the store silently missed
+    * the batch. Throwing instead fails the batch, so the source replays
+    * it and [[recoverStore]] repairs any half-done swap.
+    */
+  private def mustRename(fs: org.apache.hadoop.fs.FileSystem,
+                         from: org.apache.hadoop.fs.Path,
+                         to: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(from, to))
+      throw new java.io.IOException(s"rename failed: $from -> $to")
+
   /** Recover from a crash between [[swapStore]]'s two renames (no base
     * but a backup → restore), then clear any stale backup. Store paths
     * use their OWN filesystem — FileSystem.get(conf) would resolve
-    * fs.defaultFS and break for s3a://-style paths.
+    * fs.defaultFS and break for object-store paths (where rename is
+    * copy+delete: the swap stays CORRECT there — failures replay — but
+    * the always-one-copy-on-disk property below assumes atomic rename).
     */
   private def recoverStore(fs: org.apache.hadoop.fs.FileSystem,
                            base: org.apache.hadoop.fs.Path): Unit = {
     val backup = new org.apache.hadoop.fs.Path(base.toString + ".backup")
-    if (!fs.exists(base) && fs.exists(backup)) fs.rename(backup, base)
+    if (!fs.exists(base) && fs.exists(backup)) mustRename(fs, backup, base)
     if (fs.exists(backup)) fs.delete(backup, true) // stale from a completed swap
   }
 
@@ -129,8 +143,8 @@ object Stream {
   private def swapStore(fs: org.apache.hadoop.fs.FileSystem,
                         base: org.apache.hadoop.fs.Path, merged: String): Unit = {
     val backup = new org.apache.hadoop.fs.Path(base.toString + ".backup")
-    fs.rename(base, backup)
-    fs.rename(new org.apache.hadoop.fs.Path(merged), base)
+    mustRename(fs, base, backup)
+    mustRename(fs, new org.apache.hadoop.fs.Path(merged), base)
     fs.delete(backup, true)
   }
 
@@ -152,7 +166,7 @@ object Stream {
           swapStore(fs, basePath, merged)
           fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
         } else {
-          fs.rename(new org.apache.hadoop.fs.Path(tmp), basePath)
+          mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
         }
         () // foreachBatch wants (Dataset, Long) => Unit, not => Boolean
       }
@@ -199,7 +213,7 @@ object Stream {
         } else {
           val tmp = s"$storePath.init-$batchId"
           write(assigned, tmp)
-          fs.rename(new org.apache.hadoop.fs.Path(tmp), basePath)
+          mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
         }
         ()
       }
@@ -247,11 +261,15 @@ object Stream {
     * running total as Σ n_tokens), new pack contributions merge with
     * the stored table at PACK granularity (a boundary-straddling pack's
     * partial rows sum, first/last docs min/max), and the two-rename
-    * swap lands it crash-safe. The result provably equals batch
-    * packing of the concatenated stream (spec-asserted), so a training
-    * run can consume packs while the corpus is still arriving. Within
-    * a batch the prefix sum is the distributed two-phase
-    * [[graft.operators.GraftOps.runningTotal]] — no global window.
+    * swap lands it crash-safe — so a training run can consume packs
+    * while the corpus is still arriving. The token line is laid out in
+    * ARRIVAL order (batch by batch, doc_id within a batch): when
+    * documents arrive in doc_id order the result equals the batch
+    * [[graft.operators.Pipeline.packChunksOf]] exactly (spec-asserted);
+    * out-of-order arrival packs in stream order — the only order a
+    * stream can honor. Within a batch the prefix sum is the distributed
+    * two-phase [[graft.operators.GraftOps.runningTotal]] — no global
+    * window.
     *
     * Unlike the doc-granular index merges, summing partial pack rows
     * is NOT naturally replay-idempotent — so each applied batch leaves
@@ -308,7 +326,7 @@ object Stream {
             val tmp = s"$storePath.init-$batchId"
             delta.write.mode("overwrite").parquet(tmp)
             fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_applied_$batchId")).close()
-            fs.rename(new org.apache.hadoop.fs.Path(tmp), basePath)
+            mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
           }
         }
         ()
