@@ -332,6 +332,51 @@ object Stream {
         ()
       }
 
+  /** Streaming exact dedup with an UNBOUNDED horizon — the
+    * state-in-store twin of [[dedupStream]]: that operator's state is
+    * executor memory bounded by the watermark (hours of fingerprints),
+    * this one screens each micro-batch against a SAVED md5 fingerprint
+    * store, so a document seen last month (or before a restart) still
+    * dedups. Per batch: in-batch dedup (first doc_id per fingerprint),
+    * one anti-join against the store, survivors land in their own
+    * `batch=<id>` dir, and their fingerprints merge into the store via
+    * the crash-safe swap. Replay-idempotent WITHOUT markers, by
+    * BATCH-GRANULAR REPLACE (the index-merge rule applied to
+    * fingerprints): the store keys every fingerprint by its source
+    * batch, screening ignores the current batch's own rows and the
+    * merge replaces them — so a replayed batch recomputes the identical
+    * survivor set and rewrites the identical store.
+    */
+  def dedupGate(docs: DataFrame, storePath: String,
+                outPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val basePath = new org.apache.hadoop.fs.Path(storePath)
+        val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverStore(fs, basePath)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("text_md5").orderBy("doc_id")
+        val batchCanon = batch.withColumn("text_md5", md5(col("text")))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val prior =
+          if (fs.exists(basePath))
+            spark.read.parquet(storePath).filter(col("src_batch") =!= batchId)
+          else spark.emptyDataFrame.select(lit("").as("text_md5"), lit(0L).as("src_batch")).limit(0)
+        val fresh = batchCanon
+          .join(prior.select("text_md5"), Seq("text_md5"), "left_anti")
+        fresh.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        val merged = prior.unionByName(
+          fresh.select(col("text_md5"), lit(batchId).as("src_batch")))
+        val tmp = s"$storePath.merged-$batchId"
+        merged.write.mode("overwrite").parquet(tmp)
+        if (fs.exists(basePath)) swapStore(fs, basePath, tmp)
+        else mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
+        ()
+      }
+
   /** Streaming corpus triage: every micro-batch is scored by the
     * batch quality rules ([[graft.operators.TextAnalysis.qualityFlagsOf]]
     * — the SAME rule code, so batch and stream can never drift) and

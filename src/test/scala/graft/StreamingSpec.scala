@@ -239,6 +239,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_dedup_store: saved fingerprints dedup across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-dgate").toString
+    val (store, out) = (s"$base/fp", s"$base/out")
+    def landed(): Set[Long] = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val in = MemoryStream[(Long, String)]
+    val q = Stream.dedupGate(in.toDF().toDF("doc_id", "text"), store, out).start()
+    try {
+      in.addData((0L, "alpha"), (1L, "alpha"), (2L, "beta")) // in-batch dup
+      q.processAllAvailable()
+      assert(landed() === Set(0L, 2L))
+      in.addData((3L, "alpha"), (4L, "gamma")) // cross-batch dup vs the store
+      q.processAllAvailable()
+      assert(landed() === Set(0L, 2L, 4L))
+      // store holds one row per distinct fingerprint, keyed by batch
+      val fp = spark.read.parquet(store).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(fp.length === 3)
+      assert(fp.map(_._2).sorted.toSeq === Seq(0L, 0L, 1L))
+    } finally q.stop()
+  }
+
   test("stream_pack: carried offset makes streamed packs equal batch packing") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
