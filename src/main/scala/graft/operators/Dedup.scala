@@ -629,6 +629,38 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The excised-span TABLE behind [[dedupSpans]]: per document, each
+    * maximal contiguous run of tokens covered by cross-document
+    * duplicate 8-grams, as (span_start, span_end, span_len) — what a
+    * reviewer inspects before trusting span excision, and the
+    * gaps-and-islands shape (runs found by the pos − row_number()
+    * grouping key, one per-doc window over the already-bounded
+    * coverage set — never the corpus).
+    */
+  def dedupSpanRanges(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+    val g = tok.select(col("doc_id"),
+      posexplode(TextFns.shinglesK(col("tk"), k)).as(Seq("s", "g")))
+    val dup = g.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("gdf"))
+      .filter(col("gdf") >= 2)
+      .select("g")
+    val covered = g.join(dup, "g")
+      .select(col("doc_id"),
+        explode(sequence(col("s").cast("long"), col("s") + lit(k - 1).cast("long"))).as("pos"))
+      .distinct()
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    covered
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("pos")).as("span_start"), max(col("pos")).as("span_end"),
+        count(lit(1)).as("span_len"))
+      .select("doc_id", "span_start", "span_end", "span_len")
+      .orderBy("doc_id", "span_start")
+  }
+
   /** Sketch-quality audit — the dedup analog of `ann_recall`:
     * precision/recall/F1 of the SimHash Hamming ≤ 6 pair set against
     * the exact 3-gram Jaccard ≥ 0.5 truth ([[ngramJaccard]]). One row;
@@ -684,6 +716,7 @@ object Dedup {
     "neardup_degree_hist" -> neardupDegreeHist,
     "dup_ngram_coverage" -> dupNgramCoverage,
     "dedup_spans" -> dedupSpans,
+    "dedup_span_ranges" -> dedupSpanRanges,
     "neardup_eval" -> neardupEval,
     "neardup_triangles" -> neardupTriangles,
     "neardup_clustering" -> neardupClustering,
@@ -825,6 +858,24 @@ object Dedup {
          |  coalesce(k.cleaned_text, '') AS cleaned_text
          |FROM toks d LEFT JOIN kept k USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    "dedup_span_ranges" ->
+      s"""${OracleSql.ToksCte}, gr AS (
+         |  SELECT doc_id, i AS s, array_to_string(tk[i+1:i+8], ' ') AS g
+         |  FROM toks, unnest(range(greatest(len(tk) - 7, 0))) AS u(i)
+         |), dup AS (
+         |  SELECT g FROM gr GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+         |), cov AS (
+         |  SELECT DISTINCT gr.doc_id, gr.s + j AS pos
+         |  FROM gr JOIN dup USING (g), unnest(range(8)) AS v(j)
+         |), runs AS (
+         |  SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM cov
+         |)
+         |SELECT doc_id, min(pos) AS span_start, max(pos) AS span_end,
+         |  count(*) AS span_len
+         |FROM runs GROUP BY doc_id, grp
+         |ORDER BY doc_id, span_start""".stripMargin,
     "neardup_eval" ->
       s"""${OracleSql.ShingleHashCte}, ${simhashAfterToks("documents")}, prs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
