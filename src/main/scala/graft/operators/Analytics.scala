@@ -914,9 +914,30 @@ object Analytics {
       .orderBy("from_type", "to_type")
   }
 
+  /** Q14-flavored promotion effect: per ship month, the percentage of
+    * revenue from PROMO-type parts — part dim broadcast into the fact
+    * scan, decimal-exact sums, ONE double division at the end (the
+    * conditional-aggregation share pattern). */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", lineRevenueDec)
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("promo_dec"),
+        sum(lineRevenueDec).as("total_dec"))
+      .select(col("ship_month"),
+        col("promo_dec").cast("double").as("promo_revenue"),
+        col("total_dec").cast("double").as("total_revenue"),
+        round(lit(100.0) * col("promo_dec").cast("double") /
+          col("total_dec").cast("double"), 4).as("promo_pct"))
+      .orderBy("ship_month")
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_promo" -> q14Promo,
     "q10_returns" -> q10Returns,
     "event_transitions" -> eventTransitions,
     "q4_priority" -> q4Priority,
@@ -979,6 +1000,20 @@ object Analytics {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q14_promo" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice::DECIMAL(18,2) * (1.0::DECIMAL(18,2) - l_discount::DECIMAL(18,2))
+        |    ELSE 0::DECIMAL(18,2) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(sum(l_extendedprice::DECIMAL(18,2) *
+        |    (1.0::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+        |  round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice::DECIMAL(18,2) * (1.0::DECIMAL(18,2) - l_discount::DECIMAL(18,2))
+        |    ELSE 0::DECIMAL(18,2) END) AS DOUBLE) /
+        |    CAST(sum(l_extendedprice::DECIMAL(18,2) *
+        |      (1.0::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS DOUBLE), 4) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY ship_month ORDER BY ship_month""".stripMargin,
     "q10_returns" ->
       """SELECT c_custkey, c_name, count(*) AS n_items,
         |  CAST(sum(l_extendedprice::DECIMAL(18,2) *

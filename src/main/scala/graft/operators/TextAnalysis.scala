@@ -85,6 +85,33 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Per-document n-gram NOVELTY: the fraction of a doc's 3-gram
+    * instances whose gram is INTRODUCED by this doc (corpus-min doc_id
+    * = this doc) — `vocab_growth`'s Heaps curve at document
+    * granularity, and the "is this source adding anything new" signal
+    * data-mix decisions read next to [[sourceKl]]. Two gram-keyed
+    * shuffles (first-introduction table + scoring join), the
+    * [[graft.operators.Dedup.dupNgramCoverage]] shape with min for df.
+    */
+  def gramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val g = docs.select(col("doc_id"),
+      explode(TextFns.shinglesK(TextFns.tokens(col("text")), 3)).as("g"))
+    val intro = g.groupBy("g").agg(min(col("doc_id")).as("intro"))
+    val nov = g.join(intro, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("intro") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+    docs.select("doc_id").join(nov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_grams").isNull, lit(0.0))
+          .otherwise(round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
   // ---- quality_score ---------------------------------------------------
 
   /** Quality features: token/char counts, punctuation ratio, stopword
@@ -559,6 +586,7 @@ object TextAnalysis {
     "lang_id" -> langId,
     "langid_confusion" -> langidConfusion,
     "source_kl" -> sourceKl,
+    "gram_novelty" -> gramNovelty,
     "quality_score" -> qualityScore,
     "token_stats" -> tokenStats,
     "doc_fingerprint" -> docFingerprint,
@@ -600,6 +628,24 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "gram_novelty" ->
+      s"""${OracleSql.ToksCte}, gr AS (
+         |  SELECT doc_id, array_to_string(tk[i+1:i+3], ' ') AS g
+         |  FROM toks, unnest(range(greatest(len(tk) - 2, 0))) AS u(i)
+         |), intro AS (
+         |  SELECT g, min(doc_id) AS intro FROM gr GROUP BY g
+         |), nov AS (
+         |  SELECT gr.doc_id, count(*) AS n_grams,
+         |    CAST(sum(CASE WHEN intro.intro = gr.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |  FROM gr JOIN intro USING (g) GROUP BY gr.doc_id
+         |)
+         |SELECT d.doc_id,
+         |  coalesce(nov.n_grams, 0) AS n_grams,
+         |  coalesce(nov.n_novel, 0) AS n_novel,
+         |  CASE WHEN nov.n_grams IS NULL THEN 0.0
+         |       ELSE round(nov.n_novel::DOUBLE / nov.n_grams::DOUBLE, 6) END AS novelty
+         |FROM documents d LEFT JOIN nov ON d.doc_id = nov.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "langid_confusion" ->
       s"""SELECT lang, pred_lang, count(*) AS n_docs
          |FROM ($langIdSql)
