@@ -166,6 +166,49 @@ class FunctionsSpec extends SparkSpec {
     assert(empt === Seq(-1L, -1L))
   }
 
+  test("delta-gap codec: encode/decode round-trips any sorted position list") {
+    import graft.functions.PostingsImpl
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(7)
+    (0 until 300).foreach { _ =>
+      val ps = Array.fill(rnd.nextInt(40))(rnd.nextInt(100000).toLong)
+        .distinct.sorted
+      val enc = PostingsImpl.deltaEncode(new GenericArrayData(ps))
+      val dec = PostingsImpl.deltaDecode(enc).toLongArray()
+      assert(dec.toSeq === ps.toSeq)
+      // gaps after the first are strictly positive for distinct sorted input
+      val gaps = enc.toLongArray()
+      assert(gaps.drop(1).forall(_ > 0L))
+    }
+  }
+
+  test("minhash_union algebra: union sig == componentwise min over member sigs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 40).map { i =>
+      (i / 8, (0 until 5 + rnd.nextInt(10)).map(_ => s"w${rnd.nextInt(30)}").mkString(" "))
+    }.toDF("grp", "text")
+    docs.createOrReplaceTempView("mu_alg")
+    val union = spark.sql(
+      """SELECT grp, minhash_union(minhash_sig(shingle_hash(
+        |  filter(split(text, '\\s+'), t -> length(t) > 0)))) AS ms
+        |FROM mu_alg GROUP BY grp""".stripMargin)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val members = spark.sql(
+      """SELECT grp, minhash_sig(shingle_hash(
+        |  filter(split(text, '\\s+'), t -> length(t) > 0))) AS s
+        |FROM mu_alg""".stripMargin)
+      .collect().groupBy(_.getInt(0))
+      .map { case (g, rs) => g -> rs.map(_.getSeq[Long](1)) }
+    members.foreach { case (g, sigs) =>
+      val want = sigs.reduce((a, b) => a.zip(b).map { case (x, y) =>
+        // -1 (empty set) is the identity on each component
+        if (x == -1L) y else if (y == -1L) x else math.min(x, y)
+      })
+      assert(union(g) === want, s"group $g")
+    }
+  }
+
   test("tokens drops empties; shingles and norm behave") {
     import spark.implicits._
     val df = Seq("  a  b c d ", "x y", "Héllo,  World!").toDF("text")
