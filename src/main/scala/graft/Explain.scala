@@ -51,7 +51,11 @@ object Explain {
     "bm25_topk" -> Rule(required = Seq("BroadcastHashJoin")),
     "rrf_fusion" -> Rule(),
     "minhash_dedup_apply" -> Rule(),
-    "basket_lift" -> Rule(required = Seq("BroadcastHashJoin")))
+    "basket_lift" -> Rule(required = Seq("BroadcastHashJoin")),
+    "q10_returns" -> Rule(required = Seq("BroadcastHashJoin")),
+    "q14_promo" -> Rule(required = Seq("BroadcastHashJoin")),
+    "gram_novelty" -> Rule(),
+    "neardup_eval" -> Rule())
 
   /** Violations ("query: missing/forbidden …") over [[AuditRules]] —
     * empty = every audited plan holds its invariants. The audited
