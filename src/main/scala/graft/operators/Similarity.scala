@@ -378,6 +378,61 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** Top principal direction of the embedding cloud by two
+    * deterministic power iterations on the (population) covariance —
+    * the complement of [[embeddingStats]]: a dominant loading
+    * concentrated on few dimensions (or a huge top eigenvalue share)
+    * is the anisotropy/collapse signature embedding QA looks for.
+    * Shape: one narrow posexplode, one (i, j)-keyed covariance rollup
+    * (d² cells — tiny), then two iterations of a d-row matrix-vector
+    * product; every floating sum folds in a fixed key order
+    * (vec_id / j / i), so both engines produce bitwise-identical
+    * loadings. Starting vector = all ones (normalized on the first
+    * multiply).
+    */
+  def embeddingPca(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("x").cast("double").as("x"))
+    val nDf = Tables.embeddings(spark, dir).agg(count(lit(1)).cast("double").as("n"))
+    // per-dim mean, vec_id-sorted fold
+    val mu = ex.groupBy("dim")
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("x")))).as("xs"))
+      .crossJoin(broadcast(nDf))
+      .select(col("dim"),
+        (aggregate(col("xs"), lit(0.0), (a, s) => a + s("x")) / col("n")).as("mu"))
+    val cx = ex.join(broadcast(mu), "dim")
+      .select(col("vec_id"), col("dim"), (col("x") - col("mu")).as("c"))
+    // cov(i, j): vec_id-sorted fold of centered products
+    val cov = cx.as("a").join(cx.as("b"), Seq("vec_id"))
+      .select(col("vec_id"), col("a.dim").as("i"), col("b.dim").as("j"),
+        (col("a.c") * col("b.c")).as("p"))
+      .groupBy("i", "j")
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("p")))).as("ps"))
+      .crossJoin(broadcast(nDf))
+      .select(col("i"), col("j"),
+        (aggregate(col("ps"), lit(0.0), (a, s) => a + s("p")) / col("n")).as("cv"))
+      .localCheckpoint() // feeds both iterations
+    def iterate(v: DataFrame): DataFrame = {
+      val av = cov.join(v, cov("j") === v("dim"))
+        .select(col("i"), col("j"), (col("cv") * col("v")).as("t"))
+        .groupBy("i")
+        .agg(sort_array(collect_list(struct(col("j"), col("t")))).as("ts"))
+        .select(col("i").as("dim"),
+          aggregate(col("ts"), lit(0.0), (a, s) => a + s("t")).as("w"))
+      val nrm = av
+        .groupBy()
+        .agg(sort_array(collect_list(struct(col("dim"), col("w")))).as("ws"))
+        .select(sqrt(aggregate(col("ws"), lit(0.0), (a, s) => a + s("w") * s("w"))).as("nm"))
+      av.crossJoin(broadcast(nrm)).select(col("dim"), (col("w") / col("nm")).as("v"))
+    }
+    val v0 = mu.select(col("dim"), lit(1.0).as("v"))
+    iterate(iterate(v0))
+      .select(col("dim"), round(col("v"), 6).as("loading"))
+      .orderBy("dim")
+  }
+
   /** kNN-graph out-degree / search beam width / greedy hops. */
   val GraphDegree = 8
   val GraphBeam = 16
@@ -659,7 +714,8 @@ object Similarity {
     "ann_recall_ivf" -> annRecallIvf,
     "knn_graph" -> knnGraph,
     "ann_recall_graph" -> annRecallGraph,
-    "embedding_stats" -> embeddingStats)
+    "embedding_stats" -> embeddingStats,
+    "embedding_pca" -> embeddingPca)
 
   /** `asg` CTE on top of [[OracleSql.NormCte]]: the IVF bucket
     * assignment (argmax cosine over the 16 seed centroids).
@@ -1197,6 +1253,42 @@ object Similarity {
          |  round(sum(CASE WHEN gf.vec_id IS NOT NULL THEN 1 ELSE 0 END) / $TopK.0, 4) AS recall
          |FROM bf LEFT JOIN gf ON bf.query_id = gf.query_id AND bf.vec_id = gf.vec_id
          |GROUP BY bf.query_id ORDER BY query_id""".stripMargin,
+    "embedding_pca" -> {
+      def fold(structList: String, field: String, mul: Boolean = false): String = {
+        val v = if (mul) s"s['$field'] * s['$field']" else s"s['$field']"
+        s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_sort($structList), s -> $v)), (a, x) -> a + x)"
+      }
+      def avIter(vPrev: String, av: String, nrm: String, vNext: String): String =
+        s"""$av AS (
+           |  SELECT cov.i AS dim,
+           |    ${fold(s"list(struct_pack(j := cov.j, t := cov.cv * $vPrev.v))", "t")} AS w
+           |  FROM cov JOIN $vPrev ON cov.j = $vPrev.dim GROUP BY cov.i
+           |), $nrm AS (
+           |  SELECT sqrt(${fold("list(struct_pack(dim := dim, w := w))", "w", mul = true)}) AS nm
+           |  FROM $av
+           |), $vNext AS (
+           |  SELECT dim, w / $nrm.nm AS v FROM $av, $nrm
+           |)""".stripMargin
+      s"""WITH ex AS (
+         |  SELECT vec_id, CAST(i AS BIGINT) AS dim, embedding[i + 1]::DOUBLE AS x
+         |  FROM embeddings, unnest(range(len(embedding))) AS u(i)
+         |), nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+         |mu AS (
+         |  SELECT dim, s / nn.n AS mu FROM (
+         |    SELECT dim, ${fold("list(struct_pack(vec_id := vec_id, x := x))", "x")} AS s
+         |    FROM ex GROUP BY dim), nn
+         |), cx AS (
+         |  SELECT vec_id, dim, x - mu AS c FROM ex JOIN mu USING (dim)
+         |), cov AS (
+         |  SELECT i, j, s / nn.n AS cv FROM (
+         |    SELECT a.dim AS i, b.dim AS j,
+         |      ${fold("list(struct_pack(vec_id := a.vec_id, p := a.c * b.c))", "p")} AS s
+         |    FROM cx a JOIN cx b ON a.vec_id = b.vec_id GROUP BY i, j), nn
+         |), v0 AS (SELECT dim, 1.0::DOUBLE AS v FROM mu),
+         |${avIter("v0", "av1", "n1", "v1")},
+         |${avIter("v1", "av2", "n2", "v2")}
+         |SELECT dim, round(v, 6) AS loading FROM v2 ORDER BY dim""".stripMargin
+    },
     "embedding_stats" ->
       """WITH ex AS (
         |  SELECT vec_id, CAST(i AS BIGINT) AS dim, embedding[i + 1]::DOUBLE AS x
