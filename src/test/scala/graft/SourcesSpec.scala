@@ -27,6 +27,28 @@ class SourcesSpec extends SparkSpec {
       ("NoBody", "")))
   }
 
+  test("graft-tsv DSV2 source: split boundaries honored, rows match the text reader") {
+    val dir = tmpDir("graft-tsv-dsv2")
+    // lines long enough that 64-byte splits land mid-line repeatedly
+    val lines = (0 until 40).map(i =>
+      s"Document Title Number $i\tbody token alpha beta gamma delta $i")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/docs.tsv"),
+      lines.mkString("\n") + "\n\nNoTabLine\n") // incl. a blank + tab-less line
+    val v2 = spark.read.format("graft-tsv")
+      .option("maxSplitBytes", "64")
+      .load(s"$dir/docs.tsv")
+    assert(v2.rdd.getNumPartitions > 10) // the byte ranges really split
+    val got = v2.orderBy("title").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val want = Tsv.readDocuments(spark, s"$dir/docs.tsv").orderBy("title")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got === want)
+    assert(got.size === 41 && got.contains(("NoTabLine", "")))
+    // declared schema, no inference pass
+    assert(v2.schema.fieldNames.toSeq === Seq("title", "text"))
+  }
+
   test("tsv -> positional inverted index keyed by title (reference semantics)") {
     val dir = tmpDir("graft-tsv-idx")
     Files.writeString(java.nio.file.Paths.get(s"$dir/docs.tsv"),
