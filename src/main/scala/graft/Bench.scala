@@ -1,4 +1,6 @@
 package graft
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -16,21 +18,43 @@ object Bench {
     // SPARK_GRAFT_ONLY: comma-separated subset for local iteration; the
     // driver never sets it, so its runs always time the full surface.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      if (times.contains(-1.0)) -1.0 else times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) => name -> time(fn) }
+    // The Folds family timed again in production (plain partial-agg)
+    // mode — the 100 TB aggregation shape — reported as "<key>#prod"
+    // next to its bitwise gate twin. The gate numbers above stay the
+    // oracle-comparable ones; these show what dropping the
+    // deterministic sorted folds buys.
+    spark.conf.set(operators.Folds.ConfKey, "false")
+    val prodResults = Seq("embedding_pca", "embedding_stats", "neardup_pagerank",
+        "perplexity_doc", "qlm_topk", "source_kl", "zipf_fit")
+      .filter(k => only.forall(_.contains(k)))
+      .map { k => s"$k#prod" -> time(SparkEntry.queries(k)) }
+    spark.conf.set(operators.Folds.ConfKey, "true")
+    val all = results ++ prodResults
+    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, -1.0) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val errs = all.collect { case (k, -1.0) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    // total = the gate queries only, so round-over-round totals stay
+    // comparable; the #prod twins are informational.
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // The one-line JSON exceeds a captured-output tail at 161+ queries;
+    // persist the full artifact to a file too. Path printed BEFORE the
+    // JSON so the JSON stays the last stdout line (the parse contract).
+    val out = Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json"))
+    Files.write(out, json.getBytes(StandardCharsets.UTF_8))
+    println(s"full bench json written to: $out")
+    println(json)
     spark.stop()
   }
 }

@@ -397,11 +397,10 @@ object Dedup {
   /** PageRank (2 fixed iterations, d=0.85) over the symmetric simhash
     * near-dup graph — ranks the HUB duplicates a triage pass should
     * look at first. Iteration = one edge-keyed shuffle: each node
-    * sends pr/degree along its edges, receivers fold the contribution
-    * list SORTED BY SENDER so the double addition order is fixed
-    * (bitwise cross-engine — a plain grouped sum would not be; a
-    * production run drops the sorted fold and keeps the plain sum,
-    * exactly like the trained-IVF mean). Teleport mass (1-d)/N needs
+    * sends pr/degree along its edges, receivers sum contributions via
+    * [[Folds]]: SORTED BY SENDER under the gate's bitwise contract
+    * (a plain grouped sum would not be bitwise cross-engine), the
+    * plain partial-agg sum in production mode. Teleport mass (1-d)/N needs
     * no dangling handling: the symmetric graph has no zero-degree
     * nodes.
     */
@@ -424,15 +423,14 @@ object Dedup {
     val nDf = deg.agg(count(lit(1)).cast("double").as("n"))
     // pr0 = 1/n for every node; each iteration joins current pr onto
     // the sender side and folds sorted (sender, contribution) structs
-    def iterate(pr: DataFrame): DataFrame =
-      sym.join(pr, "a").join(deg, "a")
+    def iterate(pr: DataFrame): DataFrame = {
+      val contrib = sym.join(pr, "a").join(deg, "a")
         .select(col("b").as("node"), col("a"), (col("pr") / col("deg")).as("c"))
-        .groupBy("node")
-        .agg(sort_array(collect_list(struct(col("a"), col("c")))).as("cs"))
+      Folds.groupSums(contrib, Seq("node"), col("a"), Seq("csum" -> col("c")))
         .crossJoin(broadcast(nDf))
         .select(col("node").as("a"),
-          (lit(teleport) / col("n") + lit(d) *
-            aggregate(col("cs"), lit(0.0), (acc, s) => acc + s("c"))).as("pr"))
+          (lit(teleport) / col("n") + lit(d) * col("csum")).as("pr"))
+    }
     val pr0 = deg.select(col("a")).crossJoin(broadcast(nDf))
       .select(col("a"), (lit(1.0) / col("n")).as("pr"))
     iterate(iterate(pr0))

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic-vs-production double summation — the one switch
+  * between the oracle gate's bitwise cross-engine contract and the
+  * aggregation shape a 100 TB run wants.
+  *
+  * Bitwise mode (default, `spark.graft.bitwiseFolds=true`): every
+  * floating-point sum folds over a key-sorted `collect_list`, fixing
+  * the addition order so the doubles come out bitwise-identical to
+  * the DuckDB oracle's identically-ordered fold. The cost is an
+  * aggregation buffer holding the whole group — fine at verification
+  * SFs, corpus-sized at 100 TB for global/per-dimension groups.
+  *
+  * Production mode (`spark.graft.bitwiseFolds=false`): the same sums
+  * as plain `sum(...)` partial aggregations — constant-size buffers,
+  * map-side combine, whole-stage codegen, no `collect_list` anywhere
+  * in the plan. Results differ from bitwise mode only by floating
+  * addition order; FoldsSpec asserts both modes agree to 1e-9 on
+  * every operator that routes through here (embedding_stats,
+  * embedding_pca, qlm_topk, neardup_pagerank, source_kl, zipf_fit,
+  * perplexity_doc).
+  *
+  * The conf is read at PLAN CONSTRUCTION time from the DataFrame's
+  * session, so a long-lived session can build gate plans and
+  * production plans side by side.
+  */
+object Folds {
+  val ConfKey = "spark.graft.bitwiseFolds"
+
+  def bitwise(df: DataFrame): Boolean =
+    df.sparkSession.conf.get(ConfKey, "true").toBoolean
+
+  /** Group `df` by `keys` (global aggregate when `keys` is empty) and
+    * emit one double-sum column per `(alias, value)` spec, plus the
+    * order-free `extra` aggregates (counts, min/max) unchanged in
+    * either mode. `ord` must be unique within a group — or be the
+    * summed value itself — so the bitwise fold's addition order is
+    * well-defined and matches the oracle's ORDER BY.
+    */
+  def groupSums(df: DataFrame, keys: Seq[String], ord: Column,
+      sums: Seq[(String, Column)], extra: Seq[Column] = Nil): DataFrame = {
+    val gd = if (keys.isEmpty) df.groupBy() else df.groupBy(keys.head, keys.tail: _*)
+    if (bitwise(df)) {
+      val st = struct(ord.as("_o") +:
+        sums.zipWithIndex.map { case ((_, v), i) => v.as(s"_v$i") }: _*)
+      val aggs = sort_array(collect_list(st)).as("_fold") +: extra
+      val folded = gd.agg(aggs.head, aggs.tail: _*)
+      sums.zipWithIndex.foldLeft(folded) { case (d, ((alias, _), i)) =>
+        d.withColumn(alias, aggregate(col("_fold"), lit(0.0), (a, s) => a + s(s"_v$i")))
+      }.drop("_fold")
+    } else {
+      val aggs = sums.map { case (alias, v) => sum(v).as(alias) } ++ extra
+      gd.agg(aggs.head, aggs.tail: _*)
+    }
+  }
+}

@@ -237,8 +237,9 @@ object Index {
     * ties at the background score); a missing term still contributes
     * its smoothed background mass via the left join's tf=0 branch.
     * Collection stats (cf, |C|) are 1-to-few-row broadcast aggregates;
-    * the per-doc sum folds over the term-sorted pair list so double
-    * addition order is fixed cross-engine.
+    * the per-doc sum routes through [[Folds]] (term-sorted fold under
+    * the gate's bitwise contract, plain partial-agg sum in
+    * production mode).
     */
   def qlmTopkOf(docs: DataFrame, qterms: Seq[String], k: Int = 20): DataFrame = {
     val mu = 100.0
@@ -249,17 +250,15 @@ object Index {
       .groupBy("term").agg(sum(col("tf")).cast("double").as("cf"))
     val tf = tokenStreamOf(docs).filter(col("term").isin(qterms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
-    tf.select("doc_id").distinct()
+    val scored = tf.select("doc_id").distinct()
       .crossJoin(broadcast(cf.crossJoin(cDf)))
       .join(tf, Seq("doc_id", "term"), "left")
       .join(dl, "doc_id")
       .withColumn("w",
         log((coalesce(col("tf"), lit(0.0)) + lit(mu) * col("cf") / col("c")) /
           (col("dl") + lit(mu))))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("term"), col("w")))).as("ws"))
-      .select(col("doc_id"),
-        round(aggregate(col("ws"), lit(0.0), (a, s) => a + s("w")), 4).as("score"))
+    Folds.groupSums(scored, Seq("doc_id"), col("term"), Seq("wsum" -> col("w")))
+      .select(col("doc_id"), round(col("wsum"), 4).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }

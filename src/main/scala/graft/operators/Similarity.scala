@@ -353,22 +353,18 @@ object Similarity {
     * max — the drift/degenerate-dimension check run before trusting a
     * new embedding batch (a collapsed dimension shows std ≈ 0, a
     * scale bug shows in min/max). One narrow posexplode + one
-    * dim-keyed shuffle of 16 rows. Sums fold over vec_id-sorted
-    * lists so the double addition order is fixed cross-engine (the
-    * qlm/pagerank pattern — production drops the sorted fold for the
-    * plain partial-agg sum); min/max are order-free.
+    * dim-keyed shuffle of 16 rows. Sums route through [[Folds]]:
+    * vec_id-sorted folds under the gate's bitwise contract, plain
+    * partial-agg sums in production mode; min/max are order-free.
     */
   def embeddingStats(spark: SparkSession, dir: String): DataFrame = {
     val ex = Tables.embeddings(spark, dir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("vec_id"), col("dim").cast("long").as("dim"),
         col("x").cast("double").as("x"))
-    ex.groupBy("dim")
-      .agg(count(lit(1)).as("n"),
-        min(col("x")).as("mn"), max(col("x")).as("mx"),
-        sort_array(collect_list(struct(col("vec_id"), col("x")))).as("xs"))
-      .withColumn("s", aggregate(col("xs"), lit(0.0), (a, s) => a + s("x")))
-      .withColumn("s2", aggregate(col("xs"), lit(0.0), (a, s) => a + s("x") * s("x")))
+    Folds.groupSums(ex, Seq("dim"), col("vec_id"),
+        Seq("s" -> col("x"), "s2" -> (col("x") * col("x"))),
+        Seq(count(lit(1)).as("n"), min(col("x")).as("mn"), max(col("x")).as("mx")))
       .withColumn("mean", col("s") / col("n"))
       .select(col("dim"), col("n"),
         round(col("mean"), 6).as("mean"),
@@ -385,9 +381,10 @@ object Similarity {
     * is the anisotropy/collapse signature embedding QA looks for.
     * Shape: one narrow posexplode, one (i, j)-keyed covariance rollup
     * (d² cells — tiny), then two iterations of a d-row matrix-vector
-    * product; every floating sum folds in a fixed key order
-    * (vec_id / j / i), so both engines produce bitwise-identical
-    * loadings. Starting vector = all ones (normalized on the first
+    * product; every floating sum routes through [[Folds]] (fixed
+    * vec_id / j / i key order under the gate's bitwise contract,
+    * plain partial-agg sums in production mode).
+    * Starting vector = all ones (normalized on the first
     * multiply). Runs over a DETERMINISTIC 1/8 sample (vec_id % 8 = 0)
     * — the sample estimator is how production computes PCA at scale,
     * and it keeps the d²-pair stream (sample × d² rows) bounded while
@@ -402,35 +399,27 @@ object Similarity {
     val nDf = Tables.embeddings(spark, dir)
       .filter(col("vec_id") % 8 === 0)
       .agg(count(lit(1)).cast("double").as("n"))
-    // per-dim mean, vec_id-sorted fold
-    val mu = ex.groupBy("dim")
-      .agg(sort_array(collect_list(struct(col("vec_id"), col("x")))).as("xs"))
+    // per-dim mean, vec_id-ordered sum via Folds
+    val mu = Folds.groupSums(ex, Seq("dim"), col("vec_id"), Seq("sx" -> col("x")))
       .crossJoin(broadcast(nDf))
-      .select(col("dim"),
-        (aggregate(col("xs"), lit(0.0), (a, s) => a + s("x")) / col("n")).as("mu"))
+      .select(col("dim"), (col("sx") / col("n")).as("mu"))
     val cx = ex.join(broadcast(mu), "dim")
       .select(col("vec_id"), col("dim"), (col("x") - col("mu")).as("c"))
-    // cov(i, j): vec_id-sorted fold of centered products
-    val cov = cx.as("a").join(cx.as("b"), Seq("vec_id"))
+    // cov(i, j): vec_id-ordered sum of centered products
+    val pr = cx.as("a").join(cx.as("b"), Seq("vec_id"))
       .select(col("vec_id"), col("a.dim").as("i"), col("b.dim").as("j"),
         (col("a.c") * col("b.c")).as("p"))
-      .groupBy("i", "j")
-      .agg(sort_array(collect_list(struct(col("vec_id"), col("p")))).as("ps"))
+    val cov = Folds.groupSums(pr, Seq("i", "j"), col("vec_id"), Seq("sp" -> col("p")))
       .crossJoin(broadcast(nDf))
-      .select(col("i"), col("j"),
-        (aggregate(col("ps"), lit(0.0), (a, s) => a + s("p")) / col("n")).as("cv"))
+      .select(col("i"), col("j"), (col("sp") / col("n")).as("cv"))
       .localCheckpoint() // feeds both iterations
     def iterate(v: DataFrame): DataFrame = {
-      val av = cov.join(v, cov("j") === v("dim"))
+      val prod = cov.join(v, cov("j") === v("dim"))
         .select(col("i"), col("j"), (col("cv") * col("v")).as("t"))
-        .groupBy("i")
-        .agg(sort_array(collect_list(struct(col("j"), col("t")))).as("ts"))
-        .select(col("i").as("dim"),
-          aggregate(col("ts"), lit(0.0), (a, s) => a + s("t")).as("w"))
-      val nrm = av
-        .groupBy()
-        .agg(sort_array(collect_list(struct(col("dim"), col("w")))).as("ws"))
-        .select(sqrt(aggregate(col("ws"), lit(0.0), (a, s) => a + s("w") * s("w"))).as("nm"))
+      val av = Folds.groupSums(prod, Seq("i"), col("j"), Seq("w" -> col("t")))
+        .select(col("i").as("dim"), col("w"))
+      val nrm = Folds.groupSums(av, Nil, col("dim"), Seq("ss" -> (col("w") * col("w"))))
+        .select(sqrt(col("ss")).as("nm"))
       av.crossJoin(broadcast(nrm)).select(col("dim"), (col("w") / col("nm")).as("v"))
     }
     val v0 = mu.select(col("dim"), lit(1.0).as("v"))

@@ -62,8 +62,8 @@ object TextAnalysis {
     * from the mix (the "is this source weird" check behind data-mix
     * decisions, the distributional sibling of `sampling_weights`).
     * All probabilities are exact-integer ratios; the per-source sum
-    * folds term-sorted so the doubles are bitwise cross-engine
-    * (production keeps the plain partial-agg sum).
+    * routes through [[Folds]] (term-sorted fold under the gate's
+    * bitwise contract, plain partial-agg sum in production mode).
     */
   def sourceKl(spark: SparkSession, dir: String): DataFrame = {
     val st = Tables.documents(spark, dir)
@@ -72,16 +72,14 @@ object TextAnalysis {
     val stot = sc.groupBy("source").agg(sum(col("n")).as("tot"))
     val cc = st.groupBy("term").agg(count(lit(1)).as("cn"))
     val ctot = cc.agg(sum(col("cn")).cast("double").as("ct"))
-    sc.join(broadcast(cc), "term")
+    val contrib = sc.join(broadcast(cc), "term")
       .join(stot, "source")
       .crossJoin(broadcast(ctot))
       .withColumn("ps", col("n").cast("double") / col("tot").cast("double"))
       .withColumn("contrib",
         col("ps") * log(col("ps") / (col("cn").cast("double") / col("ct"))))
-      .groupBy("source")
-      .agg(sort_array(collect_list(struct(col("term"), col("contrib")))).as("cs"))
-      .select(col("source"),
-        round(aggregate(col("cs"), lit(0.0), (a, s) => a + s("contrib")), 6).as("kl"))
+    Folds.groupSums(contrib, Seq("source"), col("term"), Seq("klsum" -> col("contrib")))
+      .select(col("source"), round(col("klsum"), 6).as("kl"))
       .orderBy("source")
   }
 
@@ -366,10 +364,10 @@ object TextAnalysis {
   /** Zipf's-law fit: least-squares slope/intercept of ln(freq) against
     * ln(rank) over the top-100 terms — the corpus-law summary statistic
     * (a healthy natural corpus slopes ≈ -1; synthetic or boilerplate-
-    * heavy corpora flatten). The regression sums fold over the RANK-
-    * SORTED point list so double addition order is fixed cross-engine;
-    * the window runs over the aggregated vocabulary, never the token
-    * stream.
+    * heavy corpora flatten). The regression sums route through
+    * [[Folds]] (RANK-SORTED folds under the gate's bitwise contract,
+    * plain partial-agg sums in production mode); the window runs over
+    * the aggregated vocabulary, never the token stream.
     */
   def zipfFit(spark: SparkSession, dir: String): DataFrame = {
     val tf = Index.tokenStream(spark, dir)
@@ -380,15 +378,10 @@ object TextAnalysis {
       .filter(col("rk") <= 100)
       .select(col("rk"), log(col("rk").cast("double")).as("x"),
         log(col("f").cast("double")).as("y"))
-      .agg(sort_array(collect_list(struct(col("rk"), col("x"), col("y")))).as("ps"),
-        count(lit(1)).cast("double").as("n"))
-    def fsum(f: Column => Column): Column =
-      aggregate(col("ps"), lit(0.0), (acc, p) => acc + f(p))
-    pts
-      .select(col("n"),
-        fsum(p => p("x")).as("sx"), fsum(p => p("y")).as("sy"),
-        fsum(p => p("x") * p("x")).as("sxx"),
-        fsum(p => p("x") * p("y")).as("sxy"))
+    Folds.groupSums(pts, Nil, col("rk"),
+        Seq("sx" -> col("x"), "sy" -> col("y"),
+          "sxx" -> (col("x") * col("x")), "sxy" -> (col("x") * col("y"))),
+        Seq(count(lit(1)).cast("double").as("n")))
       .select(col("n"), col("sx"), col("sy"),
         ((col("n") * col("sxy") - col("sx") * col("sy")) /
           (col("n") * col("sxx") - col("sx") * col("sx"))).as("sl"))
@@ -492,9 +485,9 @@ object TextAnalysis {
     * score perplexity-based quality filters threshold on (an external
     * LM would ship its table the same way). The LM is built once
     * (one (w1,w2) partial-agg shuffle) and joined back to the doc
-    * bigram stream; per-doc log-prob sums fold over a SORTED collected
-    * list so double addition order is deterministic cross-engine
-    * ([[termEntropy]]'s contract). At 100 TB the model table is
+    * bigram stream; per-doc log-prob sums route through [[Folds]]
+    * (value-sorted fold under the gate's bitwise contract, plain
+    * partial-agg sum in production mode). At 100 TB the model table is
     * vocab-bounded — broadcast or shuffle-joined by (w1,w2), never
     * corpus-sized state.
     */
@@ -518,15 +511,12 @@ object TextAnalysis {
       .select(col("w1"), col("w2"),
         log((col("c12") + 1L).cast("double") /
           (col("c1").cast("double") + col("v"))).as("lp"))
-    docBg.join(scored, Seq("w1", "w2"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("lp"))).as("lps"),
-        count(lit(1)).cast("double").as("nbg"))
+    val joined = docBg.join(scored, Seq("w1", "w2"))
+    Folds.groupSums(joined, Seq("doc_id"), col("lp"), Seq("lpsum" -> col("lp")),
+        Seq(count(lit(1)).cast("double").as("nbg")))
       .select(col("doc_id"), col("nbg").cast("long").as("n_bigrams"),
-        round(-aggregate(col("lps"), lit(0.0), (a, x) => a + x) / col("nbg"), 6)
-          .as("avg_nll"),
-        round(exp(-aggregate(col("lps"), lit(0.0), (a, x) => a + x) / col("nbg")), 4)
-          .as("ppl"))
+        round(-col("lpsum") / col("nbg"), 6).as("avg_nll"),
+        round(exp(-col("lpsum") / col("nbg")), 4).as("ppl"))
       .orderBy("doc_id")
   }
 

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Folds
+import org.apache.spark.sql.Row
+
+/** The bitwise-vs-production contract of [[graft.operators.Folds]]:
+  * the gate's sorted-fold plans and the 100 TB plain-partial-agg
+  * plans must agree to 1e-9 on every operator that routes through
+  * `Folds.groupSums`, and the production plans must not carry a
+  * `collect_list` buffer anywhere.
+  */
+class FoldsSpec extends SparkSpec {
+
+  /** Every §2 key whose floating sums route through Folds. */
+  val foldKeys = Seq("embedding_stats", "embedding_pca", "qlm_topk",
+    "neardup_pagerank", "source_kl", "zipf_fit", "perplexity_doc")
+
+  private def withMode[A](bitwise: Boolean)(body: => A): A = {
+    spark.conf.set(Folds.ConfKey, bitwise.toString)
+    try body finally spark.conf.set(Folds.ConfKey, "true")
+  }
+
+  private def assertClose(key: String, a: Row, b: Row): Unit = {
+    assert(a.length == b.length, s"$key: arity ${a.length} vs ${b.length}")
+    (0 until a.length).foreach { i =>
+      (a.get(i), b.get(i)) match {
+        case (x: Double, y: Double) =>
+          assert(math.abs(x - y) <= 1e-9, s"$key col $i: $x vs $y")
+        case (x, y) => assert(x == y, s"$key col $i: $x vs $y")
+      }
+    }
+  }
+
+  test("production (plain-sum) mode matches bitwise mode within 1e-9") {
+    foldKeys.foreach { key =>
+      val q = SparkEntry.queries(key)
+      val bit = withMode(bitwise = true)(q(spark, sfDir).collect())
+      val prod = withMode(bitwise = false)(q(spark, sfDir).collect())
+      assert(bit.length == prod.length, s"$key: ${bit.length} vs ${prod.length} rows")
+      bit.zip(prod).foreach { case (a, b) => assertClose(key, a, b) }
+    }
+  }
+
+  test("production mode plans have no collect_list buffer") {
+    foldKeys.foreach { key =>
+      val plan = withMode(bitwise = false) {
+        SparkEntry.queries(key)(spark, sfDir).queryExecution.executedPlan.toString
+      }
+      assert(!plan.contains("collect_list"), s"$key production plan still folds a list")
+    }
+  }
+
+  test("bitwise mode is the default (oracle gate unchanged)") {
+    assert(spark.conf.get(Folds.ConfKey, "true").toBoolean)
+    val plan = SparkEntry.queries("zipf_fit")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("collect_list"))
+  }
+}
