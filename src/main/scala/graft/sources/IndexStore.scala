@@ -20,6 +20,14 @@ import org.apache.spark.unsafe.types.UTF8String
 object IndexStore {
   val DefaultBuckets = 64
 
+  /** Marker file persisting the SAVE-TIME bucket count inside the
+    * index directory (underscore prefix: invisible to parquet data
+    * listings). It travels with the directory through the streaming
+    * stores' rename swaps, so a reader can always validate its bucket
+    * count against the layout's actual one.
+    */
+  private val BucketsMarker = "_nbuckets"
+
   /** Bucket of a term — same value in plan-space and driver-space. */
   def bucketOf(term: String, nBuckets: Int): Long =
     HashImpl.roll(UTF8String.fromString(term), HashFns.P) % nBuckets
@@ -61,6 +69,27 @@ object IndexStore {
       .write.mode("overwrite")
       .partitionBy("term_bucket")
       .parquet(path)
+    // persist the layout's bucket count AFTER the (overwriting) data
+    // write, so lookups validate against the truth, not a stale marker
+    val marker = new org.apache.hadoop.fs.Path(path, BucketsMarker)
+    val fs = marker.getFileSystem(
+      index.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(marker, true)
+    try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The bucket count the index at `path` was saved with, from the
+    * [[BucketsMarker]] file; None for a pre-marker index.
+    */
+  private def savedBuckets(spark: SparkSession, path: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(path, BucketsMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toInt)
+      finally in.close()
+    }
   }
 
   /** Read an index back, transparently decoding a delta-gap `gaps`
@@ -76,24 +105,33 @@ object IndexStore {
     else raw
   }
 
-  /** Fail loudly when the caller's `nBuckets` cannot be the one the
-    * index was SAVED with — a too-small value re-hashes terms into
-    * bucket ids the layout doesn't use and a lookup would silently
-    * return empty/partial postings (the layout contract plays the
-    * reference's reducer-count role). One driver-side directory
-    * listing, no job.
+  /** Fail loudly when the caller's `nBuckets` is not the one the
+    * index was SAVED with — ANY other value (smaller or larger)
+    * re-hashes terms into bucket ids the layout never wrote, and a
+    * lookup would silently return empty/partial postings (the layout
+    * contract plays the reference's reducer-count role). The primary
+    * check compares against the persisted [[BucketsMarker]]; a
+    * pre-marker index falls back to the directory-listing bound,
+    * which can only catch too-SMALL values. One driver-side file
+    * read / listing, no job.
     */
   private def requireBucketsMatch(spark: SparkSession, path: String,
-                                  nBuckets: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ids = fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith("term_bucket="))
-      .map(_.stripPrefix("term_bucket=").toLong)
-    require(ids.isEmpty || ids.max < nBuckets,
-      s"index at $path has bucket ids up to ${ids.max} — it was not saved " +
-        s"with nBuckets=$nBuckets; pass the bucket count used at save time")
-  }
+                                  nBuckets: Int): Unit =
+    savedBuckets(spark, path) match {
+      case Some(saved) =>
+        require(saved == nBuckets,
+          s"index at $path was saved with nBuckets=$saved, not $nBuckets; " +
+            "pass the bucket count used at save time")
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val ids = fs.listStatus(p).map(_.getPath.getName)
+          .filter(_.startsWith("term_bucket="))
+          .map(_.stripPrefix("term_bucket=").toLong)
+        require(ids.isEmpty || ids.max < nBuckets,
+          s"index at $path has bucket ids up to ${ids.max} — it was not saved " +
+            s"with nBuckets=$nBuckets; pass the bucket count used at save time")
+    }
 
   /** Partition-pruned single-term lookup: the `term_bucket` equality
     * prunes directories at planning time; the `term` equality pushes

@@ -2,7 +2,7 @@ package graft.sources
 
 import java.util.{Map => JMap}
 
-import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.io.compress.{CompressionCodecFactory, SplittableCompressionCodec}
 import org.apache.hadoop.fs.Path
 import org.apache.hadoop.mapreduce.TaskAttemptID
 import org.apache.hadoop.mapreduce.lib.input.{FileSplit, LineRecordReader}
@@ -17,6 +17,7 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** DataSource V2 implementation of the reference's `title \t body`
   * line format — `spark.read.format("graft-tsv").load(path)` — the
@@ -33,6 +34,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * Split size comes from the `maxSplitBytes` option (default 128 MB),
   * mirroring `spark.sql.files.maxPartitionBytes`' role for the
   * built-in file sources.
+  *
+  * The session's Hadoop configuration (every `spark.hadoop.*` key:
+  * object-store credentials, endpoints, fs.* tuning) is captured at
+  * planning time and shipped inside each partition via Spark's
+  * [[SerializableConfiguration]], so executor-side readers open the
+  * file with the SAME configuration the driver listed it with — a
+  * fresh `new Configuration()` on the executor would silently drop
+  * cluster auth and fail on s3a://-style paths.
+  *
+  * Compressed inputs follow the same rules as Hadoop's
+  * FileInputFormat (the reference's input path, App.scala:248): a
+  * file whose suffix maps to a non-splittable codec (.gz) gets ONE
+  * whole-file split — byte-splitting mid-gzip-stream would produce
+  * garbage — and `LineRecordReader` decompresses it transparently;
+  * splittable codecs (.bz2) and plain text keep byte-range splits.
   */
 class TsvDocsSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-tsv"
@@ -74,9 +90,13 @@ private[sources] class TsvScan(path: String, maxSplitBytes: Long)
 
   /** One partition per ≤ maxSplitBytes byte range of each data file —
     * driver-side listing only; no data is read at planning time.
+    * Non-splittable-codec files (suffix-matched, e.g. .gz) get a
+    * single whole-file split regardless of size.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val serConf = new SerializableConfiguration(conf)
+    val codecs = new CompressionCodecFactory(conf)
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     val files =
@@ -85,10 +105,15 @@ private[sources] class TsvScan(path: String, maxSplitBytes: Long)
           !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
       else Array(fs.getFileStatus(root))
     files.flatMap { f =>
-      (0L until math.max(f.getLen, 1L) by maxSplitBytes).map { start =>
-        TsvInputPartition(f.getPath.toString, start,
-          math.min(maxSplitBytes, f.getLen - start))
-      }
+      val codec = codecs.getCodec(f.getPath)
+      val splittable = codec == null || codec.isInstanceOf[SplittableCompressionCodec]
+      if (!splittable)
+        Seq(TsvInputPartition(f.getPath.toString, 0L, f.getLen, serConf))
+      else
+        (0L until math.max(f.getLen, 1L) by maxSplitBytes).map { start =>
+          TsvInputPartition(f.getPath.toString, start,
+            math.min(maxSplitBytes, f.getLen - start), serConf)
+        }
     }.toArray[InputPartition]
   }
 
@@ -99,18 +124,28 @@ private[sources] class TsvScan(path: String, maxSplitBytes: Long)
     }
 }
 
+/** `conf` is the driver's Hadoop configuration riding along to the
+  * executor (Java-serialized by [[SerializableConfiguration]]).
+  */
 private[sources] case class TsvInputPartition(file: String, start: Long,
-                                              length: Long) extends InputPartition
+    length: Long, conf: SerializableConfiguration) extends InputPartition
 
 /** Per-split reader on Hadoop's LineRecordReader (the split-boundary
-  * contract lives there); the first-tab split happens per line here.
+  * and codec contracts live there); the first-tab split happens per
+  * line here. Initialized with the DRIVER's Hadoop configuration from
+  * the partition, never a default `new Configuration()`.
   */
 private[sources] class TsvPartitionReader(p: TsvInputPartition)
     extends PartitionReader[InternalRow] {
-  private val reader = new LineRecordReader()
+  // mirror TextInputFormat.createRecordReader: the custom record
+  // delimiter rides in the conf and goes to the reader's constructor
+  private val delimiter =
+    Option(p.conf.value.get("textinputformat.record.delimiter"))
+      .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).orNull
+  private val reader = new LineRecordReader(delimiter)
   reader.initialize(
     new FileSplit(new Path(p.file), p.start, p.length, Array.empty[String]),
-    new TaskAttemptContextImpl(new Configuration(), new TaskAttemptID()))
+    new TaskAttemptContextImpl(p.conf.value, new TaskAttemptID()))
 
   private var row: InternalRow = _
 

@@ -49,6 +49,45 @@ class SourcesSpec extends SparkSpec {
     assert(v2.schema.fieldNames.toSeq === Seq("title", "text"))
   }
 
+  test("graft-tsv DSV2 source: session Hadoop conf reaches the executor-side reader") {
+    val dir = tmpDir("graft-tsv-conf")
+    // One physical line; '|' only becomes a record boundary if the
+    // reader honors textinputformat.record.delimiter from the
+    // SESSION's Hadoop conf (a default new Configuration() would
+    // parse this as a single record).
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/docs.tsv"),
+      "Doc A\talpha|Doc B\tbeta")
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("textinputformat.record.delimiter", "|")
+    try {
+      val got = spark.read.format("graft-tsv").load(s"$dir/docs.tsv")
+        .orderBy("title").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(got === Seq(("Doc A", "alpha"), ("Doc B", "beta")))
+    } finally hc.unset("textinputformat.record.delimiter")
+  }
+
+  test("graft-tsv DSV2 source: gzipped input reads whole-file (never byte-split)") {
+    val dir = tmpDir("graft-tsv-gz")
+    val lines = (0 until 200).map(i =>
+      s"Gz Doc $i\tbody alpha beta gamma delta epsilon zeta $i")
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(s"$dir/docs.tsv.gz")))
+    gz.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    gz.close()
+    // 64-byte maxSplitBytes would mis-split a gzip stream if the
+    // planner byte-split it; the codec check must emit ONE partition.
+    val v2 = spark.read.format("graft-tsv")
+      .option("maxSplitBytes", "64")
+      .load(s"$dir/docs.tsv.gz")
+    assert(v2.rdd.getNumPartitions === 1)
+    val got = v2.orderBy("title").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got.size === 200 &&
+      got.contains(("Gz Doc 0", "body alpha beta gamma delta epsilon zeta 0")))
+  }
+
   test("tsv -> positional inverted index keyed by title (reference semantics)") {
     val dir = tmpDir("graft-tsv-idx")
     Files.writeString(java.nio.file.Paths.get(s"$dir/docs.tsv"),
@@ -84,6 +123,18 @@ class SourcesSpec extends SparkSpec {
     val plan = IndexStore.lookup(spark, path, term, nBuckets = 8)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("term_bucket"))
+
+    // the persisted save-time bucket count rejects ANY other value:
+    // a LARGER count passes the directory-id bound but hashes terms
+    // into buckets the layout never wrote (silent empty lookups)
+    val tooMany = intercept[IllegalArgumentException] {
+      IndexStore.lookup(spark, path, term, nBuckets = 16)
+    }
+    assert(tooMany.getMessage.contains("saved with nBuckets=8"))
+    val tooFew = intercept[IllegalArgumentException] {
+      IndexStore.lookup(spark, path, term, nBuckets = 4)
+    }
+    assert(tooFew.getMessage.contains("saved with nBuckets=8"))
   }
 
   test("index store: multi-term lookup prunes to the terms' buckets in one scan") {
