@@ -16,6 +16,18 @@ object TextFns {
   def tokens(c: Column): Column =
     filter(split(c, "\\s+"), t => length(t) > lit(0))
 
+  /** Unicode-aware tokens: maximal runs of letters/digits in ANY
+    * script (the `\p{L}\p{N}` classes) — punctuation and symbols are
+    * separators, so accented ("déjà") and non-Latin ("東京") words
+    * survive intact where the whitespace tokenizer would glue them to
+    * adjacent punctuation. No-space scripts (CJK) remain unsegmented
+    * runs, the honest limit of any regex tokenizer. Java regex and
+    * DuckDB's RE2 agree on these classes, so the oracle contract
+    * holds (`wordcount_unicode`).
+    */
+  def tokensUnicode(c: Column): Column =
+    filter(split(c, "[^\\p{L}\\p{N}]+"), t => length(t) > lit(0))
+
   /** 3-token shingles joined by single spaces; empty array when the
     * document has fewer than 3 tokens.
     */

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.TextFns
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -30,9 +30,10 @@ object Index {
     * Generic over the id column so TSV-sourced corpora (string titles,
     * like the reference's) index identically to the parquet tables.
     */
-  def tokenStreamOf(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
+  def tokenStreamOf(docs: DataFrame, id: String = "doc_id", text: String = "text",
+                    tokenizer: Column => Column = TextFns.tokens): DataFrame =
     docs
-      .select(col(id), posexplode(TextFns.tokens(col(text))).as(Seq("pos", "term")))
+      .select(col(id), posexplode(tokenizer(col(text))).as(Seq("pos", "term")))
       .select(col(id), col("term"), col("pos").cast("long").as("pos"))
 
   def tokenStream(spark: SparkSession, dir: String): DataFrame =
@@ -76,6 +77,44 @@ object Index {
   def invertedIndexFlat(spark: SparkSession, dir: String): DataFrame =
     invertedIndex(spark, dir)
       .withColumn("positions", array_join(col("positions").cast("array<string>"), ","))
+
+  /** [[wordcount]] under the Unicode tokenizer
+    * ([[TextFns.tokensUnicode]]) — the multilingual-corpus variant:
+    * punctuation-adjacent and non-Latin words count correctly where
+    * the reference's whitespace split (App.scala:162) would not. Same
+    * one-shuffle shape as [[wordcount]].
+    */
+  def wordcountUnicode(spark: SparkSession, dir: String): DataFrame =
+    Index.tokenStreamOf(Tables.documents(spark, dir),
+        tokenizer = TextFns.tokensUnicode)
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy("term")
+
+  /** The reference's EXACT position payload: cumulative CHARACTER
+    * offsets (App.scala:160 — `position += w.length`, whitespace not
+    * counted), next to the engine's token-ordinal postings
+    * ([[invertedIndexOf]], which are strictly better for phrase/NEAR
+    * and remain the index's native payload; SURVEY §1 documents the
+    * divergence this variant closes). offset(i) = Σ len(token_j) for
+    * j < i, computed as a doc-keyed window prefix sum — distributed
+    * per document, never a global window.
+    */
+  def invertedIndexCharsOf(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tokenStreamOf(docs)
+      .withColumn("off",
+        coalesce(sum(length(col("term"))).over(w), lit(0L)).cast("long"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("off"))).as("positions_chars"))
+      .withColumn("positions_chars",
+        array_join(col("positions_chars").cast("array<string>"), ","))
+      .orderBy("term", "doc_id")
+  }
+
+  def invertedIndexChars(spark: SparkSession, dir: String): DataFrame =
+    invertedIndexCharsOf(Tables.documents(spark, dir))
 
   def postingsStats(spark: SparkSession, dir: String): DataFrame =
     tokenStream(spark, dir)
@@ -566,8 +605,10 @@ object Index {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stopword_induction" -> stopwordInduction,
     "wordcount" -> wordcount,
+    "wordcount_unicode" -> wordcountUnicode,
     "wordcount_salted" -> wordcountSalted,
     "inverted_index" -> invertedIndexFlat,
+    "inverted_index_chars" -> invertedIndexChars,
     "postings_stats" -> postingsStats,
     "doc_stats" -> docStats,
     "term_search" -> termSearch,
@@ -611,6 +652,24 @@ object Index {
          |ORDER BY df DESC, term""".stripMargin,
     "wordcount" ->
       s"$TokSql SELECT term, count(*) AS freq FROM tok GROUP BY term ORDER BY term",
+    "wordcount_unicode" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(tk) AS term FROM toks
+        |)
+        |SELECT term, count(*) AS freq FROM tok GROUP BY term ORDER BY term""".stripMargin,
+    "inverted_index_chars" ->
+      s"""$TokSql, offs AS (
+         |  SELECT doc_id, term,
+         |    coalesce(sum(len(term)) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |  FROM tok
+         |)
+         |SELECT term, doc_id, count(*) AS tf,
+         |  array_to_string(list_sort(list(off)), ',') AS positions_chars
+         |FROM offs GROUP BY term, doc_id ORDER BY term, doc_id""".stripMargin,
     "wordcount_salted" ->
       s"$TokSql SELECT term, count(*) AS freq FROM tok GROUP BY term ORDER BY term",
     "inverted_index" ->

@@ -18,6 +18,32 @@ class OperatorsSpec extends SparkSpec {
       .toDF("doc_id", "text")
   }
 
+  test("tokensUnicode: punctuation splits, accents and CJK survive") {
+    import spark.implicits._
+    import graft.functions.TextFns
+    val df = Seq((0L, "café déjà-vu, naïve! 東京 abc123 hello,world"))
+      .toDF("doc_id", "text")
+    val got = df.select(explode(TextFns.tokensUnicode(col("text"))).as("t"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("café", "déjà", "vu", "naïve", "東京", "abc123",
+      "hello", "world"))
+    // the whitespace tokenizer glues punctuation onto the word
+    val ws = df.select(explode(TextFns.tokens(col("text"))).as("t"))
+      .collect().map(_.getString(0)).toSeq
+    assert(ws.contains("déjà-vu,") && ws.contains("hello,world"))
+  }
+
+  test("invertedIndexChars emits the reference's cumulative char offsets") {
+    import spark.implicits._
+    // "x yy x" → offsets x=0, yy=1, x=3 (position += w.length,
+    // whitespace never counted — App.scala:160 semantics)
+    val d = Seq((0L, "x yy x")).toDF("doc_id", "text")
+    val got = Index.invertedIndexCharsOf(d)
+      .select("term", "tf", "positions_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got === Seq(("x", 2L, "0,3"), ("yy", 1L, "1")))
+  }
+
   test("TopKPerGroup custom plan matches the window formulation") {
     import org.apache.spark.sql.expressions.Window
     val orders = sources.Tables.orders(spark, sfDir)
