@@ -53,6 +53,40 @@ object Dedup {
     docs.select(col("doc_id"),
       HashFns.simhash32(TextFns.tokens(col("text"))).as("simhash"))
 
+  /** Band layout of the lossless ≤ maxHamming pigeonhole banding: the
+    * 32 simhash bits split into maxHamming+1 disjoint bands, wider
+    * bands first — (widths, bit offsets).
+    */
+  private[graft] def bandSpec(maxHamming: Int): (Seq[Int], Seq[Int]) = {
+    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming out of range: $maxHamming")
+    val nb = maxHamming + 1
+    val base = 32 / nb
+    val widths = Seq.tabulate(nb)(i => if (i < 32 % nb) base + 1 else base)
+    (widths, widths.scanLeft(0)(_ + _).init)
+  }
+
+  private[graft] def bandVal(c: Column, widths: Seq[Int], offsets: Seq[Int],
+                             i: Int): Column =
+    shiftright(c, offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+
+  /** Banded view of an (`idCol`, simhash) fingerprint frame: one row
+    * per band with its (band, v) join key. A pair within Hamming ≤
+    * maxHamming shares at least one band value (pigeonhole) — the
+    * equi-join key for both the in-corpus pair stream
+    * ([[simhashPairsOf]]) and the streaming saved-store screen
+    * ([[graft.streaming.Stream]]'s neardupGate), so candidate
+    * generation shuffles band keys, never all pairs.
+    */
+  def simhashBandsOf(fp: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    val (widths, offsets) = bandSpec(maxHamming)
+    fp.select(col(idCol), col("simhash"),
+        explode(array(Seq.tabulate(maxHamming + 1)(i =>
+          struct(lit(i).as("band"),
+            bandVal(col("simhash"), widths, offsets, i).as("v"))): _*)).as("bk"))
+      .select(col(idCol), col("simhash"),
+        col("bk.band").as("band"), col("bk.v").as("v"))
+  }
+
   /** Per-bucket unordered pair expansion: each sorted doc list emits
     * its i<j combinations exactly once (a self-join would produce both
     * orders and filter half away, shuffling the exploded table twice).
@@ -239,21 +273,11 @@ object Dedup {
     * minhash case).
     */
   def simhashPairsOf(docs: DataFrame, maxHamming: Int = 1): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming out of range: $maxHamming")
+    val (widths, offsets) = bandSpec(maxHamming)
     val nb = maxHamming + 1
-    // wider bands first: 32 = nb*base + rem → `rem` bands of base+1 bits
-    val base = 32 / nb
-    val widths = Seq.tabulate(nb)(i => if (i < 32 % nb) base + 1 else base)
-    val offsets = widths.scanLeft(0)(_ + _).init
-    def bandOf(c: Column, i: Int): Column =
-      shiftright(c, offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
-    val sh = simhashDf(docs)
-    val bands = sh.select(col("doc_id"), col("simhash"),
-        explode(array(Seq.tabulate(nb)(i =>
-          struct(lit(i).as("band"), bandOf(col("simhash"), i).as("v"))): _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.v").as("v"))
+    val bands = simhashBandsOf(simhashDf(docs), "doc_id", maxHamming)
     val firstBand = Seq.range(0, nb).foldRight(lit(-1): Column) { (i, rest) =>
-      when(bandOf(col("xr"), i) === 0, lit(i)).otherwise(rest)
+      when(bandVal(col("xr"), widths, offsets, i) === 0, lit(i)).otherwise(rest)
     }
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.v") === col("b.v") &&

@@ -377,6 +377,62 @@ object Stream {
         ()
       }
 
+  /** Streaming NEAR-dup gate with an UNBOUNDED horizon — [[dedupGate]]
+    * upgraded from exact md5 equality to SimHash Hamming ≤
+    * `maxHamming`: a document near-duplicating anything accepted in
+    * ANY earlier batch — including before a restart — is dropped. No
+    * executor state; the store holds one (doc_id, simhash, src_batch)
+    * row per accepted document. Per batch: in-batch near-dedup keeps
+    * the smaller doc_id of every banded pair
+    * ([[graft.operators.Dedup.simhashPairsOf]]), survivors are
+    * screened against the saved fingerprints by the same lossless
+    * pigeonhole band equi-join ([[graft.operators.Dedup.simhashBandsOf]]
+    * — the shuffle carries (band, value) keys, never all pairs, so
+    * the screen scales with matches, not store × batch), and
+    * surviving fingerprints merge into the store via the crash-safe
+    * swap. Replay-idempotent by the same batch-granular replace as
+    * [[dedupGate]]: fingerprints are keyed by source batch, the
+    * screen ignores the current batch's own stored rows, and the
+    * merge replaces them.
+    */
+  def neardupGate(docs: DataFrame, storePath: String, outPath: String,
+                  maxHamming: Int = 6): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val basePath = new org.apache.hadoop.fs.Path(storePath)
+        val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverStore(fs, basePath)
+        val Dedup = graft.operators.Dedup
+        // in-batch near-dedup: doc_b of every pair has the larger id
+        val inDups = Dedup.simhashPairsOf(batch, maxHamming)
+          .select(col("doc_b").as("doc_id")).distinct()
+        val survivorsFp = Dedup.simhashDf(batch)
+          .join(inDups, Seq("doc_id"), "left_anti")
+        val prior =
+          if (fs.exists(basePath))
+            spark.read.parquet(storePath).filter(col("src_batch") =!= batchId)
+          else spark.emptyDataFrame.select(lit(0L).as("doc_id"),
+            lit(0L).as("simhash"), lit(0L).as("src_batch")).limit(0)
+        val matched = Dedup.simhashBandsOf(survivorsFp, "doc_id", maxHamming)
+          .join(Dedup.simhashBandsOf(prior, "doc_id", maxHamming)
+              .select(col("band"), col("v"), col("simhash").as("ps")),
+            Seq("band", "v"))
+          .filter(expr("bit_count(simhash ^ ps)") <= maxHamming)
+          .select("doc_id").distinct()
+        val freshFp = survivorsFp.join(matched, Seq("doc_id"), "left_anti")
+        batch.join(freshFp.select("doc_id"), Seq("doc_id"), "left_semi")
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        val merged = prior.unionByName(
+          freshFp.select(col("doc_id"), col("simhash"), lit(batchId).as("src_batch")))
+        val tmp = s"$storePath.merged-$batchId"
+        merged.write.mode("overwrite").parquet(tmp)
+        if (fs.exists(basePath)) swapStore(fs, basePath, tmp)
+        else mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
+        ()
+      }
+
   /** Streaming corpus triage: every micro-batch is scored by the
     * batch quality rules ([[graft.operators.TextAnalysis.qualityFlagsOf]]
     * — the SAME rule code, so batch and stream can never drift) and

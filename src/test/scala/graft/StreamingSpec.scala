@@ -263,6 +263,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_neardup_store: saved simhash fingerprints catch near-dups across restart") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-ngate").toString
+    val (store, out, ckpt) = (s"$base/fp", s"$base/out", s"$base/ckpt")
+    def landed(): Set[Long] = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val in = MemoryStream[(Long, String)]
+    val df = in.toDF().toDF("doc_id", "text")
+    val q1 = Stream.neardupGate(df, store, out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // 1 is an exact (hamming-0) in-batch dup of 0
+      in.addData((0L, "big data table scan fast"), (1L, "big data table scan fast"))
+      q1.processAllAvailable()
+      assert(landed() === Set(0L))
+    } finally q1.stop()
+    // restart: same source + checkpoint; 2 is a NEAR dup (not exact)
+    // of doc 0 accepted before the restart — the saved store, not
+    // executor state, must catch it
+    val q2 = Stream.neardupGate(df, store, out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData((2L, "big data table scan slow"),
+        (3L, "completely unrelated words entirely elsewhere"))
+      q2.processAllAvailable()
+      assert(landed() === Set(0L, 3L))
+      // store: one fingerprint per ACCEPTED doc, keyed by source batch
+      val fp = spark.read.parquet(store).collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+      assert(fp.map(_._1).toSet === Set(0L, 3L))
+      assert(fp.map(_._2).sorted.toSeq === Seq(0L, 1L))
+    } finally q2.stop()
+  }
+
   test("stream_pack: carried offset makes streamed packs equal batch packing") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
