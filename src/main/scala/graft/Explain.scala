@@ -57,6 +57,18 @@ object Explain {
     "gram_novelty" -> Rule(),
     "neardup_eval" -> Rule())
 
+  /** Saved-index retrieval invariants: the lookup paths must prune
+    * term buckets AT PLANNING TIME (PartitionFilters, not a post-scan
+    * filter) and the query grammar's prefix leaf must push its
+    * StartsWith into the parquet scan — the reads that keep a saved
+    * 100 TB index query at ≤ |terms|/nBuckets of the index. Audited
+    * by [[auditIndex]] over a small index saved from sfDir.
+    */
+  val IndexAuditRules: Map[String, Rule] = Map(
+    "index_lookup" -> Rule(required = Seq("PartitionFilters", "term_bucket")),
+    "index_lookup_terms" -> Rule(required = Seq("PartitionFilters", "term_bucket")),
+    "searchindex_prefix" -> Rule(required = Seq("StringStartsWith(term,quer")))
+
   /** Violations ("query: missing/forbidden …") over [[AuditRules]] —
     * empty = every audited plan holds its invariants. The audited
     * QUERY never runs (the initial physical plan already fixes hinted
@@ -66,15 +78,39 @@ object Explain {
     * audit's cost scales with the sfDir it points at (specs run it at
     * sf0.001).
     */
+  private def applyRule(name: String, rule: Rule, plan: String): Seq[String] =
+    (rule.forbidden :+ "CartesianProduct").filter(plan.contains)
+      .map(f => s"$name: forbidden plan feature $f") ++
+      rule.required.filterNot(plan.contains)
+        .map(r => s"$name: missing plan feature $r")
+
   def audit(spark: org.apache.spark.sql.SparkSession, sfDir: String): Seq[String] =
     AuditRules.toSeq.sortBy(_._1).flatMap { case (name, rule) =>
-      val plan = SparkEntry.queries(name)(spark, sfDir)
-        .queryExecution.executedPlan.toString
-      (rule.forbidden :+ "CartesianProduct").filter(plan.contains)
-        .map(f => s"$name: forbidden plan feature $f") ++
-        rule.required.filterNot(plan.contains)
-          .map(r => s"$name: missing plan feature $r")
+      applyRule(name, rule,
+        SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString)
     }
+
+  /** [[IndexAuditRules]] violations: saves a small index from sfDir
+    * into a temp dir, then audits the three saved-index retrieval
+    * plans (single-term lookup, multi-term lookup, grammar query with
+    * a prefix leaf).
+    */
+  def auditIndex(spark: org.apache.spark.sql.SparkSession, sfDir: String): Seq[String] = {
+    val idx = java.nio.file.Files.createTempDirectory("graft-audit-idx")
+      .toString + "/index"
+    sources.IndexStore.save(operators.Index.invertedIndex(spark, sfDir), idx,
+      nBuckets = 8)
+    val plans = Map(
+      "index_lookup" ->
+        sources.IndexStore.lookup(spark, idx, "spark", nBuckets = 8),
+      "index_lookup_terms" ->
+        sources.IndexStore.lookupTerms(spark, idx, Seq("spark", "join"), nBuckets = 8),
+      "searchindex_prefix" ->
+        operators.Query.searchIndex(spark, idx, "quer* AND NOT slow", nBuckets = 8))
+    IndexAuditRules.toSeq.sortBy(_._1).flatMap { case (name, rule) =>
+      applyRule(name, rule, plans(name).queryExecution.executedPlan.toString)
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -97,8 +133,9 @@ object Explain {
       }
     }
     println("\n========== audit ==========")
-    val violations = audit(spark, sfDir)
-    if (violations.isEmpty) println(s"OK: ${AuditRules.size} audited plans hold their invariants")
+    val violations = audit(spark, sfDir) ++ auditIndex(spark, sfDir)
+    if (violations.isEmpty)
+      println(s"OK: ${AuditRules.size + IndexAuditRules.size} audited plans hold their invariants")
     else violations.foreach(v => println(s"VIOLATION $v"))
     spark.stop()
   }

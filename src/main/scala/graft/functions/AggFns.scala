@@ -22,6 +22,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * are the merge IDENTITY: −1 components are mapped to Long.MaxValue
   * on update and back to −1 at evaluation, so a group of only empty
   * docs unions to the empty signature.
+  *
+  * Sentinel collision (accepted): a group whose GENUINE componentwise
+  * minimum hash equals Long.MaxValue would be emitted as −1 (empty).
+  * That requires every doc in the group to hash a component to
+  * exactly 2⁶³−1 — probability ≈ 2⁻⁶⁴ per component per doc under
+  * the rolling hash's near-uniform output, i.e. never over any real
+  * corpus; documented rather than guarded so update/merge stay a
+  * bare zip_with/least with no per-element branch.
   */
 case class MinHashUnion(child: Expression)
     extends DeclarativeAggregate with UnaryLike[Expression] {

@@ -227,6 +227,17 @@ object Stream {
     * landed per batch (idempotent replay, like [[qualityGate]]). At
     * 100 TB the per-batch read is |buckets hit| / |buckets| of the
     * store, never a full scan.
+    *
+    * Concurrent serve + maintain: [[embedIndexMaintenance]]'s
+    * two-rename swap has a window (base→backup, merged→base) where
+    * the base path briefly does not exist, so a serve micro-batch
+    * planned in that instant fails — transiently and replayably (the
+    * next trigger re-plans against the swapped store; no partial
+    * state is ever visible because each rename is atomic on a real
+    * filesystem). Deployments pairing both loops accept that retry
+    * or point serving at a snapshot the maintainer publishes by
+    * versioned directory + pointer file; single-writer single-reader
+    * sequential use (the spec's shape) never observes the gap.
     */
   def knnServe(queries: DataFrame, centroidPath: String, storePath: String,
                outPath: String, k: Int = 5): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

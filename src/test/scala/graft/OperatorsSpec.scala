@@ -502,6 +502,11 @@ class OperatorsSpec extends SparkSpec {
     assert(violations.isEmpty, violations.mkString("\n"))
   }
 
+  test("plan audit: saved-index retrieval prunes buckets and pushes the prefix") {
+    val violations = Explain.auditIndex(spark, sfDir)
+    assert(violations.isEmpty, violations.mkString("\n"))
+  }
+
   test("q6_revenue: all three predicates reach the parquet scan") {
     val qe = SparkEntry.queries("q6_revenue")(spark, sfDir).queryExecution
     val scan = qe.executedPlan.toString
