@@ -55,7 +55,13 @@ object Explain {
     "q10_returns" -> Rule(required = Seq("BroadcastHashJoin")),
     "q14_promo" -> Rule(required = Seq("BroadcastHashJoin")),
     "gram_novelty" -> Rule(),
-    "neardup_eval" -> Rule())
+    "neardup_eval" -> Rule(),
+    // round-6 TPC-H flavors: star joins must broadcast their dims
+    "q8_market_share" -> Rule(required = Seq("BroadcastHashJoin")),
+    "q18_big_orders" -> Rule(required = Seq("BroadcastHashJoin")),
+    "q17_small_qty" -> Rule(required = Seq("BroadcastHashJoin")),
+    "q13_custdist" -> Rule(),
+    "q22_idle_customers" -> Rule(required = Seq("PushedFilters: [IsNotNull(o_orderdate)")))
 
   /** Saved-index retrieval invariants: the lookup paths must prune
     * term buckets AT PLANNING TIME (PartitionFilters, not a post-scan

@@ -914,6 +914,130 @@ object Analytics {
       .orderBy("from_type", "to_type")
   }
 
+  /** Q13-flavored customer order-count distribution: orders per
+    * customer (INCLUDING zero-order customers via the left join),
+    * then customers per order count — the classic double aggregation.
+    * Two shuffles, both partial-agg-friendly; the second groups a
+    * ≤ max-order-count-row frame. At 100 TB the left join shuffles on
+    * custkey with AQE skew handling; no dimension is large enough to
+    * matter beyond it.
+    */
+  def q13Custdist(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(Tables.orders(spark, dir).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_custkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** Q18-flavored large-volume orders: orders whose total lineitem
+    * quantity exceeds 250, with their customer — the group-HAVING-
+    * then-rejoin shape. The quantity rollup is one partial-agg
+    * shuffle on orderkey; the surviving order set is tiny (0.1% of
+    * orders), so both enrichment joins stream it against broadcast /
+    * AQE-chosen sides. Quantity sums are decimal-exact.
+    */
+  def q18BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("total_qty"))
+      .filter(col("total_qty") > 250)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir).select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("total_qty").cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Q22-flavored idle-capital report: customers with no RECENT
+    * orders (none since 2000-01-01 — every customer in this corpus
+    * has SOME order, so classic Q22's never-ordered set is empty)
+    * whose balance exceeds the positive-balance average, rolled up
+    * per market segment. The average threshold is applied WITHOUT a
+    * division — `bal · n > total` on decimals — so the comparison is
+    * exact on both engines (a double-average boundary tie could
+    * diverge). The date predicate pushes into the orders scan BEFORE
+    * the anti-join, so the join's build side is only the recent
+    * custkey set; + a 1-row broadcast threshold + a 5-row rollup.
+    */
+  def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val pos = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("tot"),
+        count(lit(1)).as("n"))
+    cust.join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("2000-01-01")).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(pos))
+      .filter(col("c_acctbal").cast("decimal(18,2)") * col("n") > col("tot"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Q8-flavored market share: one nation's share of STANDARD-part
+    * revenue per order year — the two-level conditional-share shape
+    * over a 4-join star. Part filter broadcast into the fact scan
+    * first (kills most rows before the wide joins), customer and
+    * nation dims broadcast; decimal-exact sums, one double division
+    * per year row.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_type") === "STANDARD").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir)
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+          .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+          .select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(
+        sum(when(col("n_name") === "NATION_7", lineRevenueDec)
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("nat_dec"),
+        sum(lineRevenueDec).as("tot_dec"))
+      .select(col("order_year"),
+        col("nat_dec").cast("double").as("nation_revenue"),
+        col("tot_dec").cast("double").as("total_revenue"),
+        round(col("nat_dec").cast("double") / col("tot_dec").cast("double"), 6)
+          .as("mkt_share"))
+      .orderBy("order_year")
+
+  /** Q17-flavored small-quantity revenue: for one brand's parts, the
+    * revenue sitting in lineitems below 20% of their part's average
+    * quantity (the "what would we lose by dropping small orders"
+    * probe). The 0.2·avg threshold is division-free decimal
+    * arithmetic (`qty · 5 · n < total`), the per-part stats frame is
+    * |brand parts| rows (broadcast back), and the final number is one
+    * double division by 7.
+    */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_brand") === "Brand#1").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+    val stats = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"),
+        count(lit(1)).as("nq"))
+    li.join(broadcast(stats), col("l_partkey") === col("pk"))
+      .filter(col("l_quantity").cast("decimal(18,2)") * lit(5) * col("nq") < col("sq"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0)
+          .as("avg_yearly"))
+  }
+
   /** Q14-flavored promotion effect: per ship month, the percentage of
     * revenue from PROMO-type parts — part dim broadcast into the fact
     * scan, decimal-exact sums, ONE double division at the end (the
@@ -939,6 +1063,11 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_promo" -> q14Promo,
     "q10_returns" -> q10Returns,
+    "q13_custdist" -> q13Custdist,
+    "q18_big_orders" -> q18BigOrders,
+    "q22_idle_customers" -> q22IdleCustomers,
+    "q8_market_share" -> q8MarketShare,
+    "q17_small_qty" -> q17SmallQty,
     "event_transitions" -> eventTransitions,
     "q4_priority" -> q4Priority,
     "window_range_rev" -> windowRangeRev,
@@ -1000,6 +1129,68 @@ object Analytics {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q13_custdist" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, count(o_custkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey
+        |)
+        |SELECT c_count, count(*) AS custdist FROM pc
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q18_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity::DECIMAL(18,2)) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(l_quantity::DECIMAL(18,2)) > 250
+        |)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice,
+        |  CAST(total_qty AS DOUBLE) AS total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q22_idle_customers" ->
+      """WITH pos AS (
+        |  SELECT sum(c_acctbal::DECIMAL(18,2)) AS tot, count(*) AS n
+        |  FROM customer WHERE c_acctbal > 0
+        |)
+        |SELECT c_mktsegment, count(*) AS n_custs,
+        |  CAST(sum(c_acctbal::DECIMAL(18,2)) AS DOUBLE) AS total_bal
+        |FROM customer, pos
+        |WHERE c_custkey NOT IN
+        |    (SELECT o_custkey FROM orders WHERE o_orderdate >= '2000-01-01')
+        |  AND c_acctbal::DECIMAL(18,2) * n > tot
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |  CAST(sum(CASE WHEN n_name = 'NATION_7'
+        |    THEN l_extendedprice::DECIMAL(18,2) * (1.0::DECIMAL(18,2) - l_discount::DECIMAL(18,2))
+        |    ELSE 0::DECIMAL(18,2) END) AS DOUBLE) AS nation_revenue,
+        |  CAST(sum(l_extendedprice::DECIMAL(18,2) *
+        |    (1.0::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+        |  round(CAST(sum(CASE WHEN n_name = 'NATION_7'
+        |    THEN l_extendedprice::DECIMAL(18,2) * (1.0::DECIMAL(18,2) - l_discount::DECIMAL(18,2))
+        |    ELSE 0::DECIMAL(18,2) END) AS DOUBLE) /
+        |    CAST(sum(l_extendedprice::DECIMAL(18,2) *
+        |      (1.0::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS DOUBLE), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY order_year ORDER BY order_year""".stripMargin,
+    "q17_small_qty" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'
+        |), stats AS (
+        |  SELECT l_partkey AS pk, sum(l_quantity::DECIMAL(18,2)) AS sq, count(*) AS nq
+        |  FROM li GROUP BY l_partkey
+        |)
+        |SELECT count(*) AS n_items,
+        |  CAST(sum(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM li JOIN stats ON l_partkey = pk
+        |WHERE l_quantity::DECIMAL(18,2) * 5 * nq < sq""".stripMargin,
     "q14_promo" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
         |  CAST(sum(CASE WHEN p_type = 'PROMO'
