@@ -195,22 +195,22 @@ object Similarity {
     * floating-point addition order is fixed (a plain avg() would be
     * partial-agg-order-dependent and break cross-engine parity), and
     * the result is truncated to float — one exact rounding both
-    * engines share. At 100 TB: the refinement is one extra
-    * (bucket, dim)-keyed shuffle of narrow rows; a production run
-    * iterates this same stage k times and drops the sorted fold for
-    * a plain partial-aggregated avg (bitwise reproducibility is a
-    * gate constraint, not a training requirement).
+    * engines share. The dim-wise mean routes through [[Folds]]:
+    * production mode (`spark.graft.bitwiseFolds=false`) IS the plain
+    * partial-aggregated sum a real k-iteration Lloyd run uses
+    * (bitwise reproducibility is a gate constraint, not a training
+    * requirement). At 100 TB: the refinement is one extra
+    * (bucket, dim)-keyed shuffle of narrow rows per iteration.
     */
   def ivfTrainedAssign(e: DataFrame): DataFrame = {
     val asg = ivfAssign(e)
     val contrib = asg.select(col("bucket"), col("vec_id"),
       posexplode(col("embedding")).as(Seq("j", "v")))
-    val dims = contrib.groupBy("bucket", "j")
-      .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("vs"),
-        count(lit(1)).as("cnt"))
+    val dims = Folds.groupSums(contrib, Seq("bucket", "j"), col("vec_id"),
+        Seq("sv" -> col("v").cast("double")),
+        Seq(count(lit(1)).as("cnt")))
       .select(col("bucket"), col("j"),
-        (aggregate(col("vs"), lit(0.0), (acc, s) => acc + s("v").cast("double"))
-          / col("cnt")).cast("float").as("c"))
+        (col("sv") / col("cnt")).cast("float").as("c"))
     val cents = dims.groupBy("bucket")
       .agg(sort_array(collect_list(struct(col("j"), col("c")))).as("jc"))
       .select(col("bucket").as("cid2"),
@@ -568,18 +568,14 @@ object Similarity {
     * Σ_m dq(m, code_m) — folded over the m-sorted list so the double
     * addition order is fixed cross-engine.
     */
-  /** (query_id, vec_id, adist): the raw ADC table-sum distances,
-    * folded over the m-sorted list so the double addition order is
-    * fixed cross-engine. Shared by the final rank and the two-stage
-    * shortlist.
+  /** (query_id, vec_id, adist): the raw ADC table-sum distances via
+    * [[Folds]] — m-sorted fold under the gate's bitwise contract,
+    * plain partial-agg sum in production mode. Shared by the final
+    * rank and the two-stage shortlist.
     */
   private def adcDistances(matches: DataFrame): DataFrame =
-    matches
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy("query_id", "vec_id")
-      .agg(sort_array(collect_list(struct(col("m"), col("dq")))).as("ds"))
-      .withColumn("adist",
-        aggregate(col("ds"), lit(0.0), (acc, s) => acc + s("dq")))
+    Folds.groupSums(matches.filter(col("vec_id") =!= col("query_id")),
+      Seq("query_id", "vec_id"), col("m"), Seq("adist" -> col("dq")))
 
   private def adcRank(matches: DataFrame): DataFrame = {
     val wRank = Window.partitionBy("query_id").orderBy(col("adist").asc, col("vec_id"))

@@ -186,21 +186,19 @@ object TextAnalysis {
   // ---- term_entropy ----------------------------------------------------
 
   /** Per-document Shannon entropy of the term distribution,
-    * H = ln(n) - Σ tf·ln(tf) / n, folded over the SORTED per-term
-    * count list so the floating-point addition order is fixed —
-    * identical doubles cross-engine (an agg-ordered sum would not be).
+    * H = ln(n) - Σ tf·ln(tf) / n, summed via [[Folds]]: count-sorted
+    * fold under the gate's bitwise contract (identical doubles
+    * cross-engine — an agg-ordered sum would not be), plain
+    * partial-agg sum in production mode.
     */
   def termEntropy(spark: SparkSession, dir: String): DataFrame =
     Index.tokenStream(spark, dir)
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("tf"))).as("cs"),
-        sum(col("tf")).cast("double").as("n"))
+      .transform(tf => Folds.groupSums(tf, Seq("doc_id"), col("tf"),
+        Seq("slog" -> (col("tf").cast("double") * log(col("tf").cast("double")))),
+        Seq(sum(col("tf")).cast("double").as("n"))))
       .select(col("doc_id"),
-        round(log(col("n")) -
-          aggregate(col("cs"), lit(0.0),
-            (acc, c) => acc + c.cast("double") * log(c.cast("double"))) / col("n"),
-          6).as("entropy"))
+        round(log(col("n")) - col("slog") / col("n"), 6).as("entropy"))
       .orderBy("doc_id")
 
   // ---- vocab_growth ----------------------------------------------------
@@ -530,8 +528,9 @@ object TextAnalysis {
     * expensive part is the one windowed self-join that builds edge
     * counts, shared shape with [[Index.cooccurPmi]]. Damping constants
     * are literal 0.15/0.85 on BOTH engines (1.0 − 0.85 ≠ 0.15 in
-    * doubles); per-node sums fold over the sender-sorted neighbor list
-    * so double addition order is fixed cross-engine.
+    * doubles); per-node sums route through [[Folds]] (sender-sorted
+    * folds under the gate's bitwise contract, plain partial-agg sums
+    * in production mode).
     */
   def keywordTextrank(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(spark, dir)
@@ -546,18 +545,15 @@ object TextAnalysis {
       .unionAll(pr.select(col("v").as("u"), col("u").as("v"), col("w")))
       .groupBy("u", "v").agg(sum(col("w")).as("w"))
     val wdeg = edges.groupBy(col("u").as("v")).agg(sum(col("w")).as("wdeg"))
-    def iterate(s: DataFrame): DataFrame =
-      edges.join(broadcast(wdeg), "v")
+    def iterate(s: DataFrame): DataFrame = {
+      val contrib = edges.join(broadcast(wdeg), "v")
         .join(broadcast(s.withColumnRenamed("term", "v")), "v")
-        .select(col("u"),
-          struct(col("v"),
-            (col("w").cast("double") / col("wdeg").cast("double") * col("score")).as("c"))
-            .as("vc"))
-        .groupBy("u")
-        .agg(sort_array(collect_list(col("vc"))).as("cs"))
+        .select(col("u"), col("v"),
+          (col("w").cast("double") / col("wdeg").cast("double") * col("score")).as("c"))
+      Folds.groupSums(contrib, Seq("u"), col("v"), Seq("csum" -> col("c")))
         .select(col("u").as("term"),
-          (lit(0.15) + lit(0.85) *
-            aggregate(col("cs"), lit(0.0), (a, s) => a + s("c"))).as("score"))
+          (lit(0.15) + lit(0.85) * col("csum")).as("score"))
+    }
     val s1 = iterate(wdeg.select(col("v").as("term"), lit(1.0).as("score")))
     iterate(s1)
       .join(broadcast(wdeg.withColumnRenamed("v", "term")), "term")

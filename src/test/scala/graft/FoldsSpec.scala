@@ -11,9 +11,13 @@ import org.apache.spark.sql.Row
   */
 class FoldsSpec extends SparkSpec {
 
-  /** Every §2 key whose floating sums route through Folds. */
+  /** Every §2 key whose floating sums route through Folds (the PQ
+    * family shares adcDistances — knn_pq and knn_ivf_pq cover it).
+    */
   val foldKeys = Seq("embedding_stats", "embedding_pca", "qlm_topk",
-    "neardup_pagerank", "source_kl", "zipf_fit", "perplexity_doc")
+    "neardup_pagerank", "source_kl", "zipf_fit", "perplexity_doc",
+    "term_entropy", "keyword_textrank", "knn_ivf_trained",
+    "knn_pq", "knn_ivf_pq")
 
   private def withMode[A](bitwise: Boolean)(body: => A): A = {
     spark.conf.set(Folds.ConfKey, bitwise.toString)
@@ -42,7 +46,11 @@ class FoldsSpec extends SparkSpec {
   }
 
   test("production mode plans have no collect_list buffer") {
-    foldKeys.foreach { key =>
+    // the ANN keys keep one DIMENSION-bounded collect_list: the
+    // centroid/codebook vector reassembly (d rows -> one array<float>,
+    // never corpus-sized) — only the corpus-sized fold buffers must go
+    val vectorRebuildKeys = Set("knn_ivf_trained", "knn_pq", "knn_ivf_pq")
+    foldKeys.filterNot(vectorRebuildKeys).foreach { key =>
       val plan = withMode(bitwise = false) {
         SparkEntry.queries(key)(spark, sfDir).queryExecution.executedPlan.toString
       }
