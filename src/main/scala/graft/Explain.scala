@@ -61,7 +61,10 @@ object Explain {
     "q18_big_orders" -> Rule(required = Seq("BroadcastHashJoin")),
     "q17_small_qty" -> Rule(required = Seq("BroadcastHashJoin")),
     "q13_custdist" -> Rule(),
-    "q22_idle_customers" -> Rule(required = Seq("PushedFilters: [IsNotNull(o_orderdate)")))
+    "q22_idle_customers" -> Rule(required = Seq("PushedFilters: [IsNotNull(o_orderdate)")),
+    // embedding ops: centroid table broadcast, candidates in-bucket only
+    "semantic_dedup" -> Rule(required = Seq("BroadcastNestedLoopJoin")),
+    "embedding_outliers" -> Rule(required = Seq("BroadcastNestedLoopJoin")))
 
   /** Saved-index retrieval invariants: the lookup paths must prune
     * term buckets AT PLANNING TIME (PartitionFilters, not a post-scan

@@ -428,6 +428,78 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** Cosine threshold above which two same-cluster embeddings count
+    * as semantic duplicates ([[semanticDedup]]); data-dependent, as
+    * in the SemDeDup paper's per-corpus ε (this corpus's in-bucket
+    * cosines top out near 0.49, so 0.35 marks the top ~1%).
+    */
+  val SemThreshold = 0.35
+
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023 —
+    * cluster the embedding space, drop within-cluster high-cosine
+    * neighbors): vectors are assigned to their IVF cluster
+    * ([[ivfAssign]] — the paper's k-means, seeded deterministically),
+    * and inside each cluster every vector with a ≥ [[SemThreshold]]
+    * cosine neighbor of SMALLER vec_id is dropped (greedy
+    * keep-first, the deterministic form of the paper's keep-one-per-
+    * group). Output: the surviving (vec_id, bucket) table.
+    *
+    * The candidate join is IN-BUCKET only — bucket-keyed shuffle,
+    * per-bucket pair volume Σ k², never N² — exactly how the paper
+    * scales to web corpora; the cosine is the codegen'd kernel over
+    * pre-computed norms. The cross-engine threshold compare is safe
+    * because both engines fold the dot product in the same index
+    * order (the [[embedNeardup]] contract).
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val asg = ivfAssign(Tables.embeddings(spark, dir))
+    val b = asg.select(col("bucket"), col("vec_id").as("nb_id"),
+      col("embedding").as("eb"), col("nm").as("nmb"))
+    val dropped = asg.join(b, "bucket")
+      .filter(col("nb_id") < col("vec_id") &&
+        VectorFns.dot(col("embedding"), col("eb")) / (col("nm") * col("nmb"))
+          >= SemThreshold)
+      .select("vec_id").distinct()
+    asg.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("bucket").cast("long").as("bucket"))
+      .orderBy("vec_id")
+  }
+
+  /** Embedding OUTLIER screen — the per-vector complement of
+    * [[embeddingStats]]'s per-dimension health check: vectors whose
+    * cosine to their own IVF centroid sits more than 1σ below their
+    * cluster's mean (mis-embedded rows, wrong-modality payloads,
+    * garbage inputs — the rows an embedding-QA pass quarantines
+    * before training). One broadcast assignment + a 16-row stats
+    * frame; the mean/std sums route through [[Folds]] (vec_id-sorted
+    * under the gate's bitwise contract — the cross-engine threshold
+    * compare is then exact — plain partial-agg in production mode).
+    */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val en = withNorm(Tables.embeddings(spark, dir))
+    val cent = en.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nm").as("cnm"))
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    val a = en.crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        VectorFns.dot(col("embedding"), col("ce")) / (col("nm") * col("cnm")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("bucket"), col("ccos"))
+    val stats = Folds.groupSums(a, Seq("bucket"), col("vec_id"),
+        Seq("s" -> col("ccos"), "s2" -> (col("ccos") * col("ccos"))),
+        Seq(count(lit(1)).as("n")))
+      .select(col("bucket"), (col("s") / col("n")).as("mu"),
+        sqrt(col("s2") / col("n") -
+          (col("s") / col("n")) * (col("s") / col("n"))).as("sd"))
+    a.join(broadcast(stats), "bucket")
+      .filter(col("ccos") < col("mu") - lit(1.0) * col("sd"))
+      .select(col("vec_id"), col("bucket").cast("long").as("bucket"),
+        round(col("ccos"), 6).as("ccos"),
+        round((col("ccos") - col("mu")) / col("sd"), 4).as("z"))
+      .orderBy("vec_id")
+  }
+
   /** kNN-graph out-degree / search beam width / greedy hops. */
   val GraphDegree = 8
   val GraphBeam = 16
@@ -706,7 +778,9 @@ object Similarity {
     "knn_graph" -> knnGraph,
     "ann_recall_graph" -> annRecallGraph,
     "embedding_stats" -> embeddingStats,
-    "embedding_pca" -> embeddingPca)
+    "embedding_pca" -> embeddingPca,
+    "semantic_dedup" -> semanticDedup,
+    "embedding_outliers" -> embeddingOutliers)
 
   /** `asg` CTE on top of [[OracleSql.NormCte]]: the IVF bucket
     * assignment (argmax cosine over the 16 seed centroids).
@@ -1302,5 +1376,43 @@ object Similarity {
         |  round(sqrt(s2 / n - (s / n) * (s / n)), 6) AS std,
         |  round(mn, 6) AS mn,
         |  round(mx, 6) AS mx
-        |FROM f ORDER BY dim""".stripMargin)
+        |FROM f ORDER BY dim""".stripMargin,
+    "semantic_dedup" ->
+      s"""${OracleSql.NormCte}$AssignCte, drp AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM asg a JOIN asg b ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+         |  WHERE ${OracleSql.cosineN("a.embedding", "b.embedding", "a.nm", "b.nm")}
+         |    >= $SemThreshold
+         |)
+         |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket FROM asg
+         |WHERE vec_id NOT IN (SELECT vec_id FROM drp)
+         |ORDER BY vec_id""".stripMargin,
+    "embedding_outliers" ->
+      s"""${OracleSql.NormCte}, ac AS (
+         |  SELECT v.vec_id, c.vec_id AS cid,
+         |    ${OracleSql.cosineN("v.embedding", "c.embedding", "v.nm", "c.nm")} AS ccos
+         |  FROM nrm v JOIN nrm c ON c.vec_id < $NCentroids
+         |), a2 AS (
+         |  SELECT vec_id, cid AS bucket, ccos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+         |    FROM ac) WHERE crn = 1
+         |), g AS (
+         |  SELECT bucket, count(*) AS n,
+         |    list_sort(list(struct_pack(vec_id := vec_id, x := ccos))) AS xs
+         |  FROM a2 GROUP BY bucket
+         |), f AS (
+         |  SELECT bucket, n,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(xs, s -> s['x'])),
+         |      (a, v) -> a + v) AS s,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(xs, s -> s['x'] * s['x'])),
+         |      (a, v) -> a + v) AS s2
+         |  FROM g
+         |), st AS (
+         |  SELECT bucket, s / n AS mu, sqrt(s2 / n - (s / n) * (s / n)) AS sd FROM f
+         |)
+         |SELECT a2.vec_id, CAST(a2.bucket AS BIGINT) AS bucket,
+         |  round(a2.ccos, 6) AS ccos, round((a2.ccos - mu) / sd, 4) AS z
+         |FROM a2 JOIN st ON a2.bucket = st.bucket
+         |WHERE a2.ccos < mu - 1.0 * sd
+         |ORDER BY a2.vec_id""".stripMargin)
 }
