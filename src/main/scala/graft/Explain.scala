@@ -64,7 +64,9 @@ object Explain {
     "q22_idle_customers" -> Rule(required = Seq("PushedFilters: [IsNotNull(o_orderdate)")),
     // embedding ops: centroid table broadcast, candidates in-bucket only
     "semantic_dedup" -> Rule(required = Seq("BroadcastNestedLoopJoin")),
-    "embedding_outliers" -> Rule(required = Seq("BroadcastNestedLoopJoin")))
+    "embedding_outliers" -> Rule(required = Seq("BroadcastNestedLoopJoin")),
+    "q15_top_supplier" -> Rule(required = Seq("PushedFilters: [IsNotNull(l_shipdate)")),
+    "q19_disjunctive" -> Rule(required = Seq("BroadcastHashJoin")))
 
   /** Saved-index retrieval invariants: the lookup paths must prune
     * term buckets AT PLANNING TIME (PartitionFilters, not a post-scan

@@ -1038,6 +1038,46 @@ object Analytics {
           .as("avg_yearly"))
   }
 
+  /** Q15-flavored top supplier: revenue per supplier over one quarter,
+    * then every supplier achieving the maximum (ties intact — why the
+    * classic query is a view + equality, not a LIMIT 1). The date
+    * predicate pushes to the scan; the max is a 1-row broadcast and
+    * the equality is DECIMAL-exact, so no double tie can diverge
+    * cross-engine. One partial-agg shuffle on suppkey.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .groupBy("l_suppkey")
+      .agg(sum(lineRevenueDec).as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_rev") === col("mx"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Q19-flavored disjunctive-predicate revenue: three (brand,
+    * quantity-range) arms OR-ed together — the shape that punishes
+    * engines which can't evaluate a disjunction over joined columns
+    * without exploding it. Part dim broadcast; the whole disjunction
+    * is one codegen'd filter over the joined row; decimal-exact sums.
+    */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30)))
+      .agg(count(lit(1)).as("n_items"),
+        sum(lineRevenueDec).cast("double").as("revenue"))
+
   /** Q14-flavored promotion effect: per ship month, the percentage of
     * revenue from PROMO-type parts — part dim broadcast into the fact
     * scan, decimal-exact sums, ONE double division at the end (the
@@ -1064,6 +1104,8 @@ object Analytics {
     "q14_promo" -> q14Promo,
     "q10_returns" -> q10Returns,
     "q13_custdist" -> q13Custdist,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q19_disjunctive" -> q19Disjunctive,
     "q18_big_orders" -> q18BigOrders,
     "q22_idle_customers" -> q22IdleCustomers,
     "q8_market_share" -> q8MarketShare,
@@ -1129,6 +1171,26 @@ object Analytics {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, sum(l_extendedprice::DECIMAL(18,2) *
+        |    (1.0::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY l_suppkey
+        |), mx AS (SELECT max(total_rev) AS mx FROM rev)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+        |FROM rev, mx JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = mx.mx
+        |ORDER BY s_suppkey""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT count(*) AS n_items,
+        |  CAST(sum(l_extendedprice::DECIMAL(18,2) *
+        |    (1.0::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q13_custdist" ->
       """WITH pc AS (
         |  SELECT c_custkey, count(o_custkey) AS c_count
