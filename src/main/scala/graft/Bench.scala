@@ -37,7 +37,8 @@ object Bench {
     spark.conf.set(operators.Folds.ConfKey, "false")
     val prodResults = Seq("embedding_pca", "embedding_stats", "neardup_pagerank",
         "perplexity_doc", "qlm_topk", "source_kl", "zipf_fit",
-        "term_entropy", "keyword_textrank", "knn_ivf_trained", "knn_pq")
+        "term_entropy", "keyword_textrank", "knn_ivf_trained", "knn_pq",
+        "embedding_outliers")
       .filter(k => only.forall(_.contains(k)))
       .map { k => s"$k#prod" -> time(SparkEntry.queries(k)) }
     spark.conf.set(operators.Folds.ConfKey, "true")

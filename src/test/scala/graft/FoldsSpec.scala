@@ -58,6 +58,28 @@ class FoldsSpec extends SparkSpec {
     }
   }
 
+  test("groupSums bitwise fold equals a sequential ord-ascending sum exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.tabulate(500)(i =>
+      (rnd.nextInt(8).toLong, i.toLong, rnd.nextDouble() * 2 - 1))
+    val df = rows.toDF("k", "ord", "x").repartition(7) // force multi-partition agg
+    import org.apache.spark.sql.functions.{col => c}
+    def run(bitwise: Boolean): Map[Long, Double] = withMode(bitwise) {
+      Folds.groupSums(df, Seq("k"), c("ord"), Seq("s" -> c("x")))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    // reference: left-to-right double additions in ord order per key
+    val want = rows.groupBy(_._1).map { case (k, rs) =>
+      k -> rs.sortBy(_._2).map(_._3).foldLeft(0.0)(_ + _) }
+    val bit = run(bitwise = true)
+    assert(bit.keySet === want.keySet)
+    bit.foreach { case (k, v) => assert(v == want(k), s"key $k: $v != ${want(k)}") }
+    val prod = run(bitwise = false)
+    prod.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) <= 1e-9, s"key $k prod drift") }
+  }
+
   test("bitwise mode is the default (oracle gate unchanged)") {
     assert(spark.conf.get(Folds.ConfKey, "true").toBoolean)
     val plan = SparkEntry.queries("zipf_fit")(spark, sfDir)
