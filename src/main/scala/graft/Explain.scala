@@ -38,6 +38,7 @@ object Explain {
     "contamination_check" -> Rule(),
     "contamination_bloom" -> Rule(),
     "ngram_jaccard" -> Rule(),
+    "containment_pairs" -> Rule(),
     "simhash_pairs" -> Rule(),
     "dedup_clusters" -> Rule(),
     "neardup_triangles" -> Rule(),

@@ -232,6 +232,29 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
+  /** Directional shingle CONTAINMENT over the exact Jaccard ≥ 0.3
+    * pair relation: C(A→B) = |A∩B| / |A| and C(B→A) = |A∩B| / |B|,
+    * both EXACT (the intersection count comes straight from the
+    * PPJoin-verified pair join — no estimate). High C(A→B) with low
+    * Jaccard is the doc-contained-in-doc signature symmetric near-dup
+    * misses (quoted articles, boilerplate wrappers) — the asymmetric
+    * primitive substring-level pipelines run next to `ngram_jaccard`.
+    * Candidate generation is the same lossless prefix+positional
+    * filter as the Jaccard join (never all-pairs); the J ≥ 0.3 floor
+    * is what keeps the relation prefix-filterable — containment with
+    * no Jaccard floor has no prefix bound (a tiny doc inside a huge
+    * one shares ALL its shingles), and THAT detector is
+    * `dup_ngram_coverage`'s gram-keyed formulation instead.
+    */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(Tables.documents(spark, dir), 0.3)
+      .filter(col("j") >= 0.3)
+      .select(col("doc_a"), col("doc_b"), col("i").as("n_shared"),
+        round(col("i").cast("double") / size(col("sa")).cast("double"), 4).as("c_ab"),
+        round(col("i").cast("double") / size(col("sb")).cast("double"), 4).as("c_ba"),
+        round(col("j"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashDf(Tables.documents(spark, dir)).orderBy("doc_id")
 
@@ -749,6 +772,7 @@ object Dedup {
     "minhash_lsh_pairs" -> minhashLshPairs,
     "minhash_dedup_apply" -> minhashDedupApply,
     "ngram_jaccard" -> ngramJaccard,
+    "containment_pairs" -> containmentPairs,
     "simhash" -> simhash,
     "simhash_pairs" -> simhashPairs,
     "embed_neardup" -> embedNeardup,
@@ -1014,6 +1038,25 @@ object Dedup {
          |)
          |SELECT da AS doc_a, db AS doc_b, round(j, 4) AS jaccard
          |FROM jac WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "containment_pairs" ->
+      s"""${OracleSql.ShingleHashCte}, sets AS (
+         |  SELECT doc_id, list_distinct(h) AS s FROM hs
+         |), ex AS (
+         |  SELECT doc_id, unnest(s) AS hh FROM sets
+         |), inter AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+         |  FROM ex a JOIN ex b ON a.hh = b.hh AND a.doc_id < b.doc_id
+         |  GROUP BY da, db
+         |), jac AS (
+         |  SELECT da, db, i, len(x.s) AS na, len(y.s) AS nb,
+         |    i::DOUBLE / (len(x.s) + len(y.s) - i) AS j
+         |  FROM inter JOIN sets x ON da = x.doc_id JOIN sets y ON db = y.doc_id
+         |)
+         |SELECT da AS doc_a, db AS doc_b, CAST(i AS BIGINT) AS n_shared,
+         |  round(i::DOUBLE / na, 4) AS c_ab,
+         |  round(i::DOUBLE / nb, 4) AS c_ba,
+         |  round(j, 4) AS jaccard
+         |FROM jac WHERE j >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
     "simhash" ->
       s"""$simhashCte
          |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
