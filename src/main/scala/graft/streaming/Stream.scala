@@ -444,6 +444,68 @@ object Stream {
         ()
       }
 
+  /** Streaming SEMANTIC dedup gate — the embedding member of the gate
+    * family ([[dedupGate]] = exact md5, [[neardupGate]] = SimHash,
+    * this = cosine): each micro-batch of vectors is IVF-assigned
+    * against the SAVED centroid table (bucket ids stable across
+    * batches — the [[embedIndexMaintenance]] invariant), in-batch
+    * semantic dups dropped greedily (smaller vec_id wins), survivors
+    * screened against ONLY their bucket of the saved vector store by
+    * exact cosine ≥ `threshold` (the [[knnServe]] read shape:
+    * bucket-keyed join, other buckets' payloads never read), and
+    * surviving vectors merged into the bucket-partitioned store via
+    * the crash-safe swap. A semantic duplicate of a vector accepted
+    * before a restart is still dropped. Replay-idempotent by
+    * batch-granular replace, like its two siblings.
+    */
+  def semdedupGate(vecs: DataFrame, centroidPath: String, storePath: String,
+                   outPath: String, threshold: Double = 0.95)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val Sim = graft.operators.Similarity
+        val basePath = new org.apache.hadoop.fs.Path(storePath)
+        val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverStore(fs, basePath)
+        val cent = spark.read.parquet(centroidPath)
+        val a = Sim.ivfAssignTo(Sim.withNormOf(batch), cent)
+          .select(col("vec_id"), col("embedding"), col("nm"), col("bucket"))
+        val inDups = a.as("x").join(a.as("y"),
+            col("x.bucket") === col("y.bucket") &&
+              col("x.vec_id") < col("y.vec_id") &&
+              graft.functions.VectorFns.dot(col("x.embedding"), col("y.embedding")) /
+                (col("x.nm") * col("y.nm")) >= threshold)
+          .select(col("y.vec_id").as("vec_id")).distinct()
+        val surv = a.join(inDups, Seq("vec_id"), "left_anti")
+        val prior =
+          if (fs.exists(basePath))
+            spark.read.parquet(storePath).filter(col("src_batch") =!= batchId)
+              .select(col("vec_id"), col("embedding"), col("nm"),
+                col("bucket").cast("long").as("bucket"), col("src_batch"))
+          else spark.emptyDataFrame.select(lit(0L).as("vec_id"),
+            lit(null).cast("array<float>").as("embedding"), lit(0.0).as("nm"),
+            lit(0L).as("bucket"), lit(0L).as("src_batch")).limit(0)
+        val matched = surv.join(prior
+              .select(col("bucket"), col("embedding").as("pe"), col("nm").as("pnm")),
+            Seq("bucket"))
+          .filter(graft.functions.VectorFns.dot(col("embedding"), col("pe")) /
+            (col("nm") * col("pnm")) >= threshold)
+          .select("vec_id").distinct()
+        val fresh = surv.join(matched, Seq("vec_id"), "left_anti")
+        batch.join(fresh.select("vec_id"), Seq("vec_id"), "left_semi")
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        val merged = prior.unionByName(
+          fresh.withColumn("src_batch", lit(batchId)))
+        val tmp = s"$storePath.merged-$batchId"
+        merged.repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        if (fs.exists(basePath)) swapStore(fs, basePath, tmp)
+        else mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
+        ()
+      }
+
   /** Streaming corpus triage: every micro-batch is scored by the
     * batch quality rules ([[graft.operators.TextAnalysis.qualityFlagsOf]]
     * — the SAME rule code, so batch and stream can never drift) and

@@ -298,6 +298,44 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("stream_semantic_store: saved vectors catch semantic dups across restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-sgate").toString
+    val (centPath, store, out, ckpt) =
+      (s"$base/centroids", s"$base/vecs", s"$base/out", s"$base/ckpt")
+    graft.operators.Similarity.saveCentroids(
+      Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f))).toDF("vec_id", "embedding"),
+      centPath)
+    def landed(): Set[Long] = spark.read.parquet(out)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val in = MemoryStream[(Long, Array[Float])]
+    val df = in.toDF().toDF("vec_id", "embedding")
+    val q1 = Stream.semdedupGate(df, centPath, store, out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // 101 is an in-batch semantic dup of 100 (same direction)
+      in.addData((100L, Array(0.9f, 0.1f)), (101L, Array(0.88f, 0.11f)),
+        (102L, Array(0.1f, 0.9f)))
+      q1.processAllAvailable()
+      assert(landed() === Set(100L, 102L))
+    } finally q1.stop()
+    // restart: 103 is a semantic dup of the SAVED 100; 104 is novel
+    // within bucket 1 (orthogonal enough to clear the 0.95 threshold)
+    val q2 = Stream.semdedupGate(df, centPath, store, out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData((103L, Array(0.92f, 0.09f)), (104L, Array(0.5f, 0.86f)))
+      q2.processAllAvailable()
+      assert(landed() === Set(100L, 102L, 104L))
+      val fp = spark.read.parquet(store).select("vec_id", "src_batch").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(fp.map(_._1).toSet === Set(100L, 102L, 104L))
+      assert(fp.map(_._2).sorted.toSeq === Seq(0L, 0L, 1L))
+    } finally q2.stop()
+  }
+
   test("stream_pack: carried offset makes streamed packs equal batch packing") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
