@@ -50,6 +50,7 @@ object Explain {
     "knn_ivf" -> Rule(required = Seq("BroadcastNestedLoopJoin")),
     "knn_graph" -> Rule(),
     "bm25_topk" -> Rule(required = Seq("BroadcastHashJoin")),
+    "mlt_topk" -> Rule(required = Seq("BroadcastHashJoin")),
     "rrf_fusion" -> Rule(),
     "minhash_dedup_apply" -> Rule(),
     "basket_lift" -> Rule(required = Seq("BroadcastHashJoin")),

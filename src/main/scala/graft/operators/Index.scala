@@ -404,6 +404,42 @@ object Index {
       .orderBy("doc_id", "rk")
   }
 
+  /** "More like this" — doc-to-doc retrieval, Lucene's MLT shape:
+    * each target document (doc_id < 5) is summarized to its top-5
+    * TF-IDF terms, and ONLY those terms' posting weights are scored
+    * (sum of the candidate's tf·ln(N/df) over the shared query
+    * terms), top-10 per target. Cost is bounded by the expanded
+    * query (≤ targets × 5 posting lists joined term-keyed), never
+    * doc × doc — the related-documents surface at any corpus size.
+    * The multi-term score sum routes through [[Folds]] (term-sorted
+    * under the gate's bitwise contract — a 5-term plain sum would be
+    * association-order-sensitive — plain partial agg in production).
+    */
+  def mltTopk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = tfBaseOf(docs)
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
+    val dfT = base.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val weights = base.join(broadcast(dfT), "term").crossJoin(broadcast(nDf))
+      .withColumn("w", col("tf").cast("double") * log(col("n") / col("df")))
+    val wq = Window.partitionBy("doc_id").orderBy(col("w").desc, col("term"))
+    val qterms = weights.filter(col("doc_id") < 5)
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= 5)
+      .select(col("doc_id").as("target_doc"), col("term"))
+    val cand = weights.join(broadcast(qterms), "term")
+      .filter(col("doc_id") =!= col("target_doc"))
+    val wr = Window.partitionBy("target_doc")
+      .orderBy(col("score").desc, col("doc_id"))
+    Folds.groupSums(cand, Seq("target_doc", "doc_id"), col("term"),
+        Seq("s" -> col("w")))
+      .withColumn("score", round(col("s"), 4))
+      .withColumn("rk", row_number().over(wr).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("target_doc"), col("rk"), col("doc_id"), col("score"))
+      .orderBy("target_doc", "rk")
+  }
+
   /** Fuzzy term lookup: vocabulary terms within edit distance 1 of the
     * query, with their collection frequency — "did you mean". The
     * distance runs over the (tiny, aggregated) vocabulary, never the
@@ -617,6 +653,7 @@ object Index {
     "phrase_search" -> phraseSearch,
     "tfidf_topk" -> tfidfTopk,
     "bm25_topk" -> bm25Topk,
+    "mlt_topk" -> mltTopk,
     "qlm_topk" -> qlmTopk,
     "top_terms_per_doc" -> topTermsPerDoc,
     "kwic" -> kwic,
@@ -652,6 +689,36 @@ object Index {
          |ORDER BY df DESC, term""".stripMargin,
     "wordcount" ->
       s"$TokSql SELECT term, count(*) AS freq FROM tok GROUP BY term ORDER BY term",
+    "mlt_topk" ->
+      s"""$TokSql, base AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+         |), nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |dfs AS (SELECT term, count(*)::DOUBLE AS df FROM base GROUP BY term),
+         |wts AS (
+         |  SELECT doc_id, base.term, tf::DOUBLE * ln(n / df) AS w
+         |  FROM base JOIN dfs ON base.term = dfs.term, nn
+         |), qt AS (
+         |  SELECT doc_id AS target_doc, term FROM (
+         |    SELECT doc_id, term,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS trk
+         |    FROM wts WHERE doc_id < 5) WHERE trk <= 5
+         |), cand AS (
+         |  SELECT target_doc, w.doc_id, w.term, w.w
+         |  FROM wts w JOIN qt ON w.term = qt.term AND w.doc_id != qt.target_doc
+         |), sc AS (
+         |  SELECT target_doc, doc_id,
+         |    round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+         |      list_sort(list(struct_pack(t := term, v := w))), s -> s['v'])),
+         |      (a, v) -> a + v), 4) AS score
+         |  FROM cand GROUP BY target_doc, doc_id
+         |), r AS (
+         |  SELECT target_doc, doc_id, score,
+         |    CAST(row_number() OVER (PARTITION BY target_doc
+         |      ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+         |  FROM sc
+         |)
+         |SELECT target_doc, rk, doc_id, score FROM r WHERE rk <= 10
+         |ORDER BY target_doc, rk""".stripMargin,
     "wordcount_unicode" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'), t -> len(t) > 0) AS tk
