@@ -1078,6 +1078,27 @@ object Analytics {
       .agg(count(lit(1)).as("n_items"),
         sum(lineRevenueDec).cast("double").as("revenue"))
 
+  /** Top 3-step event PATHS — [[eventTransitions]]' higher-order
+    * sibling and the funnel's data-driven generalization: instead of
+    * checking one hypothesized view→click→purchase sequence, rank the
+    * paths users actually take (sequence mining's length-3 instance).
+    * Two lead windows over the same per-user sort (one shuffle), a
+    * ≤ |types|³ rollup, bounded top-20. Counts are exact integers.
+    */
+  def eventPathsTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("e2").as("step2"),
+        col("e3").as("step3"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(20)
+  }
+
   /** Q14-flavored promotion effect: per ship month, the percentage of
     * revenue from PROMO-type parts — part dim broadcast into the fact
     * scan, decimal-exact sums, ONE double division at the end (the
@@ -1104,6 +1125,7 @@ object Analytics {
     "q14_promo" -> q14Promo,
     "q10_returns" -> q10Returns,
     "q13_custdist" -> q13Custdist,
+    "event_paths_topk" -> eventPathsTopk,
     "q15_top_supplier" -> q15TopSupplier,
     "q19_disjunctive" -> q19Disjunctive,
     "q18_big_orders" -> q18BigOrders,
@@ -1171,6 +1193,18 @@ object Analytics {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "event_paths_topk" ->
+      """WITH p AS (
+        |  SELECT user_id, event_type AS step1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step3
+        |  FROM events
+        |)
+        |SELECT step1, step2, step3, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM p WHERE step3 IS NOT NULL
+        |GROUP BY step1, step2, step3
+        |ORDER BY n DESC, step1, step2, step3 LIMIT 20""".stripMargin,
     "q15_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey, sum(l_extendedprice::DECIMAL(18,2) *
