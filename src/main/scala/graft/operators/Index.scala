@@ -404,6 +404,26 @@ object Index {
       .orderBy("doc_id", "rk")
   }
 
+  /** Per-bucket index BALANCE report for an nBuckets choice (8 here)
+    * — the operational check behind the reference's num-reducers knob
+    * (App.scala:185 hash-on-word partitioner): distinct terms,
+    * posting rows and total tf per term bucket, with the bucket
+    * computed by the SAME rolling-hash kernel the IndexStore layout
+    * partitions on. A skewed bucket here is a hot reducer there —
+    * this is the report that justifies (or resizes) the fan-out
+    * before a 100 TB index build.
+    */
+  def indexStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashFns
+    invertedIndex(spark, dir)
+      .withColumn("bucket", HashFns.rollingHash(col("term")) % 8)
+      .groupBy("bucket")
+      .agg(countDistinct(col("term")).as("n_terms"),
+        count(lit(1)).as("n_postings"),
+        sum(col("tf")).as("total_tf"))
+      .orderBy("bucket")
+  }
+
   /** "More like this" — doc-to-doc retrieval, Lucene's MLT shape:
     * each target document (doc_id < 5) is summarized to its top-5
     * TF-IDF terms, and ONLY those terms' posting weights are scored
@@ -645,6 +665,7 @@ object Index {
     "wordcount_salted" -> wordcountSalted,
     "inverted_index" -> invertedIndexFlat,
     "inverted_index_chars" -> invertedIndexChars,
+    "index_stats" -> indexStats,
     "postings_stats" -> postingsStats,
     "doc_stats" -> docStats,
     "term_search" -> termSearch,
@@ -689,6 +710,15 @@ object Index {
          |ORDER BY df DESC, term""".stripMargin,
     "wordcount" ->
       s"$TokSql SELECT term, count(*) AS freq FROM tok GROUP BY term ORDER BY term",
+    "index_stats" -> {
+      val bucket = s"(${OracleSql.roll("term", graft.functions.HashFns.P)}) % 8"
+      s"""$TokSql, base AS (
+         |  SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id
+         |)
+         |SELECT $bucket AS bucket, count(DISTINCT term) AS n_terms,
+         |  count(*) AS n_postings, CAST(sum(tf) AS BIGINT) AS total_tf
+         |FROM base GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
     "mlt_topk" ->
       s"""$TokSql, base AS (
          |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
