@@ -68,7 +68,15 @@ object Explain {
     "semantic_dedup" -> Rule(required = Seq("BroadcastNestedLoopJoin")),
     "embedding_outliers" -> Rule(required = Seq("BroadcastNestedLoopJoin")),
     "q15_top_supplier" -> Rule(required = Seq("PushedFilters: [IsNotNull(l_shipdate)")),
-    "q19_disjunctive" -> Rule(required = Seq("BroadcastHashJoin")))
+    "q19_disjunctive" -> Rule(required = Seq("BroadcastHashJoin")),
+    // session-2 TPC-H flavors: two-role nation join broadcasts both
+    // legs; the min-cost window rides a broadcast-pruned rollup; the
+    // sole-late rollup + rejoin reuse one orderkey shuffle
+    "q7_volume" -> Rule(required = Seq("BroadcastHashJoin")),
+    "q2_mincost_supplier" -> Rule(required = Seq("BroadcastHashJoin")),
+    "q16_supplier_variety" -> Rule(required = Seq("BroadcastHashJoin")),
+    "q21_late_supplier" -> Rule(),
+    "q12_ship_delay" -> Rule())
 
   /** Saved-index retrieval invariants: the lookup paths must prune
     * term buckets AT PLANNING TIME (PartitionFilters, not a post-scan

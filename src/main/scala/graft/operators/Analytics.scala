@@ -1119,9 +1119,151 @@ object Analytics {
           col("total_dec").cast("double"), 4).as("promo_pct"))
       .orderBy("ship_month")
 
+  /** Q7-flavored bilateral trade volume: revenue flowing between TWO
+    * nations (supplier side vs customer side), per ship year — the
+    * two-role nation join Q7 is famous for. Plan shape: the supplier
+    * leg is filtered to the two nations FIRST and broadcast into the
+    * lineitem scan (kills 23/25 of fact rows before anything wide),
+    * the customer leg filters the same way before the orders join,
+    * and the cross-nation constraint (`supp ≠ cust`) is a codegen'd
+    * filter over the joined row. No nation ever shuffles.
+    */
+  def q7Volume(spark: SparkSession, dir: String): DataFrame = {
+    val n2 = Tables.nation(spark, dir)
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .select("n_nationkey", "n_name")
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(n2), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(n2), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(lineRevenueDec).cast("double").as("volume"))
+      .orderBy("supp_nation", "cust_nation", "ship_year")
+  }
+
+  /** Q2-flavored min-cost supplier: for every size-19 part, the
+    * supplier with the LOWEST total supply cost (decimal-exact sums;
+    * suppkey tie-break) — the correlated-min-subquery shape expressed
+    * as one window over the (part, supplier) rollup. The part filter
+    * broadcasts into the fact scan before the rollup, so the windowed
+    * frame is |size-19 parts| × |their suppliers|, not the corpus.
+    */
+  def q2MincostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val cost = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_size") === 19).select("p_partkey", "p_name")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("supply_cost"))
+    val w = Window.partitionBy("p_partkey").orderBy(col("supply_cost"), col("l_suppkey"))
+    cost.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(broadcast(Tables.supplier(spark, dir)
+          .select("s_suppkey", "s_name", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+        col("supply_cost").cast("double").as("supply_cost"))
+      .orderBy(col("supply_cost").desc, col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Q12-flavored shipping-delay report: lineitems bucketed FAST/SLOW
+    * by days between order and ship date, counting high- vs
+    * low-priority order lines per bucket (Q12's CASE-pivot on
+    * o_orderpriority, with delay class standing in for ship mode —
+    * this corpus has no l_shipmode). One fact-fact equi-join on
+    * orderkey (AQE-planned) and a 2-row conditional rollup; the
+    * datediff threshold is integer-exact on both engines.
+    */
+  def q12ShipDelay(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+      .join(Tables.orders(spark, dir)
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(when(datediff(col("l_shipdate"), col("o_orderdate")) > 60, "SLOW")
+        .otherwise("FAST").as("delay_class"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("delay_class")
+
+  /** Q16-flavored supplier variety: how many DISTINCT suppliers have
+    * shipped each (brand, type, size) slice of the selected part
+    * sizes, excluding one brand — Q16's supplier-diversity shape with
+    * the lineitem relation standing in for partsupp (this corpus has
+    * no partsupp table). The part predicate broadcasts into the fact
+    * scan; count-distinct is Spark's two-phase exact distinct
+    * aggregate (partial dedup map-side, no all-pairs anything).
+    */
+  def q16SupplierVariety(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_size").isin(1, 9, 19, 23) && col("p_brand") =!= "Brand#5")
+          .select("p_partkey", "p_brand", "p_type", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+
+  /** Q21-flavored sole-late-supplier report: suppliers who were the
+    * ONLY late shipper (> 60 days after order) on a finished
+    * multi-supplier order — Q21's exists/not-exists pair expressed as
+    * ONE conditional count-distinct rollup per order (`n_supp > 1 AND
+    * n_late = 1`), then a semi-join back to the late lines. The
+    * per-order rollup and the rejoin share the orderkey shuffle key;
+    * supplier names broadcast at the end, after the result is
+    * |suppliers| rows.
+    */
+  def q21LateSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val j = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        (datediff(col("l_shipdate"), col("o_orderdate")) > 60).cast("int"))
+    val soleLate = j.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("ns"),
+        countDistinct(when(col("late") === 1, col("l_suppkey"))).as("nl"))
+      .filter(col("ns") > 1 && col("nl") === 1)
+      .select("l_orderkey")
+    j.filter(col("late") === 1)
+      .join(soleLate, "l_orderkey")
+      .select("l_orderkey", "l_suppkey").distinct()
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_volume" -> q7Volume,
+    "q2_mincost_supplier" -> q2MincostSupplier,
+    "q12_ship_delay" -> q12ShipDelay,
+    "q16_supplier_variety" -> q16SupplierVariety,
+    "q21_late_supplier" -> q21LateSupplier,
     "q14_promo" -> q14Promo,
     "q10_returns" -> q10Returns,
     "q13_custdist" -> q13Custdist,
@@ -1193,6 +1335,73 @@ object Analytics {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS ship_year, count(*) AS n_items,
+        |  CAST(sum(l_extendedprice::DECIMAL(18,2) *
+        |    (1.0::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS DOUBLE) AS volume
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY supp_nation, cust_nation, ship_year
+        |ORDER BY supp_nation, cust_nation, ship_year""".stripMargin,
+    "q2_mincost_supplier" ->
+      """WITH cost AS (
+        |  SELECT p_partkey, p_name, l_suppkey,
+        |    sum(l_extendedprice::DECIMAL(18,2)) AS supply_cost
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_size = 19
+        |  GROUP BY 1, 2, 3
+        |), best AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY p_partkey ORDER BY supply_cost, l_suppkey) AS rn
+        |  FROM cost
+        |)
+        |SELECT p_partkey, p_name, s_name, n_name,
+        |  CAST(supply_cost AS DOUBLE) AS supply_cost
+        |FROM best
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE rn = 1
+        |ORDER BY supply_cost DESC, p_partkey LIMIT 100""".stripMargin,
+    "q12_ship_delay" ->
+      """SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 60
+        |    THEN 'SLOW' ELSE 'FAST' END AS delay_class,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY delay_class ORDER BY delay_class""".stripMargin,
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size IN (1, 9, 19, 23) AND p_brand <> 'Brand#5'
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q21_late_supplier" ->
+      """WITH j AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    CASE WHEN datediff('day', o_orderdate, l_shipdate) > 60
+        |      THEN 1 ELSE 0 END AS late
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+        |), sole AS (
+        |  SELECT l_orderkey FROM j GROUP BY l_orderkey
+        |  HAVING count(DISTINCT l_suppkey) > 1
+        |     AND count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) = 1
+        |)
+        |SELECT s_name, count(*) AS numwait FROM (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM j
+        |  WHERE late = 1 AND l_orderkey IN (SELECT l_orderkey FROM sole)
+        |)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "event_paths_topk" ->
       """WITH p AS (
         |  SELECT user_id, event_type AS step1,
