@@ -328,9 +328,69 @@ object Pipeline {
           .as("quality_keep_rate"))
   }
 
+  /** Balanced output-shard manifest: the corpus token stream in doc_id
+    * order cut into ~4096-token shards — the writer-side sibling of
+    * [[packChunks]] (docs stay WHOLE here; a doc lands in the shard
+    * its first token falls in). Shard ids come from
+    * [[GraftOps.runningTotal]]'s two-phase prefix sum (per-bucket
+    * partials + broadcast offsets — no single-task window at any
+    * corpus size); the manifest rollup is one partial-agg shuffle over
+    * |shards| rows. This is the operator that decides what each of a
+    * 1000-executor job's output files contains, so shards stay
+    * token-balanced even when doc lengths are skewed.
+    */
+  def shardAssign(spark: SparkSession, dir: String): DataFrame =
+    shardAssignOf(Tables.documents(spark, dir), budget = 4096L)
+
+  def shardAssignOf(docs: DataFrame, budget: Long): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), size(TextFns.tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0L)
+    GraftOps.runningTotal(counts, order = col("doc_id"), value = col("n"),
+        bucket = expr("doc_id div 64"))
+      .withColumn("shard", expr(s"(running - n) div $budget"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("shard")
+  }
+
+  /** Temperature-scaled source mixing — the multi-source sampling rule
+    * LLM pretraining uses to keep head sources from drowning the tail:
+    * weight ∝ tokens^τ with τ = 1/2, so a 100× larger source gets only
+    * 10× the sampling mass. Emits per source the raw vs temperature
+    * share and the epoch multiplier a 1M-token budget implies
+    * (epochs > 1 = the tail source repeats). τ = 1/2 is deliberate:
+    * `sqrt` is IEEE-correctly-rounded on BOTH engines (a general `pow`
+    * is not), and the weight normalizer routes through [[Folds]] so
+    * the gate's source-ordered fold is bitwise while production mode
+    * keeps the plain constant-buffer sum. One |sources|-row rollup +
+    * a 1-row broadcast — nothing here scales with the corpus.
+    */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val perSrc = Tables.documents(spark, dir)
+      .select(col("source"), size(TextFns.tokens(col("text"))).cast("long").as("t"))
+      .groupBy("source").agg(sum(col("t")).as("n_tokens"))
+      .withColumn("w", sqrt(col("n_tokens").cast("double")))
+    val tot = Folds.groupSums(perSrc, keys = Nil, ord = col("source"),
+      sums = Seq("wtot" -> col("w")),
+      extra = Seq(sum(col("n_tokens")).cast("double").as("ttot")))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("ttot"), 6).as("raw_share"),
+        round(col("w") / col("wtot"), 6).as("temp_share"),
+        round((col("w") / col("wtot")) * lit(1000000.0) /
+          col("n_tokens").cast("double"), 6).as("epochs_at_1m"))
+      .orderBy("source")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "shard_assign" -> shardAssign,
+    "mix_temperature" -> mixTemperature,
     "dataset_card" -> datasetCard,
     "doc_chunking" -> docChunking,
     "pack_chunks" -> packChunks,
@@ -413,6 +473,42 @@ object Pipeline {
         |  CAST(len(tk[s+1:s+32]) AS BIGINT) AS n_tokens,
         |  array_to_string(tk[s+1:s+32], ' ') AS chunk_text
         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+    "shard_assign" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0)) AS BIGINT) AS n
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, n,
+        |    CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) - n AS cb
+        |  FROM c WHERE n > 0
+        |)
+        |SELECT CAST(cb // 4096 AS BIGINT) AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc,
+        |  max(doc_id) AS last_doc
+        |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
+    "mix_temperature" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source
+        |), w AS (
+        |  SELECT source, n_tokens, sqrt(n_tokens::DOUBLE) AS w FROM s
+        |), t AS (
+        |  SELECT
+        |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+        |      list_sort(list(struct_pack(source := source, w := w))), x -> x['w'])),
+        |      (a, b) -> a + b) AS wtot,
+        |    sum(n_tokens)::DOUBLE AS ttot
+        |  FROM w
+        |)
+        |SELECT source, n_tokens,
+        |  round(n_tokens::DOUBLE / t.ttot, 6) AS raw_share,
+        |  round(w / t.wtot, 6) AS temp_share,
+        |  round((w / t.wtot) * 1000000.0 / n_tokens::DOUBLE, 6) AS epochs_at_1m
+        |FROM w, t ORDER BY source""".stripMargin,
     "pack_chunks" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS tk

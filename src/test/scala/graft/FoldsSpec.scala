@@ -17,7 +17,8 @@ class FoldsSpec extends SparkSpec {
   val foldKeys = Seq("embedding_stats", "embedding_pca", "qlm_topk",
     "neardup_pagerank", "source_kl", "zipf_fit", "perplexity_doc",
     "term_entropy", "keyword_textrank", "knn_ivf_trained",
-    "knn_pq", "knn_ivf_pq", "embedding_outliers", "mlt_topk")
+    "knn_pq", "knn_ivf_pq", "embedding_outliers", "mlt_topk",
+    "mix_temperature")
 
   private def withMode[A](bitwise: Boolean)(body: => A): A = {
     spark.conf.set(Folds.ConfKey, bitwise.toString)
