@@ -311,4 +311,39 @@ class SourcesSpec extends SparkSpec {
       .head().getDouble(0) === 11.0)
     assert(spark.sql("SELECT norm2(array(3.0F,4.0F))").head().getDouble(0) === 25.0)
   }
+
+  test("bucketed tables: co-bucketed join plans with NO shuffle exchange") {
+    val dir = tmpDir("graft-bucketed")
+    val orders = sources.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = sources.Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_acctbal")
+    sources.BucketedStore.save(orders, "b_orders", s"$dir/orders", "o_custkey", 8)
+    sources.BucketedStore.save(cust, "b_cust", s"$dir/cust", "c_custkey", 8)
+    try {
+      // round-trip intact
+      assert(sources.BucketedStore.load(spark, "b_orders").count() === orders.count())
+      // broadcast disabled so the join MUST be a sort-merge — which the
+      // bucket layout then plans with zero Exchange on either side
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = sources.BucketedStore.load(spark, "b_orders")
+          .join(sources.BucketedStore.load(spark, "b_cust"),
+            col("o_custkey") === col("c_custkey"))
+        val plan = j.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+        assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+        assert(j.count() > 0)
+        // bucket-count mismatch degrades to shuffling ONLY the small
+        // mismatched side, never both
+        sources.BucketedStore.save(cust, "b_cust4", s"$dir/cust4", "c_custkey", 4)
+        val m = sources.BucketedStore.load(spark, "b_orders")
+          .join(sources.BucketedStore.load(spark, "b_cust4"),
+            col("o_custkey") === col("c_custkey"))
+        val mPlan = m.queryExecution.executedPlan.toString
+        assert(mPlan.split("Exchange").length - 1 <= 1, s"both sides shuffle:\n$mPlan")
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally Seq("b_orders", "b_cust", "b_cust4").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
