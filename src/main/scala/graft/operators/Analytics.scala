@@ -1256,9 +1256,29 @@ object Analytics {
       .limit(20)
   }
 
+  /** Event throttle: keep an event only when its (user, event_type)
+    * stream was quiet for ≥ 10 minutes BEFORE it — the gap rule
+    * (distance to predecessor), i.e. the window-expressible batch
+    * sibling of the streaming greedy debounce in
+    * [[graft.streaming.Stream.throttle]] (greedy suppression measures
+    * from the last KEPT event instead; the two agree whenever
+    * suppressed events don't chain). One lag window over the per-key
+    * sort — same shuffle key as sessionize, no state beyond one row.
+    */
+  def windowThrottle(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts_us"), col("event_id"))
+    eventsUs(spark, dir)
+      .withColumn("prev", lag(col("ts_us"), 1).over(w))
+      .filter(col("prev").isNull || col("ts_us") - col("prev") >= 600000000L)
+      .select("event_id", "user_id", "event_type", "ts_us")
+      .orderBy("event_id")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_throttle" -> windowThrottle,
     "q7_volume" -> q7Volume,
     "q2_mincost_supplier" -> q2MincostSupplier,
     "q12_ship_delay" -> q12ShipDelay,
@@ -1335,6 +1355,16 @@ object Analytics {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "window_throttle" ->
+      s"""$EvSql, p AS (
+         |  SELECT event_id, user_id, event_type, ts_us,
+         |    lag(ts_us) OVER (PARTITION BY user_id, event_type
+         |      ORDER BY ts_us, event_id) AS prev
+         |  FROM ev
+         |)
+         |SELECT event_id, user_id, event_type, ts_us FROM p
+         |WHERE prev IS NULL OR ts_us - prev >= 600000000
+         |ORDER BY event_id""".stripMargin,
     "q7_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS BIGINT) AS ship_year, count(*) AS n_items,

@@ -570,6 +570,8 @@ object TextAnalysis {
     "perplexity_doc" -> perplexityDoc,
     "bpe_merges" -> bpeMerges,
     "lang_id" -> langId,
+    "doc_lang_mismatch" -> docLangMismatch,
+    "oov_rate" -> oovRate,
     "langid_confusion" -> langidConfusion,
     "source_kl" -> sourceKl,
     "gram_novelty" -> gramNovelty,
@@ -613,7 +615,78 @@ object TextAnalysis {
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
+  /** The mislabeled-language audit list: documents whose declared
+    * `lang` disagrees with the n-gram marker classifier, with their
+    * source — the actionable rows behind [[langidConfusion]]'s
+    * off-diagonal counts (a real pipeline routes these to relabeling
+    * or drops them before per-language training mixes). The mismatch
+    * set is a small fraction of the corpus, so the enrichment join's
+    * left side is already tiny when it runs.
+    */
+  def docLangMismatch(spark: SparkSession, dir: String): DataFrame =
+    langId(spark, dir).filter(col("correct") === 0L)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+      .select("doc_id", "lang", "pred_lang", "source")
+      .orderBy("doc_id")
+
+  /** Per-document out-of-vocabulary rate against the corpus' own
+    * top-k term vocabulary — the tokenizer-coverage audit run before
+    * committing a vocab size (OOV mass = what a fixed vocab throws
+    * away). Vocabulary = top 20 terms by collection frequency
+    * (term-asc tie-break, deterministic); the vocab is a broadcast
+    * k-row table, the token stream joins it map-side, and the per-doc
+    * rollup is one partial-agg shuffle. k is a parameter of
+    * [[oovRateOf]]; 20 fits this corpus' deliberately tiny synthetic
+    * vocabulary so the rate is non-degenerate at every SF.
+    */
+  def oovRate(spark: SparkSession, dir: String): DataFrame =
+    oovRateOf(Tables.documents(spark, dir), k = 20)
+
+  def oovRateOf(docs: DataFrame, k: Int): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+    val vocab = tok.groupBy("term").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(k)
+      .select(col("term").as("vterm"))
+    val per = tok
+      .join(broadcast(vocab), col("term") === col("vterm"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("vterm").isNull, 1L).otherwise(0L)).as("n_oov"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(col("n_tokens").isNull, lit(0.0))
+          .otherwise(round(col("n_oov").cast("double") /
+            col("n_tokens").cast("double"), 6)).as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "doc_lang_mismatch" ->
+      s"""SELECT p.doc_id, p.lang, p.pred_lang, d.source
+         |FROM ($langIdSql) p JOIN documents d ON p.doc_id = d.doc_id
+         |WHERE p.correct = 0 ORDER BY p.doc_id""".stripMargin,
+    "oov_rate" ->
+      s"""${OracleSql.ToksCte}, tok AS (
+         |  SELECT doc_id, unnest(tk) AS term FROM toks
+         |), vocab AS (
+         |  SELECT term FROM (SELECT term, count(*) AS c FROM tok GROUP BY term)
+         |  ORDER BY c DESC, term LIMIT 20
+         |), per AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    CAST(sum(CASE WHEN term IN (SELECT term FROM vocab)
+         |      THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+         |  FROM tok GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  coalesce(per.n_tokens, 0) AS n_tokens,
+         |  coalesce(per.n_oov, 0) AS n_oov,
+         |  CASE WHEN per.n_tokens IS NULL THEN 0.0
+         |       ELSE round(per.n_oov::DOUBLE / per.n_tokens::DOUBLE, 6) END AS oov_rate
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "gram_novelty" ->
       s"""${OracleSql.ToksCte}, gr AS (
          |  SELECT doc_id, array_to_string(tk[i+1:i+3], ' ') AS g

@@ -86,6 +86,58 @@ object Stream {
       }
   }
 
+  case class Throttled(user_id: Long, event_type: String, ts_us: Long)
+
+  /** Streaming event throttle — GREEDY debounce: per (user, type),
+    * emit an event only when ≥ `windowMinutes` passed since the last
+    * EMITTED event of that key (the notification/alerting rule: first
+    * event fires immediately, the storm after it is suppressed).
+    * Batch sibling: `Analytics.windowThrottle` keeps the
+    * lag-expressible gap rule (distance to predecessor); the two
+    * differ exactly when suppressed events chain — greedy measures
+    * from the last kept, so a steady sub-window drip stays suppressed
+    * forever here but re-fires under the gap rule.
+    *
+    * State per key is ONE long (the last emitted microsecond), evicted
+    * by EventTimeTimeout once the watermark passes last + window: any
+    * later in-watermark event is ≥ window away and emits regardless,
+    * so eviction can't change results — bounded state with no
+    * correctness loss.
+    */
+  def throttle(events: Dataset[Ev], windowMinutes: Long = 10,
+      watermark: String = "1 hour"): Dataset[Throttled] = {
+    import events.sparkSession.implicits._
+    val wUs = windowMinutes * 60L * 1000000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Long, Throttled](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        case ((uid, etype), evs, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var last = state.getOption
+            val out = Seq.newBuilder[Throttled]
+            sorted.foreach { e =>
+              val t = e.ts.getTime * 1000L
+              if (last.forall(l => t - l >= wUs)) {
+                out += Throttled(uid, etype, t)
+                last = Some(t)
+              }
+            }
+            last.foreach { l =>
+              state.update(l)
+              state.setTimeoutTimestamp(l / 1000L + windowMinutes * 60000L)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Continuous index maintenance: a document stream keeps a saved
     * [[graft.sources.IndexStore]] index fresh — each micro-batch
     * builds the positional postings of its documents

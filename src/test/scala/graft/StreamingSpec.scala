@@ -57,6 +57,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_throttle: greedy debounce measures from the last EMITTED event") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Stream.Ev]
+    val q = Stream.throttle(in.toDS())
+      .writeStream.format("memory").queryName("throttled")
+      .outputMode(OutputMode.Append()).start()
+    def emitted(): Seq[Long] = spark.table("throttled")
+      .filter(org.apache.spark.sql.functions.col("user_id") === 1L &&
+        org.apache.spark.sql.functions.col("event_type") === "view")
+      .collect().map(_.getLong(2) / 60000000L).sorted.toSeq
+    try {
+      // 5 kept (first), 7 suppressed (2 min after kept 5), 16 kept —
+      // 11 min after KEPT 5; the gap rule would suppress it (9 min
+      // after its predecessor 7), so this asserts greedy semantics
+      in.addData(Stream.Ev(1L, ts(5), "view"), Stream.Ev(1L, ts(7), "view"),
+        Stream.Ev(1L, ts(16), "view"))
+      q.processAllAvailable()
+      assert(emitted() === Seq(5L, 16L))
+      // cross-batch state: 25 is 9 min after kept 16 -> suppressed;
+      // 27 is 11 min after -> kept. Different key throttles separately.
+      in.addData(Stream.Ev(1L, ts(25), "view"), Stream.Ev(1L, ts(27), "view"),
+        Stream.Ev(1L, ts(27), "click"))
+      q.processAllAvailable()
+      assert(emitted() === Seq(5L, 16L, 27L))
+      assert(spark.table("throttled")
+        .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+        .count() === 1L)
+    } finally q.stop()
+  }
+
   test("stream_dedup: duplicate text within the watermark is dropped") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
