@@ -386,9 +386,31 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** Per-source document-length quartiles (EXACT percentiles with
+    * linear interpolation — both engines share the (n−1)·p rank
+    * convention, and the interpolation fractions are powers of two,
+    * so the doubles match bit-for-bit on integer lengths). The
+    * distribution shape a corpus QA pass reads before setting length
+    * filters: a source whose q75 is tiny is boilerplate; one whose
+    * q25 is huge needs chunking first. Spark's `percentile` is a
+    * partial-aggregable sketch-free exact aggregate — one shuffle of
+    * |sources| groups.
+    */
+  def sourceLengthQuartiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D))").as("qs"))
+      .select(col("source"), col("n_docs"),
+        round(col("qs").getItem(0), 6).as("q25"),
+        round(col("qs").getItem(1), 6).as("q50"),
+        round(col("qs").getItem(2), 6).as("q75"))
+      .orderBy("source")
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_length_quartiles" -> sourceLengthQuartiles,
     "shard_assign" -> shardAssign,
     "mix_temperature" -> mixTemperature,
     "dataset_card" -> datasetCard,
@@ -473,6 +495,12 @@ object Pipeline {
         |  CAST(len(tk[s+1:s+32]) AS BIGINT) AS n_tokens,
         |  array_to_string(tk[s+1:s+32], ' ') AS chunk_text
         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+    "source_length_quartiles" ->
+      """SELECT source, count(*) AS n_docs,
+        |  round(quantile_cont(n_chars, 0.25), 6) AS q25,
+        |  round(quantile_cont(n_chars, 0.50), 6) AS q50,
+        |  round(quantile_cont(n_chars, 0.75), 6) AS q75
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "shard_assign" ->
       """WITH c AS (
         |  SELECT doc_id,

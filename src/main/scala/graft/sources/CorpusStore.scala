@@ -33,4 +33,20 @@ object CorpusStore {
   /** Partition-pruned single-language read. */
   def loadLang(spark: SparkSession, path: String, lang: String): DataFrame =
     load(spark, path).filter(col("lang") === lang)
+
+  /** Small-files compaction: coalesce an accumulation of per-batch
+    * document directories (the `batch=<id>` landing dirs the
+    * streaming gates emit — correct for exactly-once replay, wrong as
+    * a long-term layout: a month of micro-batches is 100k+ tiny
+    * files whose open/footer cost dominates any later scan) into the
+    * canonical [[save]] layout. Read-then-rewrite is the right shape
+    * at any scale — the read is one planning pass over the file
+    * listing, the write re-clusters by language exactly like a fresh
+    * save, and the swap into place is the caller's move (write to a
+    * fresh dir, then repoint — same two-rename discipline as
+    * IndexStore's swap). Idempotent: re-running compaction over the
+    * same input produces the same output layout.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String): Unit =
+    save(spark.read.parquet(inPath), outPath)
 }

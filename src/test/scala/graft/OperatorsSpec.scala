@@ -497,6 +497,40 @@ class OperatorsSpec extends SparkSpec {
       rec.map(r => s"${r.getLong(0)}:${r.getDouble(2)}").mkString(","))
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // the runtime half of the skew story: salted_join is the MANUAL
+    // mitigation, this asserts Spark's adaptive OptimizeSkewedJoin
+    // re-plans a hot key WITHOUT code changes — the default defense a
+    // 100 TB job relies on before anyone reaches for salt
+    import spark.implicits._
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      // one hot key carrying ~97% of the left side
+      val left = spark.range(0, 200000)
+        .select(when($"id" < 194000, 0L).otherwise($"id" % 97).as("k"), $"id".as("v"))
+      val right = spark.range(0, 97).select($"id".as("k"), ($"id" * 10).as("w"))
+      val j = left.join(right, "k")
+      // execute THIS dataset's QueryExecution (count() would plan its
+      // own) so the adaptive plan below is the final one
+      assert(j.collect().length === 200000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("AQEShuffleRead"), s"AQE absent:\n$plan")
+      assert(plan.contains("skewed"), s"skew split absent:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("plan audit: expensive queries hold pushdown/broadcast/no-cartesian invariants") {
     val violations = Explain.audit(spark, sfDir)
     assert(violations.isEmpty, violations.mkString("\n"))

@@ -271,6 +271,30 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("lang"))
   }
 
+  test("corpus store: compaction folds per-batch landing dirs into the canonical layout") {
+    val base = tmpDir("graft-compact")
+    val docs = sources.Tables.documents(spark, sfDir)
+    // simulate a streaming gate's accumulation: 4 tiny batch dirs
+    (0 until 4).foreach { b =>
+      docs.filter(col("doc_id") % 4 === b)
+        .repartition(3) // deliberately fragment: 3 files per batch
+        .write.parquet(s"$base/landing/batch=$b")
+    }
+    val landed = spark.read.parquet(s"$base/landing")
+    val filesBefore = landed.select(input_file_name()).distinct().count()
+    sources.CorpusStore.compact(spark, s"$base/landing", s"$base/corpus")
+    val compacted = sources.CorpusStore.load(spark, s"$base/corpus")
+    assert(compacted.count() === docs.count())
+    val filesAfter = compacted.select(input_file_name()).distinct().count()
+    assert(filesAfter < filesBefore,
+      s"compaction did not reduce files: $filesBefore -> $filesAfter")
+    // compacted layout keeps the planning-time lang pruning
+    val de = sources.CorpusStore.loadLang(spark, s"$base/corpus", "de")
+    val plan = de.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"))
+    assert(de.count() === docs.filter(col("lang") === "de").count())
+  }
+
   test("cli: index/search/query mirror the reference's command surface") {
     val dir = tmpDir("graft-cli")
     Files.writeString(java.nio.file.Paths.get(s"$dir/docs.tsv"),
