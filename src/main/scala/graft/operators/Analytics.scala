@@ -1275,9 +1275,35 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** Time-weighted average value per (day, event_type) — TWAP, the
+    * integral the OHLC bars can't give you: each observation weighted
+    * by how long it HELD (interval to the next event), so a value
+    * that sat all afternoon counts accordingly. One lead window over
+    * the per-(day,type) sort; the Σ value·dt numerator routes through
+    * [[Folds]] (event-id-ordered fold under the gate's bitwise
+    * contract, plain partial-agg sum in production mode), the Σ dt
+    * denominator is an exact integer sum.
+    */
+  def eventsTwap(spark: SparkSession, dir: String): DataFrame = {
+    val df = eventsUs(spark, dir)
+      .withColumn("day", expr("ts_us div 86400000000"))
+    val w = Window.partitionBy("day", "event_type")
+      .orderBy(col("ts_us"), col("event_id"))
+    val iv = df
+      .withColumn("dt", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+      .filter(col("dt").isNotNull)
+    Folds.groupSums(iv, keys = Seq("day", "event_type"), ord = col("event_id"),
+        sums = Seq("num" -> (col("value") * col("dt").cast("double"))),
+        extra = Seq(count(lit(1)).as("n_intervals"), sum(col("dt")).as("den")))
+      .select(col("day"), col("event_type"), col("n_intervals"),
+        round(col("num") / col("den").cast("double"), 6).as("twap"))
+      .orderBy("day", "event_type")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_twap" -> eventsTwap,
     "window_throttle" -> windowThrottle,
     "q7_volume" -> q7Volume,
     "q2_mincost_supplier" -> q2MincostSupplier,
@@ -1355,6 +1381,21 @@ object Analytics {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "events_twap" ->
+      s"""$EvSql, iv AS (
+         |  SELECT ts_us // 86400000000 AS day, event_type, event_id, value,
+         |    lead(ts_us) OVER (PARTITION BY ts_us // 86400000000, event_type
+         |      ORDER BY ts_us, event_id) - ts_us AS dt
+         |  FROM ev
+         |), f AS (
+         |  SELECT day, event_type, event_id, value * dt AS c, dt FROM iv
+         |  WHERE dt IS NOT NULL
+         |)
+         |SELECT day, event_type, count(*) AS n_intervals,
+         |  round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+         |    list_sort(list(struct_pack(e := event_id, c := c))), s -> s['c'])),
+         |    (a, x) -> a + x) / CAST(sum(dt) AS DOUBLE), 6) AS twap
+         |FROM f GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
     "window_throttle" ->
       s"""$EvSql, p AS (
          |  SELECT event_id, user_id, event_type, ts_us,

@@ -357,6 +357,23 @@ object Similarity {
     * vec_id-sorted folds under the gate's bitwise contract, plain
     * partial-agg sums in production mode; min/max are order-free.
     */
+  /** Per-bucket occupancy of the IVF vector store — the capacity /
+    * balance view ANN serving plans against (probe cost is the probed
+    * bucket's size; a bucket holding 30% of the store means the
+    * coarse quantizer needs retraining — the embedding twin of
+    * `index_stats`' term-bucket report). Narrow broadcast assignment
+    * + one |buckets|-row rollup; nothing corpus-sized moves.
+    */
+  def ivfBucketStats(spark: SparkSession, dir: String): DataFrame = {
+    val bc = ivfAssign(Tables.embeddings(spark, dir))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs"))
+    val tot = bc.agg(sum(col("n_vecs")).cast("double").as("tot"))
+    bc.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_vecs"),
+        round(col("n_vecs") / col("tot"), 6).as("share"))
+      .orderBy("bucket")
+  }
+
   def embeddingStats(spark: SparkSession, dir: String): DataFrame = {
     val ex = Tables.embeddings(spark, dir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -780,7 +797,8 @@ object Similarity {
     "embedding_stats" -> embeddingStats,
     "embedding_pca" -> embeddingPca,
     "semantic_dedup" -> semanticDedup,
-    "embedding_outliers" -> embeddingOutliers)
+    "embedding_outliers" -> embeddingOutliers,
+    "ivf_bucket_stats" -> ivfBucketStats)
 
   /** `asg` CTE on top of [[OracleSql.NormCte]]: the IVF bucket
     * assignment (argmax cosine over the 16 seed centroids).
@@ -1137,6 +1155,14 @@ object Similarity {
          |)
          |SELECT query_id, rk, vec_id, round(c, 6) AS cosine
          |FROM r WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    "ivf_bucket_stats" ->
+      s"""${OracleSql.NormCte}$AssignCte, bc AS (
+         |  SELECT bucket, count(*) AS n_vecs FROM asg GROUP BY bucket
+         |), t AS (
+         |  SELECT sum(n_vecs)::DOUBLE AS tot FROM bc
+         |)
+         |SELECT bucket, n_vecs, round(n_vecs / t.tot, 6) AS share
+         |FROM bc, t ORDER BY bucket""".stripMargin,
     "knn_ivf" ->
       s"""${OracleSql.NormCte}$AssignCte, p AS (
          |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id, b.bucket,

@@ -18,7 +18,7 @@ class FoldsSpec extends SparkSpec {
     "neardup_pagerank", "source_kl", "zipf_fit", "perplexity_doc",
     "term_entropy", "keyword_textrank", "knn_ivf_trained",
     "knn_pq", "knn_ivf_pq", "embedding_outliers", "mlt_topk",
-    "mix_temperature")
+    "mix_temperature", "events_twap")
 
   private def withMode[A](bitwise: Boolean)(body: => A): A = {
     spark.conf.set(Folds.ConfKey, bitwise.toString)
