@@ -25,6 +25,9 @@ import org.apache.spark.sql.functions._
   *   - `bquery <indexPath> '<boolean query>' [nBuckets]` — the same
   *     grammar against the SAVED index (bucket-pruned leaf reads:
   *     index once, query many times).
+  *   - `stats <indexPath>` — per-bucket balance of the SAVED index
+  *     (terms/postings per term bucket: the observable form of the
+  *     reference's num-reducers knob, for picking nBuckets).
   */
 object Cli {
 
@@ -57,11 +60,17 @@ object Cli {
       val nBuckets = rest.headOption.map(_.toInt).getOrElse(IndexStore.DefaultBuckets)
       Query.searchIndex(spark, indexPath, q, nBuckets, id = "title")
         .orderBy("title")
+    case Seq("stats", indexPath) =>
+      IndexStore.load(spark, indexPath)
+        .groupBy(col("term_bucket"))
+        .agg(countDistinct(col("term")).as("terms"),
+          count(lit(1)).as("postings"))
+        .orderBy("term_bucket")
     case _ =>
       throw new IllegalArgumentException(
         "usage: index <in.tsv> <indexPath> [nBuckets] | " +
           "search <indexPath> <term> [k] | query <in.tsv> '<query>' [k] | " +
-          "bquery <indexPath> '<query>' [nBuckets]")
+          "bquery <indexPath> '<query>' [nBuckets] | stats <indexPath>")
   }
 
   def main(args: Array[String]): Unit = {

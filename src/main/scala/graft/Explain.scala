@@ -76,7 +76,10 @@ object Explain {
     "q2_mincost_supplier" -> Rule(required = Seq("BroadcastHashJoin")),
     "q16_supplier_variety" -> Rule(required = Seq("BroadcastHashJoin")),
     "q21_late_supplier" -> Rule(),
-    "q12_ship_delay" -> Rule())
+    "q12_ship_delay" -> Rule(),
+    // vector-store occupancy: centroid table broadcast, never shuffled
+    "ivf_bucket_stats" -> Rule(required = Seq("BroadcastNestedLoopJoin")),
+    "events_twap" -> Rule())
 
   /** Saved-index retrieval invariants: the lookup paths must prune
     * term buckets AT PLANNING TIME (PartitionFilters, not a post-scan

@@ -349,14 +349,6 @@ object Similarity {
       .orderBy("variant", "query_id")
   }
 
-  /** Per-dimension embedding health statistics: n, mean, std, min,
-    * max — the drift/degenerate-dimension check run before trusting a
-    * new embedding batch (a collapsed dimension shows std ≈ 0, a
-    * scale bug shows in min/max). One narrow posexplode + one
-    * dim-keyed shuffle of 16 rows. Sums route through [[Folds]]:
-    * vec_id-sorted folds under the gate's bitwise contract, plain
-    * partial-agg sums in production mode; min/max are order-free.
-    */
   /** Per-bucket occupancy of the IVF vector store — the capacity /
     * balance view ANN serving plans against (probe cost is the probed
     * bucket's size; a bucket holding 30% of the store means the
@@ -374,6 +366,14 @@ object Similarity {
       .orderBy("bucket")
   }
 
+  /** Per-dimension embedding health statistics: n, mean, std, min,
+    * max — the drift/degenerate-dimension check run before trusting a
+    * new embedding batch (a collapsed dimension shows std ≈ 0, a
+    * scale bug shows in min/max). One narrow posexplode + one
+    * dim-keyed shuffle of 16 rows. Sums route through [[Folds]]:
+    * vec_id-sorted folds under the gate's bitwise contract, plain
+    * partial-agg sums in production mode; min/max are order-free.
+    */
   def embeddingStats(spark: SparkSession, dir: String): DataFrame = {
     val ex = Tables.embeddings(spark, dir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))

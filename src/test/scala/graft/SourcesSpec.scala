@@ -313,6 +313,9 @@ class SourcesSpec extends SparkSpec {
     val bq = Cli.run(spark,
         Seq("bquery", s"$dir/index", "spark AND NOT filter", "4")).collect()
     assert(bq.map(_.getAs[String]("title")).toSeq === Seq("Doc One"))
+    val bstats = Cli.run(spark, Seq("stats", s"$dir/index")).collect()
+    assert(bstats.map(_.getAs[Long]("terms")).sum === 5L)
+    assert(bstats.map(_.getAs[Long]("postings")).sum === 6L)
     intercept[IllegalArgumentException](Cli.run(spark, Seq("bogus")))
   }
 
