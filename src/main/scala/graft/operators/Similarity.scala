@@ -236,7 +236,15 @@ object Similarity {
     * doubles, so at 100 TB nprobe scales recall with zero extra
     * passes over the corpus.
     */
-  def knnIvfProbe2(spark: SparkSession, dir: String): DataFrame = {
+  def knnIvfProbe2(spark: SparkSession, dir: String): DataFrame =
+    knnIvfProbeN(spark, dir, nprobe = 2)
+
+  /** Multi-probe IVF at an arbitrary probe count: each query searches
+    * its `nprobe` nearest centroid buckets. Probes widen ONLY the
+    * broadcast query-side table (nprobe rows per query); the store
+    * side never recomputes or reshuffles.
+    */
+  def knnIvfProbeN(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val en = withNorm(Tables.embeddings(spark, dir))
     val cent = en.filter(col("vec_id") < NCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nm").as("cnm"))
@@ -246,7 +254,7 @@ object Similarity {
       .withColumn("ccos",
         VectorFns.dot(col("embedding"), col("ce")) / (col("nm") * col("cnm")))
       .withColumn("crn", row_number().over(wq))
-      .filter(col("crn") <= 2)
+      .filter(col("crn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nm").as("qnm"), col("cid").as("bucket"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
@@ -260,6 +268,23 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("vec_id"),
         round(col("cos"), 6).as("cosine"), col("bucket"))
       .orderBy("query_id", "rk")
+  }
+
+  /** The nprobe design curve: recall@10 vs brute-force truth at
+    * nprobe = 1, 2, 3 in one table — `lsh_tuning_curve`'s IVF sibling
+    * and the table that picks a serving config (probe cost grows
+    * linearly; this shows what each probe buys). Integer-exact:
+    * recall is total hits over queries × k, one division at the end.
+    */
+  def annProbeCurve(spark: SparkSession, dir: String): DataFrame = {
+    val bf = knnBruteforce(spark, dir).select(col("query_id"), col("vec_id"))
+    (1 to 3).map { np =>
+      recallOf(bf, knnIvfProbeN(spark, dir, np))
+        .agg(count(lit(1)).as("n_queries"), sum(col("n_hits")).as("total_hits"))
+        .select(lit(np.toLong).as("n_probe"), col("n_queries"), col("total_hits"),
+          round(col("total_hits").cast("double") /
+            (col("n_queries") * TopK).cast("double"), 6).as("recall_at_10"))
+    }.reduce(_ unionByName _).orderBy("n_probe")
   }
 
   /** Residual-encoded IVF+PQ — the faithful billion-scale
@@ -798,7 +823,8 @@ object Similarity {
     "embedding_pca" -> embeddingPca,
     "semantic_dedup" -> semanticDedup,
     "embedding_outliers" -> embeddingOutliers,
-    "ivf_bucket_stats" -> ivfBucketStats)
+    "ivf_bucket_stats" -> ivfBucketStats,
+    "ann_probe_curve" -> annProbeCurve)
 
   /** `asg` CTE on top of [[OracleSql.NormCte]]: the IVF bucket
     * assignment (argmax cosine over the 16 seed centroids).
@@ -1252,6 +1278,54 @@ object Similarity {
          |)
          |SELECT query_id, label AS pred_label, votes
          |FROM best WHERE rn = 1 ORDER BY query_id""".stripMargin,
+    "ann_probe_curve" -> {
+      def probeCtes(np: Int): String =
+        s"""qp$np AS (
+           |  SELECT query_id AS vec_id, qe AS embedding, qnm AS nm, cid AS bucket FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, cid) AS crn
+           |    FROM qc) WHERE crn <= $np
+           |), p$np AS (
+           |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+           |    ${OracleSql.cosineN("q.embedding", "b.embedding", "q.nm", "b.nm")} AS c
+           |  FROM qp$np q JOIN asg b ON b.bucket = q.bucket AND b.vec_id != q.vec_id
+           |), r$np AS (
+           |  SELECT query_id, vec_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+           |  FROM p$np
+           |), f$np AS (SELECT query_id, vec_id FROM r$np WHERE rk <= $TopK),
+           |g$np AS (
+           |  SELECT bfr.query_id,
+           |    sum(CASE WHEN f$np.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+           |  FROM bfr LEFT JOIN f$np
+           |    ON bfr.query_id = f$np.query_id AND bfr.vec_id = f$np.vec_id
+           |  GROUP BY bfr.query_id
+           |)""".stripMargin
+      def row(np: Int): String =
+        s"""SELECT CAST($np AS BIGINT) AS n_probe, count(*) AS n_queries,
+           |  CAST(sum(n_hits) AS BIGINT) AS total_hits,
+           |  round(CAST(sum(n_hits) AS DOUBLE) /
+           |    CAST(count(*) * $TopK AS DOUBLE), 6) AS recall_at_10
+           |FROM g$np""".stripMargin
+      s"""${OracleSql.NormCte}$AssignCte, qc AS (
+         |  SELECT q.vec_id AS query_id, q.embedding AS qe, q.nm AS qnm,
+         |    c.vec_id AS cid,
+         |    ${OracleSql.cosineN("q.embedding", "c.embedding", "q.nm", "c.nm")} AS ccos
+         |  FROM nrm q JOIN nrm c ON q.vec_id < $NQueries AND c.vec_id < $NCentroids
+         |), bp AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+         |    ${OracleSql.cosineN("q.embedding", "b.embedding", "q.nm", "b.nm")} AS c
+         |  FROM nrm q JOIN nrm b ON q.vec_id < $NQueries AND b.vec_id != q.vec_id
+         |), br AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+         |  FROM bp
+         |), bfr AS (SELECT query_id, vec_id FROM br WHERE rk <= $TopK),
+         |${(1 to 3).map(probeCtes).mkString(",\n")}
+         |SELECT n_probe, n_queries, total_hits, recall_at_10 FROM (
+         |  ${(1 to 3).map(row).mkString("\n  UNION ALL\n  ")}
+         |)
+         |ORDER BY n_probe""".stripMargin
+    },
     "ann_recall_ivf" -> {
       def pairs(asgName: String, p: String): String =
         s"""$p AS (
