@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   * {{{
   *   query  := or
   *   or     := and (OR and)*
-  *   and    := unary (AND unary)*
+  *   and    := near (AND near)*
+  *   near   := unary (NEAR/k unary)*   — operands must be bare terms
   *   unary  := NOT unary | '(' query ')' | '"' term+ '"' | term
   * }}}
   *
@@ -31,6 +32,7 @@ object Query {
   final case class Term(t: String) extends Q
   final case class Prefix(p: String) extends Q
   final case class Phrase(ts: Seq[String]) extends Q
+  final case class Near(l: String, r: String, k: Int) extends Q
   final case class And(l: Q, r: Q) extends Q
   final case class Or(l: Q, r: Q) extends Q
   final case class Not(q: Q) extends Q
@@ -59,7 +61,7 @@ object Query {
         expect("\"")
         require(ws.nonEmpty, s"empty phrase in query: $s")
         if (ws.size == 1) Term(ws.head) else Phrase(ws)
-      case Some(w) if w != "AND" && w != "OR" && w != ")" =>
+      case Some(w) if w != "AND" && w != "OR" && w != ")" && !w.startsWith("NEAR/") =>
         next()
         // trailing-* wildcard = dictionary prefix query (the parser
         // surface of prefixSearch); bare '*' alone is rejected
@@ -67,9 +69,22 @@ object Query {
       case other => throw new IllegalArgumentException(
         s"unexpected ${other.getOrElse("<end>")} in query: $s")
     }
-    def and(): Q = {
+    def near(): Q = {
       var q = unary()
-      while (peek.contains("AND")) { next(); q = And(q, unary()) }
+      while (peek.exists(_.startsWith("NEAR/"))) {
+        val k = next().drop("NEAR/".length).toInt
+        require(k > 0, s"NEAR window must be positive in query: $s")
+        (q, unary()) match {
+          case (Term(a), Term(b)) => q = Near(a, b, k)
+          case _ => throw new IllegalArgumentException(
+            s"NEAR operands must be bare terms in query: $s")
+        }
+      }
+      q
+    }
+    def and(): Q = {
+      var q = near()
+      while (peek.contains("AND")) { next(); q = And(q, near()) }
       q
     }
     def or(): Q = {
@@ -104,6 +119,15 @@ object Query {
         acc.join(nxt, acc(id) === col("__id") && col("__p") === acc("pos") + i)
           .select(acc(id), acc("pos"))
       }.select(col(id)).distinct()
+    case Near(a, b, k) =>
+      // positional co-occurrence within ±k (unordered) — the grammar
+      // surface of proximitySearch; both leaves are term-pruned scans
+      val pa = tok.filter(col("term") === a).select(col(id), col("pos"))
+      val pb = tok.filter(col("term") === b)
+        .select(col(id).as("__nid"), col("pos").as("__np"))
+      pa.join(pb, pa(id) === col("__nid") &&
+          abs(col("__np") - col("pos")) <= k && col("__np") =!= col("pos"))
+        .select(pa(id)).distinct()
     case And(l, r) =>
       eval(tok, universe, l, id)
         .join(eval(tok, universe, r, id), Seq(id), "left_semi")
@@ -128,6 +152,7 @@ object Query {
     case Term(t) => (Seq(t), Nil)
     case Prefix(p) => (Nil, Seq(p))
     case Phrase(ts) => (ts, Nil)
+    case Near(a, b, _) => (Seq(a, b), Nil)
     case And(l, r) => val (a, b) = leaves(l); val (c, d) = leaves(r); (a ++ c, b ++ d)
     case Or(l, r) => val (a, b) = leaves(l); val (c, d) = leaves(r); (a ++ c, b ++ d)
     case Not(inner) => leaves(inner)
@@ -178,6 +203,7 @@ object Query {
     // expanded term set, which only the match step materializes
     case Prefix(_) => Seq.empty
     case Phrase(ts) => ts
+    case Near(a, b, _) => Seq(a, b).distinct
     case And(l, r) => (positiveTerms(l) ++ positiveTerms(r)).distinct
     case Or(l, r) => (positiveTerms(l) ++ positiveTerms(r)).distinct
     case Not(_) => Seq.empty
@@ -239,12 +265,59 @@ object Query {
     search(Tables.documents(spark, dir), "\"small query line\"")
       .orderBy("doc_id")
 
+  /** Gate query: the NEAR/k proximity operator inside the boolean
+    * grammar ([[Near]] — the parser surface of `proximity_search`),
+    * composed with AND NOT.
+    */
+  def queryNear(spark: SparkSession, dir: String): DataFrame =
+    search(Tables.documents(spark, dir), "spark NEAR/4 join AND NOT slow")
+      .orderBy("doc_id")
+
+  /** Gate query: the full retrieve-then-rank path — boolean matching
+    * through the grammar, then BM25 over the query's positive terms
+    * ([[searchRanked]], the same path `Cli query` serves). One
+    * positive term keeps the per-doc score a single contribution
+    * (no cross-engine fold-order concern at the gate; multi-term
+    * ranking is exercised by `bm25_topk`'s fixed-term twin).
+    */
+  def queryRanked(spark: SparkSession, dir: String): DataFrame =
+    searchRanked(Tables.documents(spark, dir), "spark AND NOT slow", k = 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "query_search" -> querySearch,
     "wildcard_search" -> wildcardSearch,
+    "query_near" -> queryNear,
+    "query_ranked" -> queryRanked,
     "phrase3_search" -> phrase3Search)
 
   val oracles: Map[String, String] = Map(
+    "query_ranked" ->
+      s"""${Index.TokSql}, n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+         |avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+         |df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY term),
+         |m AS (
+         |  SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'
+         |    AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'slow')
+         |),
+         |tf AS (
+         |  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+         |  WHERE term = 'spark' AND doc_id IN (SELECT doc_id FROM m)
+         |  GROUP BY doc_id, term
+         |)
+         |SELECT tf.doc_id AS doc_id,
+         |  round(sum(ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |    * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))), 4) AS score
+         |FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, n, avgdl
+         |GROUP BY tf.doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "query_near" ->
+      s"""${Index.TokSql}
+         |SELECT DISTINCT a.doc_id AS doc_id
+         |FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+         |  AND abs(b.pos - a.pos) <= 4 AND b.pos <> a.pos
+         |WHERE a.term = 'spark' AND b.term = 'join'
+         |  AND a.doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'slow')
+         |ORDER BY doc_id""".stripMargin,
     "phrase3_search" ->
       s"""${Index.TokSql}
          |SELECT DISTINCT a.doc_id AS doc_id

@@ -255,6 +255,18 @@ class SourcesSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
     assert(fromIndex === fromCorpus)
     assert(fromIndex === Seq(0L, 1L, 2L, 4L)) // 2 via quer*, not the AND branch
+    // NEAR/k through BOTH paths: spark..key are 2 apart in doc 0 and
+    // 3 apart in doc 2 — the window cleanly splits them
+    val nq = "spark NEAR/2 key"
+    val nearIdx = operators.Query.searchIndex(spark, path, nq, nBuckets = 4)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val nearCorpus = operators.Query.search(docs, nq)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(nearIdx === nearCorpus)
+    assert(nearIdx === Seq(0L))
+    assert(operators.Query.search(docs, "spark NEAR/3 key")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq === Seq(0L, 2L))
+    intercept[IllegalArgumentException](operators.Query.parse("(a AND b) NEAR/2 c"))
   }
 
   test("corpus store: lang-partitioned layout prunes single-language reads") {
