@@ -24,6 +24,31 @@ object Multimodal {
     Tables.documents(spark, dir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
 
+  /** Per-source media storage accounting: payload count, total bytes,
+    * bytes after within-source exact dedup, and the savings
+    * percentage — the report that decides whether media dedup is
+    * worth running on a source (at 100 TB the answer funds the
+    * pipeline). Digests only: payloads never shuffle (the
+    * [[mediaDedup]] discipline) — two digest-keyed partial-agg
+    * rollups and a |sources|-row join.
+    */
+  def mediaSizeReport(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.documents(spark, dir)
+      .select(col("source"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("nb"),
+        md5(encode(col("text"), "UTF-8")).as("h"))
+    val per = m.groupBy("source")
+      .agg(count(lit(1)).as("n_media"), sum(col("nb")).as("total_bytes"))
+    val uniq = m.groupBy(col("source"), col("h"))
+      .agg(min(col("nb")).as("nb"))
+      .groupBy("source").agg(sum(col("nb")).as("uniq_bytes"))
+    per.join(uniq, "source")
+      .select(col("source"), col("n_media"), col("total_bytes"), col("uniq_bytes"),
+        round(lit(100.0) * (col("total_bytes") - col("uniq_bytes")).cast("double") /
+          col("total_bytes").cast("double"), 4).as("dedup_savings_pct"))
+      .orderBy("source")
+  }
+
   /** Typed metadata over the opaque payload: byte length, content
     * hash, magic prefix. Narrow, codegen'd, never decodes.
     */
@@ -155,12 +180,32 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_neardup" -> mediaNeardup,
+    "media_size_report" -> mediaSizeReport,
     "media_meta" -> mediaMeta,
     "media_features" -> mediaFeatures,
     "media_frames" -> mediaFrames,
     "media_dedup" -> mediaDedup)
 
   val oracles: Map[String, String] = Map(
+    "media_size_report" ->
+      """WITH m AS (
+        |  SELECT source,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+        |    md5(text) AS h
+        |  FROM documents
+        |), per AS (
+        |  SELECT source, count(*) AS n_media,
+        |    CAST(sum(nb) AS BIGINT) AS total_bytes
+        |  FROM m GROUP BY source
+        |), u AS (
+        |  SELECT source, CAST(sum(nb) AS BIGINT) AS uniq_bytes FROM (
+        |    SELECT source, h, min(nb) AS nb FROM m GROUP BY source, h
+        |  ) GROUP BY source
+        |)
+        |SELECT source, n_media, total_bytes, uniq_bytes,
+        |  round(100.0 * CAST(total_bytes - uniq_bytes AS DOUBLE) /
+        |    CAST(total_bytes AS DOUBLE), 4) AS dedup_savings_pct
+        |FROM per JOIN u USING (source) ORDER BY source""".stripMargin,
     "media_features" ->
       """WITH m AS (
         |  SELECT doc_id, hex(encode(text)) AS h FROM documents
