@@ -623,6 +623,26 @@ object Stream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
 
+  /** Live OHLC bars — the streaming twin of the batch `events_ohlc`:
+    * hourly open/high/low/close per event type. open/close ride
+    * `min_by`/`max_by` on event time (declarative aggregates, so the
+    * whole thing stays a PURE streaming aggregation — the batch
+    * operator's row_number windows would need unbounded sort state).
+    * Watermark bounds state to the open bars; high/low/count merge
+    * partially like any agg.
+    */
+  def ohlcBars(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("open"), col("high"), col("low"), col("close"))
+
   /** Running global term frequencies over a document stream in Update
     * mode — the streaming twin of the batch `wordcount` (and the live
     * "trending terms" surface a search deployment watches). A pure

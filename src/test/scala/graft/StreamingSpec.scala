@@ -57,6 +57,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_ohlc: hourly bars with time-ordered open/close") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = Stream.ohlcBars(in.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("ohlc")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData((ts(10), "click", 5.0), (ts(20), "click", 9.0),
+        (ts(30), "click", 2.0), (ts(70), "view", 3.0))
+      q.processAllAvailable()
+      // a later batch moves click's close (40min > 30min) but not open
+      in.addData((ts(40), "click", 7.0))
+      q.processAllAvailable()
+      val bars = spark.table("ohlc").orderBy("hour_start", "event_type").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      assert(bars.toSeq === Seq(
+        (0L, "click", 4L, 5.0, 9.0, 2.0, 7.0),
+        (60L, "view", 1L, 3.0, 3.0, 3.0, 3.0)))
+    } finally q.stop()
+  }
+
   test("stream_throttle: greedy debounce measures from the last EMITTED event") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
