@@ -232,6 +232,26 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
+  /** Candidate-pair similarity histogram: exact shingle-Jaccard of
+    * every PPJoin-verified pair with J ≥ 0.3, binned at 0.05 width —
+    * the distribution that picks a dedup threshold (where the pair
+    * mass sits relative to the 0.5 cut `ngram_jaccard` applies, and
+    * what moving it would cost): `lsh_tuning_curve` tunes the SKETCH
+    * against a threshold, this picks the threshold itself. Candidate
+    * generation is the same lossless prefix+positional filter as the
+    * Jaccard join; the rollup is ≤ 15 bins. Both engines compute j
+    * from the same integer counts with the same double ops, so the
+    * bin assignment is identical bit-for-bit.
+    */
+  def jaccardHist(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(Tables.documents(spark, dir), 0.3)
+      .filter(col("j") >= 0.3)
+      .groupBy(floor(col("j") * 20).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("bin"), round(col("bin").cast("double") / 20.0, 2).as("j_lo"),
+        col("n_pairs"))
+      .orderBy("bin")
+
   /** Directional shingle CONTAINMENT over the exact Jaccard ≥ 0.3
     * pair relation: C(A→B) = |A∩B| / |A| and C(B→A) = |A∩B| / |B|,
     * both EXACT (the intersection count comes straight from the
@@ -772,6 +792,7 @@ object Dedup {
     "minhash_lsh_pairs" -> minhashLshPairs,
     "minhash_dedup_apply" -> minhashDedupApply,
     "ngram_jaccard" -> ngramJaccard,
+    "jaccard_hist" -> jaccardHist,
     "containment_pairs" -> containmentPairs,
     "simhash" -> simhash,
     "simhash_pairs" -> simhashPairs,
@@ -1038,6 +1059,24 @@ object Dedup {
          |)
          |SELECT da AS doc_a, db AS doc_b, round(j, 4) AS jaccard
          |FROM jac WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "jaccard_hist" ->
+      s"""${OracleSql.ShingleHashCte}, sets AS (
+         |  SELECT doc_id, list_distinct(h) AS s FROM hs
+         |), ex AS (
+         |  SELECT doc_id, unnest(s) AS hh FROM sets
+         |), inter AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+         |  FROM ex a JOIN ex b ON a.hh = b.hh AND a.doc_id < b.doc_id
+         |  GROUP BY da, db
+         |), jac AS (
+         |  SELECT i::DOUBLE / (len(x.s) + len(y.s) - i) AS j
+         |  FROM inter JOIN sets x ON da = x.doc_id JOIN sets y ON db = y.doc_id
+         |), h2 AS (
+         |  SELECT CAST(floor(j * 20) AS BIGINT) AS bin FROM jac WHERE j >= 0.3
+         |)
+         |SELECT bin, round(CAST(bin AS DOUBLE) / 20.0, 2) AS j_lo,
+         |  count(*) AS n_pairs
+         |FROM h2 GROUP BY bin ORDER BY bin""".stripMargin,
     "containment_pairs" ->
       s"""${OracleSql.ShingleHashCte}, sets AS (
          |  SELECT doc_id, list_distinct(h) AS s FROM hs
