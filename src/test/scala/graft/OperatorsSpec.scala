@@ -497,6 +497,23 @@ class OperatorsSpec extends SparkSpec {
       rec.map(r => s"${r.getLong(0)}:${r.getDouble(2)}").mkString(","))
   }
 
+  test("query grammar NEAR/k agrees with the standalone proximity operator") {
+    val docs = sources.Tables.documents(spark, sfDir)
+    val viaGrammar = operators.Query.search(docs, "spark NEAR/5 join")
+      .collect().map(_.getLong(0)).toSet
+    val viaOperator = operators.Index.proximitySearchOf(docs, Seq("spark", "join"), 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaGrammar === viaOperator)
+    assert(viaGrammar.nonEmpty)
+    // parser shape: NEAR binds tighter than AND, composes in parens
+    val q = operators.Query.parse("(a NEAR/2 b) AND c OR d")
+    assert(q === operators.Query.Or(
+      operators.Query.And(operators.Query.Near("a", "b", 2),
+        operators.Query.Term("c")),
+      operators.Query.Term("d")))
+    intercept[IllegalArgumentException](operators.Query.parse("a NEAR/0 b"))
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     // the runtime half of the skew story: salted_join is the MANUAL
     // mitigation, this asserts Spark's adaptive OptimizeSkewedJoin
