@@ -79,7 +79,19 @@ object Explain {
     "q12_ship_delay" -> Rule(),
     // vector-store occupancy: centroid table broadcast, never shuffled
     "ivf_bucket_stats" -> Rule(required = Seq("BroadcastNestedLoopJoin")),
-    "events_twap" -> Rule())
+    "events_twap" -> Rule(),
+    // session-2 additions: vocab/ranking stats broadcast; the Jaccard
+    // histogram inherits the pair join's no-cartesian obligation
+    "oov_rate" -> Rule(required = Seq("BroadcastHashJoin")),
+    "query_ranked" -> Rule(required = Seq("BroadcastHashJoin")),
+    "query_near" -> Rule(),
+    "jaccard_hist" -> Rule(),
+    "media_size_report" -> Rule(),
+    "doc_lang_mismatch" -> Rule(),
+    "shard_assign" -> Rule(),
+    "mix_temperature" -> Rule(),
+    "source_length_quartiles" -> Rule(),
+    "ann_probe_curve" -> Rule(required = Seq("BroadcastNestedLoopJoin")))
 
   /** Saved-index retrieval invariants: the lookup paths must prune
     * term buckets AT PLANNING TIME (PartitionFilters, not a post-scan
