@@ -91,7 +91,8 @@ object Explain {
     "shard_assign" -> Rule(),
     "mix_temperature" -> Rule(),
     "source_length_quartiles" -> Rule(),
-    "ann_probe_curve" -> Rule(required = Seq("BroadcastNestedLoopJoin")))
+    "ann_probe_curve" -> Rule(required = Seq("BroadcastNestedLoopJoin")),
+    "q11_important_parts" -> Rule(required = Seq("BroadcastHashJoin")))
 
   /** Saved-index retrieval invariants: the lookup paths must prune
     * term buckets AT PLANNING TIME (PartitionFilters, not a post-scan

@@ -1300,9 +1300,40 @@ object Analytics {
       .orderBy("day", "event_type")
   }
 
+  /** Q11-flavored important-parts report: parts whose traded value
+    * through NATION_3's suppliers exceeds 0.02% of that nation's
+    * total — the group-HAVING-against-a-GLOBAL-aggregate shape Q11
+    * is famous for. The global total is a 1-row broadcast and the
+    * fraction test is DIVISION-FREE decimal arithmetic
+    * (`value · 5000 > total`; the fraction scales with SF exactly as Q11's own spec scales its threshold), so the cross-engine compare is exact
+    * at the boundary. Supplier dim filtered-then-broadcast into the
+    * fact scan first; one partkey rollup shuffle.
+    */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)
+          .join(broadcast(Tables.nation(spark, dir)
+              .filter(col("n_name") === "NATION_3").select("n_nationkey")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_quantity").cast("decimal(18,2)")).as("val"))
+    val per = li.groupBy("l_partkey")
+      .agg(sum(col("val")).as("pvalue"))
+    val tot = per.agg(sum(col("pvalue")).as("total"))
+    per.crossJoin(broadcast(tot))
+      .filter(col("pvalue") * lit(5000) > col("total"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("pvalue").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_important_parts" -> q11ImportantParts,
     "events_twap" -> eventsTwap,
     "window_throttle" -> windowThrottle,
     "q7_volume" -> q7Volume,
@@ -1381,6 +1412,22 @@ object Analytics {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q11_important_parts" ->
+      """WITH li AS (
+        |  SELECT l_partkey,
+        |    l_extendedprice::DECIMAL(18,2) * l_quantity::DECIMAL(18,2) AS val
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        |), per AS (
+        |  SELECT l_partkey, sum(val) AS pvalue FROM li GROUP BY l_partkey
+        |), tot AS (
+        |  SELECT sum(pvalue) AS total FROM per
+        |)
+        |SELECT l_partkey AS p_partkey, CAST(pvalue AS DOUBLE) AS part_value
+        |FROM per, tot
+        |WHERE pvalue * 5000 > total
+        |ORDER BY part_value DESC, p_partkey""".stripMargin,
     "events_twap" ->
       s"""$EvSql, iv AS (
          |  SELECT ts_us // 86400000000 AS day, event_type, event_id, value,
