@@ -92,7 +92,9 @@ object Explain {
     "mix_temperature" -> Rule(),
     "source_length_quartiles" -> Rule(),
     "ann_probe_curve" -> Rule(required = Seq("BroadcastNestedLoopJoin")),
-    "q11_important_parts" -> Rule(required = Seq("BroadcastHashJoin")))
+    "q11_important_parts" -> Rule(required = Seq("BroadcastHashJoin")),
+    "q9_profit" -> Rule(required = Seq("BroadcastHashJoin")),
+    "q20_excess_supply" -> Rule(required = Seq("BroadcastHashJoin")))
 
   /** Saved-index retrieval invariants: the lookup paths must prune
     * term buckets AT PLANNING TIME (PartitionFilters, not a post-scan

@@ -1330,9 +1330,81 @@ object Analytics {
       .orderBy(col("part_value").desc, col("p_partkey"))
   }
 
+  /** Q9-flavored product-profit report: profit per (supplier nation,
+    * ship year) for one part family ('ring' parts), where profit is
+    * `extprice·(1−disc) − retailprice·qty/10` — the corpus has no
+    * partsupp/supplycost, so one tenth of the part's retail price
+    * stands in as unit cost (same report shape, same join tree as
+    * Q9). Cost decimals: retailprice has 1 decimal and qty is
+    * integral, so `retailprice·qty` is exact in decimal(18,2) and
+    * the /10 is decimal scaling, not float division. Both dimension
+    * hops (part-family filter, supplier→nation) BROADCAST into the
+    * fact scan; one (nation, year) rollup shuffle — at 100 TB the
+    * lineitem never moves for the joins.
+    */
+  def q9Profit(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_name").contains("ring"))
+          .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(lineRevenueDec -
+            (col("p_retailprice").cast("decimal(18,2)") *
+              col("l_quantity").cast("decimal(18,2)") /
+              lit(10).cast("decimal(18,0)")).cast("decimal(18,2)"))
+          .cast("double").as("profit"))
+      .orderBy("nation", "ship_year")
+
+  /** Q20-flavored concentrated-supply report: suppliers holding an
+    * OUTSIZED share of a part family's flow — (supplier, part) pairs
+    * whose shipped quantity exceeds 2× the part's per-supplier
+    * average, rolled up to the supplier with the count of such parts
+    * (Q20's correlated `availqty > 0.5·sum(qty)` subquery,
+    * re-expressed as a per-part stats rejoin). Division-free at the
+    * boundary: `qty_sp · n_suppliers > 2 · tot_p` on decimal×bigint
+    * products. The per-part stats frame is |family parts| rows —
+    * broadcast back into the pair rollup; the supplier dim broadcasts
+    * for the name/nation decoration. Two shuffles total (pair rollup,
+    * supplier rollup) regardless of SF.
+    */
+  def q20ExcessSupply(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_name").contains("widget")).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty_sp"))
+    val perPart = pairs.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("qty_sp")).as("tot_p"),
+        count(lit(1)).cast("decimal(18,0)").as("n_sup"))
+    pairs
+      .join(broadcast(perPart), col("l_partkey") === col("pk"))
+      .filter(col("qty_sp") * col("n_sup") > col("tot_p") * lit(2).cast("decimal(18,0)"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_conc_parts"),
+        sum(col("qty_sp")).cast("double").as("conc_qty"))
+      .join(broadcast(Tables.supplier(spark, dir)
+          .select("s_suppkey", "s_name", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name").as("nation"),
+        col("n_conc_parts"), col("conc_qty"))
+      .orderBy(col("n_conc_parts").desc, col("s_name"))
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q9_profit" -> q9Profit,
+    "q20_excess_supply" -> q20ExcessSupply,
     "q11_important_parts" -> q11ImportantParts,
     "events_twap" -> eventsTwap,
     "window_throttle" -> windowThrottle,
@@ -1412,6 +1484,45 @@ object Analytics {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q9_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(
+        |    l_extendedprice::DECIMAL(18,2) *
+        |      (1.0::DECIMAL(18,2) - l_discount::DECIMAL(18,2)) -
+        |    CAST(p_retailprice::DECIMAL(18,2) * l_quantity::DECIMAL(18,2) /
+        |      10::DECIMAL(18,0) AS DECIMAL(18,2))
+        |  ) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%ring%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2
+        |ORDER BY nation, ship_year""".stripMargin,
+    "q20_excess_supply" ->
+      """WITH pairs AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    sum(l_quantity::DECIMAL(18,2)) AS qty_sp
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        |  GROUP BY 1, 2
+        |), per_part AS (
+        |  SELECT l_partkey AS pk, sum(qty_sp) AS tot_p,
+        |    count(*)::DECIMAL(18,0) AS n_sup
+        |  FROM pairs GROUP BY 1
+        |), conc AS (
+        |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_conc_parts,
+        |    CAST(sum(qty_sp) AS DOUBLE) AS conc_qty
+        |  FROM pairs JOIN per_part ON l_partkey = pk
+        |  WHERE qty_sp * n_sup > tot_p * 2::DECIMAL(18,0)
+        |  GROUP BY 1
+        |)
+        |SELECT s_name, n_name AS nation, n_conc_parts, conc_qty
+        |FROM conc
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY n_conc_parts DESC, s_name""".stripMargin,
     "q11_important_parts" ->
       """WITH li AS (
         |  SELECT l_partkey,
