@@ -94,7 +94,8 @@ object Explain {
     "ann_probe_curve" -> Rule(required = Seq("BroadcastNestedLoopJoin")),
     "q11_important_parts" -> Rule(required = Seq("BroadcastHashJoin")),
     "q9_profit" -> Rule(required = Seq("BroadcastHashJoin")),
-    "q20_excess_supply" -> Rule(required = Seq("BroadcastHashJoin")))
+    "q20_excess_supply" -> Rule(required = Seq("BroadcastHashJoin")),
+    "winnow_pairs" -> Rule())
 
   /** Saved-index retrieval invariants: the lookup paths must prune
     * term buckets AT PLANNING TIME (PartitionFilters, not a post-scan

@@ -777,7 +777,81 @@ object Dedup {
       .orderBy("degree")
   }
 
+  // ---- winnowing (MOSS-style fingerprint selection) --------------------
+
+  /** (doc_id, h: array<long>, sel: array<long>) — per-document
+    * winnowing selection: rolling hashes of every 4-token gram, then
+    * for each length-5 window of consecutive gram hashes the
+    * RIGHTMOST minimal hash position (the standard winnowing
+    * guarantee: any shared run of ≥ 8 tokens yields at least one
+    * shared selected fingerprint). Entirely narrow — one array kernel
+    * per document, ZERO shuffle at any corpus size; the `≤` in the
+    * fold makes the rightmost-tie selection deterministic and
+    * cross-engine exact.
+    */
+  private def winnowSelected(docs: DataFrame): DataFrame = {
+    val tk = TextFns.tokens(col("text"))
+    val withH = docs
+      .select(col("doc_id"), tk.as("tk"))
+      .withColumn("grams",
+        when(size(col("tk")) >= 4,
+          transform(sequence(lit(0), size(col("tk")) - lit(4)),
+            i => concat_ws(" ", slice(col("tk"), i + lit(1), lit(4)))))
+          .otherwise(array().cast("array<string>")))
+      .withColumn("h", transform(col("grams"), g => HashFns.rollingHash(g)))
+    withH.withColumn("sel",
+      when(size(col("h")) >= 5,
+        array_distinct(transform(sequence(lit(0), size(col("h")) - lit(5)),
+          s => aggregate(sequence(s + lit(1), s + lit(4)), s,
+            (b, j) => when(element_at(col("h"), (j + lit(1)).cast("int")) <=
+                element_at(col("h"), (b + lit(1)).cast("int")), j).otherwise(b)))))
+        .otherwise(array().cast("array<long>")))
+      .select(col("doc_id"), col("h"), col("sel"))
+  }
+
+  /** Per-document winnowing fingerprint report: gram/window/selected
+    * counts and the selection density — the size/coverage view a
+    * pipeline checks before swapping full-shingle dedup for winnowed
+    * fingerprints (w=5 windows over k=4-gram hashes ⇒ density ≈ 2/(w+1)
+    * on random text; a much higher density flags repetitive docs).
+    */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    winnowSelected(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        size(col("h")).cast("long").as("n_grams"),
+        greatest(size(col("h")) - lit(4), lit(0)).cast("long").as("n_windows"),
+        size(col("sel")).cast("long").as("n_fp"),
+        when(size(col("h")) >= 5,
+          round(size(col("sel")).cast("double") /
+            (size(col("h")) - lit(4)).cast("double"), 6))
+          .otherwise(lit(0.0)).as("fp_density"))
+      .orderBy("doc_id")
+
+  /** Candidate near-dup pairs by SHARED winnowed fingerprints — the
+    * MOSS report: top 20 document pairs by number of shared selected
+    * hashes (≥ 3 to qualify). The join is an inverted-fingerprint
+    * bucket join on the ~1/3-density selected set, never all-pairs —
+    * same scale shape as the MinHash band join but with positional
+    * (run-preserving) rather than set-sampled evidence.
+    */
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fp = winnowSelected(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(col("sel"),
+          p => element_at(col("h"), (p + lit(1)).cast("int"))))).as("fh"))
+    val a = fp.select(col("doc_id").as("doc_a"), col("fh"))
+    val b = fp.select(col("doc_id").as("doc_b"), col("fh"))
+    a.join(b, Seq("fh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "winnow_fingerprints" -> winnowFingerprints,
+    "winnow_pairs" -> winnowPairs,
     "neardup_degree_hist" -> neardupDegreeHist,
     "dup_ngram_coverage" -> dupNgramCoverage,
     "dedup_spans" -> dedupSpans,
@@ -869,7 +943,52 @@ object Dedup {
 
   private val simhashCte: String = s"WITH ${simhashBody("documents")}"
 
+  /** toks → gh → selw CTE chain mirroring [[winnowSelected]]: 4-gram
+    * rolling hashes, then per 5-window the rightmost-min position via
+    * the same `≤` fold (list_reduce's first element is the init, so
+    * `list_prepend(s, range(s+1, s+5))` is exactly the Spark
+    * `aggregate(sequence(s+1, s+4), s, …)` fold).
+    */
+  private val winnowCte: String =
+    s"""${OracleSql.ToksCte}, gh AS (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      list_transform(range(greatest(len(tk) - 3, 0)), i -> array_to_string(tk[i+1:i+4], ' ')),
+       |      g -> ${OracleSql.roll("g", HashFns.P)}) AS h
+       |  FROM toks
+       |), selw AS (
+       |  SELECT doc_id, h,
+       |    CASE WHEN len(h) >= 5 THEN
+       |      list_distinct(list_transform(range(len(h) - 4), s ->
+       |        list_reduce(list_prepend(s, range(s + 1, s + 5)), (b, j) ->
+       |          CASE WHEN h[j+1] <= h[b+1] THEN j ELSE b END)))
+       |    ELSE CAST([] AS BIGINT[]) END AS sel
+       |  FROM gh
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "winnow_fingerprints" ->
+      s"""$winnowCte
+         |SELECT doc_id,
+         |  len(h)::BIGINT AS n_grams,
+         |  greatest(len(h) - 4, 0)::BIGINT AS n_windows,
+         |  len(sel)::BIGINT AS n_fp,
+         |  CASE WHEN len(h) >= 5
+         |    THEN round(len(sel)::DOUBLE / (len(h) - 4)::DOUBLE, 6)
+         |    ELSE 0.0 END AS fp_density
+         |FROM selw
+         |ORDER BY doc_id""".stripMargin,
+    "winnow_pairs" ->
+      s"""$winnowCte, fp AS (
+         |  SELECT DISTINCT doc_id, h[p+1] AS fh
+         |  FROM selw, unnest(sel) AS u(p)
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM fp a JOIN fp b ON a.fh = b.fh AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 3
+         |ORDER BY n_shared DESC, doc_a, doc_b
+         |LIMIT 20""".stripMargin,
     "neardup_degree_hist" ->
       s"""$simhashCte, prs AS (
          |  SELECT a.doc_id AS a, b.doc_id AS b
