@@ -95,7 +95,14 @@ object Explain {
     "q11_important_parts" -> Rule(required = Seq("BroadcastHashJoin")),
     "q9_profit" -> Rule(required = Seq("BroadcastHashJoin")),
     "q20_excess_supply" -> Rule(required = Seq("BroadcastHashJoin")),
-    "winnow_pairs" -> Rule())
+    "winnow_pairs" -> Rule(),
+    "token_budget_allocation" -> Rule(),
+    "index_prune_curve" -> Rule(),
+    "champion_lists" -> Rule(),
+    "vocab_coverage_curve" -> Rule(),
+    "dup_cluster_size_hist" -> Rule(),
+    // all-pairs cosine must stay a term-keyed join (no doc×doc cartesian)
+    "tfidf_cosine_pairs" -> Rule())
 
   /** Saved-index retrieval invariants: the lookup paths must prune
     * term buckets AT PLANNING TIME (PartitionFilters, not a post-scan

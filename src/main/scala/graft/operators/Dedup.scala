@@ -176,6 +176,23 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_doc"))
       .orderBy("norm_md5")
 
+  /** Duplicate-group size distribution over the normalized-text
+    * groups: how many groups have exactly s copies, and how many
+    * documents those groups hold — the first QA chart read after a
+    * dedup pass (a heavy tail here means boilerplate families, not
+    * random duplication). Two partial-agg shuffles: corpus → groups
+    * (|groups| rows) → histogram (|distinct sizes| rows); nothing
+    * pairwise, nothing driver-side.
+    */
+  def dupClusterSizeHist(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(TextFns.normText(col("text"))).as("norm_md5"))
+      .agg(count(lit(1)).as("n_copies"))
+      .groupBy("n_copies")
+      .agg(count(lit(1)).as("n_groups"))
+      .withColumn("n_docs", (col("n_copies") * col("n_groups")).cast("long"))
+      .orderBy("n_copies")
+
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     minhashSigs(Tables.documents(spark, dir))
       .select(col("doc_id"),
@@ -862,6 +879,7 @@ object Dedup {
     "lsh_tuning_curve" -> lshTuningCurve,
     "dedup_exact" -> dedupExact,
     "dedup_norm" -> dedupNorm,
+    "dup_cluster_size_hist" -> dupClusterSizeHist,
     "minhash_signatures" -> minhashSignatures,
     "minhash_lsh_pairs" -> minhashLshPairs,
     "minhash_dedup_apply" -> minhashDedupApply,
@@ -1135,6 +1153,14 @@ object Dedup {
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS canonical_doc
         |FROM documents GROUP BY text_md5 ORDER BY text_md5""".stripMargin,
+    "dup_cluster_size_hist" ->
+      s"""WITH g AS (
+         |  SELECT md5(${OracleSql.Norm}) AS m, CAST(count(*) AS BIGINT) AS n_copies
+         |  FROM documents GROUP BY m
+         |)
+         |SELECT n_copies, CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(n_copies * count(*) AS BIGINT) AS n_docs
+         |FROM g GROUP BY n_copies ORDER BY n_copies""".stripMargin,
     "dedup_norm" ->
       s"""SELECT md5(${OracleSql.Norm}) AS norm_md5, count(*) AS n_copies,
          |  min(doc_id) AS canonical_doc

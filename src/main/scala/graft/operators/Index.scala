@@ -122,6 +122,89 @@ object Index {
       .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("total_tf"))
       .orderBy("term")
 
+  /** Index-size vs df-pruning trade-off curve: for df thresholds at
+    * 10/25/50/75/90/99% of the corpus size, the index that remains
+    * after dropping terms below the threshold — terms kept, postings
+    * kept, total tf kept, and the postings share. The thresholds are
+    * corpus-RELATIVE (df·100 ≥ pct·N, all-integer — exact at every
+    * boundary and meaningful at every SF), because an absolute df
+    * cutoff tuned at sf0.01 would be vacuous at 100 TB. The pruning
+    * decision runs on the per-term frame (|vocab| rows) against two
+    * 1-row broadcasts — the postings themselves are touched once, in
+    * the initial (term, doc) rollup.
+    */
+  def indexPruneCurve(spark: SparkSession, dir: String): DataFrame = {
+    val per = tokenStream(spark, dir)
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ttf"))
+    val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val tp = per.agg(sum(col("df")).as("totp"))
+    per.crossJoin(broadcast(nd)).crossJoin(broadcast(tp))
+      .withColumn("pct_min", explode(array(Seq(10, 25, 50, 75, 90, 99).map(lit): _*)))
+      .filter(col("df") * lit(100) >= col("pct_min") * col("n_docs"))
+      .groupBy("pct_min")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("df")).as("n_postings"),
+        sum(col("ttf")).as("total_tf"),
+        round(sum(col("df")).cast("double") /
+          first(col("totp")).cast("double"), 6).as("kept_share"))
+      .orderBy("pct_min")
+  }
+
+  /** Champion lists (impact-ordered index): for every term, only the
+    * r = 5 highest-impact postings (tf desc, doc_id tie-break), the
+    * standard top-tier structure query-time scoring hits before
+    * falling back to the full postings list. At 100 TB the full list
+    * for a common term is millions of postings; the champion tier is
+    * O(r·|vocab|) and replaces the full scan for most top-k queries.
+    * One (term, doc) rollup then a term-partitioned window on it —
+    * no shuffle beyond the rollup's own.
+    */
+  def championLists(spark: SparkSession, dir: String): DataFrame = {
+    val per = tokenStream(spark, dir)
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    per.withColumn("rank", row_number().over(
+        Window.partitionBy("term").orderBy(col("tf").desc, col("doc_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("term"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("tf"))
+      .orderBy("term", "rank")
+  }
+
+  /** All-pairs document similarity by sparse TF-IDF cosine, computed
+    * the index-join way (Bayardo et al., "Scaling Up All Pairs
+    * Similarity Search"): postings self-joined on TERM — never a
+    * doc×doc cartesian — so each pair's dot product accumulates only
+    * over shared terms. Terms with df = N carry idf 0 and are dropped
+    * BEFORE the join (identical results, and at 100 TB this prefix
+    * filter is what keeps the candidate volume sane; production adds
+    * a similarity threshold to prune further). Cosine is rounded to
+    * 4dp before the final ordering, the [[tfidfScoredOf]] contract.
+    */
+  def tfidfCosinePairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = tokenStreamOf(docs).groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
+    val df = base.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val w = base.join(broadcast(df), "term").crossJoin(broadcast(nDf))
+      .filter(col("df") < col("n"))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * log(col("n") / col("df"))).as("w"))
+    val nrm = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    w.select(col("term"), col("doc_id").as("doc_a"), col("w").as("wa"))
+      .join(w.select(col("term"), col("doc_id").as("doc_b"), col("w").as("wb")), "term")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(nrm.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
+      .join(nrm.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dot") / (col("na") * col("nb")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
   def docStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"), col("text"))
@@ -667,6 +750,9 @@ object Index {
     "inverted_index_chars" -> invertedIndexChars,
     "index_stats" -> indexStats,
     "postings_stats" -> postingsStats,
+    "index_prune_curve" -> indexPruneCurve,
+    "champion_lists" -> championLists,
+    "tfidf_cosine_pairs" -> tfidfCosinePairs,
     "doc_stats" -> docStats,
     "term_search" -> termSearch,
     "bool_and_search" -> boolAndSearch,
@@ -710,6 +796,56 @@ object Index {
          |ORDER BY df DESC, term""".stripMargin,
     "wordcount" ->
       s"$TokSql SELECT term, count(*) AS freq FROM tok GROUP BY term ORDER BY term",
+    "index_prune_curve" ->
+      s"""$TokSql, base AS (
+         |  SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2
+         |), per AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+         |  FROM base GROUP BY term
+         |), nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |tp AS (SELECT CAST(sum(df) AS BIGINT) AS totp FROM per),
+         |th AS (SELECT unnest([10, 25, 50, 75, 90, 99]) AS pct_min)
+         |SELECT pct_min,
+         |  CAST(count(*) AS BIGINT) AS n_terms,
+         |  CAST(sum(df) AS BIGINT) AS n_postings,
+         |  CAST(sum(ttf) AS BIGINT) AS total_tf,
+         |  round(sum(df)::DOUBLE / tp.totp::DOUBLE, 6) AS kept_share
+         |FROM per, nd, tp, th
+         |WHERE df * 100 >= pct_min * n_docs
+         |GROUP BY pct_min, tp.totp
+         |ORDER BY pct_min""".stripMargin,
+    "tfidf_cosine_pairs" ->
+      s"""$TokSql, base AS (
+         |  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2
+         |), n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |df AS (SELECT term, count(*)::DOUBLE AS df FROM base GROUP BY term),
+         |w AS (
+         |  SELECT doc_id, base.term, tf * ln(n.n / df.df) AS w
+         |  FROM base JOIN df USING (term), n WHERE df.df < n.n
+         |), nrm AS (
+         |  SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id
+         |), dots AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+         |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b,
+         |  round(dot / (na.nrm * nb.nrm), 4) AS cosine
+         |FROM dots
+         |JOIN nrm na ON na.doc_id = doc_a
+         |JOIN nrm nb ON nb.doc_id = doc_b
+         |ORDER BY cosine DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    "champion_lists" ->
+      s"""$TokSql, base AS (
+         |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok GROUP BY 1, 2
+         |), rk AS (
+         |  SELECT term, doc_id, tf,
+         |    CAST(row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS BIGINT) AS rank
+         |  FROM base
+         |)
+         |SELECT term, rank, doc_id, tf FROM rk
+         |WHERE rank <= 5 ORDER BY term, rank""".stripMargin,
     "index_stats" -> {
       val bucket = s"(${OracleSql.roll("term", graft.functions.HashFns.P)}) % 8"
       s"""$TokSql, base AS (

@@ -187,6 +187,37 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** Largest-remainder (Hamilton) allocation of a fixed 1M-token
+    * training budget across sources, proportional to their token
+    * counts — the integer-exact step after [[samplingWeights]]'
+    * real-valued shares: quota = ⌊B·n_s/N⌋ via INTEGER division,
+    * remainder = B·n_s − quota·N stays integral, and the leftover
+    * tokens go to the largest remainders (source-name tie-break), so
+    * the boundary behavior is bit-identical on both engines — no
+    * float ever touches the allocation. The only heavy stage is the
+    * per-source token rollup; the allocation itself runs on the
+    * |sources|-row frame (single-partition window on ~20 rows).
+    */
+  def tokenBudgetAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val B = 1000000L
+    val perSrc = Tables.documents(spark, dir)
+      .select(col("source"), size(TextFns.tokens(col("text"))).cast("long").as("t"))
+      .groupBy("source").agg(sum(col("t")).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("total"))
+    val q = perSrc.crossJoin(broadcast(tot))
+      .withColumn("quota", expr(s"($B * n_tokens) div total"))
+      .withColumn("rem", lit(B) * col("n_tokens") - col("quota") * col("total"))
+    val rk = q
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+      .withColumn("leftover", lit(B) - sum(col("quota")).over(Window.partitionBy()))
+      .withColumn("alloc_tokens",
+        (col("quota") + when(col("rk") <= col("leftover"), 1L).otherwise(0L)).cast("long"))
+    rk.select(col("source"), col("n_tokens"), col("alloc_tokens"),
+        round(col("alloc_tokens").cast("double") / lit(B.toDouble), 6).as("alloc_share"))
+      .orderBy("source")
+  }
+
   /** [[contaminationCheck]] with a Bloom pre-filter — the PRIMARY
     * contamination path (the exact unfiltered join is the audit twin):
     * a bloom filter of the train-side shingles screens holdout
@@ -417,6 +448,7 @@ object Pipeline {
     "doc_chunking" -> docChunking,
     "pack_chunks" -> packChunks,
     "contamination_bloom" -> contaminationBloom,
+    "token_budget_allocation" -> tokenBudgetAllocation,
     "sampling_weights" -> samplingWeights,
     "pipeline_clean" -> pipelineClean,
     "contamination_check" -> contaminationCheck,
@@ -559,6 +591,27 @@ object Pipeline {
         |  max(doc_id) AS last_doc
         |FROM ex GROUP BY pack_id ORDER BY pack_id""".stripMargin,
     "contamination_bloom" -> contaminationSql,
+    "token_budget_allocation" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source
+        |), t AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM s
+        |), q AS (
+        |  SELECT source, n_tokens,
+        |    (1000000 * n_tokens) // t.total AS quota,
+        |    1000000 * n_tokens - ((1000000 * n_tokens) // t.total) * t.total AS rem
+        |  FROM s, t
+        |), r AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+        |    sum(quota) OVER () AS qsum
+        |  FROM q
+        |)
+        |SELECT source, n_tokens,
+        |  CAST(quota + CASE WHEN rk <= 1000000 - qsum THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens,
+        |  round((quota + CASE WHEN rk <= 1000000 - qsum THEN 1 ELSE 0 END)::DOUBLE / 1000000.0, 6) AS alloc_share
+        |FROM r ORDER BY source""".stripMargin,
     "sampling_weights" ->
       """WITH s AS (
         |  SELECT source,

@@ -221,6 +221,34 @@ object TextAnalysis {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .orderBy("first_doc")
 
+  // ---- vocab_coverage_curve --------------------------------------------
+
+  /** Corpus coverage of the top-k vocabulary: for k in 1,2,4,8,16,32,
+    * the share of ALL corpus tokens covered by the k most frequent
+    * terms (freq desc, term tie-break) — the tokenizer-vocab-size
+    * knob. At 100 TB this is the curve you read before fixing a BPE
+    * vocab budget: the token stream is touched once (one partial-agg
+    * rollup to |vocab| rows); the ranking, the k-cuts, and the
+    * cumulative sums all run on the vocabulary frame. Counts stay
+    * integral; the share is the one terminal division, rounded.
+    */
+  def vocabCoverageCurve(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Index.tokenStream(spark, dir)
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val tot = freq.agg(sum(col("freq")).as("total"))
+    freq.withColumn("rk", row_number().over(
+        Window.orderBy(col("freq").desc, col("term"))))
+      .crossJoin(broadcast(tot))
+      .withColumn("k", explode(array(Seq(1, 2, 4, 8, 16, 32).map(lit): _*)))
+      .filter(col("rk") <= col("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("freq")).as("covered_tokens"),
+        round(sum(col("freq")).cast("double") /
+          first(col("total")).cast("double"), 6).as("coverage"))
+      .orderBy("k")
+  }
+
   // ---- bigram_lm -------------------------------------------------------
 
   /** Add-one-smoothed bigram language model: for the 20 most frequent
@@ -581,6 +609,7 @@ object TextAnalysis {
     "char_ngrams" -> charNgrams,
     "term_entropy" -> termEntropy,
     "vocab_growth" -> vocabGrowth,
+    "vocab_coverage_curve" -> vocabCoverageCurve,
     "bigram_lm" -> bigramLm,
     "quality_filter" -> qualityFilter,
     "source_quality_report" -> sourceQualityReport,
@@ -882,6 +911,21 @@ object TextAnalysis {
          |  CAST(sum(new_terms) OVER (ORDER BY first_doc
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
          |FROM g ORDER BY first_doc""".stripMargin,
+    "vocab_coverage_curve" ->
+      s"""${Index.TokSql}, f AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY term
+         |), t AS (
+         |  SELECT CAST(sum(freq) AS BIGINT) AS total FROM f
+         |), rk AS (
+         |  SELECT term, freq, row_number() OVER (ORDER BY freq DESC, term) AS rk FROM f
+         |), ks AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS k)
+         |SELECT k,
+         |  CAST(count(*) AS BIGINT) AS n_terms,
+         |  CAST(sum(freq) AS BIGINT) AS covered_tokens,
+         |  round(sum(freq)::DOUBLE / t.total::DOUBLE, 6) AS coverage
+         |FROM rk, ks, t
+         |WHERE rk <= k
+         |GROUP BY k, t.total ORDER BY k""".stripMargin,
     "bigram_lm" ->
       s"""${Index.TokSql}, v AS (
          |  SELECT count(DISTINCT term)::DOUBLE AS v FROM tok
