@@ -102,7 +102,13 @@ object Explain {
     "vocab_coverage_curve" -> Rule(),
     "dup_cluster_size_hist" -> Rule(),
     // all-pairs cosine must stay a term-keyed join (no doc×doc cartesian)
-    "tfidf_cosine_pairs" -> Rule())
+    "tfidf_cosine_pairs" -> Rule(),
+    "inter_event_gap_hist" -> Rule(),
+    "quality_by_dup_status" -> Rule(),
+    "shingle_df_hist" -> Rule(),
+    "pack_efficiency_report" -> Rule(),
+    "neardup_family_overlap" -> Rule(),
+    "source_dup_matrix" -> Rule())
 
   /** Saved-index retrieval invariants: the lookup paths must prune
     * term buckets AT PLANNING TIME (PartitionFilters, not a post-scan

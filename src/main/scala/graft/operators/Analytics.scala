@@ -497,6 +497,39 @@ object Analytics {
     * scan (bucketed by day), NOT a single-partition global window —
     * the sweep line stays distributed at any timeline length.
     */
+  /** Inter-event gap histogram per user: the distribution the 30-min
+    * [[sessionize]] threshold is tuned against — the valley between
+    * the within-session and between-session modes is where the gap
+    * cutoff belongs. Bucket boundaries are integer microsecond
+    * comparisons (no float binning, exact on both engines); the lag
+    * runs under the same (user, time) partitioning sessionize uses,
+    * and the histogram is a partial-agg rollup to 6 rows.
+    */
+  def interEventGapHist(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val gaps = eventsUs(spark, dir)
+      .withColumn("prev", lag(col("ts_us"), 1).over(byUser))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap_us", col("ts_us") - col("prev"))
+      .withColumn("bucket_id",
+        when(col("gap_us") < 60000000L, 0L)
+          .when(col("gap_us") < 300000000L, 1L)
+          .when(col("gap_us") < 1800000000L, 2L)
+          .when(col("gap_us") < 7200000000L, 3L)
+          .when(col("gap_us") < 86400000000L, 4L)
+          .otherwise(5L))
+    val tot = gaps.agg(count(lit(1)).as("n_total"))
+    gaps.groupBy("bucket_id").agg(count(lit(1)).as("n_gaps"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket_id"),
+        element_at(array(lit("lt_1m"), lit("1m_5m"), lit("5m_30m"),
+          lit("30m_2h"), lit("2h_24h"), lit("ge_24h")),
+          (col("bucket_id") + 1L).cast("int")).as("bucket"),
+        col("n_gaps"),
+        round(col("n_gaps").cast("double") / col("n_total").cast("double"), 6).as("share"))
+      .orderBy("bucket_id")
+  }
+
   def concurrencyPeak(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
     val gapUs = 30L * 60 * 1000000
@@ -1440,6 +1473,7 @@ object Analytics {
     "rfm_segments" -> rfmSegments,
     "skew_report" -> skewReport,
     "concurrency_peak" -> concurrencyPeak,
+    "inter_event_gap_hist" -> interEventGapHist,
     "q1_agg" -> q1Agg,
     "q3_topk" -> q3Topk,
     "q5_regional" -> q5Regional,
@@ -2058,6 +2092,26 @@ object Analytics {
     "json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "inter_event_gap_hist" ->
+      s"""$EvSql, lagged AS (
+         |  SELECT user_id,
+         |    ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us
+         |  FROM ev
+         |), b AS (
+         |  SELECT CASE
+         |    WHEN gap_us < 60000000 THEN 0
+         |    WHEN gap_us < 300000000 THEN 1
+         |    WHEN gap_us < 1800000000 THEN 2
+         |    WHEN gap_us < 7200000000 THEN 3
+         |    WHEN gap_us < 86400000000 THEN 4
+         |    ELSE 5 END AS bucket_id
+         |  FROM lagged WHERE gap_us IS NOT NULL
+         |), t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM b)
+         |SELECT CAST(bucket_id AS BIGINT) AS bucket_id,
+         |  ['lt_1m', '1m_5m', '5m_30m', '30m_2h', '2h_24h', 'ge_24h'][bucket_id + 1] AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_gaps,
+         |  round(count(*)::DOUBLE / t.n_total::DOUBLE, 6) AS share
+         |FROM b, t GROUP BY bucket_id, t.n_total ORDER BY bucket_id""".stripMargin,
     "sessionize" ->
       s"""$EvSql, lagged AS (
          |  SELECT user_id, event_id, ts_us,

@@ -193,6 +193,108 @@ object Dedup {
       .withColumn("n_docs", (col("n_copies") * col("n_groups")).cast("long"))
       .orderBy("n_copies")
 
+  /** Cross-family dedup audit: documents bucketed by (exact-dup,
+    * near-dup) status with count and token mass per bucket — the
+    * "are my duplicates junk or boilerplate?" diagnostic that decides
+    * whether dedup should drop or keep-one. Exact status comes from
+    * the normalized-text group size (join back on the group key, one
+    * shuffle); near status from membership in the Hamming ≤ 1 simhash
+    * edge set ([[neardupEdges]] — banded, never pairwise). All sums
+    * are integers; the mean is the one terminal division.
+    */
+  def qualityByDupStatus(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"),
+      size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+      md5(TextFns.normText(col("text"))).as("nk"))
+    val gsz = base.groupBy("nk").agg(count(lit(1)).as("gsz"))
+    val edges = neardupEdges(spark, dir)
+    val nearNodes = edges.select(col("doc_a").as("doc_id"))
+      .unionByName(edges.select(col("doc_b").as("doc_id")))
+      .distinct().withColumn("nflag", lit(1L))
+    base.join(gsz, "nk")
+      .join(nearNodes, Seq("doc_id"), "left")
+      .withColumn("is_exact_dup", when(col("gsz") > 1L, 1L).otherwise(0L))
+      .withColumn("is_near_dup", coalesce(col("nflag"), lit(0L)))
+      .groupBy("is_exact_dup", "is_near_dup")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(sum(col("n_tokens")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("avg_tokens"))
+      .orderBy("is_exact_dup", "is_near_dup")
+  }
+
+  /** Shingle document-frequency histogram (power-of-2 buckets): how
+    * many distinct 3-token shingles occur in 1 / 2–3 / 4–7 / … / ≥32
+    * documents, with the posting mass per bucket — the chart that
+    * tunes the df caps protecting [[contaminationCheck]] and the
+    * span-dedup gram joins from boilerplate hot keys. Bucket edges
+    * are integer comparisons; the heavy stage is one (shingle, doc)
+    * distinct + one rollup, both keyed on the shingle hash.
+    */
+  def shingleDfHist(spark: SparkSession, dir: String): DataFrame = {
+    val df = shingleHashes(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    df.withColumn("bucket_id",
+        when(col("df") === 1L, 0L).when(col("df") <= 3L, 1L)
+          .when(col("df") <= 7L, 2L).when(col("df") <= 15L, 3L)
+          .when(col("df") <= 31L, 4L).otherwise(5L))
+      .groupBy("bucket_id")
+      .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("n_postings"))
+      .select(col("bucket_id"),
+        element_at(array(lit("1"), lit("2_3"), lit("4_7"), lit("8_15"),
+          lit("16_31"), lit("ge_32")), (col("bucket_id") + 1L).cast("int")).as("df_range"),
+        col("n_shingles"), col("n_postings"))
+      .orderBy("bucket_id")
+  }
+
+  /** Agreement audit between the two near-dup families: every pair
+    * flagged by MinHash-LSH (verified Jaccard ≥ 0.5) and/or SimHash
+    * (Hamming ≤ 1), bucketed into both / minhash_only / simhash_only
+    * — the overlap check run before trusting either sketch alone
+    * (token-shingle sets and bit fingerprints catch DIFFERENT
+    * duplicates; a near-empty "both" bucket means the thresholds are
+    * mis-calibrated). Both pair sets come from their banded candidate
+    * generators, so the audit inherits their no-cartesian shape; the
+    * full-outer join is keyed on the (tiny) pair frame.
+    */
+  def neardupFamilyOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val mh = minhashLshPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b")).withColumn("m", lit(1L))
+    val sp = neardupEdges(spark, dir)
+      .select(col("doc_a"), col("doc_b")).withColumn("s", lit(1L))
+    mh.join(sp, Seq("doc_a", "doc_b"), "full_outer")
+      .withColumn("family",
+        when(col("m").isNotNull && col("s").isNotNull, "both")
+          .when(col("m").isNotNull, "minhash_only")
+          .otherwise("simhash_only"))
+      .groupBy("family").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("family")
+  }
+
+  /** Cross-source duplication matrix: near-dup pair counts
+    * ([[simhashPairsOf]] at the contracted Hamming ≤ 6) per
+    * unordered source pair — the "which crawls overlap" report that
+    * decides whether two acquisition channels are redundant. The
+    * pair set comes from the lossless banded join (never pairwise);
+    * attaching sources is two broadcast-able doc_id joins, and the
+    * matrix itself is |sources|² rows. Pair order is normalized with
+    * least/greatest so the matrix is triangular regardless of which
+    * doc carried which source.
+    */
+  def sourceDupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    simhashPairsOf(Tables.documents(spark, dir), maxHamming = 6)
+      .select("doc_a", "doc_b")
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_neardup_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     minhashSigs(Tables.documents(spark, dir))
       .select(col("doc_id"),
@@ -880,6 +982,10 @@ object Dedup {
     "dedup_exact" -> dedupExact,
     "dedup_norm" -> dedupNorm,
     "dup_cluster_size_hist" -> dupClusterSizeHist,
+    "quality_by_dup_status" -> qualityByDupStatus,
+    "shingle_df_hist" -> shingleDfHist,
+    "neardup_family_overlap" -> neardupFamilyOverlap,
+    "source_dup_matrix" -> sourceDupMatrix,
     "minhash_signatures" -> minhashSignatures,
     "minhash_lsh_pairs" -> minhashLshPairs,
     "minhash_dedup_apply" -> minhashDedupApply,
@@ -1153,6 +1259,70 @@ object Dedup {
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS canonical_doc
         |FROM documents GROUP BY text_md5 ORDER BY text_md5""".stripMargin,
+    "neardup_family_overlap" ->
+      s"""${OracleSql.ShingleHashCte}$minhashPairsCtes, ${simhashAfterToks("documents")}, mh AS (
+         |  SELECT da, db FROM jac WHERE j >= 0.5
+         |), sp AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |), u AS (
+         |  SELECT CASE
+         |    WHEN m.da IS NOT NULL AND s.da IS NOT NULL THEN 'both'
+         |    WHEN m.da IS NOT NULL THEN 'minhash_only'
+         |    ELSE 'simhash_only' END AS family
+         |  FROM mh m FULL OUTER JOIN sp s ON m.da = s.da AND m.db = s.db
+         |)
+         |SELECT family, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM u GROUP BY family ORDER BY family""".stripMargin,
+    "source_dup_matrix" ->
+      s"""$simhashCte, prs AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         |)
+         |SELECT least(x.source, y.source) AS source_a,
+         |  greatest(x.source, y.source) AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_neardup_pairs
+         |FROM prs JOIN documents x ON prs.da = x.doc_id
+         |JOIN documents y ON prs.db = y.doc_id
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+    "quality_by_dup_status" ->
+      s"""$simhashCte, prs AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |), nodes AS (
+         |  SELECT da AS doc_id FROM prs UNION SELECT db FROM prs
+         |), base AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+         |    md5(${OracleSql.Norm}) AS nk
+         |  FROM documents
+         |), g AS (SELECT nk, count(*) AS gsz FROM base GROUP BY nk)
+         |SELECT
+         |  CAST(CASE WHEN g.gsz > 1 THEN 1 ELSE 0 END AS BIGINT) AS is_exact_dup,
+         |  CAST(CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_near_dup,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(base.n_tokens) AS BIGINT) AS total_tokens,
+         |  round(sum(base.n_tokens)::DOUBLE / count(*)::DOUBLE, 6) AS avg_tokens
+         |FROM base JOIN g USING (nk) LEFT JOIN nodes n USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY is_exact_dup, is_near_dup""".stripMargin,
+    "shingle_df_hist" ->
+      s"""${OracleSql.ShingleHashCte}, postings AS (
+         |  SELECT DISTINCT doc_id, h2 AS h FROM (SELECT doc_id, unnest(h) AS h2 FROM hs)
+         |), dfreq AS (
+         |  SELECT h, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY h
+         |), b AS (
+         |  SELECT df, CASE WHEN df = 1 THEN 0 WHEN df <= 3 THEN 1 WHEN df <= 7 THEN 2
+         |    WHEN df <= 15 THEN 3 WHEN df <= 31 THEN 4 ELSE 5 END AS bucket_id
+         |  FROM dfreq
+         |)
+         |SELECT CAST(bucket_id AS BIGINT) AS bucket_id,
+         |  ['1', '2_3', '4_7', '8_15', '16_31', 'ge_32'][bucket_id + 1] AS df_range,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(df) AS BIGINT) AS n_postings
+         |FROM b GROUP BY bucket_id ORDER BY bucket_id""".stripMargin,
     "dup_cluster_size_hist" ->
       s"""WITH g AS (
          |  SELECT md5(${OracleSql.Norm}) AS m, CAST(count(*) AS BIGINT) AS n_copies

@@ -311,6 +311,23 @@ object Pipeline {
   def packChunks(spark: SparkSession, dir: String): DataFrame =
     packChunksOf(Tables.documents(spark, dir), budget = 256L)
 
+  /** Packing-efficiency rollup over [[packChunks]]: pack count, how
+    * many packs are exactly full, total/min token fill, and the fill
+    * rate against the 256-token budget — the wasted-compute metric a
+    * training run reads before accepting a packing. One aggregate
+    * over the packs frame (already corpus-rollup-sized); only the
+    * final (non-full) pack can be short, so fill_rate ≈ 1 is the
+    * expected healthy value. Integer sums, one terminal division.
+    */
+  def packEfficiencyReport(spark: SparkSession, dir: String): DataFrame =
+    packChunks(spark, dir).agg(
+      count(lit(1)).as("n_packs"),
+      sum(when(col("n_tokens") === 256L, 1L).otherwise(0L)).as("full_packs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      min(col("n_tokens")).as("min_fill"),
+      round(sum(col("n_tokens")).cast("double") /
+        (count(lit(1)) * lit(256L)).cast("double"), 6).as("fill_rate"))
+
   def packChunksOf(docs: DataFrame, budget: Long): DataFrame = {
     val counts = docs
       .select(col("doc_id"), size(TextFns.tokens(col("text"))).cast("long").as("n"))
@@ -447,6 +464,7 @@ object Pipeline {
     "dataset_card" -> datasetCard,
     "doc_chunking" -> docChunking,
     "pack_chunks" -> packChunks,
+    "pack_efficiency_report" -> packEfficiencyReport,
     "contamination_bloom" -> contaminationBloom,
     "token_budget_allocation" -> tokenBudgetAllocation,
     "sampling_weights" -> samplingWeights,
@@ -480,6 +498,28 @@ object Pipeline {
        |  CAST(count(DISTINCT h.hh) AS BIGINT) AS n_shared_shingles
        |FROM lab h JOIN lab t ON h.hh = t.hh AND NOT h.is_train AND t.is_train
        |GROUP BY h.doc_id ORDER BY holdout_doc""".stripMargin
+
+  private val packChunksSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS tk
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n FROM toks WHERE len(tk) > 0
+      |), r AS (
+      |  SELECT doc_id, n,
+      |    CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) - n AS cb
+      |  FROM c
+      |), ex AS (
+      |  SELECT doc_id, n, cb,
+      |    unnest(range(cb // 256, (cb + n - 1) // 256 + 1)) AS pack_id
+      |  FROM r
+      |)
+      |SELECT CAST(pack_id AS BIGINT) AS pack_id,
+      |  count(*) AS n_docs,
+      |  CAST(sum(least(cb + n, (pack_id + 1) * 256) - greatest(cb, pack_id * 256)) AS BIGINT) AS n_tokens,
+      |  min(doc_id) AS first_doc,
+      |  max(doc_id) AS last_doc
+      |FROM ex GROUP BY pack_id ORDER BY pack_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dataset_card" ->
@@ -569,27 +609,14 @@ object Pipeline {
         |  round(w / t.wtot, 6) AS temp_share,
         |  round((w / t.wtot) * 1000000.0 / n_tokens::DOUBLE, 6) AS epochs_at_1m
         |FROM w, t ORDER BY source""".stripMargin,
-    "pack_chunks" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS tk
-        |  FROM documents
-        |), c AS (
-        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n FROM toks WHERE len(tk) > 0
-        |), r AS (
-        |  SELECT doc_id, n,
-        |    CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) - n AS cb
-        |  FROM c
-        |), ex AS (
-        |  SELECT doc_id, n, cb,
-        |    unnest(range(cb // 256, (cb + n - 1) // 256 + 1)) AS pack_id
-        |  FROM r
-        |)
-        |SELECT CAST(pack_id AS BIGINT) AS pack_id,
-        |  count(*) AS n_docs,
-        |  CAST(sum(least(cb + n, (pack_id + 1) * 256) - greatest(cb, pack_id * 256)) AS BIGINT) AS n_tokens,
-        |  min(doc_id) AS first_doc,
-        |  max(doc_id) AS last_doc
-        |FROM ex GROUP BY pack_id ORDER BY pack_id""".stripMargin,
+    "pack_chunks" -> packChunksSql,
+    "pack_efficiency_report" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_packs,
+         |  CAST(sum(CASE WHEN n_tokens = 256 THEN 1 ELSE 0 END) AS BIGINT) AS full_packs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(min(n_tokens) AS BIGINT) AS min_fill,
+         |  round(sum(n_tokens)::DOUBLE / (count(*) * 256)::DOUBLE, 6) AS fill_rate
+         |FROM ($packChunksSql) p""".stripMargin,
     "contamination_bloom" -> contaminationSql,
     "token_budget_allocation" ->
       """WITH s AS (

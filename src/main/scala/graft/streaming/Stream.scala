@@ -558,6 +558,60 @@ object Stream {
         ()
       }
 
+  /** Streaming vocabulary drift monitor — the online twin of the
+    * batch `vocab_growth`/`vocab_coverage_curve` pair: every
+    * micro-batch is tokenized and compared against a SAVED vocabulary
+    * store, emitting one drift report row per batch (batch terms,
+    * terms never seen in ANY earlier batch — including before a
+    * restart — and the token share those new terms carry). A rising
+    * new-term share is the first signal a crawl started pulling a new
+    * language/domain, before quality metrics move. The store holds one
+    * (term, src_batch) row per first sighting; the screen is one
+    * left_anti join on term (shuffle keyed by term, bounded by the
+    * batch vocabulary, never the corpus). Replay-idempotent by
+    * batch-granular replace: screening ignores the current batch's own
+    * stored rows, the merge replaces them, and the report lands in its
+    * own `batch=<id>` dir.
+    */
+  def vocabDriftGate(docs: DataFrame, storePath: String, outPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val basePath = new org.apache.hadoop.fs.Path(storePath)
+        val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverStore(fs, basePath)
+        val bt = batch
+          .select(explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("freq"))
+        val prior =
+          if (fs.exists(basePath))
+            spark.read.parquet(storePath).filter(col("src_batch") =!= batchId)
+          else spark.emptyDataFrame
+            .select(lit("").as("term"), lit(0L).as("src_batch")).limit(0)
+        val novel = bt.join(prior.select("term"), Seq("term"), "left_anti")
+        val report = bt.agg(
+            count(lit(1)).as("n_batch_terms"),
+            sum(col("freq")).as("n_batch_tokens"))
+          .crossJoin(novel.agg(
+            count(lit(1)).as("n_new_terms"),
+            coalesce(sum(col("freq")), lit(0L)).as("new_term_tokens")))
+          .select(lit(batchId).as("batch_id"),
+            col("n_batch_terms"), col("n_new_terms"),
+            col("n_batch_tokens"), col("new_term_tokens"),
+            round(col("new_term_tokens").cast("double") /
+              col("n_batch_tokens").cast("double"), 6).as("new_token_share"))
+        report.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        val merged = prior.unionByName(
+          novel.select(col("term"), lit(batchId).as("src_batch")))
+        val tmp = s"$storePath.merged-$batchId"
+        merged.write.mode("overwrite").parquet(tmp)
+        if (fs.exists(basePath)) swapStore(fs, basePath, tmp)
+        else mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
+        ()
+      }
+
   /** Streaming corpus triage: every micro-batch is scored by the
     * batch quality rules ([[graft.operators.TextAnalysis.qualityFlagsOf]]
     * — the SAME rule code, so batch and stream can never drift) and

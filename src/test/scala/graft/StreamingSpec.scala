@@ -352,6 +352,46 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("stream_vocab_drift: saved vocabulary flags new terms across restart") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-vdrift").toString
+    val (store, out, ckpt) = (s"$base/vocab", s"$base/out", s"$base/ckpt")
+    def report(id: Long): (Long, Long, Long, Long) = {
+      val r = spark.read.parquet(s"$out/batch=$id").collect().head
+      (r.getAs[Long]("n_batch_terms"), r.getAs[Long]("n_new_terms"),
+        r.getAs[Long]("n_batch_tokens"), r.getAs[Long]("new_term_tokens"))
+    }
+    val in = MemoryStream[(Long, String)]
+    val df = in.toDF().toDF("doc_id", "text")
+    val q1 = Stream.vocabDriftGate(df, store, out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData((0L, "alpha beta alpha"), (1L, "beta gamma"))
+      q1.processAllAvailable()
+      // empty store: every term is new
+      assert(report(0L) === ((3L, 3L, 5L, 5L)))
+      in.addData((2L, "alpha delta"))
+      q1.processAllAvailable()
+      // delta is the only unseen term
+      assert(report(1L) === ((2L, 1L, 2L, 1L)))
+    } finally q1.stop()
+    // restart: gamma was first seen before the restart — the saved
+    // store, not executor state, must recognize it
+    val q2 = Stream.vocabDriftGate(df, store, out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData((3L, "gamma gamma epsilon"))
+      q2.processAllAvailable()
+      assert(report(2L) === ((2L, 1L, 3L, 1L)))
+      // store: one row per first sighting, keyed by source batch
+      val rows = spark.read.parquet(store).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(rows === Map("alpha" -> 0L, "beta" -> 0L, "gamma" -> 0L,
+        "delta" -> 1L, "epsilon" -> 2L))
+    } finally q2.stop()
+  }
+
   test("stream_semantic_store: saved vectors catch semantic dups across restart") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
