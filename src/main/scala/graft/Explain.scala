@@ -108,7 +108,11 @@ object Explain {
     "shingle_df_hist" -> Rule(),
     "pack_efficiency_report" -> Rule(),
     "neardup_family_overlap" -> Rule(),
-    "source_dup_matrix" -> Rule())
+    "source_dup_matrix" -> Rule(),
+    "query_field" -> Rule(),
+    "term_burstiness" -> Rule(),
+    "session_length_hist" -> Rule(),
+    "events_heatmap" -> Rule())
 
   /** Saved-index retrieval invariants: the lookup paths must prune
     * term buckets AT PLANNING TIME (PartitionFilters, not a post-scan

@@ -179,6 +179,33 @@ object Analytics {
       .orderBy("user_id", "session_id")
   }
 
+  /** Session-length histogram: how many sessions contain exactly k
+    * events, under the same 30-min [[sessionize]] assignment — with
+    * [[interEventGapHist]], the pair of charts that validates a gap
+    * threshold (a spike at k = 1 means the cutoff splits real visits).
+    * Pure composition: the sessionize frame rolled up once more, so
+    * the histogram inherits its one-window shape.
+    */
+  def sessionLengthHist(spark: SparkSession, dir: String): DataFrame =
+    sessionize(spark, dir)
+      .groupBy("n_events").agg(count(lit(1)).as("n_sessions"))
+      .orderBy("n_events")
+
+  /** Hour-of-day × day-of-week activity heatmap (0 = Monday, UTC) —
+    * the load-shape chart capacity planning reads. Both coordinates
+    * are INTEGER arithmetic on the epoch-microsecond column (never a
+    * timezone-dependent date function, so both engines agree at
+    * every boundary); one partial-agg shuffle to 168 cells.
+    */
+  def eventsHeatmap(spark: SparkSession, dir: String): DataFrame =
+    eventsUs(spark, dir)
+      .withColumn("dow", expr("((ts_us div 86400000000) + 3) % 7"))
+      .withColumn("hour", expr("(ts_us div 3600000000) % 24"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("dow", "hour")
+
   def windowTumbling(spark: SparkSession, dir: String): DataFrame =
     eventsUs(spark, dir)
       .groupBy(window(timestamp_micros(col("ts_us")), "1 hour"), col("event_type"))
@@ -1474,6 +1501,8 @@ object Analytics {
     "skew_report" -> skewReport,
     "concurrency_peak" -> concurrencyPeak,
     "inter_event_gap_hist" -> interEventGapHist,
+    "session_length_hist" -> sessionLengthHist,
+    "events_heatmap" -> eventsHeatmap,
     "q1_agg" -> q1Agg,
     "q3_topk" -> q3Topk,
     "q5_regional" -> q5Regional,
@@ -1516,6 +1545,26 @@ object Analytics {
       |         epoch_ns(ts) // 1000 AS ts_us
       |  FROM events
       |)""".stripMargin
+
+  private val sessionizeSql: String =
+    s"""$EvSql, lagged AS (
+       |  SELECT user_id, event_id, ts_us,
+       |    lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+       |  FROM ev
+       |), flagged AS (
+       |  SELECT user_id, event_id, ts_us,
+       |    CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END AS is_new
+       |  FROM lagged
+       |), sess AS (
+       |  SELECT user_id, event_id, ts_us,
+       |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM flagged
+       |)
+       |SELECT user_id, session_id, count(*) AS n_events,
+       |  strftime(make_timestamp(min(ts_us)), '%Y-%m-%d %H:%M:%S') AS start_ts,
+       |  strftime(make_timestamp(max(ts_us)), '%Y-%m-%d %H:%M:%S') AS end_ts
+       |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q9_profit" ->
@@ -2112,25 +2161,18 @@ object Analytics {
          |  CAST(count(*) AS BIGINT) AS n_gaps,
          |  round(count(*)::DOUBLE / t.n_total::DOUBLE, 6) AS share
          |FROM b, t GROUP BY bucket_id, t.n_total ORDER BY bucket_id""".stripMargin,
-    "sessionize" ->
-      s"""$EvSql, lagged AS (
-         |  SELECT user_id, event_id, ts_us,
-         |    lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
-         |  FROM ev
-         |), flagged AS (
-         |  SELECT user_id, event_id, ts_us,
-         |    CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END AS is_new
-         |  FROM lagged
-         |), sess AS (
-         |  SELECT user_id, event_id, ts_us,
-         |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-         |  FROM flagged
-         |)
-         |SELECT user_id, session_id, count(*) AS n_events,
-         |  strftime(make_timestamp(min(ts_us)), '%Y-%m-%d %H:%M:%S') AS start_ts,
-         |  strftime(make_timestamp(max(ts_us)), '%Y-%m-%d %H:%M:%S') AS end_ts
-         |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "sessionize" -> sessionizeSql,
+    "events_heatmap" ->
+      s"""$EvSql
+         |SELECT (ts_us // 86400000000 + 3) % 7 AS dow,
+         |  (ts_us // 3600000000) % 24 AS hour,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM ev GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin,
+    "session_length_hist" ->
+      s"""SELECT n_events, CAST(count(*) AS BIGINT) AS n_sessions
+         |FROM ($sessionizeSql) s
+         |GROUP BY n_events ORDER BY n_events""".stripMargin,
     "window_tumbling" ->
       s"""$EvSql
          |SELECT strftime(make_timestamp((ts_us // 3600000000) * 3600000000),

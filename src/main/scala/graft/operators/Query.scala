@@ -30,6 +30,7 @@ object Query {
 
   sealed trait Q
   final case class Term(t: String) extends Q
+  final case class Field(f: String, v: String) extends Q
   final case class Prefix(p: String) extends Q
   final case class Phrase(ts: Seq[String]) extends Q
   final case class Near(l: String, r: String, k: Int) extends Q
@@ -65,7 +66,10 @@ object Query {
         next()
         // trailing-* wildcard = dictionary prefix query (the parser
         // surface of prefixSearch); bare '*' alone is rejected
-        if (w.endsWith("*") && w.length > 1) Prefix(w.dropRight(1)) else Term(w)
+        if (w.startsWith("lang:") || w.startsWith("source:")) {
+          val i = w.indexOf(':'); Field(w.take(i), w.drop(i + 1))
+        }
+        else if (w.endsWith("*") && w.length > 1) Prefix(w.dropRight(1)) else Term(w)
       case other => throw new IllegalArgumentException(
         s"unexpected ${other.getOrElse("<end>")} in query: $s")
     }
@@ -101,7 +105,14 @@ object Query {
     * positional token stream (id, term, pos); `universe` is the
     * distinct id frame NOT ranges over.
     */
-  def eval(tok: DataFrame, universe: DataFrame, q: Q, id: String = "doc_id"): DataFrame = q match {
+  def eval(tok: DataFrame, universe: DataFrame, q: Q, id: String = "doc_id",
+           meta: DataFrame = null): DataFrame = q match {
+    case Field(f, v) =>
+      // metadata leaves filter the doc frame, not the token stream —
+      // an equality Catalyst pushes into the metadata scan. Absent
+      // metadata (the saved-index path stores none) fails loudly.
+      require(meta != null, s"field query '$f:$v' needs a metadata frame")
+      meta.filter(col(f) === v).select(col(id)).distinct()
     case Term(t) =>
       tok.filter(col("term") === t).select(col(id)).distinct()
     case Prefix(p) =>
@@ -129,20 +140,20 @@ object Query {
           abs(col("__np") - col("pos")) <= k && col("__np") =!= col("pos"))
         .select(pa(id)).distinct()
     case And(l, r) =>
-      eval(tok, universe, l, id)
-        .join(eval(tok, universe, r, id), Seq(id), "left_semi")
+      eval(tok, universe, l, id, meta)
+        .join(eval(tok, universe, r, id, meta), Seq(id), "left_semi")
     case Or(l, r) =>
-      eval(tok, universe, l, id)
-        .unionByName(eval(tok, universe, r, id)).distinct()
+      eval(tok, universe, l, id, meta)
+        .unionByName(eval(tok, universe, r, id, meta)).distinct()
     case Not(inner) =>
-      universe.join(eval(tok, universe, inner, id), Seq(id), "left_anti")
+      universe.join(eval(tok, universe, inner, id, meta), Seq(id), "left_anti")
   }
 
   /** Parse + run a query string against a document corpus. */
   def search(docs: DataFrame, query: String, id: String = "doc_id",
              text: String = "text"): DataFrame = {
     val tok = Index.tokenStreamOf(docs, id, text)
-    eval(tok, docs.select(col(id)).distinct(), parse(query), id)
+    eval(tok, docs.select(col(id)).distinct(), parse(query), id, meta = docs)
   }
 
   /** The exact-term and prefix leaves of an AST — what a saved-index
@@ -150,6 +161,7 @@ object Query {
     */
   private def leaves(q: Q): (Seq[String], Seq[String]) = q match {
     case Term(t) => (Seq(t), Nil)
+    case Field(_, _) => (Nil, Nil)
     case Prefix(p) => (Nil, Seq(p))
     case Phrase(ts) => (ts, Nil)
     case Near(a, b, _) => (Seq(a, b), Nil)
@@ -199,6 +211,7 @@ object Query {
     */
   def positiveTerms(q: Q): Seq[String] = q match {
     case Term(t) => Seq(t)
+    case Field(_, _) => Seq.empty
     // a prefix retrieves but does not rank: scoring would need the
     // expanded term set, which only the match step materializes
     case Prefix(_) => Seq.empty
@@ -283,7 +296,17 @@ object Query {
   def queryRanked(spark: SparkSession, dir: String): DataFrame =
     searchRanked(Tables.documents(spark, dir), "spark AND NOT slow", k = 20)
 
+  /** Gate query: metadata field restriction inside the boolean
+    * grammar ([[Field]] — `lang:`/`source:` leaves filter the doc
+    * frame, composing with term leaves through the same semi-join
+    * AND), the fielded-search surface every search engine exposes.
+    */
+  def queryField(spark: SparkSession, dir: String): DataFrame =
+    search(Tables.documents(spark, dir), "lang:en AND (spark OR query) AND NOT source:src0")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "query_field" -> queryField,
     "query_search" -> querySearch,
     "wildcard_search" -> wildcardSearch,
     "query_near" -> queryNear,
@@ -291,6 +314,13 @@ object Query {
     "phrase3_search" -> phrase3Search)
 
   val oracles: Map[String, String] = Map(
+    "query_field" ->
+      s"""${Index.TokSql}
+         |SELECT DISTINCT d.doc_id AS doc_id
+         |FROM documents d
+         |WHERE d.lang = 'en' AND d.source <> 'src0'
+         |  AND d.doc_id IN (SELECT doc_id FROM tok WHERE term IN ('spark', 'query'))
+         |ORDER BY doc_id""".stripMargin,
     "query_ranked" ->
       s"""${Index.TokSql}, n AS (SELECT count(*)::DOUBLE AS n FROM documents),
          |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),

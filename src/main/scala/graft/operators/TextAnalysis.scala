@@ -249,6 +249,33 @@ object TextAnalysis {
       .orderBy("k")
   }
 
+  // ---- term_burstiness -------------------------------------------------
+
+  /** Per-term burstiness: the variance-to-mean ratio of a term's
+    * frequency across ALL corpus documents (zeros included) —
+    * VMR = (N·Σtf² − (Σtf)²) / (N·Σtf). VMR ≈ 1 is Poisson
+    * (content-free function words); VMR ≫ 1 marks topical terms that
+    * concentrate in few documents — the signal keyword extractors
+    * weight beyond raw tf-idf. Every aggregate is an INTEGER sum off
+    * one (term, doc) rollup, so the single terminal division is
+    * bitwise cross-engine; no fold, no collect, partial-agg all the
+    * way down.
+    */
+  def termBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val per = Index.tokenStream(spark, dir)
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    per.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
+        sum(col("tf") * col("tf")).as("s2"))
+      .crossJoin(broadcast(nd))
+      .select(col("term"), col("df"), col("total_tf"),
+        round((col("n_docs") * col("s2") - col("total_tf") * col("total_tf"))
+          .cast("double") /
+          (col("n_docs") * col("total_tf")).cast("double"), 6).as("vmr"))
+      .orderBy("term")
+  }
+
   // ---- bigram_lm -------------------------------------------------------
 
   /** Add-one-smoothed bigram language model: for the 20 most frequent
@@ -610,6 +637,7 @@ object TextAnalysis {
     "term_entropy" -> termEntropy,
     "vocab_growth" -> vocabGrowth,
     "vocab_coverage_curve" -> vocabCoverageCurve,
+    "term_burstiness" -> termBurstiness,
     "bigram_lm" -> bigramLm,
     "quality_filter" -> qualityFilter,
     "source_quality_report" -> sourceQualityReport,
@@ -911,6 +939,20 @@ object TextAnalysis {
          |  CAST(sum(new_terms) OVER (ORDER BY first_doc
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
          |FROM g ORDER BY first_doc""".stripMargin,
+    "term_burstiness" ->
+      s"""${Index.TokSql}, per AS (
+         |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+         |), nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |a AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         |    CAST(sum(tf) AS BIGINT) AS total_tf,
+         |    CAST(sum(tf * tf) AS BIGINT) AS s2
+         |  FROM per GROUP BY term
+         |)
+         |SELECT term, df, total_tf,
+         |  round((nd.n_docs * s2 - total_tf * total_tf)::DOUBLE
+         |    / (nd.n_docs * total_tf)::DOUBLE, 6) AS vmr
+         |FROM a, nd ORDER BY term""".stripMargin,
     "vocab_coverage_curve" ->
       s"""${Index.TokSql}, f AS (
          |  SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY term

@@ -612,6 +612,59 @@ object Stream {
         ()
       }
 
+  /** Streaming source-mix monitor — the online twin of the batch
+    * `sampling_weights`/`token_budget_allocation` pair: every
+    * micro-batch's per-source token counts merge into a SAVED
+    * (source, n_tokens, src_batch) ledger, and the batch's report row
+    * set carries each source's batch tokens, cumulative tokens, and
+    * cumulative mix share — the dashboard a continuously-ingesting
+    * pipeline watches to catch one crawl starving the others. The
+    * ledger is |sources| × |batches| rows (tiny); the only
+    * corpus-sized stage is the per-batch token rollup. Replay-
+    * idempotent by the same batch-granular replace as the other
+    * store-backed gates: cumulative sums ignore the current batch's
+    * own ledger rows, and the merge replaces them.
+    */
+  def sourceMixMonitor(docs: DataFrame, storePath: String, outPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val basePath = new org.apache.hadoop.fs.Path(storePath)
+        val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverStore(fs, basePath)
+        val bt = batch
+          .select(col("source"),
+            size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("t"))
+          .groupBy("source").agg(sum(col("t")).as("n_tokens"))
+        val prior =
+          if (fs.exists(basePath))
+            spark.read.parquet(storePath).filter(col("src_batch") =!= batchId)
+          else spark.emptyDataFrame.select(lit("").as("source"),
+            lit(0L).as("n_tokens"), lit(0L).as("src_batch")).limit(0)
+        val cum = prior.select(col("source"), col("n_tokens"))
+          .unionByName(bt)
+          .groupBy("source").agg(sum(col("n_tokens")).as("cum_tokens"))
+        val tot = cum.agg(sum(col("cum_tokens")).as("total"))
+        val report = cum
+          .join(bt.select(col("source"), col("n_tokens").as("batch_tokens")),
+            Seq("source"), "left")
+          .crossJoin(broadcast(tot))
+          .select(lit(batchId).as("batch_id"), col("source"),
+            coalesce(col("batch_tokens"), lit(0L)).as("batch_tokens"),
+            col("cum_tokens"),
+            round(col("cum_tokens").cast("double") /
+              col("total").cast("double"), 6).as("cum_share"))
+        report.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        val merged = prior.unionByName(bt.withColumn("src_batch", lit(batchId)))
+        val tmp = s"$storePath.merged-$batchId"
+        merged.write.mode("overwrite").parquet(tmp)
+        if (fs.exists(basePath)) swapStore(fs, basePath, tmp)
+        else mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
+        ()
+      }
+
   /** Streaming corpus triage: every micro-batch is scored by the
     * batch quality rules ([[graft.operators.TextAnalysis.qualityFlagsOf]]
     * — the SAME rule code, so batch and stream can never drift) and

@@ -352,6 +352,40 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("stream_source_mix: cumulative mix shares survive restart") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-smix").toString
+    val (store, out, ckpt) = (s"$base/ledger", s"$base/out", s"$base/ckpt")
+    def mix(id: Long): Map[String, (Long, Long, Double)] =
+      spark.read.parquet(s"$out/batch=$id").collect().map { r =>
+        r.getAs[String]("source") ->
+          ((r.getAs[Long]("batch_tokens"), r.getAs[Long]("cum_tokens"),
+            r.getAs[Double]("cum_share")))
+      }.toMap
+    val in = MemoryStream[(Long, String, String)]
+    val df = in.toDF().toDF("doc_id", "source", "text")
+    val q1 = Stream.sourceMixMonitor(df, store, out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData((0L, "web", "a b c"), (1L, "books", "d e"))
+      q1.processAllAvailable()
+      assert(mix(0L) === Map("web" -> ((3L, 3L, 0.6)), "books" -> ((2L, 2L, 0.4))))
+      in.addData((2L, "books", "f g h i j"))
+      q1.processAllAvailable()
+      assert(mix(1L) === Map("web" -> ((0L, 3L, 0.3)), "books" -> ((5L, 7L, 0.7))))
+    } finally q1.stop()
+    // restart: the ledger, not executor state, carries the history
+    val q2 = Stream.sourceMixMonitor(df, store, out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData((3L, "code", "k l m n o p q r s t"))
+      q2.processAllAvailable()
+      assert(mix(2L) === Map("web" -> ((0L, 3L, 0.15)),
+        "books" -> ((0L, 7L, 0.35)), "code" -> ((10L, 10L, 0.5))))
+    } finally q2.stop()
+  }
+
   test("stream_vocab_drift: saved vocabulary flags new terms across restart") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
