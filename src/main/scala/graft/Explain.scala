@@ -112,7 +112,9 @@ object Explain {
     "query_field" -> Rule(),
     "term_burstiness" -> Rule(),
     "session_length_hist" -> Rule(),
-    "events_heatmap" -> Rule())
+    "events_heatmap" -> Rule(),
+    "ann_recall_curve" -> Rule(),
+    "word_length_hist" -> Rule())
 
   /** Saved-index retrieval invariants: the lookup paths must prune
     * term buckets AT PLANNING TIME (PartitionFilters, not a post-scan

@@ -36,6 +36,23 @@ object VectorImpl {
     val nb = math.sqrt(norm2(b))
     if (na == 0.0 || nb == 0.0) 0.0 else d / (na * nb)
   }
+  // Array[Double] twins of dot/norm2 — same strict left-to-right fold,
+  // for double-typed weight vectors (e.g. TF-IDF) where a float
+  // round-trip could flip a 4dp rounding boundary.
+  def dotD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+  def norm2D(a: ArrayData): Double = {
+    var s = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { val v = a.getDouble(i); s += v * v; i += 1 }
+    s
+  }
 
   /** Sign-LSH bucket of Charikar's random-hyperplane scheme with the
     * deterministic rational planes r(b,j) = ((709b + 1013j) mod 97 − 48)/48.
@@ -118,6 +135,19 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 }
 
+/** [[DotProduct]] over Array[Double] columns. */
+case class DotProductD(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorImpl.dotD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorImpl.dotD($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductD =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_product_d"
+}
+
 /** Codegen'd squared L2 norm. */
 case class Norm2(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
@@ -127,6 +157,17 @@ case class Norm2(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, a => s"graft.functions.VectorImpl.norm2($a)")
   override protected def withNewChildInternal(c: Expression): Norm2 = copy(child = c)
   override def prettyName: String = "norm2"
+}
+
+/** [[Norm2]] over Array[Double] columns. */
+case class Norm2D(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any): Any =
+    VectorImpl.norm2D(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorImpl.norm2D($a)")
+  override protected def withNewChildInternal(c: Expression): Norm2D = copy(child = c)
+  override def prettyName: String = "norm2_d"
 }
 
 /** Codegen'd sign-LSH bucket assignment — the whole nBits-plane loop in
@@ -169,6 +210,13 @@ object VectorFns {
   def dot(a: Column, b: Column): Column =
     GraftBridge.column(
       DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def dotD(a: Column, b: Column): Column =
+    GraftBridge.column(
+      DotProductD(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def norm2D(a: Column): Column =
+    GraftBridge.column(Norm2D(GraftBridge.expression(a)))
 
   def norm2(a: Column): Column =
     GraftBridge.column(Norm2(GraftBridge.expression(a)))

@@ -172,15 +172,20 @@ object Index {
       .orderBy("term", "rank")
   }
 
-  /** All-pairs document similarity by sparse TF-IDF cosine, computed
-    * the index-join way (Bayardo et al., "Scaling Up All Pairs
-    * Similarity Search"): postings self-joined on TERM — never a
-    * doc×doc cartesian — so each pair's dot product accumulates only
-    * over shared terms. Terms with df = N carry idf 0 and are dropped
-    * BEFORE the join (identical results, and at 100 TB this prefix
-    * filter is what keeps the candidate volume sane; production adds
-    * a similarity threshold to prune further). Cosine is rounded to
-    * 4dp before the final ordering, the [[tfidfScoredOf]] contract.
+  /** All-pairs document similarity by TF-IDF cosine. Terms with
+    * df = N carry idf 0 and are dropped up front, leaving a BOUNDED
+    * dictionary W of discriminative terms; each document then becomes
+    * a dense |W|-dim weight vector (term → index via a broadcast
+    * dictionary; one doc-keyed rollup) and the pair computation is
+    * the same broadcast nested-loop + codegen'd dot kernel as
+    * `embed_neardup` — 12.5M pairs of short dense vectors beat a
+    * term-keyed self-join here because a tiny vocabulary gives the
+    * join only |W| keys (maximal skew, |corpus|²-sized skewed
+    * partitions). With an UNBOUNDED vocabulary the right shape flips
+    * to the Bayardo term-keyed index join with prefix filtering —
+    * which is exactly the plan `minhash_lsh_pairs`/`simhash_pairs`
+    * instantiate for the sketch families. Cosine is rounded to 4dp
+    * before the final ordering, the [[tfidfScoredOf]] contract.
     */
   def tfidfCosinePairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -192,15 +197,23 @@ object Index {
       .filter(col("df") < col("n"))
       .select(col("doc_id"), col("term"),
         (col("tf") * log(col("n") / col("df"))).as("w"))
-    val nrm = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-    w.select(col("term"), col("doc_id").as("doc_a"), col("w").as("wa"))
-      .join(w.select(col("term"), col("doc_id").as("doc_b"), col("w").as("wb")), "term")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
-      .join(nrm.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
-      .join(nrm.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
+    val dict = w.select("term").distinct()
+      .withColumn("idx", row_number().over(Window.orderBy("term")))
+    val tdim = dict.agg(max(col("idx")).as("tdim"))
+    val vec = w.join(broadcast(dict), "term")
+      .groupBy("doc_id")
+      .agg(map_from_entries(sort_array(collect_list(struct(col("idx"), col("w"))))).as("m"))
+      .crossJoin(broadcast(tdim))
+      .select(col("doc_id"),
+        transform(sequence(lit(1), col("tdim")),
+          i => coalesce(element_at(col("m"), i), lit(0.0))).as("v"))
+      .withColumn("nrm", sqrt(graft.functions.VectorFns.norm2D(col("v"))))
+    vec.select(col("doc_id").as("doc_a"), col("v").as("va"), col("nrm").as("na"))
+      .join(broadcast(vec.select(col("doc_id").as("doc_b"), col("v").as("vb"),
+        col("nrm").as("nb"))), col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("dot") / (col("na") * col("nb")), 4).as("cosine"))
+        round(graft.functions.VectorFns.dotD(col("va"), col("vb")) /
+          (col("na") * col("nb")), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
       .limit(20)
   }

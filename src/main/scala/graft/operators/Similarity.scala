@@ -287,6 +287,30 @@ object Similarity {
     }.reduce(_ unionByName _).orderBy("n_probe")
   }
 
+  /** Recall-vs-k curve for the IVF index against brute-force truth:
+    * recall@k for k = 1, 5, 10 — the second axis of the ANN tuning
+    * surface ([[annProbeCurve]] sweeps probes at fixed k; this sweeps
+    * the result depth at fixed probes). Both ranked lists are already
+    * bounded (TopK per query), so every stage after the two kNN runs
+    * is arithmetic on a ≤ NQueries·TopK frame; hits are integer
+    * joins, recall the one terminal division.
+    */
+  def annRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    val bf = knnBruteforce(spark, dir).select("query_id", "rk", "vec_id")
+    val iv = knnIvf(spark, dir)
+      .select(col("query_id"), col("vec_id"), col("rk").as("ark"))
+    val joined = bf.join(iv, Seq("query_id", "vec_id"))
+    val nq = bf.agg(countDistinct(col("query_id")).as("n_queries"))
+    Seq(1L, 5L, 10L).map { k =>
+      joined.filter(col("rk") <= k && col("ark") <= k)
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(nq))
+        .select(lit(k).as("k"), col("n_queries"), col("n_hits"),
+          round(col("n_hits").cast("double") /
+            (col("n_queries") * lit(k)).cast("double"), 6).as("recall"))
+    }.reduce(_ unionByName _).orderBy("k")
+  }
+
   /** Residual-encoded IVF+PQ — the faithful billion-scale
     * formulation: PQ codes quantize the RESIDUAL x − c(bucket(x))
     * rather than x itself (residuals are smaller and centered, so the
@@ -824,7 +848,8 @@ object Similarity {
     "semantic_dedup" -> semanticDedup,
     "embedding_outliers" -> embeddingOutliers,
     "ivf_bucket_stats" -> ivfBucketStats,
-    "ann_probe_curve" -> annProbeCurve)
+    "ann_probe_curve" -> annProbeCurve,
+    "ann_recall_curve" -> annRecallCurve)
 
   /** `asg` CTE on top of [[OracleSql.NormCte]]: the IVF bucket
     * assignment (argmax cosine over the 16 seed centroids).
@@ -1169,6 +1194,37 @@ object Similarity {
          |)
          |SELECT query_id, rk, vec_id, round(c, 6) AS cosine, bucket
          |FROM r WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    "ann_recall_curve" ->
+      s"""${OracleSql.NormCte}$AssignCte, bfp AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+         |    ${OracleSql.cosineN("q.embedding", "b.embedding", "q.nm", "b.nm")} AS c
+         |  FROM nrm q JOIN nrm b ON q.vec_id < $NQueries AND b.vec_id != q.vec_id
+         |), bfr AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+         |  FROM bfp
+         |), ivp AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+         |    ${OracleSql.cosineN("q.embedding", "b.embedding", "q.nm", "b.nm")} AS c
+         |  FROM asg q JOIN asg b ON q.vec_id < $NQueries
+         |    AND b.bucket = q.bucket AND b.vec_id != q.vec_id
+         |), ivr AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+         |  FROM ivp
+         |), nq AS (
+         |  SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries
+         |  FROM bfr WHERE rk <= $TopK
+         |), j AS (
+         |  SELECT bfr.rk AS rk, ivr.rk AS ark
+         |  FROM bfr JOIN ivr ON bfr.query_id = ivr.query_id AND bfr.vec_id = ivr.vec_id
+         |  WHERE bfr.rk <= $TopK AND ivr.rk <= $TopK
+         |), ks AS (SELECT CAST(unnest([1, 5, 10]) AS BIGINT) AS k)
+         |SELECT ks.k AS k, nq.n_queries,
+         |  CAST(sum(CASE WHEN j.rk <= ks.k AND j.ark <= ks.k THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  round(sum(CASE WHEN j.rk <= ks.k AND j.ark <= ks.k THEN 1 ELSE 0 END)::DOUBLE
+         |    / (nq.n_queries * ks.k)::DOUBLE, 6) AS recall
+         |FROM ks, j, nq GROUP BY ks.k, nq.n_queries ORDER BY k""".stripMargin,
     "knn_bruteforce" ->
       s"""${OracleSql.NormCte}, p AS (
          |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,

@@ -276,6 +276,27 @@ object TextAnalysis {
       .orderBy("term")
   }
 
+  // ---- word_length_hist ------------------------------------------------
+
+  /** Token-length histogram: occurrences and distinct terms per
+    * character length, with each length's share of the token stream —
+    * the tokenizer sanity chart (a mass spike at extreme lengths
+    * means markup or concatenation artifacts survived cleaning). One
+    * partial-agg rollup keyed on an int; the share is the terminal
+    * division against a broadcast 1-row total.
+    */
+  def wordLengthHist(spark: SparkSession, dir: String): DataFrame = {
+    val t = Index.tokenStream(spark, dir)
+      .select(length(col("term")).cast("long").as("len"), col("term"))
+    val tot = t.agg(count(lit(1)).as("total"))
+    t.groupBy("len")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("term")).as("n_terms"))
+      .crossJoin(broadcast(tot))
+      .select(col("len"), col("n_tokens"), col("n_terms"),
+        round(col("n_tokens").cast("double") / col("total").cast("double"), 6).as("share"))
+      .orderBy("len")
+  }
+
   // ---- bigram_lm -------------------------------------------------------
 
   /** Add-one-smoothed bigram language model: for the 20 most frequent
@@ -638,6 +659,7 @@ object TextAnalysis {
     "vocab_growth" -> vocabGrowth,
     "vocab_coverage_curve" -> vocabCoverageCurve,
     "term_burstiness" -> termBurstiness,
+    "word_length_hist" -> wordLengthHist,
     "bigram_lm" -> bigramLm,
     "quality_filter" -> qualityFilter,
     "source_quality_report" -> sourceQualityReport,
@@ -939,6 +961,15 @@ object TextAnalysis {
          |  CAST(sum(new_terms) OVER (ORDER BY first_doc
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
          |FROM g ORDER BY first_doc""".stripMargin,
+    "word_length_hist" ->
+      s"""${Index.TokSql}, t AS (
+         |  SELECT CAST(len(term) AS BIGINT) AS len, term FROM tok
+         |), tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t)
+         |SELECT len,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+         |  round(count(*)::DOUBLE / tot.total::DOUBLE, 6) AS share
+         |FROM t, tot GROUP BY len, tot.total ORDER BY len""".stripMargin,
     "term_burstiness" ->
       s"""${Index.TokSql}, per AS (
          |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
