@@ -114,7 +114,9 @@ object Explain {
     "session_length_hist" -> Rule(),
     "events_heatmap" -> Rule(),
     "ann_recall_curve" -> Rule(),
-    "word_length_hist" -> Rule())
+    "word_length_hist" -> Rule(),
+    "heavy_hitters_cms" -> Rule(),
+    "range_boundaries" -> Rule())
 
   /** Saved-index retrieval invariants: the lookup paths must prune
     * term buckets AT PLANNING TIME (PartitionFilters, not a post-scan

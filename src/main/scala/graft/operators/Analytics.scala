@@ -598,6 +598,53 @@ object Analytics {
       .limit(20)
   }
 
+  /** TotalOrderPartitioner-style range-partition design report — the
+    * global-sort knob Hadoop ships as InputSampler+TotalOrderPartitioner
+    * and Spark's RangePartitioner re-derives per job: sample the sort
+    * key deterministically (rolling-hash mod 50 = 0 → ~2% of orders, the
+    * same hash-threshold rule as `train_test_split`), pick the 7
+    * evenly-spaced sample ELEMENTS at ranks max(1, ⌊k·n/8⌋) as cut points —
+    * exactly InputSampler's boundary rule, and pure integer (an
+    * interpolated percentile differs between engines in the last ulp)
+    * — then assign EVERY row by counting boundaries strictly below its
+    * key (ties fall to the lower partition) and report per-partition
+    * row counts, share, and actual min/max key. The report answers the 100 TB question
+    * "would these sampled cut points balance the full sort?" — a
+    * partition with share ≫ 1/8 means the sample missed a hot range.
+    * Scan-wise: one ~2%-sample percentile (7 doubles broadcast), one
+    * 8-element filter-count per row, one 8-group rollup — the full
+    * data is never sorted, which is the point of designing the sort
+    * before running it.
+    */
+  def rangeBoundaries(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashFns
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), (col("o_totalprice") * 100).cast("long").as("cents"))
+    val s = o
+      .filter(HashFns.rollingHash(col("o_orderkey").cast("string")) % 50 === 0)
+    val sc = s.agg(count(lit(1)).as("n"))
+    val bounds = s.crossJoin(broadcast(sc))
+      .select(col("cents"), col("n"),
+        row_number().over(Window.orderBy("cents")).cast("long").as("rn"))
+      .withColumn("rks",
+        expr("transform(sequence(1L, 7L), k -> greatest(1L, (n * k) div 8))"))
+      .filter(array_contains(col("rks"), col("rn")))
+      .agg(sort_array(collect_list(col("cents"))).as("bs"))
+    val tot = o.agg(count(lit(1)).cast("double").as("total"))
+    o.crossJoin(broadcast(bounds))
+      .select(col("cents"),
+        size(filter(col("bs"), b => col("cents") > b))
+          .cast("long").as("part_id"))
+      .groupBy("part_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("part_id"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("total"), 6).as("share"),
+        col("lo_cents"), col("hi_cents"))
+      .orderBy("part_id")
+  }
+
   /** RFM customer segmentation — recency (days since last order),
     * frequency (orders), monetary (lifetime spend) with NTILE(4)
     * scores and the concatenated segment code: the classic warehouse
@@ -1499,6 +1546,7 @@ object Analytics {
     "revenue_pareto" -> revenuePareto,
     "rfm_segments" -> rfmSegments,
     "skew_report" -> skewReport,
+    "range_boundaries" -> rangeBoundaries,
     "concurrency_peak" -> concurrencyPeak,
     "inter_event_gap_hist" -> interEventGapHist,
     "session_length_hist" -> sessionLengthHist,
@@ -1976,6 +2024,30 @@ object Analytics {
         |  round(n / t.total, 6) AS share,
         |  round(n / (t.total / t.nkeys), 4) AS x_mean
         |FROM c, t ORDER BY n DESC, l_suppkey LIMIT 20""".stripMargin,
+    "range_boundaries" ->
+      s"""WITH o AS (
+         |  SELECT o_orderkey, CAST(o_totalprice * 100 AS BIGINT) AS cents FROM orders
+         |), s AS (
+         |  SELECT cents FROM o
+         |  WHERE (${OracleSql.roll("o_orderkey::VARCHAR", graft.functions.HashFns.P)}) % 50 = 0
+         |), sc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+         |s2 AS (
+         |  SELECT cents, CAST(row_number() OVER (ORDER BY cents) AS BIGINT) AS rn FROM s
+         |), ks AS (
+         |  SELECT greatest(1, (sc.n * k.k) // 8) AS rk
+         |  FROM sc, (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS k) k
+         |), b AS (
+         |  SELECT cents AS bv FROM s2 WHERE rn IN (SELECT rk FROM ks)
+         |), tot AS (SELECT count(*)::DOUBLE AS total FROM o),
+         |p AS (
+         |  SELECT o.o_orderkey, o.cents,
+         |    CAST(sum(CASE WHEN o.cents > b.bv THEN 1 ELSE 0 END) AS BIGINT) AS part_id
+         |  FROM o CROSS JOIN b GROUP BY o.o_orderkey, o.cents
+         |)
+         |SELECT part_id, CAST(count(*) AS BIGINT) AS n_rows,
+         |  round(count(*)::DOUBLE / tot.total, 6) AS share,
+         |  min(cents) AS lo_cents, max(cents) AS hi_cents
+         |FROM p, tot GROUP BY part_id, tot.total ORDER BY part_id""".stripMargin,
     "concurrency_peak" ->
       s"""$EvSql, lagged AS (
          |  SELECT user_id, event_id, ts_us,

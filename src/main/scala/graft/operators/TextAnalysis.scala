@@ -297,6 +297,46 @@ object TextAnalysis {
       .orderBy("len")
   }
 
+  // ---- heavy_hitters_cms -----------------------------------------------
+
+  /** Count-Min-sketch heavy hitters: the top-20 terms ranked by their
+    * CMS frequency ESTIMATE, with the exact count and the collision
+    * overcount beside it — the mergeable-sketch member of the
+    * frequency family (exact `wordcount` / HLL `approx_distinct` /
+    * Bloom `contamination_bloom` already cover membership and
+    * cardinality; CMS covers frequency). d = 4 deterministic
+    * universal-hash rows × w = 64 buckets, so the whole sketch is a
+    * FIXED 256-cell table regardless of corpus size: counters build
+    * as one partial-agg rollup over the (already aggregated) term
+    * frame and broadcast back for the min-over-rows estimate — at
+    * 100 TB the sketch costs one |vocab|-row shuffle and 2 KB of
+    * state, which is exactly why production streams use it where the
+    * exact top-k's full term frame would not fit. Hash constants are
+    * the MinHash universal-hash family ([[HashFns.MinhashA]]/`B`), so
+    * the oracle can replay them; all arithmetic is integer → both
+    * engines agree bitwise.
+    */
+  def heavyHittersCms(spark: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val w = 64L
+    val cnt = Index.tokenStream(spark, dir)
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+      .withColumn("rh", HashFns.rollingHash(col("term")))
+    val hashed = cnt.select(col("term"), col("tf"),
+      posexplode(array((0 until d).map { j =>
+        (col("rh") * lit(HashFns.MinhashA(j)) + lit(HashFns.MinhashB(j))) %
+          lit(HashFns.P) % lit(w)
+      }: _*)).as(Seq("row", "bucket")))
+    val counters = hashed.groupBy("row", "bucket").agg(sum(col("tf")).as("c"))
+    hashed.join(broadcast(counters), Seq("row", "bucket"))
+      .groupBy("term")
+      .agg(max(col("tf")).as("tf"), min(col("c")).as("cms_est"))
+      .select(col("term"), col("tf"), col("cms_est"),
+        (col("cms_est") - col("tf")).as("overcount"))
+      .orderBy(col("cms_est").desc, col("term"))
+      .limit(20)
+  }
+
   // ---- bigram_lm -------------------------------------------------------
 
   /** Add-one-smoothed bigram language model: for the 20 most frequent
@@ -660,6 +700,7 @@ object TextAnalysis {
     "vocab_coverage_curve" -> vocabCoverageCurve,
     "term_burstiness" -> termBurstiness,
     "word_length_hist" -> wordLengthHist,
+    "heavy_hitters_cms" -> heavyHittersCms,
     "bigram_lm" -> bigramLm,
     "quality_filter" -> qualityFilter,
     "source_quality_report" -> sourceQualityReport,
@@ -970,6 +1011,28 @@ object TextAnalysis {
          |  CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
          |  round(count(*)::DOUBLE / tot.total::DOUBLE, 6) AS share
          |FROM t, tot GROUP BY len, tot.total ORDER BY len""".stripMargin,
+    "heavy_hitters_cms" -> {
+      val js = (0 until 4).map(j =>
+        s"(${j}, ${HashFns.MinhashA(j)}, ${HashFns.MinhashB(j)})").mkString(", ")
+      s"""${Index.TokSql}, cnt AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY term
+         |), h AS (
+         |  SELECT term, tf, ${OracleSql.roll("term", HashFns.P)} AS rh FROM cnt
+         |), js AS (SELECT * FROM (VALUES $js) AS t(j, a, b)),
+         |hb AS (
+         |  SELECT term, tf, j, ((rh * a + b) % ${HashFns.P}) % 64 AS bucket
+         |  FROM h, js
+         |), ctr AS (
+         |  SELECT j, bucket, CAST(sum(tf) AS BIGINT) AS c
+         |  FROM hb GROUP BY j, bucket
+         |)
+         |SELECT hb.term, CAST(max(hb.tf) AS BIGINT) AS tf,
+         |  CAST(min(ctr.c) AS BIGINT) AS cms_est,
+         |  CAST(min(ctr.c) - max(hb.tf) AS BIGINT) AS overcount
+         |FROM hb JOIN ctr ON hb.j = ctr.j AND hb.bucket = ctr.bucket
+         |GROUP BY hb.term
+         |ORDER BY cms_est DESC, term LIMIT 20""".stripMargin
+    },
     "term_burstiness" ->
       s"""${Index.TokSql}, per AS (
          |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
