@@ -665,6 +665,65 @@ object Stream {
         ()
       }
 
+  /** Streaming ingestion-anomaly monitor — the streaming twin of the
+    * batch `events_anomaly`: each micro-batch's daily event counts
+    * merge into a saved (day, n_events, src_batch) ledger
+    * (batch-granular replace → idempotent replay), and the batch's
+    * report scores the days it touched against the FULL ledger's
+    * exact integer moments (n, Σx, Σx²) — the alert baseline tightens
+    * as history accrues, and a restart loses nothing because the
+    * ledger, not executor state, carries the history. The anomaly
+    * rule matches the batch operator: |z| ≥ 2 on the sample-variance
+    * z-score; with fewer than 2 days of history, or zero variance,
+    * z is defined as 0 — no alerting before a baseline exists. At
+    * 100 TB/day the ledger is one row per calendar day: the merge
+    * rewrite is a few KB regardless of stream volume, and the per-day
+    * batch rollup is the only work that scales with input.
+    */
+  def anomalyMonitor(events: DataFrame, storePath: String, outPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val basePath = new org.apache.hadoop.fs.Path(storePath)
+        val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverStore(fs, basePath)
+        val bt = batch
+          .select(expr("unix_micros(ts) div 86400000000").as("day"))
+          .groupBy("day").agg(count(lit(1)).as("n_events"))
+        val prior =
+          if (fs.exists(basePath))
+            spark.read.parquet(storePath).filter(col("src_batch") =!= batchId)
+          else spark.emptyDataFrame.select(lit(0L).as("day"),
+            lit(0L).as("n_events"), lit(0L).as("src_batch")).limit(0)
+        val cum = prior.select(col("day"), col("n_events"))
+          .unionByName(bt)
+          .groupBy("day").agg(sum(col("n_events")).as("c"))
+        val m = cum.agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
+          sum(col("c") * col("c")).as("sxx"))
+        val scored = cum.crossJoin(broadcast(m))
+          .withColumn("mean", col("sx").cast("double") / col("n"))
+          .withColumn("sd", sqrt(
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+              (col("n").cast("double") * (col("n") - 1L).cast("double"))))
+          .withColumn("z", when(col("n") > 1L && col("sd") > 0.0,
+            round((col("c") - col("mean")) / col("sd"), 4)).otherwise(0.0))
+        val report = bt.select(col("day"), col("n_events").as("batch_events"))
+          .join(scored, Seq("day"))
+          .select(lit(batchId).as("batch_id"), col("day"), col("batch_events"),
+            col("c").as("cum_events"), round(col("mean"), 4).as("mean"),
+            col("z"),
+            when(abs(col("z")) >= 2.0, 1L).otherwise(0L).as("is_anomaly"))
+        report.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        val merged = prior.unionByName(bt.withColumn("src_batch", lit(batchId)))
+        val tmp = s"$storePath.merged-$batchId"
+        merged.write.mode("overwrite").parquet(tmp)
+        if (fs.exists(basePath)) swapStore(fs, basePath, tmp)
+        else mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
+        ()
+      }
+
   /** Streaming corpus triage: every micro-batch is scored by the
     * batch quality rules ([[graft.operators.TextAnalysis.qualityFlagsOf]]
     * — the SAME rule code, so batch and stream can never drift) and

@@ -386,6 +386,48 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("stream_anomaly: spike day flagged against the ledger baseline across restart") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-anom").toString
+    val (store, out, ckpt) = (s"$base/ledger", s"$base/out", s"$base/ckpt")
+    def report(id: Long): Map[Long, (Long, Long, Long)] =
+      spark.read.parquet(s"$out/batch=$id").collect().map { r =>
+        r.getAs[Long]("day") ->
+          ((r.getAs[Long]("batch_events"), r.getAs[Long]("cum_events"),
+            r.getAs[Long]("is_anomaly")))
+      }.toMap
+    def dayTs(day: Long, k: Long): java.sql.Timestamp =
+      new java.sql.Timestamp(day * 86400000L + k * 1000L)
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = in.toDF().toDF("user_id", "ts")
+    val q1 = Stream.anomalyMonitor(df, store, out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // batch 0: five baseline days x 3 events — zero variance, no alerts
+      in.addData((for (d <- 100L to 104L; k <- 0L until 3L) yield (d, dayTs(d, k))): _*)
+      q1.processAllAvailable()
+      assert(report(0L) === (100L to 104L).map(d => d -> ((3L, 3L, 0L))).toMap)
+      // batch 1: day 105 spikes to 30 -> z = (30-7.5)/11.02... >= 2
+      in.addData((for (k <- 0L until 30L) yield (105L, dayTs(105L, k))): _*)
+      q1.processAllAvailable()
+      assert(report(1L) === Map(105L -> ((30L, 30L, 1L))))
+    } finally q1.stop()
+    // restart: the ledger (incl. the spike) carries the history
+    val q2 = Stream.anomalyMonitor(df, store, out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData((for (k <- 0L until 3L) yield (106L, dayTs(106L, k))): _*)
+      q2.processAllAvailable()
+      // a normal day against the post-spike baseline: no alert
+      assert(report(2L) === Map(106L -> ((3L, 3L, 0L))))
+      val ledger = spark.read.parquet(store).collect()
+        .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_events"))).toMap
+      assert(ledger === ((100L to 104L).map(_ -> 3L) ++
+        Seq(105L -> 30L, 106L -> 3L)).toMap)
+    } finally q2.stop()
+  }
+
   test("stream_vocab_drift: saved vocabulary flags new terms across restart") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
