@@ -116,7 +116,10 @@ object Explain {
     "ann_recall_curve" -> Rule(),
     "word_length_hist" -> Rule(),
     "heavy_hitters_cms" -> Rule(),
-    "range_boundaries" -> Rule())
+    "range_boundaries" -> Rule(),
+    "band_bucket_stats" -> Rule(),
+    "ivf_retrain" -> Rule(),
+    "hashing_vectorize" -> Rule())
 
   /** Saved-index retrieval invariants: the lookup paths must prune
     * term buckets AT PLANNING TIME (PartitionFilters, not a post-scan

@@ -703,6 +703,29 @@ object Dedup {
           .localCheckpoint())
       .orderBy("a", "b", "c")
 
+  /** Band-bucket occupancy of the Hamming ≤ 6 pigeonhole banding —
+    * the candidate-volume estimator read BEFORE running the
+    * `simhash_pairs` equi-join (the sketch-join member of the bucket
+    * balance family: `index_stats` audits term buckets,
+    * `ivf_bucket_stats` audits IVF cells, this audits LSH bands).
+    * Per band: occupied buckets, the heaviest bucket, and the
+    * Σ n·(n−1)/2 candidate pairs its band would emit — a bucket with
+    * n ≫ mean here IS the skewed join partition the banded pair join
+    * inherits, and the number that decides between running the join
+    * as-is, df-capping the hot band, or salting it. All-integer
+    * arithmetic over a |buckets|-row rollup; nothing scales with the
+    * pair count being estimated.
+    */
+  def bandBucketStats(spark: SparkSession, dir: String): DataFrame =
+    simhashBandsOf(simhashDf(Tables.documents(spark, dir)), "doc_id", 6)
+      .groupBy("band", "v").agg(count(lit(1)).as("n"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_buckets"), max(col("n")).as("max_bucket"),
+        sum(expr("n * (n - 1) div 2")).as("cand_pairs"))
+      .select(col("band").cast("long").as("band"), col("n_buckets"),
+        col("max_bucket"), col("cand_pairs"))
+      .orderBy("band")
+
   /** Local clustering structure of the near-dup graph: per node its
     * degree, triangle participation and clustering coefficient
     * 2T / (deg·(deg−1)) — separates tight duplicate cliques
@@ -978,6 +1001,7 @@ object Dedup {
     "neardup_eval" -> neardupEval,
     "neardup_triangles" -> neardupTriangles,
     "neardup_clustering" -> neardupClustering,
+    "band_bucket_stats" -> bandBucketStats,
     "lsh_tuning_curve" -> lshTuningCurve,
     "dedup_exact" -> dedupExact,
     "dedup_norm" -> dedupNorm,
@@ -1414,6 +1438,22 @@ object Dedup {
     "simhash" ->
       s"""$simhashCte
          |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
+    "band_bucket_stats" -> {
+      val (widths, offsets) = bandSpec(6)
+      val vals = offsets.indices.map(i =>
+        s"(${i}::BIGINT, ${1L << offsets(i)}::BIGINT, ${1L << widths(i)}::BIGINT)")
+        .mkString(", ")
+      s"""$simhashCte, bd AS (SELECT * FROM (VALUES $vals) AS t(band, d, m)),
+         |bands AS (
+         |  SELECT doc_id, bd.band, (simhash // bd.d) % bd.m AS v FROM sh, bd
+         |), bk AS (
+         |  SELECT band, v, CAST(count(*) AS BIGINT) AS n FROM bands GROUP BY band, v
+         |)
+         |SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(max(n) AS BIGINT) AS max_bucket,
+         |  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS cand_pairs
+         |FROM bk GROUP BY band ORDER BY band""".stripMargin
+    },
     "simhash_pairs" ->
       s"""$simhashCte
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -187,6 +187,36 @@ object Index {
     * instantiate for the sketch families. Cosine is rounded to 4dp
     * before the final ordering, the [[tfidfScoredOf]] contract.
     */
+  /** Feature-hashing (hashing-trick) TF-IDF vectorizer — Weinberger
+    * et al.'s fixed-width text embedding: every term's TF-IDF weight
+    * lands in dimension rollingHash(term) mod 16 with the sign bit
+    * (rollingHash div 16) mod 2 de-biasing collisions, so EVERY
+    * document becomes a 16-dim vector with NO dictionary at all.
+    * This is the unbounded-vocabulary answer to the broadcast
+    * dictionary `tfidf_cosine_pairs` builds: at 100 TB the dictionary
+    * doesn't fit anywhere, but the hashed projection needs zero
+    * coordination — each row maps independently at scan speed, and
+    * the result feeds the same dense-vector kernels as real
+    * embeddings. Emitted exploded as (doc_id, dim, w) rows; the
+    * per-(doc, dim) collision sums route through [[Folds]]
+    * (term-sorted folds under the gate's bitwise contract, plain
+    * partial-agg sums in production).
+    */
+  def hashingVectorize(spark: SparkSession, dir: String): DataFrame = {
+    val base = tokenStream(spark, dir)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfs = base.groupBy("term").agg(count(lit(1)).as("df"))
+    val nn = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
+    val w = base.join(dfs, "term").crossJoin(broadcast(nn))
+      .withColumn("rh", graft.functions.HashFns.rollingHash(col("term")))
+      .select(col("doc_id"), col("term"), (col("rh") % 16).as("dim"),
+        (col("tf").cast("double") * log(col("n") / col("df")) *
+          when(expr("(rh div 16) % 2") === 0, 1.0).otherwise(-1.0)).as("sw"))
+    Folds.groupSums(w, Seq("doc_id", "dim"), col("term"), Seq("wsum" -> col("sw")))
+      .select(col("doc_id"), col("dim"), round(col("wsum"), 6).as("w"))
+      .orderBy("doc_id", "dim")
+  }
+
   def tfidfCosinePairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val base = tokenStreamOf(docs).groupBy("doc_id", "term")
@@ -772,6 +802,7 @@ object Index {
     "bool_or_search" -> boolOrSearch,
     "phrase_search" -> phraseSearch,
     "tfidf_topk" -> tfidfTopk,
+    "hashing_vectorize" -> hashingVectorize,
     "bm25_topk" -> bm25Topk,
     "mlt_topk" -> mltTopk,
     "qlm_topk" -> qlmTopk,
@@ -827,6 +858,26 @@ object Index {
          |WHERE df * 100 >= pct_min * n_docs
          |GROUP BY pct_min, tp.totp
          |ORDER BY pct_min""".stripMargin,
+    "hashing_vectorize" ->
+      s"""$TokSql, base AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+         |), dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM base GROUP BY term),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |w AS (
+         |  SELECT doc_id, base.term,
+         |    (${OracleSql.roll("base.term", graft.functions.HashFns.P)}) % 16 AS dim,
+         |    tf::DOUBLE * ln(n::DOUBLE / df::DOUBLE) *
+         |      (CASE WHEN ((${OracleSql.roll("base.term", graft.functions.HashFns.P)}) // 16) % 2 = 0
+         |        THEN 1.0 ELSE -1.0 END) AS sw
+         |  FROM base JOIN dfs ON base.term = dfs.term, nn
+         |), g AS (
+         |  SELECT doc_id, dim, list_sort(list(struct_pack(term := term, sw := sw))) AS xs
+         |  FROM w GROUP BY doc_id, dim
+         |)
+         |SELECT doc_id, dim,
+         |  round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(xs, s -> s['sw'])),
+         |    (a, v) -> a + v), 6) AS w
+         |FROM g ORDER BY doc_id, dim""".stripMargin,
     "tfidf_cosine_pairs" ->
       s"""$TokSql, base AS (
          |  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2

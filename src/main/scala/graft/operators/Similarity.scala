@@ -415,6 +415,47 @@ object Similarity {
       .orderBy("bucket")
   }
 
+  /** One Lloyd refinement step of the IVF coarse quantizer — the
+    * retrain move `ivf_bucket_stats`' imbalance report asks for: each
+    * bucket's vectors are averaged per dimension into the bucket's
+    * NEW centroid, and the report scores how far each centroid would
+    * move (cosine between old seed centroid and the assigned-mass
+    * mean; ≈ 1 = the quantizer has converged for that cell, low =
+    * the seed sits far from its mass and recall is paying for it).
+    * The per-(bucket, dim) sums route through [[Folds]] — vec_id-
+    * sorted folds under the gate's bitwise contract, plain partial
+    * aggregation in production — and the new-centroid assembly /
+    * cosine are the deterministic left-to-right double kernels
+    * ([[graft.functions.VectorFns.dotD]]), so the doubles match the
+    * oracle bitwise. One narrow posexplode + one (16·d)-group rollup;
+    * at billions of vectors this is the cheap part of a retrain —
+    * the expensive decision it informs is re-bucketing the store.
+    */
+  def ivfRetrain(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val ex = ivfAssign(e)
+      .select(col("vec_id"), col("bucket"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("bucket"), col("dim").cast("long").as("dim"),
+        col("x").cast("double").as("x"))
+    val sums = Folds.groupSums(ex, Seq("bucket", "dim"), col("vec_id"),
+      Seq("s" -> col("x")), Seq(count(lit(1)).as("nv")))
+    val newc = sums
+      .groupBy("bucket")
+      .agg(max(col("nv")).as("n_vecs"),
+        transform(sort_array(collect_list(struct(col("dim"),
+          (col("s") / col("nv").cast("double")).as("m")))), s => s("m")).as("nc"))
+    val oldc = withNorm(e).filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("bucket"),
+        transform(col("embedding"), x => x.cast("double")).as("oc"),
+        col("nm").as("onm"))
+    newc.join(broadcast(oldc), "bucket")
+      .select(col("bucket"), col("n_vecs"),
+        round(VectorFns.dotD(col("oc"), col("nc")) /
+          (col("onm") * sqrt(VectorFns.norm2D(col("nc")))), 6).as("centroid_cos"))
+      .orderBy("bucket")
+  }
+
   /** Per-dimension embedding health statistics: n, mean, std, min,
     * max — the drift/degenerate-dimension check run before trusting a
     * new embedding batch (a collapsed dimension shows std ≈ 0, a
@@ -849,7 +890,8 @@ object Similarity {
     "embedding_outliers" -> embeddingOutliers,
     "ivf_bucket_stats" -> ivfBucketStats,
     "ann_probe_curve" -> annProbeCurve,
-    "ann_recall_curve" -> annRecallCurve)
+    "ann_recall_curve" -> annRecallCurve,
+    "ivf_retrain" -> ivfRetrain)
 
   /** `asg` CTE on top of [[OracleSql.NormCte]]: the IVF bucket
     * assignment (argmax cosine over the 16 seed centroids).
@@ -1194,6 +1236,31 @@ object Similarity {
          |)
          |SELECT query_id, rk, vec_id, round(c, 6) AS cosine, bucket
          |FROM r WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    "ivf_retrain" ->
+      s"""${OracleSql.NormCte}$AssignCte, ex AS (
+         |  SELECT vec_id, bucket, CAST(i AS BIGINT) AS dim, embedding[i + 1]::DOUBLE AS x
+         |  FROM asg, unnest(range(len(embedding))) AS u(i)
+         |), g AS (
+         |  SELECT bucket, dim, CAST(count(*) AS BIGINT) AS nv,
+         |    list_sort(list(struct_pack(vec_id := vec_id, x := x))) AS xs
+         |  FROM ex GROUP BY bucket, dim
+         |), f AS (
+         |  SELECT bucket, dim, nv,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(xs, s -> s['x'])),
+         |      (a, v) -> a + v) / nv::DOUBLE AS m
+         |  FROM g
+         |), nc AS (
+         |  SELECT bucket, CAST(max(nv) AS BIGINT) AS n_vecs,
+         |    list_transform(list_sort(list(struct_pack(dim := dim, m := m))), s -> s['m']) AS ncv
+         |  FROM f GROUP BY bucket
+         |), oc AS (
+         |  SELECT vec_id AS bucket, list_transform(embedding, v -> v::DOUBLE) AS ocv, nm AS onm
+         |  FROM nrm WHERE vec_id < $NCentroids
+         |)
+         |SELECT nc.bucket, nc.n_vecs,
+         |  round(${OracleSql.dot("ocv", "ncv")} /
+         |    (oc.onm * sqrt(${OracleSql.norm2("ncv")})), 6) AS centroid_cos
+         |FROM nc JOIN oc ON nc.bucket = oc.bucket ORDER BY nc.bucket""".stripMargin,
     "ann_recall_curve" ->
       s"""${OracleSql.NormCte}$AssignCte, bfp AS (
          |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
