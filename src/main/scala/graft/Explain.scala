@@ -119,7 +119,8 @@ object Explain {
     "range_boundaries" -> Rule(),
     "band_bucket_stats" -> Rule(),
     "ivf_retrain" -> Rule(),
-    "hashing_vectorize" -> Rule())
+    "hashing_vectorize" -> Rule(),
+    "cms_error_curve" -> Rule())
 
   /** Saved-index retrieval invariants: the lookup paths must prune
     * term buckets AT PLANNING TIME (PartitionFilters, not a post-scan

@@ -316,26 +316,65 @@ object TextAnalysis {
     * the oracle can replay them; all arithmetic is integer → both
     * engines agree bitwise.
     */
-  def heavyHittersCms(spark: SparkSession, dir: String): DataFrame = {
-    val d = 4
-    val w = 64L
-    val cnt = Index.tokenStream(spark, dir)
-      .groupBy("term").agg(count(lit(1)).as("tf"))
-      .withColumn("rh", HashFns.rollingHash(col("term")))
-    val hashed = cnt.select(col("term"), col("tf"),
-      posexplode(array((0 until d).map { j =>
+  /** (term, tf, cms_est) for every distinct term under a d = 4 ×
+    * width-`w` Count-Min sketch — the shared estimate frame behind
+    * [[heavyHittersCms]] (the w = 64 readout) and [[cmsErrorCurve]]
+    * (the width sweep).
+    */
+  /** d = 4 CMS bucket addresses of a (term, tf) frame: one
+    * (term, tf, row, bucket) row per hash row — the shared hashing
+    * step of the batch estimates and the streaming counter ledger
+    * ([[graft.streaming.Stream]]'s heavyHittersMonitor).
+    */
+  def cmsHashedOf(cnt: DataFrame, w: Long): DataFrame =
+    cnt.select(col("term"), col("tf"),
+      posexplode(array((0 until 4).map { j =>
         (col("rh") * lit(HashFns.MinhashA(j)) + lit(HashFns.MinhashB(j))) %
           lit(HashFns.P) % lit(w)
       }: _*)).as(Seq("row", "bucket")))
+
+  def cmsEstimatesOf(spark: SparkSession, dir: String, w: Long): DataFrame = {
+    val cnt = Index.tokenStream(spark, dir)
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+      .withColumn("rh", HashFns.rollingHash(col("term")))
+    val hashed = cmsHashedOf(cnt, w)
     val counters = hashed.groupBy("row", "bucket").agg(sum(col("tf")).as("c"))
     hashed.join(broadcast(counters), Seq("row", "bucket"))
       .groupBy("term")
       .agg(max(col("tf")).as("tf"), min(col("c")).as("cms_est"))
+  }
+
+  def heavyHittersCms(spark: SparkSession, dir: String): DataFrame =
+    cmsEstimatesOf(spark, dir, 64L)
       .select(col("term"), col("tf"), col("cms_est"),
         (col("cms_est") - col("tf")).as("overcount"))
       .orderBy(col("cms_est").desc, col("term"))
       .limit(20)
-  }
+
+  /** The sketch-width design curve for the Count-Min sketch — the
+    * `lsh_tuning_curve`/`ann_probe_curve` sibling for the frequency
+    * sketch: at widths w = 16, 64, 256 (1/4/16 KB of counters), the
+    * total and worst-case collision overcount plus how many of the
+    * exact top-20 heavy hitters the sketch's top-20 still recovers.
+    * Answers "how small can the sketch be before the heavy-hitter
+    * readout lies" with ALL-integer arithmetic (estimates, set
+    * intersections) — the only scale-variant cost is the |vocab|-row
+    * estimate frame, computed once per width.
+    */
+  def cmsErrorCurve(spark: SparkSession, dir: String): DataFrame =
+    Seq(16L, 64L, 256L).map { w =>
+      val est = cmsEstimatesOf(spark, dir, w)
+      val exactTop = est
+        .orderBy(col("tf").desc, col("term")).limit(20).select("term")
+      val cmsTop = est
+        .orderBy(col("cms_est").desc, col("term")).limit(20).select("term")
+      est.agg(sum(col("cms_est") - col("tf")).as("total_overcount"),
+          max(col("cms_est") - col("tf")).as("max_overcount"))
+        .crossJoin(broadcast(
+          exactTop.join(cmsTop, "term").agg(count(lit(1)).as("hits_at_20"))))
+        .select(lit(w).as("w"), col("total_overcount"), col("max_overcount"),
+          col("hits_at_20"))
+    }.reduce(_ unionByName _).orderBy("w")
 
   // ---- bigram_lm -------------------------------------------------------
 
@@ -701,6 +740,7 @@ object TextAnalysis {
     "term_burstiness" -> termBurstiness,
     "word_length_hist" -> wordLengthHist,
     "heavy_hitters_cms" -> heavyHittersCms,
+    "cms_error_curve" -> cmsErrorCurve,
     "bigram_lm" -> bigramLm,
     "quality_filter" -> qualityFilter,
     "source_quality_report" -> sourceQualityReport,
@@ -1032,6 +1072,31 @@ object TextAnalysis {
          |FROM hb JOIN ctr ON hb.j = ctr.j AND hb.bucket = ctr.bucket
          |GROUP BY hb.term
          |ORDER BY cms_est DESC, term LIMIT 20""".stripMargin
+    },
+    "cms_error_curve" -> {
+      val js = (0 until 4).map(j =>
+        s"(${j}, ${HashFns.MinhashA(j)}, ${HashFns.MinhashB(j)})").mkString(", ")
+      def arm(w: Long): String =
+        s"""(WITH cnt2 AS (
+           |  SELECT term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY term
+           |), h AS (SELECT term, tf, ${OracleSql.roll("term", HashFns.P)} AS rh FROM cnt2),
+           |js AS (SELECT * FROM (VALUES $js) AS t(j, a, b)),
+           |hb AS (SELECT term, tf, j, ((rh * a + b) % ${HashFns.P}) % $w AS bucket FROM h, js),
+           |ctr AS (SELECT j, bucket, CAST(sum(tf) AS BIGINT) AS c FROM hb GROUP BY j, bucket),
+           |est AS (
+           |  SELECT hb.term, max(hb.tf) AS tf, min(ctr.c) AS cms_est
+           |  FROM hb JOIN ctr ON hb.j = ctr.j AND hb.bucket = ctr.bucket GROUP BY hb.term
+           |), et AS (SELECT term FROM est ORDER BY tf DESC, term LIMIT 20),
+           |ct AS (SELECT term FROM est ORDER BY cms_est DESC, term LIMIT 20),
+           |hits AS (SELECT CAST(count(*) AS BIGINT) AS hits_at_20 FROM et JOIN ct USING (term))
+           |SELECT CAST($w AS BIGINT) AS w,
+           |  CAST(sum(cms_est - tf) AS BIGINT) AS total_overcount,
+           |  CAST(max(cms_est - tf) AS BIGINT) AS max_overcount,
+           |  hits.hits_at_20
+           |FROM est, hits GROUP BY hits.hits_at_20)""".stripMargin
+      s"""${Index.TokSql}
+         |SELECT * FROM (${arm(16)} UNION ALL ${arm(64)} UNION ALL ${arm(256)})
+         |ORDER BY w""".stripMargin
     },
     "term_burstiness" ->
       s"""${Index.TokSql}, per AS (

@@ -665,6 +665,61 @@ object Stream {
         ()
       }
 
+  /** Streaming heavy hitters over a PERSISTED Count-Min sketch — the
+    * streaming twin of the batch `heavy_hitters_cms`, and the reason
+    * the CMS exists at all: the counter ledger stores the d = 4 ×
+    * w = 64 cells keyed by source batch (batch-granular replace →
+    * idempotent replay), so cumulative term-frequency estimates
+    * survive restarts in 256 rows of state NO MATTER how many
+    * distinct terms the stream has carried — the exact running
+    * wordcount (`stream_topk`) holds one state row per term and
+    * cannot bound that at 100 TB/day. Each batch's report ranks the
+    * batch's OWN terms by their cumulative estimate (the "trending
+    * now" view); estimates of unseen terms remain queryable offline
+    * from the same saved sketch. Hashing is shared code with the
+    * batch operator ([[graft.operators.TextAnalysis.cmsHashedOf]]),
+    * so stream and batch can never drift.
+    */
+  def heavyHittersMonitor(docs: DataFrame, storePath: String, outPath: String,
+      topK: Int = 10)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val basePath = new org.apache.hadoop.fs.Path(storePath)
+        val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverStore(fs, basePath)
+        val cnt = batch
+          .select(explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("tf"))
+          .withColumn("rh", graft.functions.HashFns.rollingHash(col("term")))
+        val hashed = graft.operators.TextAnalysis.cmsHashedOf(cnt, 64L)
+        val bt = hashed.groupBy("row", "bucket").agg(sum(col("tf")).as("n"))
+        val prior =
+          if (fs.exists(basePath))
+            spark.read.parquet(storePath).filter(col("src_batch") =!= batchId)
+          else spark.emptyDataFrame.select(lit(0).as("row"),
+            lit(0L).as("bucket"), lit(0L).as("n"), lit(0L).as("src_batch")).limit(0)
+        val cum = prior.select(col("row"), col("bucket"), col("n"))
+          .unionByName(bt)
+          .groupBy("row", "bucket").agg(sum(col("n")).as("c"))
+        val report = hashed.join(broadcast(cum), Seq("row", "bucket"))
+          .groupBy("term")
+          .agg(max(col("tf")).as("batch_tf"), min(col("c")).as("cms_est"))
+          .orderBy(col("cms_est").desc, col("term"))
+          .limit(topK)
+          .select(lit(batchId).as("batch_id"), col("term"),
+            col("batch_tf"), col("cms_est"))
+        report.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        val merged = prior.unionByName(bt.withColumn("src_batch", lit(batchId)))
+        val tmp = s"$storePath.merged-$batchId"
+        merged.write.mode("overwrite").parquet(tmp)
+        if (fs.exists(basePath)) swapStore(fs, basePath, tmp)
+        else mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
+        ()
+      }
+
   /** Streaming ingestion-anomaly monitor — the streaming twin of the
     * batch `events_anomaly`: each micro-batch's daily event counts
     * merge into a saved (day, n_events, src_batch) ledger

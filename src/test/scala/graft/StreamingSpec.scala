@@ -386,6 +386,43 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("stream_heavy_hitters: cumulative CMS estimates survive restart in 256 cells") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-hh").toString
+    val (store, out, ckpt) = (s"$base/sketch", s"$base/out", s"$base/ckpt")
+    def report(id: Long): Map[String, (Long, Long)] =
+      spark.read.parquet(s"$out/batch=$id").collect().map { r =>
+        r.getAs[String]("term") ->
+          ((r.getAs[Long]("batch_tf"), r.getAs[Long]("cms_est")))
+      }.toMap
+    val in = MemoryStream[(Long, String)]
+    val df = in.toDF().toDF("doc_id", "text")
+    val q1 = Stream.heavyHittersMonitor(df, store, out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData((0L, "alpha alpha alpha beta"), (1L, "beta gamma"))
+      q1.processAllAvailable()
+      assert(report(0L) === Map("alpha" -> ((3L, 3L)), "beta" -> ((2L, 2L)),
+        "gamma" -> ((1L, 1L))))
+      in.addData((2L, "alpha beta beta beta"))
+      q1.processAllAvailable()
+      // cumulative: alpha 3+1, beta 2+3 — ranked by the running sketch
+      assert(report(1L) === Map("alpha" -> ((1L, 4L)), "beta" -> ((3L, 5L))))
+    } finally q1.stop()
+    // restart: the saved counters, not executor state, carry history
+    val q2 = Stream.heavyHittersMonitor(df, store, out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData((3L, "alpha delta"))
+      q2.processAllAvailable()
+      assert(report(2L) === Map("alpha" -> ((1L, 5L)), "delta" -> ((1L, 1L))))
+      // the ledger never exceeds d*w = 256 cells regardless of vocabulary
+      assert(spark.read.parquet(store)
+        .select("row", "bucket").distinct().count() <= 256L)
+    } finally q2.stop()
+  }
+
   test("stream_anomaly: spike day flagged against the ledger baseline across restart") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
