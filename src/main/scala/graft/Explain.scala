@@ -120,7 +120,8 @@ object Explain {
     "band_bucket_stats" -> Rule(),
     "ivf_retrain" -> Rule(),
     "hashing_vectorize" -> Rule(),
-    "cms_error_curve" -> Rule())
+    "cms_error_curve" -> Rule(),
+    "events_ewma" -> Rule())
 
   /** Saved-index retrieval invariants: the lookup paths must prune
     * term buckets AT PLANNING TIME (PartitionFilters, not a post-scan

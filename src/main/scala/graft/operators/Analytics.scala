@@ -778,6 +778,39 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** Exponentially-weighted moving average of daily event volume
+    * (α = 1/4) — the smoother ops dashboards overlay on
+    * `events_anomaly`'s raw z-scores: EWMA reacts to sustained shifts
+    * and shrugs off single-day spikes, and its α = 1/4, 3/4
+    * coefficients are exact binary fractions, so the recursion
+    * e_t = α·x_t + (1−α)·e_{t−1} produces identical doubles on both
+    * engines when evaluated in the same order (here: one left fold
+    * over the day-sorted array; the oracle's recursive CTE replays
+    * the same three FLOPs per day). The daily rollup is the only
+    * input-scaled work; the fold runs over the |days| frame — at
+    * 100 TB/day that is one row per calendar day, not per event.
+    */
+  def eventsEwma(spark: SparkSession, dir: String): DataFrame = {
+    val daily = eventsUs(spark, dir)
+      .groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val arr = daily.agg(sort_array(collect_list(struct(col("day"), col("c")))).as("ds"))
+    arr.select(explode(aggregate(
+        slice(col("ds"), lit(2), greatest(size(col("ds")) - 1, lit(0))),
+        array(struct(
+          element_at(col("ds"), 1)("day").as("day"),
+          element_at(col("ds"), 1)("c").as("c"),
+          element_at(col("ds"), 1)("c").cast("double").as("e"))),
+        (acc, s) => concat(acc, array(struct(
+          s("day").as("day"), s("c").as("c"),
+          (lit(0.25) * s("c").cast("double") +
+            lit(0.75) * element_at(acc, -1)("e")).as("e"))))
+      )).as("r"))
+      .select(col("r.day").as("day"), col("r.c").as("n_events"),
+        round(col("r.e"), 6).as("ewma"))
+      .orderBy("day")
+  }
+
   /** TPC-H Q6 — the forecast-revenue-change filter-agg, and the
     * pushdown showcase: every predicate (shipdate year, discount band,
     * quantity cap) reaches the parquet scan as a PushedFilter over a
@@ -1541,6 +1574,7 @@ object Analytics {
     "events_ohlc" -> eventsOhlc,
     "dau_stickiness" -> dauStickiness,
     "events_anomaly" -> eventsAnomaly,
+    "events_ewma" -> eventsEwma,
     "customer_ltv_cohort" -> customerLtvCohort,
     "orders_seasonality" -> ordersSeasonality,
     "revenue_pareto" -> revenuePareto,
@@ -1932,6 +1966,19 @@ object Analytics {
         |FROM pr JOIN pa a ON pr.part_a = a.l_partkey
         |  JOIN pa b2 ON pr.part_b = b2.l_partkey, n
         |ORDER BY lift DESC, part_a, part_b LIMIT 20""".stripMargin,
+    "events_ewma" ->
+      s"""${EvSql.replaceFirst("WITH ", "WITH RECURSIVE ")}, d AS (
+         |  SELECT ts_us // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c
+         |  FROM ev GROUP BY 1
+         |), dd AS (
+         |  SELECT day, c, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn FROM d
+         |), r AS (
+         |  SELECT rn, day, c, c::DOUBLE AS e FROM dd WHERE rn = 1
+         |  UNION ALL
+         |  SELECT dd.rn, dd.day, dd.c, 0.25 * dd.c::DOUBLE + 0.75 * r.e
+         |  FROM r JOIN dd ON dd.rn = r.rn + 1
+         |)
+         |SELECT day, c AS n_events, round(e, 6) AS ewma FROM r ORDER BY day""".stripMargin,
     "events_anomaly" ->
       s"""$EvSql, d AS (
          |  SELECT ts_us // 86400000000 AS day, count(*) AS c FROM ev GROUP BY 1

@@ -665,6 +665,104 @@ object Stream {
         ()
       }
 
+  /** The COMPOSED streaming cleaning funnel — the batch
+    * `pipeline_clean` as a continuous gate: every micro-batch runs
+    * quality rules → exact-dup screen → near-dup screen, each stage
+    * the SAME code as its standalone gate ([[qualityGate]]'s rules via
+    * [[graft.operators.TextAnalysis.qualityFlagsOf]], [[dedupGate]]'s
+    * saved md5 store, [[neardupGate]]'s saved fingerprint store and
+    * banded screen), so the funnel and its parts can never disagree.
+    * Survivors land under `clean/batch=<id>`; a one-row per-stage
+    * count report (the funnel chart) lands under `report/batch=<id>`.
+    * BOTH stores update batch-granularly, so replay is idempotent
+    * end-to-end. Store semantics: md5 fingerprints are recorded for
+    * every exact-stage survivor (a later copy of a doc that the
+    * NEAR-dup stage then dropped is still a copy of something seen —
+    * it dies at the exact stage), near-dup fingerprints only for
+    * landed docs. At 100 TB/day each screen shuffles only
+    * (hash/band)-keyed matches — never store × batch — and the
+    * quality stage is a scan-speed row map.
+    */
+  def pipelineGate(docs: DataFrame, md5StorePath: String, fpStorePath: String,
+      outPath: String, maxHamming: Int = 6)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val md5Base = new org.apache.hadoop.fs.Path(md5StorePath)
+        val fpBase = new org.apache.hadoop.fs.Path(fpStorePath)
+        val fs = md5Base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverStore(fs, md5Base)
+        recoverStore(fs, fpBase)
+        val Dedup = graft.operators.Dedup
+        val nIn = batch.count()
+        // stage 1: quality rules (shared code with qualityGate)
+        val q = graft.operators.TextAnalysis.qualityFlagsOf(batch)
+          .filter(col("keep") === 1L)
+          .select(batch.columns.map(col): _*).persist()
+        val nQuality = q.count()
+        // stage 2: in-batch exact canon + saved md5 screen
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("text_md5").orderBy("doc_id")
+        val canon = q.withColumn("text_md5", md5(col("text")))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val md5Prior =
+          if (fs.exists(md5Base))
+            spark.read.parquet(md5StorePath).filter(col("src_batch") =!= batchId)
+          else spark.emptyDataFrame.select(lit("").as("text_md5"),
+            lit(0L).as("src_batch")).limit(0)
+        val exactFresh = canon
+          .join(md5Prior.select("text_md5"), Seq("text_md5"), "left_anti").persist()
+        val nExact = exactFresh.count()
+        // stage 3: in-batch near-dedup + saved fingerprint screen
+        val inDups = Dedup.simhashPairsOf(exactFresh, maxHamming)
+          .select(col("doc_b").as("doc_id")).distinct()
+        val survivorsFp = Dedup.simhashDf(exactFresh)
+          .join(inDups, Seq("doc_id"), "left_anti")
+        val fpPrior =
+          if (fs.exists(fpBase))
+            spark.read.parquet(fpStorePath).filter(col("src_batch") =!= batchId)
+          else spark.emptyDataFrame.select(lit(0L).as("doc_id"),
+            lit(0L).as("simhash"), lit(0L).as("src_batch")).limit(0)
+        val matched = Dedup.simhashBandsOf(survivorsFp, "doc_id", maxHamming)
+          .join(Dedup.simhashBandsOf(fpPrior, "doc_id", maxHamming)
+              .select(col("band"), col("v"), col("simhash").as("ps")),
+            Seq("band", "v"))
+          .filter(expr("bit_count(simhash ^ ps)") <= maxHamming)
+          .select("doc_id").distinct()
+        val freshFp = survivorsFp.join(matched, Seq("doc_id"), "left_anti").persist()
+        val clean = exactFresh
+          .join(freshFp.select("doc_id"), Seq("doc_id"), "left_semi")
+          .drop("text_md5")
+        clean.write.mode("overwrite").parquet(s"$outPath/clean/batch=$batchId")
+        val nClean = freshFp.count()
+        spark.range(1)
+          .select(lit(batchId).as("batch_id"), lit(nIn).as("n_in"),
+            lit(nQuality).as("n_quality"), lit(nExact).as("n_exact"),
+            lit(nClean).as("n_clean"))
+          .write.mode("overwrite").parquet(s"$outPath/report/batch=$batchId")
+        // store updates: md5 for every exact-stage survivor, simhash
+        // fingerprints only for landed docs — both batch-keyed
+        val md5Merged = md5Prior.unionByName(
+          exactFresh.select(col("text_md5"), lit(batchId).as("src_batch")))
+        val md5Tmp = s"$md5StorePath.merged-$batchId"
+        md5Merged.write.mode("overwrite").parquet(md5Tmp)
+        if (fs.exists(md5Base)) swapStore(fs, md5Base, md5Tmp)
+        else mustRename(fs, new org.apache.hadoop.fs.Path(md5Tmp), md5Base)
+        val fpMerged = fpPrior.unionByName(
+          freshFp.select(col("doc_id"), col("simhash"), lit(batchId).as("src_batch")))
+        val fpTmp = s"$fpStorePath.merged-$batchId"
+        fpMerged.write.mode("overwrite").parquet(fpTmp)
+        if (fs.exists(fpBase)) swapStore(fs, fpBase, fpTmp)
+        else mustRename(fs, new org.apache.hadoop.fs.Path(fpTmp), fpBase)
+        q.unpersist()
+        exactFresh.unpersist()
+        freshFp.unpersist()
+        ()
+      }
+
   /** Streaming heavy hitters over a PERSISTED Count-Min sketch — the
     * streaming twin of the batch `heavy_hitters_cms`, and the reason
     * the CMS exists at all: the counter ledger stores the d = 4 ×

@@ -386,6 +386,49 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("stream_pipeline: quality -> exact -> neardup funnel with per-stage counts across restart") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-pgate").toString
+    val (md5s, fps, out, ckpt) =
+      (s"$base/md5", s"$base/fp", s"$base/out", s"$base/ckpt")
+    def cleanIds(): Set[Long] = spark.read.parquet(s"$out/clean")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def funnel(id: Long): (Long, Long, Long, Long) = {
+      val r = spark.read.parquet(s"$out/report/batch=$id").collect().head
+      (r.getAs[Long]("n_in"), r.getAs[Long]("n_quality"),
+        r.getAs[Long]("n_exact"), r.getAs[Long]("n_clean"))
+    }
+    def good(tag: String): String =
+      (1 to 8).map(i => s"the quick ${tag}$i moves a row of data$i fast").mkString(" ")
+    val in = MemoryStream[(Long, String)]
+    val df = in.toDF().toDF("doc_id", "text")
+    val q1 = Stream.pipelineGate(df, md5s, fps, out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // 0 lands; 1 dies at quality; 2 dies at the in-batch exact stage
+      in.addData((0L, good("value")), (1L, "too short"), (2L, good("value")))
+      q1.processAllAvailable()
+      assert(cleanIds() === Set(0L))
+      assert(funnel(0L) === ((3L, 2L, 1L, 1L)))
+    } finally q1.stop()
+    // restart: both stores, not executor state, carry the history
+    val q2 = Stream.pipelineGate(df, md5s, fps, out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // 3 = exact dup of 0 (md5 store); 4 = near dup of 0 (fp store);
+      // 5 = genuinely new and clean (different skeleton, not just tags)
+      val fresh = (1 to 8)
+        .map(i => s"many large stone$i holds the pile of rock$i still").mkString(" ")
+      in.addData((3L, good("value")),
+        (4L, good("value").replace("value1", "value9")),
+        (5L, fresh))
+      q2.processAllAvailable()
+      assert(cleanIds() === Set(0L, 5L))
+      assert(funnel(1L) === ((3L, 3L, 2L, 1L)))
+    } finally q2.stop()
+  }
+
   test("stream_heavy_hitters: cumulative CMS estimates survive restart in 256 cells") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
