@@ -121,7 +121,8 @@ object Explain {
     "ivf_retrain" -> Rule(),
     "hashing_vectorize" -> Rule(),
     "cms_error_curve" -> Rule(),
-    "events_ewma" -> Rule())
+    "events_ewma" -> Rule(),
+    "query_slop" -> Rule())
 
   /** Saved-index retrieval invariants: the lookup paths must prune
     * term buckets AT PLANNING TIME (PartitionFilters, not a post-scan

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   *   or     := and (OR and)*
   *   and    := near (AND near)*
   *   near   := unary (NEAR/k unary)*   — operands must be bare terms
-  *   unary  := NOT unary | '(' query ')' | '"' term+ '"' | term
+  *   unary  := NOT unary | '(' query ')' | '"' term+ '"' ['~' k] | term
   * }}}
   *
   * Each AST node compiles to a DataFrame of matching doc ids:
@@ -33,6 +33,7 @@ object Query {
   final case class Field(f: String, v: String) extends Q
   final case class Prefix(p: String) extends Q
   final case class Phrase(ts: Seq[String]) extends Q
+  final case class PhraseSlop(ts: Seq[String], k: Int) extends Q
   final case class Near(l: String, r: String, k: Int) extends Q
   final case class And(l: Q, r: Q) extends Q
   final case class Or(l: Q, r: Q) extends Q
@@ -61,7 +62,17 @@ object Query {
           .map(_ => next()).toVector
         expect("\"")
         require(ws.nonEmpty, s"empty phrase in query: $s")
-        if (ws.size == 1) Term(ws.head) else Phrase(ws)
+        // Lucene-style slop suffix: "a b"~k keeps word ORDER but
+        // allows up to k extra positions between consecutive words
+        peek match {
+          case Some(t) if t.startsWith("~") =>
+            next()
+            val k = t.drop(1).toInt
+            require(k >= 0, s"slop must be non-negative in query: $s")
+            require(ws.size >= 2, s"slop needs a multi-word phrase in query: $s")
+            PhraseSlop(ws, k)
+          case _ => if (ws.size == 1) Term(ws.head) else Phrase(ws)
+        }
       case Some(w) if w != "AND" && w != "OR" && w != ")" && !w.startsWith("NEAR/") =>
         next()
         // trailing-* wildcard = dictionary prefix query (the parser
@@ -130,6 +141,18 @@ object Query {
         acc.join(nxt, acc(id) === col("__id") && col("__p") === acc("pos") + i)
           .select(acc(id), acc("pos"))
       }.select(col(id)).distinct()
+    case PhraseSlop(ts, k) =>
+      // ordered chain like Phrase, but each step tracks the PREVIOUS
+      // word's position and admits gaps of 1..k+1 (k = 0 ≡ Phrase)
+      val anchor = tok.filter(col("term") === ts.head)
+        .select(col(id), col("pos").as("__last"))
+      ts.tail.foldLeft(anchor) { (acc, w) =>
+        val nxt = tok.filter(col("term") === w)
+          .select(col(id).as("__id"), col("pos").as("__p"))
+        acc.join(nxt, acc(id) === col("__id") &&
+            col("__p") > col("__last") && col("__p") <= col("__last") + (k + 1))
+          .select(acc(id), col("__p").as("__last"))
+      }.select(col(id)).distinct()
     case Near(a, b, k) =>
       // positional co-occurrence within ±k (unordered) — the grammar
       // surface of proximitySearch; both leaves are term-pruned scans
@@ -164,6 +187,7 @@ object Query {
     case Field(_, _) => (Nil, Nil)
     case Prefix(p) => (Nil, Seq(p))
     case Phrase(ts) => (ts, Nil)
+    case PhraseSlop(ts, _) => (ts, Nil)
     case Near(a, b, _) => (Seq(a, b), Nil)
     case And(l, r) => val (a, b) = leaves(l); val (c, d) = leaves(r); (a ++ c, b ++ d)
     case Or(l, r) => val (a, b) = leaves(l); val (c, d) = leaves(r); (a ++ c, b ++ d)
@@ -216,6 +240,7 @@ object Query {
     // expanded term set, which only the match step materializes
     case Prefix(_) => Seq.empty
     case Phrase(ts) => ts
+    case PhraseSlop(ts, _) => ts
     case Near(a, b, _) => Seq(a, b).distinct
     case And(l, r) => (positiveTerms(l) ++ positiveTerms(r)).distinct
     case Or(l, r) => (positiveTerms(l) ++ positiveTerms(r)).distinct
@@ -286,6 +311,15 @@ object Query {
     search(Tables.documents(spark, dir), "spark NEAR/4 join AND NOT slow")
       .orderBy("doc_id")
 
+  /** Gate query: sloppy-phrase retrieval — `"key order"~2` keeps the
+    * word ORDER (unlike the symmetric NEAR) but admits up to 2 extra
+    * positions between the words; composed through the same boolean
+    * AND/NOT plan as every other leaf.
+    */
+  def querySlop(spark: SparkSession, dir: String): DataFrame =
+    search(Tables.documents(spark, dir), "\"key order\"~2 AND NOT slow")
+      .orderBy("doc_id")
+
   /** Gate query: the full retrieve-then-rank path — boolean matching
     * through the grammar, then BM25 over the query's positive terms
     * ([[searchRanked]], the same path `Cli query` serves). One
@@ -310,6 +344,7 @@ object Query {
     "query_search" -> querySearch,
     "wildcard_search" -> wildcardSearch,
     "query_near" -> queryNear,
+    "query_slop" -> querySlop,
     "query_ranked" -> queryRanked,
     "phrase3_search" -> phrase3Search)
 
@@ -340,6 +375,14 @@ object Query {
          |    * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))), 4) AS score
          |FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, n, avgdl
          |GROUP BY tf.doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "query_slop" ->
+      s"""${Index.TokSql}
+         |SELECT DISTINCT a.doc_id AS doc_id
+         |FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+         |  AND b.pos - a.pos BETWEEN 1 AND 3
+         |WHERE a.term = 'key' AND b.term = 'order'
+         |  AND a.doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'slow')
+         |ORDER BY doc_id""".stripMargin,
     "query_near" ->
       s"""${Index.TokSql}
          |SELECT DISTINCT a.doc_id AS doc_id

@@ -514,6 +514,26 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException](operators.Query.parse("a NEAR/0 b"))
   }
 
+  test("phrase slop: ~0 equals exact phrase, larger slop widens, order still required") {
+    val docs = sources.Tables.documents(spark, sfDir)
+    def ids(q: String): Set[Long] =
+      operators.Query.search(docs, q).collect().map(_.getLong(0)).toSet
+    // slop 0 is exactly the adjacency phrase
+    assert(ids("\"key order\"~0") === ids("\"key order\""))
+    // widening the slop is monotone
+    val s0 = ids("\"key order\"~0"); val s2 = ids("\"key order\"~2")
+    assert(s0.subsetOf(s2))
+    assert(s2.nonEmpty)
+    // slop keeps order: the reversed sloppy phrase differs from NEAR's
+    // symmetric window on the same words unless both orders occur
+    val near2 = ids("key NEAR/3 order")
+    assert(s2.subsetOf(near2))
+    // parser shape + errors
+    assert(operators.Query.parse("\"a b\"~2") ===
+      operators.Query.PhraseSlop(Seq("a", "b"), 2))
+    intercept[IllegalArgumentException](operators.Query.parse("\"a\"~2"))
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     // the runtime half of the skew story: salted_join is the MANUAL
     // mitigation, this asserts Spark's adaptive OptimizeSkewedJoin
