@@ -122,7 +122,9 @@ object Explain {
     "hashing_vectorize" -> Rule(),
     "cms_error_curve" -> Rule(),
     "events_ewma" -> Rule(),
-    "query_slop" -> Rule())
+    "query_slop" -> Rule(),
+    "events_mad" -> Rule(),
+    "funnel_latency" -> Rule())
 
   /** Saved-index retrieval invariants: the lookup paths must prune
     * term buckets AT PLANNING TIME (PartitionFilters, not a post-scan

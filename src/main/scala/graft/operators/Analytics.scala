@@ -473,8 +473,12 @@ object Analytics {
     * the funnel costs three filtered aggs, not a per-user event-list
     * assembly.
     */
-  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
-    val e = eventsUs(spark, dir)
+  /** The greedy earliest-match view→click→purchase chain shared by
+    * [[funnelSteps]] (step counts) and [[funnelLatency]] (step
+    * delays): t1 = first view, t2 = first click after t1, t3 = first
+    * purchase after t2, each per user.
+    */
+  private def funnelTimes(e: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     def firstAfter(evType: String, prev: DataFrame, prevCol: String, outCol: String): DataFrame =
       e.filter(col("event_type") === evType)
         .join(prev, "user_id")
@@ -484,11 +488,53 @@ object Analytics {
       .groupBy("user_id").agg(min(col("ts_us")).as("t1"))
     val t2 = firstAfter("click", t1, "t1", "t2")
     val t3 = firstAfter("purchase", t2.select("user_id", "t2"), "t2", "t3")
+    (t1, t2, t3)
+  }
+
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val (t1, t2, t3) = funnelTimes(eventsUs(spark, dir))
     t1.agg(count(lit(1)).as("n_users")).select(lit(1L).as("step"), lit("view").as("event_type"), col("n_users"))
       .unionByName(t2.agg(count(lit(1)).as("n_users"))
         .select(lit(2L).as("step"), lit("click").as("event_type"), col("n_users")))
       .unionByName(t3.agg(count(lit(1)).as("n_users"))
         .select(lit(3L).as("step"), lit("purchase").as("event_type"), col("n_users")))
+      .orderBy("step")
+  }
+
+  /** Time-to-convert percentiles for the funnel's two legs plus
+    * end-to-end — the latency view `funnel_steps`' counts omit (two
+    * funnels with equal conversion can hide a 10× gap in how LONG
+    * conversion takes). Delays are exact integer microseconds off the
+    * same greedy chain as [[funnelSteps]] (shared [[funnelTimes]], so
+    * the two reports can never disagree on who converted), and the
+    * quartiles are RANK-BASED (the sorted value at rank ⌈p·n⌉ —
+    * observed latencies, never interpolated: at 10¹¹-µs magnitudes
+    * the two engines' interpolation formulas disagree in the last
+    * ulps, and a latency SLO reads better off a real observation
+    * anyway). One |converting-users| melt, one leg-partitioned rank
+    * window, one 3-group rollup.
+    */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val (t1, t2, t3) = funnelTimes(eventsUs(spark, dir))
+    val legs = t1.join(t2.select("user_id", "t2"), "user_id")
+      .join(t3, "user_id")
+    val melted = legs.select(explode(array(
+        struct(lit(1L).as("step"), lit("view_to_click").as("leg"),
+          (col("t2") - col("t1")).as("d")),
+        struct(lit(2L).as("step"), lit("click_to_purchase").as("leg"),
+          (col("t3") - col("t2")).as("d")),
+        struct(lit(3L).as("step"), lit("view_to_purchase").as("leg"),
+          (col("t3") - col("t1")).as("d")))).as("r"))
+      .select(col("r.step").as("step"), col("r.leg").as("leg"), col("r.d").as("d"))
+    melted
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("leg").orderBy("d")).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("leg")))
+      .groupBy("step", "leg")
+      .agg(max(col("n")).as("n_users"),
+        max(when(col("rn") === expr("(n + 3) div 4"), col("d"))).as("q25_us"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("d"))).as("q50_us"),
+        max(when(col("rn") === expr("(3 * n + 3) div 4"), col("d"))).as("q75_us"))
       .orderBy("step")
   }
 
@@ -775,6 +821,39 @@ object Analytics {
         round((col("c") - col("mean")) / col("sd"), 4).as("z"),
         when(abs((col("c") - col("mean")) / col("sd")) >= 2.0, 1L)
           .otherwise(0L).as("is_anomaly"))
+      .orderBy("day")
+  }
+
+  /** Median-absolute-deviation anomaly flags on daily event volume —
+    * the ROBUST twin of [[eventsAnomaly]]'s z-scores: one wild spike
+    * inflates the mean AND the σ it is judged by (masking a second
+    * spike), while the median and MAD barely move. Both medians are
+    * the rank-based LOWER median (the sorted value at rank
+    * ⌈n/2⌉ = (n+1) div 2 — pure integer selection; an interpolated
+    * percentile's engine-specific last-ulp behavior is exactly what
+    * `range_boundaries` had to dodge), so the whole operator is
+    * integer arithmetic end to end: flag when |c − med| > 3·MAD.
+    * The day frame is one row per calendar day; both rank windows run
+    * over it, not the event log.
+    */
+  def eventsMad(spark: SparkSession, dir: String): DataFrame = {
+    val daily = eventsUs(spark, dir)
+      .groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val nn = daily.agg(count(lit(1)).as("n"))
+    def lowerMedian(df: DataFrame, v: String, out: String): DataFrame =
+      df.withColumn("__rn",
+          row_number().over(Window.orderBy(col(v), col("day"))).cast("long"))
+        .crossJoin(broadcast(nn))
+        .filter(col("__rn") === expr("(n + 1) div 2"))
+        .select(col(v).as(out))
+    val med = lowerMedian(daily, "c", "med")
+    val dev = daily.crossJoin(broadcast(med))
+      .withColumn("dev", abs(col("c") - col("med")))
+    val mad = lowerMedian(dev, "dev", "mad")
+    dev.crossJoin(broadcast(mad))
+      .select(col("day"), col("c").as("n_events"), col("med"), col("mad"),
+        when(col("dev") > lit(3L) * col("mad"), 1L).otherwise(0L).as("is_anomaly"))
       .orderBy("day")
   }
 
@@ -1575,6 +1654,8 @@ object Analytics {
     "dau_stickiness" -> dauStickiness,
     "events_anomaly" -> eventsAnomaly,
     "events_ewma" -> eventsEwma,
+    "events_mad" -> eventsMad,
+    "funnel_latency" -> funnelLatency,
     "customer_ltv_cohort" -> customerLtvCohort,
     "orders_seasonality" -> ordersSeasonality,
     "revenue_pareto" -> revenuePareto,
@@ -1966,6 +2047,59 @@ object Analytics {
         |FROM pr JOIN pa a ON pr.part_a = a.l_partkey
         |  JOIN pa b2 ON pr.part_b = b2.l_partkey, n
         |ORDER BY lift DESC, part_a, part_b LIMIT 20""".stripMargin,
+    "events_mad" ->
+      s"""$EvSql, d AS (
+         |  SELECT ts_us // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c
+         |  FROM ev GROUP BY 1
+         |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+         |mr AS (
+         |  SELECT c AS med FROM
+         |    (SELECT c, row_number() OVER (ORDER BY c, day) AS rn FROM d), nn
+         |  WHERE rn = (n + 1) // 2
+         |), dv AS (
+         |  SELECT day, c, abs(c - mr.med) AS dev, mr.med AS med FROM d, mr
+         |), madr AS (
+         |  SELECT dev AS mad FROM
+         |    (SELECT dev, day, row_number() OVER (ORDER BY dev, day) AS rn FROM dv), nn
+         |  WHERE rn = (n + 1) // 2
+         |)
+         |SELECT day, c AS n_events, med, mad,
+         |  CAST(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+         |FROM dv, madr ORDER BY day""".stripMargin,
+    "funnel_latency" ->
+      s"""$EvSql, t1 AS (
+         |  SELECT user_id, min(ts_us) AS t1 FROM ev
+         |  WHERE event_type = 'view' GROUP BY 1
+         |), t2 AS (
+         |  SELECT e.user_id, min(e.ts_us) AS t2 FROM ev e
+         |  JOIN t1 ON e.user_id = t1.user_id
+         |  WHERE e.event_type = 'click' AND e.ts_us > t1.t1 GROUP BY e.user_id
+         |), t3 AS (
+         |  SELECT e.user_id, min(e.ts_us) AS t3 FROM ev e
+         |  JOIN t2 ON e.user_id = t2.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts_us > t2.t2 GROUP BY e.user_id
+         |), legs AS (
+         |  SELECT t2.t2 - t1.t1 AS view_to_click,
+         |    t3.t3 - t2.t2 AS click_to_purchase,
+         |    t3.t3 - t1.t1 AS view_to_purchase
+         |  FROM t1 JOIN t2 USING (user_id) JOIN t3 USING (user_id)
+         |), m AS (
+         |  SELECT CAST(1 AS BIGINT) AS step, 'view_to_click' AS leg, view_to_click AS d FROM legs
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), 'click_to_purchase', click_to_purchase FROM legs
+         |  UNION ALL
+         |  SELECT CAST(3 AS BIGINT), 'view_to_purchase', view_to_purchase FROM legs
+         |), r AS (
+         |  SELECT step, leg, d,
+         |    CAST(row_number() OVER (PARTITION BY leg ORDER BY d) AS BIGINT) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY leg) AS BIGINT) AS n
+         |  FROM m
+         |)
+         |SELECT step, leg, max(n) AS n_users,
+         |  max(CASE WHEN rn = (n + 3) // 4 THEN d END) AS q25_us,
+         |  max(CASE WHEN rn = (n + 1) // 2 THEN d END) AS q50_us,
+         |  max(CASE WHEN rn = (3 * n + 3) // 4 THEN d END) AS q75_us
+         |FROM r GROUP BY step, leg ORDER BY step""".stripMargin,
     "events_ewma" ->
       s"""${EvSql.replaceFirst("WITH ", "WITH RECURSIVE ")}, d AS (
          |  SELECT ts_us // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c
