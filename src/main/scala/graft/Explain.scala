@@ -124,7 +124,16 @@ object Explain {
     "events_ewma" -> Rule(),
     "query_slop" -> Rule(),
     "events_mad" -> Rule(),
-    "funnel_latency" -> Rule())
+    "funnel_latency" -> Rule(),
+    "revenue_gini" -> Rule(),
+    "events_cusum" -> Rule(),
+    "hapax_ratio" -> Rule(),
+    "prf_expand" -> Rule(),
+    "spell_candidates" -> Rule(),
+    "events_autocorr" -> Rule(),
+    "sentence_len_hist" -> Rule(),
+    "query_fuzzy" -> Rule(),
+    "events_holt" -> Rule())
 
   /** Saved-index retrieval invariants: the lookup paths must prune
     * term buckets AT PLANNING TIME (PartitionFilters, not a post-scan

@@ -730,6 +730,41 @@ object Analytics {
       .orderBy("o_custkey")
   }
 
+  /** Gini coefficient of customer revenue concentration — the
+    * single-number summary beside [[revenuePareto]]'s decile table
+    * (a curve compresses to its area). Everything is INTEGER until
+    * the last division: per-customer revenue in cents (bigint), the
+    * classic rank-sum identity G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx)
+    * over the ascending rank i, with the two big products kept as
+    * DECIMAL(38,0) so the numerator survives n·Σx ≈ 10²¹ at 100 TB
+    * where a bigint accumulator would wrap. Ties in x are
+    * rank-order-free (equal values contribute the same Σi·x under any
+    * permutation), so the custkey tie-break is for determinism of the
+    * plan, not the answer. The rank is the one |customers|-bounded
+    * global window shared with [[revenuePareto]]'s ntile; at extreme
+    * cardinality both switch to range-partitioned ranking
+    * (`range_boundaries` is the sampler that builds the cut points).
+    */
+  def revenueGini(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).as("x"))
+    cust
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("x"), col("o_custkey"))).cast("long"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("x")).as("total_cents"),
+        sum((col("rn") * col("x")).cast("decimal(38,0)")).as("w"))
+      .select(col("n_customers"), col("total_cents"),
+        (col("w") * 2 -
+          (col("n_customers") + 1).cast("decimal(38,0)") *
+            col("total_cents").cast("decimal(38,0)")).cast("decimal(38,0)").as("gini_num"),
+        (col("n_customers").cast("decimal(38,0)") *
+          col("total_cents").cast("decimal(38,0)")).cast("decimal(38,0)").as("gini_den"))
+      .withColumn("gini",
+        round(col("gini_num").cast("double") / col("gini_den").cast("double"), 6))
+  }
+
   /** Revenue concentration (Pareto) report: customers bucketed into
     * spend deciles (1 = biggest spenders), each decile's revenue
     * share and the cumulative share — "the top 10% of customers carry
@@ -888,6 +923,128 @@ object Analytics {
       .select(col("r.day").as("day"), col("r.c").as("n_events"),
         round(col("r.e"), 6).as("ewma"))
       .orderBy("day")
+  }
+
+  /** CUSUM changepoint statistic on daily event volume — the
+    * level-shift detector beside [[eventsAnomaly]]'s per-day z-scores
+    * and [[eventsEwma]]'s smoother: a 10% drift too small to flag any
+    * single day ACCUMULATES in the one-sided sums until it is
+    * unmissable. The textbook recursion S⁺ᵈ = max(0, S⁺ᵈ⁻¹ + (c_d−μ))
+    * is replayed on deviations SCALED BY n — s_d = n·c_d − Σc, an
+    * integer that sums to zero over the frame — so the whole operator
+    * is exact bigint arithmetic with no mean to round (divide any
+    * output by n to read it in events/day units). Input-scaled work is
+    * the daily rollup alone; the fold is one left pass over the
+    * |days|-row array, same shape as [[eventsEwma]]'s (the oracle's
+    * recursive CTE replays the identical integer ops).
+    */
+  def eventsCusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = eventsUs(spark, dir)
+      .groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val arr = daily.agg(sort_array(collect_list(struct(col("day"), col("c")))).as("ds"),
+      count(lit(1)).as("n"), sum(col("c")).as("t"))
+    arr.select(explode(aggregate(
+        slice(col("ds"), lit(2), greatest(size(col("ds")) - 1, lit(0))),
+        array(struct(
+          element_at(col("ds"), 1)("day").as("day"),
+          element_at(col("ds"), 1)("c").as("c"),
+          (col("n") * element_at(col("ds"), 1)("c") - col("t")).as("s"),
+          greatest(lit(0L), col("n") * element_at(col("ds"), 1)("c") - col("t")).as("p"),
+          least(lit(0L), col("n") * element_at(col("ds"), 1)("c") - col("t")).as("q"))),
+        (acc, e) => concat(acc, array(struct(
+          e("day").as("day"), e("c").as("c"),
+          (col("n") * e("c") - col("t")).as("s"),
+          greatest(lit(0L),
+            element_at(acc, -1)("p") + col("n") * e("c") - col("t")).as("p"),
+          least(lit(0L),
+            element_at(acc, -1)("q") + col("n") * e("c") - col("t")).as("q"))))
+      )).as("r"))
+      .select(col("r.day").as("day"), col("r.c").as("n_events"),
+        col("r.s").as("scaled_dev"), col("r.p").as("cusum_pos"),
+        col("r.q").as("cusum_neg"))
+      .orderBy("day")
+  }
+
+  /** Holt double-exponential smoothing of daily event volume
+    * (α = 1/4 level, β = 1/2 trend) — [[eventsEwma]] plus a TREND
+    * state, so a steady ramp is tracked instead of lagged and
+    * `forecast = level + trend` is a defensible next-day projection
+    * (the capacity-planning number the plain EWMA can't give). Both
+    * coefficients are exact binary fractions and the recursion
+    *   l_t = ¼·x_t + ¾·(l_{t−1} + b_{t−1}),
+    *   b_t = ½·(l_t − l_{t−1}) + ½·b_{t−1}   (l_1 = x_1, b_1 = 0)
+    * is evaluated as the SAME expression tree on both engines (the
+    * oracle's recursive CTE repeats the l_t subexpression verbatim
+    * where the fold names it), so every double is bitwise identical
+    * before the final display rounding. Scale shape is [[eventsEwma]]'s:
+    * input-scaled work is the daily rollup; the fold walks the
+    * |days|-row array once.
+    */
+  def eventsHolt(spark: SparkSession, dir: String): DataFrame = {
+    val daily = eventsUs(spark, dir)
+      .groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val arr = daily.agg(sort_array(collect_list(struct(col("day"), col("c")))).as("ds"))
+    def lNext(x: Column, l: Column, b: Column): Column =
+      lit(0.25) * x + lit(0.75) * (l + b)
+    arr.select(explode(aggregate(
+        slice(col("ds"), lit(2), greatest(size(col("ds")) - 1, lit(0))),
+        array(struct(
+          element_at(col("ds"), 1)("day").as("day"),
+          element_at(col("ds"), 1)("c").as("c"),
+          element_at(col("ds"), 1)("c").cast("double").as("l"),
+          lit(0.0).as("b"))),
+        (acc, e) => {
+          val (pl, pb) = (element_at(acc, -1)("l"), element_at(acc, -1)("b"))
+          val x = e("c").cast("double")
+          concat(acc, array(struct(
+            e("day").as("day"), e("c").as("c"),
+            lNext(x, pl, pb).as("l"),
+            (lit(0.5) * (lNext(x, pl, pb) - pl) + lit(0.5) * pb).as("b"))))
+        }
+      )).as("r"))
+      .select(col("r.day").as("day"), col("r.c").as("n_events"),
+        round(col("r.l"), 6).as("level"), round(col("r.b"), 6).as("trend"),
+        round(col("r.l") + col("r.b"), 6).as("forecast"))
+      .orderBy("day")
+  }
+
+  /** Lag-1..7 autocorrelation of daily event volume — the
+    * seasonality detector beside [[eventsCusum]]'s level shifts (a
+    * weekly cycle shows as a lag-7 peak long before a human reads it
+    * off the chart). Same integer trick as the CUSUM: deviations are
+    * scaled by n (s_d = n·c_d − Σc, exact bigint, mean-free by
+    * construction), so r_k = Σ s_d·s_{d+k} / Σ s_d² is a ratio of two
+    * exact integers — the n² scale factors cancel — and only the last
+    * division is floating point. Products are summed as DECIMAL(38,0)
+    * (s ≈ 10¹³ at 100 TB/day squares past bigint). The pair join runs
+    * on the |days|-row frame against itself — day+lag is an equi-key,
+    * so even a years-long frame is a trivially partitioned join, and
+    * missing calendar days simply contribute no pair (the oracle
+    * joins identically).
+    */
+  def eventsAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = eventsUs(spark, dir)
+      .groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("c")).as("t"))
+    val s = daily.crossJoin(broadcast(tot))
+      .select(col("day"), (col("n") * col("c") - col("t")).as("s"))
+    val den = s.agg(
+      sum(col("s").cast("decimal(38,0)") * col("s").cast("decimal(38,0)")).as("den"))
+    val lags = spark.range(1, 8).toDF("lag")
+    lags.crossJoin(s.select(col("day").as("da"), col("s").as("sa")))
+      .join(s.select(col("day").as("db"), col("s").as("sb")),
+        col("db") === col("da") + col("lag"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("sa").cast("decimal(38,0)") * col("sb").cast("decimal(38,0)")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"), col("num"), col("den"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("autocorr"))
+      .orderBy("lag")
   }
 
   /** TPC-H Q6 — the forecast-revenue-change filter-agg, and the
@@ -1655,7 +1812,11 @@ object Analytics {
     "events_anomaly" -> eventsAnomaly,
     "events_ewma" -> eventsEwma,
     "events_mad" -> eventsMad,
+    "events_cusum" -> eventsCusum,
+    "events_autocorr" -> eventsAutocorr,
+    "events_holt" -> eventsHolt,
     "funnel_latency" -> funnelLatency,
+    "revenue_gini" -> revenueGini,
     "customer_ltv_cohort" -> customerLtvCohort,
     "orders_seasonality" -> ordersSeasonality,
     "revenue_pareto" -> revenuePareto,
@@ -2047,6 +2208,73 @@ object Analytics {
         |FROM pr JOIN pa a ON pr.part_a = a.l_partkey
         |  JOIN pa b2 ON pr.part_b = b2.l_partkey, n
         |ORDER BY lift DESC, part_a, part_b LIMIT 20""".stripMargin,
+    "revenue_gini" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice::DECIMAL(18,2) * 100 AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY o_custkey
+        |), r AS (
+        |  SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS rn
+        |  FROM cust
+        |), a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        |    CAST(sum(x) AS BIGINT) AS total_cents,
+        |    sum(CAST(rn AS HUGEINT) * CAST(x AS HUGEINT)) AS w
+        |  FROM r
+        |)
+        |SELECT n_customers, total_cents,
+        |  CAST(2 * w - (CAST(n_customers AS HUGEINT) + 1) * CAST(total_cents AS HUGEINT)
+        |    AS DECIMAL(38,0)) AS gini_num,
+        |  CAST(CAST(n_customers AS HUGEINT) * CAST(total_cents AS HUGEINT)
+        |    AS DECIMAL(38,0)) AS gini_den,
+        |  round(
+        |    CAST(2 * w - (CAST(n_customers AS HUGEINT) + 1) * CAST(total_cents AS HUGEINT) AS DOUBLE) /
+        |    CAST(CAST(n_customers AS HUGEINT) * CAST(total_cents AS HUGEINT) AS DOUBLE), 6) AS gini
+        |FROM a""".stripMargin,
+    "events_cusum" ->
+      s"""${EvSql.replaceFirst("WITH ", "WITH RECURSIVE ")}, d AS (
+         |  SELECT ts_us // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c
+         |  FROM ev GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS t FROM d
+         |), o AS (
+         |  SELECT day, c, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i FROM d
+         |), rec AS (
+         |  SELECT o.day, o.c, o.i, n * o.c - t AS s,
+         |    greatest(CAST(0 AS BIGINT), n * o.c - t) AS p,
+         |    least(CAST(0 AS BIGINT), n * o.c - t) AS q
+         |  FROM o, tot WHERE o.i = 1
+         |  UNION ALL
+         |  SELECT o.day, o.c, o.i, tot.n * o.c - tot.t,
+         |    greatest(CAST(0 AS BIGINT), rec.p + tot.n * o.c - tot.t),
+         |    least(CAST(0 AS BIGINT), rec.q + tot.n * o.c - tot.t)
+         |  FROM rec JOIN o ON o.i = rec.i + 1 CROSS JOIN tot
+         |)
+         |SELECT day, c AS n_events, s AS scaled_dev, p AS cusum_pos, q AS cusum_neg
+         |FROM rec ORDER BY day""".stripMargin,
+    "events_autocorr" ->
+      s"""$EvSql, d AS (
+         |  SELECT ts_us // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c
+         |  FROM ev GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS t FROM d
+         |), s AS (
+         |  SELECT day, n * c - t AS s FROM d, tot
+         |), den AS (
+         |  SELECT sum(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS den FROM s
+         |), lags AS (SELECT unnest(range(1, 8)) AS lag),
+         |pairs AS (
+         |  SELECT l.lag AS lag, a.s AS sa, b.s AS sb
+         |  FROM lags l JOIN s a ON TRUE JOIN s b ON b.day = a.day + l.lag
+         |), num AS (
+         |  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    sum(CAST(sa AS HUGEINT) * CAST(sb AS HUGEINT)) AS num
+         |  FROM pairs GROUP BY lag
+         |)
+         |SELECT lag, n_pairs, CAST(num AS DECIMAL(38,0)) AS num,
+         |  CAST(den AS DECIMAL(38,0)) AS den,
+         |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS autocorr
+         |FROM num, den ORDER BY lag""".stripMargin,
     "events_mad" ->
       s"""$EvSql, d AS (
          |  SELECT ts_us // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c
@@ -2100,6 +2328,23 @@ object Analytics {
          |  max(CASE WHEN rn = (n + 1) // 2 THEN d END) AS q50_us,
          |  max(CASE WHEN rn = (3 * n + 3) // 4 THEN d END) AS q75_us
          |FROM r GROUP BY step, leg ORDER BY step""".stripMargin,
+    "events_holt" ->
+      s"""${EvSql.replaceFirst("WITH ", "WITH RECURSIVE ")}, d AS (
+         |  SELECT ts_us // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c
+         |  FROM ev GROUP BY 1
+         |), dd AS (
+         |  SELECT day, c, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn FROM d
+         |), r AS (
+         |  SELECT rn, day, c, c::DOUBLE AS l, 0.0::DOUBLE AS b FROM dd WHERE rn = 1
+         |  UNION ALL
+         |  SELECT dd.rn, dd.day, dd.c,
+         |    0.25 * dd.c::DOUBLE + 0.75 * (r.l + r.b),
+         |    0.5 * ((0.25 * dd.c::DOUBLE + 0.75 * (r.l + r.b)) - r.l) + 0.5 * r.b
+         |  FROM r JOIN dd ON dd.rn = r.rn + 1
+         |)
+         |SELECT day, c AS n_events, round(l, 6) AS level, round(b, 6) AS trend,
+         |  round(l + b, 6) AS forecast
+         |FROM r ORDER BY day""".stripMargin,
     "events_ewma" ->
       s"""${EvSql.replaceFirst("WITH ", "WITH RECURSIVE ")}, d AS (
          |  SELECT ts_us // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c

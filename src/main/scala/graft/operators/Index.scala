@@ -586,6 +586,63 @@ object Index {
       .orderBy("target_doc", "rk")
   }
 
+  /** Pseudo-relevance-feedback query expansion (Rocchio's selection
+    * step, counts-only): run the seed query ('spark join') through
+    * BM25, take the top-10 docs as the FEEDBACK SET, and surface the
+    * terms that best characterize it — ranked by feedback document
+    * frequency (desc: in how many of the 10 the term appears), then
+    * GLOBAL df (asc: rarer = more discriminative, the ln(N/df) factor
+    * ordinalized so the report stays integer-exact), then term. The
+    * feedback set is 10 ids broadcast into the token scan — cost is
+    * one pass over ≤10 documents' tokens plus the vocabulary df
+    * rollup the ranking ops already share; nothing scales with corpus
+    * size beyond the index itself (reference's word-count reduce,
+    * App.scala:163-168, composed behind a first-pass ranking).
+    */
+  def prfExpand(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val fb = bm25ScoredOf(docs, QueryTerms)
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+      .select("doc_id")
+    val base = tfBaseOf(docs)
+    val dfT = base.groupBy("term").agg(count(lit(1)).as("df"))
+    base.join(broadcast(fb), "doc_id")
+      .filter(!col("term").isin(QueryTerms: _*))
+      .groupBy("term").agg(count(lit(1)).as("fb_df"))
+      .join(dfT, "term")
+      .select(col("term"), col("fb_df"), col("df"))
+      .orderBy(col("fb_df").desc, col("df").asc, col("term"))
+      .limit(20)
+  }
+
+  /** Spelling-correction candidates, SymSpell's selection heuristic:
+    * every vocabulary term within edit distance 2 of a top-100
+    * dictionary term AND strictly rarer than it (a misspelling is an
+    * infrequent neighbor of a frequent word; without the frequency
+    * gate every inflection pair would surface). The dictionary is 100
+    * rows broadcast into a nested-loop join over the VOCABULARY (not
+    * the token stream), with the |len difference| ≤ 2 band checked
+    * before the levenshtein call so codegen skips the O(len²) DP for
+    * most pairs — at any corpus size the cost is |vocab|×100 cheap
+    * comparisons after one aggregation the ranking ops already share
+    * ([[fuzzyTermOf]] is the single-query probe; this is the
+    * whole-dictionary sweep).
+    */
+  def spellCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = tokenStreamOf(Tables.documents(spark, dir))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val dict = vocab.orderBy(col("freq").desc, col("term")).limit(100)
+      .select(col("term").as("dict_term"), col("freq").as("dict_freq"))
+    vocab.join(broadcast(dict),
+        col("term") =!= col("dict_term") &&
+        abs(length(col("term")) - length(col("dict_term"))) <= 2 &&
+        levenshtein(col("term"), col("dict_term")) <= 2 &&
+        col("freq") < col("dict_freq"))
+      .select(col("term"), col("freq"), col("dict_term"), col("dict_freq"),
+        levenshtein(col("term"), col("dict_term")).cast("long").as("dist"))
+      .orderBy("term", "dict_term")
+  }
+
   /** Fuzzy term lookup: vocabulary terms within edit distance 1 of the
     * query, with their collection frequency — "did you mean". The
     * distance runs over the (tiny, aggregated) vocabulary, never the
@@ -805,6 +862,8 @@ object Index {
     "hashing_vectorize" -> hashingVectorize,
     "bm25_topk" -> bm25Topk,
     "mlt_topk" -> mltTopk,
+    "prf_expand" -> prfExpand,
+    "spell_candidates" -> spellCandidates,
     "qlm_topk" -> qlmTopk,
     "top_terms_per_doc" -> topTermsPerDoc,
     "kwic" -> kwic,
@@ -1023,6 +1082,46 @@ object Index {
          |    list_sort(list(struct_pack(term := term, w := w))), s -> s['w'])),
          |    (a, x) -> a + x), 4) AS score
          |FROM w GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "prf_expand" ->
+      s"""$TokSql, n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+         |avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+         |dfd AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY term),
+         |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+         |       WHERE term IN ('spark', 'query', 'join') GROUP BY doc_id, term),
+         |fb AS (
+         |  SELECT tf.doc_id AS doc_id,
+         |    round(sum(ln((n.n - dfd.df + 0.5) / (dfd.df + 0.5) + 1.0)
+         |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))), 4) AS score
+         |  FROM tf JOIN dfd USING (term) JOIN dl ON tf.doc_id = dl.doc_id, n, avgdl
+         |  GROUP BY tf.doc_id ORDER BY score DESC, doc_id LIMIT 10
+         |), gdf AS (
+         |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY term
+         |), fbdf AS (
+         |  SELECT t.term, CAST(count(DISTINCT t.doc_id) AS BIGINT) AS fb_df
+         |  FROM tok t JOIN fb ON t.doc_id = fb.doc_id
+         |  WHERE t.term NOT IN ('spark', 'query', 'join')
+         |  GROUP BY t.term
+         |)
+         |SELECT f.term AS term, f.fb_df AS fb_df, g.df AS df
+         |FROM fbdf f JOIN gdf g ON f.term = g.term
+         |ORDER BY fb_df DESC, df ASC, term LIMIT 20""".stripMargin,
+    "spell_candidates" ->
+      s"""$TokSql, v AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY term
+         |), d AS (
+         |  SELECT term AS dict_term, freq AS dict_freq FROM v
+         |  ORDER BY freq DESC, term LIMIT 100
+         |)
+         |SELECT v.term AS term, v.freq AS freq, d.dict_term AS dict_term,
+         |  d.dict_freq AS dict_freq,
+         |  CAST(levenshtein(v.term, d.dict_term) AS BIGINT) AS dist
+         |FROM v, d
+         |WHERE v.term <> d.dict_term
+         |  AND abs(len(v.term) - len(d.dict_term)) <= 2
+         |  AND levenshtein(v.term, d.dict_term) <= 2
+         |  AND v.freq < d.dict_freq
+         |ORDER BY term, dict_term""".stripMargin,
     "bm25_topk" ->
       s"""$TokSql, n AS (SELECT count(*)::DOUBLE AS n FROM documents),
          |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),

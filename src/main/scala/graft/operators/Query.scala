@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   *   or     := and (OR and)*
   *   and    := near (AND near)*
   *   near   := unary (NEAR/k unary)*   — operands must be bare terms
-  *   unary  := NOT unary | '(' query ')' | '"' term+ '"' ['~' k] | term
+  *   unary  := NOT unary | '(' query ')' | '"' term+ '"' ['~' k]
+  *           | term '~' [d] | term
   * }}}
   *
   * Each AST node compiles to a DataFrame of matching doc ids:
@@ -32,6 +33,7 @@ object Query {
   final case class Term(t: String) extends Q
   final case class Field(f: String, v: String) extends Q
   final case class Prefix(p: String) extends Q
+  final case class Fuzzy(t: String, d: Int) extends Q
   final case class Phrase(ts: Seq[String]) extends Q
   final case class PhraseSlop(ts: Seq[String], k: Int) extends Q
   final case class Near(l: String, r: String, k: Int) extends Q
@@ -80,7 +82,17 @@ object Query {
         if (w.startsWith("lang:") || w.startsWith("source:")) {
           val i = w.indexOf(':'); Field(w.take(i), w.drop(i + 1))
         }
-        else if (w.endsWith("*") && w.length > 1) Prefix(w.dropRight(1)) else Term(w)
+        else if (w.endsWith("*") && w.length > 1) Prefix(w.dropRight(1))
+        // Lucene-style fuzzy suffix on a bare term: spark~1, spark~2,
+        // or spark~ (edit distance defaults to 2, Lucene's cap)
+        else if (w.length > 1 && w.indexOf('~') > 0) {
+          val i = w.lastIndexOf('~')
+          val (base, suffix) = (w.take(i), w.drop(i + 1))
+          val d = if (suffix.isEmpty) 2 else suffix.toInt
+          require(d >= 1 && d <= 2, s"fuzzy distance must be 1 or 2 in query: $s")
+          Fuzzy(base, d)
+        }
+        else Term(w)
       case other => throw new IllegalArgumentException(
         s"unexpected ${other.getOrElse("<end>")} in query: $s")
     }
@@ -130,6 +142,13 @@ object Query {
       // StartsWith pushes into the scan like the equality; over a
       // term-sorted IndexStore bucket it min/max-prunes row groups too
       tok.filter(col("term").startsWith(p)).select(col(id)).distinct()
+    case Fuzzy(t, d) =>
+      // expand against the AGGREGATED vocabulary (distinct terms, not
+      // the token stream), then one broadcast semi-join back — the
+      // [[Index.fuzzyTermOf]] probe as a grammar leaf
+      val vt = tok.select("term").distinct()
+        .filter(levenshtein(col("term"), lit(t)) <= d)
+      tok.join(broadcast(vt), "term").select(col(id)).distinct()
     case Phrase(ts) =>
       // positional adjacency chain anchored on the first word: one
       // filtered frame per word, joined on (id, pos offset)
@@ -179,18 +198,21 @@ object Query {
     eval(tok, docs.select(col(id)).distinct(), parse(query), id, meta = docs)
   }
 
-  /** The exact-term and prefix leaves of an AST — what a saved-index
-    * evaluation must fetch.
+  /** The exact-term, prefix, and fuzzy leaves of an AST — what a
+    * saved-index evaluation must fetch.
     */
-  private def leaves(q: Q): (Seq[String], Seq[String]) = q match {
-    case Term(t) => (Seq(t), Nil)
-    case Field(_, _) => (Nil, Nil)
-    case Prefix(p) => (Nil, Seq(p))
-    case Phrase(ts) => (ts, Nil)
-    case PhraseSlop(ts, _) => (ts, Nil)
-    case Near(a, b, _) => (Seq(a, b), Nil)
-    case And(l, r) => val (a, b) = leaves(l); val (c, d) = leaves(r); (a ++ c, b ++ d)
-    case Or(l, r) => val (a, b) = leaves(l); val (c, d) = leaves(r); (a ++ c, b ++ d)
+  private def leaves(q: Q): (Seq[String], Seq[String], Seq[(String, Int)]) = q match {
+    case Term(t) => (Seq(t), Nil, Nil)
+    case Field(_, _) => (Nil, Nil, Nil)
+    case Prefix(p) => (Nil, Seq(p), Nil)
+    case Fuzzy(t, d) => (Nil, Nil, Seq((t, d)))
+    case Phrase(ts) => (ts, Nil, Nil)
+    case PhraseSlop(ts, _) => (ts, Nil, Nil)
+    case Near(a, b, _) => (Seq(a, b), Nil, Nil)
+    case And(l, r) =>
+      val (a, b, c) = leaves(l); val (d, e, f) = leaves(r); (a ++ d, b ++ e, c ++ f)
+    case Or(l, r) =>
+      val (a, b, c) = leaves(l); val (d, e, f) = leaves(r); (a ++ d, b ++ e, c ++ f)
     case Not(inner) => leaves(inner)
   }
 
@@ -214,7 +236,7 @@ object Query {
                   nBuckets: Int = graft.sources.IndexStore.DefaultBuckets,
                   id: String = "doc_id"): DataFrame = {
     val ast = parse(query)
-    val (ts, ps) = leaves(ast)
+    val (ts, ps, fz) = leaves(ast)
     val byTerm =
       if (ts.nonEmpty)
         Seq(graft.sources.IndexStore.lookupTerms(spark, indexPath, ts.distinct, nBuckets))
@@ -222,8 +244,16 @@ object Query {
     val byPrefix = ps.distinct.map(p =>
       graft.sources.IndexStore.load(spark, indexPath)
         .filter(col("term").startsWith(p)).drop("term_bucket"))
-    require(byTerm.nonEmpty || byPrefix.nonEmpty, s"query has no leaves: $query")
-    val tok = (byTerm ++ byPrefix).reduce(_ unionByName _)
+    // fuzzy leaves can't bucket-prune (an edit can land in any
+    // bucket) — they scan the term dictionary like a prefix without
+    // a pushable pattern; distance runs on the aggregated terms
+    val byFuzzy = fz.distinct.map { case (t, d) =>
+      graft.sources.IndexStore.load(spark, indexPath)
+        .filter(levenshtein(col("term"), lit(t)) <= d).drop("term_bucket")
+    }
+    require(byTerm.nonEmpty || byPrefix.nonEmpty || byFuzzy.nonEmpty,
+      s"query has no leaves: $query")
+    val tok = (byTerm ++ byPrefix ++ byFuzzy).reduce(_ unionByName _)
       .select(col(id), col("term"), explode(col("positions")).as("pos"))
     val universe = graft.sources.IndexStore.load(spark, indexPath)
       .select(id).distinct()
@@ -236,9 +266,11 @@ object Query {
   def positiveTerms(q: Q): Seq[String] = q match {
     case Term(t) => Seq(t)
     case Field(_, _) => Seq.empty
-    // a prefix retrieves but does not rank: scoring would need the
-    // expanded term set, which only the match step materializes
+    // a prefix or fuzzy leaf retrieves but does not rank: scoring
+    // would need the expanded term set, which only the match step
+    // materializes
     case Prefix(_) => Seq.empty
+    case Fuzzy(_, _) => Seq.empty
     case Phrase(ts) => ts
     case PhraseSlop(ts, _) => ts
     case Near(a, b, _) => Seq(a, b).distinct
@@ -330,6 +362,16 @@ object Query {
   def queryRanked(spark: SparkSession, dir: String): DataFrame =
     searchRanked(Tables.documents(spark, dir), "spark AND NOT slow", k = 20)
 
+  /** Gate query: Lucene-style fuzzy leaf — `spark~2` expands to every
+    * vocabulary term within edit distance 2 ([[Fuzzy]], the grammar
+    * surface of [[Index.fuzzyTermOf]]), composed with AND NOT through
+    * the same boolean plan as every other leaf. The expansion runs on
+    * the aggregated dictionary, never the token stream.
+    */
+  def queryFuzzy(spark: SparkSession, dir: String): DataFrame =
+    search(Tables.documents(spark, dir), "spark~2 AND NOT slow")
+      .orderBy("doc_id")
+
   /** Gate query: metadata field restriction inside the boolean
     * grammar ([[Field]] — `lang:`/`source:` leaves filter the doc
     * frame, composing with term leaves through the same semi-join
@@ -345,10 +387,19 @@ object Query {
     "wildcard_search" -> wildcardSearch,
     "query_near" -> queryNear,
     "query_slop" -> querySlop,
+    "query_fuzzy" -> queryFuzzy,
     "query_ranked" -> queryRanked,
     "phrase3_search" -> phrase3Search)
 
   val oracles: Map[String, String] = Map(
+    "query_fuzzy" ->
+      s"""${Index.TokSql}, fz AS (
+         |  SELECT DISTINCT term FROM tok WHERE levenshtein(term, 'spark') <= 2
+         |)
+         |SELECT DISTINCT t.doc_id AS doc_id
+         |FROM tok t JOIN fz ON t.term = fz.term
+         |WHERE t.doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'slow')
+         |ORDER BY doc_id""".stripMargin,
     "query_field" ->
       s"""${Index.TokSql}
          |SELECT DISTINCT d.doc_id AS doc_id

@@ -717,9 +717,53 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Hapax legomena ratio per source: the share of a source's
+    * vocabulary that occurs exactly once — the classic lexical-
+    * richness/noise dial ([[vocabGrowth]]'s Heaps-law curve reads
+    * growth over doc count; this reads the tail mass directly). A
+    * high ratio means fresh productive text OR OCR/encoding junk
+    * minting one-off "words"; read it against [[zipfFit]]
+    * to tell which. Two shuffles, both key-partitioned and
+    * partial-agg friendly: (source, term) term frequencies, then a
+    * |vocab|-sized rollup. Integer counts end to end; the ratio is
+    * the only division.
+    */
+  def hapaxRatio(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("vocab"), col("hapax"),
+        round(col("hapax").cast("double") / col("vocab").cast("double"), 6)
+          .as("hapax_ratio"))
+      .orderBy("source")
+
+  /** Sentence-length histogram: documents split to sentences on
+    * terminal-punctuation runs (`[.!?]+`), each sentence measured in
+    * whitespace tokens, one row per observed length — the
+    * distribution a quality pipeline thresholds on (a wall of 3-token
+    * "sentences" is boilerplate/navigation text; 200-token monsters
+    * are broken segmentation — [[readability]] reads the same signal
+    * as one averaged score, this keeps the shape). Narrow codegen'd
+    * per-row work plus one ≤|distinct lengths| aggregation; both
+    * regexes are shared verbatim with the oracle.
+    */
+  def sentenceLenHist(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), "[.!?]+")).as("sent"))
+      .select(size(filter(split(col("sent"), "\\s+"),
+        t => length(t) > lit(0))).cast("long").as("sent_len"))
+      .filter(col("sent_len") > 0)
+      .groupBy("sent_len").agg(count(lit(1)).as("n_sentences"))
+      .orderBy("sent_len")
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hapax_ratio" -> hapaxRatio,
+    "sentence_len_hist" -> sentenceLenHist,
     "keyword_textrank" -> keywordTextrank,
     "repetition_ratio" -> repetitionRatio,
     "perplexity_doc" -> perplexityDoc,
@@ -824,6 +868,31 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "sentence_len_hist" ->
+      """WITH sent AS (
+        |  SELECT unnest(regexp_split_to_array(text, '[.!?]+')) AS sent FROM documents
+        |), sl AS (
+        |  SELECT CAST(len(list_filter(regexp_split_to_array(sent, '\s+'),
+        |    t -> len(t) > 0)) AS BIGINT) AS sent_len
+        |  FROM sent
+        |)
+        |SELECT sent_len, CAST(count(*) AS BIGINT) AS n_sentences
+        |FROM sl WHERE sent_len > 0
+        |GROUP BY sent_len ORDER BY sent_len""".stripMargin,
+    "hapax_ratio" ->
+      """WITH toks AS (
+        |  SELECT source, list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), tok AS (
+        |  SELECT source, unnest(tk) AS term FROM toks
+        |), tf AS (
+        |  SELECT source, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        |  CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  round(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+        |    AS hapax_ratio
+        |FROM tf GROUP BY source ORDER BY source""".stripMargin,
     "doc_lang_mismatch" ->
       s"""SELECT p.doc_id, p.lang, p.pred_lang, d.source
          |FROM ($langIdSql) p JOIN documents d ON p.doc_id = d.doc_id

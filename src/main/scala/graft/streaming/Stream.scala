@@ -395,6 +395,48 @@ object Stream {
         ()
       }
 
+  /** Streaming uniform k-sample per source — `sample_k`'s streaming
+    * twin: each micro-batch salts doc keys with the same md5 as the
+    * batch operator and the store keeps the k SMALLEST hashes per
+    * source, so at every instant the store is an exact uniform
+    * without-replacement sample of EVERYTHING ingested so far
+    * (bottom-k by a fixed hash is a mergeable sketch:
+    * bottomk(A ∪ B) = bottomk(bottomk(A) ∪ B), so per-batch folding
+    * loses nothing). Replay-idempotent with NO batch markers — the
+    * merge dedups on the doc key before re-ranking, so re-folding a
+    * replayed batch rewrites the identical store. Store size is
+    * ≤ k·|sources| rows regardless of ingest volume; the rank window
+    * partitions by source over that bounded frame, and the crash-safe
+    * swap is the shared store protocol.
+    */
+  def reservoirMaintenance(docs: DataFrame, storePath: String,
+                           k: Int = 100): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val basePath = new org.apache.hadoop.fs.Path(storePath)
+        val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverStore(fs, basePath)
+        val delta = batch.select(col("source"), col("doc_id"),
+          md5(concat(lit("sample:"), col("doc_id").cast("string"))).as("h"))
+        val all =
+          if (fs.exists(basePath))
+            spark.read.parquet(storePath).unionByName(delta)
+          else delta
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("h"), col("doc_id"))
+        val merged = all.dropDuplicates("source", "doc_id")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k)
+          .drop("rk")
+        val tmp = s"$storePath.merged-$batchId"
+        merged.write.mode("overwrite").parquet(tmp)
+        if (fs.exists(basePath)) swapStore(fs, basePath, tmp)
+        else mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
+        ()
+      }
+
   /** Streaming exact dedup with an UNBOUNDED horizon — the
     * state-in-store twin of [[dedupStream]]: that operator's state is
     * executor memory bounded by the watermark (hours of fingerprints),

@@ -267,8 +267,28 @@ class OperatorsSpec extends SparkSpec {
     assert(parse("\"x\"") === Term("x"))
     assert(parse("spar* AND b") === And(Prefix("spar"), Term("b")))
     assert(parse("*") === Term("*")) // bare star is a literal, not a wildcard
+    assert(parse("spark~1 AND b") === And(Fuzzy("spark", 1), Term("b")))
+    assert(parse("spark~") === Fuzzy("spark", 2)) // Lucene default distance
+    intercept[IllegalArgumentException](parse("spark~3")) // Lucene caps at 2
     intercept[IllegalArgumentException](parse("a AND"))
     intercept[IllegalArgumentException](parse("(a OR b"))
+  }
+
+  test("fuzzy query: expansion covers the exact term and agrees with the dictionary probe") {
+    val docs = sources.Tables.documents(spark, sfDir)
+    val viaGrammar = operators.Query.search(docs, "spark~2")
+      .collect().map(_.getLong(0)).toSet
+    // every doc matching the exact term matches its fuzzy widening
+    val exact = operators.Query.search(docs, "spark")
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(viaGrammar))
+    // the expansion set is exactly the standalone dictionary probe's
+    val probeTerms = Index.fuzzyTermOf(docs, "spark", maxDist = 2)
+      .select("term").collect().map(_.getString(0)).toSet
+    val expanded = Index.tokenStreamOf(docs)
+      .filter(org.apache.spark.sql.functions.col("term").isInCollection(probeTerms))
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(viaGrammar === expanded)
   }
 
   test("wildcard query: prefix matches docs the expanded OR would") {

@@ -293,6 +293,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_reservoir: store holds the exact bottom-k sample of all ingested docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft-rsvr").toString + "/sample"
+    val in = MemoryStream[(Long, String)]
+    val q = Stream.reservoirMaintenance(
+      in.toDF().toDF("doc_id", "source"), store, k = 3).start()
+    def expected(ids: Seq[(Long, String)]): Set[(String, Long)] = {
+      val df = ids.toDF("doc_id", "source")
+        .select(col("source"), col("doc_id"),
+          md5(concat(lit("sample:"), col("doc_id").cast("string"))).as("h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("h"), col("doc_id"))
+      df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select("source", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    }
+    def stored(): Set[(String, Long)] = spark.read.parquet(store)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val b1 = (0L to 5L).map(i => (i, s"src${i % 2}"))
+    val b2 = (6L to 11L).map(i => (i, s"src${i % 2}"))
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(stored() === expected(b1))
+      // merging batch 2 into the stored bottom-k equals the bottom-k of the union
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      assert(stored() === expected(b1 ++ b2))
+      assert(spark.read.parquet(store)
+        .groupBy("source").count().collect().map(_.getLong(1)).forall(_ <= 3L))
+    } finally q.stop()
+  }
+
   test("stream_dedup_store: saved fingerprints dedup across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
