@@ -765,6 +765,44 @@ object Analytics {
         round(col("gini_num").cast("double") / col("gini_den").cast("double"), 6))
   }
 
+  /** Year-over-year revenue bridge (waterfall): for every consecutive
+    * pair of order years, the revenue delta decomposed into the four
+    * customer movements a growth review asks about — `new` (revenue in
+    * y+1 only), `churned` (y only, negative), `expansion` /
+    * `contraction` (both years, signed delta). Component sums are
+    * DECIMAL-exact and add up to exactly total(y+1) − total(y). Shape:
+    * one (customer, year) partial-agg rollup, one self-join keyed on
+    * (customer, year) — co-partitioned, no extra shuffle — and a
+    * ≤|years| broadcast of the consecutive-pair table; the output is
+    * |year pairs| × 4 rows.
+    */
+  def revenueBridge(spark: SparkSession, dir: String): DataFrame = {
+    val cy = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("m"))
+    val yrs = cy.select(col("yr")).distinct()
+    val pairs = yrs.as("ya").join(yrs.as("yb"), col("yb.yr") === col("ya.yr") + 1L)
+      .select(col("ya.yr").as("y0"))
+    val a = cy.select(col("o_custkey"), col("yr").as("y0"), col("m").as("m0"))
+    val b = cy.select(col("o_custkey"), (col("yr") - 1L).as("y0"), col("m").as("m1"))
+    val zero = lit(0).cast("decimal(18,2)")
+    a.join(b, Seq("o_custkey", "y0"), "full_outer")
+      .join(broadcast(pairs), Seq("y0"))
+      .select(col("y0"),
+        when(col("m0").isNull, lit("new"))
+          .when(col("m1").isNull, lit("churned"))
+          .when(col("m1") > col("m0"), lit("expansion"))
+          .when(col("m1") < col("m0"), lit("contraction"))
+          .otherwise(lit("flat")).as("component"),
+        (coalesce(col("m1"), zero) - coalesce(col("m0"), zero)).as("delta"))
+      .groupBy(col("y0"), col("component"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("delta")).as("ddec"))
+      .select(col("y0").as("year_from"), (col("y0") + 1L).as("year_to"),
+        col("component"), col("n_customers"),
+        round(col("ddec").cast("double"), 2).as("amount"))
+      .orderBy("year_from", "component")
+  }
+
   /** Revenue concentration (Pareto) report: customers bucketed into
     * spend deciles (1 = biggest spenders), each decile's revenue
     * share and the cumulative share — "the top 10% of customers carry
@@ -1091,6 +1129,29 @@ object Analytics {
         min(col("value")).as("low"),
         max(when(col("rd") === 1, col("value"))).as("close"))
       .orderBy("event_type", "hour")
+  }
+
+  /** Day-of-week volume profile: per epoch-day-mod-7 slot the active
+    * day count, event total, mean events/day and share of all traffic
+    * — the decomposition table behind [[eventsAutocorr]]'s lag-7 spike
+    * (autocorrelation detects the weekly cycle; this quantifies its
+    * shape for capacity planning). Integer end-to-end until the two
+    * final divisions: one (day) rollup, one 7-row regroup.
+    */
+  def eventsDowProfile(spark: SparkSession, dir: String): DataFrame = {
+    val daily = eventsUs(spark, dir)
+      .groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val tot = daily.agg(sum(col("c")).as("t"))
+    daily.groupBy((col("day") % 7L).as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("n_events"))
+      .crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_days"), col("n_events"),
+        round(col("n_events").cast("double") / col("n_days").cast("double"), 4)
+          .as("avg_per_day"),
+        round(col("n_events").cast("double") / col("t").cast("double"), 4)
+          .as("share"))
+      .orderBy("dow")
   }
 
   /** DAU/WAU stickiness: daily actives joined to their calendar week's
@@ -1817,6 +1878,8 @@ object Analytics {
     "events_holt" -> eventsHolt,
     "funnel_latency" -> funnelLatency,
     "revenue_gini" -> revenueGini,
+    "revenue_bridge" -> revenueBridge,
+    "events_dow_profile" -> eventsDowProfile,
     "customer_ltv_cohort" -> customerLtvCohort,
     "orders_seasonality" -> ordersSeasonality,
     "revenue_pareto" -> revenuePareto,
@@ -2231,6 +2294,45 @@ object Analytics {
         |    CAST(2 * w - (CAST(n_customers AS HUGEINT) + 1) * CAST(total_cents AS HUGEINT) AS DOUBLE) /
         |    CAST(CAST(n_customers AS HUGEINT) * CAST(total_cents AS HUGEINT) AS DOUBLE), 6) AS gini
         |FROM a""".stripMargin,
+    "revenue_bridge" ->
+      """WITH cy AS (
+        |  SELECT o_custkey, CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+        |    sum(o_totalprice::DECIMAL(18,2)) AS m
+        |  FROM orders GROUP BY 1, 2
+        |), yrs AS (SELECT DISTINCT yr FROM cy),
+        |pairs AS (SELECT a.yr AS y0 FROM yrs a JOIN yrs b ON b.yr = a.yr + 1),
+        |j AS (
+        |  SELECT coalesce(a.o_custkey, b.o_custkey) AS ck,
+        |    coalesce(a.y0, b.y0) AS y0, a.m AS m0, b.m AS m1
+        |  FROM (SELECT o_custkey, yr AS y0, m FROM cy) a
+        |  FULL OUTER JOIN (SELECT o_custkey, yr - 1 AS y0, m FROM cy) b
+        |    ON a.o_custkey = b.o_custkey AND a.y0 = b.y0
+        |), c AS (
+        |  SELECT j.y0,
+        |    CASE WHEN m0 IS NULL THEN 'new' WHEN m1 IS NULL THEN 'churned'
+        |      WHEN m1 > m0 THEN 'expansion' WHEN m1 < m0 THEN 'contraction'
+        |      ELSE 'flat' END AS component,
+        |    coalesce(m1, 0::DECIMAL(18,2)) - coalesce(m0, 0::DECIMAL(18,2)) AS delta
+        |  FROM j JOIN pairs ON j.y0 = pairs.y0
+        |)
+        |SELECT y0 AS year_from, y0 + 1 AS year_to, component,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  round(CAST(sum(delta) AS DOUBLE), 2) AS amount
+        |FROM c GROUP BY 1, 2, 3 ORDER BY year_from, component""".stripMargin,
+    "events_dow_profile" ->
+      s"""$EvSql, d AS (
+         |  SELECT ts_us // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c
+         |  FROM ev GROUP BY 1
+         |), tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM d),
+         |g AS (
+         |  SELECT day % 7 AS dow, CAST(count(*) AS BIGINT) AS n_days,
+         |    CAST(sum(c) AS BIGINT) AS n_events
+         |  FROM d GROUP BY 1
+         |)
+         |SELECT dow, n_days, n_events,
+         |  round(n_events::DOUBLE / n_days::DOUBLE, 4) AS avg_per_day,
+         |  round(n_events::DOUBLE / t::DOUBLE, 4) AS share
+         |FROM g, tot ORDER BY dow""".stripMargin,
     "events_cusum" ->
       s"""${EvSql.replaceFirst("WITH ", "WITH RECURSIVE ")}, d AS (
          |  SELECT ts_us // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c

@@ -506,6 +506,66 @@ object Dedup {
       .select(col("node").as("doc_id"), col("component").as("cluster_id"))
       .orderBy("doc_id")
 
+  /** Quality-aware canonical selection: each near-dup cluster keeps
+    * its HIGHEST-QUALITY member (the [[graft.operators.TextAnalysis]]
+    * `quality_score` composite, ties toward the lower doc_id) instead
+    * of [[neardupApply]]'s min-doc_id convention — what a real
+    * cleaning pipeline does, since the duplicate kept is the copy the
+    * model trains on. `kept_is_min` quantifies how often the two
+    * conventions disagree. The cluster frame is bounded by the
+    * near-dup graph (tiny vs the corpus), so the quality join
+    * broadcasts it; the per-cluster argmax is a window over cluster
+    * members only.
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.documents(spark, dir).select(col("doc_id"),
+      (least(size(TextFns.tokens(col("text"))).cast("double") / 100.0, lit(1.0)) *
+        (lit(1.0) -
+          length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double") /
+            greatest(length(col("text")).cast("long"), lit(1L)))).as("q"))
+    val w = Window.partitionBy("cluster_id").orderBy(col("q").desc, col("doc_id"))
+    dedupClusters(spark, dir).join(q, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rn") === 1, col("doc_id"))).as("kept_doc"),
+        max(when(col("rn") === 1, col("q"))).as("kq"),
+        min(col("doc_id")).as("min_doc"))
+      .select(col("cluster_id"), col("n_members"), col("kept_doc"),
+        round(col("kq"), 4).as("kept_quality"),
+        when(col("kept_doc") === col("min_doc"), 1L).otherwise(0L).as("kept_is_min"))
+      .orderBy("cluster_id")
+  }
+
+  /** Source composition of each near-dup cluster: member count,
+    * distinct sources, the majority source and its share (purity 1.0 =
+    * an intra-source mirror, low = cross-source syndication) — the
+    * report that decides whether dedup should run per-source (cheap,
+    * partition-local) or globally (the expensive cross-source
+    * shuffle). Same bounded shape as [[dedupKeepBest]]: the cluster
+    * frame is near-dup-graph-sized, the doc join broadcasts it, and
+    * the majority argmax windows over cluster members only.
+    */
+  def clusterSourcePurity(spark: SparkSession, dir: String): DataFrame = {
+    val m = dedupClusters(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        "doc_id")
+      .groupBy(col("cluster_id"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("cluster_id").orderBy(col("c").desc, col("source"))
+    m.withColumn("rn", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(sum(col("c")).as("n_members"),
+        count(lit(1)).as("n_sources"),
+        max(when(col("rn") === 1, col("source"))).as("majority_source"),
+        max(when(col("rn") === 1, col("c"))).as("mc"))
+      .select(col("cluster_id"), col("n_members"), col("n_sources"),
+        col("majority_source"),
+        round(col("mc").cast("double") / col("n_members").cast("double"), 4)
+          .as("purity"))
+      .orderBy("cluster_id")
+  }
+
   /** End-to-end near-dup REMOVAL: the corpus with only each simhash
     * cluster's canonical (min doc_id) member kept — the full pipeline
     * step ([[simhashPairs]] → [[GraftOps.connectedComponents]] →
@@ -1020,6 +1080,8 @@ object Dedup {
     "simhash_pairs" -> simhashPairs,
     "embed_neardup" -> embedNeardup,
     "dedup_clusters" -> dedupClusters,
+    "dedup_keep_best" -> dedupKeepBest,
+    "cluster_source_purity" -> clusterSourcePurity,
     "dedup_apply" -> dedupApply,
     "neardup_apply" -> neardupApply,
     "source_similarity" -> sourceSimilarity,
@@ -1482,6 +1544,64 @@ object Dedup {
          |)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "dedup_keep_best" ->
+      s"""${simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, prs AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |), sym AS (
+         |  SELECT da AS a, db AS b FROM prs UNION ALL SELECT db, da FROM prs
+         |), reach AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+         |), cls AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |  FROM reach GROUP BY a
+         |), q AS (
+         |  SELECT doc_id,
+         |    least(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0))::DOUBLE / 100.0, 1.0::DOUBLE) *
+         |      (1.0::DOUBLE - length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE /
+         |        greatest(CAST(length(text) AS BIGINT), 1)) AS q
+         |  FROM documents
+         |), j AS (
+         |  SELECT cls.cluster_id, cls.doc_id, q.q,
+         |    row_number() OVER (PARTITION BY cls.cluster_id ORDER BY q.q DESC, cls.doc_id) AS rn
+         |  FROM cls JOIN q ON cls.doc_id = q.doc_id
+         |)
+         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS kept_doc,
+         |  round(max(CASE WHEN rn = 1 THEN q END), 4) AS kept_quality,
+         |  CAST(CASE WHEN max(CASE WHEN rn = 1 THEN doc_id END) = min(doc_id)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS kept_is_min
+         |FROM j GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    "cluster_source_purity" ->
+      s"""${simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, prs AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |), sym AS (
+         |  SELECT da AS a, db AS b FROM prs UNION ALL SELECT db, da FROM prs
+         |), reach AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+         |), cls AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |  FROM reach GROUP BY a
+         |), m AS (
+         |  SELECT cls.cluster_id, d.source, CAST(count(*) AS BIGINT) AS c
+         |  FROM cls JOIN documents d ON cls.doc_id = d.doc_id
+         |  GROUP BY 1, 2
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY c DESC, source) AS rn
+         |  FROM m
+         |)
+         |SELECT cluster_id, CAST(sum(c) AS BIGINT) AS n_members,
+         |  CAST(count(*) AS BIGINT) AS n_sources,
+         |  max(CASE WHEN rn = 1 THEN source END) AS majority_source,
+         |  round(max(CASE WHEN rn = 1 THEN c END)::DOUBLE / sum(c)::DOUBLE, 4) AS purity
+         |FROM r GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     "neardup_pagerank" -> {
       def fold(listExpr: String): String =
         s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_sort($listExpr), " +

@@ -862,6 +862,72 @@ object Similarity {
         knnIvfPq(spark, dir))
       .orderBy("query_id")
 
+  /** The k-choice elbow curve for the IVF coarse quantizer: cosine
+    * inertia (Σ per-vector 1 − cos to its nearest seed) and mean
+    * distance for k ∈ {2, 4, 8, 16} first-k seed centroids — the
+    * capacity-planning report read BEFORE committing a bucket count
+    * ([[ivfBucketStats]] audits the chosen k after the fact,
+    * [[ivfRetrain]] refines it). All four assignment sweeps share ONE
+    * pass over the store: the (k, centroid) table is 30 broadcast
+    * rows, the per-(k, vec) argmax is a narrow window over ≤16
+    * candidates, and only the |k|-row inertia rollup shuffles. The
+    * inertia sum routes through [[Folds]] — vec_id-sorted fold under
+    * the gate's bitwise contract, plain partial-agg sum in
+    * production — so the curve is bitwise cross-engine.
+    */
+  def ivfElbow(spark: SparkSession, dir: String): DataFrame = {
+    val en = withNorm(Tables.embeddings(spark, dir))
+    val ks = spark.range(1, 5)
+      .select(pow(lit(2.0), col("id")).cast("long").as("k"))
+    val kc = ks.crossJoin(
+        en.filter(col("vec_id") < NCentroids)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+            col("nm").as("cnm")))
+      .filter(col("cid") < col("k"))
+    val w = Window.partitionBy("k", "vec_id")
+      .orderBy(col("ccos").desc, col("cid"))
+    val asg = en.crossJoin(broadcast(kc))
+      .withColumn("ccos",
+        VectorFns.dot(col("embedding"), col("ce")) / (col("nm") * col("cnm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("k"), col("vec_id"), (lit(1.0) - col("ccos")).as("d"))
+    Folds.groupSums(asg, Seq("k"), col("vec_id"),
+        Seq("in0" -> col("d")), Seq(count(lit(1)).as("n_vecs")))
+      .select(col("k"), col("n_vecs"),
+        round(col("in0"), 6).as("inertia"),
+        round(col("in0") / col("n_vecs").cast("double"), 6).as("avg_dist"))
+      .orderBy("k")
+  }
+
+  /** Label purity of the IVF buckets: member count, distinct labels,
+    * the majority label and its share per bucket — the "are these
+    * embeddings clusterable?" sanity check run before trusting
+    * bucket-local ANN or [[semanticDedup]]'s in-bucket screening (a
+    * quantizer whose cells mix labels uniformly is hashing, not
+    * clustering). Narrow broadcast assignment + a (bucket, label)
+    * rollup of ≤16·|labels| rows; nothing corpus-sized shuffles.
+    */
+  def ivfLabelPurity(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val m = ivfAssign(e).select(col("vec_id"), col("bucket"))
+      .join(e.select(col("vec_id"), col("label").cast("long").as("label")),
+        "vec_id")
+      .groupBy(col("bucket"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("bucket").orderBy(col("c").desc, col("label"))
+    m.withColumn("rn", row_number().over(w))
+      .groupBy("bucket")
+      .agg(sum(col("c")).as("n_vecs"), count(lit(1)).as("n_labels"),
+        max(when(col("rn") === 1, col("label"))).as("majority_label"),
+        max(when(col("rn") === 1, col("c"))).as("mc"))
+      .select(col("bucket"), col("n_vecs"), col("n_labels"),
+        col("majority_label"),
+        round(col("mc").cast("double") / col("n_vecs").cast("double"), 4)
+          .as("purity"))
+      .orderBy("bucket")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -891,7 +957,9 @@ object Similarity {
     "ivf_bucket_stats" -> ivfBucketStats,
     "ann_probe_curve" -> annProbeCurve,
     "ann_recall_curve" -> annRecallCurve,
-    "ivf_retrain" -> ivfRetrain)
+    "ivf_retrain" -> ivfRetrain,
+    "ivf_elbow" -> ivfElbow,
+    "ivf_label_purity" -> ivfLabelPurity)
 
   /** `asg` CTE on top of [[OracleSql.NormCte]]: the IVF bucket
     * assignment (argmax cosine over the 16 seed centroids).
@@ -1261,6 +1329,48 @@ object Similarity {
          |  round(${OracleSql.dot("ocv", "ncv")} /
          |    (oc.onm * sqrt(${OracleSql.norm2("ncv")})), 6) AS centroid_cos
          |FROM nc JOIN oc ON nc.bucket = oc.bucket ORDER BY nc.bucket""".stripMargin,
+    "ivf_elbow" ->
+      s"""${OracleSql.NormCte}, ks AS (
+         |  SELECT CAST(unnest([2, 4, 8, 16]) AS BIGINT) AS k
+         |), cent AS (
+         |  SELECT vec_id AS cid, embedding AS ce, nm AS cnm
+         |  FROM nrm WHERE vec_id < $NCentroids
+         |), p AS (
+         |  SELECT ks.k, v.vec_id, c.cid,
+         |    ${OracleSql.cosineN("v.embedding", "c.ce", "v.nm", "c.cnm")} AS ccos
+         |  FROM ks, nrm v, cent c WHERE c.cid < ks.k
+         |), a AS (
+         |  SELECT k, vec_id, 1.0::DOUBLE - ccos AS d,
+         |    row_number() OVER (PARTITION BY k, vec_id ORDER BY ccos DESC, cid) AS rn
+         |  FROM p
+         |), g AS (
+         |  SELECT k, CAST(count(*) AS BIGINT) AS n_vecs,
+         |    list_sort(list(struct_pack(vec_id := vec_id, d := d))) AS xs
+         |  FROM a WHERE rn = 1 GROUP BY k
+         |), f AS (
+         |  SELECT k, n_vecs,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(xs, s -> s['d'])),
+         |      (acc, x) -> acc + x) AS inertia
+         |  FROM g
+         |)
+         |SELECT k, n_vecs, round(inertia, 6) AS inertia,
+         |  round(inertia / n_vecs::DOUBLE, 6) AS avg_dist
+         |FROM f ORDER BY k""".stripMargin,
+    "ivf_label_purity" ->
+      s"""${OracleSql.NormCte}$AssignCte, m AS (
+         |  SELECT asg.bucket, CAST(e.label AS BIGINT) AS label,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM asg JOIN embeddings e ON asg.vec_id = e.vec_id
+         |  GROUP BY 1, 2
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY c DESC, label) AS rn
+         |  FROM m
+         |)
+         |SELECT bucket, CAST(sum(c) AS BIGINT) AS n_vecs,
+         |  CAST(count(*) AS BIGINT) AS n_labels,
+         |  max(CASE WHEN rn = 1 THEN label END) AS majority_label,
+         |  round(max(CASE WHEN rn = 1 THEN c END)::DOUBLE / sum(c)::DOUBLE, 4) AS purity
+         |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
     "ann_recall_curve" ->
       s"""${OracleSql.NormCte}$AssignCte, bfp AS (
          |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,

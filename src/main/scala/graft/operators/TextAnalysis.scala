@@ -158,6 +158,31 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer fertility per source: BPE-pretokens per whitespace word
+    * and chars per BPE pretoken — the tokenizer-efficiency dial a
+    * training-budget plan reads per corpus slice (high fertility =
+    * this source burns sequence length; [[tokenStats]] is its per-doc
+    * detail view). Integer sums end-to-end, two final divisions; one
+    * |sources|-group partial-agg shuffle.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val bpe = regexp_extract_all(col("text"), lit(BpePattern), lit(0))
+    Tables.documents(spark, dir)
+      .select(col("source"), length(col("text")).cast("long").as("nc"),
+        size(TextFns.tokens(col("text"))).cast("long").as("nw"),
+        size(bpe).cast("long").as("nb"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"),
+        sum(col("nw")).as("n_ws"), sum(col("nb")).as("n_bpe"))
+      .select(col("source"), col("n_docs"), col("n_chars"), col("n_ws"),
+        col("n_bpe"),
+        round(col("n_bpe").cast("double") / col("n_ws").cast("double"), 4)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_bpe").cast("double"), 4)
+          .as("chars_per_token"))
+      .orderBy("source")
+  }
+
   // ---- doc_fingerprint -------------------------------------------------
 
   /** Polynomial rolling-hash fingerprint of the normalized text —
@@ -776,6 +801,7 @@ object TextAnalysis {
     "gram_novelty" -> gramNovelty,
     "quality_score" -> qualityScore,
     "token_stats" -> tokenStats,
+    "tokenizer_fertility" -> tokenizerFertility,
     "doc_fingerprint" -> docFingerprint,
     "char_ngrams" -> charNgrams,
     "term_entropy" -> termEntropy,
@@ -1077,6 +1103,24 @@ object TextAnalysis {
          |  CAST(len(list_filter(bpe, t -> regexp_full_match(t, '[A-Za-z]+'))) AS BIGINT) AS n_alpha,
          |  CAST(len(list_filter(bpe, t -> regexp_full_match(t, '[0-9]+'))) AS BIGINT) AS n_num
          |FROM b ORDER BY doc_id""".stripMargin,
+    "tokenizer_fertility" ->
+      s"""WITH b AS (
+         |  SELECT source,
+         |    CAST(length(text) AS BIGINT) AS nc,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS BIGINT) AS nw,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS nb
+         |  FROM documents
+         |), g AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(nc) AS BIGINT) AS n_chars,
+         |    CAST(sum(nw) AS BIGINT) AS n_ws,
+         |    CAST(sum(nb) AS BIGINT) AS n_bpe
+         |  FROM b GROUP BY source
+         |)
+         |SELECT source, n_docs, n_chars, n_ws, n_bpe,
+         |  round(n_bpe::DOUBLE / n_ws::DOUBLE, 4) AS fertility,
+         |  round(n_chars::DOUBLE / n_bpe::DOUBLE, 4) AS chars_per_token
+         |FROM g ORDER BY source""".stripMargin,
     "doc_fingerprint" ->
       s"""WITH n AS (SELECT doc_id, ${OracleSql.Norm} AS nt FROM documents)
          |SELECT doc_id, ${OracleSql.roll("nt", HashFns.P)} AS fp

@@ -799,6 +799,76 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("ivf_elbow: inertia is monotone non-increasing in k") {
+    val e = Similarity.ivfElbow(spark, sfDir).orderBy("k").collect()
+    assert(e.map(_.getLong(0)).toSeq === Seq(2L, 4L, 8L, 16L))
+    // growing the seed set can only move a vector's nearest seed closer
+    val inertia = e.map(_.getDouble(2))
+    assert(inertia.zip(inertia.tail).forall { case (a, b) => b <= a + 1e-9 })
+    assert(e.map(_.getLong(1)).distinct.length === 1) // same store every k
+    e.foreach { r =>
+      assert(math.abs(r.getDouble(3) - r.getDouble(2) / r.getLong(1)) < 1e-6)
+    }
+  }
+
+  test("dedup_keep_best: keeps the max-quality member of each cluster") {
+    val members = Dedup.dedupClusters(spark, sfDir)
+      .join(operators.TextAnalysis.qualityScore(spark, sfDir)
+        .select(col("doc_id"), col("quality")), "doc_id")
+      .collect()
+      .groupBy(_.getLong(1))
+      .map { case (c, rs) => c -> rs.map(r => r.getLong(0) -> r.getDouble(2)).toMap }
+    val kb = Dedup.dedupKeepBest(spark, sfDir).collect()
+    assert(kb.nonEmpty)
+    kb.foreach { r =>
+      val (cid, n, kept, kq, isMin) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))
+      val m = members(cid)
+      assert(n === m.size && n >= 2)
+      assert(m.contains(kept))
+      // kept doc's (rounded) quality dominates every member's
+      assert(m.values.forall(_ <= kq + 1e-9))
+      assert((isMin === 1L) === (kept === m.keys.min))
+    }
+  }
+
+  test("revenue_bridge: components add up to the year-over-year delta") {
+    val totals = sources.Tables.orders(spark, sfDir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = operators.Analytics.revenueBridge(spark, sfDir).collect()
+    assert(b.nonEmpty)
+    b.groupBy(_.getLong(0)).foreach { case (y0, rows) =>
+      val delta = rows.map(_.getDouble(4)).sum
+      assert(math.abs(delta - (totals(y0 + 1) - totals(y0))) < 0.05,
+        s"year $y0: bridge $delta vs totals ${totals(y0 + 1) - totals(y0)}")
+    }
+  }
+
+  test("purity reports: shares in (0,1], buckets cover the store") {
+    val cp = Dedup.clusterSourcePurity(spark, sfDir).collect()
+    assert(cp.nonEmpty)
+    cp.foreach { r =>
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+    }
+    val lp = Similarity.ivfLabelPurity(spark, sfDir).collect()
+    val nVecs = sources.Tables.embeddings(spark, sfDir).count()
+    assert(lp.map(_.getLong(1)).sum === nVecs)
+    lp.foreach(r => assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0))
+  }
+
+  test("tokenizer_fertility >= 1 per source; dow profile covers all traffic") {
+    val f = operators.TextAnalysis.tokenizerFertility(spark, sfDir).collect()
+    assert(f.nonEmpty)
+    // every whitespace word yields at least one BPE pretoken
+    f.foreach(r => assert(r.getDouble(5) >= 1.0, s"source ${r.getString(0)}"))
+    val d = operators.Analytics.eventsDowProfile(spark, sfDir).collect()
+    assert(d.length === 7)
+    assert(math.abs(d.map(_.getDouble(4)).sum - 1.0) < 0.001) // shares sum to 1
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
