@@ -133,7 +133,18 @@ object Explain {
     "events_autocorr" -> Rule(),
     "sentence_len_hist" -> Rule(),
     "query_fuzzy" -> Rule(),
-    "events_holt" -> Rule())
+    "events_holt" -> Rule(),
+    // session-4 additions: the elbow sweep broadcasts its 30-row
+    // (k, centroid) table; cluster reports broadcast the graph-bounded
+    // cluster frame into the corpus join; the bridge self-join stays
+    // key-partitioned
+    "ivf_elbow" -> Rule(required = Seq("BroadcastNestedLoopJoin")),
+    "ivf_label_purity" -> Rule(required = Seq("BroadcastNestedLoopJoin")),
+    "dedup_keep_best" -> Rule(),
+    "cluster_source_purity" -> Rule(),
+    "revenue_bridge" -> Rule(),
+    "events_dow_profile" -> Rule(),
+    "tokenizer_fertility" -> Rule())
 
   /** Saved-index retrieval invariants: the lookup paths must prune
     * term buckets AT PLANNING TIME (PartitionFilters, not a post-scan
