@@ -183,6 +183,34 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Character-level Shannon entropy per source (bits/char) — the
+    * compressibility proxy: low entropy flags boilerplate/template
+    * slices a gzip pass would collapse, high entropy flags
+    * base64/binary junk ([[termEntropy]] is the token-level per-doc
+    * sibling). Counts are one (source, char) integer rollup; the
+    * entropy fold runs over the ≤|alphabet| per-source term list
+    * through [[Folds]] (char-sorted under the gate's bitwise
+    * contract, plain sum in production).
+    */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val cc = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .groupBy("source", "ch").agg(count(lit(1)).as("c"))
+    val tot = cc.groupBy("source")
+      .agg(sum(col("c")).as("t"), count(lit(1)).as("nd"))
+    val terms = cc.join(tot, "source")
+      .withColumn("p", col("c").cast("double") / col("t").cast("double"))
+      .select(col("source"), col("ch"),
+        ((-col("p")) * log(col("p")) / log(lit(2.0))).as("x"),
+        col("t"), col("nd"))
+    Folds.groupSums(terms, Seq("source"), col("ch"), Seq("h" -> col("x")),
+        Seq(max(col("t")).as("n_chars"), max(col("nd")).as("n_distinct")))
+      .select(col("source"), col("n_chars"), col("n_distinct"),
+        round(col("h"), 6).as("entropy_bits"))
+      .orderBy("source")
+  }
+
   // ---- doc_fingerprint -------------------------------------------------
 
   /** Polynomial rolling-hash fingerprint of the normalized text —
@@ -802,6 +830,7 @@ object TextAnalysis {
     "quality_score" -> qualityScore,
     "token_stats" -> tokenStats,
     "tokenizer_fertility" -> tokenizerFertility,
+    "char_entropy" -> charEntropy,
     "doc_fingerprint" -> docFingerprint,
     "char_ngrams" -> charNgrams,
     "term_entropy" -> termEntropy,
@@ -1120,6 +1149,29 @@ object TextAnalysis {
          |SELECT source, n_docs, n_chars, n_ws, n_bpe,
          |  round(n_bpe::DOUBLE / n_ws::DOUBLE, 4) AS fertility,
          |  round(n_chars::DOUBLE / n_bpe::DOUBLE, 4) AS chars_per_token
+         |FROM g ORDER BY source""".stripMargin,
+    "char_entropy" ->
+      s"""WITH ch AS (
+         |  SELECT source, unnest(string_split(text, '')) AS c0 FROM documents
+         |), cc AS (
+         |  SELECT source, c0 AS ch, CAST(count(*) AS BIGINT) AS c
+         |  FROM ch WHERE len(c0) > 0 GROUP BY 1, 2
+         |), t AS (
+         |  SELECT source, CAST(sum(c) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS nd
+         |  FROM cc GROUP BY 1
+         |), terms AS (
+         |  SELECT cc.source, cc.ch,
+         |    (-(cc.c::DOUBLE / t.t::DOUBLE)) * ln(cc.c::DOUBLE / t.t::DOUBLE) / ln(2.0) AS x,
+         |    t.t, t.nd
+         |  FROM cc JOIN t ON cc.source = t.source
+         |), g AS (
+         |  SELECT source, max(t) AS n_chars, max(nd) AS n_distinct,
+         |    list_sort(list(struct_pack(ch := ch, x := x))) AS xs
+         |  FROM terms GROUP BY source
+         |)
+         |SELECT source, n_chars, n_distinct,
+         |  round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(xs, s -> s['x'])),
+         |    (a, v) -> a + v), 6) AS entropy_bits
          |FROM g ORDER BY source""".stripMargin,
     "doc_fingerprint" ->
       s"""WITH n AS (SELECT doc_id, ${OracleSql.Norm} AS nt FROM documents)
