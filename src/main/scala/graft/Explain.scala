@@ -144,7 +144,10 @@ object Explain {
     "cluster_source_purity" -> Rule(),
     "revenue_bridge" -> Rule(),
     "events_dow_profile" -> Rule(),
-    "tokenizer_fertility" -> Rule())
+    "tokenizer_fertility" -> Rule(),
+    "char_entropy" -> Rule(),
+    "retention_curve" -> Rule(),
+    "query_boost" -> Rule(required = Seq("BroadcastHashJoin")))
 
   /** Saved-index retrieval invariants: the lookup paths must prune
     * term buckets AT PLANNING TIME (PartitionFilters, not a post-scan

@@ -1154,6 +1154,32 @@ object Analytics {
       .orderBy("dow")
   }
 
+  /** Day-granular retention curve: the fraction of ALL users active
+    * again exactly k days after their first activity (k = 1..14) —
+    * the product-analytics decay curve beside [[retentionCohorts]]'
+    * year × year order matrix and [[dauStickiness]]' DAU/WAU ratio.
+    * The (user, day) distinct is the one heavy shuffle (shared shape
+    * with dau_stickiness); first-day assignment joins back on the
+    * user key, and the curve is a ≤14-row rollup. Integer end-to-end
+    * until the final share division.
+    */
+  def retentionCurve(spark: SparkSession, dir: String): DataFrame = {
+    val days = eventsUs(spark, dir)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct()
+    val first = days.groupBy("user_id").agg(min(col("day")).as("d0"))
+    val nUsers = first.agg(count(lit(1)).as("n_users"))
+    days.join(first, "user_id")
+      .select(col("user_id"), (col("day") - col("d0")).as("k"))
+      .filter(col("k").between(1L, 14L))
+      .groupBy("k").agg(countDistinct(col("user_id")).as("n_active"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("k").as("day_offset"), col("n_active"), col("n_users"),
+        round(col("n_active").cast("double") / col("n_users").cast("double"), 4)
+          .as("retention"))
+      .orderBy("day_offset")
+  }
+
   /** DAU/WAU stickiness: daily actives joined to their calendar week's
     * weekly actives (day/week = exact integer division of epoch days —
     * `div`, never `/`). Both sides are exact distinct-user rollups of
@@ -1880,6 +1906,7 @@ object Analytics {
     "revenue_gini" -> revenueGini,
     "revenue_bridge" -> revenueBridge,
     "events_dow_profile" -> eventsDowProfile,
+    "retention_curve" -> retentionCurve,
     "customer_ltv_cohort" -> customerLtvCohort,
     "orders_seasonality" -> ordersSeasonality,
     "revenue_pareto" -> revenuePareto,
@@ -2333,6 +2360,21 @@ object Analytics {
          |  round(n_events::DOUBLE / n_days::DOUBLE, 4) AS avg_per_day,
          |  round(n_events::DOUBLE / t::DOUBLE, 4) AS share
          |FROM g, tot ORDER BY dow""".stripMargin,
+    "retention_curve" ->
+      s"""$EvSql, d AS (
+         |  SELECT DISTINCT user_id, ts_us // 86400000000 AS day FROM ev
+         |), f AS (
+         |  SELECT user_id, min(day) AS d0 FROM d GROUP BY user_id
+         |), nu AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM f),
+         |g AS (
+         |  SELECT d.day - f.d0 AS k, CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_active
+         |  FROM d JOIN f ON d.user_id = f.user_id
+         |  WHERE d.day - f.d0 BETWEEN 1 AND 14
+         |  GROUP BY 1
+         |)
+         |SELECT k AS day_offset, n_active, n_users,
+         |  round(n_active::DOUBLE / n_users::DOUBLE, 4) AS retention
+         |FROM g, nu ORDER BY day_offset""".stripMargin,
     "events_cusum" ->
       s"""${EvSql.replaceFirst("WITH ", "WITH RECURSIVE ")}, d AS (
          |  SELECT ts_us // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c

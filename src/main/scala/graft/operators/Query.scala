@@ -31,6 +31,7 @@ object Query {
 
   sealed trait Q
   final case class Term(t: String) extends Q
+  final case class Boost(t: String, w: Double) extends Q
   final case class Field(f: String, v: String) extends Q
   final case class Prefix(p: String) extends Q
   final case class Fuzzy(t: String, d: Int) extends Q
@@ -83,6 +84,15 @@ object Query {
           val i = w.indexOf(':'); Field(w.take(i), w.drop(i + 1))
         }
         else if (w.endsWith("*") && w.length > 1) Prefix(w.dropRight(1))
+        // Lucene-style boost suffix on a bare term: spark^3 — a
+        // RANKING weight only; matching is the plain term leaf
+        else if (w.length > 1 && w.indexOf('^') > 0) {
+          val i = w.lastIndexOf('^')
+          val (base, suffix) = (w.take(i), w.drop(i + 1))
+          require(suffix.nonEmpty && suffix.forall(_.isDigit) && suffix.toInt >= 1,
+            s"boost must be a positive integer in query: $s")
+          Boost(base, suffix.toInt.toDouble)
+        }
         // Lucene-style fuzzy suffix on a bare term: spark~1, spark~2,
         // or spark~ (edit distance defaults to 2, Lucene's cap)
         else if (w.length > 1 && w.indexOf('~') > 0) {
@@ -138,6 +148,8 @@ object Query {
       meta.filter(col(f) === v).select(col(id)).distinct()
     case Term(t) =>
       tok.filter(col("term") === t).select(col(id)).distinct()
+    case Boost(t, _) => // boost weighs ranking only; matching is the term
+      eval(tok, universe, Term(t), id, meta)
     case Prefix(p) =>
       // StartsWith pushes into the scan like the equality; over a
       // term-sorted IndexStore bucket it min/max-prunes row groups too
@@ -203,6 +215,7 @@ object Query {
     */
   private def leaves(q: Q): (Seq[String], Seq[String], Seq[(String, Int)]) = q match {
     case Term(t) => (Seq(t), Nil, Nil)
+    case Boost(t, _) => (Seq(t), Nil, Nil)
     case Field(_, _) => (Nil, Nil, Nil)
     case Prefix(p) => (Nil, Seq(p), Nil)
     case Fuzzy(t, d) => (Nil, Nil, Seq((t, d)))
@@ -265,6 +278,7 @@ object Query {
     */
   def positiveTerms(q: Q): Seq[String] = q match {
     case Term(t) => Seq(t)
+    case Boost(t, _) => Seq(t)
     case Field(_, _) => Seq.empty
     // a prefix or fuzzy leaf retrieves but does not rank: scoring
     // would need the expanded term set, which only the match step
@@ -279,10 +293,25 @@ object Query {
     case Not(_) => Seq.empty
   }
 
+  /** The per-term ranking boosts of a query's [[Boost]] leaves (max
+    * wins when a term is boosted twice); unboosted terms weigh 1.
+    */
+  def boostWeights(q: Q): Map[String, Double] = q match {
+    case Boost(t, w) => Map(t -> w)
+    case And(l, r) =>
+      (boostWeights(l).toSeq ++ boostWeights(r).toSeq)
+        .groupBy(_._1).map { case (t, ws) => t -> ws.map(_._2).max }
+    case Or(l, r) =>
+      (boostWeights(l).toSeq ++ boostWeights(r).toSeq)
+        .groupBy(_._1).map { case (t, ws) => t -> ws.map(_._2).max }
+    case _ => Map.empty
+  }
+
   /** [[search]] plus BM25 ranking (k1=1.2, b=0.75) of the matches by
     * the query's positive terms — the full retrieve-then-rank path of
-    * a search engine. Matching and corpus statistics come off the
-    * same token stream (shared scan via exchange reuse); the score
+    * a search engine. [[Boost]] leaves (`term^3`) multiply their
+    * term's BM25 contribution. Matching and corpus statistics come off
+    * the same token stream (shared scan via exchange reuse); the score
     * join runs on the match set, not the corpus.
     */
   def searchRanked(docs: DataFrame, query: String, k: Int = 20,
@@ -290,6 +319,7 @@ object Query {
     val (k1, b) = (1.2, 0.75)
     val ast = parse(query)
     val terms = positiveTerms(ast)
+    val boosts = boostWeights(ast)
     require(terms.nonEmpty, s"query has no positive terms to rank by: $query")
     val tok = Index.tokenStreamOf(docs, id, text)
     val matches = eval(tok, docs.select(col(id)).distinct(), ast, id)
@@ -305,7 +335,10 @@ object Query {
       .join(dl, id)
       .crossJoin(broadcast(nDf)).crossJoin(broadcast(avgdlDf))
       .withColumn("w",
-        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+        boosts.foldLeft(lit(1.0)) { case (acc, (t, bw)) =>
+          when(col("term") === t, lit(bw)).otherwise(acc)
+        } *
+          log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
           (col("tf") * (k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy(id).agg(round(sum(col("w")), 4).as("score"))
@@ -362,6 +395,16 @@ object Query {
   def queryRanked(spark: SparkSession, dir: String): DataFrame =
     searchRanked(Tables.documents(spark, dir), "spark AND NOT slow", k = 20)
 
+  /** Gate query: Lucene-style boost — `spark^3` triples the term's
+    * BM25 contribution in the ranked path ([[Boost]]; matching is
+    * unchanged — a boost weighs, it never filters). One boosted
+    * positive term keeps the per-doc score a single contribution,
+    * like [[queryRanked]]; the multi-term weighted sum is exercised
+    * by the boost-parity spec.
+    */
+  def queryBoost(spark: SparkSession, dir: String): DataFrame =
+    searchRanked(Tables.documents(spark, dir), "spark^3 AND NOT slow", k = 20)
+
   /** Gate query: Lucene-style fuzzy leaf — `spark~2` expands to every
     * vocabulary term within edit distance 2 ([[Fuzzy]], the grammar
     * surface of [[Index.fuzzyTermOf]]), composed with AND NOT through
@@ -389,6 +432,7 @@ object Query {
     "query_slop" -> querySlop,
     "query_fuzzy" -> queryFuzzy,
     "query_ranked" -> queryRanked,
+    "query_boost" -> queryBoost,
     "phrase3_search" -> phrase3Search)
 
   val oracles: Map[String, String] = Map(
@@ -423,6 +467,25 @@ object Query {
          |)
          |SELECT tf.doc_id AS doc_id,
          |  round(sum(ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |    * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))), 4) AS score
+         |FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, n, avgdl
+         |GROUP BY tf.doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "query_boost" ->
+      s"""${Index.TokSql}, n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+         |avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+         |df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY term),
+         |m AS (
+         |  SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'
+         |    AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'slow')
+         |),
+         |tf AS (
+         |  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+         |  WHERE term = 'spark' AND doc_id IN (SELECT doc_id FROM m)
+         |  GROUP BY doc_id, term
+         |)
+         |SELECT tf.doc_id AS doc_id,
+         |  round(sum(3.0 * ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
          |    * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))), 4) AS score
          |FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, n, avgdl
          |GROUP BY tf.doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,

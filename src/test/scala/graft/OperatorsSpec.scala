@@ -869,6 +869,40 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(d.map(_.getDouble(4)).sum - 1.0) < 0.001) // shares sum to 1
   }
 
+  test("query boost: weighs ranking without changing the match set") {
+    import graft.operators.Query
+    val docs = sources.Tables.documents(spark, sfDir)
+    // ^1 is the identity: same docs, same scores as the unboosted query
+    val base = Query.searchRanked(docs, "spark AND NOT slow")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val one = Query.searchRanked(docs, "spark^1 AND NOT slow")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(one === base)
+    // ^3 keeps the match set and scales every score by 3
+    val three = Query.searchRanked(docs, "spark^3 AND NOT slow")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(three.keySet === base.keySet)
+    three.foreach { case (d, s) => assert(math.abs(s - 3.0 * base(d)) < 1e-3) }
+    // multi-term: boosting one leg reorders in its favor; over the FULL
+    // match set (k large enough to not truncate) the set is unchanged
+    val ab = Query.searchRanked(docs, "spark OR join", k = 100000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val abB = Query.searchRanked(docs, "spark^5 OR join", k = 100000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(abB.keySet === ab.keySet)
+    assert(abB.forall { case (d, s) => s >= ab(d) - 2e-4 })
+  }
+
+  test("retention_curve: offsets in 1..14, retention within (0,1]") {
+    val r = operators.Analytics.retentionCurve(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getLong(0) >= 1L && row.getLong(0) <= 14L)
+      assert(row.getLong(1) <= row.getLong(2))
+      assert(row.getDouble(3) > 0.0 && row.getDouble(3) <= 1.0)
+    }
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
