@@ -14,15 +14,24 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
-  /** events with a micros-precision long `ts_us` (source parquet is
-    * TIMESTAMP(NANOS), which Spark only reads via the nanosAsLong
-    * legacy conf — set at session construction by [[graft.GraftSession]];
-    * integer div by 1000 keeps exactness — a double division would lose
-    * precision above 2^53).
+  /** events with a micros-precision long `ts_us`, tolerant of the two
+    * physical encodings the generator has shipped: TIMESTAMP(NANOS)
+    * (readable only as a nanos long via the nanosAsLong legacy conf,
+    * set by [[graft.GraftSession]] — integer div by 1000 keeps
+    * exactness) and TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ; the
+    * session is pinned UTC, so the NTZ→TZ cast is wall-clock identity
+    * and `unix_micros` yields the same epoch-micros long). All event
+    * operators derive time from this one column, so the encoding
+    * branch lives here and nowhere else.
     */
-  def eventsUs(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .withColumn("ts_us", expr("ts div 1000"))
+  def eventsUs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val tsUs = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    ev.withColumn("ts_us", tsUs)
+  }
 
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
