@@ -71,7 +71,7 @@ object Explain {
     "q19_disjunctive" -> Rule(required = Seq("BroadcastHashJoin")),
     // session-2 TPC-H flavors: two-role nation join broadcasts both
     // legs; the min-cost window rides a broadcast-pruned rollup; the
-    // sole-late rollup + rejoin reuse one orderkey shuffle
+    // sole-late window rides the join's own orderkey exchange
     "q7_volume" -> Rule(required = Seq("BroadcastHashJoin")),
     "q2_mincost_supplier" -> Rule(required = Seq("BroadcastHashJoin")),
     "q16_supplier_variety" -> Rule(required = Seq("BroadcastHashJoin")),
@@ -147,7 +147,13 @@ object Explain {
     "tokenizer_fertility" -> Rule(),
     "char_entropy" -> Rule(),
     "retention_curve" -> Rule(),
-    "query_boost" -> Rule(required = Seq("BroadcastHashJoin")))
+    "query_boost" -> Rule(required = Seq("BroadcastHashJoin")),
+    // session-5 additions: the DSIR bucket-LM table broadcasts into
+    // the per-doc join; curriculum boundaries and zorder maxima are
+    // 1-row broadcast frames (never a shuffled cross)
+    "dsir_weights" -> Rule(required = Seq("BroadcastHashJoin")),
+    "curriculum_order" -> Rule(required = Seq("BroadcastNestedLoopJoin")),
+    "zorder_layout" -> Rule(required = Seq("BroadcastNestedLoopJoin")))
 
   /** Saved-index retrieval invariants: the lookup paths must prune
     * term buckets AT PLANNING TIME (PartitionFilters, not a post-scan

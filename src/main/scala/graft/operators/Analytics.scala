@@ -1697,27 +1697,29 @@ object Analytics {
   /** Q21-flavored sole-late-supplier report: suppliers who were the
     * ONLY late shipper (> 60 days after order) on a finished
     * multi-supplier order — Q21's exists/not-exists pair expressed as
-    * ONE conditional count-distinct rollup per order (`n_supp > 1 AND
-    * n_late = 1`), then a semi-join back to the late lines. The
-    * per-order rollup and the rejoin share the orderkey shuffle key;
-    * supplier names broadcast at the end, after the result is
-    * |suppliers| rows.
+    * two per-order `collect_set` WINDOW aggregates (`n_supp > 1 AND
+    * n_late = 1`) evaluated in the SAME pass as the fact-fact join:
+    * the window partitions on the join key, so it reuses the join's
+    * orderkey exchange (one sort, zero extra shuffles) and the join
+    * itself runs ONCE — vs the groupBy-then-rejoin shape, which
+    * recomputes the join on both branches and shuffles three times.
+    * The set buffers are bounded by suppliers-per-order (single
+    * digits). Supplier names broadcast at the end, after the result
+    * is |suppliers| rows.
     */
   def q21LateSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val j = Tables.lineitem(spark, dir)
+    val w = Window.partitionBy("l_orderkey")
+    Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_suppkey", "l_shipdate")
       .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
           .select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
       .withColumn("late",
         (datediff(col("l_shipdate"), col("o_orderdate")) > 60).cast("int"))
-    val soleLate = j.groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("ns"),
-        countDistinct(when(col("late") === 1, col("l_suppkey"))).as("nl"))
-      .filter(col("ns") > 1 && col("nl") === 1)
-      .select("l_orderkey")
-    j.filter(col("late") === 1)
-      .join(soleLate, "l_orderkey")
+      .withColumn("ns", size(collect_set(col("l_suppkey")).over(w)))
+      .withColumn("nl",
+        size(collect_set(when(col("late") === 1, col("l_suppkey"))).over(w)))
+      .filter(col("late") === 1 && col("ns") > 1 && col("nl") === 1)
       .select("l_orderkey", "l_suppkey").distinct()
       .groupBy("l_suppkey")
       .agg(count(lit(1)).as("numwait"))
@@ -1872,9 +1874,54 @@ object Analytics {
       .orderBy(col("n_conc_parts").desc, col("s_name"))
   }
 
+  /** Morton/Z-value bit-interleave of two 8-bit normalized keys —
+    * emitted as arithmetic text (div/% only) so the SAME generator
+    * feeds both the Spark `expr` and the DuckDB oracle; `divOp` is
+    * `div` on Spark, `//` on DuckDB.
+    */
+  private[operators] def zInterleave(a: String, b: String, divOp: String): String =
+    (0 until 8).map { i =>
+      s"((($a $divOp ${1 << i}) % 2) * ${1L << (2 * i)} + " +
+        s"(($b $divOp ${1 << i}) % 2) * ${1L << (2 * i + 1)})"
+    }.mkString(" + ")
+
+  /** Z-order (Morton) layout audit for two-dimensional file skipping:
+    * normalize (l_partkey, l_suppkey) to 8 bits each against their
+    * broadcast maxima, interleave the bits into a 16-bit Z-value, cut
+    * the Z-range into 16 layout partitions, and report each
+    * partition's min/max envelope on BOTH keys. A linear (single-key)
+    * sort gives one dim a tight envelope and leaves the other at full
+    * span; the Z-curve report shows both spans bounded — the property
+    * that lets a 100 TB table prune parquet row groups on either
+    * predicate. Production applies the same Z expression to
+    * `repartitionByRange(z)` before the write; this operator is the
+    * audit that the resulting envelopes actually prune. Integer-only
+    * arithmetic end to end (no doubles), one partial-agg shuffle of
+    * 16 groups, maxima broadcast as a 1-row frame.
+    */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+    val mx = li.agg(max(col("l_partkey")).as("ma"), max(col("l_suppkey")).as("mb"))
+    li.crossJoin(broadcast(mx))
+      .withColumn("a8", expr("(l_partkey * 256) div (ma + 1)"))
+      .withColumn("b8", expr("(l_suppkey * 256) div (mb + 1)"))
+      .withColumn("z", expr(zInterleave("a8", "b8", "div")))
+      .withColumn("zpart", expr("z div 4096"))
+      .groupBy("zpart")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_partkey"),
+        max(col("l_partkey")).as("max_partkey"),
+        min(col("l_suppkey")).as("min_suppkey"),
+        max(col("l_suppkey")).as("max_suppkey"))
+      .withColumn("partkey_span", col("max_partkey") - col("min_partkey") + 1)
+      .withColumn("suppkey_span", col("max_suppkey") - col("min_suppkey") + 1)
+      .orderBy("zpart")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zorder_layout" -> zorderLayout,
     "q9_profit" -> q9Profit,
     "q20_excess_supply" -> q20ExcessSupply,
     "q11_important_parts" -> q11ImportantParts,
@@ -1990,6 +2037,28 @@ object Analytics {
        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "zorder_layout" ->
+      s"""WITH m AS (
+         |  SELECT max(l_partkey) AS ma, max(l_suppkey) AS mb FROM lineitem
+         |), e AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    (l_partkey * 256) // (ma + 1) AS a8,
+         |    (l_suppkey * 256) // (mb + 1) AS b8
+         |  FROM lineitem, m
+         |), z AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    ${zInterleave("a8", "b8", "//")} AS z
+         |  FROM e
+         |)
+         |SELECT CAST(z // 4096 AS BIGINT) AS zpart,
+         |  count(*) AS n_rows,
+         |  CAST(min(l_partkey) AS BIGINT) AS min_partkey,
+         |  CAST(max(l_partkey) AS BIGINT) AS max_partkey,
+         |  CAST(min(l_suppkey) AS BIGINT) AS min_suppkey,
+         |  CAST(max(l_suppkey) AS BIGINT) AS max_suppkey,
+         |  CAST(max(l_partkey) - min(l_partkey) + 1 AS BIGINT) AS partkey_span,
+         |  CAST(max(l_suppkey) - min(l_suppkey) + 1 AS BIGINT) AS suppkey_span
+         |FROM z GROUP BY zpart ORDER BY zpart""".stripMargin,
     "q9_profit" ->
       """SELECT n_name AS nation,
         |  CAST(year(l_shipdate) AS BIGINT) AS ship_year,

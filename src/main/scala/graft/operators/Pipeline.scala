@@ -455,9 +455,97 @@ object Pipeline {
         round(col("qs").getItem(2), 6).as("q75"))
       .orderBy("source")
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much more likely its hashed-unigram bag is under
+    * a target-domain bucket LM than under the raw-corpus bucket LM.
+    * Features are tokens hashed into B=64 buckets; both LMs are
+    * Laplace-smoothed bucket frequencies; the document score is
+    * Σ_b n_b·(ln p_b − ln q_b) over its bucket counts. `keep`=1 marks
+    * docs that look more target-like than corpus-average — the
+    * resampling side would draw with probability ∝ exp(score).
+    *
+    * Scale shape: the two LM tables are B-row aggregates (broadcast),
+    * the per-doc bucket counts are one partial-agg shuffle, and the
+    * per-doc fold is over ≤ B=64 entries — bounded, so the sorted
+    * fold here is NOT a [[Folds]] hazard; it exists only to pin the
+    * double addition order to bucket-ascending on both engines.
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val B = 64
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(TextFns.tokens(col("text"))).as("tok"))
+      .withColumn("bucket", HashFns.rollingHash(col("tok")) % B)
+    val raw = toks.groupBy("bucket").agg(count(lit(1)).as("rc"))
+    val tgt = toks.filter(col("source") === "src0")
+      .groupBy("bucket").agg(count(lit(1)).as("tc"))
+    // bucket universe = raw buckets (every doc token is in raw by
+    // construction); target-absent buckets keep the +1 smoothing mass
+    val lm = raw.join(tgt, Seq("bucket"), "left")
+      .withColumn("tc", coalesce(col("tc"), lit(0L)))
+    val tot = lm.agg(sum(col("rc")).as("rt"), sum(col("tc")).as("tt"))
+    val llr = lm.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        (log((col("tc") + 1).cast("double") / (col("tt") + B).cast("double")) -
+          log((col("rc") + 1).cast("double") / (col("rt") + B).cast("double"))).as("llr"))
+    val perDoc = toks.groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).cast("long").as("n"))
+    perDoc.join(broadcast(llr), "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_tokens"),
+        sort_array(collect_list(struct(col("bucket"),
+          (col("n") * col("llr")).as("v")))).as("fold"))
+      .withColumn("dsir_logweight",
+        round(aggregate(col("fold"), lit(0.0), (a, s) => a + s("v")), 6))
+      .select(col("doc_id"), col("n_tokens"), col("dsir_logweight"),
+        when(col("dsir_logweight") > 0, 1L).otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Length-free curriculum manifest: bucket the corpus into four
+    * training stages by a difficulty proxy (mean characters per token
+    * — longer words ≈ denser prose), with stage boundaries at the
+    * corpus quartiles of that proxy. Emits the per-stage manifest a
+    * curriculum scheduler consumes: doc/token counts plus the
+    * difficulty envelope of each stage.
+    *
+    * Scale shape: the quartile boundaries use Spark's exact
+    * `percentile` (one global group — same declared hazard and same
+    * precedent as [[sourceLengthQuartiles]]; production swaps in
+    * `approx_percentile`, which only moves a few boundary docs
+    * between stages). Everything else is partial-agg over a 4-row
+    * final group; the boundary frame is a broadcast 1-row cross join.
+    */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+        length(regexp_replace(col("text"), "\\s", "")).cast("long").as("ntc"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("difficulty",
+        col("ntc").cast("double") / col("n_tokens").cast("double"))
+    val qs = d.agg(
+      expr("percentile(difficulty, array(0.25D, 0.5D, 0.75D))").as("qs"))
+    d.crossJoin(broadcast(qs))
+      .withColumn("stage",
+        when(col("difficulty") <= col("qs").getItem(0), "0_intro")
+          .when(col("difficulty") <= col("qs").getItem(1), "1_easy")
+          .when(col("difficulty") <= col("qs").getItem(2), "2_medium")
+          .otherwise("3_hard"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        round(min(col("difficulty")), 6).as("min_difficulty"),
+        round(max(col("difficulty")), 6).as("max_difficulty"))
+      .orderBy("stage")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dsir_weights" -> dsirWeights,
+    "curriculum_order" -> curriculumOrder,
     "source_length_quartiles" -> sourceLengthQuartiles,
     "shard_assign" -> shardAssign,
     "mix_temperature" -> mixTemperature,
@@ -522,6 +610,65 @@ object Pipeline {
       |FROM ex GROUP BY pack_id ORDER BY pack_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dsir_weights" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source,
+         |    list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) AS tk
+         |  FROM documents
+         |), bx AS (
+         |  SELECT doc_id, source, ${OracleSql.roll("tok", HashFns.P)} % 64 AS bucket
+         |  FROM (SELECT doc_id, source, unnest(tk) AS tok FROM toks)
+         |), raw AS (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS rc FROM bx GROUP BY bucket
+         |), tgt AS (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS tc FROM bx
+         |  WHERE source = 'src0' GROUP BY bucket
+         |), lm AS (
+         |  SELECT raw.bucket, rc, coalesce(tc, 0) AS tc
+         |  FROM raw LEFT JOIN tgt USING (bucket)
+         |), tot AS (
+         |  SELECT CAST(sum(rc) AS BIGINT) AS rt, CAST(sum(tc) AS BIGINT) AS tt FROM lm
+         |), llr AS (
+         |  SELECT bucket,
+         |    ln((tc + 1)::DOUBLE / (tt + 64)::DOUBLE) -
+         |    ln((rc + 1)::DOUBLE / (rt + 64)::DOUBLE) AS llr
+         |  FROM lm, tot
+         |), pd AS (
+         |  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n
+         |  FROM bx GROUP BY doc_id, bucket
+         |), f AS (
+         |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |    round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+         |      list_sort(list(struct_pack(bucket := bucket, v := n * llr))),
+         |      x -> x['v'])), (a, x) -> a + x), 6) AS dsir_logweight
+         |  FROM pd JOIN llr USING (bucket) GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_tokens, dsir_logweight,
+         |  CAST(CASE WHEN dsir_logweight > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "curriculum_order" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS ntc
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, n_tokens, ntc::DOUBLE / n_tokens::DOUBLE AS difficulty
+        |  FROM c WHERE n_tokens > 0
+        |), q AS (
+        |  SELECT quantile_cont(difficulty, 0.25) AS q25,
+        |    quantile_cont(difficulty, 0.50) AS q50,
+        |    quantile_cont(difficulty, 0.75) AS q75
+        |  FROM d
+        |)
+        |SELECT CASE WHEN difficulty <= q25 THEN '0_intro'
+        |  WHEN difficulty <= q50 THEN '1_easy'
+        |  WHEN difficulty <= q75 THEN '2_medium'
+        |  ELSE '3_hard' END AS stage,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  round(min(difficulty), 6) AS min_difficulty,
+        |  round(max(difficulty), 6) AS max_difficulty
+        |FROM d, q GROUP BY stage ORDER BY stage""".stripMargin,
     "dataset_card" ->
       s"""WITH b AS (
          |  SELECT count(*) AS n_docs,

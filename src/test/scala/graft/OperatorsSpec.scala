@@ -903,6 +903,59 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("dsir_weights: keep flag consistent; target source scores higher on average") {
+    val w = operators.Pipeline.dsirWeights(spark, sfDir).collect()
+    val nTok = sources.Tables.documents(spark, sfDir)
+      .filter(size(graft.functions.TextFns.tokens(col("text"))) > 0).count()
+    assert(w.length.toLong === nTok)
+    w.foreach { r =>
+      assert(r.getLong(1) > 0L)
+      assert(!r.getDouble(2).isNaN && !r.getDouble(2).isInfinite)
+      assert((r.getLong(3) === 1L) === (r.getDouble(2) > 0.0))
+    }
+    // docs from the target domain should look more target-like than the rest
+    val srcOf = sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (tgt, rest) = w.partition(r => srcOf(r.getLong(0)) == "src0")
+    assert(tgt.nonEmpty && rest.nonEmpty)
+    assert(tgt.map(_.getDouble(2)).sum / tgt.length >
+      rest.map(_.getDouble(2)).sum / rest.length)
+  }
+
+  test("curriculum_order: stages partition the corpus with increasing difficulty") {
+    val st = operators.Pipeline.curriculumOrder(spark, sfDir).collect()
+    assert(st.length === 4)
+    val nTok = sources.Tables.documents(spark, sfDir)
+      .filter(size(graft.functions.TextFns.tokens(col("text"))) > 0).count()
+    assert(st.map(_.getLong(1)).sum === nTok)
+    st.foreach(r => assert(r.getDouble(3) <= r.getDouble(4)))
+    // stage envelopes are ordered: each stage's max <= next stage's max
+    st.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(4) <= b.getDouble(4) + 1e-9)
+    }
+  }
+
+  test("zorder_layout: partitions cover the table and bound BOTH key spans") {
+    val li = sources.Tables.lineitem(spark, sfDir)
+    val (ma, mb, n) = (
+      li.agg(max("l_partkey")).head.getLong(0),
+      li.agg(max("l_suppkey")).head.getLong(0),
+      li.count())
+    val z = operators.Analytics.zorderLayout(spark, sfDir).collect()
+    assert(z.map(_.getLong(1)).sum === n)
+    z.foreach { r =>
+      assert(r.getLong(0) >= 0L && r.getLong(0) <= 15L)
+      // top-4 Z bits pin the top 2 bits of each dim: every partition's
+      // envelope is confined to ~a quarter of each key range — the
+      // two-dimensional pruning property a linear sort cannot give
+      assert(r.getLong(6) <= (ma + 1) / 4 + (ma + 1) / 256 + 2,
+        s"zpart ${r.getLong(0)} partkey_span ${r.getLong(6)}")
+      assert(r.getLong(7) <= (mb + 1) / 4 + (mb + 1) / 256 + 2,
+        s"zpart ${r.getLong(0)} suppkey_span ${r.getLong(7)}")
+    }
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
