@@ -153,7 +153,10 @@ object Explain {
     // 1-row broadcast frames (never a shuffled cross)
     "dsir_weights" -> Rule(required = Seq("BroadcastHashJoin")),
     "curriculum_order" -> Rule(required = Seq("BroadcastNestedLoopJoin")),
-    "zorder_layout" -> Rule(required = Seq("BroadcastNestedLoopJoin")))
+    "zorder_layout" -> Rule(required = Seq("BroadcastNestedLoopJoin")),
+    // hybrid fusion: both legs candidate-bounded (TakeOrdered heaps),
+    // the dense leg's 1-row query vector broadcast
+    "hybrid_search" -> Rule(required = Seq("TakeOrderedAndProject", "BroadcastNestedLoopJoin")))
 
   /** Saved-index retrieval invariants: the lookup paths must prune
     * term buckets AT PLANNING TIME (PartitionFilters, not a post-scan

@@ -930,7 +930,49 @@ object Similarity {
 
   // ---- wiring ----------------------------------------------------------
 
+  /** Hybrid (sparse + dense) retrieval: the BM25 text ranking for
+    * ("spark", "join") RRF-fused with the embedding-cosine ranking
+    * against a query vector (vec_id 0's embedding; vec_id ≡ doc_id in
+    * this corpus) — the standard two-tower RAG retrieval stack, where
+    * lexical recall and semantic recall cover each other's misses.
+    * Both legs are CANDIDATE-BOUNDED at top-200 before ranking
+    * (TakeOrdered bounded heaps — no corpus-wide rank window), which
+    * is how production fusion actually runs: fuse the top-K of each
+    * retriever, never a global rank of every document. At 100 TB the
+    * dense leg's brute-force scan is served by the ANN ladder
+    * ([[knnIvf]] and friends) feeding the same fusion; the RRF
+    * arithmetic and candidate contract are unchanged.
+    */
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    val K = 200
+    val sparse = Index.bm25ScoredOf(Tables.documents(spark, dir), Seq("spark", "join"))
+      .orderBy(col("score").desc, col("doc_id")).limit(K)
+      .withColumn("rank_bm25", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rank_bm25"))
+    val en = withNorm(Tables.embeddings(spark, dir))
+    val q = en.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("nm").as("qnm"))
+    val dense = en.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", round(
+        VectorFns.dot(col("qe"), col("embedding")) / (col("qnm") * col("nm")), 6))
+      .orderBy(col("cos").desc, col("vec_id")).limit(K)
+      .withColumn("rank_dense", row_number()
+        .over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("rank_dense"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rank_bm25"), lit(0L)).as("rank_bm25"),
+        coalesce(col("rank_dense"), lit(0L)).as("rank_dense"),
+        round(coalesce(lit(1.0) / (lit(60.0) + col("rank_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("rank_dense")), lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hybrid_search" -> hybridSearch,
     "ann_recall_pq" -> annRecallPq,
     "ann_recall_ivfpq" -> annRecallIvfPq,
     "knn_pq_rerank" -> knnPqRerank,
@@ -1123,6 +1165,49 @@ object Similarity {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "hybrid_search" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) AS tk
+         |  FROM documents
+         |), tok AS (
+         |  SELECT doc_id, unnest(tk) AS term FROM toks
+         |), n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY term),
+         |bdl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+         |avgdl AS (SELECT avg(dl) AS avgdl FROM bdl),
+         |btf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+         |        WHERE term IN ('spark', 'join') GROUP BY doc_id, term),
+         |bscore AS (
+         |  SELECT btf.doc_id AS doc_id,
+         |    round(sum(ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |      * (btf.tf * 2.2) / (btf.tf + 1.2 * (1.0 - 0.75 + 0.75 * bdl.dl / avgdl.avgdl))), 4) AS score
+         |  FROM btf JOIN df USING (term) JOIN bdl ON btf.doc_id = bdl.doc_id, n, avgdl
+         |  GROUP BY btf.doc_id),
+         |btop AS (SELECT doc_id, score FROM bscore ORDER BY score DESC, doc_id LIMIT 200),
+         |brank AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_bm25
+         |  FROM btop),
+         |nrm AS (
+         |  SELECT vec_id, embedding, sqrt(${OracleSql.norm2("embedding")}) AS nm
+         |  FROM embeddings
+         |), qv AS (SELECT embedding AS qe, nm AS qnm FROM nrm WHERE vec_id = 0),
+         |dcos AS (
+         |  SELECT vec_id,
+         |    round(${OracleSql.cosineN("qe", "embedding", "qnm", "nm")}, 6) AS cos
+         |  FROM nrm, qv WHERE vec_id != 0
+         |), dtop AS (SELECT vec_id, cos FROM dcos ORDER BY cos DESC, vec_id LIMIT 200),
+         |drank AS (
+         |  SELECT vec_id AS doc_id,
+         |    CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank_dense
+         |  FROM dtop)
+         |SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
+         |  coalesce(b.rank_bm25, 0) AS rank_bm25,
+         |  coalesce(d.rank_dense, 0) AS rank_dense,
+         |  round(coalesce(1.0 / (60.0 + b.rank_bm25), 0.0)
+         |    + coalesce(1.0 / (60.0 + d.rank_dense), 0.0), 6) AS rrf
+         |FROM brank b FULL OUTER JOIN drank d ON b.doc_id = d.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     "knn_sq8" ->
       s"""$Sq8Cte, p AS (
          |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,

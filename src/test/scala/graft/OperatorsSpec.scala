@@ -956,6 +956,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("hybrid_search: rrf reconstructs from the two candidate-bounded ranks") {
+    val h = operators.Similarity.hybridSearch(spark, sfDir).collect()
+    assert(h.length === 20)
+    h.foreach { r =>
+      val (rb, rd, rrf) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(rb >= 0L && rb <= 200L && rd >= 0L && rd <= 200L)
+      val expect = (if (rb > 0) 1.0 / (60.0 + rb) else 0.0) +
+        (if (rd > 0) 1.0 / (60.0 + rd) else 0.0)
+      assert(math.abs(rrf - expect) < 1e-6)
+      assert(rrf > 0.0) // a fused hit came from at least one leg
+    }
+    // descending fusion order
+    h.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) >= b.getDouble(3) - 1e-12)
+    }
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
