@@ -1,0 +1,190 @@
+package graft
+
+import graft.functions.{HashFns, HashImpl, PostingsImpl, VectorImpl}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based checks (scalacheck) of the pure JVM kernels behind
+  * the codegen'd Catalyst expressions — the algebraic laws the
+  * engine's DISTRIBUTED correctness rests on, checked over arbitrary
+  * inputs rather than the gate corpus:
+  *
+  *  - the shingle kernel's concatenation identity (what lets it skip
+  *    materializing shingle strings),
+  *  - MinHash's merge law (what makes `minhash_union` a valid
+  *    partial aggregate: sketch of a union = componentwise min),
+  *  - SimHash's order-independence (what makes it shuffle-safe),
+  *  - the delta-gap codec's roundtrip (what makes a saved index
+  *    readable),
+  *  - the float-vector folds' exact symmetry/self-similarity.
+  *
+  * No SparkSession: these target the kernels the expressions call
+  * from both interpreted eval and generated Java.
+  */
+class KernelPropertiesSpec extends AnyFunSuite {
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // -- generators ---------------------------------------------------------
+
+  /** Unicode codepoints incl. astral plane (surrogates excluded). */
+  private val genCp: Gen[Int] = Gen.frequency(
+    8 -> Gen.choose(32, 126),
+    2 -> Gen.choose(0x80, 0xD7FF),
+    1 -> Gen.choose(0x10000, 0x10FFFF))
+  private val genStr: Gen[String] =
+    Gen.listOf(genCp).map(cps => new String(cps.toArray, 0, cps.length))
+  private val genToks: Gen[List[String]] = Gen.listOf(genStr)
+
+  private def sArr(ts: Seq[String]) =
+    new GenericArrayData(ts.map(s => UTF8String.fromString(s): Any).toArray)
+  private def lArr(ls: Seq[Long]) = new GenericArrayData(ls.toArray[Long])
+  private def fArr(fs: Seq[Float]) = new GenericArrayData(fs.toArray[Float])
+
+  /** The documented recurrence, folded independently of the kernel. */
+  private def refRoll(s: String, mod: Long): Long = {
+    var h = 0L
+    s.codePoints().toArray.foreach(cp => h = (h * 31L + cp) % mod)
+    h
+  }
+
+  // -- rolling hash -------------------------------------------------------
+
+  test("roll: matches the documented codepoint fold; range [0, mod)") {
+    check(Prop.forAll(genStr) { s =>
+      val h = HashImpl.roll(UTF8String.fromString(s), HashFns.P)
+      h == refRoll(s, HashFns.P) && h >= 0L && h < HashFns.P
+    })
+  }
+
+  test("shingleHashes: equals roll of the space-joined 3-token shingle") {
+    check(Prop.forAll(genToks) { toks =>
+      val got = { val a = HashImpl.shingleHashes(sArr(toks), HashFns.P); a.toLongArray.toSeq }
+      val want =
+        if (toks.length < 3) Seq.empty[Long]
+        else toks.sliding(3).map(sh => refRoll(sh.mkString(" "), HashFns.P)).toSeq
+      got == want
+    })
+  }
+
+  // -- MinHash ------------------------------------------------------------
+
+  /** −1 is the empty-set sentinel; the merge identity maps it to
+    * Long.MaxValue (see [[graft.functions.AggFns]]).
+    */
+  private def m(v: Long): Long = if (v == -1L) Long.MaxValue else v
+
+  test("minhashSig: sketch of a concatenation = componentwise merge-min (the minhash_union law)") {
+    val genHs = Gen.listOf(Gen.choose(0L, HashFns.P - 1))
+    check(Prop.forAll(genHs, genHs) { (xs, ys) =>
+      val sx = HashImpl.minhashSig(lArr(xs), HashFns.MinhashA.toArray, HashFns.MinhashB.toArray, HashFns.P).toLongArray
+      val sy = HashImpl.minhashSig(lArr(ys), HashFns.MinhashA.toArray, HashFns.MinhashB.toArray, HashFns.P).toLongArray
+      val su = HashImpl.minhashSig(lArr(xs ++ ys), HashFns.MinhashA.toArray, HashFns.MinhashB.toArray, HashFns.P).toLongArray
+      su.indices.forall(i => m(su(i)) == math.min(m(sx(i)), m(sy(i))))
+    })
+  }
+
+  test("minhashSig: permutation-invariant; empty input is all sentinels") {
+    val genHs = Gen.nonEmptyListOf(Gen.choose(0L, HashFns.P - 1))
+    check(Prop.forAll(genHs) { xs =>
+      val a = HashImpl.minhashSig(lArr(xs), HashFns.MinhashA.toArray, HashFns.MinhashB.toArray, HashFns.P).toLongArray.toSeq
+      val b = HashImpl.minhashSig(lArr(xs.reverse), HashFns.MinhashA.toArray, HashFns.MinhashB.toArray, HashFns.P).toLongArray.toSeq
+      a == b
+    })
+    assert(HashImpl.minhashSig(lArr(Nil), HashFns.MinhashA.toArray,
+      HashFns.MinhashB.toArray, HashFns.P).toLongArray.forall(_ == -1L))
+  }
+
+  // -- SimHash ------------------------------------------------------------
+
+  private def refSimhashTf(toks: Seq[String]): Long = {
+    val votes = new Array[Long](32)
+    toks.groupBy(identity).foreach { case (t, os) =>
+      val tf = os.size.toLong
+      val h = refRoll(t, HashFns.M32)
+      var b = 0
+      while (b < 32) {
+        if (((h >> b) & 1L) == 1L) votes(b) += tf else votes(b) -= tf
+        b += 1
+      }
+    }
+    (0 until 32).foldLeft(0L)((acc, b) => if (votes(b) > 0) acc | (1L << b) else acc)
+  }
+
+  test("simhash32: order-independent, 32-bit, equals the tf-weighted formulation") {
+    check(Prop.forAll(genToks) { toks =>
+      val h = HashImpl.simhash32(sArr(toks), HashFns.M32)
+      h == HashImpl.simhash32(sArr(toks.reverse), HashFns.M32) &&
+        h >= 0L && h < HashFns.M32 &&
+        h == refSimhashTf(toks)
+    })
+  }
+
+  // -- char n-grams -------------------------------------------------------
+
+  test("charNgrams: count, width, and sliding-window reconstruction (astral-safe)") {
+    check(Prop.forAll(genStr, Gen.choose(1, 5)) { (s, n) =>
+      val grams = {
+        val a = HashImpl.charNgrams(UTF8String.fromString(s), n)
+        (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+      }
+      val cps = s.codePoints().toArray
+      grams.length == math.max(0, cps.length - n + 1) &&
+        grams.forall(_.codePoints().count() == n) &&
+        grams == cps.sliding(n).filter(_.length == n)
+          .map(w => new String(w, 0, w.length)).toSeq
+    })
+  }
+
+  // -- delta-gap codec ----------------------------------------------------
+
+  test("delta codec: decode∘encode is the identity on sorted positions") {
+    val genPos = Gen.listOf(Gen.choose(0L, 1L << 40)).map(_.sorted)
+    check(Prop.forAll(genPos) { ps =>
+      PostingsImpl.deltaDecode(PostingsImpl.deltaEncode(lArr(ps))).toLongArray.toSeq == ps
+    })
+  }
+
+  // -- vector folds -------------------------------------------------------
+
+  private val genVec: Gen[List[Float]] =
+    Gen.listOf(Gen.choose(-100.0f, 100.0f))
+
+  test("dot: exactly symmetric (same fold order, commutative products)") {
+    check(Prop.forAll(genVec, genVec) { (a, b) =>
+      VectorImpl.dot(fArr(a), fArr(b)) == VectorImpl.dot(fArr(b), fArr(a))
+    })
+  }
+
+  test("cosine: self-similarity 1 for nonzero vectors, 0 for zero; |cos| <= 1+eps") {
+    check(Prop.forAll(genVec, genVec) { (a, b) =>
+      val c = VectorImpl.cosine(fArr(a), fArr(b))
+      val self = VectorImpl.cosine(fArr(a), fArr(a))
+      val zero = a.forall(_ == 0.0f)
+      math.abs(c) <= 1.0 + 1e-9 &&
+        (if (zero) self == 0.0 else math.abs(self - 1.0) < 1e-12)
+    })
+  }
+
+  test("sq8Dequant: reconstruction error bounded by half a quantization step") {
+    // per-dimension (mn, mx) envelopes with x inside them
+    val genDim = for {
+      mn <- Gen.choose(-50.0f, 50.0f)
+      w <- Gen.choose(1e-3f, 100.0f)
+      t <- Gen.choose(0.0f, 1.0f)
+    } yield (mn, mn + w, mn + t * w)
+    check(Prop.forAll(Gen.listOf(genDim)) { dims =>
+      val (mns, mxs, xs) = (dims.map(_._1), dims.map(_._2), dims.map(_._3))
+      val out = VectorImpl.sq8Dequant(fArr(xs), fArr(mns), fArr(mxs))
+      (0 until out.numElements()).forall { i =>
+        val step = (mxs(i) - mns(i)).toDouble / 255.0
+        math.abs(out.getFloat(i).toDouble - xs(i).toDouble) <= step * 0.5 + step * 1e-3 + 1e-6
+      }
+    })
+  }
+}
