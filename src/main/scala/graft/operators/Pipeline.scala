@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.{HashFns, TextFns}
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.expressions.Window
@@ -455,41 +455,65 @@ object Pipeline {
         round(col("qs").getItem(2), 6).as("q75"))
       .orderBy("source")
 
-  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
-    * for Language Models via Importance Resampling"): score every
-    * document by how much more likely its hashed-unigram bag is under
-    * a target-domain bucket LM than under the raw-corpus bucket LM.
-    * Features are tokens hashed into B=64 buckets; both LMs are
-    * Laplace-smoothed bucket frequencies; the document score is
-    * Σ_b n_b·(ln p_b − ln q_b) over its bucket counts. `keep`=1 marks
-    * docs that look more target-like than corpus-average — the
-    * resampling side would draw with probability ∝ exp(score).
-    *
-    * Scale shape: the two LM tables are B-row aggregates (broadcast),
-    * the per-doc bucket counts are one partial-agg shuffle, and the
-    * per-doc fold is over ≤ B=64 entries — bounded, so the sorted
-    * fold here is NOT a [[Folds]] hazard; it exists only to pin the
-    * double addition order to bucket-ascending on both engines.
+  // -- DSIR importance resampling (Xie et al. 2023, "Data Selection
+  // for Language Models via Importance Resampling"): score every
+  // document by how much more likely its hashed-unigram bag is under
+  // a target-domain bucket LM than under the raw-corpus bucket LM.
+  // Features are tokens hashed into B=64 buckets; both LMs are
+  // Laplace-smoothed bucket frequencies; the document score is
+  // Σ_b n_b·(ln p_b − ln q_b) over its bucket counts. `keep`=1 marks
+  // docs that look more target-like than corpus-average — the
+  // resampling side would draw with probability ∝ exp(score).
+  // Scale shape: the LM table is a B-row aggregate (broadcast), the
+  // per-doc bucket counts are one partial-agg shuffle.
+
+  /** Feature-bucket count: tokens hashed into [[DsirBuckets]] cells. */
+  private def dsirBucketOf(tok: Column): Column =
+    HashFns.rollingHash(tok) % DsirBuckets
+
+  val DsirBuckets = 64
+
+  /** The 64-row (bucket, llr) LM table: Laplace-smoothed
+    * target-vs-raw log-likelihood ratio per hashed-unigram bucket.
+    * The bucket universe is the raw buckets (every doc token is in
+    * raw by construction); target-absent buckets keep the +1
+    * smoothing mass.
     */
-  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
-    val B = 64
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        explode(TextFns.tokens(col("text"))).as("tok"))
-      .withColumn("bucket", HashFns.rollingHash(col("tok")) % B)
+  def dsirLlrOf(docs: DataFrame, targetSource: String = "src0"): DataFrame = {
+    val B = DsirBuckets
+    val toks = docs
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .withColumn("bucket", dsirBucketOf(col("tok")))
     val raw = toks.groupBy("bucket").agg(count(lit(1)).as("rc"))
-    val tgt = toks.filter(col("source") === "src0")
+    val tgt = toks.filter(col("source") === targetSource)
       .groupBy("bucket").agg(count(lit(1)).as("tc"))
-    // bucket universe = raw buckets (every doc token is in raw by
-    // construction); target-absent buckets keep the +1 smoothing mass
     val lm = raw.join(tgt, Seq("bucket"), "left")
       .withColumn("tc", coalesce(col("tc"), lit(0L)))
     val tot = lm.agg(sum(col("rc")).as("rt"), sum(col("tc")).as("tt"))
-    val llr = lm.crossJoin(broadcast(tot))
+    lm.crossJoin(broadcast(tot))
       .select(col("bucket"),
         (log((col("tc") + 1).cast("double") / (col("tt") + B).cast("double")) -
           log((col("rc") + 1).cast("double") / (col("rt") + B).cast("double"))).as("llr"))
-    val perDoc = toks.groupBy("doc_id", "bucket")
+  }
+
+  /** Persist the LLR table for streaming scoring
+    * ([[graft.streaming.Stream.importanceGate]]) — 64 rows, one file.
+    */
+  def saveDsirLm(docs: DataFrame, path: String, targetSource: String = "src0"): Unit =
+    dsirLlrOf(docs, targetSource).coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Score (doc_id, text) docs against an LLR table:
+    * (doc_id, n_tokens, dsir_logweight, keep). The per-doc fold is
+    * bounded at [[DsirBuckets]] entries, so the sorted fold is NOT a
+    * [[Folds]] hazard; it only pins the double addition order to
+    * bucket-ascending on both engines. Zero-token docs are absent
+    * (no feature mass to score).
+    */
+  def dsirScoreOf(docs: DataFrame, llr: DataFrame): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .withColumn("bucket", dsirBucketOf(col("tok")))
+      .groupBy("doc_id", "bucket")
       .agg(count(lit(1)).cast("long").as("n"))
     perDoc.join(broadcast(llr), "bucket")
       .groupBy("doc_id")
@@ -500,7 +524,11 @@ object Pipeline {
         round(aggregate(col("fold"), lit(0.0), (a, s) => a + s("v")), 6))
       .select(col("doc_id"), col("n_tokens"), col("dsir_logweight"),
         when(col("dsir_logweight") > 0, 1L).otherwise(0L).as("keep"))
-      .orderBy("doc_id")
+  }
+
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    dsirScoreOf(docs, dsirLlrOf(docs)).orderBy("doc_id")
   }
 
   /** Length-free curriculum manifest: bucket the corpus into four

@@ -945,6 +945,38 @@ object Stream {
         ()
       }
 
+  /** Streaming DSIR importance gate: every micro-batch's documents
+    * are scored against a SAVED 64-row bucket-LLR table
+    * ([[graft.operators.Pipeline.saveDsirLm]] — the batch-side
+    * target-vs-raw LM fit), and routed to a keep corpus
+    * (target-like, logweight > 0) or a drop corpus per batch — the
+    * streaming half of [[graft.operators.Pipeline.dsirWeights]], with
+    * the model in the store instead of executor state (the
+    * contaminationGate pattern). Batch-keyed output directories make
+    * replay idempotent; the LLR table is 64 rows, so the scoring join
+    * broadcasts and the only shuffle is the per-doc bucket rollup.
+    * Zero-token documents have no feature mass and land in neither
+    * corpus (same contract as the batch operator's output).
+    */
+  def importanceGate(docs: DataFrame, lmPath: String, keepPath: String,
+                     dropPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val llr = spark.read.parquet(lmPath)
+        val scored = graft.operators.Pipeline.dsirScoreOf(batch, llr)
+        val routed = batch.join(scored, "doc_id").persist()
+        try {
+          routed.filter(col("keep") === 1L).drop("keep")
+            .write.mode("overwrite").parquet(s"$keepPath/batch=$batchId")
+          routed.filter(col("keep") === 0L).drop("keep")
+            .write.mode("overwrite").parquet(s"$dropPath/batch=$batchId")
+        } finally routed.unpersist()
+        ()
+      }
+
   /** Streaming benchmark-contamination screen: every micro-batch's
     * documents are shingled (the same kernel the batch
     * `contamination_check` uses) and joined against a SAVED train-

@@ -270,6 +270,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_importance_gate: docs route by saved-LM DSIR score; replay-safe") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-igate").toString
+    // target domain talks about physics; the raw corpus mostly about cooking
+    val corpus = (Seq.tabulate(6)(i =>
+        (i.toLong, "quantum field theory energy particle wave", "src0")) ++
+      Seq.tabulate(18)(i =>
+        (100L + i, "recipe butter flour sugar oven whisk", "srcX")))
+      .toDF("doc_id", "text", "source")
+    graft.operators.Pipeline.saveDsirLm(corpus, s"$base/lm", targetSource = "src0")
+    val llr = spark.read.parquet(s"$base/lm")
+    val in = MemoryStream[(Long, String)]
+    val q = Stream.importanceGate(in.toDF().toDF("doc_id", "text"),
+      s"$base/lm", s"$base/keep", s"$base/drop").start()
+    try {
+      in.addData((1000L, "quantum energy wave particle"),
+        (1001L, "butter sugar oven recipe"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(s"$base/keep").select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      val dropped = spark.read.parquet(s"$base/drop").select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(kept === Seq(1000L))
+      assert(dropped === Seq(1001L))
+      // the streamed verdicts equal the batch scorer's against the same LM
+      val batchKeep = graft.operators.Pipeline.dsirScoreOf(
+          Seq((1000L, "quantum energy wave particle"),
+            (1001L, "butter sugar oven recipe")).toDF("doc_id", "text"), llr)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(batchKeep === Map(1000L -> 1L, 1001L -> 0L))
+      // later batches land in their own directories; earlier untouched
+      in.addData((1002L, "quantum quantum theory field"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$base/keep").select("doc_id")
+        .collect().map(_.getLong(0)).toSet === Set(1000L, 1002L))
+    } finally q.stop()
+  }
+
   test("stream_contamination: docs sharing train shingles are quarantined") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
