@@ -565,6 +565,60 @@ object TextAnalysis {
           PhoneRe, "[PHONE]")).as("scrubbed_md5"))
       .orderBy("doc_id")
 
+  /** Per-source PII density rollup — the governance dashboard over
+    * [[piiScrub]]'s per-doc counts: how many docs carry any PII, raw
+    * match counts per category, and matches per 1k tokens (the rate a
+    * release review compares against policy). All-integer partial-agg
+    * sums + one final division, one |sources|-group shuffle. The
+    * synthetic corpus is PII-free, so the gate certifies the all-zero
+    * path; the spec drives crafted PII rows through [[piiReportOf]].
+    */
+  def piiReport(spark: SparkSession, dir: String): DataFrame =
+    piiReportOf(Tables.documents(spark, dir))
+
+  /** [[piiReport]] over any (doc_id, text, source) frame. */
+  def piiReportOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+          .cast("long").as("ne"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+          .cast("long").as("np"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ne") + col("np") > 0, 1L).otherwise(0L)).as("docs_with_pii"),
+        sum(col("ne")).as("n_emails"),
+        sum(col("np")).as("n_phones"),
+        round((sum(col("ne") + col("np")) * lit(1000.0)) /
+          sum(col("n_tokens")).cast("double"), 6).as("pii_per_1k_tokens"))
+      .orderBy("source")
+
+  /** Deterministic content blocklist (vocabulary present in the
+    * corpus, so the gate exercises real hits).
+    */
+  val Blocklist: Seq[String] = Seq("slow", "dup", "big")
+
+  /** Blocklist screen: per-doc blocklist hit count and rate, with
+    * `keep` = rate < 5% — the wordlist-filter stage every production
+    * cleaning pipeline runs (policy/toxicity lists at scale are this
+    * exact shape: a broadcast-able term set matched inside the
+    * tokenizing scan, one narrow map, no shuffle before the ORDER
+    * BY). Rate threshold on a rounded double, identical both engines.
+    */
+  def blocklistFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(filter(col("tk"), t => t.isin(Blocklist: _*)))
+          .cast("long").as("n_block_hits"))
+      .withColumn("block_rate",
+        round(col("n_block_hits").cast("double") / col("n_tokens").cast("double"), 6))
+      .withColumn("keep", when(col("block_rate") < 0.05, 1L).otherwise(0L))
+      .orderBy("doc_id")
+
   // ---- zipf_fit --------------------------------------------------------
 
   /** Zipf's-law fit: least-squares slope/intercept of ln(freq) against
@@ -815,6 +869,8 @@ object TextAnalysis {
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_report" -> piiReport,
+    "blocklist_filter" -> blocklistFilter,
     "hapax_ratio" -> hapaxRatio,
     "sentence_len_hist" -> sentenceLenHist,
     "keyword_textrank" -> keywordTextrank,
@@ -923,6 +979,36 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "pii_report" ->
+      s"""WITH p AS (
+         |  SELECT source,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '${EmailRe.replace("\\", "\\\\")}')) AS BIGINT) AS ne,
+         |    CAST(len(regexp_extract_all(text, '${PhoneRe.replace("\\", "\\\\")}')) AS BIGINT) AS np
+         |  FROM documents
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN ne + np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+         |  CAST(sum(ne) AS BIGINT) AS n_emails,
+         |  CAST(sum(np) AS BIGINT) AS n_phones,
+         |  round(sum(ne + np) * 1000.0 / sum(n_tokens)::DOUBLE, 6) AS pii_per_1k_tokens
+         |FROM p GROUP BY source ORDER BY source""".stripMargin,
+    "blocklist_filter" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) AS tk
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id,
+         |    CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(tk, t -> t IN ${inList(Blocklist)})) AS BIGINT) AS n_block_hits
+         |  FROM t WHERE len(tk) > 0
+         |)
+         |SELECT doc_id, n_tokens, n_block_hits,
+         |  round(n_block_hits::DOUBLE / n_tokens::DOUBLE, 6) AS block_rate,
+         |  CAST(CASE WHEN round(n_block_hits::DOUBLE / n_tokens::DOUBLE, 6) < 0.05
+         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM c ORDER BY doc_id""".stripMargin,
     "sentence_len_hist" ->
       """WITH sent AS (
         |  SELECT unnest(regexp_split_to_array(text, '[.!?]+')) AS sent FROM documents

@@ -973,6 +973,42 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("pii_report: crafted PII rows yield per-source density; corpus is clean") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "contact me at alice@example.com or 555-867-5309 today", "s1"),
+      (2L, "no personal data here at all", "s1"),
+      (3L, "bob@test.org wrote to carol@test.org", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = operators.TextAnalysis.piiReportOf(crafted).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("s1").getLong(1) === 2L && r("s1").getLong(2) === 1L)
+    assert(r("s1").getLong(3) === 1L && r("s1").getLong(4) === 1L)
+    assert(r("s2").getLong(2) === 1L && r("s2").getLong(3) === 2L)
+    assert(r("s2").getDouble(5) > r("s1").getDouble(5))
+    // the synthetic gate corpus is PII-free end to end
+    val corpus = operators.TextAnalysis.piiReport(spark, sfDir).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach(x => assert(x.getLong(2) === 0L && x.getLong(3) === 0L
+      && x.getLong(4) === 0L))
+  }
+
+  test("blocklist_filter: rate math and keep threshold agree with a recount") {
+    val bl = operators.TextAnalysis.Blocklist.toSet
+    val f = operators.TextAnalysis.blocklistFilter(spark, sfDir).collect()
+    assert(f.nonEmpty)
+    assert(f.exists(_.getLong(2) > 0L)) // the corpus really hits the list
+    val recount = sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    f.foreach { r =>
+      val toks = recount(r.getLong(0))
+      assert(r.getLong(1) === toks.size.toLong)
+      assert(r.getLong(2) === toks.count(bl).toLong)
+      assert((r.getLong(4) === 1L) === (r.getDouble(3) < 0.05))
+    }
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
