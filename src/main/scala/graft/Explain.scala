@@ -156,7 +156,9 @@ object Explain {
     "zorder_layout" -> Rule(required = Seq("BroadcastNestedLoopJoin")),
     // hybrid fusion: both legs candidate-bounded (TakeOrdered heaps),
     // the dense leg's 1-row query vector broadcast
-    "hybrid_search" -> Rule(required = Seq("TakeOrderedAndProject", "BroadcastNestedLoopJoin")))
+    "hybrid_search" -> Rule(required = Seq("TakeOrderedAndProject", "BroadcastNestedLoopJoin")),
+    // weighted reservoir: bounded heaps, never a global sort
+    "sample_weighted" -> Rule(required = Seq("TakeOrderedAndProject")))
 
   /** Saved-index retrieval invariants: the lookup paths must prune
     * term buckets AT PLANNING TIME (PartitionFilters, not a post-scan

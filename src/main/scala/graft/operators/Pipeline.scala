@@ -67,6 +67,31 @@ object Pipeline {
       .orderBy("h")
       .limit(100)
 
+  /** Deterministic WEIGHTED reservoir sample (Efraimidis–Spirakis
+    * A-ES): each doc draws a uniform u from a salted id hash
+    * (u = (h mod 1e6 + 0.5)/1e6 — never 0 or 1), takes sort key
+    * ln(u)/w with weight w = its token count, and the global top-100
+    * keys are the sample — longer docs proportionally likelier,
+    * exactly the one-pass weighted sampler a token-budgeted corpus
+    * draw uses. Distributed shape: one narrow map + TakeOrdered
+    * bounded heaps (no shuffle, no sort of the corpus); at any scale
+    * the per-partition heaps hold k=100 rows. The key is rounded to
+    * 6dp BEFORE ordering (rank ties broken by doc_id), the
+    * round-before-order convention of every top-k in the gate.
+    */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("u",
+        (HashFns.rollingHash(concat(lit("wsample:"), col("doc_id").cast("string"))) % 1000000L
+          + lit(0.5)) / lit(1000000.0))
+      .withColumn("es_key", round(log(col("u")) / col("n_tokens").cast("double"), 6))
+      .select(col("doc_id"), col("n_tokens"), col("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(100)
+
   /** Deterministic source-interleaved curriculum: each source's docs
     * are ranked by a content hash, then emitted round-robin (all the
     * rank-1 docs across sources, then rank-2, ...) so any prefix of
@@ -590,6 +615,7 @@ object Pipeline {
     "stratified_sample" -> stratifiedSample,
     "corpus_stats" -> corpusStats,
     "sample_k" -> sampleK,
+    "sample_weighted" -> sampleWeighted,
     "interleave_sources" -> interleaveSources)
 
   private def hashPct(e: String): String =
@@ -886,6 +912,19 @@ object Pipeline {
     "sample_k" ->
       """SELECT doc_id, md5('sample:' || doc_id::VARCHAR) AS h
         |FROM documents ORDER BY h LIMIT 100""".stripMargin,
+    "sample_weighted" ->
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), k AS (
+         |  SELECT doc_id, n_tokens,
+         |    round(ln((${OracleSql.roll("'wsample:' || doc_id::VARCHAR", HashFns.P)} % 1000000 + 0.5) / 1000000.0)
+         |      / n_tokens::DOUBLE, 6) AS es_key
+         |  FROM c WHERE n_tokens > 0
+         |)
+         |SELECT doc_id, n_tokens, es_key FROM k
+         |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin,
     "interleave_sources" ->
       s"""WITH r AS (
          |  SELECT doc_id, source,

@@ -1009,6 +1009,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("sample_weighted: E-S keys recompute; sample skews toward heavy docs") {
+    val s = operators.Pipeline.sampleWeighted(spark, sfDir).collect()
+    assert(s.nonEmpty && s.length <= 100)
+    s.foreach { r =>
+      val u = (graft.functions.HashImpl.roll(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"wsample:${r.getLong(0)}"),
+        graft.functions.HashFns.P) % 1000000L + 0.5) / 1000000.0
+      val key = BigDecimal(math.log(u) / r.getLong(1).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(key - r.getDouble(2)) < 1e-9, s"doc ${r.getLong(0)}")
+    }
+    // weight = length: the weighted sample's mean length exceeds the corpus mean
+    val corpusMean = sources.Tables.documents(spark, sfDir)
+      .select(size(graft.functions.TextFns.tokens(col("text"))).cast("double").as("n"))
+      .agg(avg("n")).head.getDouble(0)
+    val sampleMean = s.map(_.getLong(1).toDouble).sum / s.length
+    assert(sampleMean > corpusMean)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
