@@ -158,7 +158,9 @@ object Explain {
     // the dense leg's 1-row query vector broadcast
     "hybrid_search" -> Rule(required = Seq("TakeOrderedAndProject", "BroadcastNestedLoopJoin")),
     // weighted reservoir: bounded heaps, never a global sort
-    "sample_weighted" -> Rule(required = Seq("TakeOrderedAndProject")))
+    "sample_weighted" -> Rule(required = Seq("TakeOrderedAndProject")),
+    // skyline: bucketed two-phase recurrence, bucket offsets broadcast
+    "skyline_orders" -> Rule(required = Seq("BroadcastHashJoin")))
 
   /** Saved-index retrieval invariants: the lookup paths must prune
     * term buckets AT PLANNING TIME (PartitionFilters, not a post-scan

@@ -1918,9 +1918,51 @@ object Analytics {
       .orderBy("zpart")
   }
 
+  /** 2-D skyline (Pareto frontier) of orders on (minimize price,
+    * maximize recency): the orders no other order beats on both
+    * dimensions — the classic multi-objective "best tradeoffs" query,
+    * computed WITHOUT the textbook O(n²) dominance self-join. The
+    * sort-and-running-max recurrence is distributed with the same
+    * two-phase shape as [[GraftOps.runningTotal]]: coarse price
+    * buckets (cents div 1e6) roll up to a per-bucket max date +
+    * prefix-max over strictly-cheaper buckets (a window over the
+    * BOUNDED bucket count, broadcast back), the in-bucket strict
+    * prefix-max runs per-bucket (RANGE frame to −1 cent, so
+    * equal-price rows never see each other), and exact-price ties are
+    * a tiny partitioned max. A row survives iff no strictly-cheaper
+    * row is at least as recent and no equal-price row is strictly
+    * more recent. All-integer/date comparisons — no doubles anywhere
+    * in the dominance test.
+    */
+  def skylineOrders(spark: SparkSession, dir: String): DataFrame = {
+    val floorTs = lit("1900-01-01").cast("timestamp_ntz")
+    val b = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      .withColumn("pc", round(col("o_totalprice") * 100, 0).cast("long"))
+      .withColumn("bk", expr("pc div 1000000"))
+    val off = b.groupBy("bk").agg(max(col("o_orderdate")).as("bmax"))
+      .withColumn("pmax", max(col("bmax")).over(
+        Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)))
+      .select("bk", "pmax")
+    val wIn = Window.partitionBy("bk").orderBy("pc")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    b.join(broadcast(off), "bk")
+      .withColumn("amax", greatest(
+        coalesce(max(col("o_orderdate")).over(wIn), floorTs),
+        coalesce(col("pmax"), floorTs)))
+      .withColumn("tmax", max(col("o_orderdate")).over(Window.partitionBy("pc")))
+      .filter(!(col("amax") >= col("o_orderdate") ||
+        col("o_orderdate") < col("tmax")))
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"), col("pc"))
+      .orderBy("pc", "o_orderkey")
+      .drop("pc")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skyline_orders" -> skylineOrders,
     "zorder_layout" -> zorderLayout,
     "q9_profit" -> q9Profit,
     "q20_excess_supply" -> q20ExcessSupply,
@@ -2037,6 +2079,32 @@ object Analytics {
        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "skyline_orders" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderdate,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS pc,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) // 1000000 AS bk
+        |  FROM orders
+        |), g AS (
+        |  SELECT bk, max(o_orderdate) AS bmax FROM b GROUP BY bk
+        |), gg AS (
+        |  SELECT bk,
+        |    max(bmax) OVER (ORDER BY bk ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM g
+        |), w AS (
+        |  SELECT b.*, gg.pmax,
+        |    max(o_orderdate) OVER (PARTITION BY b.bk ORDER BY pc
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS imax,
+        |    max(o_orderdate) OVER (PARTITION BY pc) AS tmax
+        |  FROM b JOIN gg USING (bk)
+        |)
+        |SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS odate
+        |FROM w
+        |WHERE NOT (greatest(coalesce(imax, TIMESTAMP '1900-01-01'),
+        |                    coalesce(pmax, TIMESTAMP '1900-01-01')) >= o_orderdate
+        |        OR o_orderdate < tmax)
+        |ORDER BY pc, o_orderkey""".stripMargin,
     "zorder_layout" ->
       s"""WITH m AS (
          |  SELECT max(l_partkey) AS ma, max(l_suppkey) AS mb FROM lineitem

@@ -1028,6 +1028,24 @@ class OperatorsSpec extends SparkSpec {
     assert(sampleMean > corpusMean)
   }
 
+  test("skyline_orders: equals the brute-force dominance check") {
+    val pts = sources.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("pc"),
+        col("o_orderdate"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2).toEpochSecond(java.time.ZoneOffset.UTC)))
+    val brute = pts.filter { case (_, p, d) =>
+      !pts.exists { case (_, p2, d2) =>
+        p2 <= p && d2 >= d && (p2 < p || d2 > d)
+      }
+    }.map(_._1).toSet
+    val sky = operators.Analytics.skylineOrders(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    assert(sky === brute)
+    assert(sky.nonEmpty)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
