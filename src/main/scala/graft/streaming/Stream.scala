@@ -88,6 +88,50 @@ object Stream {
 
   case class Throttled(user_id: Long, event_type: String, ts_us: Long)
 
+  case class SkyIn(id: Long, price_cents: Long, ts: Timestamp)
+  case class SkyOut(id: Long, price_cents: Long, ts_us: Long)
+
+  /** Online skyline: emit every point that is Pareto-optimal on
+    * (min price, max recency) AGAINST EVERYTHING SEEN BEFORE IT — the
+    * streaming sibling of [[graft.operators.Analytics.skylineOrders]]
+    * with arrival-time semantics (a later point never retracts an
+    * earlier emission, so the output is Append-clean; the batch
+    * operator gives the retrospective frontier). State is the current
+    * frontier only — O(ln n) points in expectation for random arrivals
+    * — under one global key, which is inherent to a GLOBAL frontier
+    * and cheap because only frontier comparisons reach it; at scale a
+    * local per-partition frontier pass pre-filters candidates before
+    * this key (same two-phase discipline as the batch operator's
+    * buckets). Within a micro-batch, points apply in id order so
+    * replays are deterministic.
+    */
+  def skylineStream(points: Dataset[SkyIn]): Dataset[SkyOut] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_ => 0)
+      .flatMapGroupsWithState[List[(Long, Long, Long)], SkyOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        case (_, pts, state) =>
+          var frontier = state.getOption.getOrElse(Nil) // (id, price, dateUs)
+          val out = List.newBuilder[SkyOut]
+          pts.toSeq.sortBy(_.id).foreach { p =>
+            val d = p.ts.getTime * 1000L
+            val dominated = frontier.exists { case (_, fp, fd) =>
+              fp <= p.price_cents && fd >= d && (fp < p.price_cents || fd > d)
+            }
+            if (!dominated) {
+              frontier = (p.id, p.price_cents, d) ::
+                frontier.filterNot { case (_, fp, fd) =>
+                  p.price_cents <= fp && d >= fd && (p.price_cents < fp || d > fd)
+                }
+              out += SkyOut(p.id, p.price_cents, d)
+            }
+          }
+          state.update(frontier)
+          out.result().iterator
+      }
+  }
+
   /** Streaming event throttle — GREEDY debounce: per (user, type),
     * emit an event only when ≥ `windowMinutes` passed since the last
     * EMITTED event of that key (the notification/alerting rule: first

@@ -309,6 +309,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_skyline: arrival-time Pareto emissions with cross-batch state") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Stream.SkyIn]
+    val q = Stream.skylineStream(in.toDS())
+      .writeStream.format("memory").queryName("skyline")
+      .outputMode(OutputMode.Append()).start()
+    def pt(id: Long, cents: Long, minutes: Long) = Stream.SkyIn(id, cents, ts(minutes))
+    try {
+      // batch 1: 1 enters; 2 (pricier, older) dominated; 3 (cheaper) enters
+      in.addData(pt(1, 500, 100), pt(2, 600, 50), pt(3, 400, 60))
+      q.processAllAvailable()
+      assert(spark.table("skyline").select("id")
+        .collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+      // batch 2: state survives — 4 dominated by batch-1's point 1;
+      // 5 (cheapest yet) enters even though batch 1 would dominate on date
+      in.addData(pt(4, 550, 90), pt(5, 300, 10))
+      q.processAllAvailable()
+      assert(spark.table("skyline").select("id")
+        .collect().map(_.getLong(0)).toSet === Set(1L, 3L, 5L))
+      // online semantics: an arrival dominating EVERYTHING still appends
+      in.addData(pt(6, 100, 200))
+      q.processAllAvailable()
+      assert(spark.table("skyline").select("id")
+        .collect().map(_.getLong(0)).toSet === Set(1L, 3L, 5L, 6L))
+    } finally q.stop()
+  }
+
   test("stream_contamination: docs sharing train shingles are quarantined") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
