@@ -13,15 +13,29 @@ import org.apache.spark.sql.SparkSession
   *  - UTC so date/timestamp formatting matches the DuckDB oracle.
   */
 object GraftSession {
-  def builder(cores: String): SparkSession.Builder =
-    SparkSession.builder()
-      .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores)
-      .config("spark.sql.session.timeZone", "UTC")
+  /** The semantic confs every graft plan assumes, master-agnostic. */
+  private def withGraftConfs(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
+
+  def builder(cores: String): SparkSession.Builder =
+    withGraftConfs(SparkSession.builder())
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
       .config("spark.ui.enabled", "false")
+
+  /** Builder for spark-submit onto a REAL cluster: the same semantic
+    * confs (UTC, nanos-as-long events, extensions, AQE) with no
+    * master and no shuffle-partition override — the cluster's
+    * spark-defaults size the shuffle (AQE coalesces at runtime).
+    * `GraftExtensions` rides along, so the custom expressions, the
+    * intersect-count rewrite and `minhash_union` register wherever
+    * the session lands.
+    */
+  def clusterBuilder(): SparkSession.Builder =
+    withGraftConfs(SparkSession.builder())
 
   def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession =
     builder(cores).getOrCreate()
