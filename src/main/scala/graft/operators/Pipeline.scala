@@ -79,8 +79,13 @@ object Pipeline {
     * 6dp BEFORE ordering (rank ties broken by doc_id), the
     * round-before-order convention of every top-k in the gate.
     */
-  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  /** (doc_id, n_tokens, es_key) E-S sort keys for any (doc_id, text)
+    * frame — shared by [[sampleWeighted]] and the continuous
+    * reservoir ([[graft.streaming.Stream.weightedReservoir]]): the
+    * key depends only on the doc, so batch and streaming draws agree.
+    */
+  def esKeysOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
@@ -89,6 +94,9 @@ object Pipeline {
           + lit(0.5)) / lit(1000000.0))
       .withColumn("es_key", round(log(col("u")) / col("n_tokens").cast("double"), 6))
       .select(col("doc_id"), col("n_tokens"), col("es_key"))
+
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    esKeysOf(Tables.documents(spark, dir))
       .orderBy(col("es_key").desc, col("doc_id"))
       .limit(100)
 

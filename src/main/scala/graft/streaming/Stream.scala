@@ -904,6 +904,43 @@ object Stream {
         ()
       }
 
+  /** Continuous weighted reservoir: a document stream keeps the
+    * global top-k Efraimidis–Spirakis sample fresh — each micro-batch
+    * scores its docs with the SAME salted-hash E-S key as the batch
+    * operator ([[graft.operators.Pipeline.esKeysOf]], so batch and
+    * streaming draws agree on any prefix of the corpus), unions the
+    * saved reservoir, and keeps the global top-k. A weighted sample
+    * is exactly mergeable this way (each doc's key is independent of
+    * every other doc), so the store IS the correct sample of
+    * everything ever streamed. src_batch tagging + the prior filter
+    * make replay idempotent; the store swap is crash-recovered like
+    * every other persisted artifact here. State = k rows, total.
+    */
+  def weightedReservoir(docs: DataFrame, storePath: String, k: Int = 100)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val basePath = new org.apache.hadoop.fs.Path(storePath)
+        val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverStore(fs, basePath)
+        val scored = graft.operators.Pipeline.esKeysOf(batch)
+          .withColumn("src_batch", lit(batchId))
+        val prior =
+          if (fs.exists(basePath))
+            spark.read.parquet(storePath).filter(col("src_batch") =!= batchId)
+          else scored.limit(0)
+        val merged = prior.unionByName(scored)
+          .orderBy(col("es_key").desc, col("doc_id"))
+          .limit(k)
+        val tmp = s"$storePath.merged-$batchId"
+        merged.write.mode("overwrite").parquet(tmp)
+        if (fs.exists(basePath)) swapStore(fs, basePath, tmp)
+        else mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
+        ()
+      }
+
   /** Streaming ingestion-anomaly monitor — the streaming twin of the
     * batch `events_anomaly`: each micro-batch's daily event counts
     * merge into a saved (day, n_events, src_batch) ledger

@@ -309,6 +309,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_weighted_reservoir: store equals the batch draw over everything streamed") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-wres").toString
+    val store = s"$base/reservoir"
+    def doc(id: Long, n: Int) = (id, Seq.fill(n)(s"tok$id").mkString(" "))
+    val b1 = Seq(doc(1, 5), doc(2, 50), doc(3, 2))
+    val b2 = Seq(doc(4, 80), doc(5, 1))
+    val in = MemoryStream[(Long, String)]
+    val q = Stream.weightedReservoir(in.toDF().toDF("doc_id", "text"), store, k = 3).start()
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(spark.read.parquet(store).count() === 3)
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.read.parquet(store)
+        .select("doc_id", "n_tokens", "es_key")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = graft.operators.Pipeline.esKeysOf((b1 ++ b2).toDF("doc_id", "text"))
+        .orderBy($"es_key".desc, $"doc_id").limit(3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("stream_skyline: arrival-time Pareto emissions with cross-batch state") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
