@@ -495,6 +495,37 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Dedup lineage: every document the dedup passes DROP, with the
+    * canonical it was collapsed into, WHICH detector dropped it
+    * (`norm` = normalized-text group, [[dedupApply]]'s rule;
+    * `simhash` = near-dup cluster, [[neardupApply]]'s rule) and the
+    * group size — the provenance artifact a governed pipeline keeps
+    * beside the deduplicated corpus (takedown and attribution
+    * requests arrive against the ORIGINAL ids; this is the map back).
+    * One normalized-text rollup + the already-bounded near-dup
+    * component frame; output is |dropped| rows, never pairwise.
+    */
+  def dedupProvenance(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(TextFns.normText(col("text"))).as("norm_md5"))
+    val canon = g.groupBy("norm_md5")
+      .agg(min(col("doc_id")).as("kept_doc"), count(lit(1)).as("n_members"))
+      .filter(col("n_members") > 1)
+    val normDropped = g.join(canon, "norm_md5")
+      .filter(col("doc_id") =!= col("kept_doc"))
+      .select(col("doc_id").as("dropped_doc"), col("kept_doc"),
+        lit("norm").as("detector"), col("n_members"))
+    val cls = GraftOps.connectedComponents(
+      neardupEdges(spark, dir), srcCol = "doc_a", dstCol = "doc_b")
+    val sizes = cls.groupBy("component").agg(count(lit(1)).as("n_members"))
+    val simDropped = cls.filter(col("node") =!= col("component"))
+      .join(sizes, "component")
+      .select(col("node").as("dropped_doc"), col("component").as("kept_doc"),
+        lit("simhash").as("detector"), col("n_members"))
+    normDropped.unionByName(simDropped)
+      .orderBy("dropped_doc", "detector")
+  }
+
   /** Dedup clusters: connected components over the [[simhashPairs]]
     * near-dup graph ([[GraftOps.connectedComponents]] — min-label
     * propagation with path halving), cluster_id = the smallest doc_id
@@ -1083,6 +1114,7 @@ object Dedup {
     "dedup_keep_best" -> dedupKeepBest,
     "cluster_source_purity" -> clusterSourcePurity,
     "dedup_apply" -> dedupApply,
+    "dedup_provenance" -> dedupProvenance,
     "neardup_apply" -> neardupApply,
     "source_similarity" -> sourceSimilarity,
     "neardup_pagerank" -> neardupPagerank)
@@ -1530,6 +1562,41 @@ object Dedup {
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id IN (SELECT doc_id FROM canon)
          |ORDER BY doc_id""".stripMargin,
+    "dedup_provenance" ->
+      s"""${simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, prs AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |), sym AS (
+         |  SELECT da AS a, db AS b FROM prs UNION ALL SELECT db, da FROM prs
+         |), reach AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+         |), cls AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |  FROM reach GROUP BY a
+         |), csz AS (
+         |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM cls GROUP BY cluster_id
+         |), g AS (
+         |  SELECT doc_id, md5(${OracleSql.Norm}) AS norm_md5 FROM documents
+         |), canon AS (
+         |  SELECT norm_md5, min(doc_id) AS kept_doc, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM g GROUP BY norm_md5 HAVING count(*) > 1
+         |)
+         |SELECT * FROM (
+         |  SELECT g.doc_id AS dropped_doc, canon.kept_doc,
+         |    'norm' AS detector, canon.n_members
+         |  FROM g JOIN canon USING (norm_md5)
+         |  WHERE g.doc_id != canon.kept_doc
+         |  UNION ALL
+         |  SELECT cls.doc_id AS dropped_doc, cls.cluster_id AS kept_doc,
+         |    'simhash' AS detector, csz.n_members
+         |  FROM cls JOIN csz USING (cluster_id)
+         |  WHERE cls.doc_id != cls.cluster_id
+         |)
+         |ORDER BY dropped_doc, detector""".stripMargin,
     "dedup_clusters" ->
       s"""${simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, prs AS (
          |  SELECT a.doc_id AS da, b.doc_id AS db

@@ -1046,6 +1046,25 @@ class OperatorsSpec extends SparkSpec {
     assert(sky.nonEmpty)
   }
 
+  test("dedup_provenance: dropped docs are exactly the apply paths' casualties") {
+    val prov = operators.Dedup.dedupProvenance(spark, sfDir).collect()
+    assert(prov.nonEmpty)
+    val byDet = prov.groupBy(_.getString(2))
+      .map { case (k, rs) => k -> rs.map(_.getLong(0)).toSet }
+    val normKept = operators.Dedup.dedupApply(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val simKept = operators.Dedup.neardupApply(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    byDet.getOrElse("norm", Set.empty)
+      .foreach(d => assert(!normKept.contains(d), s"norm-dropped $d still kept"))
+    byDet.getOrElse("simhash", Set.empty)
+      .foreach(d => assert(!simKept.contains(d), s"simhash-dropped $d still kept"))
+    prov.foreach { r =>
+      assert(r.getLong(1) < r.getLong(0)) // canonical is the min member
+      assert(r.getLong(3) >= 2L)
+    }
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
