@@ -18,7 +18,8 @@ class FoldsSpec extends SparkSpec {
     "neardup_pagerank", "source_kl", "zipf_fit", "perplexity_doc",
     "term_entropy", "keyword_textrank", "knn_ivf_trained",
     "knn_pq", "knn_ivf_pq", "embedding_outliers", "mlt_topk",
-    "mix_temperature", "events_twap")
+    "mix_temperature", "events_twap", "hashing_vectorize",
+    "ivf_elbow", "ivf_retrain", "char_entropy")
 
   private def withMode[A](bitwise: Boolean)(body: => A): A = {
     spark.conf.set(Folds.ConfKey, bitwise.toString)
@@ -50,7 +51,8 @@ class FoldsSpec extends SparkSpec {
     // the ANN keys keep one DIMENSION-bounded collect_list: the
     // centroid/codebook vector reassembly (d rows -> one array<float>,
     // never corpus-sized) — only the corpus-sized fold buffers must go
-    val vectorRebuildKeys = Set("knn_ivf_trained", "knn_pq", "knn_ivf_pq")
+    val vectorRebuildKeys = Set("knn_ivf_trained", "knn_pq", "knn_ivf_pq",
+      "ivf_retrain")
     foldKeys.filterNot(vectorRebuildKeys).foreach { key =>
       val plan = withMode(bitwise = false) {
         SparkEntry.queries(key)(spark, sfDir).queryExecution.executedPlan.toString
