@@ -571,12 +571,16 @@ object Pipeline {
     * curriculum scheduler consumes: doc/token counts plus the
     * difficulty envelope of each stage.
     *
-    * Scale shape: the quartile boundaries use Spark's exact
-    * `percentile` (one global group — same declared hazard and same
-    * precedent as [[sourceLengthQuartiles]]; production swaps in
-    * `approx_percentile`, which only moves a few boundary docs
-    * between stages). Everything else is partial-agg over a 4-row
-    * final group; the boundary frame is a broadcast 1-row cross join.
+    * Scale shape: under the gate's bitwise contract the quartile
+    * boundaries use Spark's exact `percentile` (one global group —
+    * every value in one aggregation buffer, the same declared hazard
+    * as [[sourceLengthQuartiles]]); in production mode
+    * (`spark.graft.bitwiseFolds=false`, the [[Folds]] switch) the
+    * SAME plan runs on `approx_percentile` — a constant-size
+    * Greenwald-Khanna sketch, partial-aggregated like any other — and
+    * only boundary-adjacent docs can change stage (spec-bounded).
+    * Everything else is partial-agg over a 4-row final group; the
+    * boundary frame is a broadcast 1-row cross join.
     */
   def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
@@ -586,8 +590,10 @@ object Pipeline {
       .filter(col("n_tokens") > 0)
       .withColumn("difficulty",
         col("ntc").cast("double") / col("n_tokens").cast("double"))
-    val qs = d.agg(
-      expr("percentile(difficulty, array(0.25D, 0.5D, 0.75D))").as("qs"))
+    val pctExpr =
+      if (Folds.bitwise(d)) "percentile(difficulty, array(0.25D, 0.5D, 0.75D))"
+      else "approx_percentile(difficulty, array(0.25D, 0.5D, 0.75D), 10000)"
+    val qs = d.agg(expr(pctExpr).as("qs"))
     d.crossJoin(broadcast(qs))
       .withColumn("stage",
         when(col("difficulty") <= col("qs").getItem(0), "0_intro")

@@ -934,6 +934,26 @@ class OperatorsSpec extends SparkSpec {
     st.sliding(2).foreach { case Array(a, b) =>
       assert(a.getDouble(4) <= b.getDouble(4) + 1e-9)
     }
+    // production (approx_percentile) boundaries: still a 4-stage
+    // partition of the same corpus, stage counts within the sketch's
+    // rank error of the exact quartile split (eps = 1/accuracy)
+    spark.conf.set(operators.Folds.ConfKey, "false")
+    try {
+      val prod = operators.Pipeline.curriculumOrder(spark, sfDir).collect()
+      assert(prod.length === 4)
+      assert(prod.map(_.getLong(1)).sum === nTok)
+      val n = st.map(_.getLong(1)).sum.toDouble
+      st.zip(prod).foreach { case (a, b) =>
+        assert(a.getString(0) === b.getString(0))
+        assert(math.abs(a.getLong(1) - b.getLong(1)) <= math.max(1.0, n / 10000.0) * 4,
+          s"stage ${a.getString(0)}: ${a.getLong(1)} vs ${b.getLong(1)}")
+      }
+      val plan = operators.Pipeline.curriculumOrder(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("approx_percentile"))
+      assert("(?<!approx_)percentile\\(".r.findFirstIn(plan).isEmpty,
+        "exact percentile still in the production plan")
+    } finally spark.conf.set(operators.Folds.ConfKey, "true")
   }
 
   test("zorder_layout: partitions cover the table and bound BOTH key spans") {
