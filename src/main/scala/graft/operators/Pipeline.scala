@@ -473,20 +473,32 @@ object Pipeline {
     * so the doubles match bit-for-bit on integer lengths). The
     * distribution shape a corpus QA pass reads before setting length
     * filters: a source whose q75 is tiny is boilerplate; one whose
-    * q25 is huge needs chunking first. Spark's `percentile` is a
-    * partial-aggregable sketch-free exact aggregate — one shuffle of
-    * |sources| groups.
+    * q25 is huge needs chunking first. Under the gate's bitwise
+    * contract Spark's exact `percentile` runs (per-GROUP value
+    * buffers — fine at |source| granularity until a source spans
+    * billions of docs); production mode ([[Folds]] switch) swaps in
+    * `approx_percentile`'s constant-size GK sketch on the same plan —
+    * a nearest-rank data value (no interpolation) whose rank is
+    * within the sketch's n/accuracy bound of the target (the spec
+    * asserts the rank bracket per source and quartile).
     */
-  def sourceLengthQuartiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  def sourceLengthQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pctExpr =
+      if (Folds.bitwise(docs)) "percentile(n_chars, array(0.25D, 0.5D, 0.75D))"
+      else "approx_percentile(n_chars, array(0.25D, 0.5D, 0.75D), 10000)"
+    docs
       .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D))").as("qs"))
+      .agg(count(lit(1)).as("n_docs"), expr(pctExpr).as("qs"))
+      // the double cast keeps one output schema across both modes
+      // (exact percentile interpolates to double, the GK sketch
+      // returns the integer data value)
       .select(col("source"), col("n_docs"),
-        round(col("qs").getItem(0), 6).as("q25"),
-        round(col("qs").getItem(1), 6).as("q50"),
-        round(col("qs").getItem(2), 6).as("q75"))
+        round(col("qs").getItem(0).cast("double"), 6).as("q25"),
+        round(col("qs").getItem(1).cast("double"), 6).as("q50"),
+        round(col("qs").getItem(2).cast("double"), 6).as("q75"))
       .orderBy("source")
+  }
 
   // -- DSIR importance resampling (Xie et al. 2023, "Data Selection
   // for Language Models via Importance Resampling"): score every

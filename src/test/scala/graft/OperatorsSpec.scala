@@ -1097,6 +1097,32 @@ class OperatorsSpec extends SparkSpec {
     assert(buckets.nonEmpty)
   }
 
+  test("source_length_quartiles production mode: GK values hold their rank bracket") {
+    val lens = sources.Tables.documents(spark, sfDir)
+      .select("source", "n_chars").collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.map(_.getLong(1)).sorted }
+    spark.conf.set(operators.Folds.ConfKey, "false")
+    try {
+      val prod = operators.Pipeline.sourceLengthQuartiles(spark, sfDir).collect()
+      assert(prod.nonEmpty)
+      prod.foreach { r =>
+        val xs = lens(r.getString(0))
+        val n = xs.length
+        val slack = n / 10000 + 1
+        Seq(0.25 -> r.getDouble(2), 0.5 -> r.getDouble(3), 0.75 -> r.getDouble(4))
+          .foreach { case (p, q) =>
+            assert(xs.contains(q.toLong), s"${r.getString(0)} p=$p: $q not a data value")
+            val le = xs.count(_ <= q.toLong)
+            val lt = xs.count(_ < q.toLong)
+            val target = p * n
+            assert(le >= math.floor(target) - slack && lt <= math.ceil(target) + slack,
+              s"${r.getString(0)} p=$p: value $q rank [$lt,$le] vs target $target")
+          }
+      }
+    } finally spark.conf.set(operators.Folds.ConfKey, "true")
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
