@@ -38,7 +38,8 @@ object Bench {
     val prodResults = Seq("embedding_pca", "embedding_stats", "neardup_pagerank",
         "perplexity_doc", "qlm_topk", "source_kl", "zipf_fit",
         "term_entropy", "keyword_textrank", "knn_ivf_trained", "knn_pq",
-        "embedding_outliers", "events_twap")
+        "embedding_outliers", "events_twap", "curriculum_order",
+        "source_length_quartiles")
       .filter(k => only.forall(_.contains(k)))
       .map { k => s"$k#prod" -> time(SparkEntry.queries(k)) }
     spark.conf.set(operators.Folds.ConfKey, "true")
