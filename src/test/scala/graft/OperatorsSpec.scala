@@ -1093,8 +1093,16 @@ class OperatorsSpec extends SparkSpec {
     assert(five.keySet === one.keySet)
     five.foreach { case (q, r) => assert(r >= one(q) - 1e-12, s"query $q") }
     // each emitted candidate really is within Hamming 1 of the query bucket
-    val buckets = operators.Similarity.knnLshProbe2(spark, sfDir).collect()
-    assert(buckets.nonEmpty)
+    val qb = operators.Similarity.lshAssign(sources.Tables.embeddings(spark, sfDir))
+      .filter(col("vec_id") < operators.Similarity.NQueries)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cands = operators.Similarity.knnLshProbe2(spark, sfDir).collect()
+    assert(cands.nonEmpty)
+    cands.foreach { r =>
+      val hd = java.lang.Long.bitCount(qb(r.getLong(0)) ^ r.getLong(4))
+      assert(hd <= 1, s"query ${r.getLong(0)}: candidate bucket $hd flips away")
+    }
   }
 
   test("source_length_quartiles production mode: GK values hold their rank bracket") {
