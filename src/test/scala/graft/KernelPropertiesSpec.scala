@@ -171,6 +171,21 @@ class KernelPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("simhash32: invariant under corpus duplication (2x tokens, same sign votes)") {
+    check(Prop.forAll(genToks) { toks =>
+      HashImpl.simhash32(sArr(toks ++ toks), HashFns.M32) ==
+        HashImpl.simhash32(sArr(toks), HashFns.M32)
+    })
+  }
+
+  test("lshBucket: invariant under exact power-of-two scaling; nBits-bounded") {
+    check(Prop.forAll(genVec) { v =>
+      val b1 = VectorImpl.lshBucket(fArr(v), 4)
+      val b2 = VectorImpl.lshBucket(fArr(v.map(_ * 4.0f)), 4)
+      b1 == b2 && b1 >= 0L && b1 < 16L
+    })
+  }
+
   test("sq8Dequant: reconstruction error bounded by half a quantization step") {
     // per-dimension (mn, mx) envelopes with x inside them
     val genDim = for {
