@@ -215,6 +215,29 @@ class SourcesSpec extends SparkSpec {
     assert(idx.count() === 3) // alpha, beta, gamma
   }
 
+  test("csv source: explicit schema, quoted commas kept, corrupt rows quarantined") {
+    val dir = tmpDir("graft-csv")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/docs.csv"),
+      """doc_id,text,lang,source
+        |0,"alpha, beta",en,s0
+        |1,gamma,es,s1
+        |not_a_long,broken row,en,s2
+        |,"no id",en,s3
+        |""".stripMargin)
+    val docs = graft.sources.Csv.readDocuments(spark, s"$dir/docs.csv")
+      .orderBy("doc_id").collect()
+    assert(docs.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((0L, "alpha, beta"), (1L, "gamma")))
+    val bad = graft.sources.Csv.readCorrupt(spark, s"$dir/docs.csv")
+      .collect().map(_.getString(0))
+    assert(bad.length === 2)
+    assert(bad.exists(_.contains("not_a_long")))
+    // a csv corpus indexes like any other document frame
+    val idx = Index.invertedIndexOf(
+      graft.sources.Csv.readDocuments(spark, s"$dir/docs.csv"))
+    assert(idx.count() === 3) // alpha,, beta, gamma — tokens: "alpha," "beta" "gamma"
+  }
+
   test("index merge: delta docs replace base postings at doc granularity") {
     import spark.implicits._
     val base = tmpDir("graft-merge") + "/base"
