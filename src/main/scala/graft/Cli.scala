@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{Index, Query}
-import graft.sources.{IndexStore, Tsv}
+import graft.sources.{Csv, IndexStore, Jsonl, Tsv}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -31,13 +31,23 @@ import org.apache.spark.sql.functions._
   */
 object Cli {
 
+  /** Input-corpus dispatch by extension: the reference's `title \t
+    * body` TSV stays the default; `.jsonl` and `.csv` corpora read
+    * through their quarantine readers and are doc_id-keyed.
+    */
+  private def readCorpus(spark: SparkSession, input: String): (DataFrame, String) =
+    if (input.endsWith(".jsonl")) (Jsonl.readDocuments(spark, input), "doc_id")
+    else if (input.endsWith(".csv")) (Csv.readDocuments(spark, input), "doc_id")
+    else (Tsv.readDocuments(spark, input), "title")
+
   /** Dispatch + result frame (separated from [[main]] so specs can
     * assert on the returned rows).
     */
   def run(spark: SparkSession, args: Seq[String]): DataFrame = args match {
     case Seq("index", input, out, rest @ _*) =>
       val nBuckets = rest.headOption.map(_.toInt).getOrElse(IndexStore.DefaultBuckets)
-      val idx = Index.invertedIndexOf(Tsv.readDocuments(spark, input), id = "title")
+      val (corpus, id) = readCorpus(spark, input)
+      val idx = Index.invertedIndexOf(corpus, id = id)
       IndexStore.save(idx, out, nBuckets)
       IndexStore.load(spark, out)
         .groupBy().agg(count(lit(1)).as("postings"),
@@ -47,19 +57,23 @@ object Cli {
       // must match the nBuckets the index was saved with (exactly as
       // the reference's reducer count shaped its output layout)
       val nBuckets = rest.lift(1).map(_.toInt).getOrElse(IndexStore.DefaultBuckets)
-      IndexStore.lookup(spark, indexPath, term, nBuckets)
-        .orderBy(col("tf").desc, col("title"))
+      val hits = IndexStore.lookup(spark, indexPath, term, nBuckets)
+      // id column follows the indexed corpus: title (tsv) or doc_id
+      val idCol = Seq("title", "doc_id").find(hits.columns.contains).get
+      hits.orderBy(col("tf").desc, col(idCol))
         .limit(k)
     case Seq("query", input, q, rest @ _*) =>
       val k = rest.headOption.map(_.toInt).getOrElse(10)
-      Query.searchRanked(Tsv.readDocuments(spark, input), q, k,
-        id = "title")
+      val (corpus, id) = readCorpus(spark, input)
+      Query.searchRanked(corpus, q, k, id = id)
     case Seq("bquery", indexPath, q, rest @ _*) =>
       // boolean/phrase/prefix retrieval against the SAVED index: only
       // the query terms' buckets are read (Query.searchIndex)
       val nBuckets = rest.headOption.map(_.toInt).getOrElse(IndexStore.DefaultBuckets)
-      Query.searchIndex(spark, indexPath, q, nBuckets, id = "title")
-        .orderBy("title")
+      val idCol = Seq("title", "doc_id")
+        .find(IndexStore.load(spark, indexPath).columns.contains).get
+      Query.searchIndex(spark, indexPath, q, nBuckets, id = idCol)
+        .orderBy(idCol)
     case Seq("stats", indexPath) =>
       IndexStore.load(spark, indexPath)
         .groupBy(col("term_bucket"))

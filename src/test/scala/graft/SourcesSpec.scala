@@ -354,6 +354,25 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException](Cli.run(spark, Seq("bogus")))
   }
 
+  test("cli: jsonl corpora index and query through the same verbs") {
+    val dir = tmpDir("graft-cli-jsonl")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/docs.jsonl"),
+      """{"doc_id": 10, "text": "spark join spark", "lang": "en", "source": "s"}
+        |{"doc_id": 11, "text": "spark filter", "lang": "en", "source": "s"}
+        |{"doc_id": 12, "text": "sort merge", "lang": "en", "source": "s"}
+        |""".stripMargin)
+    val stats = Cli.run(spark,
+      Seq("index", s"$dir/docs.jsonl", s"$dir/index", "4")).collect()
+    assert(stats.head.getLong(0) === 6L && stats.head.getLong(1) === 5L)
+    val hits = Cli.run(spark,
+        Seq("search", s"$dir/index", "spark", "10", "4")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("tf")))
+    assert(hits.toSeq === Seq((10L, 2L), (11L, 1L)))
+    val bq = Cli.run(spark,
+        Seq("bquery", s"$dir/index", "spark AND NOT filter", "4")).collect()
+    assert(bq.map(_.getAs[Long]("doc_id")).toSeq === Seq(10L))
+  }
+
   test("sql extensions: registered functions plan the native kernels") {
     val h = spark.sql("SELECT rolling_hash('abc')").head().getLong(0)
     assert(h === HashImpl.roll(UTF8String.fromString("abc"), 1000000007L))
