@@ -904,6 +904,70 @@ object Stream {
         ()
       }
 
+  /** Hybrid (sparse + dense) retrieval SERVING from the two saved
+    * stores — the streaming composition of
+    * [[graft.operators.Similarity.hybridSearch]]: each query batch
+    * carries (query_id, term, embedding); the term side reads ONLY
+    * its terms' buckets from the saved doc_id-keyed
+    * [[graft.sources.IndexStore]] index (planning-time pruning, tf
+    * ranking), the vector side reads only the assigned IVF buckets of
+    * the saved embedding store (the [[knnServe]] path), and the two
+    * candidate-bounded rankings RRF-fuse per query into
+    * `outPath/batch=<id>` (idempotent replay). The one driver-side
+    * collect is the batch's distinct term list — bounded by the query
+    * batch, the collect a serving loop legitimately makes. Both
+    * stores stay partition-pruned however large the corpus is; the
+    * fusion frames are ≤ 4k rows per query.
+    */
+  def hybridServe(queries: DataFrame, indexPath: String, centroidPath: String,
+      storePath: String, outPath: String, k: Int = 5,
+      nBuckets: Int = graft.sources.IndexStore.DefaultBuckets)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val terms = batch.select("term").distinct()
+          .collect().map(_.getString(0)).toSeq
+        if (terms.nonEmpty) {
+          val W = org.apache.spark.sql.expressions.Window
+          val post = graft.sources.IndexStore.lookupTerms(spark, indexPath, terms, nBuckets)
+          val ws = W.partitionBy("query_id").orderBy(col("tf").desc, col("doc_id"))
+          val sparse = post
+            .join(broadcast(batch.select(col("query_id"), col("term"))), "term")
+            .withColumn("rank_sparse", row_number().over(ws).cast("long"))
+            .filter(col("rank_sparse") <= k * 4)
+            .select(col("query_id"), col("doc_id"), col("rank_sparse"))
+          val cent = spark.read.parquet(centroidPath)
+          val qv = graft.operators.Similarity.ivfAssignTo(
+              graft.operators.Similarity.withNormOf(
+                batch.select(col("query_id").as("vec_id"), col("embedding"))), cent)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+              col("nm").as("qnm"), col("bucket"))
+          val store = spark.read.parquet(storePath)
+          val wd = W.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+          val dense = store.join(broadcast(qv), "bucket")
+            .withColumn("cos",
+              graft.functions.VectorFns.dot(col("qe"), col("embedding")) /
+                (col("qnm") * col("nm")))
+            .withColumn("rank_dense", row_number().over(wd).cast("long"))
+            .filter(col("rank_dense") <= k * 4)
+            .select(col("query_id"), col("vec_id").as("doc_id"), col("rank_dense"))
+          val wf = W.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
+          sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+            .withColumn("rrf", round(
+              coalesce(lit(1.0) / (lit(60.0) + col("rank_sparse")), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60.0) + col("rank_dense")), lit(0.0)), 6))
+            .withColumn("rk", row_number().over(wf).cast("long"))
+            .filter(col("rk") <= k)
+            .select(col("query_id"), col("rk"), col("doc_id"),
+              coalesce(col("rank_sparse"), lit(0L)).as("rank_sparse"),
+              coalesce(col("rank_dense"), lit(0L)).as("rank_dense"), col("rrf"))
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        }
+        ()
+      }
+
   /** Continuous weighted reservoir: a document stream keeps the
     * global top-k Efraimidis–Spirakis sample fresh — each micro-batch
     * scores its docs with the SAME salted-hash E-S key as the batch

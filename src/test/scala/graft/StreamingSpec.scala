@@ -309,6 +309,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_hybrid_serve: fused ranking from the two saved stores") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-hserve").toString
+    val docs = Seq((100L, "spark join spark"), (101L, "spark filter"),
+      (102L, "sort merge")).toDF("doc_id", "text")
+    graft.sources.IndexStore.save(
+      graft.operators.Index.invertedIndexOf(docs), s"$base/index", nBuckets = 4)
+    graft.operators.Similarity.saveCentroids(
+      Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f))).toDF("vec_id", "embedding"),
+      s"$base/cent")
+    val idx = MemoryStream[(Long, Array[Float])]
+    val qi = Stream.embedIndexMaintenance(
+      idx.toDF().toDF("vec_id", "embedding"), s"$base/cent", s"$base/store").start()
+    try {
+      idx.addData((100L, Array(0.9f, 0.1f)), (101L, Array(0.8f, 0.3f)),
+        (102L, Array(0.1f, 0.9f)))
+      qi.processAllAvailable()
+    } finally qi.stop()
+    val qs = MemoryStream[(Long, String, Array[Float])]
+    val q = Stream.hybridServe(qs.toDF().toDF("query_id", "term", "embedding"),
+      s"$base/index", s"$base/cent", s"$base/store", s"$base/out",
+      k = 2, nBuckets = 4).start()
+    try {
+      qs.addData((5000L, "spark", Array(1f, 0.05f)))
+      q.processAllAvailable()
+      val r = spark.read.parquet(s"$base/out/batch=0")
+        .orderBy("rk").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          x.getLong(3), x.getLong(4), x.getDouble(5)))
+      // doc 100 tops both legs (tf=2, nearest vector); 102 matches neither
+      assert(r.map(_._3).toSeq === Seq(100L, 101L))
+      r.foreach { case (_, _, _, rs, rd, rrf) =>
+        val want = (if (rs > 0) 1.0 / (60.0 + rs) else 0.0) +
+          (if (rd > 0) 1.0 / (60.0 + rd) else 0.0)
+        assert(math.abs(rrf - want) < 1e-6)
+      }
+      assert(r.head._4 === 1L && r.head._5 === 1L) // both legs rank doc 100 first
+    } finally q.stop()
+  }
+
   test("stream_weighted_reservoir: store equals the batch draw over everything streamed") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
