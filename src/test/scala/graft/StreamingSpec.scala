@@ -242,6 +242,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_index: a mid-swap crash state is repaired by the next batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft-crash-idx").toString + "/index"
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = Stream.indexMaintenance(in1.toDF().toDF("doc_id", "text"), path, nBuckets = 4)
+      .start()
+    try {
+      in1.addData((0L, "x y"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // simulate a crash BETWEEN swapStore's two renames: base moved to
+    // .backup, replacement never landed — the store is "gone"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + ".backup")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path)))
+    // next maintenance batch must first restore the backup, then merge
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = Stream.indexMaintenance(in2.toDF().toDF("doc_id", "text"), path, nBuckets = 4)
+      .start()
+    try {
+      in2.addData((1L, "y z"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val idx = graft.sources.IndexStore.load(spark, path)
+      .select("term", "doc_id").orderBy("term", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // batch-1 postings survived the simulated crash; batch-2 merged in
+    assert(idx === Seq(("x", 0L), ("y", 0L), ("y", 1L), ("z", 1L)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".backup")))
+  }
+
   test("stream_quality_gate: batches route to clean and quarantine corpora") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
