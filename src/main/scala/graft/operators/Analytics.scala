@@ -327,13 +327,24 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
-  /** HLL++ sketch — approximate by design, so rows-only (no exact
-    * cross-engine oracle is possible).
+  /** HLL++ sketch, AUDITED: the raw estimate isn't cross-engine
+    * reproducible, but the sketch's accuracy CONTRACT is — so the key
+    * emits the exact count and a within-bound flag
+    * (|approx − exact| ≤ 15% of exact ≈ 3σ of the default 5% rsd)
+    * and the oracle asserts every group's flag is true. A broken
+    * sketch (or a bound regression) now fails the gate instead of
+    * hiding behind rows-only. Both aggregates ride the same one
+    * shuffle; the sketch is still the 100 TB path (mergeable
+    * fixed-size state vs the expanded distinct).
     */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_suppkey")
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      .select(col("l_suppkey"), col("n_parts"),
+        (abs(col("approx_parts") - col("n_parts")).cast("double") <=
+          col("n_parts").cast("double") * 0.15).as("within_bound"))
       .orderBy("l_suppkey")
 
   /** Exact twin of [[approxDistinct]] — the two-shuffle expanded
@@ -388,19 +399,30 @@ object Analytics {
       .orderBy("o_orderstatus")
   }
 
-  /** Approximate percentile sketch (GK/KLL-family) — the sketch twin
-    * of [[percentiles]], mergeable map-side like every sketch here;
-    * approximate by design so rows-only (no exact cross-engine
-    * oracle is possible).
+  /** Approximate percentile sketch (GK/KLL-family), AUDITED like
+    * [[approxDistinct]]: the sketch values aren't cross-engine
+    * reproducible, so the key emits the exact percentiles and a
+    * per-quantile within-bound flag (sketch within 1% relative value
+    * error of exact — generous against the rank-error contract at
+    * accuracy 10000) and the oracle asserts the flags. The sketch
+    * stays the 100 TB path: mergeable fixed-size state vs the exact
+    * aggregate's full sorted-group materialization.
     */
   def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy("o_orderstatus")
-      .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)").as("pcts"))
+      .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)").as("pcts"),
+        expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").as("ex"))
       .select(col("o_orderstatus"),
-        round(element_at(col("pcts"), 1), 2).as("p50"),
-        round(element_at(col("pcts"), 2), 2).as("p90"),
-        round(element_at(col("pcts"), 3), 2).as("p99"))
+        round(element_at(col("ex"), 1), 2).as("p50"),
+        round(element_at(col("ex"), 2), 2).as("p90"),
+        round(element_at(col("ex"), 3), 2).as("p99"),
+        (abs(element_at(col("pcts"), 1) - element_at(col("ex"), 1)) <=
+          element_at(col("ex"), 1) * 0.01).as("p50_ok"),
+        (abs(element_at(col("pcts"), 2) - element_at(col("ex"), 2)) <=
+          element_at(col("ex"), 2) * 0.01).as("p90_ok"),
+        (abs(element_at(col("pcts"), 3) - element_at(col("ex"), 3)) <=
+          element_at(col("ex"), 3) * 0.01).as("p99_ok"))
       .orderBy("o_orderstatus")
 
   /** NTILE quartiles of order totals per status. */
@@ -771,7 +793,11 @@ object Analytics {
         (col("n_customers").cast("decimal(38,0)") *
           col("total_cents").cast("decimal(38,0)")).cast("decimal(38,0)").as("gini_den"))
       .withColumn("gini",
-        round(col("gini_num").cast("double") / col("gini_den").cast("double"), 6))
+        // same integer round-half-up-at-scale-6 as eventsAutocorr: the two
+        // exact DECIMAL operands never touch a float until the ≤10⁶ quotient.
+        expr("""cast(case when gini_num < 0
+          then -((-gini_num * 2000000 + gini_den) div (2 * gini_den))
+          else ((gini_num * 2000000 + gini_den) div (2 * gini_den)) end as double) / 1e6"""))
   }
 
   /** Year-over-year revenue bridge (waterfall): for every consecutive
@@ -1089,7 +1115,13 @@ object Analytics {
         sum(col("sa").cast("decimal(38,0)") * col("sb").cast("decimal(38,0)")).as("num"))
       .crossJoin(broadcast(den))
       .select(col("lag"), col("n_pairs"), col("num"), col("den"),
-        round(col("num").cast("double") / col("den").cast("double"), 6)
+        // round-half-up(num/den, 6) in pure integer arithmetic: the float
+        // round() tie-breaks differently across engines at the 7th digit,
+        // but floor((2·|num|·10⁶ + den) / 2·den) is exact on both, and the
+        // ≤10⁶ quotient divided by 1e6 is the same IEEE double everywhere.
+        expr("""cast(case when num < 0
+          then -((-num * 2000000 + den) div (2 * den))
+          else ((num * 2000000 + den) div (2 * den)) end as double) / 1e6""")
           .as("autocorr"))
       .orderBy("lag")
   }
@@ -2458,15 +2490,18 @@ object Analytics {
         |    sum(CAST(rn AS HUGEINT) * CAST(x AS HUGEINT)) AS w
         |  FROM r
         |)
+        |, g AS (
+        |  SELECT n_customers, total_cents,
+        |    2 * w - (CAST(n_customers AS HUGEINT) + 1) * CAST(total_cents AS HUGEINT) AS gn,
+        |    CAST(n_customers AS HUGEINT) * CAST(total_cents AS HUGEINT) AS gd
+        |  FROM a
+        |)
         |SELECT n_customers, total_cents,
-        |  CAST(2 * w - (CAST(n_customers AS HUGEINT) + 1) * CAST(total_cents AS HUGEINT)
-        |    AS DECIMAL(38,0)) AS gini_num,
-        |  CAST(CAST(n_customers AS HUGEINT) * CAST(total_cents AS HUGEINT)
-        |    AS DECIMAL(38,0)) AS gini_den,
-        |  round(
-        |    CAST(2 * w - (CAST(n_customers AS HUGEINT) + 1) * CAST(total_cents AS HUGEINT) AS DOUBLE) /
-        |    CAST(CAST(n_customers AS HUGEINT) * CAST(total_cents AS HUGEINT) AS DOUBLE), 6) AS gini
-        |FROM a""".stripMargin,
+        |  CAST(gn AS DECIMAL(38,0)) AS gini_num,
+        |  CAST(gd AS DECIMAL(38,0)) AS gini_den,
+        |  CAST(CASE WHEN gn < 0 THEN -((-gn * 2000000 + gd) // (2 * gd))
+        |    ELSE ((gn * 2000000 + gd) // (2 * gd)) END AS DOUBLE) / 1e6 AS gini
+        |FROM g""".stripMargin,
     "revenue_bridge" ->
       """WITH cy AS (
         |  SELECT o_custkey, CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
@@ -2563,7 +2598,8 @@ object Analytics {
          |)
          |SELECT lag, n_pairs, CAST(num AS DECIMAL(38,0)) AS num,
          |  CAST(den AS DECIMAL(38,0)) AS den,
-         |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS autocorr
+         |  CAST(CASE WHEN num < 0 THEN -((-num * 2000000 + den) // (2 * den))
+         |    ELSE ((num * 2000000 + den) // (2 * den)) END AS DOUBLE) / 1e6 AS autocorr
          |FROM num, den ORDER BY lag""".stripMargin,
     "events_mad" ->
       s"""$EvSql, d AS (
@@ -2990,6 +3026,20 @@ object Analytics {
         |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
         |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
         |  round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the sketch keys oracle their accuracy CONTRACT: exact values plus
+    // all-true bound flags — Spark computes the flags from the real
+    // sketch, the oracle asserts none of them ever goes false
+    "approx_distinct" ->
+      """SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  true AS within_bound
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "approx_percentiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+        |  true AS p50_ok, true AS p90_ok, true AS p99_ok
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "cube_agg" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
