@@ -39,7 +39,10 @@ object Explain {
     "contamination_bloom" -> Rule(),
     "ngram_jaccard" -> Rule(),
     "containment_pairs" -> Rule(),
-    "simhash_pairs" -> Rule(),
+    // the banded Hamming join must BE the plan: the lossless band-keyed
+    // equijoin carries its bit_count(xor) verification in the join
+    // condition — a pairwise rewrite would lose the substring
+    "simhash_pairs" -> Rule(required = Seq("bit_count(")),
     "dedup_clusters" -> Rule(),
     "neardup_triangles" -> Rule(),
     "neardup_pagerank" -> Rule(),
@@ -57,7 +60,11 @@ object Explain {
     "q10_returns" -> Rule(required = Seq("BroadcastHashJoin")),
     "q14_promo" -> Rule(required = Seq("BroadcastHashJoin")),
     "gram_novelty" -> Rule(),
-    "neardup_eval" -> Rule(),
+    // sketch side = banded Hamming: the bit_count verification must
+    // survive in the plan (the PPJoin truth side sits behind a
+    // localCheckpoint, so its intersect_size is not visible here —
+    // jaccard_hist pins that shape instead)
+    "neardup_eval" -> Rule(required = Seq("bit_count(")),
     // round-6 TPC-H flavors: star joins must broadcast their dims
     "q8_market_share" -> Rule(required = Seq("BroadcastHashJoin")),
     "q18_big_orders" -> Rule(required = Seq("BroadcastHashJoin")),
@@ -85,7 +92,7 @@ object Explain {
     "oov_rate" -> Rule(required = Seq("BroadcastHashJoin")),
     "query_ranked" -> Rule(required = Seq("BroadcastHashJoin")),
     "query_near" -> Rule(),
-    "jaccard_hist" -> Rule(),
+    "jaccard_hist" -> Rule(required = Seq("intersect_size(")),
     "media_size_report" -> Rule(),
     "doc_lang_mismatch" -> Rule(),
     "shard_assign" -> Rule(),
@@ -101,14 +108,25 @@ object Explain {
     "champion_lists" -> Rule(),
     "vocab_coverage_curve" -> Rule(),
     "dup_cluster_size_hist" -> Rule(),
-    // all-pairs cosine must stay a term-keyed join (no doc×doc cartesian)
-    "tfidf_cosine_pairs" -> Rule(),
+    // all-pairs cosine IS a term-keyed join now (rare-term blocking +
+    // exact rescore): any CONDITIONED nested loop (the doc_a < doc_b
+    // pair loop) is forbidden on the production path — the only NLJ
+    // allowed is the condition-free 1-row corpus-count cross
+    // (`BuildRight, Cross`); the doc×doc loop lives only in the
+    // sample-bounded tfidf_cosine_dense audit twin
+    "tfidf_cosine_pairs" -> Rule(forbidden = Seq(
+      "BroadcastNestedLoopJoin BuildRight, Inner",
+      "BroadcastNestedLoopJoin BuildLeft, Inner")),
+    // ...and the audit twin is REQUIRED to be that declared broadcast
+    // loop over its bounded sample, with the bound pushed to the scan
+    "tfidf_cosine_dense" -> Rule(required = Seq(
+      "BroadcastNestedLoopJoin", "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)")),
     "inter_event_gap_hist" -> Rule(),
     "quality_by_dup_status" -> Rule(),
     "shingle_df_hist" -> Rule(),
     "pack_efficiency_report" -> Rule(),
     "neardup_family_overlap" -> Rule(),
-    "source_dup_matrix" -> Rule(),
+    "source_dup_matrix" -> Rule(required = Seq("bit_count(")),
     "query_field" -> Rule(),
     "term_burstiness" -> Rule(),
     "session_length_hist" -> Rule(),
