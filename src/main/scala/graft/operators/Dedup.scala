@@ -716,6 +716,42 @@ object Dedup {
       .limit(50)
   }
 
+  /** Label-propagation communities (3 synchronous rounds) over the
+    * symmetric Hamming ≤ 1 near-dup graph — the soft-clustering
+    * companion to [[dedupClusters]]' connected components: CC merges
+    * everything reachable, LPA keeps densely-linked families apart
+    * when a thin bridge joins two cliques. Fully deterministic (and
+    * therefore oracle-able): labels start as doc_ids, each round every
+    * node adopts the most frequent label among its neighbours with
+    * ties broken toward the SMALLEST label — one integer vote count +
+    * one `min(struct(-count, label))` per node per round, no floats
+    * anywhere. A round is one edge-keyed shuffle (join labels onto
+    * senders, fold votes at receivers), so the 3-round cost is 3
+    * bounded shuffles of |E| — the same shape PageRank runs, and the
+    * same 100 TB posture (the edge list is the banded join's output,
+    * never a pairwise stage).
+    */
+  def neardupCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val prs = neardupEdges(spark, dir).select(col("doc_a"), col("doc_b"))
+    // one materialization feeds the node seed + all 3 rounds (same
+    // rationale as neardupPagerank's checkpoint)
+    val sym = prs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(prs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .localCheckpoint()
+    def step(lbl: DataFrame): DataFrame =
+      sym.join(lbl.withColumnRenamed("node", "b"), "b")
+        .groupBy(col("a"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("a")
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("a").as("node"), col("m.l").as("lbl"))
+    val l0 = sym.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    step(step(step(l0)))
+      .select(col("node").as("doc_id"), col("lbl").as("community"))
+      .orderBy("doc_id")
+  }
+
   /** The LSH banding design curve: candidate probability
     * P = 1 − (1 − j^r)^b at Jaccard j for the configured 4×4 banding
     * ([[minhashLshPairs]]) — the table that justifies (or re-tunes)
@@ -959,6 +995,53 @@ object Dedup {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Exact longest duplicated token-substring per near-dup candidate
+    * pair — the SUFFIX-ARRAY substring-dedup measurement (Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models
+    * Better") re-expressed Spark-native, with no suffix array
+    * materialized: a common substring of ≥ k tokens between two docs
+    * is exactly a maximal run of shared k-grams along one
+    * (posA − posB) DIAGONAL, so per-pair longest-common-substring
+    * reduces to a gram-keyed join + gaps-and-islands and returns the
+    * same answer as a suffix array for every LCS ≥ k (k = 8). Where
+    * [[dedupSpans]] excises positions covered by ANY cross-document
+    * gram, this reports the actual maximal repeated span per PAIR
+    * with both start offsets — the granularity a reviewer needs to
+    * see WHAT is duplicated before excising it. Candidate pairs come
+    * from the MinHash LSH bands ([[minhashLshPairs]]), so nothing
+    * here is all-pairs; at 100 TB the shape is the LSH pair stream
+    * joined to its own grams — pair- and gram-keyed, bounded by the
+    * duplicate mass, with per-pair windows over that pair's matches
+    * only. Output: top-20 pairs by LCS length (ties by pair id),
+    * with start_a/start_b of the winning span.
+    */
+  def dupSubstringPairs(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val cand = minhashLshPairs(spark, dir).select("doc_a", "doc_b")
+    val g = Tables.documents(spark, dir).select(col("doc_id"),
+      posexplode(TextFns.shinglesK(TextFns.tokens(col("text")), k)).as(Seq("s", "g")))
+    val m = cand
+      .join(g.select(col("doc_id").as("doc_a"), col("s").cast("long").as("sa"),
+        col("g")), Seq("doc_a"))
+      .join(g.select(col("doc_id").as("doc_b"), col("s").cast("long").as("sb"),
+        col("g")), Seq("doc_b", "g"))
+      .select(col("doc_a"), col("doc_b"), col("sa"),
+        (col("sa") - col("sb")).as("d"))
+    val wRun = Window.partitionBy("doc_a", "doc_b", "d").orderBy("sa")
+    val runs = m.withColumn("grp", col("sa") - row_number().over(wRun))
+      .groupBy("doc_a", "doc_b", "d", "grp")
+      .agg(min(col("sa")).as("start_a"), count(lit(1)).as("run"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("run") + lit(k - 1).cast("long")).as("lcs_tokens"),
+        col("start_a"), (col("start_a") - col("d")).as("start_b"))
+    val wBest = Window.partitionBy("doc_a", "doc_b")
+      .orderBy(col("lcs_tokens").desc, col("start_a"), col("start_b"))
+    runs.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+      .select("doc_a", "doc_b", "lcs_tokens", "start_a", "start_b")
+      .orderBy(col("lcs_tokens").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
   /** Sketch-quality audit — the dedup analog of `ann_recall`:
     * precision/recall/F1 of the SimHash Hamming ≤ 6 pair set against
     * the exact 3-gram Jaccard ≥ 0.5 truth ([[ngramJaccard]]). One row;
@@ -1117,7 +1200,9 @@ object Dedup {
     "dedup_provenance" -> dedupProvenance,
     "neardup_apply" -> neardupApply,
     "source_similarity" -> sourceSimilarity,
-    "neardup_pagerank" -> neardupPagerank)
+    "neardup_pagerank" -> neardupPagerank,
+    "neardup_communities" -> neardupCommunities,
+    "dup_substring_pairs" -> dupSubstringPairs)
 
   private val sigConcat =
     (0 until 16).map(i => s"s$i").mkString("concat_ws(',', ", ", ", ")")
@@ -1331,6 +1416,42 @@ object Dedup {
          |  round(n_hit::DOUBLE / n_pred::DOUBLE, 6) AS prec,
          |  round(n_hit::DOUBLE / n_truth::DOUBLE, 6) AS recall
          |FROM nt, np, nh""".stripMargin,
+    // 3 unrolled synchronous LPA rounds: per-round vote table + a
+    // row_number pick of (max count, min label) — the same
+    // deterministic tie-break the Spark plan's min(struct(-c, lbl))
+    // computes, so labels agree exactly
+    "neardup_communities" ->
+      s"""$simhashCte, prs AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |), sym AS (
+         |  SELECT a, b FROM prs UNION ALL SELECT b AS a, a AS b FROM prs
+         |), l0 AS (
+         |  SELECT DISTINCT a AS node, a AS lbl FROM sym
+         |), v1 AS (
+         |  SELECT s.a AS node, l.lbl AS lbl, count(*) AS c
+         |  FROM sym s JOIN l0 l ON l.node = s.b GROUP BY 1, 2
+         |), l1 AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+         |    FROM v1) WHERE rn = 1
+         |), v2 AS (
+         |  SELECT s.a AS node, l.lbl AS lbl, count(*) AS c
+         |  FROM sym s JOIN l1 l ON l.node = s.b GROUP BY 1, 2
+         |), l2 AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+         |    FROM v2) WHERE rn = 1
+         |), v3 AS (
+         |  SELECT s.a AS node, l.lbl AS lbl, count(*) AS c
+         |  FROM sym s JOIN l2 l ON l.node = s.b GROUP BY 1, 2
+         |), l3 AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+         |    FROM v3) WHERE rn = 1
+         |)
+         |SELECT node AS doc_id, lbl AS community FROM l3 ORDER BY doc_id""".stripMargin,
     "neardup_clustering" ->
       s"""$simhashCte, prs AS (
          |  SELECT a.doc_id AS a, b.doc_id AS b
@@ -1460,6 +1581,36 @@ object Dedup {
       s"""${OracleSql.ShingleHashCte}$minhashPairsCtes
          |SELECT da AS doc_a, db AS doc_b, round(j, 4) AS jaccard
          |FROM jac WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    // per-pair LCS via shared-gram diagonal runs: same islands trick as
+    // dedup_span_ranges, partitioned by (pair, diagonal)
+    "dup_substring_pairs" ->
+      s"""${OracleSql.ShingleHashCte}$minhashPairsCtes, cnd AS (
+         |  SELECT da AS doc_a, db AS doc_b FROM jac WHERE j >= 0.5
+         |), gr AS (
+         |  SELECT doc_id, i AS s, array_to_string(tk[i+1:i+8], ' ') AS g
+         |  FROM toks, unnest(range(greatest(len(tk) - 7, 0))) AS u(i)
+         |), m AS (
+         |  SELECT c.doc_a, c.doc_b, a.s AS sa, a.s - b.s AS d
+         |  FROM cnd c
+         |  JOIN gr a ON a.doc_id = c.doc_a
+         |  JOIN gr b ON b.doc_id = c.doc_b AND b.g = a.g
+         |), runs0 AS (
+         |  SELECT doc_a, doc_b, d, sa,
+         |    sa - row_number() OVER (PARTITION BY doc_a, doc_b, d ORDER BY sa) AS grp
+         |  FROM m
+         |), runs AS (
+         |  SELECT doc_a, doc_b, d, min(sa) AS start_a,
+         |    CAST(count(*) + 7 AS BIGINT) AS lcs_tokens
+         |  FROM runs0 GROUP BY doc_a, doc_b, d, grp
+         |), best AS (
+         |  SELECT doc_a, doc_b, lcs_tokens, start_a, start_a - d AS start_b,
+         |    row_number() OVER (PARTITION BY doc_a, doc_b
+         |      ORDER BY lcs_tokens DESC, start_a, start_a - d) AS rn
+         |  FROM runs
+         |)
+         |SELECT doc_a, doc_b, lcs_tokens, start_a, start_b
+         |FROM best WHERE rn = 1
+         |ORDER BY lcs_tokens DESC, doc_a, doc_b LIMIT 20""".stripMargin,
     "minhash_dedup_apply" ->
       s"""${OracleSql.ShingleHashCte.replaceFirst("WITH ", "WITH RECURSIVE ")}$minhashPairsCtes, prs AS (
          |  SELECT da, db FROM jac WHERE j >= 0.5

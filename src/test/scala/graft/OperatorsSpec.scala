@@ -1085,6 +1085,54 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("dup_substring_pairs: reported span matches and is the true LCS (DP check)") {
+    val rows = operators.Dedup.dupSubstringPairs(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.split("\\s+").filter(_.nonEmpty).toSeq).toMap
+    rows.foreach { r =>
+      val (a, b, len, sa, sb) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val (ta, tb) = (docs(a), docs(b))
+      // the reported span really is a common substring at those offsets
+      assert(ta.slice(sa.toInt, sa.toInt + len.toInt) ===
+        tb.slice(sb.toInt, sb.toInt + len.toInt))
+      // and no longer common substring exists (classic O(n·m) DP)
+      val dp = Array.ofDim[Int](ta.length + 1, tb.length + 1)
+      var best = 0
+      for (i <- 1 to ta.length; j <- 1 to tb.length)
+        if (ta(i - 1) == tb(j - 1)) {
+          dp(i)(j) = dp(i - 1)(j - 1) + 1
+          if (dp(i)(j) > best) best = dp(i)(j)
+        }
+      assert(best.toLong === len, s"pair ($a,$b)")
+    }
+  }
+
+  test("neardup_communities: equals a driver-side synchronous LPA replay") {
+    val edges = operators.Dedup.neardupEdges(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    val adj = (edges.map(e => e._1 -> e._2) ++ edges.map(e => e._2 -> e._1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    var lbl: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    (1 to 3).foreach { _ =>
+      val prev = lbl // synchronous: all votes read the previous round
+      lbl = adj.map { case (n, ns) =>
+        val votes = ns.map(prev).groupBy(identity)
+          .map { case (l, xs) => (l, xs.size) }
+        n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val got = operators.Dedup.neardupCommunities(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === lbl)
+    // more than one community must survive on a graph with isolated pairs
+    assert(got.values.toSet.size > 1)
+  }
+
   test("lsh multiprobe: recall per query >= single probe (superset candidates)") {
     val one = operators.Similarity.annRecall(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
