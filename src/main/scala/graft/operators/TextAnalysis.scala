@@ -983,8 +983,8 @@ object TextAnalysis {
       s"""WITH p AS (
          |  SELECT source,
          |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens,
-         |    CAST(len(regexp_extract_all(text, '${EmailRe.replace("\\", "\\\\")}')) AS BIGINT) AS ne,
-         |    CAST(len(regexp_extract_all(text, '${PhoneRe.replace("\\", "\\\\")}')) AS BIGINT) AS np
+         |    CAST(len(regexp_extract_all(text, '${EmailRe}')) AS BIGINT) AS ne,
+         |    CAST(len(regexp_extract_all(text, '${PhoneRe}')) AS BIGINT) AS np
          |  FROM documents
          |)
          |SELECT source, count(*) AS n_docs,
@@ -1453,10 +1453,10 @@ object TextAnalysis {
         |FROM r ORDER BY doc_id""".stripMargin,
     "pii_scrub" ->
       s"""SELECT doc_id,
-         |  CAST(len(regexp_extract_all(text, '${EmailRe.replace("\\", "\\\\")}')) AS BIGINT) AS n_emails,
-         |  CAST(len(regexp_extract_all(text, '${PhoneRe.replace("\\", "\\\\")}')) AS BIGINT) AS n_phones,
-         |  md5(regexp_replace(regexp_replace(text, '${EmailRe.replace("\\", "\\\\")}', '[EMAIL]', 'g'),
-         |    '${PhoneRe.replace("\\", "\\\\")}', '[PHONE]', 'g')) AS scrubbed_md5
+         |  CAST(len(regexp_extract_all(text, '${EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${PhoneRe}')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(text, '${EmailRe}', '[EMAIL]', 'g'),
+         |    '${PhoneRe}', '[PHONE]', 'g')) AS scrubbed_md5
          |FROM documents ORDER BY doc_id""".stripMargin,
     "zipf_fit" ->
       s"""${Index.TokSql}, tf AS (
