@@ -985,6 +985,10 @@ object Similarity {
   def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
     val K = 200
     val sparse = Index.bm25ScoredOf(Tables.documents(spark, dir), Seq("spark", "join"))
+      // doc 0 is the query document (vec_id 0's embedding is the dense
+      // query): exclude it from BOTH legs, not just the dense one, so the
+      // query can't rank in its own results through the lexical leg.
+      .filter(col("doc_id") =!= 0)
       .orderBy(col("score").desc, col("doc_id")).limit(K)
       .withColumn("rank_bm25", row_number()
         .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
@@ -1224,7 +1228,8 @@ object Similarity {
          |      * (btf.tf * 2.2) / (btf.tf + 1.2 * (1.0 - 0.75 + 0.75 * bdl.dl / avgdl.avgdl))), 4) AS score
          |  FROM btf JOIN df USING (term) JOIN bdl ON btf.doc_id = bdl.doc_id, n, avgdl
          |  GROUP BY btf.doc_id),
-         |btop AS (SELECT doc_id, score FROM bscore ORDER BY score DESC, doc_id LIMIT 200),
+         |btop AS (SELECT doc_id, score FROM bscore WHERE doc_id != 0
+         |         ORDER BY score DESC, doc_id LIMIT 200),
          |brank AS (
          |  SELECT doc_id,
          |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_bm25
