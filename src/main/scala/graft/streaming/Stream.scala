@@ -935,13 +935,23 @@ object Stream {
           val ws = W.partitionBy("query_id").orderBy(col("tf").desc, col("doc_id"))
           val sparse = post
             .join(broadcast(batch.select(col("query_id"), col("term"))), "term")
+            // a multi-term query yields one posting row per matched term:
+            // collapse to one candidate per (query, doc) — summed tf, the
+            // same accumulation the batch twin's BM25 leg does — so a
+            // two-term match occupies one rank slot, not two.
+            .groupBy(col("query_id"), col("doc_id"))
+            .agg(sum(col("tf")).as("tf"))
             .withColumn("rank_sparse", row_number().over(ws).cast("long"))
             .filter(col("rank_sparse") <= k * 4)
             .select(col("query_id"), col("doc_id"), col("rank_sparse"))
           val cent = spark.read.parquet(centroidPath)
+          // one (query_id, term) row per term ⇒ the embedding repeats per
+          // term row; dedupe before assignment or each query probes (and
+          // ranks) once per term.
           val qv = graft.operators.Similarity.ivfAssignTo(
               graft.operators.Similarity.withNormOf(
-                batch.select(col("query_id").as("vec_id"), col("embedding"))), cent)
+                batch.select(col("query_id").as("vec_id"), col("embedding"))
+                  .dropDuplicates("vec_id")), cent)
             .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
               col("nm").as("qnm"), col("bucket"))
           val store = spark.read.parquet(storePath)

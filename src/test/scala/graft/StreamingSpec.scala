@@ -382,6 +382,19 @@ class StreamingSpec extends SparkSpec {
         assert(math.abs(rrf - want) < 1e-6)
       }
       assert(r.head._4 === 1L && r.head._5 === 1L) // both legs rank doc 100 first
+      // multi-term query: two (query_id, term) rows for ONE query — a doc
+      // matching both terms must occupy one candidate slot (summed tf),
+      // and the dense leg must rank each doc once, not once per term row.
+      qs.addData((5001L, "spark", Array(1f, 0.05f)),
+        (5001L, "join", Array(1f, 0.05f)))
+      q.processAllAvailable()
+      val r2 = spark.read.parquet(s"$base/out/batch=1")
+        .orderBy("rk").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          x.getLong(3), x.getLong(4), x.getDouble(5)))
+      assert(r2.map(_._3).distinct.length === r2.length) // one slot per doc
+      assert(r2.map(_._3).toSeq === Seq(100L, 101L)) // summed tf 2+1 beats 1
+      assert(r2.head._4 === 1L && r2.head._5 === 1L)
     } finally q.stop()
   }
 
