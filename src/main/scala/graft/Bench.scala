@@ -51,13 +51,18 @@ object Bench {
     // comparable; the #prod twins are informational.
     val total = results.map(_._2).filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    // The one-line JSON exceeds a captured-output tail at 161+ queries;
-    // persist the full artifact to a file too. Path printed BEFORE the
-    // JSON so the JSON stays the last stdout line (the parse contract).
+    // The full one-line JSON exceeds the driver's 2000-char output tail at
+    // 257+ queries, so the LAST stdout line must be a compact summary that
+    // still parses as the bench contract: total + errors + a slowest-5
+    // "queries" map + the path of the full per-query artifact. The full
+    // JSON goes to the file and is printed above for human capture.
     val out = Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json"))
     Files.write(out, json.getBytes(StandardCharsets.UTF_8))
-    println(s"full bench json written to: $out")
     println(json)
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"errors":$errs,"full_json":"$out","sf":"$sfDir"}""")
     spark.stop()
   }
 }
