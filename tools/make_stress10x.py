@@ -26,18 +26,27 @@ import duckdb
 src, dst = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 
+# offsets derive from max(id)+1 (same as orders below): a hardcoded
+# stride would silently collide ids across clones on a source dir with
+# >= stride rows, corrupting the dedup/ANN studies this tool feeds.
+dmx = con.execute(
+    f"SELECT max(doc_id) + 1 FROM read_parquet('{src}/documents.parquet')"
+).fetchone()[0]
 con.execute(f"""
 COPY (
-  SELECT d.doc_id + k.k * 100000 AS doc_id,
+  SELECT d.doc_id + k.k * {dmx} AS doc_id,
          CASE WHEN k.k = 0 THEN d.text
-              ELSE d.text || ' u' || (d.doc_id + k.k * 100000)::VARCHAR END AS text,
+              ELSE d.text || ' u' || (d.doc_id + k.k * {dmx})::VARCHAR END AS text,
          d.lang, d.source, d.n_chars
   FROM read_parquet('{src}/documents.parquet') d, (SELECT unnest(range(10)) AS k) k
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
 
+vmx = con.execute(
+    f"SELECT max(vec_id) + 1 FROM read_parquet('{src}/embeddings.parquet')"
+).fetchone()[0]
 con.execute(f"""
 COPY (
-  SELECT e.vec_id + k.k * 100000 AS vec_id, e.embedding, e.label
+  SELECT e.vec_id + k.k * {vmx} AS vec_id, e.embedding, e.label
   FROM read_parquet('{src}/embeddings.parquet') e, (SELECT unnest(range(10)) AS k) k
 ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
 
