@@ -40,9 +40,10 @@ object Explain {
     "ngram_jaccard" -> Rule(),
     "containment_pairs" -> Rule(),
     // the banded Hamming join must BE the plan: the lossless band-keyed
-    // equijoin carries its bit_count(xor) verification in the join
-    // condition — a pairwise rewrite would lose the substring
-    "simhash_pairs" -> Rule(required = Seq("bit_count(")),
+    // EQUIJOIN (keys = (band, v), broadcast at spec scale, SMJ at 100 TB)
+    // carries its bit_count(xor) verification in the join condition — a
+    // pairwise rewrite would lose both the key shape and the substring
+    "simhash_pairs" -> Rule(required = Seq("bit_count(", "Join [band#")),
     "dedup_clusters" -> Rule(),
     "neardup_triangles" -> Rule(),
     "neardup_pagerank" -> Rule(),
@@ -64,7 +65,7 @@ object Explain {
     // survive in the plan (the PPJoin truth side sits behind a
     // localCheckpoint, so its intersect_size is not visible here —
     // jaccard_hist pins that shape instead)
-    "neardup_eval" -> Rule(required = Seq("bit_count(")),
+    "neardup_eval" -> Rule(required = Seq("bit_count(", "Join [band#")),
     // round-6 TPC-H flavors: star joins must broadcast their dims
     "q8_market_share" -> Rule(required = Seq("BroadcastHashJoin")),
     "q18_big_orders" -> Rule(required = Seq("BroadcastHashJoin")),
@@ -92,7 +93,8 @@ object Explain {
     "oov_rate" -> Rule(required = Seq("BroadcastHashJoin")),
     "query_ranked" -> Rule(required = Seq("BroadcastHashJoin")),
     "query_near" -> Rule(),
-    "jaccard_hist" -> Rule(required = Seq("intersect_size(")),
+    // ...and the exact-Jaccard side must stay gram-hash-keyed (hh)
+    "jaccard_hist" -> Rule(required = Seq("intersect_size(", "Join [hh#")),
     "media_size_report" -> Rule(),
     "doc_lang_mismatch" -> Rule(),
     "shard_assign" -> Rule(),
@@ -126,7 +128,7 @@ object Explain {
     "shingle_df_hist" -> Rule(),
     "pack_efficiency_report" -> Rule(),
     "neardup_family_overlap" -> Rule(),
-    "source_dup_matrix" -> Rule(required = Seq("bit_count(")),
+    "source_dup_matrix" -> Rule(required = Seq("bit_count(", "Join [band#")),
     "query_field" -> Rule(),
     "term_burstiness" -> Rule(),
     "session_length_hist" -> Rule(),
