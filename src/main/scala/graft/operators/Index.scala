@@ -438,7 +438,17 @@ object Index {
     * over any corpus; shared by [[bm25Topk]] and [[rrfFusion]]
     * (rounded before ordering, see [[tfidfScoredOf]]).
     */
-  def bm25ScoredOf(docs: DataFrame, terms: Seq[String]): DataFrame = {
+  def bm25ScoredOf(docs: DataFrame, terms: Seq[String]): DataFrame =
+    bm25WeightsOf(docs, terms)
+      .groupBy("doc_id").agg(round(sum(col("w")), 4).as("score"))
+
+  /** (doc_id, term, w) — the per-(doc, query-term) BM25 weight frame
+    * (k1=1.2, b=0.75) every BM25-family ranker aggregates: candidate
+    * docs are exactly those holding ≥1 query term, so the frame is
+    * bounded by the query terms' posting lists, never the corpus.
+    * Shared by [[bm25ScoredOf]] and the [[wandTopkOf]] pruning ladder.
+    */
+  def bm25WeightsOf(docs: DataFrame, terms: Seq[String]): DataFrame = {
     val (k1, b) = (1.2, 0.75)
     val base = tfBaseOf(docs)
     val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
@@ -453,7 +463,7 @@ object Index {
       .withColumn("w",
         col("idf") * (col("tf") * (k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-      .groupBy("doc_id").agg(round(sum(col("w")), 4).as("score"))
+      .select("doc_id", "term", "w")
   }
 
   def bm25TopkOf(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame =
@@ -463,6 +473,81 @@ object Index {
 
   def bm25Topk(spark: SparkSession, dir: String): DataFrame =
     bm25TopkOf(Tables.documents(spark, dir), Seq("spark", "join"))
+
+  /** Query terms of the WAND keys — three mid-df terms so the
+    * upper-bound pruning has something to prune.
+    */
+  private val WandTerms = Seq("vector", "merge", "stream")
+
+  /** The WAND/MaxScore frames (Broder et al. CIKM'03; Turtle & Flood's
+    * MaxScore), re-expressed SET-at-a-time for Spark: per-term maximum
+    * contribution UB_t = max_d w(t,d) bounds any doc's score by the sum
+    * of UB_t over the query terms it contains, so the exact top-k only
+    * ever needs full scoring of docs whose bound reaches the running
+    * threshold. Document-at-a-time pointer movement doesn't map to a
+    * declarative plan, but the same pruning algebra does, in two
+    * phases: (1) exactly score the k docs with the HIGHEST bounds —
+    * their minimum exact score is the threshold θ; (2) score only docs
+    * with bound ≥ θ. Any skipped doc has rounded score ≤ rounded bound
+    * < θ (round is monotone), so the result is EXACTLY the full BM25
+    * top-k — the oracle asserts that equality, not an approximation.
+    * Returns (w, docUb, theta, pruned): the weight frame, per-doc
+    * bounds, 1-row threshold, and the pruned doc set.
+    *
+    * Scale shape: w is bounded by the query terms' posting lists (never
+    * the corpus); UB is a |terms|-row broadcast; seed selection is a
+    * bounded TakeOrdered heap; θ is a 1-row broadcast. Sums fold in
+    * sorted term order through [[Folds.groupSums]] so the multi-term
+    * double addition is cross-engine deterministic.
+    */
+  private def wandFrames(docs: DataFrame, terms: Seq[String], k: Int):
+      (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // one materialization feeds the UB branch, the seed scoring and the
+    // final scoring (three consumers of the same posting-bounded frame)
+    val w = bm25WeightsOf(docs, terms).localCheckpoint()
+    val ub = w.groupBy("term").agg(max(col("w")).as("ubt"))
+    val docUb = Folds.groupSums(w.join(broadcast(ub), "term"),
+        Seq("doc_id"), col("term"), Seq("ub" -> col("ubt")))
+      .select(col("doc_id"), round(col("ub"), 4).as("ub"))
+    val seed = docUb.orderBy(col("ub").desc, col("doc_id")).limit(k)
+    val theta = Folds.groupSums(w.join(seed.select("doc_id"), "doc_id"),
+        Seq("doc_id"), col("term"), Seq("s" -> col("w")))
+      .select(round(col("s"), 4).as("score"))
+      .agg(min(col("score")).as("theta"))
+    val pruned = docUb.crossJoin(broadcast(theta))
+      .filter(col("ub") >= col("theta")).select("doc_id")
+    (w, docUb, theta, pruned)
+  }
+
+  def wandTopkOf(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
+    val (w, _, _, pruned) = wandFrames(docs, terms, k)
+    Folds.groupSums(w.join(pruned, "doc_id"),
+        Seq("doc_id"), col("term"), Seq("s" -> col("w")))
+      .select(col("doc_id"), round(col("s"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Exact BM25 top-20 through the MaxScore pruning ladder — the
+    * oracle is the UNPRUNED exact ranking, so correctness of the
+    * bound-and-verify algebra itself is what the gate asserts.
+    */
+  def wandTopk(spark: SparkSession, dir: String): DataFrame =
+    wandTopkOf(Tables.documents(spark, dir), WandTerms)
+
+  /** The pruning diagnostic next to [[wandTopk]]: candidate docs
+    * (≥1 query term), docs surviving the bound ≥ θ filter (the only
+    * ones phase 2 scores), and θ itself — the numbers that say how
+    * much posting-list work MaxScore skips on this corpus before
+    * trusting it at 100 TB.
+    */
+  def wandPruneStats(spark: SparkSession, dir: String): DataFrame = {
+    val (_, docUb, theta, pruned) = wandFrames(
+      Tables.documents(spark, dir), WandTerms, 20)
+    docUb.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(broadcast(pruned.agg(count(lit(1)).as("n_scored"))))
+      .crossJoin(broadcast(theta))
+  }
 
   /** Query-likelihood ranking with Dirichlet smoothing (Zhai & Lafferty
     * SIGIR'01) — the LM-based alternative to BM25:
@@ -931,6 +1016,8 @@ object Index {
     "tfidf_topk" -> tfidfTopk,
     "hashing_vectorize" -> hashingVectorize,
     "bm25_topk" -> bm25Topk,
+    "wand_topk" -> wandTopk,
+    "wand_prune_stats" -> wandPruneStats,
     "mlt_topk" -> mltTopk,
     "prf_expand" -> prfExpand,
     "spell_candidates" -> spellCandidates,
@@ -958,6 +1045,24 @@ object Index {
       |), tok AS (
       |  SELECT doc_id, unnest(tk) AS term, unnest(range(len(tk))) AS pos FROM toks
       |)""".stripMargin
+
+  /** Shared DuckDB CTE for the WAND keys: the (doc_id, term, w)
+    * BM25-weight frame of [[bm25WeightsOf]] over [[WandTerms]],
+    * formula-identical to the bm25_topk oracle.
+    */
+  private val WandWSql: String =
+    s"""$TokSql, n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+       |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+       |avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+       |df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY term),
+       |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       |       WHERE term IN ('vector', 'merge', 'stream') GROUP BY doc_id, term),
+       |w AS (
+       |  SELECT tf.doc_id AS doc_id, tf.term AS term,
+       |    ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+       |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl.avgdl)) AS w
+       |  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, n, avgdl
+       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "stopword_induction" ->
@@ -1239,6 +1344,36 @@ object Index {
          |    * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))), 4) AS score
          |FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, n, avgdl
          |GROUP BY tf.doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // the WAND oracle is the UNPRUNED exact BM25 ranking (sorted-fold
+    // sum: 3 terms, so addition order must be pinned on both engines) —
+    // equality here proves the pruning skipped nothing
+    "wand_topk" ->
+      s"""$WandWSql
+         |SELECT doc_id,
+         |  round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+         |    list_sort(list(struct_pack(term := term, w := w))), s -> s['w'])),
+         |    (a, x) -> a + x), 4) AS score
+         |FROM w GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "wand_prune_stats" ->
+      s"""$WandWSql,
+         |ub AS (SELECT term, max(w) AS ubt FROM w GROUP BY term),
+         |du AS (
+         |  SELECT w.doc_id AS doc_id,
+         |    round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+         |      list_sort(list(struct_pack(term := w.term, w := ub.ubt))), s -> s['w'])),
+         |      (a, x) -> a + x), 4) AS ub
+         |  FROM w JOIN ub USING (term) GROUP BY w.doc_id
+         |), seed AS (SELECT doc_id FROM du ORDER BY ub DESC, doc_id LIMIT 20),
+         |ss AS (
+         |  SELECT w.doc_id AS doc_id,
+         |    round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+         |      list_sort(list(struct_pack(term := term, w := w))), s -> s['w'])),
+         |      (a, x) -> a + x), 4) AS score
+         |  FROM w JOIN seed USING (doc_id) GROUP BY w.doc_id
+         |), th AS (SELECT min(score) AS theta FROM ss)
+         |SELECT (SELECT count(*) FROM du) AS n_candidates,
+         |  (SELECT count(*) FROM du, th WHERE du.ub >= th.theta) AS n_scored,
+         |  (SELECT theta FROM th) AS theta""".stripMargin,
     "top_terms_per_doc" ->
       s"""$TokSql, tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term)
          |SELECT doc_id, term, tf, rk FROM (

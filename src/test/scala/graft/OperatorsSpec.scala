@@ -204,6 +204,21 @@ class OperatorsSpec extends SparkSpec {
     assert(ivf.select("bucket").distinct().count() <= Similarity.NCentroids)
   }
 
+  test("wand_topk: MaxScore pruning returns EXACTLY the unpruned BM25 top-k") {
+    val docsDf = graft.sources.Tables.documents(spark, sfDir)
+    val exact = Index.bm25TopkOf(docsDf, Seq("vector", "merge", "stream"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val wand = SparkEntry.queries("wand_topk")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(wand === exact)
+    // the diagnostic: pruning keeps a NON-TRIVIAL strict subset that
+    // still contains every top-k doc
+    val st = SparkEntry.queries("wand_prune_stats")(spark, sfDir).head()
+    val (nCand, nScored) = (st.getLong(st.fieldIndex("n_candidates")),
+      st.getLong(st.fieldIndex("n_scored")))
+    assert(nScored >= exact.size && nScored <= nCand)
+  }
+
   test("rrf_fusion: scores in (0, 2/61], ranks positive or absent-as-0") {
     val r = SparkEntry.queries("rrf_fusion")(spark, sfDir).collect()
     assert(r.nonEmpty)
