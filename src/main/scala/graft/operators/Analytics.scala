@@ -238,6 +238,34 @@ object Analytics {
       .select("event_id", "user_id", "last_order")
       .orderBy("event_id")
 
+  /** First-touch session attribution: every session (same 30-minute
+    * inactivity cut as [[sessionize]]) credits its entire `value` mass
+    * to the session's FIRST event_type (winner by (ts, event_id) —
+    * deterministic among same-instant events), rolled up to sessions
+    * and value per entry touch — the marketing-style "what starts
+    * valuable sessions" report. One user-keyed window pass (the
+    * sessionize shape) + a per-session rollup + an |event_types|-row
+    * rollup; nothing joins events against events.
+    */
+  def attributionFirstTouch(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val sess = eventsUs(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type"), col("value"))
+      .withColumn("prev", lag(col("ts_us"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("ts_us") - col("prev") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("is_new")).over(w))
+    sess.groupBy("user_id", "sid")
+      .agg(min(struct(col("ts_us"), col("event_id"), col("event_type"))).as("first"),
+        sum(col("value")).as("sess_value"))
+      .groupBy(col("first.event_type").as("touch_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        round(sum(col("sess_value")), 2).as("total_value"))
+      .orderBy("touch_type")
+  }
+
   def rangeJoin(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
@@ -2061,6 +2089,7 @@ object Analytics {
     "sessionize" -> sessionize,
     "window_tumbling" -> windowTumbling,
     "asof_join" -> asofJoin,
+    "attribution_first_touch" -> attributionFirstTouch,
     "range_join" -> rangeJoin,
     "percentiles" -> percentiles,
     "approx_distinct" -> approxDistinct,
@@ -3016,6 +3045,32 @@ object Analytics {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_order
          |  FROM unioned)
          |WHERE kind = 1 ORDER BY event_id""".stripMargin,
+    // session cut identical to the sessionize oracle; the session's
+    // first event picked by a struct min so the (ts, event_id) winner
+    // carries its event_type with it on both engines
+    "attribution_first_touch" ->
+      s"""$EvSql, lagged AS (
+         |  SELECT user_id, event_id, ts_us, event_type, value,
+         |    lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+         |  FROM ev
+         |), flagged AS (
+         |  SELECT user_id, event_id, ts_us, event_type, value,
+         |    CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END AS is_new
+         |  FROM lagged
+         |), sess AS (
+         |  SELECT user_id, event_id, ts_us, event_type, value,
+         |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM flagged
+         |), per AS (
+         |  SELECT user_id, sid,
+         |    min(struct_pack(ts := ts_us, eid := event_id, et := event_type)) AS first,
+         |    sum(value) AS sess_value
+         |  FROM sess GROUP BY user_id, sid
+         |)
+         |SELECT first['et'] AS touch_type, count(*) AS n_sessions,
+         |  round(sum(sess_value), 2) AS total_value
+         |FROM per GROUP BY touch_type ORDER BY touch_type""".stripMargin,
     "range_join" ->
       """SELECT date_diff('day', o_orderdate, l_shipdate) AS lag_days, count(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

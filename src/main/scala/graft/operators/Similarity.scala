@@ -1014,7 +1014,100 @@ object Similarity {
       .limit(20)
   }
 
+  /** MMR diversity re-ranking (Carbonell & Goldstein, SIGIR'98) of the
+    * dense leg: the top-[[MmrCand]] candidates by cosine to the query
+    * (vec_id 0) are greedily re-ordered by
+    * mmr(v) = λ·rel(v) − (1−λ)·max_{c∈chosen} sim(v,c), λ=0.7 — the
+    * training-data-sampling shape that keeps a prompt's retrieved
+    * context (or a dedup cluster's exemplars) from being ten copies of
+    * the same document. Every step is declarative: chosen stays a
+    * ≤k-row frame (checkpointed per step so the plan stays linear, the
+    * [[neardupCommunities]] iteration pattern), the per-step argmax is
+    * a TakeOrdered heap over the bounded candidate frame, and all
+    * scores are rounded at 6dp BEFORE each comparison so the greedy
+    * path is cross-engine deterministic. Scale: candidate generation
+    * is the only corpus-sized stage (one TakeOrdered pass); the k
+    * selection steps touch [[MmrCand]]×[[MmrCand]] rounded sims only.
+    */
+  private val MmrCand = 20
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val lam = 0.7
+    val kSel = 10
+    val en = withNorm(Tables.embeddings(spark, dir))
+    val q = en.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("nm").as("qnm"))
+    val cand = en.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("rel", round(
+        VectorFns.dot(col("qe"), col("embedding")) / (col("qnm") * col("nm")), 6))
+      .orderBy(col("rel").desc, col("vec_id")).limit(MmrCand)
+      .select(col("vec_id"), col("embedding"), col("nm"), col("rel"))
+      .localCheckpoint()
+    val sims = cand.as("a").join(cand.as("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        round(VectorFns.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nm") * col("b.nm")), 6).as("sim"))
+      .localCheckpoint()
+    var sel = cand
+      .select(col("vec_id"), round(lit(lam) * col("rel"), 6).as("mmr_score"))
+      .orderBy(col("mmr_score").desc, col("vec_id")).limit(1)
+      .withColumn("rank", lit(1L))
+      .localCheckpoint()
+    for (i <- 2 to kSel) {
+      val div = sims.join(broadcast(sel.select(col("vec_id").as("vb"))), "vb")
+        .groupBy(col("va").as("vec_id")).agg(max(col("sim")).as("div"))
+      val next = cand.join(sel.select("vec_id"), Seq("vec_id"), "left_anti")
+        .join(div, "vec_id")
+        .select(col("vec_id"),
+          // literal 0.3, NOT 1.0 - lam: the Scala subtraction yields
+          // 0.30000000000000004 while the oracle's SQL literal parses
+          // to the 0.3 double — they must be the same bits
+          round(lit(lam) * col("rel") - lit(0.3) * col("div"), 6).as("mmr_score"))
+        .orderBy(col("mmr_score").desc, col("vec_id")).limit(1)
+        .withColumn("rank", lit(i.toLong))
+      sel = sel.unionByName(next).localCheckpoint()
+    }
+    sel.select("rank", "vec_id", "mmr_score").orderBy("rank")
+  }
+
+  /** Farthest-point (greedy k-center / Gonzalez'85) coreset selection
+    * over the whole embedding corpus: seed at vec_id 0, then k−1 times
+    * add the point with the LARGEST rounded cosine distance to its
+    * nearest already-chosen center — the 2-approximation every
+    * coverage-driven data-selection pipeline starts from (each pick's
+    * `dist` column is the corpus coverage radius before that center
+    * was added, so the output doubles as the k-vs-radius curve).
+    * Scale: each of the k−1 steps is one corpus pass — chosen is a
+    * ≤k-row broadcast, min-dist a partial agg, the argmax a 1-row
+    * TakeOrdered — the same shape [[ivfRetrain]]'s assignment pass
+    * runs; nothing is ever pairwise in the corpus.
+    */
+  def kcenterSelect(spark: SparkSession, dir: String): DataFrame = {
+    val kSel = 8
+    val en = withNorm(Tables.embeddings(spark, dir)).localCheckpoint()
+    var sel = en.filter(col("vec_id") === 0)
+      .select(col("vec_id"), lit(0.0).as("dist"), lit(1L).as("rank"))
+      .localCheckpoint()
+    for (i <- 2 to kSel) {
+      val centers = en.join(sel.select("vec_id"), Seq("vec_id"), "left_semi")
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          col("nm").as("cnm"))
+      val next = en.join(sel.select("vec_id"), Seq("vec_id"), "left_anti")
+        .crossJoin(broadcast(centers))
+        .withColumn("d", round(lit(1.0) -
+          VectorFns.dot(col("embedding"), col("ce")) / (col("nm") * col("cnm")), 6))
+        .groupBy("vec_id").agg(min(col("d")).as("dist"))
+        .orderBy(col("dist").desc, col("vec_id")).limit(1)
+        .withColumn("rank", lit(i.toLong))
+      sel = sel.unionByName(next).localCheckpoint()
+    }
+    sel.select("rank", "vec_id", "dist").orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mmr_rerank" -> mmrRerank,
+    "kcenter_select" -> kcenterSelect,
     "hybrid_search" -> hybridSearch,
     "ann_recall_pq" -> annRecallPq,
     "ann_recall_ivfpq" -> annRecallIvfPq,
@@ -1209,7 +1302,59 @@ object Similarity {
        |  SELECT vec_id, embedding, sqrt(${OracleSql.norm2("embedding")}) AS nm FROM dq
        |)""".stripMargin
 
+  /** Unrolled greedy steps of the MMR oracle: the k−1 argmax picks as
+    * chained CTEs (each step scores the remaining candidates against
+    * the accumulated sel CTE), generated mechanically so the SQL is
+    * the Spark loop's exact mirror.
+    */
+  private val MmrStepsSql: String = (2 to 10).map { i =>
+    s""", s$i AS MATERIALIZED (
+       |  SELECT c.vec_id AS vec_id,
+       |    round(0.7 * c.rel - 0.3 * (SELECT max(s.sim) FROM sims s
+       |      JOIN sel${i - 1} p ON s.vb = p.vec_id WHERE s.va = c.vec_id), 6) AS mmr_score,
+       |    $i::BIGINT AS rank
+       |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+       |  ORDER BY mmr_score DESC, c.vec_id LIMIT 1
+       |), sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM s$i)""".stripMargin
+  }.mkString
+
+  /** Unrolled farthest-point steps of the k-center oracle (same
+    * mechanical generation as [[MmrStepsSql]]).
+    */
+  private val KcenterStepsSql: String = (2 to 8).map { i =>
+    s""", s$i AS MATERIALIZED (
+       |  SELECT v.vec_id AS vec_id,
+       |    min(round(1.0 - ${OracleSql.cosineN("v.embedding", "c.embedding", "v.nm", "c.nm")}, 6)) AS dist,
+       |    $i::BIGINT AS rank
+       |  FROM nrm v JOIN nrm c ON c.vec_id IN (SELECT vec_id FROM sel${i - 1})
+       |  WHERE v.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+       |  GROUP BY v.vec_id
+       |  ORDER BY dist DESC, vec_id LIMIT 1
+       |), sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM s$i)""".stripMargin
+  }.mkString
+
   val oracles: Map[String, String] = Map(
+    "mmr_rerank" ->
+      s"""${OracleSql.NormCte}, cand AS MATERIALIZED (
+         |  SELECT b.vec_id, b.embedding, b.nm,
+         |    round(${OracleSql.cosineN("q.embedding", "b.embedding", "q.nm", "b.nm")}, 6) AS rel
+         |  FROM nrm q JOIN nrm b ON q.vec_id = 0 AND b.vec_id != 0
+         |  ORDER BY rel DESC, b.vec_id LIMIT $MmrCand
+         |), sims AS MATERIALIZED (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb,
+         |    round(${OracleSql.cosineN("a.embedding", "b.embedding", "a.nm", "b.nm")}, 6) AS sim
+         |  FROM cand a JOIN cand b ON a.vec_id != b.vec_id
+         |), s1 AS (
+         |  SELECT vec_id, round(0.7 * rel, 6) AS mmr_score, 1::BIGINT AS rank
+         |  FROM cand ORDER BY mmr_score DESC, vec_id LIMIT 1
+         |), sel1 AS MATERIALIZED (SELECT * FROM s1)$MmrStepsSql
+         |SELECT rank, vec_id, mmr_score FROM sel10 ORDER BY rank""".stripMargin,
+    "kcenter_select" ->
+      s"""${OracleSql.NormCte}, sel1 AS MATERIALIZED (
+         |  SELECT vec_id, 0.0::DOUBLE AS dist, 1::BIGINT AS rank
+         |  FROM nrm WHERE vec_id = 0
+         |)$KcenterStepsSql
+         |SELECT rank, vec_id, dist FROM sel8 ORDER BY rank""".stripMargin,
     "hybrid_search" ->
       s"""WITH toks AS (
          |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) AS tk

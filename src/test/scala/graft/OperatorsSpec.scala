@@ -219,6 +219,34 @@ class OperatorsSpec extends SparkSpec {
     assert(nScored >= exact.size && nScored <= nCand)
   }
 
+  test("attribution_first_touch: session mass conserved, touches are event types") {
+    val attr = SparkEntry.queries("attribution_first_touch")(spark, sfDir).collect()
+    val nSessions = SparkEntry.queries("sessionize")(spark, sfDir).count()
+    assert(attr.map(_.getLong(attr.head.fieldIndex("n_sessions"))).sum === nSessions)
+    val types = graft.operators.Analytics.eventsUs(spark, sfDir)
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    assert(attr.map(_.getString(attr.head.fieldIndex("touch_type"))).forall(types))
+  }
+
+  test("mmr_rerank: greedy scores non-increasing, first pick is the top-1, all distinct") {
+    val r = SparkEntry.queries("mmr_rerank")(spark, sfDir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(r.map(_._1).toSeq === (1L to 10L))
+    assert(r.map(_._2).distinct.length === 10)
+    assert(r.map(_._3).sliding(2).forall(p => p(0) >= p(1) - 1e-9))
+    val top1 = Similarity.knnBruteforce(spark, sfDir)
+      .filter(col("query_id") === 0 && col("rk") === 1).head().getLong(2)
+    assert(r.head._2 === top1)
+  }
+
+  test("kcenter_select: coverage radius non-increasing, seed is vec 0") {
+    val r = SparkEntry.queries("kcenter_select")(spark, sfDir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(r.head === ((1L, 0L, 0.0)))
+    assert(r.map(_._2).distinct.length === r.length)
+    assert(r.drop(1).map(_._3).sliding(2).forall(p => p(0) >= p(1) - 1e-9))
+  }
+
   test("rrf_fusion: scores in (0, 2/61], ranks positive or absent-as-0") {
     val r = SparkEntry.queries("rrf_fusion")(spark, sfDir).collect()
     assert(r.nonEmpty)
