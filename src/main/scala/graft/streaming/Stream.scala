@@ -86,6 +86,77 @@ object Stream {
       }
   }
 
+  case class EvA(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  case class AttrSession(user_id: Long, touch_type: String, n_events: Long,
+      sess_value: Double, start_us: Long)
+  case class AttrState(firstUs: Long, firstType: String, n: Long,
+      value: Double, startUs: Long, endUs: Long)
+
+  /** Streaming first-touch attribution — the streaming twin of
+    * `Analytics.attributionFirstTouch`: each closed session (same
+    * 30-minute gap + EventTimeTimeout discipline as
+    * [[sessionizeWithTimeout]]) emits its total value mass credited to
+    * its FIRST event_type. An out-of-order (but in-watermark) event
+    * that precedes the open session's start RE-CREDITS the session
+    * (the first touch is whatever the earliest event turns out to be,
+    * ties at the same instant broken by event_type — the stream has no
+    * event_id, so the tie-break is the lexicographic type). State per
+    * user is one open credited session; the watermark bounds its
+    * lifetime, so a 100 TB/day firehose holds open sessions only.
+    * Downstream the per-touch rollup is an ordinary streaming agg on
+    * this append output.
+    */
+  def attributionStream(events: Dataset[EvA], gapMinutes: Long = 30): Dataset[AttrSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def tsUs(t: Timestamp): Long = t.getTime * 1000L
+
+    def close(userId: Long, s: AttrState): AttrSession =
+      AttrSession(userId, s.firstType, s.n, s.value, s.startUs)
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, AttrSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, evs: Iterator[EvA], state: GroupState[AttrState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(close(userId, s))
+          } else {
+            // (ts, type) order so replays apply a micro-batch identically
+            val sorted = evs.toSeq.sortBy(e => (tsUs(e.ts), e.event_type))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[AttrSession]
+            sorted.foreach { e =>
+              val t = tsUs(e.ts)
+              cur match {
+                case Some(s) if t >= s.startUs - gapUs && t - s.endUs <= gapUs =>
+                  val (fu, ft) =
+                    if (t < s.firstUs || (t == s.firstUs && e.event_type < s.firstType))
+                      (t, e.event_type)
+                    else (s.firstUs, s.firstType)
+                  cur = Some(AttrState(fu, ft, s.n + 1, s.value + e.value,
+                    math.min(s.startUs, t), math.max(s.endUs, t)))
+                case Some(s) =>
+                  closed += close(userId, s)
+                  cur = Some(AttrState(t, e.event_type, 1L, e.value, t, t))
+                case None =>
+                  cur = Some(AttrState(t, e.event_type, 1L, e.value, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endUs / 1000L + gapMinutes * 60000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   case class Throttled(user_id: Long, event_type: String, ts_us: Long)
 
   case class SkyIn(id: Long, price_cents: Long, ts: Timestamp)

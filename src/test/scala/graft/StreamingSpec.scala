@@ -57,6 +57,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_attribution: out-of-order event re-credits the first touch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Stream.EvA]
+    val q = Stream.attributionStream(in.toDS())
+      .writeStream.format("memory").queryName("attr_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // session opens crediting "view"...
+      in.addData(Stream.EvA(1L, ts(10), "view", 2.0),
+        Stream.EvA(1L, ts(12), "purchase", 5.0))
+      q.processAllAvailable()
+      // ...then an out-of-order (in-watermark) earlier "click" arrives:
+      // the first touch must move to it
+      in.addData(Stream.EvA(1L, ts(8), "click", 1.0))
+      q.processAllAvailable()
+      // far-future other-user event pushes the watermark past the gap
+      in.addData(Stream.EvA(2L, ts(600), "view", 0.0))
+      q.processAllAvailable()
+      in.addData(Stream.EvA(2L, ts(601), "view", 0.0)) // batch that fires timeouts
+      q.processAllAvailable()
+      val s = spark.table("attr_sessions")
+        .filter(org.apache.spark.sql.functions.col("user_id") === 1L).collect()
+      assert(s.length === 1)
+      assert(s(0).getString(1) === "click")            // touch_type re-credited
+      assert(s(0).getLong(2) === 3L)                   // n_events
+      assert(s(0).getDouble(3) === 8.0)                // sess_value
+      assert(s(0).getLong(4) === 8L * 60L * 1000000L)  // start_us lowered
+    } finally q.stop()
+  }
+
   test("stream_ohlc: hourly bars with time-ordered open/close") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
