@@ -183,7 +183,21 @@ object Explain {
     "skyline_orders" -> Rule(required = Seq("BroadcastHashJoin")),
     // LSH multiprobe: still ONE bucket-keyed join, probes exploded on
     // the tiny broadcast query side
-    "knn_lsh_probe2" -> Rule(required = Seq("BroadcastHashJoin")))
+    "knn_lsh_probe2" -> Rule(required = Seq("BroadcastHashJoin")),
+    // r7 additions: WAND's phase-2 scoring must ride bounded heaps
+    // (seed + final top-k are TakeOrdered, never a global sort) with
+    // the tiny UB/θ frames broadcast; the greedy selectors likewise
+    // end every step in a 1-row TakeOrdered; attribution inherits the
+    // sessionize window shape (no cartesian anywhere)
+    "wand_topk" -> Rule(required = Seq("TakeOrderedAndProject", "BroadcastHashJoin")),
+    "wand_prune_stats" -> Rule(required = Seq("TakeOrderedAndProject")),
+    // the greedy selectors checkpoint each step, so the terminal plan is a
+    // sort over a 10-row checkpoint scan — the per-step TakeOrdered
+    // heaps execute during construction and can't be asserted here;
+    // the no-cartesian obligation still applies
+    "mmr_rerank" -> Rule(),
+    "kcenter_select" -> Rule(),
+    "attribution_first_touch" -> Rule())
 
   /** Saved-index retrieval invariants: the lookup paths must prune
     * term buckets AT PLANNING TIME (PartitionFilters, not a post-scan

@@ -92,17 +92,66 @@ object IndexStore {
     }
   }
 
+  /** Underscore-prefixed tombstone directory inside an index: parquet
+    * data listings skip underscore paths, so the deleted-doc set
+    * travels with the index without polluting its data files.
+    */
+  private val TombstonesDir = "_tombstones"
+
+  /** Mark documents DELETED without rewriting the index: each call
+    * appends one small parquet batch to the [[TombstonesDir]] — an
+    * O(|docIds|) write however large the index is, the production
+    * shape for takedowns/redactions between compactions. Readers
+    * ([[load]], and therefore every lookup and [[merge]]) anti-join
+    * the tombstone set out; [[compact]] folds tombstones into a clean
+    * rewrite when the set has grown enough to matter.
+    */
+  def delete(spark: SparkSession, path: String, docIds: Seq[Long]): Unit = {
+    require(docIds.nonEmpty, "delete needs at least one doc_id")
+    import spark.implicits._
+    docIds.toDF("doc_id").coalesce(1).write.mode("append")
+      .parquet(new org.apache.hadoop.fs.Path(path, TombstonesDir).toString)
+  }
+
+  /** The index's accumulated tombstone set (distinct doc_ids across
+    * all delete batches); None when nothing was ever deleted.
+    */
+  private def tombstonesOf(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path, TombstonesDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString).distinct())
+    else None
+  }
+
+  /** Rewrite the index at `path` with tombstoned docs dropped for
+    * real, into `outPath` with no tombstone directory — the compaction
+    * that bounds how long the reader-side anti-join list grows. One
+    * full index pass, same bucket layout.
+    */
+  def compact(spark: SparkSession, path: String, outPath: String,
+              nBuckets: Int = DefaultBuckets): Unit =
+    save(load(spark, path).drop("term_bucket"), outPath, nBuckets)
+
   /** Read an index back, transparently decoding a delta-gap `gaps`
-    * column to absolute `positions` (see [[save]]). The decode is a
-    * narrow codegen'd map AFTER scan filters apply, so partition
-    * pruning and term pushdown are unaffected.
+    * column to absolute `positions` (see [[save]]) and anti-joining
+    * out any tombstoned doc_ids. The decode is a narrow codegen'd map
+    * AFTER scan filters apply, and term/bucket predicates push through
+    * the anti-join's streamed side, so partition pruning and term
+    * pushdown are unaffected (auditIndex asserts this); the tombstone
+    * side is a small frame AQE broadcasts.
     */
   def load(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.parquet(path)
-    if (raw.columns.contains("gaps"))
-      raw.withColumn("positions", PostingsFns.deltaDecode(col("gaps")))
-        .drop("gaps")
-    else raw
+    val raw0 = spark.read.parquet(path)
+    val raw =
+      if (raw0.columns.contains("gaps"))
+        raw0.withColumn("positions", PostingsFns.deltaDecode(col("gaps")))
+          .drop("gaps")
+      else raw0
+    tombstonesOf(spark, path) match {
+      case Some(t) if raw.columns.contains("doc_id") =>
+        raw.join(t, Seq("doc_id"), "left_anti")
+      case _ => raw
+    }
   }
 
   /** Fail loudly when the caller's `nBuckets` is not the one the

@@ -137,6 +137,38 @@ class SourcesSpec extends SparkSpec {
     assert(tooFew.getMessage.contains("saved with nBuckets=8"))
   }
 
+  test("index store: tombstone delete hides docs from every reader, compact folds in") {
+    val base = tmpDir("graft-idxdel")
+    val path = s"$base/index"
+    val idx = Index.invertedIndex(spark, sfDir)
+    IndexStore.save(idx, path, nBuckets = 8)
+    val term = "spark"
+    val before = IndexStore.lookup(spark, path, term, nBuckets = 8)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(before.length >= 2)
+    // two delete batches append — both must apply
+    IndexStore.delete(spark, path, Seq(before.head))
+    IndexStore.delete(spark, path, Seq(before.last))
+    val after = IndexStore.lookup(spark, path, term, nBuckets = 8)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(after.toSeq === before.toSeq.drop(1).dropRight(1))
+    assert(IndexStore.load(spark, path)
+      .filter(col("doc_id").isin(before.head, before.last)).count() === 0)
+    // planning-time bucket pruning survives the tombstone anti-join
+    val plan = IndexStore.lookup(spark, path, term, nBuckets = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("term_bucket"))
+    // compaction drops the rows for real and clears the tombstone dir
+    val compacted = s"$base/compacted"
+    IndexStore.compact(spark, path, compacted, nBuckets = 8)
+    val cGot = IndexStore.lookup(spark, compacted, term, nBuckets = 8)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(cGot.toSeq === after.toSeq)
+    assert(!new java.io.File(s"$compacted/_tombstones").exists())
+    assert(IndexStore.load(spark, compacted).count() ===
+      IndexStore.load(spark, path).count())
+  }
+
   test("index store: multi-term lookup prunes to the terms' buckets in one scan") {
     val path = tmpDir("graft-idxmulti") + "/index"
     val idx = Index.invertedIndex(spark, sfDir)
