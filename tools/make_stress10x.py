@@ -18,12 +18,14 @@ Usage: make_stress10x.py <src_sf_dir> <dst_dir>
 Then:  SPARK_GRAFT_SF_DIR=<dst_dir> SPARK_GRAFT_ONLY=<keys> \
          sbt "runMain graft.Bench"
 """
+import os
 import shutil
 import sys
 
 import duckdb
 
 src, dst = sys.argv[1], sys.argv[2]
+os.makedirs(dst, exist_ok=True)
 con = duckdb.connect()
 
 # offsets derive from max(id)+1 (same as orders below): a hardcoded
