@@ -611,6 +611,34 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** The semantic-dedup threshold design curve — the tuning read
+    * BEFORE committing [[semanticDedup]]'s cosine cutoff, completing
+    * the curve trio beside `lsh_tuning_curve` (banding) and
+    * `ann_probe_curve` (probes): for each candidate threshold, how
+    * many in-bucket pairs clear it and how many docs the
+    * keep-smallest rule would drop. ONE in-bucket pair pass (the same
+    * bucket-keyed relation semanticDedup scores — never all-pairs)
+    * crossed with the 6-row threshold frame; cosines are rounded at
+    * 6dp before every `≥` so the curve is cross-engine exact.
+    */
+  def semdedupThresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    val asg = ivfAssign(Tables.embeddings(spark, dir))
+    val b = asg.select(col("bucket"), col("vec_id").as("nb_id"),
+      col("embedding").as("eb"), col("nm").as("nmb"))
+    val pairs = asg.join(b, "bucket")
+      .filter(col("nb_id") < col("vec_id"))
+      .select(col("vec_id"), round(
+        VectorFns.dot(col("embedding"), col("eb")) / (col("nm") * col("nmb")),
+        6).as("cos"))
+    val thr = spark.range(1).select(explode(array(
+      lit(0.2), lit(0.25), lit(0.3), lit(0.35), lit(0.4), lit(0.45))).as("threshold"))
+    pairs.crossJoin(broadcast(thr))
+      .groupBy("threshold")
+      .agg(count(when(col("cos") >= col("threshold"), 1)).as("n_pairs"),
+        countDistinct(when(col("cos") >= col("threshold"), col("vec_id"))).as("n_dropped"))
+      .orderBy("threshold")
+  }
+
   /** Embedding OUTLIER screen — the per-vector complement of
     * [[embeddingStats]]'s per-dimension health check: vectors whose
     * cosine to their own IVF centroid sits more than 1σ below their
@@ -1133,6 +1161,7 @@ object Similarity {
     "embedding_stats" -> embeddingStats,
     "embedding_pca" -> embeddingPca,
     "semantic_dedup" -> semanticDedup,
+    "semdedup_threshold_curve" -> semdedupThresholdCurve,
     "embedding_outliers" -> embeddingOutliers,
     "ivf_bucket_stats" -> ivfBucketStats,
     "ann_probe_curve" -> annProbeCurve,
@@ -2038,6 +2067,16 @@ object Similarity {
          |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket FROM asg
          |WHERE vec_id NOT IN (SELECT vec_id FROM drp)
          |ORDER BY vec_id""".stripMargin,
+    "semdedup_threshold_curve" ->
+      s"""${OracleSql.NormCte}$AssignCte, p AS (
+         |  SELECT a.vec_id AS vec_id,
+         |    round(${OracleSql.cosineN("a.embedding", "b.embedding", "a.nm", "b.nm")}, 6) AS cos
+         |  FROM asg a JOIN asg b ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+         |), t AS (SELECT unnest([0.2, 0.25, 0.3, 0.35, 0.4, 0.45]) AS threshold)
+         |SELECT t.threshold AS threshold,
+         |  count(CASE WHEN p.cos >= t.threshold THEN 1 END) AS n_pairs,
+         |  count(DISTINCT CASE WHEN p.cos >= t.threshold THEN p.vec_id END) AS n_dropped
+         |FROM t CROSS JOIN p GROUP BY t.threshold ORDER BY threshold""".stripMargin,
     "embedding_outliers" ->
       s"""${OracleSql.NormCte}, ac AS (
          |  SELECT v.vec_id, c.vec_id AS cid,

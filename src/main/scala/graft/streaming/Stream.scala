@@ -86,6 +86,80 @@ object Stream {
       }
   }
 
+  case class VecIn(vec_id: Long, embedding: Array[Double])
+  case class KcSnap(n_seen: Long, n_centers: Long, radius: Double,
+      centers: Seq[Long])
+  case class KcState(centers: List[(Long, Array[Double])], radius: Double,
+      seen: Long)
+
+  /** Streaming k-center coreset maintenance — the online companion of
+    * `Similarity.kcenterSelect` via the incremental DOUBLING algorithm
+    * (Charikar-Chekuri-Feder-Motwani STOC'97): keep ≤ k centers and a
+    * working radius r; a new point farther than 2r (cosine distance)
+    * from every center becomes a center, and on overflow r doubles
+    * (seeded at the centers' min pairwise distance) and centers within
+    * 2r of an earlier-id center merge away. State is O(k·dim) however
+    * long the stream runs — the bounded-state shape that makes a
+    * coreset maintainable over an unbounded embedding firehose; each
+    * batch appends one (n_seen, n_centers, radius, centers) snapshot.
+    * Points apply in vec_id order within a batch so replays are
+    * deterministic. Single global key by the same contract as
+    * [[skylineStream]]: the state is a global O(k) summary, and at
+    * scale a per-partition pre-filter against a broadcast of the
+    * current centers drops already-covered points before this key.
+    */
+  def kcenterStream(vecs: Dataset[VecIn], k: Int = 8): Dataset[KcSnap] = {
+    import vecs.sparkSession.implicits._
+
+    def dist(a: Array[Double], b: Array[Double]): Double = {
+      var (dot, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    def minDist(p: Array[Double], cs: List[(Long, Array[Double])]): Double =
+      cs.map(c => dist(p, c._2)).min
+
+    // drop centers within 2r of an earlier-id kept center
+    def merge(cs: List[(Long, Array[Double])], r: Double): List[(Long, Array[Double])] =
+      cs.sortBy(_._1).foldLeft(List.empty[(Long, Array[Double])]) { (kept, c) =>
+        if (kept.isEmpty || kept.map(kc => dist(c._2, kc._2)).min > 2 * r) kept :+ c
+        else kept
+      }
+
+    vecs
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[KcState, KcSnap](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (_, points: Iterator[VecIn], state: GroupState[KcState]) =>
+          var s = state.getOption.getOrElse(KcState(Nil, 0.0, 0L))
+          points.toSeq.sortBy(_.vec_id).foreach { p =>
+            s = s.copy(seen = s.seen + 1)
+            if (s.centers.size < k) {
+              // the first k distinct points seed the center set
+              if (s.centers.isEmpty || minDist(p.embedding, s.centers) > 0)
+                s = s.copy(centers = s.centers :+ (p.vec_id -> p.embedding))
+            } else if (minDist(p.embedding, s.centers) > 2 * s.radius) {
+              var cs = s.centers :+ (p.vec_id -> p.embedding)
+              var r = s.radius
+              while (cs.size > k) {
+                r = if (r == 0.0)
+                  cs.combinations(2).map(x => dist(x(0)._2, x(1)._2)).min
+                else 2 * r
+                cs = merge(cs, r)
+              }
+              s = s.copy(centers = cs, radius = r)
+            }
+          }
+          state.update(s)
+          Iterator(KcSnap(s.seen, s.centers.size.toLong, s.radius,
+            s.centers.map(_._1)))
+      }
+  }
+
   case class EvA(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   case class AttrSession(user_id: Long, touch_type: String, n_events: Long,
       sess_value: Double, start_us: Long)

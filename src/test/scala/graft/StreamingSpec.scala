@@ -88,6 +88,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_kcenter: bounded centers, monotone radius, covered corpus") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    def dist(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      1.0 - dot / (na * nb)
+    }
+
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+      .collect()
+      .map(r => Stream.VecIn(r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    val k = 8
+    val in = MemoryStream[Stream.VecIn]
+    val q = Stream.kcenterStream(in.toDS(), k)
+      .writeStream.format("memory").queryName("kc_snaps")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = vecs.splitAt(vecs.length / 2)
+      in.addData(b1.toSeq); q.processAllAvailable()
+      in.addData(b2.toSeq); q.processAllAvailable()
+      val snaps = spark.table("kc_snaps")
+        .orderBy("n_seen").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getSeq[Long](3)))
+      assert(snaps.length === 2)
+      assert(snaps.last._1 === vecs.length.toLong)
+      // bounded state: never more than k centers; radius only grows
+      assert(snaps.forall(_._2 <= k))
+      assert(snaps.map(_._3).sliding(2).forall(p => p(0) <= p(1) + 1e-12))
+      // the doubling invariant: every point sits within 4r of a final
+      // center (2r for direct rejection, +2r of merge slack)
+      val byId = vecs.map(v => v.vec_id -> v.embedding).toMap
+      val centers = snaps.last._4.map(byId)
+      val rFinal = snaps.last._3
+      val coverage = vecs.map(v => centers.map(c => dist(v.embedding, c)).min).max
+      assert(rFinal > 0 && coverage <= 4 * rFinal + 1e-9)
+    } finally q.stop()
+  }
+
   test("stream_ohlc: hourly bars with time-ordered open/close") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
