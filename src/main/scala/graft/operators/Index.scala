@@ -535,6 +535,57 @@ object Index {
   def wandTopk(spark: SparkSession, dir: String): DataFrame =
     wandTopkOf(Tables.documents(spark, dir), WandTerms)
 
+  /** Ranker evaluation harness — the IR-metric sibling of the ANN
+    * family's `ann_recall*` audits: nDCG@10 and MRR of the BM25,
+    * TF-IDF and query-likelihood rankers for one query, against a
+    * graded pseudo-qrel (the BM25 top-20 with grade 21−rank — so the
+    * bm25 row is the fixed point ndcg=1, mrr=1 that validates the
+    * metric pipeline, and the other rows price each cheaper ranker's
+    * agreement with it). DCG sums fold in rank order through
+    * [[Folds.groupSums]] (10 doubles — addition order must be pinned
+    * cross-engine); every ranker list and the qrel are bounded
+    * TakeOrdered frames, so the whole evaluation costs three ranker
+    * runs + joins of ≤20-row frames.
+    */
+  def rankerEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val terms = Seq("spark", "join")
+    val wS = Window.orderBy(col("score").desc, col("doc_id"))
+    val truth = bm25TopkOf(docs, terms, 20)
+      .withColumn("rt", row_number().over(wS).cast("long"))
+      .select(col("doc_id"), (lit(21L) - col("rt")).as("rel"))
+      .localCheckpoint() // read by idcg + all three ranker joins
+    val idcg = Folds.groupSums(
+      truth.orderBy(col("rel").desc).limit(10)
+        .withColumn("i", row_number().over(Window.orderBy(col("rel").desc)).cast("long"))
+        .withColumn("g", col("rel").cast("double") /
+          (log(col("i").cast("double") + 1.0) / log(lit(2.0)))),
+      Seq(), col("i"), Seq("idcg" -> col("g")))
+    def ranked(df: DataFrame): DataFrame =
+      df.withColumn("ri", row_number().over(wS).cast("long"))
+        .select("doc_id", "ri")
+    val m = Seq(
+      "bm25" -> ranked(bm25TopkOf(docs, terms, 10)),
+      "tfidf" -> ranked(tfidfTopkOf(docs, terms, 10)),
+      "qlm" -> ranked(qlmTopkOf(docs, terms, 10)))
+      .map { case (nm, r) =>
+        r.join(truth, Seq("doc_id"), "left")
+          .select(lit(nm).as("ranker"), col("ri"),
+            coalesce(col("rel"), lit(0L)).cast("double").as("rel"))
+      }.reduce(_ unionByName _)
+    val dcg = Folds.groupSums(
+      m.withColumn("g", col("rel") /
+        (log(col("ri").cast("double") + 1.0) / log(lit(2.0)))),
+      Seq("ranker"), col("ri"), Seq("dcg" -> col("g")))
+    val mrr = m.groupBy("ranker")
+      .agg(min(when(col("rel") > 0, col("ri"))).as("fr"))
+    dcg.join(mrr, "ranker").crossJoin(broadcast(idcg))
+      .select(col("ranker"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg10"),
+        round(coalesce(lit(1.0) / col("fr"), lit(0.0)), 6).as("mrr"))
+      .orderBy("ranker")
+  }
+
   /** The pruning diagnostic next to [[wandTopk]]: candidate docs
     * (≥1 query term), docs surviving the bound ≥ θ filter (the only
     * ones phase 2 scores), and θ itself — the numbers that say how
@@ -1018,6 +1069,7 @@ object Index {
     "bm25_topk" -> bm25Topk,
     "wand_topk" -> wandTopk,
     "wand_prune_stats" -> wandPruneStats,
+    "ranker_eval" -> rankerEval,
     "mlt_topk" -> mltTopk,
     "prf_expand" -> prfExpand,
     "spell_candidates" -> spellCandidates,
@@ -1344,6 +1396,73 @@ object Index {
          |    * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))), 4) AS score
          |FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, n, avgdl
          |GROUP BY tf.doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // the three rankers' score formulas are verbatim copies of their
+    // own oracles (bm25_topk / tfidf_topk / qlm_topk) at the shared
+    // 2-term query; DCG folds sort by rank so the 10-double sum is
+    // order-pinned on both engines
+    "ranker_eval" ->
+      s"""$TokSql, n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+         |avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+         |dfq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY term),
+         |tfq AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+         |        WHERE term IN ('spark', 'join') GROUP BY doc_id, term),
+         |bscore AS MATERIALIZED (
+         |  SELECT tfq.doc_id AS doc_id,
+         |    round(sum(ln((n.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         |      * (tfq.tf * 2.2) / (tfq.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))), 4) AS score
+         |  FROM tfq JOIN dfq USING (term) JOIN dl ON tfq.doc_id = dl.doc_id, n, avgdl
+         |  GROUP BY tfq.doc_id),
+         |truth AS MATERIALIZED (
+         |  SELECT doc_id, 21 - rn AS rel FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+         |    FROM bscore ORDER BY score DESC, doc_id LIMIT 20)),
+         |idcg AS (
+         |  SELECT list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+         |    list_sort(list(struct_pack(i := i, g := g))), s -> s['g'])),
+         |    (a, x) -> a + x) AS idcg
+         |  FROM (SELECT i, rel / (ln(i + 1.0) / ln(2.0)) AS g FROM (
+         |    SELECT rel, row_number() OVER (ORDER BY rel DESC) AS i
+         |    FROM truth ORDER BY rel DESC LIMIT 10))),
+         |b10 AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS ri
+         |        FROM bscore ORDER BY score DESC, doc_id LIMIT 10),
+         |tscore AS (
+         |  SELECT doc_id, round(sum(tf * ln(n.n / dfq.df)), 4) AS score
+         |  FROM tfq JOIN dfq USING (term), n GROUP BY doc_id),
+         |t10 AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS ri
+         |        FROM tscore ORDER BY score DESC, doc_id LIMIT 10),
+         |c AS (SELECT count(*)::DOUBLE AS c FROM tok),
+         |cfq AS (SELECT term, count(*)::DOUBLE AS cf FROM tok
+         |        WHERE term IN ('spark', 'join') GROUP BY term),
+         |qcand AS (SELECT DISTINCT doc_id FROM tfq),
+         |qw AS (
+         |  SELECT qcand.doc_id AS doc_id, cfq.term AS term,
+         |    ln((coalesce(tfq.tf, 0.0) + 100.0 * cfq.cf / c.c) / (dl.dl + 100.0)) AS w
+         |  FROM qcand CROSS JOIN cfq CROSS JOIN c
+         |  LEFT JOIN tfq ON tfq.doc_id = qcand.doc_id AND tfq.term = cfq.term
+         |  JOIN dl ON dl.doc_id = qcand.doc_id),
+         |qscore AS (
+         |  SELECT doc_id, round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+         |    list_sort(list(struct_pack(term := term, w := w))), s -> s['w'])),
+         |    (a, x) -> a + x), 4) AS score
+         |  FROM qw GROUP BY doc_id),
+         |q10 AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS ri
+         |        FROM qscore ORDER BY score DESC, doc_id LIMIT 10),
+         |m AS (
+         |  SELECT 'bm25' AS ranker, b10.ri AS ri, coalesce(truth.rel, 0)::DOUBLE AS rel
+         |  FROM b10 LEFT JOIN truth USING (doc_id)
+         |  UNION ALL
+         |  SELECT 'tfidf', t10.ri, coalesce(truth.rel, 0)::DOUBLE
+         |  FROM t10 LEFT JOIN truth USING (doc_id)
+         |  UNION ALL
+         |  SELECT 'qlm', q10.ri, coalesce(truth.rel, 0)::DOUBLE
+         |  FROM q10 LEFT JOIN truth USING (doc_id))
+         |SELECT ranker,
+         |  round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+         |    list_sort(list(struct_pack(i := ri, g := rel / (ln(ri + 1.0) / ln(2.0))))),
+         |    s -> s['g'])), (a, x) -> a + x) / (SELECT idcg FROM idcg), 6) AS ndcg10,
+         |  round(coalesce(1.0 / min(CASE WHEN rel > 0 THEN ri END), 0.0), 6) AS mrr
+         |FROM m GROUP BY ranker ORDER BY ranker""".stripMargin,
     // the WAND oracle is the UNPRUNED exact BM25 ranking (sorted-fold
     // sum: 3 terms, so addition order must be pinned on both engines) —
     // equality here proves the pruning skipped nothing

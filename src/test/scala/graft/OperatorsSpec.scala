@@ -247,6 +247,15 @@ class OperatorsSpec extends SparkSpec {
     assert(r.drop(1).map(_._3).sliding(2).forall(p => p(0) >= p(1) - 1e-9))
   }
 
+  test("ranker_eval: bm25 is the metric fixed point, all metrics in [0,1]") {
+    val rows = SparkEntry.queries("ranker_eval")(spark, sfDir).collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getDouble(2)))
+    assert(rows.map(_._1).sorted.toSeq === Seq("bm25", "qlm", "tfidf"))
+    val bm = rows.find(_._1 == "bm25").get
+    assert(bm._2 === 1.0 && bm._3 === 1.0) // truth ranked by itself
+    assert(rows.forall(x => x._2 >= 0 && x._2 <= 1 && x._3 >= 0 && x._3 <= 1))
+  }
+
   test("rrf_fusion: scores in (0, 2/61], ranks positive or absent-as-0") {
     val r = SparkEntry.queries("rrf_fusion")(spark, sfDir).collect()
     assert(r.nonEmpty)
