@@ -171,15 +171,25 @@ object Analytics {
   /** Gap-based sessionization (30-min inactivity): lag + cumulative
     * session counter — single shuffle on user_id, no self-join.
     */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  /** The ONE canonical 30-minute session cut: appends `session_id`
+    * per user to any eventsUs-shaped frame. Shared by [[sessionize]],
+    * [[sessionLengthHist]] (via sessionize) and
+    * [[attributionFirstTouch]] so the gap constant and the pinned
+    * ROWS frame can never drift between session consumers.
+    */
+  private def withSessionIds(ev: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
     val gapUs = 30L * 60 * 1000000
-    eventsUs(spark, dir)
+    ev
       .withColumn("prev", lag(col("ts_us"), 1).over(byUser))
       .withColumn("is_new",
         when(col("prev").isNull || col("ts_us") - col("prev") > gapUs, 1L).otherwise(0L))
       .withColumn("session_id", sum(col("is_new")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    withSessionIds(eventsUs(spark, dir))
       .groupBy("user_id", "session_id")
       .agg(
         count(lit(1)).as("n_events"),
@@ -247,24 +257,15 @@ object Analytics {
     * sessionize shape) + a per-session rollup + an |event_types|-row
     * rollup; nothing joins events against events.
     */
-  def attributionFirstTouch(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    val sess = eventsUs(spark, dir)
-      .select(col("user_id"), col("event_id"), col("ts_us"),
-        col("event_type"), col("value"))
-      .withColumn("prev", lag(col("ts_us"), 1).over(w))
-      .withColumn("is_new",
-        when(col("prev").isNull || col("ts_us") - col("prev") > 1800000000L, 1L)
-          .otherwise(0L))
-      .withColumn("sid", sum(col("is_new")).over(w))
-    sess.groupBy("user_id", "sid")
+  def attributionFirstTouch(spark: SparkSession, dir: String): DataFrame =
+    withSessionIds(eventsUs(spark, dir))
+      .groupBy("user_id", "session_id")
       .agg(min(struct(col("ts_us"), col("event_id"), col("event_type"))).as("first"),
         sum(col("value")).as("sess_value"))
       .groupBy(col("first.event_type").as("touch_type"))
       .agg(count(lit(1)).as("n_sessions"),
         round(sum(col("sess_value")), 2).as("total_value"))
       .orderBy("touch_type")
-  }
 
   def rangeJoin(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)

@@ -597,14 +597,25 @@ object Similarity {
     * because both engines fold the dot product in the same index
     * order (the [[embedNeardup]] contract).
     */
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val asg = ivfAssign(Tables.embeddings(spark, dir))
+  /** (vec_id, cos) over the in-bucket candidate pairs (nb_id < vec_id,
+    * unrounded cosine — the compare both consumers run is the same
+    * doubles on both engines): the ONE relation [[semanticDedup]]
+    * scores and [[semdedupThresholdCurve]] tunes, shared so the
+    * tuning read can never drift from the operator it tunes.
+    */
+  private def inBucketPairs(asg: DataFrame): DataFrame = {
     val b = asg.select(col("bucket"), col("vec_id").as("nb_id"),
       col("embedding").as("eb"), col("nm").as("nmb"))
-    val dropped = asg.join(b, "bucket")
-      .filter(col("nb_id") < col("vec_id") &&
-        VectorFns.dot(col("embedding"), col("eb")) / (col("nm") * col("nmb"))
-          >= SemThreshold)
+    asg.join(b, "bucket")
+      .filter(col("nb_id") < col("vec_id"))
+      .select(col("vec_id"),
+        (VectorFns.dot(col("embedding"), col("eb")) /
+          (col("nm") * col("nmb"))).as("cos"))
+  }
+
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val asg = ivfAssign(Tables.embeddings(spark, dir))
+    val dropped = inBucketPairs(asg).filter(col("cos") >= SemThreshold)
       .select("vec_id").distinct()
     asg.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("bucket").cast("long").as("bucket"))
@@ -616,20 +627,13 @@ object Similarity {
     * the curve trio beside `lsh_tuning_curve` (banding) and
     * `ann_probe_curve` (probes): for each candidate threshold, how
     * many in-bucket pairs clear it and how many docs the
-    * keep-smallest rule would drop. ONE in-bucket pair pass (the same
-    * bucket-keyed relation semanticDedup scores — never all-pairs)
-    * crossed with the 6-row threshold frame; cosines are rounded at
-    * 6dp before every `≥` so the curve is cross-engine exact.
+    * keep-smallest rule would drop. ONE pass over [[inBucketPairs]] —
+    * literally the frame semanticDedup filters, UNROUNDED compare
+    * included, so the curve's 0.35 row IS semantic_dedup's drop count
+    * by construction — crossed with the 6-row threshold frame.
     */
   def semdedupThresholdCurve(spark: SparkSession, dir: String): DataFrame = {
-    val asg = ivfAssign(Tables.embeddings(spark, dir))
-    val b = asg.select(col("bucket"), col("vec_id").as("nb_id"),
-      col("embedding").as("eb"), col("nm").as("nmb"))
-    val pairs = asg.join(b, "bucket")
-      .filter(col("nb_id") < col("vec_id"))
-      .select(col("vec_id"), round(
-        VectorFns.dot(col("embedding"), col("eb")) / (col("nm") * col("nmb")),
-        6).as("cos"))
+    val pairs = inBucketPairs(ivfAssign(Tables.embeddings(spark, dir)))
     val thr = spark.range(1).select(explode(array(
       lit(0.2), lit(0.25), lit(0.3), lit(0.35), lit(0.4), lit(0.45))).as("threshold"))
     pairs.crossJoin(broadcast(thr))
@@ -2067,10 +2071,12 @@ object Similarity {
          |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket FROM asg
          |WHERE vec_id NOT IN (SELECT vec_id FROM drp)
          |ORDER BY vec_id""".stripMargin,
+    // unrounded cosine, exactly like the semantic_dedup oracle's
+    // compare — the curve must count the SAME pairs the operator drops
     "semdedup_threshold_curve" ->
       s"""${OracleSql.NormCte}$AssignCte, p AS (
          |  SELECT a.vec_id AS vec_id,
-         |    round(${OracleSql.cosineN("a.embedding", "b.embedding", "a.nm", "b.nm")}, 6) AS cos
+         |    ${OracleSql.cosineN("a.embedding", "b.embedding", "a.nm", "b.nm")} AS cos
          |  FROM asg a JOIN asg b ON a.bucket = b.bucket AND b.vec_id < a.vec_id
          |), t AS (SELECT unnest([0.2, 0.25, 0.3, 0.35, 0.4, 0.45]) AS threshold)
          |SELECT t.threshold AS threshold,

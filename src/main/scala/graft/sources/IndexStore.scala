@@ -126,11 +126,15 @@ object IndexStore {
   /** Rewrite the index at `path` with tombstoned docs dropped for
     * real, into `outPath` with no tombstone directory — the compaction
     * that bounds how long the reader-side anti-join list grows. One
-    * full index pass, same bucket layout.
+    * full index pass; the bucket layout is INHERITED from the source
+    * index's persisted `_nbuckets` marker unless the caller overrides
+    * it (a fixed default would silently re-bucket an 8-bucket index
+    * to 64 and break every existing lookup's bucket count).
     */
   def compact(spark: SparkSession, path: String, outPath: String,
-              nBuckets: Int = DefaultBuckets): Unit =
-    save(load(spark, path).drop("term_bucket"), outPath, nBuckets)
+              nBuckets: Option[Int] = None): Unit =
+    save(load(spark, path).drop("term_bucket"), outPath,
+      nBuckets.orElse(savedBuckets(spark, path)).getOrElse(DefaultBuckets))
 
   /** Read an index back, transparently decoding a delta-gap `gaps`
     * column to absolute `positions` (see [[save]]) and anti-joining

@@ -159,8 +159,10 @@ class SourcesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("term_bucket"))
     // compaction drops the rows for real and clears the tombstone dir
+    // no explicit bucket count: compact must INHERIT the saved 8, not
+    // re-bucket to the 64 default
     val compacted = s"$base/compacted"
-    IndexStore.compact(spark, path, compacted, nBuckets = 8)
+    IndexStore.compact(spark, path, compacted)
     val cGot = IndexStore.lookup(spark, compacted, term, nBuckets = 8)
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(cGot.toSeq === after.toSeq)
