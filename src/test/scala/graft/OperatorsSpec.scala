@@ -259,6 +259,29 @@ class OperatorsSpec extends SparkSpec {
     assert(r.drop(1).map(_._3).sliding(2).forall(p => p(0) >= p(1) - 1e-9))
   }
 
+  test("wand_topk: pruning exactness holds on randomized corpora (seeded)") {
+    import spark.implicits._
+    // 5 seeded random corpora × random 1-3 term queries: the
+    // bound-and-verify algebra must return the exact BM25 top-k on
+    // every one, including vocab/df shapes the gate corpus never hits
+    // (singleton terms, absent terms, doc counts below k)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "rare1", "rare2")
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (0L until (5 + rnd.nextInt(40)).toLong).map { i =>
+        val n = 3 + rnd.nextInt(30)
+        (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val terms = rnd.shuffle(vocab).take(1 + rnd.nextInt(3))
+      val exact = Index.bm25TopkOf(docs, terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val wand = Index.wandTopkOf(docs, terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(wand === exact, s"seed=$seed terms=$terms")
+    }
+  }
+
   test("ranker_eval: bm25 is the metric fixed point, all metrics in [0,1]") {
     val rows = SparkEntry.queries("ranker_eval")(spark, sfDir).collect()
       .map(x => (x.getString(0), x.getDouble(1), x.getDouble(2)))
