@@ -139,7 +139,7 @@ object Explain {
     "range_boundaries" -> Rule(),
     "band_bucket_stats" -> Rule(),
     "ivf_retrain" -> Rule(),
-    "hashing_vectorize" -> Rule(),
+
     "cms_error_curve" -> Rule(),
     "events_ewma" -> Rule(),
     "query_slop" -> Rule(),
@@ -226,10 +226,32 @@ object Explain {
       rule.required.filterNot(plan.contains)
         .map(r => s"$name: missing plan feature $r")
 
+  /** Hot-scan keys whose pipelines must plan with ≥1 whole-stage
+    * codegen subtree — checked through the codegen EXPLAIN mode
+    * (generates the Java without running the query), because the
+    * pre-execution AQE plan string carries no codegen markers. A
+    * custom Expression missing doGenCode anywhere in these paths
+    * would collapse the span to zero and fail here.
+    */
+  val CodegenAudit: Seq[String] = Seq("q1_agg", "q6_revenue", "wordcount",
+    "minhash_signatures", "simhash", "hashing_vectorize")
+
   def audit(spark: org.apache.spark.sql.SparkSession, sfDir: String): Seq[String] =
     AuditRules.toSeq.sortBy(_._1).flatMap { case (name, rule) =>
       applyRule(name, rule,
         SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString)
+    } ++ {
+      // AQE wraps the plan in AdaptiveSparkPlanExec, which reports 0
+      // codegen subtrees before execution — plan these keys with AQE
+      // off so the codegen explain sees the real spans
+      val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try CodegenAudit.flatMap { name =>
+        val s = SparkEntry.queries(name)(spark, sfDir).queryExecution
+          .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+        if (s.contains("Found 0 WholeStageCodegen"))
+          Seq(s"$name: no WholeStageCodegen subtree in the plan") else Nil
+      } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
     }
 
   /** [[IndexAuditRules]] violations: saves a small index from sfDir
@@ -277,7 +299,7 @@ object Explain {
     println("\n========== audit ==========")
     val violations = audit(spark, sfDir) ++ auditIndex(spark, sfDir)
     if (violations.isEmpty)
-      println(s"OK: ${AuditRules.size + IndexAuditRules.size} audited plans hold their invariants")
+      println(s"OK: ${AuditRules.size + IndexAuditRules.size + CodegenAudit.size} audited plans hold their invariants")
     else violations.foreach(v => println(s"VIOLATION $v"))
     spark.stop()
   }
