@@ -806,12 +806,49 @@ object Analytics {
     * (`range_boundaries` is the sampler that builds the cut points).
     */
   def revenueGini(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashFns
     val cust = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).as("x"))
-    cust
-      .withColumn("rn",
+    // Gate mode ranks with the one global window (|customers| rows);
+    // production mode (the 100 TB shape, spark.graft.bitwiseFolds=false)
+    // replaces it with a range-partitioned two-phase rank: sampled cut
+    // points bucket the frame ([[rangeBoundaries]]' sampler), each
+    // bucket ranks locally, and broadcast per-bucket counts shift the
+    // local ranks global. The two ranks are IDENTICAL (buckets split
+    // only between distinct x values, so the global (x, custkey) order
+    // is preserved) — GiniProdSpec asserts exact output equality.
+    val ranked = if (Folds.bitwise(cust)) {
+      cust.withColumn("rn",
         row_number().over(Window.orderBy(col("x"), col("o_custkey"))).cast("long"))
+    } else {
+      val s = cust.filter(HashFns.rollingHash(col("o_custkey").cast("string")) % 50 === 0)
+      val sc = s.agg(count(lit(1)).as("n"))
+      val bounds = s.crossJoin(broadcast(sc))
+        .select(col("x"), col("n"),
+          row_number().over(Window.orderBy(col("x"), col("o_custkey")))
+            .cast("long").as("srn"))
+        .withColumn("rks",
+          expr("transform(sequence(1L, 31L), k -> greatest(1L, (n * k) div 32))"))
+        .filter(array_contains(col("rks"), col("srn")))
+        .agg(sort_array(collect_set(col("x"))).as("bs"))
+      val bucketed = cust.crossJoin(broadcast(bounds))
+        .withColumn("__bk", size(filter(col("bs"), b => col("x") > b)).cast("long"))
+        .drop("bs")
+      val offsets = bucketed.groupBy("__bk").agg(count(lit(1)).as("__c"))
+        .withColumn("__off", coalesce(
+          sum(col("__c")).over(
+            Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("__bk"), col("__off"))
+      bucketed.join(broadcast(offsets), "__bk")
+        .withColumn("rn",
+          (col("__off") + row_number().over(
+            Window.partitionBy("__bk").orderBy(col("x"), col("o_custkey"))))
+            .cast("long"))
+        .drop("__bk", "__off")
+    }
+    ranked
       .agg(count(lit(1)).as("n_customers"),
         sum(col("x")).as("total_cents"),
         sum((col("rn") * col("x")).cast("decimal(38,0)")).as("w"))
@@ -1153,6 +1190,57 @@ object Analytics {
           else ((num * 2000000 + den) div (2 * den)) end as double) / 1e6""")
           .as("autocorr"))
       .orderBy("lag")
+  }
+
+  /** Single change-point detection on daily event volume by exact
+    * binary segmentation: the split day minimizing SSE_left +
+    * SSE_right, the first recursion step of the classic change-point
+    * algorithm (Scott & Knott '74 lineage) and the level-shift
+    * LOCATOR beside [[eventsCusum]]'s drift alarm. Everything is
+    * integer-exact: SSE = S₂ − S₁²/n is kept as the rational
+    * (n·S₂ − S₁²)/n in DECIMAL(38,0), the two sides combine over the
+    * common denominator n_L·n_R, and the candidate costs compare as
+    * scaled integers (the same round-half-up-at-10⁻⁶ `div` trick as
+    * [[eventsAutocorr]]) — no float enters the argmin, so both
+    * engines pick the identical split. Shape: the corpus-sized work
+    * is the daily rollup; prefix sums and the argmin run on the
+    * |days| frame (bounded by the calendar, the documented global
+    * window family of [[eventsMad]]).
+    */
+  def eventsChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = eventsUs(spark, dir)
+      .groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = daily
+      .withColumn("k", count(lit(1)).over(w).cast("decimal(38,0)"))
+      .withColumn("s1", sum(col("c")).over(w).cast("decimal(38,0)"))
+      .withColumn("s2",
+        sum((col("c") * col("c")).cast("decimal(38,0)")).over(w))
+    val tot = pre.agg(max(col("k")).as("n"), max(col("s1")).as("t1"),
+      max(col("s2")).as("t2"))
+    val cand = pre.crossJoin(broadcast(tot))
+      .filter(col("k") < col("n"))
+      .select(col("day").as("split_day"), col("k"), col("n"), col("t1"), col("t2"),
+        (col("k") * col("s2") - col("s1") * col("s1")).as("al"),
+        ((col("n") - col("k")) * (col("t2") - col("s2")) -
+          (col("t1") - col("s1")) * (col("t1") - col("s1"))).as("ar"))
+      .select(col("split_day"), col("k"), col("n"), col("t1"), col("t2"),
+        (col("al") * (col("n") - col("k")) + col("ar") * col("k")).as("num"),
+        (col("k") * (col("n") - col("k"))).as("den"))
+      .withColumn("cost_micro",
+        expr("(num * 2000000 + den) div (2 * den)").cast("long"))
+    cand
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("cost_micro"), col("split_day"))))
+      .filter(col("rn") === 1)
+      .withColumn("baseline_micro",
+        expr("""((n * t2 - t1 * t1) * 2000000 + n) div (2 * n)""").cast("long"))
+      .select(col("n").cast("long").as("n_days"), col("split_day"),
+        col("k").cast("long").as("n_left"),
+        (col("n") - col("k")).cast("long").as("n_right"),
+        col("cost_micro"), col("baseline_micro"),
+        (col("baseline_micro") - col("cost_micro")).as("gain_micro"))
   }
 
   /** TPC-H Q6 — the forecast-revenue-change filter-agg, and the
@@ -2060,6 +2148,7 @@ object Analytics {
     "events_mad" -> eventsMad,
     "events_cusum" -> eventsCusum,
     "events_autocorr" -> eventsAutocorr,
+    "events_changepoint" -> eventsChangepoint,
     "events_holt" -> eventsHolt,
     "funnel_latency" -> funnelLatency,
     "revenue_gini" -> revenueGini,
@@ -2631,6 +2720,42 @@ object Analytics {
          |  CAST(CASE WHEN num < 0 THEN -((-num * 2000000 + den) // (2 * den))
          |    ELSE ((num * 2000000 + den) // (2 * den)) END AS DOUBLE) / 1e6 AS autocorr
          |FROM num, den ORDER BY lag""".stripMargin,
+    "events_changepoint" ->
+      s"""$EvSql, d AS (
+         |  SELECT ts_us // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c
+         |  FROM ev GROUP BY 1
+         |), pre AS (
+         |  SELECT day,
+         |    CAST(row_number() OVER (ORDER BY day) AS HUGEINT) AS k,
+         |    CAST(sum(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS s1,
+         |    sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT))
+         |      OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS s2
+         |  FROM d
+         |), tot AS (
+         |  SELECT max(k) AS n, max(s1) AS t1, max(s2) AS t2 FROM pre
+         |), cand AS (
+         |  SELECT day AS split_day, k, n, t1, t2,
+         |    (k * s2 - s1 * s1) AS al,
+         |    ((n - k) * (t2 - s2) - (t1 - s1) * (t1 - s1)) AS ar,
+         |    (k * (n - k)) AS den
+         |  FROM pre, tot WHERE k < n
+         |), cost AS (
+         |  SELECT split_day, k, n, t1, t2, den,
+         |    (al * (n - k) + ar * k) AS num
+         |  FROM cand
+         |), best AS (
+         |  SELECT *, CAST((num * 2000000 + den) // (2 * den) AS BIGINT) AS cost_micro,
+         |    row_number() OVER (
+         |      ORDER BY (num * 2000000 + den) // (2 * den), split_day) AS rn
+         |  FROM cost
+         |)
+         |SELECT CAST(n AS BIGINT) AS n_days, split_day,
+         |  CAST(k AS BIGINT) AS n_left, CAST(n - k AS BIGINT) AS n_right,
+         |  cost_micro,
+         |  CAST(((n * t2 - t1 * t1) * 2000000 + n) // (2 * n) AS BIGINT) AS baseline_micro,
+         |  CAST(((n * t2 - t1 * t1) * 2000000 + n) // (2 * n) AS BIGINT) - cost_micro
+         |    AS gain_micro
+         |FROM best WHERE rn = 1""".stripMargin,
     "events_mad" ->
       s"""$EvSql, d AS (
          |  SELECT ts_us // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c

@@ -752,6 +752,42 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Resource-allocation link prediction (Zhou, Lü & Zhang '09) on
+    * the near-dup graph: for every NON-adjacent pair sharing at least
+    * one neighbor, score = Σ_w 1/deg(w) over common neighbors w — the
+    * "missed duplicate" ranker: a high-RA non-edge is a pair the
+    * Hamming≤1 screen didn't connect but whose shared near-dup
+    * neighborhoods say it should review first. The per-neighbor
+    * weight is the INTEGER 10⁹ div deg(w) (summed as bigint), so the
+    * ranking is exact on both engines with no float anywhere. Shape:
+    * wedge enumeration (the [[neardupTriangles]] join), an anti-join
+    * against the edge set, and a (pair)-keyed rollup — all shuffles
+    * are key-partitioned, and at 100 TB the standard hub cap (drop
+    * w with deg(w) over a threshold, which contribute ≈0 score
+    * anyway) bounds the wedge count per node.
+    */
+  def neardupLinkpred(spark: SparkSession, dir: String): DataFrame = {
+    val prs = neardupEdges(spark, dir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint() // feeds both wedge sides, the anti-join and deg
+    val sym = prs.select(col("doc_a").as("w"), col("doc_b").as("v"))
+      .unionByName(prs.select(col("doc_b").as("w"), col("doc_a").as("v")))
+    val deg = sym.groupBy("w").agg(count(lit(1)).as("deg"))
+    val wedges = sym.select(col("w"), col("v").as("a"))
+      .join(sym.select(col("w"), col("v").as("b")), "w")
+      .filter(col("a") < col("b"))
+    wedges
+      .join(prs, wedges("a") === prs("doc_a") && wedges("b") === prs("doc_b"),
+        "left_anti")
+      .join(deg, "w")
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr("1000000000 div deg")).as("ra_score"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("n_common"), col("ra_score"))
+      .orderBy(col("ra_score").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
   /** The LSH banding design curve: candidate probability
     * P = 1 − (1 − j^r)^b at Jaccard j for the configured 4×4 banding
     * ([[minhashLshPairs]]) — the table that justifies (or re-tunes)
@@ -1202,6 +1238,7 @@ object Dedup {
     "source_similarity" -> sourceSimilarity,
     "neardup_pagerank" -> neardupPagerank,
     "neardup_communities" -> neardupCommunities,
+    "neardup_linkpred" -> neardupLinkpred,
     "dup_substring_pairs" -> dupSubstringPairs)
 
   private val sigConcat =
@@ -1452,6 +1489,29 @@ object Dedup {
          |    FROM v3) WHERE rn = 1
          |)
          |SELECT node AS doc_id, lbl AS community FROM l3 ORDER BY doc_id""".stripMargin,
+    "neardup_linkpred" ->
+      s"""$simhashCte, prs AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |), sym AS (
+         |  SELECT a AS w, b AS v FROM prs UNION ALL SELECT b AS w, a AS v FROM prs
+         |), dg AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY w
+         |), wedges AS (
+         |  SELECT x.w, x.v AS a, y.v AS b
+         |  FROM sym x JOIN sym y ON x.w = y.w AND x.v < y.v
+         |), cand AS (
+         |  SELECT wd.w, wd.a, wd.b FROM wedges wd
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM prs e WHERE e.a = wd.a AND e.b = wd.b)
+         |)
+         |SELECT c.a AS doc_a, c.b AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS n_common,
+         |  CAST(sum(1000000000 // dg.deg) AS BIGINT) AS ra_score
+         |FROM cand c JOIN dg ON c.w = dg.w
+         |GROUP BY c.a, c.b
+         |ORDER BY ra_score DESC, doc_a, doc_b LIMIT 20""".stripMargin,
     "neardup_clustering" ->
       s"""$simhashCte, prs AS (
          |  SELECT a.doc_id AS a, b.doc_id AS b

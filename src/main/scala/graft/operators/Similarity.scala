@@ -999,6 +999,55 @@ object Similarity {
       .orderBy("bucket")
   }
 
+  /** Per-bucket mean silhouette of the IVF clustering under cosine
+    * distance — the cluster-quality score [[ivfElbow]]'s inertia
+    * curve can't give (inertia always improves with k; silhouette
+    * penalizes split-too-far). The O(N²) textbook definition
+    * collapses to LINEAR work because mean cosine distance from a
+    * vector to a cluster is 1 − u·(Σ_c u_j)/|c| — one dot against the
+    * cluster's unit-vector SUM. So: one (bucket, dim)-keyed rollup
+    * builds the 16 sum-vectors (broadcast), then a narrow per-vector
+    * pass computes a(i) (own cluster, self-excluded) and b(i) (min
+    * over other clusters) and s = (b−a)/max(a,b); the per-dim and
+    * per-bucket sums route through [[Folds]] (vec_id-ordered folds
+    * under the gate's bitwise contract, plain partial aggs in
+    * production). At 100 TB this is exactly two input-scaled passes
+    * — assignment and scoring — plus a k×dim broadcast.
+    */
+  def ivfSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    val asg = ivfAssign(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("bucket"), col("nm"),
+        transform(col("embedding"), v => v.cast("double") / col("nm")).as("u"))
+    val contrib = asg.select(col("bucket"), col("vec_id"),
+      posexplode(col("u")).as(Seq("j", "v")))
+    val svec = Folds.groupSums(contrib, Seq("bucket", "j"), col("vec_id"),
+        Seq("su" -> col("v")))
+      .groupBy("bucket")
+      .agg(sort_array(collect_list(struct(col("j"), col("su")))).as("js"))
+      .select(col("bucket").as("cb"),
+        transform(col("js"), s => s("su")).as("sv"))
+    val nb = asg.groupBy(col("bucket").as("cb")).agg(count(lit(1)).as("cnt"))
+    val cl = svec.join(nb, "cb")
+    val scored = asg.crossJoin(broadcast(cl))
+      .withColumn("d",
+        lit(1.0) - VectorFns.dotD(col("u"), col("sv")) / col("cnt").cast("double"))
+      .withColumn("down",
+        lit(1.0) - (VectorFns.dotD(col("u"), col("sv")) - VectorFns.norm2D(col("u"))) /
+          (col("cnt") - 1).cast("double"))
+      .groupBy(col("vec_id"), col("bucket"))
+      .agg(min(when(col("cb") =!= col("bucket"), col("d"))).as("b"),
+        max(when(col("cb") === col("bucket"), col("down"))).as("a"),
+        max(when(col("cb") === col("bucket"), col("cnt"))).as("n_own"))
+      .withColumn("s",
+        when(col("n_own") === 1 || greatest(col("a"), col("b")) <= 0.0, lit(0.0))
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+    Folds.groupSums(scored, Seq("bucket"), col("vec_id"), Seq("ssum" -> col("s")),
+        Seq(count(lit(1)).as("n_vecs")))
+      .select(col("bucket"), col("n_vecs"),
+        round(col("ssum") / col("n_vecs").cast("double"), 6).as("mean_silhouette"))
+      .orderBy("bucket")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   /** Hybrid (sparse + dense) retrieval: the BM25 text ranking for
@@ -1172,7 +1221,8 @@ object Similarity {
     "ann_recall_curve" -> annRecallCurve,
     "ivf_retrain" -> ivfRetrain,
     "ivf_elbow" -> ivfElbow,
-    "ivf_label_purity" -> ivfLabelPurity)
+    "ivf_label_purity" -> ivfLabelPurity,
+    "ivf_silhouette" -> ivfSilhouette)
 
   /** `asg` CTE on top of [[OracleSql.NormCte]]: the IVF bucket
     * assignment (argmax cosine over the 16 seed centroids).
@@ -2110,5 +2160,52 @@ object Similarity {
          |  round(a2.ccos, 6) AS ccos, round((a2.ccos - mu) / sd, 4) AS z
          |FROM a2 JOIN st ON a2.bucket = st.bucket
          |WHERE a2.ccos < mu - 1.0 * sd
-         |ORDER BY a2.vec_id""".stripMargin)
+         |ORDER BY a2.vec_id""".stripMargin,
+    "ivf_silhouette" ->
+      s"""${OracleSql.NormCte}$AssignCte, uu AS (
+         |  SELECT vec_id, bucket,
+         |    list_transform(embedding, v -> v::DOUBLE / nm) AS u
+         |  FROM asg
+         |), contrib AS (
+         |  SELECT bucket, vec_id, j, u[j+1] AS v
+         |  FROM uu, unnest(range(len(u))) AS t(j)
+         |), dsum AS (
+         |  SELECT bucket, j,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(list_sort(list(struct_pack(o := vec_id, x := v))),
+         |        s -> s['x'])), (a, v) -> a + v) AS su
+         |  FROM contrib GROUP BY bucket, j
+         |), svec AS (
+         |  SELECT bucket AS cb,
+         |    list_transform(list_sort(list(struct_pack(j := j, s := su))),
+         |      s -> s['s']) AS sv
+         |  FROM dsum GROUP BY bucket
+         |), nb AS (
+         |  SELECT bucket AS cb, CAST(count(*) AS BIGINT) AS cnt FROM asg GROUP BY bucket
+         |), cl AS (
+         |  SELECT svec.cb, sv, cnt FROM svec JOIN nb USING (cb)
+         |), sc AS (
+         |  SELECT uu.vec_id, uu.bucket,
+         |    min(CASE WHEN cl.cb <> uu.bucket
+         |      THEN 1.0::DOUBLE - ${OracleSql.dot("u", "sv")} / cnt::DOUBLE END) AS b,
+         |    max(CASE WHEN cl.cb = uu.bucket
+         |      THEN 1.0::DOUBLE - (${OracleSql.dot("u", "sv")} - ${OracleSql.norm2("u")})
+         |        / (cnt - 1)::DOUBLE END) AS a,
+         |    max(CASE WHEN cl.cb = uu.bucket THEN cnt END) AS n_own
+         |  FROM uu, cl GROUP BY uu.vec_id, uu.bucket
+         |), sil AS (
+         |  SELECT vec_id, bucket,
+         |    CASE WHEN n_own = 1 OR greatest(a, b) <= 0.0 THEN 0.0::DOUBLE
+         |      ELSE (b - a) / greatest(a, b) END AS s
+         |  FROM sc
+         |), g AS (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(list_sort(list(struct_pack(o := vec_id, x := s))),
+         |        p -> p['x'])), (a, v) -> a + v) AS ssum
+         |  FROM sil GROUP BY bucket
+         |)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, n_vecs,
+         |  round(ssum / n_vecs::DOUBLE, 6) AS mean_silhouette
+         |FROM g ORDER BY bucket""".stripMargin)
 }

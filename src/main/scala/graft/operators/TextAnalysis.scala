@@ -462,6 +462,89 @@ object TextAnalysis {
       .limit(20)
   }
 
+  // ---- bigram_lm_kn ----------------------------------------------------
+
+  /** Interpolated Kneser–Ney bigram model (Kneser & Ney, ICASSP'95;
+    * Chen & Goodman '98 formulation), the smoothing add-one
+    * ([[bigramLm]]) is the strawman for: with absolute discount
+    * d = 0.75,
+    *   P(w2|w1) = (c12 − d)/c1 + (d·N₊(w1·)/c1) · N₊(·w2)/T
+    * where N₊(w1·) / N₊(·w2) count distinct continuation TYPES and T
+    * is the total bigram-type count — the continuation probability
+    * ranks "york" below "the" even when their token counts tie,
+    * because "york" follows almost nothing but "new". Every input is
+    * an exact integer count and d = 0.75 is an exact binary fraction,
+    * so the probability is a fixed tree of IEEE ops — bitwise
+    * cross-engine with no fold needed. Shape: the bigram rollup is one
+    * partial-agg shuffle; the three type-count tables are
+    * vocabulary-sized rollups of IT (broadcast); nothing touches the
+    * corpus twice. At 100 TB the bigram table is the big intermediate
+    * — it shards on (w1, w2) and each side table is a further rollup
+    * of it, so the whole model is three map-side-combined aggs.
+    */
+  def bigramLmKn(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+    val bc = toks
+      .select(explode(when(size(col("tk")) >= 2,
+        arrays_zip(slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1)))
+        .otherwise(array().cast("array<struct<`0`:string,`1`:string>>"))).as("bg"))
+      .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val fwd = bc.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n_follow"))
+    val back = bc.groupBy("w2").agg(count(lit(1)).as("n_precede"))
+    val types = bc.agg(count(lit(1)).as("t"))
+    bc.join(broadcast(fwd), "w1")
+      .join(broadcast(back), "w2")
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("c12"), col("n_follow"), col("n_precede"),
+        round((col("c12").cast("double") - 0.75) / col("c1").cast("double") +
+          (lit(0.75) * col("n_follow").cast("double") / col("c1").cast("double")) *
+            (col("n_precede").cast("double") / col("t").cast("double")),
+          6).as("p_kn"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  // ---- source_lang_mi --------------------------------------------------
+
+  /** Mutual information between the `source` and `lang` columns —
+    * the one-number answer to "does corpus mix determine language
+    * mix?" that the [[sourceKl]] per-source divergences can't give
+    * (MI is the p(s)-weighted aggregate of exactly those KLs). Each
+    * cell contributes p(s,l)·ln(c·n / (c_s·c_l)) where every factor
+    * inside the log is an exact integer product, so the only
+    * engine-sensitive step is the log itself (shared libm contract,
+    * same as every entropy key) and the cell sum routes through
+    * [[Folds]] under the gate's bitwise ordering. Shape: one
+    * (source, lang) rollup — cells number |sources|×|langs|, so the
+    * marginals and the fold are driver-trivial at any corpus size.
+    */
+  def sourceLangMi(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+    val ms = cells.groupBy("source").agg(sum(col("c")).as("cs"))
+    val ml = cells.groupBy("lang").agg(sum(col("c")).as("cl"))
+    val tot = cells.agg(sum(col("c")).as("n"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      count(lit(1)).as("n_cells"))
+    val terms = cells.join(broadcast(ms), "source").join(broadcast(ml), "lang")
+      .crossJoin(broadcast(tot))
+      .select(concat_ws("|", col("source"), col("lang")).as("k"),
+        ((col("c").cast("double") / col("n").cast("double")) *
+          log((col("c") * col("n")).cast("double") /
+            (col("cs") * col("cl")).cast("double"))).as("x"),
+        col("n_sources"), col("n_langs"), col("n_cells"))
+    Folds.groupSums(terms, Nil, col("k"), Seq("mi" -> col("x")),
+        Seq(max(col("n_sources")).as("n_sources"), max(col("n_langs")).as("n_langs"),
+          max(col("n_cells")).as("n_cells")))
+      .select(col("n_sources"), col("n_langs"), col("n_cells"),
+        round(col("mi"), 6).as("mi_nats"))
+  }
+
   // ---- quality_filter --------------------------------------------------
 
   /** Gopher-style rule-based quality filter: per-document boolean
@@ -866,6 +949,79 @@ object TextAnalysis {
       .groupBy("sent_len").agg(count(lit(1)).as("n_sentences"))
       .orderBy("sent_len")
 
+  // ---- boilerplate -----------------------------------------------------
+
+  /** (doc_id, pos, sent) — trimmed non-empty sentences with their
+    * in-document position, the shared frame of the boilerplate pair.
+    */
+  private def sentencesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), "[.!?]+")).as(Seq("pos", "s0")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        trim(col("s0")).as("sent"))
+      .filter(length(col("sent")) > 0)
+
+  /** Template/boilerplate sentence detection (the C4 cleaning rule's
+    * diagnostic half): sentences whose TRIMMED form recurs across
+    * ≥ `minDocs` distinct documents — navigation chrome, license
+    * blurbs, cookie banners — ranked by document reach. Sentence
+    * identity is the exact trimmed string; at 100 TB the group key
+    * would be md5(sent) with the string carried once per group, but
+    * the shape is the same single (sent)-keyed rollup either way — no
+    * pairwise anything, boilerplate falls out of df counts exactly
+    * like [[Dedup]]'s shingle stats. The gate key runs at minDocs = 2
+    * because the synthetic corpus only repeats a full sentence across
+    * documents at sf0.1 (its docs are token soup, not templated
+    * pages); the spec drives the semantics on a crafted corpus with
+    * real chrome.
+    */
+  def boilerplateSentencesOf(docs: DataFrame, minDocs: Long): DataFrame =
+    sentencesOf(docs)
+      .groupBy("sent")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occur"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("sent"))
+      .limit(20)
+
+  def boilerplateSentences(spark: SparkSession, dir: String): DataFrame =
+    boilerplateSentencesOf(Tables.documents(spark, dir), minDocs = 2)
+
+  /** The apply half: every document with its boilerplate sentences
+    * (cross-doc df ≥ `minDocs`) removed, rebuilt in original sentence
+    * order — C4's "discard any line shared across pages" at sentence
+    * granularity. The boilerplate set is the [[boilerplateSentencesOf]]
+    * rollup unbounded (not the top-20 view); the removal is one
+    * (sent)-keyed left join plus a per-doc ordered re-assembly (the
+    * collect_list is per-DOCUMENT — bounded by document length, never
+    * corpus-sized). Docs that were pure boilerplate survive with
+    * kept_text = '' so the output keeps full row parity for the next
+    * pipeline stage.
+    */
+  def boilerplateScrubOf(docs: DataFrame, minDocs: Long): DataFrame = {
+    val sents = sentencesOf(docs)
+    val bp = sents.groupBy("sent")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("sent"), lit(true).as("is_bp"))
+    sents.join(bp, Seq("sent"), "left")
+      .withColumn("keep", col("is_bp").isNull)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sents"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            sort_array(collect_list(when(col("keep"),
+              struct(col("pos"), col("sent"))))),
+            s => s("sent")),
+          ". ").as("kept_text"))
+      .select(col("doc_id"), col("n_sents"), col("n_kept"),
+        (col("n_sents") - col("n_kept")).as("n_dropped"), col("kept_text"))
+      .orderBy("doc_id")
+  }
+
+  def boilerplateScrub(spark: SparkSession, dir: String): DataFrame =
+    boilerplateScrubOf(Tables.documents(spark, dir), minDocs = 2)
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -873,6 +1029,8 @@ object TextAnalysis {
     "blocklist_filter" -> blocklistFilter,
     "hapax_ratio" -> hapaxRatio,
     "sentence_len_hist" -> sentenceLenHist,
+    "boilerplate_sentences" -> boilerplateSentences,
+    "boilerplate_scrub" -> boilerplateScrub,
     "keyword_textrank" -> keywordTextrank,
     "repetition_ratio" -> repetitionRatio,
     "perplexity_doc" -> perplexityDoc,
@@ -897,6 +1055,8 @@ object TextAnalysis {
     "heavy_hitters_cms" -> heavyHittersCms,
     "cms_error_curve" -> cmsErrorCurve,
     "bigram_lm" -> bigramLm,
+    "bigram_lm_kn" -> bigramLmKn,
+    "source_lang_mi" -> sourceLangMi,
     "quality_filter" -> qualityFilter,
     "source_quality_report" -> sourceQualityReport,
     "readability" -> readability,
@@ -1020,6 +1180,37 @@ object TextAnalysis {
         |SELECT sent_len, CAST(count(*) AS BIGINT) AS n_sentences
         |FROM sl WHERE sent_len > 0
         |GROUP BY sent_len ORDER BY sent_len""".stripMargin,
+    "boilerplate_sentences" ->
+      """WITH sp AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '[.!?]+') AS tk FROM documents
+        |), sent AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, trim(tk[i+1]) AS sent
+        |  FROM sp, unnest(range(len(tk))) AS t(i)
+        |  WHERE len(trim(tk[i+1])) > 0
+        |)
+        |SELECT sent, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occur
+        |FROM sent GROUP BY sent HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, sent LIMIT 20""".stripMargin,
+    "boilerplate_scrub" ->
+      """WITH sp AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '[.!?]+') AS tk FROM documents
+        |), sent AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, trim(tk[i+1]) AS sent
+        |  FROM sp, unnest(range(len(tk))) AS t(i)
+        |  WHERE len(trim(tk[i+1])) > 0
+        |), bp AS (
+        |  SELECT sent FROM sent GROUP BY sent HAVING count(DISTINCT doc_id) >= 2
+        |), k AS (
+        |  SELECT s.doc_id, s.pos, s.sent, bp.sent IS NULL AS keep
+        |  FROM sent s LEFT JOIN bp ON s.sent = bp.sent
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sents,
+        |  CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept,
+        |  CAST(count(*) - count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN keep THEN sent END, '. ' ORDER BY pos), '')
+        |    AS kept_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "hapax_ratio" ->
       """WITH toks AS (
         |  SELECT source, list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS tk
@@ -1393,6 +1584,57 @@ object TextAnalysis {
          |  round((bc.c12 + 1)::DOUBLE / (ctx.c1::DOUBLE + v.v), 6) AS p_smooth
          |FROM bc JOIN ctx USING (w1), v
          |ORDER BY c12 DESC, w1, w2 LIMIT 20""".stripMargin,
+    "bigram_lm_kn" ->
+      s"""${Index.TokSql}, bi AS (
+         |  SELECT tk[i+1] AS w1, tk[i+2] AS w2
+         |  FROM toks, unnest(range(greatest(len(tk) - 1, 0))) AS u(i)
+         |), bc AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY w1, w2
+         |), fwd AS (
+         |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         |    CAST(count(*) AS BIGINT) AS n_follow
+         |  FROM bc GROUP BY w1
+         |), back AS (
+         |  SELECT w2, CAST(count(*) AS BIGINT) AS n_precede FROM bc GROUP BY w2
+         |), ty AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS t FROM bc
+         |)
+         |SELECT bc.w1, bc.w2, bc.c12, fwd.n_follow, back.n_precede,
+         |  round((bc.c12::DOUBLE - 0.75) / fwd.c1::DOUBLE +
+         |    (0.75 * fwd.n_follow::DOUBLE / fwd.c1::DOUBLE) *
+         |      (back.n_precede::DOUBLE / ty.t::DOUBLE), 6) AS p_kn
+         |FROM bc JOIN fwd USING (w1) JOIN back USING (w2), ty
+         |ORDER BY c12 DESC, w1, w2 LIMIT 20""".stripMargin,
+    "source_lang_mi" ->
+      s"""WITH cells AS (
+         |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+         |  FROM documents GROUP BY source, lang
+         |), ms AS (
+         |  SELECT source, CAST(sum(c) AS BIGINT) AS cs FROM cells GROUP BY source
+         |), ml AS (
+         |  SELECT lang, CAST(sum(c) AS BIGINT) AS cl FROM cells GROUP BY lang
+         |), tot AS (
+         |  SELECT CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |    CAST(count(*) AS BIGINT) AS n_cells
+         |  FROM cells
+         |), terms AS (
+         |  SELECT cells.source || '|' || cells.lang AS k,
+         |    (cells.c::DOUBLE / tot.n::DOUBLE) *
+         |      ln((cells.c * tot.n)::DOUBLE / (ms.cs * ml.cl)::DOUBLE) AS x,
+         |    tot.n_sources, tot.n_langs, tot.n_cells
+         |  FROM cells JOIN ms USING (source) JOIN ml USING (lang), tot
+         |), g AS (
+         |  SELECT max(n_sources) AS n_sources, max(n_langs) AS n_langs,
+         |    max(n_cells) AS n_cells,
+         |    list_sort(list(struct_pack(k := k, x := x))) AS xs
+         |  FROM terms
+         |)
+         |SELECT n_sources, n_langs, n_cells,
+         |  round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(xs, s -> s['x'])),
+         |    (a, v) -> a + v), 6) AS mi_nats
+         |FROM g""".stripMargin,
     "source_quality_report" ->
       s"""WITH q AS (
          |  SELECT source,

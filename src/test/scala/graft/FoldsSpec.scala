@@ -89,4 +89,22 @@ class FoldsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("collect_list"))
   }
+
+  test("revenue_gini production rank is EXACTLY the gate's global-window rank") {
+    // the range-partitioned two-phase rank must preserve the global
+    // (x, custkey) order, so the whole output row — not just the
+    // rounded gini — is identical between modes
+    val gate = operators.Analytics.revenueGini(spark, sfDir).collect()
+    spark.conf.set(Folds.ConfKey, "false")
+    try {
+      val prodDf = operators.Analytics.revenueGini(spark, sfDir)
+      val prod = prodDf.collect()
+      assert(gate.length === 1 && prod.length === 1)
+      assert(gate.head === prod.head)
+      // and the production plan really ranks inside range buckets
+      val plan = prodDf.queryExecution.executedPlan.toString
+      assert(plan.contains("__bk"),
+        "production mode must rank per range bucket, not in one global window")
+    } finally spark.conf.set(Folds.ConfKey, "true")
+  }
 }

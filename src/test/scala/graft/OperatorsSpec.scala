@@ -1266,6 +1266,190 @@ class OperatorsSpec extends SparkSpec {
     } finally spark.conf.set(operators.Folds.ConfKey, "true")
   }
 
+  test("bigram_lm_kn: probabilities recompute from raw counts; mass under 1") {
+    val toks = sources.Tables.documents(spark, sfDir)
+      .select(functions.TextFns.tokens(col("text")).as("tk")).collect()
+      .map(_.getSeq[String](0))
+    val bc = toks.flatMap(tk => tk.zip(tk.drop(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = bc.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val nf = bc.groupBy(_._1._1).map { case (w, m) => w -> m.size.toLong }
+    val nb = bc.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val t = bc.size.toLong
+    val rows = operators.TextAnalysis.bigramLmKn(spark, sfDir).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val (w1, w2) = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) === bc((w1, w2)))
+      assert(r.getLong(3) === nf(w1) && r.getLong(4) === nb(w2))
+      val want = (bc((w1, w2)) - 0.75) / c1(w1) +
+        0.75 * nf(w1) / c1(w1) * (nb(w2).toDouble / t)
+      assert(math.abs(r.getDouble(5) - want) < 1e-6, s"($w1,$w2)")
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) < 1.0)
+    }
+    // KN leaves headroom for unseen continuations: for the top row's
+    // context, observed-bigram mass stays strictly under 1
+    val w1 = rows.head.getString(0)
+    val mass = bc.collect { case ((a, b), c) if a == w1 =>
+      (c - 0.75) / c1(w1) + 0.75 * nf(w1) / c1(w1) * (nb(b).toDouble / t)
+    }.sum
+    assert(mass < 1.0)
+  }
+
+  test("source_lang_mi: equals the driver-side MI; bounded by both entropies") {
+    val cells = sources.Tables.documents(spark, sfDir)
+      .groupBy("source", "lang").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val n = cells.map(_._3).sum.toDouble
+    val ps = cells.groupBy(_._1).map { case (s, v) => s -> v.map(_._3).sum / n }
+    val pl = cells.groupBy(_._2).map { case (l, v) => l -> v.map(_._3).sum / n }
+    def h(p: Iterable[Double]) = p.map(x => -x * math.log(x)).sum
+    val mi = cells.map { case (s, l, c) =>
+      c / n * math.log(c / n / (ps(s) * pl(l)))
+    }.sum
+    val r = operators.TextAnalysis.sourceLangMi(spark, sfDir).collect().head
+    assert(r.getLong(0) === ps.size && r.getLong(1) === pl.size)
+    assert(r.getLong(2) === cells.length)
+    assert(math.abs(r.getDouble(3) - mi) < 1e-6)
+    assert(r.getDouble(3) >= 0.0)
+    assert(r.getDouble(3) <= math.min(h(ps.values), h(pl.values)) + 1e-9)
+  }
+
+  test("events_changepoint: matches the brute-force exact split search") {
+    val daily = operators.Analytics.eventsUs(spark, sfDir)
+      .groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    def costMicro(xs: Seq[Long]): BigInt = {
+      // (n·S2 − S1²)/n rounded half-up at 1e-6, all in BigInt
+      val (n, s1) = (BigInt(xs.length), BigInt(xs.sum))
+      val s2 = xs.map(x => BigInt(x) * x).sum
+      val num = n * s2 - s1 * s1
+      (num * 2000000 + n) / (2 * n)
+    }
+    def pairMicro(l: Seq[Long], r: Seq[Long]): BigInt = {
+      val (nl, nr) = (BigInt(l.length), BigInt(r.length))
+      def a(xs: Seq[Long]) = {
+        val s1 = BigInt(xs.sum); BigInt(xs.length) * xs.map(x => BigInt(x) * x).sum - s1 * s1
+      }
+      val num = a(l) * nr + a(r) * nl
+      val den = nl * nr
+      (num * 2000000 + den) / (2 * den)
+    }
+    val best = (1 until daily.length).map { k =>
+      val (l, r) = daily.splitAt(k)
+      (pairMicro(l.map(_._2), r.map(_._2)), l.last._1)
+    }.minBy { case (c, d) => (c, d) }
+    val got = operators.Analytics.eventsChangepoint(spark, sfDir).collect().head
+    assert(got.getLong(0) === daily.length)
+    assert(got.getLong(1) === best._2, "split day")
+    assert(BigInt(got.getLong(4)) === best._1, "cost")
+    assert(BigInt(got.getLong(5)) === costMicro(daily.map(_._2)), "baseline")
+    assert(got.getLong(6) === got.getLong(5) - got.getLong(4) && got.getLong(6) >= 0)
+  }
+
+  test("neardup_linkpred: scores recompute from the edge set; no emitted edge") {
+    val edges = operators.Dedup.neardupEdges(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val es = edges.toSet
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val deg = adj.map { case (k, v) => k -> v.size.toLong }
+    val want = (for {
+      (w, ns) <- adj.toSeq; a <- ns; b <- ns
+      if a < b && !es.contains((a, b))
+    } yield ((a, b), 1000000000L / deg(w)))
+      .groupBy(_._1)
+      .map { case (p, xs) => (p, xs.size.toLong, xs.map(_._2).sum) }
+      .toSeq.sortBy { case ((a, b), _, s) => (-s, a, b) }.take(20)
+    val got = operators.Dedup.neardupLinkpred(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getLong(3)))
+    assert(got.length === want.length && got.nonEmpty)
+    assert(got.toSeq === want)
+    got.foreach { case ((a, b), nc, _) =>
+      assert(!es.contains((a, b)), s"($a,$b) is an existing edge")
+      assert(nc >= 1)
+    }
+  }
+
+  test("ivf_silhouette: linear-form scores equal the O(N^2) textbook means") {
+    val vs = sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val asg = operators.Similarity.ivfAssign(
+        sources.Tables.embeddings(spark, sfDir))
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def unit(v: Array[Double]): Array[Double] = {
+      val nm = math.sqrt(v.map(x => x * x).sum); v.map(_ / nm)
+    }
+    val us = vs.map { case (k, v) => k -> unit(v) }
+    def cdist(a: Array[Double], b: Array[Double]): Double =
+      1.0 - a.zip(b).map { case (x, y) => x * y }.sum
+    val byB = asg.groupBy(_._2).map { case (b, v) => b -> v.keys.toSeq }
+    val sil = asg.map { case (i, b) =>
+      val own = byB(b).filter(_ != i)
+      if (own.isEmpty) i -> 0.0
+      else {
+        val a = own.map(j => cdist(us(i), us(j))).sum / own.size
+        val bd = byB.collect { case (c, ms) if c != b =>
+          ms.map(j => cdist(us(i), us(j))).sum / ms.size
+        }.min
+        i -> (if (math.max(a, bd) <= 0) 0.0 else (bd - a) / math.max(a, bd))
+      }
+    }
+    val wantMean = sil.groupBy { case (i, _) => asg(i) }
+      .map { case (b, xs) => b -> xs.values.sum / xs.size }
+    val got = operators.Similarity.ivfSilhouette(spark, sfDir).collect()
+    assert(got.length === byB.size)
+    got.foreach { r =>
+      val b = r.getLong(0)
+      assert(r.getLong(1) === byB(b).size)
+      assert(math.abs(r.getDouble(2) - wantMean(b)) < 1e-6, s"bucket $b")
+      assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("boilerplate pair: crafted chrome detected and scrubbed in order") {
+    import spark.implicits._
+    val chrome = "accept all cookies to continue"
+    val nav = "home about contact"
+    val crafted = Seq(
+      (0L, s"$chrome. real content zero! more content zero. $nav"),
+      (1L, s"$chrome? unique sentence one. $nav."),
+      (2L, s"real content two! $chrome. closing thought two"),
+      (3L, s"$nav. only original text here"),
+      (4L, s"$chrome"), // pure boilerplate — must survive with empty text
+      (5L, "nothing shared with anyone else at all")
+    ).toDF("doc_id", "text")
+    val top = operators.TextAnalysis.boilerplateSentencesOf(crafted, minDocs = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(top.toSeq === Seq((chrome, 4L, 4L), (nav, 3L, 3L)))
+    val scrub = operators.TextAnalysis.boilerplateScrubOf(crafted, minDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    assert(scrub === Seq(
+      (0L, 4L, 2L, 2L, "real content zero. more content zero"),
+      (1L, 3L, 1L, 2L, "unique sentence one"),
+      (2L, 3L, 2L, 1L, "real content two. closing thought two"),
+      (3L, 2L, 1L, 1L, "only original text here"),
+      (4L, 1L, 0L, 1L, ""),
+      (5L, 1L, 1L, 0L, "nothing shared with anyone else at all")))
+    // corpus gate keys: full row parity and a recount at the gate threshold
+    val raw = sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val corpus = operators.TextAnalysis.boilerplateScrub(spark, sfDir).collect()
+    assert(corpus.length === raw.length, "row parity with the input corpus")
+    val sents = raw.flatMap { case (id, t) =>
+      t.split("[.!?]+").map(_.trim).filter(_.nonEmpty).map(id -> _) }
+    val bp = sents.groupBy(_._2)
+      .filter { case (_, xs) => xs.map(_._1).distinct.size >= 2 }.keySet
+    val nDrop = sents.count(s => bp(s._2))
+    assert(corpus.map(_.getLong(3)).sum === nDrop)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
