@@ -124,6 +124,14 @@ object Explain {
     "tfidf_cosine_dense" -> Rule(required = Seq(
       "BroadcastNestedLoopJoin", "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)")),
     "inter_event_gap_hist" -> Rule(),
+    // wedge enumeration must join on the shared-neighbor key (w),
+    // never pair docs directly
+    "neardup_linkpred" -> Rule(required = Seq("Join [w#")),
+    "neardup_communities" -> Rule(),
+    "ivf_silhouette" -> Rule(required = Seq("BroadcastNestedLoopJoin")),
+    "boilerplate_scrub" -> Rule(
+      required = Seq("ReadSchema: struct<doc_id:bigint,text:string>")),
+    "bigram_lm_kn" -> Rule(required = Seq("BroadcastHashJoin")),
     "quality_by_dup_status" -> Rule(),
     "shingle_df_hist" -> Rule(),
     "pack_efficiency_report" -> Rule(),

@@ -176,6 +176,35 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The apply half of [[mediaDedup]]: only canonical payload owners
+    * (min doc_id per content digest) survive, each carrying how many
+    * copies it absorbed — the media twin of the text pipeline's
+    * `dedup_apply`, and the frame the storage savings of
+    * [[mediaSizeReport]] are realized from. One digest-keyed rollup;
+    * payloads never shuffle.
+    */
+  def mediaDedupApply(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .groupBy(md5(col("media")).as("media_md5"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("media_md5"), col("n_copies"),
+        (col("n_copies") - 1).as("n_dropped"))
+      .orderBy("doc_id")
+
+  /** Connected components over the [[mediaNeardup]] ≥0.5-Jaccard pair
+    * relation — perceptual near-dup media grouped into families with
+    * a min-id canonical, completing the detect → cluster → apply
+    * ladder the text side has ([[Dedup.dedupClusters]]). Same CC
+    * machinery: distributed pointer-jump contraction, bounded local
+    * finish ([[GraftOps.connectedComponents]]).
+    */
+  def mediaNeardupClusters(spark: SparkSession, dir: String): DataFrame =
+    GraftOps.connectedComponents(
+        mediaNeardup(spark, dir).select(col("doc_a"), col("doc_b")),
+        srcCol = "doc_a", dstCol = "doc_b")
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+      .orderBy("doc_id")
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -184,7 +213,9 @@ object Multimodal {
     "media_meta" -> mediaMeta,
     "media_features" -> mediaFeatures,
     "media_frames" -> mediaFrames,
-    "media_dedup" -> mediaDedup)
+    "media_dedup" -> mediaDedup,
+    "media_dedup_apply" -> mediaDedupApply,
+    "media_neardup_clusters" -> mediaNeardupClusters)
 
   val oracles: Map[String, String] = Map(
     "media_size_report" ->
@@ -250,6 +281,44 @@ object Multimodal {
          |FROM ov JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
          |WHERE ov::DOUBLE / (sa.nf + sb.nf - ov)::DOUBLE >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "media_dedup_apply" ->
+      """WITH m AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents
+        |), g AS (
+        |  SELECT h, min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+        |  FROM m GROUP BY h
+        |)
+        |SELECT doc_id, h AS media_md5, n_copies, n_copies - 1 AS n_dropped
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "media_neardup_clusters" ->
+      s"""WITH RECURSIVE m AS (
+         |  SELECT doc_id, hex(encode(text)) AS h,
+         |    CAST(ceil(length(hex(encode(text)))::DOUBLE / ${FrameBytes * 2}) AS INT) AS n_frames
+         |  FROM documents
+         |), fr AS (
+         |  SELECT DISTINCT doc_id,
+         |    md5(substring(h, fno::INT * ${FrameBytes * 2} + 1, ${FrameBytes * 2})) AS fmd5
+         |  FROM (SELECT doc_id, h, unnest(range(n_frames)) AS fno FROM m WHERE n_frames > 0)
+         |), sz AS (
+         |  SELECT doc_id, count(*) AS nf FROM fr GROUP BY doc_id
+         |), ov AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ov
+         |  FROM fr a JOIN fr b ON a.fmd5 = b.fmd5 AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), prs AS (
+         |  SELECT doc_a, doc_b FROM ov
+         |  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+         |  WHERE ov::DOUBLE / (sa.nf + sb.nf - ov)::DOUBLE >= 0.5
+         |), sym AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM prs
+         |  UNION ALL SELECT doc_b, doc_a FROM prs
+         |), reach AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+         |)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "media_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

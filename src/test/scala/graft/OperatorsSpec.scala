@@ -1450,6 +1450,37 @@ class OperatorsSpec extends SparkSpec {
     assert(corpus.map(_.getLong(3)).sum === nDrop)
   }
 
+  test("media apply/cluster: canonical owners recount; CC replays") {
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val byH = docs.groupBy(_._2) // same text == same media digest
+    val applied = operators.Multimodal.mediaDedupApply(spark, sfDir).collect()
+    assert(applied.length === byH.size)
+    val wantOwners = byH.values
+      .map(g => (g.map(_._1).min, g.size.toLong)).toSeq.sortBy(_._1)
+    assert(applied.map(r => (r.getLong(0), r.getLong(2))).toSeq === wantOwners)
+    applied.foreach(r => assert(r.getLong(3) === r.getLong(2) - 1))
+    // CC over the media near-dup pairs equals a union-find replay
+    val prs = operators.Multimodal.mediaNeardup(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(prs.nonEmpty)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    prs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(n => n -> find(n)).toMap
+    val got = operators.Multimodal.mediaNeardupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
