@@ -754,34 +754,45 @@ object Dedup {
 
   /** Resource-allocation link prediction (Zhou, Lü & Zhang '09) on
     * the near-dup graph: for every NON-adjacent pair sharing at least
-    * one neighbor, score = Σ_w 1/deg(w) over common neighbors w — the
-    * "missed duplicate" ranker: a high-RA non-edge is a pair the
-    * Hamming≤1 screen didn't connect but whose shared near-dup
-    * neighborhoods say it should review first. The per-neighbor
-    * weight is the INTEGER 10⁹ div deg(w) (summed as bigint), so the
-    * ranking is exact on both engines with no float anywhere. Shape:
-    * wedge enumeration (the [[neardupTriangles]] join), an anti-join
-    * against the edge set, and a (pair)-keyed rollup — all shuffles
-    * are key-partitioned, and at 100 TB the standard hub cap (drop
-    * w with deg(w) over a threshold, which contribute ≈0 score
-    * anyway) bounds the wedge count per node.
+    * one NON-HUB neighbor, score = Σ_w 1/deg(w) over common neighbors
+    * w with deg(w) ≤ [[LinkpredHubCap]] — the "missed duplicate"
+    * ranker: a high-RA non-edge is a pair the Hamming≤1 screen didn't
+    * connect but whose shared near-dup neighborhoods say it should
+    * review first. The hub cap is PART OF THE CONTRACT (the oracle
+    * applies the same cap): a hub neighbor contributes ≤ 1/cap per
+    * wedge but deg² wedges, so excluding hubs is both the standard
+    * link-prediction practice and what bounds the wedge count to
+    * cap²/2 per node at any corpus size. The per-neighbor weight is
+    * the INTEGER 10⁹ div deg(w) (summed as bigint), so the ranking is
+    * exact on both engines with no float anywhere. Shape: wedge
+    * enumeration (the [[neardupTriangles]] join) with deg attached at
+    * edge scale, an anti-join against the edge set, and a
+    * (pair)-keyed rollup — all shuffles key-partitioned.
     */
+  val LinkpredHubCap = 64L
+
   def neardupLinkpred(spark: SparkSession, dir: String): DataFrame = {
     val prs = neardupEdges(spark, dir).select(col("doc_a"), col("doc_b"))
       .localCheckpoint() // feeds both wedge sides, the anti-join and deg
     val sym = prs.select(col("doc_a").as("w"), col("doc_b").as("v"))
       .unionByName(prs.select(col("doc_b").as("w"), col("doc_a").as("v")))
     val deg = sym.groupBy("w").agg(count(lit(1)).as("deg"))
-    val wedges = sym.select(col("w"), col("v").as("a"))
+      .filter(col("deg") <= LinkpredHubCap)
+    // deg attaches at EDGE scale (one co-partitioned join on w) so the
+    // wedge-sized stream below never has to shuffle through a deg join
+    // — each wedge is born carrying its neighbor's weight; the inner
+    // join doubles as the hub filter (capped w only)
+    val symD = sym.join(deg, "w")
+      .select(col("w"), col("v"), expr("1000000000 div deg").as("rw"))
+    val wedges = symD.select(col("w"), col("v").as("a"), col("rw"))
       .join(sym.select(col("w"), col("v").as("b")), "w")
       .filter(col("a") < col("b"))
     wedges
       .join(prs, wedges("a") === prs("doc_a") && wedges("b") === prs("doc_b"),
         "left_anti")
-      .join(deg, "w")
       .groupBy("a", "b")
       .agg(count(lit(1)).as("n_common"),
-        sum(expr("1000000000 div deg")).as("ra_score"))
+        sum(col("rw")).as("ra_score"))
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
         col("n_common"), col("ra_score"))
       .orderBy(col("ra_score").desc, col("doc_a"), col("doc_b"))
@@ -1498,6 +1509,7 @@ object Dedup {
          |  SELECT a AS w, b AS v FROM prs UNION ALL SELECT b AS w, a AS v FROM prs
          |), dg AS (
          |  SELECT w, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY w
+         |  HAVING count(*) <= $LinkpredHubCap
          |), wedges AS (
          |  SELECT x.w, x.v AS a, y.v AS b
          |  FROM sym x JOIN sym y ON x.w = y.w AND x.v < y.v

@@ -952,9 +952,10 @@ object TextAnalysis {
   // ---- boilerplate -----------------------------------------------------
 
   /** (doc_id, pos, sent) — trimmed non-empty sentences with their
-    * in-document position, the shared frame of the boilerplate pair.
+    * in-document position, the shared frame of the boilerplate pair
+    * and the streaming boilerplate gate.
     */
-  private def sentencesOf(docs: DataFrame): DataFrame =
+  private[graft] def sentencesOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         posexplode(split(col("text"), "[.!?]+")).as(Seq("pos", "s0")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),

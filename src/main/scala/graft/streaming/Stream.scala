@@ -896,6 +896,70 @@ object Stream {
         ()
       }
 
+  /** Streaming boilerplate scrub against an UNBOUNDED sentence-df
+    * ledger — the batch `boilerplate_scrub` as a continuous gate:
+    * each micro-batch's documents are split into trimmed sentences
+    * ([[graft.operators.TextAnalysis.sentencesOf]] — the same frame
+    * as the batch twin), a sentence whose cross-document reach
+    * (saved ledger + this batch) is ≥ `minDocs` distinct docs is
+    * boilerplate, and the batch lands with those sentences removed
+    * in original order. Chrome that only becomes detectable over
+    * time ("accept all cookies" seen once per batch for a week) is
+    * caught the moment its cumulative reach crosses the threshold —
+    * including across restarts, because the ledger lives in the
+    * store, not executor state. The ledger holds one
+    * (sent_md5, n_docs, src_batch) row per batch — sentences shuffle
+    * as 32-char digests, never full text. Replay-idempotent by the
+    * same batch-granular replace as the other store-backed gates.
+    * Docs never span batches, so summing per-batch distinct-doc
+    * counts is exact.
+    */
+  def boilerplateGate(docs: DataFrame, storePath: String, outPath: String,
+                      minDocs: Long = 2)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val basePath = new org.apache.hadoop.fs.Path(storePath)
+        val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverStore(fs, basePath)
+        val sents = graft.operators.TextAnalysis.sentencesOf(batch)
+          .withColumn("sh", md5(col("sent")))
+        val batchDf = sents.groupBy("sh")
+          .agg(countDistinct(col("doc_id")).as("n_docs"))
+        val prior =
+          if (fs.exists(basePath))
+            spark.read.parquet(storePath).filter(col("src_batch") =!= batchId)
+          else spark.emptyDataFrame.select(lit("").as("sh"),
+            lit(0L).as("n_docs"), lit(0L).as("src_batch")).limit(0)
+        val bp = prior.select(col("sh"), col("n_docs")).unionByName(batchDf)
+          .groupBy("sh").agg(sum(col("n_docs")).as("cnd"))
+          .filter(col("cnd") >= minDocs)
+          .select(col("sh"), lit(true).as("is_bp"))
+        val scrubbed = sents.join(bp, Seq("sh"), "left")
+          .withColumn("keep", col("is_bp").isNull)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sents"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            array_join(
+              transform(
+                sort_array(collect_list(when(col("keep"),
+                  struct(col("pos"), col("sent"))))),
+                s => s("sent")),
+              ". ").as("kept_text"))
+          .select(col("doc_id"), col("n_sents"), col("n_kept"),
+            (col("n_sents") - col("n_kept")).as("n_dropped"), col("kept_text"))
+        scrubbed.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        val merged = prior.unionByName(
+          batchDf.withColumn("src_batch", lit(batchId)))
+        val tmp = s"$storePath.merged-$batchId"
+        merged.write.mode("overwrite").parquet(tmp)
+        if (fs.exists(basePath)) swapStore(fs, basePath, tmp)
+        else mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
+        ()
+      }
+
   /** The COMPOSED streaming cleaning funnel — the batch
     * `pipeline_clean` as a continuous gate: every micro-batch runs
     * quality rules → exact-dup screen → near-dup screen, each stage

@@ -1356,8 +1356,10 @@ class OperatorsSpec extends SparkSpec {
     val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
       .map { case (k, v) => k -> v.map(_._2).toSet }
     val deg = adj.map { case (k, v) => k -> v.size.toLong }
+    val cap = operators.Dedup.LinkpredHubCap
     val want = (for {
-      (w, ns) <- adj.toSeq; a <- ns; b <- ns
+      (w, ns) <- adj.toSeq if deg(w) <= cap
+      a <- ns; b <- ns
       if a < b && !es.contains((a, b))
     } yield ((a, b), 1000000000L / deg(w)))
       .groupBy(_._1)

@@ -972,4 +972,43 @@ class StreamingSpec extends SparkSpec {
       assert(u3(0).getLong(3) === 500L * 60L * 1000000L)
     } finally q.stop()
   }
+
+  test("stream_boilerplate_store: sentence ledger catches late chrome across restart") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-bp").toString
+    val (store, out, ckpt) = (s"$base/ledger", s"$base/out", s"$base/ckpt")
+    def landed(id: Long): Map[Long, (Long, Long, String)] =
+      spark.read.parquet(s"$out/batch=$id").collect().map { r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getString(4)))
+      }.toMap
+    val in = MemoryStream[(Long, String)]
+    val df = in.toDF().toDF("doc_id", "text")
+    val chrome = "accept all cookies"
+    val q1 = Stream.boilerplateGate(df, store, out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // batch 0: chrome reaches 2 docs IN-batch -> scrubbed immediately
+      in.addData((0L, s"$chrome. real zero"), (1L, s"unique one. $chrome"))
+      q1.processAllAvailable()
+      assert(landed(0L) === Map(
+        0L -> ((2L, 1L, "real zero")), 1L -> ((2L, 1L, "unique one"))))
+    } finally q1.stop()
+    // restart: doc 2 repeats the chrome once more — the LEDGER (not
+    // executor state) knows its reach is already >= 2
+    val q2 = Stream.boilerplateGate(df, store, out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData((2L, s"real two. $chrome"), (3L, "all original text"))
+      q2.processAllAvailable()
+      assert(landed(1L) === Map(
+        2L -> ((2L, 1L, "real two")), 3L -> ((1L, 0L, "all original text"))))
+      // ledger: per-batch sentence-df rows keyed by source batch
+      val led = spark.read.parquet(store).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(led.count(_._3 == 0L) === 3 && led.count(_._3 == 1L) === 3)
+      assert(led.filter(_._2 == 2L).map(_._3).toSeq === Seq(0L),
+        "only batch 0 saw the chrome twice")
+    } finally q2.stop()
+  }
 }
