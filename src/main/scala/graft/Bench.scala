@@ -39,7 +39,8 @@ object Bench {
         "perplexity_doc", "qlm_topk", "source_kl", "zipf_fit",
         "term_entropy", "keyword_textrank", "knn_ivf_trained", "knn_pq",
         "embedding_outliers", "events_twap", "curriculum_order",
-        "source_length_quartiles", "revenue_gini")
+        "source_length_quartiles", "revenue_gini", "revenue_pareto",
+        "rfm_segments")
       .filter(k => only.forall(_.contains(k)))
       .map { k => s"$k#prod" -> time(SparkEntry.queries(k)) }
     spark.conf.set(operators.Folds.ConfKey, "true")

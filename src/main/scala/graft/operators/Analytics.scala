@@ -775,13 +775,32 @@ object Analytics {
         datediff(col("maxd"), col("lastd")).cast("long").as("recency_days"),
         col("frequency"),
         col("mdec").cast("double").as("monetary"))
-    def score(c: String, asc: Boolean): Column =
-      ntile(4).over(Window.orderBy(
-        (if (asc) col(c).asc else col(c).desc), col("o_custkey"))).cast("long")
-    cust
-      .withColumn("r_score", score("recency_days", asc = true))
-      .withColumn("f_score", score("frequency", asc = false))
-      .withColumn("m_score", score("monetary", asc = false))
+    // gate = three global NTILE windows; production = three
+    // [[GraftOps.rangeRank]] passes + the NTILE arithmetic (identical
+    // scores — FoldsSpec asserts exact equality; no unpartitioned
+    // window at any cardinality)
+    val scored = if (Folds.bitwise(cust)) {
+      def score(c: String, asc: Boolean): Column =
+        ntile(4).over(Window.orderBy(
+          (if (asc) col(c).asc else col(c).desc), col("o_custkey"))).cast("long")
+      cust
+        .withColumn("r_score", score("recency_days", asc = true))
+        .withColumn("f_score", score("frequency", asc = false))
+        .withColumn("m_score", score("monetary", asc = false))
+    } else {
+      val n = cust.agg(count(lit(1)).as("nn"))
+      def score(df: DataFrame, c: String, asc: Boolean, as: String): DataFrame =
+        GraftOps.rangeRank(df, if (asc) col(c) else -col(c), col("o_custkey"))
+          .withColumn(as, ntileFromRank(4, col("rn"), col("nn")).cast("long"))
+          .drop("rn")
+      val withN = cust.crossJoin(broadcast(n))
+      score(score(score(withN,
+          "recency_days", asc = true, "r_score"),
+          "frequency", asc = false, "f_score"),
+          "monetary", asc = false, "m_score")
+        .drop("nn")
+    }
+    scored
       .withColumn("segment",
         concat(col("r_score"), col("f_score"), col("m_score")))
       .select(col("o_custkey"), col("recency_days"), col("frequency"),
@@ -806,47 +825,19 @@ object Analytics {
     * (`range_boundaries` is the sampler that builds the cut points).
     */
   def revenueGini(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.HashFns
     val cust = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).as("x"))
     // Gate mode ranks with the one global window (|customers| rows);
     // production mode (the 100 TB shape, spark.graft.bitwiseFolds=false)
-    // replaces it with a range-partitioned two-phase rank: sampled cut
-    // points bucket the frame ([[rangeBoundaries]]' sampler), each
-    // bucket ranks locally, and broadcast per-bucket counts shift the
-    // local ranks global. The two ranks are IDENTICAL (buckets split
-    // only between distinct x values, so the global (x, custkey) order
-    // is preserved) — GiniProdSpec asserts exact output equality.
+    // replaces it with [[GraftOps.rangeRank]]'s range-partitioned
+    // two-phase rank — EXACTLY the same rn (FoldsSpec asserts exact
+    // output equality), no unpartitioned window anywhere.
     val ranked = if (Folds.bitwise(cust)) {
       cust.withColumn("rn",
         row_number().over(Window.orderBy(col("x"), col("o_custkey"))).cast("long"))
     } else {
-      val s = cust.filter(HashFns.rollingHash(col("o_custkey").cast("string")) % 50 === 0)
-      val sc = s.agg(count(lit(1)).as("n"))
-      val bounds = s.crossJoin(broadcast(sc))
-        .select(col("x"), col("n"),
-          row_number().over(Window.orderBy(col("x"), col("o_custkey")))
-            .cast("long").as("srn"))
-        .withColumn("rks",
-          expr("transform(sequence(1L, 31L), k -> greatest(1L, (n * k) div 32))"))
-        .filter(array_contains(col("rks"), col("srn")))
-        .agg(sort_array(collect_set(col("x"))).as("bs"))
-      val bucketed = cust.crossJoin(broadcast(bounds))
-        .withColumn("__bk", size(filter(col("bs"), b => col("x") > b)).cast("long"))
-        .drop("bs")
-      val offsets = bucketed.groupBy("__bk").agg(count(lit(1)).as("__c"))
-        .withColumn("__off", coalesce(
-          sum(col("__c")).over(
-            Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-        .select(col("__bk"), col("__off"))
-      bucketed.join(broadcast(offsets), "__bk")
-        .withColumn("rn",
-          (col("__off") + row_number().over(
-            Window.partitionBy("__bk").orderBy(col("x"), col("o_custkey"))))
-            .cast("long"))
-        .drop("__bk", "__off")
+      GraftOps.rangeRank(cust, col("x"), col("o_custkey"))
     }
     ranked
       .agg(count(lit(1)).as("n_customers"),
@@ -913,12 +904,38 @@ object Analytics {
     * aggregate window as [[rfmSegments]] (approx-quantile thresholds
     * replace it at extreme cardinality).
     */
+  /** SQL NTILE(k) recomputed from a global 1-based rank `rn` over `n`
+    * rows — the first `n % k` tiles get one extra row, exactly the
+    * Spark/DuckDB NTILE contract. Lets the production paths derive
+    * tiles from [[GraftOps.rangeRank]] instead of a global window.
+    */
+  private def ntileFromRank(k: Int, rn: Column, n: Column): Column = {
+    // floor() keeps the divisions integral (exact for ranks < 2^53 —
+    // far past any customer cardinality)
+    val bs = floor(n.cast("double") / k)
+    val rem = n.cast("long") % k
+    val big = rem * (bs + 1)
+    when(rn <= big, floor((rn - 1).cast("double") / (bs + 1)) + 1)
+      .otherwise(rem + floor((rn - big - 1).cast("double") / bs) + 1)
+  }
+
   def revenuePareto(spark: SparkSession, dir: String): DataFrame = {
-    val cust = Tables.orders(spark, dir)
+    val base = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("m"))
-      .withColumn("decile",
+    // gate = the global NTILE window; production = rangeRank on the
+    // negated key + the NTILE arithmetic (identical deciles, no
+    // unpartitioned window) — FoldsSpec asserts exact equality
+    val cust = if (Folds.bitwise(base)) {
+      base.withColumn("decile",
         ntile(10).over(Window.orderBy(col("m").desc, col("o_custkey"))).cast("long"))
+    } else {
+      val n = base.agg(count(lit(1)).as("nn"))
+      GraftOps.rangeRank(base, -col("m"), col("o_custkey"))
+        .crossJoin(broadcast(n))
+        .withColumn("decile", ntileFromRank(10, col("rn"), col("nn")).cast("long"))
+        .drop("rn", "nn")
+    }
     val tot = cust.agg(sum(col("m")).cast("double").as("total"))
     cust.groupBy("decile")
       .agg(count(lit(1)).as("n_customers"), sum(col("m")).as("rev"))

@@ -107,4 +107,19 @@ class FoldsSpec extends SparkSpec {
         "production mode must rank per range bucket, not in one global window")
     } finally spark.conf.set(Folds.ConfKey, "true")
   }
+
+  test("pareto/rfm production tiles EXACTLY equal the gate's NTILE windows") {
+    // rangeRank + the NTILE arithmetic must reproduce every decile
+    // and every RFM score bit-for-bit, row-for-row
+    val gateP = operators.Analytics.revenuePareto(spark, sfDir).collect().toSeq
+    val gateR = operators.Analytics.rfmSegments(spark, sfDir).collect().toSeq
+    spark.conf.set(Folds.ConfKey, "false")
+    try {
+      val prodP = operators.Analytics.revenuePareto(spark, sfDir).collect().toSeq
+      val prodR = operators.Analytics.rfmSegments(spark, sfDir).collect().toSeq
+      assert(prodP === gateP)
+      assert(prodR === gateR)
+      assert(gateR.nonEmpty && gateP.nonEmpty)
+    } finally spark.conf.set(Folds.ConfKey, "true")
+  }
 }
