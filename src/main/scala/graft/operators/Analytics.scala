@@ -951,6 +951,76 @@ object Analytics {
       .orderBy("decile")
   }
 
+  /** ABC inventory classification of parts by revenue (the warehouse
+    * 70/90 rule): parts rank by lineitem revenue descending, and the
+    * cumulative-share boundaries put a part in A (first 70% of
+    * revenue), B (to 90%) or C. The class test is INTEGER — cum·10 ≤
+    * total·7 on exact cents — so no boundary can flip on one engine
+    * only; the one double division per class row is display-only.
+    * The rank+prefix window runs on the |parts| rollup, the same
+    * frame family as [[revenuePareto]] (and at extreme cardinality
+    * the same [[GraftOps.rangeRank]] + [[GraftOps.runningTotal]]
+    * two-phase shapes replace both the rank and the prefix sum).
+    */
+  def ordersAbcClass(spark: SparkSession, dir: String): DataFrame = {
+    // price(18,2) × (1−disc)(18,2) is EXACT at scale 4, so ×10⁴ is an
+    // integer value and the (38,0) cast never rounds — no half-way
+    // engine disagreement can exist (units: 10⁻⁴ dollars)
+    val pr = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")) *
+          10000).cast("decimal(38,0)")).cast("decimal(38,0)").as("cents"))
+    val w = Window.orderBy(col("cents").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = pr.agg(sum(col("cents")).cast("decimal(38,0)").as("total"))
+    pr.withColumn("cum", sum(col("cents")).over(w).cast("decimal(38,0)"))
+      .crossJoin(broadcast(tot))
+      .withColumn("abc_class",
+        when(col("cum") * 10 <= col("total") * 7, lit("A"))
+          .when(col("cum") * 10 <= col("total") * 9, lit("B"))
+          .otherwise(lit("C")))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("cents")).cast("decimal(38,0)").as("class_rev_e4"))
+      .crossJoin(broadcast(tot))
+      .select(col("abc_class"), col("n_parts"), col("class_rev_e4"),
+        round(col("class_rev_e4").cast("double") / col("total").cast("double"), 6)
+          .as("rev_share"))
+      .orderBy("abc_class")
+  }
+
+  /** Burstiness of per-type event arrivals (Goh & Barabási '08):
+    * B = (σ−μ)/(σ+μ) over the inter-event gaps of each event_type —
+    * B→−1 periodic, 0 Poisson, →1 bursty; the one number that says
+    * whether a stream's load is schedulable or spiky. The n's cancel:
+    * B = (√(n·ΣΔ²−(ΣΔ)²) − ΣΔ)/(√(n·ΣΔ²−(ΣΔ)²) + ΣΔ) with every
+    * operand under the √ an exact DECIMAL(38,0) (gaps in µs), so the
+    * whole statistic is one shared IEEE tree — bitwise cross-engine
+    * with no fold. Shape: one (type)-partitioned lag window on the
+    * event stream (co-partitioned with its natural key), then a
+    * per-type rollup.
+    */
+  def eventsBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))
+    val gaps = eventsUs(spark, dir)
+      .withColumn("prev", lag(col("ts_us"), 1).over(byType))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), (col("ts_us") - col("prev")).as("g"))
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("g").cast("decimal(38,0)")).cast("decimal(38,0)").as("s1"),
+        sum(col("g").cast("decimal(38,0)") * col("g").cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("s2"))
+      .select(col("event_type"), col("n").cast("long").as("n_gaps"),
+        expr("s1 div n").cast("long").as("mean_gap_us"),
+        round((sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double")) -
+            col("s1").cast("double")) /
+          (sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double")) +
+            col("s1").cast("double")), 6).as("burstiness"))
+      .orderBy("event_type")
+  }
+
   /** Order seasonality: per (year, month) order counts, revenue
     * (decimal-exact sum) and average order value — the time-series
     * rollup a demand dashboard reads. One partial-agg shuffle over
@@ -2166,6 +2236,8 @@ object Analytics {
     "events_cusum" -> eventsCusum,
     "events_autocorr" -> eventsAutocorr,
     "events_changepoint" -> eventsChangepoint,
+    "events_burstiness" -> eventsBurstiness,
+    "orders_abc_class" -> ordersAbcClass,
     "events_holt" -> eventsHolt,
     "funnel_latency" -> funnelLatency,
     "revenue_gini" -> revenueGini,
@@ -2773,6 +2845,51 @@ object Analytics {
          |  CAST(((n * t2 - t1 * t1) * 2000000 + n) // (2 * n) AS BIGINT) - cost_micro
          |    AS gain_micro
          |FROM best WHERE rn = 1""".stripMargin,
+    "orders_abc_class" ->
+      """WITH pr AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) *
+        |      10000 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS cents
+        |  FROM lineitem GROUP BY l_partkey
+        |), tot AS (
+        |  SELECT CAST(sum(cents) AS DECIMAL(38,0)) AS total FROM pr
+        |), c AS (
+        |  SELECT l_partkey, cents,
+        |    CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+        |      ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,0)) AS cum
+        |  FROM pr
+        |), cls AS (
+        |  SELECT cents,
+        |    CASE WHEN cum * 10 <= total * 7 THEN 'A'
+        |      WHEN cum * 10 <= total * 9 THEN 'B' ELSE 'C' END AS abc_class
+        |  FROM c, tot
+        |)
+        |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(cents) AS DECIMAL(38,0)) AS class_rev_e4,
+        |  round(CAST(sum(cents) AS DOUBLE) / CAST(total AS DOUBLE), 6) AS rev_share
+        |FROM cls, tot GROUP BY abc_class, total
+        |ORDER BY abc_class""".stripMargin,
+    "events_burstiness" ->
+      s"""$EvSql, g AS (
+         |  SELECT event_type,
+         |    ts_us - lag(ts_us) OVER (PARTITION BY event_type
+         |      ORDER BY ts_us, event_id) AS g
+         |  FROM ev
+         |), gg AS (SELECT event_type, g FROM g WHERE g IS NOT NULL),
+         |agg AS (
+         |  SELECT event_type,
+         |    CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(CAST(g AS HUGEINT)) AS HUGEINT) AS s1,
+         |    CAST(sum(CAST(g AS HUGEINT) * CAST(g AS HUGEINT)) AS HUGEINT) AS s2
+         |  FROM gg GROUP BY event_type
+         |)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+         |  CAST(s1 // n AS BIGINT) AS mean_gap_us,
+         |  round((sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) - CAST(s1 AS DOUBLE)) /
+         |    (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) + CAST(s1 AS DOUBLE)), 6)
+         |    AS burstiness
+         |FROM agg ORDER BY event_type""".stripMargin,
     "events_mad" ->
       s"""$EvSql, d AS (
          |  SELECT ts_us // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c

@@ -1483,6 +1483,64 @@ class OperatorsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("orders_abc_class: classes recompute from an exact driver-side sweep") {
+    val li = sources.Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_extendedprice", "l_discount").collect()
+    val rev = li.groupBy(_.getLong(0)).map { case (p, rs) =>
+      p -> rs.map { r =>
+        (BigDecimal(r.getDouble(1)).setScale(2) *
+          (BigDecimal(1) - BigDecimal(r.getDouble(2)).setScale(2)) * 10000)
+          .toBigInt
+      }.sum
+    }
+    val total = rev.values.sum
+    var cum = BigInt(0)
+    val classes = rev.toSeq.sortBy { case (p, c) => (-c, p) }.map { case (p, c) =>
+      cum += c
+      (p, c, if (cum * 10 <= total * 7) "A" else if (cum * 10 <= total * 9) "B" else "C")
+    }
+    val want = classes.groupBy(_._3).map { case (k, xs) =>
+      k -> ((xs.size.toLong, xs.map(_._2).sum)) }
+    val got = operators.Analytics.ordersAbcClass(spark, sfDir).collect()
+    assert(got.map(_.getString(0)).toSeq === want.keys.toSeq.sorted)
+    got.foreach { r =>
+      val (n, s) = want(r.getString(0))
+      assert(r.getLong(1) === n, r.getString(0))
+      assert(BigInt(r.getDecimal(2).toBigInteger) === s, r.getString(0))
+      assert(math.abs(r.getDouble(3) -
+        (BigDecimal(s) / BigDecimal(total)).toDouble) < 1e-6)
+    }
+    // classes partition the whole part population and its revenue
+    // (this synthetic revenue is near-uniform, so no Pareto-skew
+    // assertion — A legitimately holds most parts here)
+    assert(want.values.map(_._1).sum === rev.size.toLong)
+    assert(want.values.map(_._2).sum === total)
+  }
+
+  test("events_burstiness: statistic recomputes; regular beats bursty") {
+    val evs = operators.Analytics.eventsUs(spark, sfDir)
+      .select("event_type", "ts_us", "event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = evs.groupBy(_._1).map { case (t, xs) =>
+      val gaps = xs.sortBy(e => (e._2, e._3)).sliding(2)
+        .collect { case Array(a, b) => b._2 - a._2 }.toSeq
+      val n = BigInt(gaps.length)
+      val s1 = gaps.map(BigInt(_)).sum
+      val s2 = gaps.map(g => BigInt(g) * g).sum
+      val d = math.sqrt((n * s2 - s1 * s1).toDouble)
+      t -> ((gaps.length.toLong, (s1 / n).toLong,
+        (d - s1.toDouble) / (d + s1.toDouble)))
+    }
+    val got = operators.Analytics.eventsBurstiness(spark, sfDir).collect()
+    assert(got.length === want.size && got.nonEmpty)
+    got.foreach { r =>
+      val (n, mean, b) = want(r.getString(0))
+      assert(r.getLong(1) === n && r.getLong(2) === mean, r.getString(0))
+      assert(math.abs(r.getDouble(3) - b) < 1e-6, r.getString(0))
+      assert(r.getDouble(3) > -1.0 && r.getDouble(3) < 1.0)
+    }
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
