@@ -895,15 +895,6 @@ object Analytics {
       .orderBy("year_from", "component")
   }
 
-  /** Revenue concentration (Pareto) report: customers bucketed into
-    * spend deciles (1 = biggest spenders), each decile's revenue
-    * share and the cumulative share — "the top 10% of customers carry
-    * X% of revenue". Sums are DECIMAL (addition-order-free); the
-    * cumulative window runs over the 10-row decile frame, never
-    * customers. The decile ntile is the same |customers|-bounded
-    * aggregate window as [[rfmSegments]] (approx-quantile thresholds
-    * replace it at extreme cardinality).
-    */
   /** SQL NTILE(k) recomputed from a global 1-based rank `rn` over `n`
     * rows — the first `n % k` tiles get one extra row, exactly the
     * Spark/DuckDB NTILE contract. Lets the production paths derive
@@ -919,6 +910,15 @@ object Analytics {
       .otherwise(rem + floor((rn - big - 1).cast("double") / bs) + 1)
   }
 
+  /** Revenue concentration (Pareto) report: customers bucketed into
+    * spend deciles (1 = biggest spenders), each decile's revenue
+    * share and the cumulative share — "the top 10% of customers carry
+    * X% of revenue". Sums are DECIMAL (addition-order-free); the
+    * cumulative window runs over the 10-row decile frame, never
+    * customers. Gate mode tiles with the |customers|-bounded NTILE
+    * window; production mode derives the same tiles from
+    * [[GraftOps.rangeRank]] + [[ntileFromRank]].
+    */
   def revenuePareto(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))

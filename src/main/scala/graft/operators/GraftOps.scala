@@ -160,6 +160,49 @@ object GraftOps {
       .select(leftCols.map(c => col(s"__payload.$c").as(c)) :+ col("__last").as(asCol): _*)
   }
 
+  /** Distributed global rank WITHOUT a global window — the 100 TB
+    * replacement for `row_number().over(Window.orderBy(value, tie))`:
+    * a partial-agg quantile sketch (approx_percentile — no window, no
+    * sample pass) picks ≤31 range cut points, every row buckets by
+    * value against the broadcast cuts, buckets rank locally in
+    * parallel, and broadcast per-bucket counts shift the local ranks
+    * global. The result is EXACTLY the global rank no matter where
+    * the cuts land: bucket assignment is a monotone function of the
+    * value alone (double-cast compare — the cast is monotone and ties
+    * co-bucket), so (value, tie) order is preserved across buckets;
+    * cut placement only affects bucket BALANCE, which the sketch
+    * makes near-even. The only serial stage is the ≤32-row offset
+    * scan. The input lineage is localCheckpoint'd once so the three
+    * downstream consumers (cuts, offsets, final rank) don't recompute
+    * the caller's plan.
+    *
+    * Output: the input columns + `rn` (1-based global rank by
+    * (value ASC, tie ASC); any existing `rn` column is replaced). For
+    * a descending rank pass the negated value.
+    */
+  def rangeRank(df: DataFrame, value: Column, tie: Column): DataFrame = {
+    val b = df.withColumn("__v", value).withColumn("__t", tie).localCheckpoint()
+    val fracs = (1 to 31).map(k => k / 32.0).mkString("array(", ", ", ")")
+    val bounds = b.agg(
+      expr(s"approx_percentile(cast(__v as double), $fracs, 1000)").as("__bs"))
+    val bucketed = b.crossJoin(broadcast(bounds))
+      .withColumn("__bk",
+        size(filter(array_distinct(col("__bs")),
+          x => col("__v").cast("double") > x)).cast("long"))
+      .drop("__bs")
+    val offsets = bucketed.groupBy("__bk").agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(
+        sum(col("__c")).over(
+          Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__bk"), col("__off"))
+    bucketed.join(broadcast(offsets), "__bk")
+      .withColumn("rn",
+        (col("__off") + row_number().over(
+          Window.partitionBy("__bk").orderBy(col("__v"), col("__t")))).cast("long"))
+      .drop("__bk", "__off", "__v", "__t")
+  }
+
   /** Distributed running total: prefix sums of `value` over the TOTAL
     * order `order` WITHOUT a single-partition window — the classic
     * two-phase scan. Phase 1 aggregates per-bucket partial sums into a
@@ -178,51 +221,6 @@ object GraftOps {
     *
     * Output: the input columns + `running`.
     */
-  /** Distributed global rank WITHOUT a global window — the 100 TB
-    * replacement for `row_number().over(Window.orderBy(value, tie))`:
-    * a deterministic 2% sample (rolling hash of the unique `tie`)
-    * picks ≤31 range cut points, every row buckets by value against
-    * the broadcast cuts, buckets rank locally in parallel, and
-    * broadcast per-bucket counts shift the local ranks global. The
-    * result is EXACTLY the global rank (buckets split only between
-    * distinct values, so (value, tie) order is preserved across
-    * buckets); only the ≤32-row offset scan is serial. An empty
-    * sample degrades to one bucket — the plain global window, which
-    * is also when the frame is small enough for one.
-    *
-    * Output: the input columns + `rn` (1-based global rank by
-    * (value ASC, tie ASC)). For a descending rank pass the negated
-    * value.
-    */
-  def rangeRank(df: DataFrame, value: Column, tie: Column): DataFrame = {
-    import graft.functions.HashFns
-    val b = df.withColumn("__v", value).withColumn("__t", tie)
-    val s = b.filter(HashFns.rollingHash(col("__t").cast("string")) % 50 === 0)
-    val sc = s.agg(count(lit(1)).as("n"))
-    val bounds = s.crossJoin(broadcast(sc))
-      .select(col("__v"), col("n"),
-        row_number().over(Window.orderBy(col("__v"), col("__t")))
-          .cast("long").as("srn"))
-      .withColumn("rks",
-        expr("transform(sequence(1L, 31L), k -> greatest(1L, (n * k) div 32))"))
-      .filter(array_contains(col("rks"), col("srn")))
-      .agg(sort_array(collect_set(col("__v"))).as("bs"))
-    val bucketed = b.crossJoin(broadcast(bounds))
-      .withColumn("__bk", size(filter(col("bs"), x => col("__v") > x)).cast("long"))
-      .drop("bs")
-    val offsets = bucketed.groupBy("__bk").agg(count(lit(1)).as("__c"))
-      .withColumn("__off", coalesce(
-        sum(col("__c")).over(
-          Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select(col("__bk"), col("__off"))
-    bucketed.join(broadcast(offsets), "__bk")
-      .withColumn("rn",
-        (col("__off") + row_number().over(
-          Window.partitionBy("__bk").orderBy(col("__v"), col("__t")))).cast("long"))
-      .drop("__bk", "__off", "__v", "__t")
-  }
-
   def runningTotal(df: DataFrame, order: Column, value: Column,
                    bucket: Column): DataFrame = {
     val b = df.withColumn("__b", bucket)

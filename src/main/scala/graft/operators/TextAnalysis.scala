@@ -998,14 +998,14 @@ object TextAnalysis {
     * kept_text = '' so the output keeps full row parity for the next
     * pipeline stage.
     */
-  def boilerplateScrubOf(docs: DataFrame, minDocs: Long): DataFrame = {
-    val sents = sentencesOf(docs)
-    val bp = sents.groupBy("sent")
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-      .filter(col("n_docs") >= minDocs)
-      .select(col("sent"), lit(true).as("is_bp"))
-    sents.join(bp, Seq("sent"), "left")
-      .withColumn("keep", col("is_bp").isNull)
+  /** Per-document ordered re-assembly shared by the batch scrub and
+    * the streaming gate: `sents` must carry (doc_id, pos, sent, keep)
+    * — kept sentences rejoin in position order, dropped ones are
+    * counted. The collect_list is per-DOCUMENT (bounded by document
+    * length, never corpus-sized).
+    */
+  private[graft] def scrubAssembly(sents: DataFrame): DataFrame =
+    sents
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sents"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
@@ -1017,6 +1017,16 @@ object TextAnalysis {
           ". ").as("kept_text"))
       .select(col("doc_id"), col("n_sents"), col("n_kept"),
         (col("n_sents") - col("n_kept")).as("n_dropped"), col("kept_text"))
+
+  def boilerplateScrubOf(docs: DataFrame, minDocs: Long): DataFrame = {
+    val sents = sentencesOf(docs)
+    val bp = sents.groupBy("sent")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("sent"), lit(true).as("is_bp"))
+    scrubAssembly(
+        sents.join(bp, Seq("sent"), "left")
+          .withColumn("keep", col("is_bp").isNull))
       .orderBy("doc_id")
   }
 

@@ -937,19 +937,11 @@ object Stream {
           .groupBy("sh").agg(sum(col("n_docs")).as("cnd"))
           .filter(col("cnd") >= minDocs)
           .select(col("sh"), lit(true).as("is_bp"))
-        val scrubbed = sents.join(bp, Seq("sh"), "left")
-          .withColumn("keep", col("is_bp").isNull)
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_sents"),
-            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-            array_join(
-              transform(
-                sort_array(collect_list(when(col("keep"),
-                  struct(col("pos"), col("sent"))))),
-                s => s("sent")),
-              ". ").as("kept_text"))
-          .select(col("doc_id"), col("n_sents"), col("n_kept"),
-            (col("n_sents") - col("n_kept")).as("n_dropped"), col("kept_text"))
+        // same ordered re-assembly as the batch twin — shared code, so
+        // the two scrubs can never drift
+        val scrubbed = graft.operators.TextAnalysis.scrubAssembly(
+          sents.join(bp, Seq("sh"), "left")
+            .withColumn("keep", col("is_bp").isNull))
         scrubbed.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         val merged = prior.unionByName(
           batchDf.withColumn("src_batch", lit(batchId)))
