@@ -1033,6 +1033,69 @@ object TextAnalysis {
   def boilerplateScrub(spark: SparkSession, dir: String): DataFrame =
     boilerplateScrubOf(Tables.documents(spark, dir), minDocs = 2)
 
+  // ---- governance / diagnostics ---------------------------------------
+
+  /** k-anonymity audit of the document METADATA (the release-safety
+    * check before publishing a corpus or its per-document stats):
+    * every (source, lang, length-bucket) quasi-identifier cell with
+    * its population k, flagged when k < 5 — a flagged cell's
+    * documents are re-identifiable from metadata alone, the standard
+    * suppression candidate. Pure integer rollup over the quasi-key;
+    * cells number |sources|×|langs|×|buckets| regardless of corpus
+    * size.
+    */
+  def metadataKAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang"),
+        expr("n_chars div 100").as("len_bucket"))
+      .agg(count(lit(1)).as("k"))
+      .withColumn("suppress", col("k") < 5)
+      .orderBy("source", "lang", "len_bucket")
+
+  /** Whitespace vs Unicode tokenizer comparison — the fertility audit
+    * run before committing a tokenization contract: per-corpus token
+    * totals under both tokenizers, the fertility ratio, and how many
+    * documents the choice actually changes. All integer counts plus
+    * one display division; one scan, two codegen'd splits.
+    */
+  def tokenizerCompare(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(size(TextFns.tokens(col("text"))).cast("long").as("ws"),
+        size(TextFns.tokensUnicode(col("text"))).cast("long").as("uni"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"), sum(col("uni")).as("unicode_tokens"),
+        sum(when(col("ws") =!= col("uni"), 1L).otherwise(0L)).as("n_docs_differ"),
+        max(abs(col("ws") - col("uni"))).as("max_doc_delta"))
+      .select(col("n_docs"), col("ws_tokens"), col("unicode_tokens"),
+        col("n_docs_differ"), col("max_doc_delta"),
+        round(col("unicode_tokens").cast("double") /
+          col("ws_tokens").cast("double"), 6).as("fertility_ratio"))
+
+  /** Pearson correlation between the rule-based quality score and
+    * bigram-LM perplexity — the calibration check that says whether
+    * the cheap filter and the expensive LM agree on what "low
+    * quality" means (they should anti-correlate: high quality, low
+    * ppl). Inputs are the two keys' own (rounded, cross-engine
+    * deterministic) outputs; the five moment sums route through
+    * [[Folds]] keyed by doc_id. One narrow join on doc_id.
+    */
+  def qualityPplCorr(spark: SparkSession, dir: String): DataFrame = {
+    val q = qualityScore(spark, dir).select(col("doc_id"), col("quality").as("x"))
+    val p = perplexityDocOf(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("ppl").as("y"))
+    val j = q.join(p, "doc_id")
+    Folds.groupSums(j, Nil, col("doc_id"),
+        Seq("sx" -> col("x"), "sy" -> col("y"),
+          "sxx" -> (col("x") * col("x")), "syy" -> (col("y") * col("y")),
+          "sxy" -> (col("x") * col("y"))),
+        Seq(count(lit(1)).cast("double").as("n")))
+      .select(col("n").cast("long").as("n_docs"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("pearson_r"))
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1042,6 +1105,9 @@ object TextAnalysis {
     "sentence_len_hist" -> sentenceLenHist,
     "boilerplate_sentences" -> boilerplateSentences,
     "boilerplate_scrub" -> boilerplateScrub,
+    "metadata_k_anonymity" -> metadataKAnonymity,
+    "tokenizer_compare" -> tokenizerCompare,
+    "quality_ppl_corr" -> qualityPplCorr,
     "keyword_textrank" -> keywordTextrank,
     "repetition_ratio" -> repetitionRatio,
     "perplexity_doc" -> perplexityDoc,
@@ -1393,6 +1459,78 @@ object TextAnalysis {
          |SELECT c1, c2, count(*) AS freq FROM pr GROUP BY c1, c2
          |ORDER BY freq DESC, c1, c2 LIMIT 20""".stripMargin,
     "lang_id" -> langIdSql,
+    "metadata_k_anonymity" ->
+      """SELECT source, lang, n_chars // 100 AS len_bucket,
+        |  CAST(count(*) AS BIGINT) AS k,
+        |  count(*) < 5 AS suppress
+        |FROM documents GROUP BY source, lang, n_chars // 100
+        |ORDER BY source, lang, len_bucket""".stripMargin,
+    "tokenizer_compare" ->
+      """WITH t AS (
+        |  SELECT
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      t -> len(t) > 0)) AS BIGINT) AS ws,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'),
+        |      t -> len(t) > 0)) AS BIGINT) AS uni
+        |  FROM documents
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(uni) AS BIGINT) AS unicode_tokens,
+        |  CAST(sum(CASE WHEN ws <> uni THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_differ,
+        |  CAST(max(abs(ws - uni)) AS BIGINT) AS max_doc_delta,
+        |  round(CAST(sum(uni) AS DOUBLE) / CAST(sum(ws) AS DOUBLE), 6)
+        |    AS fertility_ratio
+        |FROM t""".stripMargin,
+    "quality_ppl_corr" ->
+      s"""${Index.TokSql}, v AS (
+         |  SELECT count(DISTINCT term)::DOUBLE AS v FROM tok
+         |), bi AS (
+         |  SELECT doc_id, tk[i+1] AS w1, tk[i+2] AS w2
+         |  FROM toks, unnest(range(greatest(len(tk) - 1, 0))) AS u(i)
+         |), bc AS (
+         |  SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2
+         |), ctx AS (
+         |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1
+         |), sc AS (
+         |  SELECT bc.w1, bc.w2,
+         |    ln((bc.c12 + 1)::DOUBLE / (ctx.c1::DOUBLE + v.v)) AS lp
+         |  FROM bc JOIN ctx USING (w1), v
+         |), d AS (
+         |  SELECT bi.doc_id, list_sort(list(sc.lp)) AS lps, count(*)::DOUBLE AS nbg
+         |  FROM bi JOIN sc ON bi.w1 = sc.w1 AND bi.w2 = sc.w2
+         |  GROUP BY bi.doc_id
+         |), pp AS (
+         |  SELECT doc_id,
+         |    round(exp(-(list_reduce(list_prepend(0.0::DOUBLE, lps), (a, x) -> a + x)) / nbg), 4) AS y
+         |  FROM d
+         |), qq AS (
+         |  SELECT doc_id,
+         |    round(least(
+         |      CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS DOUBLE) / 100.0,
+         |      1.0) * (1.0 -
+         |        CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) /
+         |        greatest(CAST(length(text) AS BIGINT), 1)), 4) AS x
+         |  FROM documents
+         |), j AS (
+         |  SELECT qq.doc_id, x, y FROM qq JOIN pp ON qq.doc_id = pp.doc_id
+         |), g AS (
+         |  SELECT count(*)::DOUBLE AS n,
+         |    list_sort(list(struct_pack(o := doc_id, x := x, y := y))) AS ps
+         |  FROM j
+         |), sm AS (
+         |  SELECT n,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(ps, p -> p['x'])), (a, v) -> a + v) AS sx,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(ps, p -> p['y'])), (a, v) -> a + v) AS sy,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(ps, p -> p['x'] * p['x'])), (a, v) -> a + v) AS sxx,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(ps, p -> p['y'] * p['y'])), (a, v) -> a + v) AS syy,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(ps, p -> p['x'] * p['y'])), (a, v) -> a + v) AS sxy
+         |  FROM g
+         |)
+         |SELECT CAST(n AS BIGINT) AS n_docs,
+         |  round((n * sxy - sx * sy) /
+         |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS pearson_r
+         |FROM sm""".stripMargin,
     "quality_score" ->
       s"""WITH q AS (
          |  SELECT doc_id,

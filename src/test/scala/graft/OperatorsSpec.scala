@@ -1541,6 +1541,54 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("metadata_k_anonymity: cells partition the corpus; flags recompute") {
+    val meta = sources.Tables.documents(spark, sfDir)
+      .select("source", "lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2) / 100))
+    val want = meta.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = operators.TextAnalysis.metadataKAnonymity(spark, sfDir).collect()
+    assert(got.length === want.size)
+    got.foreach { r =>
+      val k = want((r.getString(0), r.getString(1), r.getLong(2)))
+      assert(r.getLong(3) === k)
+      assert(r.getBoolean(4) === (k < 5))
+    }
+    assert(got.map(_.getLong(3)).sum === meta.length.toLong,
+      "cells must partition every document")
+  }
+
+  test("tokenizer_compare: totals recompute under both tokenizers") {
+    val texts = sources.Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    val ws = texts.map(_.split("\\s+").count(_.nonEmpty).toLong)
+    val uni = texts.map(_.split("[^\\p{L}\\p{N}]+").count(_.nonEmpty).toLong)
+    val r = operators.TextAnalysis.tokenizerCompare(spark, sfDir).collect().head
+    assert(r.getLong(0) === texts.length.toLong)
+    assert(r.getLong(1) === ws.sum && r.getLong(2) === uni.sum)
+    assert(r.getLong(3) === ws.zip(uni).count { case (a, b) => a != b }.toLong)
+    assert(r.getLong(4) === ws.zip(uni).map { case (a, b) => math.abs(a - b) }.max)
+    assert(math.abs(r.getDouble(5) - uni.sum.toDouble / ws.sum) < 1e-6)
+  }
+
+  test("quality_ppl_corr: Pearson r recomputes from the two source keys") {
+    val q = operators.TextAnalysis.qualityScore(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(6)).toMap
+    val p = operators.TextAnalysis.perplexityDoc(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val xs = q.keySet.intersect(p.keySet).toSeq.sorted.map(id => (q(id), p(id)))
+    val n = xs.length.toDouble
+    val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+    val sxx = xs.map(v => v._1 * v._1).sum
+    val syy = xs.map(v => v._2 * v._2).sum
+    val sxy = xs.map(v => v._1 * v._2).sum
+    val want = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    val r = operators.TextAnalysis.qualityPplCorr(spark, sfDir).collect().head
+    assert(r.getLong(0) === xs.length.toLong)
+    assert(math.abs(r.getDouble(1) - want) < 1e-6)
+    assert(math.abs(r.getDouble(1)) <= 1.0)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
