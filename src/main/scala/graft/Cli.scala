@@ -80,11 +80,24 @@ object Cli {
         .agg(countDistinct(col("term")).as("terms"),
           count(lit(1)).as("postings"))
         .orderBy("term_bucket")
+    case Seq("clean", input, out) =>
+      // quality rules → exact dedup → near-dup removal over any corpus
+      // format; survivors land as parquet at `out`, the funnel counts
+      // print (the dataset-card numbers)
+      val (corpus, id) = readCorpus(spark, input)
+      val keyed =
+        if (corpus.columns.contains("doc_id")) corpus
+        else corpus.withColumn("doc_id",
+          graft.functions.HashFns.rollingHash(col(id)))
+      val (cleaned, stages) = operators.Pipeline.cleanOf(keyed)
+      cleaned.write.mode("overwrite").parquet(out)
+      stages.reduce(_ unionByName _).orderBy("stage")
     case _ =>
       throw new IllegalArgumentException(
         "usage: index <in.tsv> <indexPath> [nBuckets] | " +
           "search <indexPath> <term> [k] | query <in.tsv> '<query>' [k] | " +
-          "bquery <indexPath> '<query>' [nBuckets] | stats <indexPath>")
+          "bquery <indexPath> '<query>' [nBuckets] | stats <indexPath> | " +
+          "clean <in.(tsv|jsonl|csv)> <outPath>")
   }
 
   def main(args: Array[String]): Unit = {

@@ -160,6 +160,21 @@ object Pipeline {
     */
   def pipelineClean(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    val (nd, stages) = cleanOf(docs)
+    val tr = nd.filter(HashFns.rollingHash(col("doc_id").cast("string")) % 100 < 90)
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
+    (stages :+ stage("4_train", tr))
+      .reduce(_ unionByName _)
+      .orderBy("stage")
+  }
+
+  /** The quality → exact-dedup → near-dup funnel over ANY
+    * (doc_id, text, ...) corpus — [[pipelineClean]]'s machinery
+    * factored for reuse (the CLI `clean` verb writes the survivors).
+    * Returns (survivor frame, per-stage count frames 0_raw..3_near_dedup).
+    */
+  def cleanOf(docs: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val qd = TextAnalysis.qualityFlagsOf(docs).filter(col("keep") === 1L)
       .select(docs.columns.map(col): _*)
     val canon = qd.groupBy(md5(col("text")).as("k"))
@@ -176,14 +191,10 @@ object Pipeline {
       .filter(col("node") =!= col("component"))
       .select(col("node").as("doc_id"))
     val nd = ed.join(drop, Seq("doc_id"), "left_anti")
-    val tr = nd.filter(HashFns.rollingHash(col("doc_id").cast("string")) % 100 < 90)
     def stage(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
-    Seq(stage("0_raw", docs), stage("1_quality", qd),
-        stage("2_exact_dedup", ed), stage("3_near_dedup", nd),
-        stage("4_train", tr))
-      .reduce(_ unionByName _)
-      .orderBy("stage")
+    (nd, Seq(stage("0_raw", docs), stage("1_quality", qd),
+      stage("2_exact_dedup", ed), stage("3_near_dedup", nd)))
   }
 
   /** Persist a corpus's distinct shingle-hash set — the reference

@@ -407,6 +407,29 @@ class SourcesSpec extends SparkSpec {
     assert(bq.map(_.getAs[Long]("doc_id")).toSeq === Seq(10L))
   }
 
+  test("cli: clean runs the funnel and writes the survivor corpus") {
+    val dir = tmpDir("graft-cli-clean")
+    // base passes every quality rule (24 tokens, stopwords, high TTR);
+    // d2 is its exact dup; d3 reorders its words — same tf vector, so
+    // the SAME simhash (a guaranteed near-dup pair); d4 fails quality
+    val base = "the quick brown fox jumps over a lazy dog while the " +
+      "bright sun warms green hills and cool rivers flow past quiet villages today"
+    val shuffled = base.split(" ").reverse.mkString(" ")
+    val other = "an old ship of the line sails across deep waters under grey " +
+      "skies carrying many heavy crates toward a distant port where traders wait"
+    Files.writeString(java.nio.file.Paths.get(s"$dir/docs.tsv"),
+      s"A\t$base\nB\t$base\nC\t$shuffled\nD\tx y z\nE\t$other\n")
+    val funnel = Cli.run(spark,
+        Seq("clean", s"$dir/docs.tsv", s"$dir/clean")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(funnel === Map("0_raw" -> 5L, "1_quality" -> 4L,
+      "2_exact_dedup" -> 3L, "3_near_dedup" -> 2L))
+    val kept = spark.read.parquet(s"$dir/clean").collect()
+      .map(_.getAs[String]("text")).toSet
+    assert(kept.size === 2 && kept.contains(other))
+    assert((kept - other).head == base || (kept - other).head == shuffled)
+  }
+
   test("sql extensions: registered functions plan the native kernels") {
     val h = spark.sql("SELECT rolling_hash('abc')").head().getLong(0)
     assert(h === HashImpl.roll(UTF8String.fromString("abc"), 1000000007L))
