@@ -1236,6 +1236,37 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** One-step-ahead backtest of the [[eventsHolt]] forecast — the
+    * "should we trust this projection?" number: for every day t≥2 the
+    * PREVIOUS day's published forecast (level+trend, the rounded
+    * output column) meets the day's actual count, against the naive
+    * carry-forward baseline. Reports MAE for both, MAPE, and the
+    * skill score 1 − MAE_holt/MAE_naive (>0 = the model beats
+    * persistence — the Hyndman forecasting-textbook acceptance bar).
+    * Error sums route through [[Folds]] keyed by day; everything else
+    * is the Holt fold already certified bitwise by its own key.
+    */
+  def eventsForecastEval(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("day")
+    val j = eventsHolt(spark, dir)
+      .withColumn("fprev", lag(col("forecast"), 1).over(w))
+      .withColumn("cprev", lag(col("n_events"), 1).over(w))
+      .filter(col("fprev").isNotNull)
+      .select(col("day"),
+        abs(col("n_events").cast("double") - col("fprev")).as("eh"),
+        abs(col("n_events") - col("cprev")).cast("double").as("en"),
+        (abs(col("n_events").cast("double") - col("fprev")) /
+          col("n_events").cast("double")).as("ph"))
+    Folds.groupSums(j, Nil, col("day"),
+        Seq("seh" -> col("eh"), "sen" -> col("en"), "sph" -> col("ph")),
+        Seq(count(lit(1)).cast("double").as("n")))
+      .select(col("n").cast("long").as("n_forecasts"),
+        round(col("seh") / col("n"), 6).as("mae_holt"),
+        round(col("sen") / col("n"), 6).as("mae_naive"),
+        round(col("sph") / col("n") * 100.0, 6).as("mape_holt_pct"),
+        round(lit(1.0) - col("seh") / col("sen"), 6).as("skill"))
+  }
+
   /** Lag-1..7 autocorrelation of daily event volume — the
     * seasonality detector beside [[eventsCusum]]'s level shifts (a
     * weekly cycle shows as a lag-7 peak long before a human reads it
@@ -2239,6 +2270,7 @@ object Analytics {
     "events_burstiness" -> eventsBurstiness,
     "orders_abc_class" -> ordersAbcClass,
     "events_holt" -> eventsHolt,
+    "events_forecast_eval" -> eventsForecastEval,
     "funnel_latency" -> funnelLatency,
     "revenue_gini" -> revenueGini,
     "revenue_bridge" -> revenueBridge,
@@ -2890,6 +2922,44 @@ object Analytics {
          |    (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) + CAST(s1 AS DOUBLE)), 6)
          |    AS burstiness
          |FROM agg ORDER BY event_type""".stripMargin,
+    "events_forecast_eval" ->
+      s"""${EvSql.replaceFirst("WITH ", "WITH RECURSIVE ")}, d AS (
+         |  SELECT ts_us // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c
+         |  FROM ev GROUP BY 1
+         |), dd AS (
+         |  SELECT day, c, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn FROM d
+         |), r AS (
+         |  SELECT rn, day, c, c::DOUBLE AS l, 0.0::DOUBLE AS b FROM dd WHERE rn = 1
+         |  UNION ALL
+         |  SELECT dd.rn, dd.day, dd.c,
+         |    0.25 * dd.c::DOUBLE + 0.75 * (r.l + r.b),
+         |    0.5 * ((0.25 * dd.c::DOUBLE + 0.75 * (r.l + r.b)) - r.l) + 0.5 * r.b
+         |  FROM r JOIN dd ON dd.rn = r.rn + 1
+         |), f AS (
+         |  SELECT rn, day, c, round(l + b, 6) AS forecast FROM r
+         |), j AS (
+         |  SELECT a.day,
+         |    abs(a.c::DOUBLE - b.forecast) AS eh,
+         |    CAST(abs(a.c - b.c) AS DOUBLE) AS en,
+         |    abs(a.c::DOUBLE - b.forecast) / a.c::DOUBLE AS ph
+         |  FROM f a JOIN f b ON b.rn = a.rn - 1
+         |), g AS (
+         |  SELECT count(*)::DOUBLE AS n,
+         |    list_sort(list(struct_pack(o := day, eh := eh, en := en, ph := ph))) AS ps
+         |  FROM j
+         |), sm AS (
+         |  SELECT n,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(ps, p -> p['eh'])), (a, v) -> a + v) AS seh,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(ps, p -> p['en'])), (a, v) -> a + v) AS sen,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(ps, p -> p['ph'])), (a, v) -> a + v) AS sph
+         |  FROM g
+         |)
+         |SELECT CAST(n AS BIGINT) AS n_forecasts,
+         |  round(seh / n, 6) AS mae_holt,
+         |  round(sen / n, 6) AS mae_naive,
+         |  round(sph / n * 100.0, 6) AS mape_holt_pct,
+         |  round(1.0 - seh / sen, 6) AS skill
+         |FROM sm""".stripMargin,
     "events_mad" ->
       s"""$EvSql, d AS (
          |  SELECT ts_us // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c

@@ -1589,6 +1589,26 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1)) <= 1.0)
   }
 
+  test("events_forecast_eval: MAE/MAPE/skill recompute from the Holt outputs") {
+    val h = operators.Analytics.eventsHolt(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).sortBy(_._1)
+    val pairs = h.sliding(2).collect {
+      case Array((_, cPrev, fPrev), (_, c, _)) =>
+        (math.abs(c.toDouble - fPrev), math.abs(c - cPrev).toDouble,
+          math.abs(c.toDouble - fPrev) / c)
+    }.toSeq
+    val n = pairs.length.toDouble
+    val r = operators.Analytics.eventsForecastEval(spark, sfDir).collect().head
+    assert(r.getLong(0) === pairs.length.toLong)
+    assert(math.abs(r.getDouble(1) - pairs.map(_._1).sum / n) < 1e-6)
+    assert(math.abs(r.getDouble(2) - pairs.map(_._2).sum / n) < 1e-6)
+    assert(math.abs(r.getDouble(3) - pairs.map(_._3).sum / n * 100) < 1e-4)
+    assert(math.abs(r.getDouble(4) -
+      (1.0 - pairs.map(_._1).sum / pairs.map(_._2).sum)) < 1e-6)
+    // skill is a real comparison: both MAEs positive, skill < 1
+    assert(r.getDouble(1) > 0 && r.getDouble(2) > 0 && r.getDouble(4) < 1.0)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
