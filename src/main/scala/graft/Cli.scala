@@ -85,10 +85,11 @@ object Cli {
       // format; survivors land as parquet at `out`, the funnel counts
       // print (the dataset-card numbers)
       val (corpus, id) = readCorpus(spark, input)
+      // 64-bit key: a mod-1e9 hash would birthday-collide at ~3e4
+      // titles and silently merge distinct docs through the funnel
       val keyed =
         if (corpus.columns.contains("doc_id")) corpus
-        else corpus.withColumn("doc_id",
-          graft.functions.HashFns.rollingHash(col(id)))
+        else corpus.withColumn("doc_id", xxhash64(col(id)))
       val (cleaned, stages) = operators.Pipeline.cleanOf(keyed)
       cleaned.write.mode("overwrite").parquet(out)
       stages.reduce(_ unionByName _).orderBy("stage")

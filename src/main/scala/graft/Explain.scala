@@ -131,7 +131,7 @@ object Explain {
     "ivf_silhouette" -> Rule(required = Seq("BroadcastNestedLoopJoin")),
     "boilerplate_scrub" -> Rule(
       required = Seq("ReadSchema: struct<doc_id:bigint,text:string>")),
-    "bigram_lm_kn" -> Rule(required = Seq("BroadcastHashJoin")),
+    "bigram_lm_kn" -> Rule(), // vocab-sized sides: no pinned broadcast
     "quality_by_dup_status" -> Rule(),
     "shingle_df_hist" -> Rule(),
     "pack_efficiency_report" -> Rule(),

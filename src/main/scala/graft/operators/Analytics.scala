@@ -1330,11 +1330,16 @@ object Analytics {
       .groupBy(expr("ts_us div 86400000000").as("day"))
       .agg(count(lit(1)).as("c"))
     val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // each operand casts to DECIMAL(38,0) BEFORE multiplying/summing:
+    // a long c·c wraps silently past c ≈ 3.0e9/day while the oracle's
+    // HUGEINT stays exact — the cross-engine argmin contract requires
+    // the Spark side to be exact too
     val pre = daily
       .withColumn("k", count(lit(1)).over(w).cast("decimal(38,0)"))
-      .withColumn("s1", sum(col("c")).over(w).cast("decimal(38,0)"))
+      .withColumn("s1", sum(col("c").cast("decimal(38,0)")).over(w).cast("decimal(38,0)"))
       .withColumn("s2",
-        sum((col("c") * col("c")).cast("decimal(38,0)")).over(w))
+        sum(col("c").cast("decimal(38,0)") * col("c").cast("decimal(38,0)"))
+          .over(w).cast("decimal(38,0)"))
     val tot = pre.agg(max(col("k")).as("n"), max(col("s1")).as("t1"),
       max(col("s2")).as("t2"))
     val cand = pre.crossJoin(broadcast(tot))

@@ -190,7 +190,9 @@ object Pipeline {
         srcCol = "doc_a", dstCol = "doc_b")
       .filter(col("node") =!= col("component"))
       .select(col("node").as("doc_id"))
-    val nd = ed.join(drop, Seq("doc_id"), "left_anti")
+    // nd feeds both the survivor consumer (CLI write / train split)
+    // and its own stage count — materialize so the CC doesn't run twice
+    val nd = ed.join(drop, Seq("doc_id"), "left_anti").localCheckpoint()
     def stage(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
     (nd, Seq(stage("0_raw", docs), stage("1_quality", qd),

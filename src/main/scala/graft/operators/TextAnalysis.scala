@@ -496,8 +496,12 @@ object TextAnalysis {
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n_follow"))
     val back = bc.groupBy("w2").agg(count(lit(1)).as("n_precede"))
     val types = bc.agg(count(lit(1)).as("t"))
-    bc.join(broadcast(fwd), "w1")
-      .join(broadcast(back), "w2")
+    // fwd/back are |vocab|-sized rollups OF bc — no broadcast hint
+    // (at 100 TB they exceed the broadcast limit; the joins share
+    // bc's own (w1)/(w2) partitioning, and the 1-row types table is
+    // the only pinned broadcast)
+    bc.join(fwd, "w1")
+      .join(back, "w2")
       .crossJoin(broadcast(types))
       .select(col("w1"), col("w2"), col("c12"), col("n_follow"), col("n_precede"),
         round((col("c12").cast("double") - 0.75) / col("c1").cast("double") +
@@ -534,9 +538,12 @@ object TextAnalysis {
     val terms = cells.join(broadcast(ms), "source").join(broadcast(ml), "lang")
       .crossJoin(broadcast(tot))
       .select(concat_ws("|", col("source"), col("lang")).as("k"),
+        // factors cast to double BEFORE multiplying: a long c·n wraps
+        // past ~3e9 docs (and DuckDB would error) — the double
+        // products are the same IEEE tree on both engines
         ((col("c").cast("double") / col("n").cast("double")) *
-          log((col("c") * col("n")).cast("double") /
-            (col("cs") * col("cl")).cast("double"))).as("x"),
+          log((col("c").cast("double") * col("n").cast("double")) /
+            (col("cs").cast("double") * col("cl").cast("double")))).as("x"),
         col("n_sources"), col("n_langs"), col("n_cells"))
     Folds.groupSums(terms, Nil, col("k"), Seq("mi" -> col("x")),
         Seq(max(col("n_sources")).as("n_sources"), max(col("n_langs")).as("n_langs"),
@@ -1024,9 +1031,18 @@ object TextAnalysis {
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .select(col("sent"), lit(true).as("is_bp"))
-    scrubAssembly(
-        sents.join(bp, Seq("sent"), "left")
-          .withColumn("keep", col("is_bp").isNull))
+    val assembled = scrubAssembly(
+      sents.join(bp, Seq("sent"), "left")
+        .withColumn("keep", col("is_bp").isNull))
+    // left join from the INPUT corpus: a doc with no non-empty
+    // sentence (whitespace/punctuation-only) has no sentence rows, and
+    // the row-parity contract says it must still come out (empty)
+    docs.select(col("doc_id")).join(assembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sents"), lit(0L)).as("n_sents"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
       .orderBy("doc_id")
   }
 
@@ -1281,13 +1297,20 @@ object TextAnalysis {
         |), k AS (
         |  SELECT s.doc_id, s.pos, s.sent, bp.sent IS NULL AS keep
         |  FROM sent s LEFT JOIN bp ON s.sent = bp.sent
+        |), agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sents,
+        |    CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept,
+        |    CAST(count(*) - count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_dropped,
+        |    coalesce(string_agg(CASE WHEN keep THEN sent END, '. ' ORDER BY pos), '')
+        |      AS kept_text
+        |  FROM k GROUP BY doc_id
         |)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sents,
-        |  CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept,
-        |  CAST(count(*) - count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_dropped,
-        |  coalesce(string_agg(CASE WHEN keep THEN sent END, '. ' ORDER BY pos), '')
-        |    AS kept_text
-        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |SELECT d.doc_id, coalesce(a.n_sents, 0) AS n_sents,
+        |  coalesce(a.n_kept, 0) AS n_kept,
+        |  coalesce(a.n_dropped, 0) AS n_dropped,
+        |  coalesce(a.kept_text, '') AS kept_text
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "hapax_ratio" ->
       """WITH toks AS (
         |  SELECT source, list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0) AS tk
@@ -1771,7 +1794,8 @@ object TextAnalysis {
          |), terms AS (
          |  SELECT cells.source || '|' || cells.lang AS k,
          |    (cells.c::DOUBLE / tot.n::DOUBLE) *
-         |      ln((cells.c * tot.n)::DOUBLE / (ms.cs * ml.cl)::DOUBLE) AS x,
+         |      ln((cells.c::DOUBLE * tot.n::DOUBLE) /
+         |        (ms.cs::DOUBLE * ml.cl::DOUBLE)) AS x,
          |    tot.n_sources, tot.n_langs, tot.n_cells
          |  FROM cells JOIN ms USING (source) JOIN ml USING (lang), tot
          |), g AS (

@@ -938,10 +938,17 @@ object Stream {
           .filter(col("cnd") >= minDocs)
           .select(col("sh"), lit(true).as("is_bp"))
         // same ordered re-assembly as the batch twin — shared code, so
-        // the two scrubs can never drift
-        val scrubbed = graft.operators.TextAnalysis.scrubAssembly(
+        // the two scrubs can never drift; the left join from the batch
+        // keeps sentence-less docs (row parity, like the batch twin)
+        val assembled = graft.operators.TextAnalysis.scrubAssembly(
           sents.join(bp, Seq("sh"), "left")
             .withColumn("keep", col("is_bp").isNull))
+        val scrubbed = batch.select(col("doc_id")).join(assembled, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_sents"), lit(0L)).as("n_sents"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+            coalesce(col("kept_text"), lit("")).as("kept_text"))
         scrubbed.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         val merged = prior.unionByName(
           batchDf.withColumn("src_batch", lit(batchId)))

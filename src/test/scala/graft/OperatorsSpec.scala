@@ -1423,7 +1423,8 @@ class OperatorsSpec extends SparkSpec {
       (2L, s"real content two! $chrome. closing thought two"),
       (3L, s"$nav. only original text here"),
       (4L, s"$chrome"), // pure boilerplate — must survive with empty text
-      (5L, "nothing shared with anyone else at all")
+      (5L, "nothing shared with anyone else at all"),
+      (6L, "?!. ...") // no non-empty sentence — row parity must keep it
     ).toDF("doc_id", "text")
     val top = operators.TextAnalysis.boilerplateSentencesOf(crafted, minDocs = 3)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
@@ -1437,7 +1438,8 @@ class OperatorsSpec extends SparkSpec {
       (2L, 3L, 2L, 1L, "real content two. closing thought two"),
       (3L, 2L, 1L, 1L, "only original text here"),
       (4L, 1L, 0L, 1L, ""),
-      (5L, 1L, 1L, 0L, "nothing shared with anyone else at all")))
+      (5L, 1L, 1L, 0L, "nothing shared with anyone else at all"),
+      (6L, 0L, 0L, 0L, "")))
     // corpus gate keys: full row parity and a recount at the gate threshold
     val raw = sources.Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
