@@ -132,6 +132,12 @@ object Explain {
     "boilerplate_scrub" -> Rule(
       required = Seq("ReadSchema: struct<doc_id:bigint,text:string>")),
     "bigram_lm_kn" -> Rule(), // vocab-sized sides: no pinned broadcast
+    "orders_abc_class" -> Rule(),
+    "events_burstiness" -> Rule(),
+    "events_forecast_eval" -> Rule(),
+    "quality_ppl_corr" -> Rule(),
+    "metadata_k_anonymity" -> Rule(
+      required = Seq("ReadSchema: struct<lang:string,source:string,n_chars:bigint>")),
     "quality_by_dup_status" -> Rule(),
     "shingle_df_hist" -> Rule(),
     "pack_efficiency_report" -> Rule(),
