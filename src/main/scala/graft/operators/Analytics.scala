@@ -1207,10 +1207,17 @@ object Analytics {
     * input-scaled work is the daily rollup; the fold walks the
     * |days|-row array once.
     */
-  def eventsHolt(spark: SparkSession, dir: String): DataFrame = {
-    val daily = eventsUs(spark, dir)
+  def eventsHolt(spark: SparkSession, dir: String): DataFrame =
+    holtOf(eventsUs(spark, dir)
       .groupBy(expr("ts_us div 86400000000").as("day"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
+
+  /** The Holt fold over any (day, c) daily frame — [[eventsHolt]]'s
+    * machinery factored so the streaming forecast monitor can replay
+    * it over its day ledger (same fold, same rounding — the two can
+    * never drift).
+    */
+  def holtOf(daily: DataFrame): DataFrame = {
     val arr = daily.agg(sort_array(collect_list(struct(col("day"), col("c")))).as("ds"))
     def lNext(x: Column, l: Column, b: Column): Column =
       lit(0.25) * x + lit(0.75) * (l + b)

@@ -1282,6 +1282,55 @@ object Stream {
         ()
       }
 
+  /** Continuous Holt forecast over a saved per-day ledger — the batch
+    * [[graft.operators.Analytics.eventsHolt]] as a monitor: each
+    * micro-batch merges its per-day counts into the ledger
+    * (day, n_events, src_batch) and REPLAYS the exact Holt fold
+    * ([[graft.operators.Analytics.holtOf]] — shared code) over the
+    * complete day-ordered history, publishing the latest level /
+    * trend / next-day forecast. Replaying the ledger instead of
+    * carrying (l, b) in executor state is what makes late and
+    * out-of-order days EXACT: a late event revises history and every
+    * smoothed value downstream of it, which no forward-only state
+    * could do — and the ledger is |days|-bounded (calendar), so the
+    * replay is a rounding error next to the batch's own rollup at any
+    * corpus size. Restart-safe and replay-idempotent by the standard
+    * batch-granular ledger replace.
+    */
+  def forecastMonitor(events: DataFrame, storePath: String, outPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val basePath = new org.apache.hadoop.fs.Path(storePath)
+        val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverStore(fs, basePath)
+        val bt = batch
+          .select(expr("unix_micros(ts) div 86400000000").as("day"))
+          .groupBy("day").agg(count(lit(1)).as("n_events"))
+        val prior =
+          if (fs.exists(basePath))
+            spark.read.parquet(storePath).filter(col("src_batch") =!= batchId)
+          else spark.emptyDataFrame.select(lit(0L).as("day"),
+            lit(0L).as("n_events"), lit(0L).as("src_batch")).limit(0)
+        val cum = prior.select(col("day"), col("n_events"))
+          .unionByName(bt)
+          .groupBy("day").agg(sum(col("n_events")).as("c"))
+        val h = graft.operators.Analytics.holtOf(cum)
+        val last = h.orderBy(col("day").desc).limit(1)
+          .select(lit(batchId).as("batch_id"), col("day").as("latest_day"),
+            col("level"), col("trend"), col("forecast"))
+          .crossJoin(broadcast(h.agg(count(lit(1)).as("n_days"))))
+        last.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        val merged = prior.unionByName(bt.withColumn("src_batch", lit(batchId)))
+        val tmp = s"$storePath.merged-$batchId"
+        merged.write.mode("overwrite").parquet(tmp)
+        if (fs.exists(basePath)) swapStore(fs, basePath, tmp)
+        else mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
+        ()
+      }
+
   /** Streaming corpus triage: every micro-batch is scored by the
     * batch quality rules ([[graft.operators.TextAnalysis.qualityFlagsOf]]
     * — the SAME rule code, so batch and stream can never drift) and

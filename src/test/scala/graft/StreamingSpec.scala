@@ -1011,4 +1011,46 @@ class StreamingSpec extends SparkSpec {
         "only batch 0 saw the chrome twice")
     } finally q2.stop()
   }
+
+  test("stream_forecast: ledger replay equals the batch Holt fold, late days revise") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-fc").toString
+    val (store, out, ckpt) = (s"$base/ledger", s"$base/out", s"$base/ckpt")
+    def day(d: Long, n: Int): Seq[Timestamp] =
+      (1 to n).map(i => new Timestamp(d * 86400000L + i * 1000L))
+    def report(id: Long) = spark.read.parquet(s"$out/batch=$id").collect().head
+    // the batch twin on the same (day, c) frame is the ground truth
+    def want(counts: Map[Long, Long]) = {
+      val daily = counts.toSeq.toDF("day", "c")
+      operators.Analytics.holtOf(daily)
+        .orderBy(org.apache.spark.sql.functions.col("day").desc).limit(1).collect().head
+    }
+    val in = MemoryStream[Timestamp]
+    val df = in.toDF().toDF("ts")
+    val q1 = Stream.forecastMonitor(df, store, out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData(day(100, 4) ++ day(101, 6): _*)
+      q1.processAllAvailable()
+      val r0 = report(0L)
+      val w0 = want(Map(100L -> 4L, 101L -> 6L))
+      assert(r0.getLong(1) === 101L && r0.getLong(5) === 2L)
+      assert(r0.getDouble(4) === w0.getDouble(4), "forecast = batch fold")
+    } finally q1.stop()
+    // restart; batch 1 brings day 102 AND a LATE day-100 event — the
+    // ledger replay must revise the whole smoothed history exactly
+    val q2 = Stream.forecastMonitor(df, store, out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData(day(102, 8) ++ day(100, 1).map(t => new Timestamp(t.getTime + 50000)): _*)
+      q2.processAllAvailable()
+      val r1 = report(1L)
+      val w1 = want(Map(100L -> 5L, 101L -> 6L, 102L -> 8L))
+      assert(r1.getLong(1) === 102L && r1.getLong(5) === 3L)
+      assert(r1.getDouble(2) === w1.getDouble(2), "level revised by the late day")
+      assert(r1.getDouble(3) === w1.getDouble(3), "trend revised by the late day")
+      assert(r1.getDouble(4) === w1.getDouble(4))
+    } finally q2.stop()
+  }
 }
