@@ -1332,10 +1332,17 @@ object Analytics {
     * |days| frame (bounded by the calendar, the documented global
     * window family of [[eventsMad]]).
     */
-  def eventsChangepoint(spark: SparkSession, dir: String): DataFrame = {
-    val daily = eventsUs(spark, dir)
+  def eventsChangepoint(spark: SparkSession, dir: String): DataFrame =
+    changepointOf(eventsUs(spark, dir)
       .groupBy(expr("ts_us div 86400000000").as("day"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
+
+  /** The exact binary-segmentation split over any (day, c) daily
+    * frame — [[eventsChangepoint]]'s machinery factored so the
+    * streaming monitor can replay it over its day ledger (same
+    * integer argmin, so the two can never disagree).
+    */
+  def changepointOf(daily: DataFrame): DataFrame = {
     val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // each operand casts to DECIMAL(38,0) BEFORE multiplying/summing:
     // a long c·c wraps silently past c ≈ 3.0e9/day while the oracle's

@@ -1331,6 +1331,48 @@ object Stream {
         ()
       }
 
+  /** Continuous change-point monitor — [[forecastMonitor]]'s sibling
+    * over the same ledger discipline: each micro-batch merges its
+    * per-day counts and replays the EXACT integer binary-segmentation
+    * argmin ([[graft.operators.Analytics.changepointOf]], shared
+    * code) over the complete history, publishing the split day and
+    * its gain. The all-integer argmin means the published split can
+    * never flap from float noise — it moves only when the data moves
+    * — and the ledger replay makes late days exact, same as the
+    * forecast monitor. Needs ≥2 observed days (emits nothing before).
+    */
+  def changepointMonitor(events: DataFrame, storePath: String, outPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val basePath = new org.apache.hadoop.fs.Path(storePath)
+        val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverStore(fs, basePath)
+        val bt = batch
+          .select(expr("unix_micros(ts) div 86400000000").as("day"))
+          .groupBy("day").agg(count(lit(1)).as("n_events"))
+        val prior =
+          if (fs.exists(basePath))
+            spark.read.parquet(storePath).filter(col("src_batch") =!= batchId)
+          else spark.emptyDataFrame.select(lit(0L).as("day"),
+            lit(0L).as("n_events"), lit(0L).as("src_batch")).limit(0)
+        val cum = prior.select(col("day"), col("n_events"))
+          .unionByName(bt)
+          .groupBy("day").agg(sum(col("n_events")).as("c"))
+        val cp = graft.operators.Analytics.changepointOf(cum)
+          .select(lit(batchId).as("batch_id"), col("n_days"), col("split_day"),
+            col("cost_micro"), col("baseline_micro"), col("gain_micro"))
+        cp.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        val merged = prior.unionByName(bt.withColumn("src_batch", lit(batchId)))
+        val tmp = s"$storePath.merged-$batchId"
+        merged.write.mode("overwrite").parquet(tmp)
+        if (fs.exists(basePath)) swapStore(fs, basePath, tmp)
+        else mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
+        ()
+      }
+
   /** Streaming corpus triage: every micro-batch is scored by the
     * batch quality rules ([[graft.operators.TextAnalysis.qualityFlagsOf]]
     * — the SAME rule code, so batch and stream can never drift) and

@@ -1053,4 +1053,39 @@ class StreamingSpec extends SparkSpec {
       assert(r1.getDouble(4) === w1.getDouble(4))
     } finally q2.stop()
   }
+
+  test("stream_changepoint: split tracks the level shift across a restart") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-cp").toString
+    val (store, out, ckpt) = (s"$base/ledger", s"$base/out", s"$base/ckpt")
+    def day(d: Long, n: Int): Seq[Timestamp] =
+      (1 to n).map(i => new Timestamp(d * 86400000L + i * 1000L))
+    def report(id: Long) = spark.read.parquet(s"$out/batch=$id").collect().head
+    val in = MemoryStream[Timestamp]
+    val df = in.toDF().toDF("ts")
+    var gain0 = 0L
+    val q1 = Stream.changepointMonitor(df, store, out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // flat level 5, then a jump to 20 at day 103 — split lands on 102
+      in.addData(day(100, 5) ++ day(101, 5) ++ day(102, 5) ++ day(103, 20): _*)
+      q1.processAllAvailable()
+      val r0 = report(0L)
+      assert(r0.getLong(1) === 4L && r0.getLong(2) === 102L)
+      gain0 = r0.getLong(5)
+      assert(gain0 > 0L, "the jump must show positive gain")
+    } finally q1.stop()
+    // restart: the level shift continues — the split must STAY at 102
+    // (all-integer argmin, no float flapping) with larger gain
+    val q2 = Stream.changepointMonitor(df, store, out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData(day(104, 21) ++ day(105, 19): _*)
+      q2.processAllAvailable()
+      val r1 = report(1L)
+      assert(r1.getLong(1) === 6L && r1.getLong(2) === 102L)
+      assert(r1.getLong(5) > gain0, "gain grows as the shift persists")
+    } finally q2.stop()
+  }
 }
