@@ -40,7 +40,7 @@ object Bench {
         "term_entropy", "keyword_textrank", "knn_ivf_trained", "knn_pq",
         "embedding_outliers", "events_twap", "curriculum_order",
         "source_length_quartiles", "revenue_gini", "revenue_pareto",
-        "rfm_segments")
+        "rfm_segments", "orders_abc_class")
       .filter(k => only.forall(_.contains(k)))
       .map { k => s"$k#prod" -> time(SparkEntry.queries(k)) }
     spark.conf.set(operators.Folds.ConfKey, "true")

@@ -971,10 +971,25 @@ object Analytics {
       .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
           (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")) *
           10000).cast("decimal(38,0)")).cast("decimal(38,0)").as("cents"))
-    val w = Window.orderBy(col("cents").desc, col("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = pr.agg(sum(col("cents")).cast("decimal(38,0)").as("total"))
-    pr.withColumn("cum", sum(col("cents")).over(w).cast("decimal(38,0)"))
+    // gate = one global rank+prefix window over the |parts| rollup;
+    // production = rangeRank for the global rank, then runningTotal
+    // over 1024-rank blocks for the prefix sum (blocks are
+    // non-decreasing in rank — runningTotal's contract) — identical
+    // cum, no unpartitioned window (FoldsSpec asserts equality)
+    val cum = if (Folds.bitwise(pr)) {
+      val w = Window.orderBy(col("cents").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pr.withColumn("cum", sum(col("cents")).over(w).cast("decimal(38,0)"))
+    } else {
+      GraftOps.runningTotal(
+          GraftOps.rangeRank(pr, -col("cents"), col("l_partkey")),
+          order = col("rn"), value = col("cents"),
+          bucket = expr("(rn - 1) div 1024"))
+        .withColumn("cum", col("running").cast("decimal(38,0)"))
+        .drop("rn", "running")
+    }
+    cum
       .crossJoin(broadcast(tot))
       .withColumn("abc_class",
         when(col("cum") * 10 <= col("total") * 7, lit("A"))

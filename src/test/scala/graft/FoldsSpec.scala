@@ -122,4 +122,13 @@ class FoldsSpec extends SparkSpec {
       assert(gateR.nonEmpty && gateP.nonEmpty)
     } finally spark.conf.set(Folds.ConfKey, "true")
   }
+
+  test("abc production rank+prefix EXACTLY equals the gate's global window") {
+    val gate = operators.Analytics.ordersAbcClass(spark, sfDir).collect().toSeq
+    spark.conf.set(Folds.ConfKey, "false")
+    try {
+      val prod = operators.Analytics.ordersAbcClass(spark, sfDir).collect().toSeq
+      assert(prod === gate && gate.nonEmpty)
+    } finally spark.conf.set(Folds.ConfKey, "true")
+  }
 }
