@@ -266,12 +266,16 @@ object TextAnalysis {
     * running sum is bounded by vocabulary size, not 100 TB of tokens.
     */
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame =
-    Index.tokenStream(spark, dir)
-      .groupBy("term").agg(min(col("doc_id")).as("first_doc"))
-      .groupBy("first_doc").agg(count(lit(1)).as("new_terms"))
-      .withColumn("vocab_size",
-        sum(col("new_terms")).over(Window.orderBy("first_doc")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    GraftOps.runningTotal(
+        Index.tokenStream(spark, dir)
+          .groupBy("term").agg(min(col("doc_id")).as("first_doc"))
+          .groupBy("first_doc").agg(count(lit(1)).as("new_terms")),
+        // integer prefix sum → runningTotal is EXACTLY the global
+        // window at any vocab size, with only the block-offset scan
+        // serial
+        order = col("first_doc"), value = col("new_terms"),
+        bucket = expr("first_doc div 1024"))
+      .withColumnRenamed("running", "vocab_size")
       .orderBy("first_doc")
 
   // ---- vocab_coverage_curve --------------------------------------------
@@ -289,7 +293,10 @@ object TextAnalysis {
     val freq = Index.tokenStream(spark, dir)
       .groupBy("term").agg(count(lit(1)).as("freq"))
     val tot = freq.agg(sum(col("freq")).as("total"))
-    freq.withColumn("rk", row_number().over(
+    // only ranks ≤ 32 survive the k-cut: TakeOrdered's bounded heap
+    // replaces the vocab-wide rank window, then the 32-row frame ranks
+    freq.orderBy(col("freq").desc, col("term")).limit(32)
+      .withColumn("rk", row_number().over(
         Window.orderBy(col("freq").desc, col("term"))))
       .crossJoin(broadcast(tot))
       .withColumn("k", explode(array(Seq(1, 2, 4, 8, 16, 32).map(lit): _*)))
@@ -722,10 +729,12 @@ object TextAnalysis {
   def zipfFit(spark: SparkSession, dir: String): DataFrame = {
     val tf = Index.tokenStream(spark, dir)
       .groupBy("term").agg(count(lit(1)).as("f"))
+    // top-100 via TakeOrdered's bounded heap, THEN rank the 100-row
+    // frame — no vocab-wide window (same rows, same ranks)
     val pts = tf
+      .orderBy(col("f").desc, col("term")).limit(100)
       .withColumn("rk",
         row_number().over(Window.orderBy(col("f").desc, col("term"))).cast("long"))
-      .filter(col("rk") <= 100)
       .select(col("rk"), log(col("rk").cast("double")).as("x"),
         log(col("f").cast("double")).as("y"))
     Folds.groupSums(pts, Nil, col("rk"),
