@@ -1234,6 +1234,10 @@ object Analytics {
     */
   def holtOf(daily: DataFrame): DataFrame = {
     val arr = daily.agg(sort_array(collect_list(struct(col("day"), col("c")))).as("ds"))
+      // empty input → empty output (ANSI element_at(ds, 1) on the
+      // 0-element seed array would throw; the streaming monitor's
+      // first batch can legitimately be empty)
+      .filter(size(col("ds")) > 0)
     def lNext(x: Column, l: Column, b: Column): Column =
       lit(0.25) * x + lit(0.75) * (l + b)
     arr.select(explode(aggregate(

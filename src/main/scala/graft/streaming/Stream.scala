@@ -1238,7 +1238,17 @@ object Stream {
     * rewrite is a few KB regardless of stream volume, and the per-day
     * batch rollup is the only work that scales with input.
     */
-  def anomalyMonitor(events: DataFrame, storePath: String, outPath: String)
+  /** Shared scaffold of the day-ledger monitors ([[anomalyMonitor]],
+    * [[forecastMonitor]], [[changepointMonitor]]): merge the batch's
+    * per-day counts into the saved (day, n_events, src_batch) ledger,
+    * hand `report` the cumulative (day, c) history plus the batch
+    * rollup, land the report, and commit the ledger via the
+    * crash-safe swap. The replay-idempotency discipline (src_batch
+    * filter + batch-granular replace) lives HERE once, so a fix to
+    * the swap or replay path can never leave a sibling monitor stale.
+    */
+  private def dayLedgerMonitor(events: DataFrame, storePath: String,
+      outPath: String)(report: (DataFrame, DataFrame, Long) => DataFrame)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
@@ -1258,22 +1268,8 @@ object Stream {
         val cum = prior.select(col("day"), col("n_events"))
           .unionByName(bt)
           .groupBy("day").agg(sum(col("n_events")).as("c"))
-        val m = cum.agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
-          sum(col("c") * col("c")).as("sxx"))
-        val scored = cum.crossJoin(broadcast(m))
-          .withColumn("mean", col("sx").cast("double") / col("n"))
-          .withColumn("sd", sqrt(
-            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
-              (col("n").cast("double") * (col("n") - 1L).cast("double"))))
-          .withColumn("z", when(col("n") > 1L && col("sd") > 0.0,
-            round((col("c") - col("mean")) / col("sd"), 4)).otherwise(0.0))
-        val report = bt.select(col("day"), col("n_events").as("batch_events"))
-          .join(scored, Seq("day"))
-          .select(lit(batchId).as("batch_id"), col("day"), col("batch_events"),
-            col("c").as("cum_events"), round(col("mean"), 4).as("mean"),
-            col("z"),
-            when(abs(col("z")) >= 2.0, 1L).otherwise(0L).as("is_anomaly"))
-        report.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        report(cum, bt, batchId)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         val merged = prior.unionByName(bt.withColumn("src_batch", lit(batchId)))
         val tmp = s"$storePath.merged-$batchId"
         merged.write.mode("overwrite").parquet(tmp)
@@ -1281,6 +1277,26 @@ object Stream {
         else mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
         ()
       }
+
+  def anomalyMonitor(events: DataFrame, storePath: String, outPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    dayLedgerMonitor(events, storePath, outPath) { (cum, bt, batchId) =>
+      val m = cum.agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
+        sum(col("c") * col("c")).as("sxx"))
+      val scored = cum.crossJoin(broadcast(m))
+        .withColumn("mean", col("sx").cast("double") / col("n"))
+        .withColumn("sd", sqrt(
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+            (col("n").cast("double") * (col("n") - 1L).cast("double"))))
+        .withColumn("z", when(col("n") > 1L && col("sd") > 0.0,
+          round((col("c") - col("mean")) / col("sd"), 4)).otherwise(0.0))
+      bt.select(col("day"), col("n_events").as("batch_events"))
+        .join(scored, Seq("day"))
+        .select(lit(batchId).as("batch_id"), col("day"), col("batch_events"),
+          col("c").as("cum_events"), round(col("mean"), 4).as("mean"),
+          col("z"),
+          when(abs(col("z")) >= 2.0, 1L).otherwise(0L).as("is_anomaly"))
+    }
 
   /** Continuous Holt forecast over a saved per-day ledger — the batch
     * [[graft.operators.Analytics.eventsHolt]] as a monitor: each
@@ -1299,37 +1315,15 @@ object Stream {
     */
   def forecastMonitor(events: DataFrame, storePath: String, outPath: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    events.writeStream
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val basePath = new org.apache.hadoop.fs.Path(storePath)
-        val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        recoverStore(fs, basePath)
-        val bt = batch
-          .select(expr("unix_micros(ts) div 86400000000").as("day"))
-          .groupBy("day").agg(count(lit(1)).as("n_events"))
-        val prior =
-          if (fs.exists(basePath))
-            spark.read.parquet(storePath).filter(col("src_batch") =!= batchId)
-          else spark.emptyDataFrame.select(lit(0L).as("day"),
-            lit(0L).as("n_events"), lit(0L).as("src_batch")).limit(0)
-        val cum = prior.select(col("day"), col("n_events"))
-          .unionByName(bt)
-          .groupBy("day").agg(sum(col("n_events")).as("c"))
-        val h = graft.operators.Analytics.holtOf(cum)
-        val last = h.orderBy(col("day").desc).limit(1)
-          .select(lit(batchId).as("batch_id"), col("day").as("latest_day"),
-            col("level"), col("trend"), col("forecast"))
-          .crossJoin(broadcast(h.agg(count(lit(1)).as("n_days"))))
-        last.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-        val merged = prior.unionByName(bt.withColumn("src_batch", lit(batchId)))
-        val tmp = s"$storePath.merged-$batchId"
-        merged.write.mode("overwrite").parquet(tmp)
-        if (fs.exists(basePath)) swapStore(fs, basePath, tmp)
-        else mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
-        ()
-      }
+    dayLedgerMonitor(events, storePath, outPath) { (cum, _, batchId) =>
+      // n_days from the LEDGER, not from h: counting through holtOf
+      // would replay the whole fold a second time per batch
+      graft.operators.Analytics.holtOf(cum)
+        .orderBy(col("day").desc).limit(1)
+        .select(lit(batchId).as("batch_id"), col("day").as("latest_day"),
+          col("level"), col("trend"), col("forecast"))
+        .crossJoin(broadcast(cum.agg(count(lit(1)).as("n_days"))))
+    }
 
   /** Continuous change-point monitor — [[forecastMonitor]]'s sibling
     * over the same ledger discipline: each micro-batch merges its
@@ -1343,35 +1337,11 @@ object Stream {
     */
   def changepointMonitor(events: DataFrame, storePath: String, outPath: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    events.writeStream
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val basePath = new org.apache.hadoop.fs.Path(storePath)
-        val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        recoverStore(fs, basePath)
-        val bt = batch
-          .select(expr("unix_micros(ts) div 86400000000").as("day"))
-          .groupBy("day").agg(count(lit(1)).as("n_events"))
-        val prior =
-          if (fs.exists(basePath))
-            spark.read.parquet(storePath).filter(col("src_batch") =!= batchId)
-          else spark.emptyDataFrame.select(lit(0L).as("day"),
-            lit(0L).as("n_events"), lit(0L).as("src_batch")).limit(0)
-        val cum = prior.select(col("day"), col("n_events"))
-          .unionByName(bt)
-          .groupBy("day").agg(sum(col("n_events")).as("c"))
-        val cp = graft.operators.Analytics.changepointOf(cum)
-          .select(lit(batchId).as("batch_id"), col("n_days"), col("split_day"),
-            col("cost_micro"), col("baseline_micro"), col("gain_micro"))
-        cp.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-        val merged = prior.unionByName(bt.withColumn("src_batch", lit(batchId)))
-        val tmp = s"$storePath.merged-$batchId"
-        merged.write.mode("overwrite").parquet(tmp)
-        if (fs.exists(basePath)) swapStore(fs, basePath, tmp)
-        else mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
-        ()
-      }
+    dayLedgerMonitor(events, storePath, outPath) { (cum, _, batchId) =>
+      graft.operators.Analytics.changepointOf(cum)
+        .select(lit(batchId).as("batch_id"), col("n_days"), col("split_day"),
+          col("cost_micro"), col("baseline_micro"), col("gain_micro"))
+    }
 
   /** Streaming corpus triage: every micro-batch is scored by the
     * batch quality rules ([[graft.operators.TextAnalysis.qualityFlagsOf]]

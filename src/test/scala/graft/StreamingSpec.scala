@@ -1026,6 +1026,10 @@ class StreamingSpec extends SparkSpec {
       operators.Analytics.holtOf(daily)
         .orderBy(org.apache.spark.sql.functions.col("day").desc).limit(1).collect().head
     }
+    // the monitor's first batch can be empty: the fold must yield an
+    // empty frame, not an ANSI element_at crash
+    assert(operators.Analytics.holtOf(
+      Seq.empty[(Long, Long)].toDF("day", "c")).count() === 0L)
     val in = MemoryStream[Timestamp]
     val df = in.toDF().toDF("ts")
     val q1 = Stream.forecastMonitor(df, store, out)
