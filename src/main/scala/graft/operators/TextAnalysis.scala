@@ -460,7 +460,10 @@ object TextAnalysis {
       .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val ctx = bi.groupBy("w1").agg(sum(col("c12")).as("c1"))
-    bi.join(broadcast(ctx), "w1")
+    // ctx is a |vocab|-sized rollup OF bi — no broadcast hint (the
+    // join shares bi's own (w1) partitioning; only the 1-row vocab
+    // count stays pinned)
+    bi.join(ctx, "w1")
       .crossJoin(broadcast(vocab))
       .select(col("w1"), col("w2"), col("c12"),
         round((col("c12") + 1L).cast("double") / (col("c1").cast("double") + col("v")),
@@ -866,7 +869,8 @@ object TextAnalysis {
       .agg(countDistinct(col("term")).cast("double").as("v"))
     val lm = docBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val ctx = lm.groupBy("w1").agg(sum(col("c12")).as("c1"))
-    val scored = lm.join(broadcast(ctx), "w1").crossJoin(broadcast(vocab))
+    // same: ctx is vocab-sized, no broadcast hint
+    val scored = lm.join(ctx, "w1").crossJoin(broadcast(vocab))
       .select(col("w1"), col("w2"),
         log((col("c12") + 1L).cast("double") /
           (col("c1").cast("double") + col("v"))).as("lp"))
