@@ -855,6 +855,11 @@ object Analytics {
         expr("""cast(case when gini_num < 0
           then -((-gini_num * 2000000 + gini_den) div (2 * gini_den))
           else ((gini_num * 2000000 + gini_den) div (2 * gini_den)) end as double) / 1e6"""))
+      // the division above ran on the exact DECIMAL operands; the EMITTED
+      // num/den downcast to BIGINT (≈5.6e16 max at gate SFs, < 2^63) —
+      // decimal output columns are a cross-engine hash channel
+      .withColumn("gini_num", col("gini_num").cast("long"))
+      .withColumn("gini_den", col("gini_den").cast("long"))
   }
 
   /** Year-over-year revenue bridge (waterfall): for every consecutive
@@ -999,7 +1004,10 @@ object Analytics {
       .agg(count(lit(1)).as("n_parts"),
         sum(col("cents")).cast("decimal(38,0)").as("class_rev_e4"))
       .crossJoin(broadcast(tot))
-      .select(col("abc_class"), col("n_parts"), col("class_rev_e4"),
+      // emitted class_rev_e4 is BIGINT (fits at every gate SF); the
+      // share division still runs off the exact decimal operands
+      .select(col("abc_class"), col("n_parts"),
+        col("class_rev_e4").cast("long").as("class_rev_e4"),
         round(col("class_rev_e4").cast("double") / col("total").cast("double"), 6)
           .as("rev_share"))
       .orderBy("abc_class")
@@ -1324,7 +1332,13 @@ object Analytics {
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("sa").cast("decimal(38,0)") * col("sb").cast("decimal(38,0)")).as("num"))
       .crossJoin(broadcast(den))
-      .select(col("lag"), col("n_pairs"), col("num"), col("den"),
+      // internal num/den stay DECIMAL(38,0) (s ≈ 10¹³ squares past
+      // bigint at 100 TB) but the EMITTED columns are BIGINT: every
+      // gate SF fits comfortably (max ≈ 5.6e16 < 2^63), and a decimal
+      // output dtype is a cross-engine hash channel (parquet
+      // decimal128 vs DuckDB float64 coercion) even when values match
+      .select(col("lag"), col("n_pairs"),
+        col("num").cast("long").as("num"), col("den").cast("long").as("den"),
         // round-half-up(num/den, 6) in pure integer arithmetic: the float
         // round() tie-breaks differently across engines at the 7th digit,
         // but floor((2·|num|·10⁶ + den) / 2·den) is exact on both, and the
@@ -2775,8 +2789,8 @@ object Analytics {
         |  FROM a
         |)
         |SELECT n_customers, total_cents,
-        |  CAST(gn AS DECIMAL(38,0)) AS gini_num,
-        |  CAST(gd AS DECIMAL(38,0)) AS gini_den,
+        |  CAST(gn AS BIGINT) AS gini_num,
+        |  CAST(gd AS BIGINT) AS gini_den,
         |  CAST(CASE WHEN gn < 0 THEN -((-gn * 2000000 + gd) // (2 * gd))
         |    ELSE ((gn * 2000000 + gd) // (2 * gd)) END AS DOUBLE) / 1e6 AS gini
         |FROM g""".stripMargin,
@@ -2874,8 +2888,8 @@ object Analytics {
          |    sum(CAST(sa AS HUGEINT) * CAST(sb AS HUGEINT)) AS num
          |  FROM pairs GROUP BY lag
          |)
-         |SELECT lag, n_pairs, CAST(num AS DECIMAL(38,0)) AS num,
-         |  CAST(den AS DECIMAL(38,0)) AS den,
+         |SELECT lag, n_pairs, CAST(num AS BIGINT) AS num,
+         |  CAST(den AS BIGINT) AS den,
          |  CAST(CASE WHEN num < 0 THEN -((-num * 2000000 + den) // (2 * den))
          |    ELSE ((num * 2000000 + den) // (2 * den)) END AS DOUBLE) / 1e6 AS autocorr
          |FROM num, den ORDER BY lag""".stripMargin,
@@ -2936,7 +2950,7 @@ object Analytics {
         |  FROM c, tot
         |)
         |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
-        |  CAST(sum(cents) AS DECIMAL(38,0)) AS class_rev_e4,
+        |  CAST(sum(cents) AS BIGINT) AS class_rev_e4,
         |  round(CAST(sum(cents) AS DOUBLE) / CAST(total AS DOUBLE), 6) AS rev_share
         |FROM cls, tot GROUP BY abc_class, total
         |ORDER BY abc_class""".stripMargin,
