@@ -17,11 +17,20 @@ object Bench {
     // must never masquerade as a fast one.
     // SPARK_GRAFT_ONLY: comma-separated subset for local iteration; the
     // driver never sets it, so its runs always time the full surface.
+    //
+    // Materialize via queryExecution.toRdd, NOT count(): count() puts an
+    // Aggregate on top and the optimizer then join-eliminates any
+    // cardinality-preserving subtree under it (unique-key outer joins,
+    // windows, projections) — r1-r7 timed dedup_spans at 0.3s while its
+    // whole gram pipeline was optimized away. toRdd executes the query's
+    // OWN physical plan (including the presentation sort), so every
+    // entry prices what Verify actually materializes.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+                 catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       if (times.contains(-1.0)) -1.0 else times.min

@@ -55,7 +55,10 @@ object Explain {
     "knn_graph" -> Rule(),
     "bm25_topk" -> Rule(required = Seq("BroadcastHashJoin")),
     "mlt_topk" -> Rule(required = Seq("BroadcastHashJoin")),
-    "rrf_fusion" -> Rule(),
+    // both ranker legs must be TakeOrdered-bounded before the rank
+    // window (the hybrid_search discipline — no unpartitioned window
+    // over an unbounded candidate relation)
+    "rrf_fusion" -> Rule(required = Seq("TakeOrderedAndProject")),
     "minhash_dedup_apply" -> Rule(),
     "basket_lift" -> Rule(required = Seq("BroadcastHashJoin")),
     "q10_returns" -> Rule(required = Seq("BroadcastHashJoin")),
@@ -96,7 +99,12 @@ object Explain {
     // ...and the exact-Jaccard side must stay gram-hash-keyed (hh)
     "jaccard_hist" -> Rule(required = Seq("intersect_size(", "Join [hh#")),
     "media_size_report" -> Rule(),
-    "doc_lang_mismatch" -> Rule(),
+    // the mismatch audit is ONE scan-filter-project: source comes off
+    // the same documents row as the marker scores, so any join in the
+    // plan means the score tree got re-derived (the r7 50× regression)
+    "doc_lang_mismatch" -> Rule(
+      required = Seq("ReadSchema: struct<doc_id:bigint,text:string,lang:string,source:string>"),
+      forbidden = Seq("Join")),
     "shard_assign" -> Rule(),
     "mix_temperature" -> Rule(),
     "source_length_quartiles" -> Rule(),

@@ -16,6 +16,19 @@ object TextFns {
   def tokens(c: Column): Column =
     filter(split(c, "\\s+"), t => length(t) > lit(0))
 
+  /** Let-binding guard: evaluates `x` ONCE per row and hands it to
+    * `body` as a lambda variable. Catalyst's CollapseProject inlines a
+    * projected column into every one of its use sites; when the use
+    * sites sit INSIDE a higher-order function's lambda, the inlined
+    * subtree re-evaluates per array ELEMENT — e.g. [[shinglesK]]
+    * pre-fix re-ran the whole tokenizer once per shingle (~50× per
+    * document, measured 10× wall on the span-dedup family). A lambda
+    * variable cannot be substituted, so `transform(array(x), …)` is
+    * the Column-API spelling of `let`.
+    */
+  def bind(x: Column, body: Column => Column): Column =
+    element_at(transform(array(x), v => body(v)), 1)
+
   /** Unicode-aware tokens: maximal runs of letters/digits in ANY
     * script (the `\p{L}\p{N}` classes) — punctuation and symbols are
     * separators, so accented ("déjà") and non-Latin ("東京") words
@@ -32,21 +45,24 @@ object TextFns {
     * document has fewer than 3 tokens.
     */
   def shingles3(toks: Column): Column =
-    when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ",
-          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
-      .otherwise(array().cast("array<string>"))
+    bind(toks, tk =>
+      when(size(tk) >= 3,
+        transform(sequence(lit(0), size(tk) - 3),
+          i => concat_ws(" ",
+            element_at(tk, i + 1), element_at(tk, i + 2), element_at(tk, i + 3))))
+        .otherwise(array().cast("array<string>")))
 
   /** k-token shingles joined by single spaces; empty array when the
-    * document has fewer than k tokens. slice takes the Column overload
-    * (lit length) so the whole expression stays codegen-eligible.
+    * document has fewer than k tokens. The token array is [[bind]]-let
+    * so a collapsed-in tokenizer evaluates once per row, never per
+    * shingle.
     */
   def shinglesK(toks: Column, k: Int): Column =
-    when(size(toks) >= k,
-      transform(sequence(lit(0), size(toks) - k),
-        i => array_join(slice(toks, i + 1, lit(k)), " ")))
-      .otherwise(array().cast("array<string>"))
+    bind(toks, tk =>
+      when(size(tk) >= k,
+        transform(sequence(lit(0), size(tk) - k),
+          i => array_join(slice(tk, i + 1, lit(k)), " ")))
+        .otherwise(array().cast("array<string>")))
 
   /** Normalization for near-dup dedup: lowercase, strip non [a-z0-9 ],
     * squeeze runs of spaces, trim.

@@ -980,65 +980,91 @@ object Dedup {
   def dedupSpans(spark: SparkSession, dir: String): DataFrame =
     dedupSpansOf(Tables.documents(spark, dir), k = 8)
 
-  def dedupSpansOf(docs: DataFrame, k: Int): DataFrame = {
-    val tok = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
-    val g = tok.select(col("doc_id"),
-      posexplode(TextFns.shinglesK(col("tk"), k)).as(Seq("s", "g")))
+  /** The (doc_id, pos) stream of token positions covered by a
+    * cross-document duplicate k-gram — the ONE definition of span
+    * coverage shared by [[dedupSpansOf]] (which anti-joins a distinct
+    * of it) and [[dedupSpanRanges]] (which folds it straight into
+    * per-doc position sets; collect_set dedups inside the aggregate,
+    * so that consumer never pays a separate distinct shuffle).
+    * Gram-keyed throughout: df rollup → duplicate-gram join →
+    * position explode (≤ k× the duplicate-gram instance stream).
+    */
+  private[operators] def coveredPositionsOf(docs: DataFrame, k: Int): DataFrame = {
+    val g = docs.select(col("doc_id"),
+      posexplode(TextFns.shinglesK(TextFns.tokens(col("text")), k)).as(Seq("s", "g")))
     val dup = g.groupBy("g")
       .agg(countDistinct(col("doc_id")).as("gdf"))
       .filter(col("gdf") >= 2)
       .select("g")
-    val covered = g.join(dup, "g")
+    g.join(dup, "g")
       .select(col("doc_id"),
         explode(sequence(col("s").cast("long"), col("s") + lit(k - 1).cast("long"))).as("pos"))
-      .distinct()
-    val ts = tok.select(col("doc_id"),
-        posexplode(col("tk")).as(Seq("pos", "term")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("term"))
-    val kept = ts.join(covered, Seq("doc_id", "pos"), "left_anti")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(
-          sort_array(collect_list(struct(col("pos"), col("term")))),
-          s => s("term")), " ").as("cleaned_text"))
-    docs.select(col("doc_id"),
-        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
-      .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
-      .orderBy("doc_id")
   }
+
+  /** Per-doc SORTED duplicate-coverage position sets — ONE doc-keyed
+    * aggregation over [[coveredPositionsOf]] (collect_set dedups
+    * inside the partial agg, so no separate distinct shuffle). The
+    * shared spine of [[dedupSpansOf]] (excision) and
+    * [[dedupSpanRanges]] (span table); per-doc memory is bounded by
+    * the doc's own token count.
+    */
+  private[operators] def coveredSetsOf(docs: DataFrame, k: Int): DataFrame =
+    coveredPositionsOf(docs, k)
+      .groupBy("doc_id").agg(sort_array(collect_set(col("pos"))).as("cov"))
+
+  def dedupSpansOf(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+      .join(coveredSetsOf(docs, k), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("tk"),
+        coalesce(col("cov"), array().cast("array<bigint>")).as("cov"))
+      // excision is per-row array work: a position-keyed hash map of the
+      // doc's covered set (bind-let so it builds once per row, not per
+      // token), and an index-aware filter keeps the uncovered tokens in
+      // position order — no token explode, no anti-join, no reassembly
+      // shuffle; n_removed IS the covered-set size by construction
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("n_removed"),
+        TextFns.bind(
+          map_from_arrays(col("cov"), transform(col("cov"), _ => lit(true))),
+          m => array_join(
+            filter(col("tk"), (t, i) =>
+              not(coalesce(try_element_at(m, i.cast("long")), lit(false)))),
+            " ")).as("cleaned_text"))
+      .orderBy("doc_id")
 
   /** The excised-span TABLE behind [[dedupSpans]]: per document, each
     * maximal contiguous run of tokens covered by cross-document
     * duplicate 8-grams, as (span_start, span_end, span_len) — what a
-    * reviewer inspects before trusting span excision, and the
-    * gaps-and-islands shape (runs found by the pos − row_number()
-    * grouping key, one per-doc window over the already-bounded
-    * coverage set — never the corpus).
+    * reviewer inspects before trusting span excision. Gaps-and-islands
+    * runs INSIDE each doc's sorted position array (codegen'd
+    * higher-order functions over the collect_set fold), so the whole
+    * operator is the shared [[coveredPositionsOf]] stream plus ONE
+    * doc-keyed aggregation — the r7 shape paid a (doc,pos)-distinct
+    * shuffle AND a doc-keyed window shuffle for the same answer and
+    * cost 9× its [[dedupSpans]] sibling. Per-doc memory is bounded by
+    * the doc's own token count (the doc already arrives as one row).
     */
   def dedupSpanRanges(spark: SparkSession, dir: String): DataFrame = {
-    val k = 8
-    val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
-    val g = tok.select(col("doc_id"),
-      posexplode(TextFns.shinglesK(col("tk"), k)).as(Seq("s", "g")))
-    val dup = g.groupBy("g")
-      .agg(countDistinct(col("doc_id")).as("gdf"))
-      .filter(col("gdf") >= 2)
-      .select("g")
-    val covered = g.join(dup, "g")
+    val byDoc = coveredSetsOf(Tables.documents(spark, dir), k = 8)
+      .select(col("doc_id"), col("cov").as("ps"))
+    val n = size(col("ps"))
+    // prev[i] = ps[i-1], nxt[i] = ps[i+1] (null at the edges): an
+    // island starts where prev isn't pos-1 and ends where nxt isn't
+    // pos+1 — the two filtered arrays align 1:1 by construction
+    val prev = concat(array(lit(null).cast("long")), slice(col("ps"), lit(1), n - 1))
+    val nxt = concat(slice(col("ps"), lit(2), n), array(lit(null).cast("long")))
+    val starts = filter(zip_with(col("ps"), prev,
+      (p, q) => when(q.isNull || p =!= q + lit(1L), p)), x => x.isNotNull)
+    val ends = filter(zip_with(col("ps"), nxt,
+      (p, r) => when(r.isNull || r =!= p + lit(1L), p)), x => x.isNotNull)
+    byDoc
       .select(col("doc_id"),
-        explode(sequence(col("s").cast("long"), col("s") + lit(k - 1).cast("long"))).as("pos"))
-      .distinct()
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    covered
-      .withColumn("grp", col("pos") - row_number().over(w))
-      .groupBy("doc_id", "grp")
-      .agg(min(col("pos")).as("span_start"), max(col("pos")).as("span_end"),
-        count(lit(1)).as("span_len"))
-      .select("doc_id", "span_start", "span_end", "span_len")
+        explode(zip_with(starts, ends,
+          (s, e) => struct(s.as("span_start"), e.as("span_end")))).as("sp"))
+      .select(col("doc_id"), col("sp.span_start").as("span_start"),
+        col("sp.span_end").as("span_end"))
+      .withColumn("span_len", col("span_end") - col("span_start") + lit(1L))
       .orderBy("doc_id", "span_start")
   }
 

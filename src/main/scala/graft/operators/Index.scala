@@ -639,17 +639,23 @@ object Index {
   /** Hybrid rank fusion: reciprocal rank fusion (RRF, Cormack et al.
     * SIGIR'09) of the BM25 and TF-IDF rankings —
     * rrf = Σ_r 1/(60 + rank_r), a doc missing from a ranker's
-    * candidate set contributes 0. The fusion runs over the two
-    * CANDIDATE sets (docs containing a query term), never the corpus:
-    * rank assignment is a single-partition window over bounded ranked
-    * lists (top-N per ranker in production), then one full-outer join
-    * on doc_id. The score is a fixed two-term expression of integer
+    * top-200 contributes 0 for that ranker. Each leg is a TakeOrdered
+    * top-200 heap BEFORE rank assignment, so the single-partition rank
+    * window only ever sees 200 rows regardless of how common the query
+    * terms are; fusion is one full-outer join of the two ≤200-row
+    * lists. The score is a fixed two-term expression of integer
     * ranks — bitwise cross-engine.
     */
   def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    // each ranker leg is candidate-bounded BEFORE rank assignment: the
+    // top-200 heap (TakeOrdered, same discipline as hybrid_search) caps
+    // what the single-partition rank window ever sees at 200 rows — a
+    // stopword-ish query term can no longer drag a corpus-sized frame
+    // through one task (oracle mirrors the same LIMIT 200)
     def ranked(scored: DataFrame, rankCol: String): DataFrame =
-      scored.withColumn(rankCol,
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      scored.orderBy(col("score").desc, col("doc_id")).limit(200)
+        .withColumn(rankCol,
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
         .select(col("doc_id"), col(rankCol))
     val docs = Tables.documents(spark, dir)
     val rb = ranked(bm25ScoredOf(docs, Seq("spark", "join")), "rank_bm25")
@@ -1593,7 +1599,7 @@ object Index {
          |brank AS (
          |  SELECT doc_id,
          |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_bm25
-         |  FROM bscore),
+         |  FROM (SELECT * FROM bscore ORDER BY score DESC, doc_id LIMIT 200)),
          |ttf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
          |        WHERE term IN ('spark', 'query', 'join') GROUP BY doc_id, term),
          |tscore AS (
@@ -1602,7 +1608,7 @@ object Index {
          |trank AS (
          |  SELECT doc_id,
          |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_tfidf
-         |  FROM tscore)
+         |  FROM (SELECT * FROM tscore ORDER BY score DESC, doc_id LIMIT 200))
          |SELECT coalesce(b.doc_id, t.doc_id) AS doc_id,
          |  coalesce(b.rank_bm25, 0) AS rank_bm25,
          |  coalesce(t.rank_tfidf, 0) AS rank_tfidf,

@@ -27,21 +27,29 @@ object TextAnalysis {
     * its marker tokens in the document, predict the argmax with
     * alphabetical tie-break. Deterministic, so oracle-comparable.
     */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langPredicted(Tables.documents(spark, dir), Seq("doc_id", "lang"))
+      .withColumn("correct", when(col("pred_lang") === col("lang"), 1L).otherwise(0L))
+      .select("doc_id", "lang", "pred_lang", "correct")
+      .orderBy("doc_id")
+
+  /** The shared marker-scoring map: `keep` passthrough columns plus
+    * the argmax `pred_lang` — one narrow codegen'd projection over the
+    * documents scan, so every langid-family consumer (prediction list,
+    * confusion rollup, mismatch audit) is a single scan with column
+    * pruning to (keep…, text) and no join.
+    */
+  private def langPredicted(docs: DataFrame, keep: Seq[String]): DataFrame = {
     val langs = TextFns.LangMarkers
-    val scored = Tables.documents(spark, dir)
-      .select(Seq(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("tk")): _*)
-      .select(Seq(col("doc_id"), col("lang")) ++
+    val scored = docs
+      .select(keep.map(col) :+ TextFns.tokens(col("text")).as("tk"): _*)
+      .select(keep.map(col) ++
         langs.map { case (l, m) => TextFns.markerScore(col("tk"), m).cast("long").as(s"s_$l") }: _*)
     val g = greatest(langs.map { case (l, _) => col(s"s_$l") }: _*)
     val pred = langs.tail.foldLeft(when(col(s"s_${langs.head._1}") === g, langs.head._1)) {
       case (acc, (l, _)) => acc.when(col(s"s_$l") === g, l)
     }
-    scored
-      .withColumn("pred_lang", pred)
-      .withColumn("correct", when(col("pred_lang") === col("lang"), 1L).otherwise(0L))
-      .select("doc_id", "lang", "pred_lang", "correct")
-      .orderBy("doc_id")
+    scored.withColumn("pred_lang", pred)
   }
 
   /** Language-ID evaluation view: the (gold lang × predicted lang)
@@ -1200,13 +1208,15 @@ object TextAnalysis {
     * `lang` disagrees with the n-gram marker classifier, with their
     * source — the actionable rows behind [[langidConfusion]]'s
     * off-diagonal counts (a real pipeline routes these to relabeling
-    * or drops them before per-language training mixes). The mismatch
-    * set is a small fraction of the corpus, so the enrichment join's
-    * left side is already tiny when it runs.
+    * or drops them before per-language training mixes). `source`
+    * lives in the same documents row the markers score, so this is
+    * ONE scan-filter-project — no join, no recomputed score tree (the
+    * r7 shape re-derived langId on both join branches and cost 50×
+    * its parent; [[graft.Explain]] now forbids any join here).
     */
   def docLangMismatch(spark: SparkSession, dir: String): DataFrame =
-    langId(spark, dir).filter(col("correct") === 0L)
-      .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+    langPredicted(Tables.documents(spark, dir), Seq("doc_id", "lang", "source"))
+      .filter(col("pred_lang") =!= col("lang"))
       .select("doc_id", "lang", "pred_lang", "source")
       .orderBy("doc_id")
 

@@ -1508,7 +1508,7 @@ class OperatorsSpec extends SparkSpec {
     got.foreach { r =>
       val (n, s) = want(r.getString(0))
       assert(r.getLong(1) === n, r.getString(0))
-      assert(BigInt(r.getDecimal(2).toBigInteger) === s, r.getString(0))
+      assert(BigInt(r.getLong(2)) === s, r.getString(0))
       assert(math.abs(r.getDouble(3) -
         (BigDecimal(s) / BigDecimal(total)).toDouble) < 1e-6)
     }
