@@ -1023,6 +1023,14 @@ object Analytics {
     * with no fold. Shape: one (type)-partitioned lag window on the
     * event stream (co-partitioned with its natural key), then a
     * per-type rollup.
+    *
+    * Operand bound: the n·ΣΔ² product must itself fit DECIMAL(38,0) —
+    * n·ΣΔ² ≤ 10³⁸ holds for ~10¹² gaps of up to a full year in µs
+    * (3·10¹³), far past any per-type stream (100 TB/day ≈ 10¹¹
+    * events/day). Past the bound the engines DIVERGE in failure mode
+    * (Spark non-ANSI decimal overflow → NULL; DuckDB HUGEINT →
+    * error), so the bound is part of this key's contract rather than
+    * a checked runtime error.
     */
   def eventsBurstiness(spark: SparkSession, dir: String): DataFrame = {
     val byType = Window.partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))
@@ -1298,7 +1306,10 @@ object Analytics {
         round(col("seh") / col("n"), 6).as("mae_holt"),
         round(col("sen") / col("n"), 6).as("mae_naive"),
         round(col("sph") / col("n") * 100.0, 6).as("mape_holt_pct"),
-        round(lit(1.0) - col("seh") / col("sen"), 6).as("skill"))
+        // a constant daily series makes every naive error zero; skill
+        // is undefined there (null), never -Infinity (oracle mirrors)
+        when(col("sen") > 0,
+          round(lit(1.0) - col("seh") / col("sen"), 6)).as("skill"))
   }
 
   /** Lag-1..7 autocorrelation of daily event volume — the
@@ -3010,7 +3021,7 @@ object Analytics {
          |  round(seh / n, 6) AS mae_holt,
          |  round(sen / n, 6) AS mae_naive,
          |  round(sph / n * 100.0, 6) AS mape_holt_pct,
-         |  round(1.0 - seh / sen, 6) AS skill
+         |  CASE WHEN sen > 0 THEN round(1.0 - seh / sen, 6) END AS skill
          |FROM sm""".stripMargin,
     "events_mad" ->
       s"""$EvSql, d AS (

@@ -1127,9 +1127,14 @@ object TextAnalysis {
           "sxy" -> (col("x") * col("y"))),
         Seq(count(lit(1)).cast("double").as("n")))
       .select(col("n").cast("long").as("n_docs"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+        // zero variance on either side leaves r undefined: emit null,
+        // never NaN (NaN != NaN would break the gate compare; oracle
+        // carries the same guard)
+        when((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6))
           .as("pearson_r"))
   }
 
@@ -1179,6 +1184,26 @@ object TextAnalysis {
 
   private[operators] def inList(xs: Seq[String]): String =
     xs.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** Per-doc quality-score CTEs (`qbase` counts → `qdoc` with the
+    * rounded `quality` column) — the ONE oracle-side definition of the
+    * quality rule, interpolated by BOTH the quality_score and
+    * quality_ppl_corr oracles so a future change to the rule cannot
+    * desynchronize the gate's two sides.
+    */
+  private lazy val QualityDocSql: String =
+    s"""qbase AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS ntc,
+       |    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS np,
+       |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t IN ${inList(TextFns.Stopwords)})) AS BIGINT) AS ns
+       |  FROM documents),
+       |qdoc AS (
+       |  SELECT *, round(least(n_tokens::DOUBLE / 100.0, 1.0)
+       |    * (1.0 - np::DOUBLE / greatest(n_chars, 1)), 4) AS quality
+       |  FROM qbase)""".stripMargin
 
   private val langIdSql: String = {
     val langs = TextFns.LangMarkers
@@ -1550,16 +1575,8 @@ object TextAnalysis {
          |  SELECT doc_id,
          |    round(exp(-(list_reduce(list_prepend(0.0::DOUBLE, lps), (a, x) -> a + x)) / nbg), 4) AS y
          |  FROM d
-         |), qq AS (
-         |  SELECT doc_id,
-         |    round(least(
-         |      CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS DOUBLE) / 100.0,
-         |      1.0) * (1.0 -
-         |        CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) /
-         |        greatest(CAST(length(text) AS BIGINT), 1)), 4) AS x
-         |  FROM documents
-         |), j AS (
-         |  SELECT qq.doc_id, x, y FROM qq JOIN pp ON qq.doc_id = pp.doc_id
+         |), $QualityDocSql, j AS (
+         |  SELECT qdoc.doc_id, quality AS x, y FROM qdoc JOIN pp ON qdoc.doc_id = pp.doc_id
          |), g AS (
          |  SELECT count(*)::DOUBLE AS n,
          |    list_sort(list(struct_pack(o := doc_id, x := x, y := y))) AS ps
@@ -1574,24 +1591,18 @@ object TextAnalysis {
          |  FROM g
          |)
          |SELECT CAST(n AS BIGINT) AS n_docs,
-         |  round((n * sxy - sx * sy) /
-         |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS pearson_r
+         |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
+         |    round((n * sxy - sx * sy) /
+         |      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) END AS pearson_r
          |FROM sm""".stripMargin,
     "quality_score" ->
-      s"""WITH q AS (
-         |  SELECT doc_id,
-         |    CAST(length(text) AS BIGINT) AS n_chars,
-         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens,
-         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS ntc,
-         |    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS np,
-         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t IN ${inList(TextFns.Stopwords)})) AS BIGINT) AS ns
-         |  FROM documents)
+      s"""WITH $QualityDocSql
          |SELECT doc_id, n_chars, n_tokens,
          |  round(ntc::DOUBLE / greatest(n_tokens, 1), 4) AS avg_token_len,
          |  round(np::DOUBLE / greatest(n_chars, 1), 4) AS punct_ratio,
          |  round(ns::DOUBLE / greatest(n_tokens, 1), 4) AS stopword_ratio,
-         |  round(least(n_tokens::DOUBLE / 100.0, 1.0) * (1.0 - np::DOUBLE / greatest(n_chars, 1)), 4) AS quality
-         |FROM q ORDER BY doc_id""".stripMargin,
+         |  quality
+         |FROM qdoc ORDER BY doc_id""".stripMargin,
     "token_stats" ->
       s"""WITH b AS (
          |  SELECT doc_id,

@@ -907,12 +907,16 @@ object Stream {
     * time ("accept all cookies" seen once per batch for a week) is
     * caught the moment its cumulative reach crosses the threshold —
     * including across restarts, because the ledger lives in the
-    * store, not executor state. The ledger holds one
-    * (sent_md5, n_docs, src_batch) row per batch — sentences shuffle
-    * as 32-char digests, never full text. Replay-idempotent by the
-    * same batch-granular replace as the other store-backed gates.
-    * Docs never span batches, so summing per-batch distinct-doc
-    * counts is exact.
+    * store, not executor state. The ledger holds DISTINCT
+    * (sent_md5, doc_id) pairs attributed to their first-seen batch —
+    * sentences shuffle as 32-char digests, never full text — so reach
+    * is a TRUE distinct-doc count: a doc replayed by the source or
+    * split across micro-batches can never inflate a sentence's reach
+    * (the r7 ledger summed per-batch countDistincts and relied on a
+    * documented no-recurrence assumption). Replay-idempotent by the
+    * same batch-granular replace as the other store-backed gates:
+    * a replayed batch's own rows are dropped before the anti-join, so
+    * pairs keep their original attribution.
     */
   def boilerplateGate(docs: DataFrame, storePath: String, outPath: String,
                       minDocs: Long = 2)
@@ -926,15 +930,18 @@ object Stream {
         recoverStore(fs, basePath)
         val sents = graft.operators.TextAnalysis.sentencesOf(batch)
           .withColumn("sh", md5(col("sent")))
-        val batchDf = sents.groupBy("sh")
-          .agg(countDistinct(col("doc_id")).as("n_docs"))
+        val pairs = sents.select(col("sh"), col("doc_id")).distinct()
         val prior =
           if (fs.exists(basePath))
             spark.read.parquet(storePath).filter(col("src_batch") =!= batchId)
           else spark.emptyDataFrame.select(lit("").as("sh"),
-            lit(0L).as("n_docs"), lit(0L).as("src_batch")).limit(0)
-        val bp = prior.select(col("sh"), col("n_docs")).unionByName(batchDf)
-          .groupBy("sh").agg(sum(col("n_docs")).as("cnd"))
+            lit(0L).as("doc_id"), lit(0L).as("src_batch")).limit(0)
+        // pairs not yet in the ledger: the union below is then a
+        // distinct pair relation, so the per-sentence count is an
+        // exact distinct-doc reach even under source replay
+        val fresh = pairs.join(prior, Seq("sh", "doc_id"), "left_anti")
+        val bp = prior.select(col("sh"), col("doc_id")).unionByName(fresh)
+          .groupBy("sh").agg(count(lit(1)).as("cnd"))
           .filter(col("cnd") >= minDocs)
           .select(col("sh"), lit(true).as("is_bp"))
         // same ordered re-assembly as the batch twin — shared code, so
@@ -951,7 +958,7 @@ object Stream {
             coalesce(col("kept_text"), lit("")).as("kept_text"))
         scrubbed.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         val merged = prior.unionByName(
-          batchDf.withColumn("src_batch", lit(batchId)))
+          fresh.withColumn("src_batch", lit(batchId)))
         val tmp = s"$storePath.merged-$batchId"
         merged.write.mode("overwrite").parquet(tmp)
         if (fs.exists(basePath)) swapStore(fs, basePath, tmp)

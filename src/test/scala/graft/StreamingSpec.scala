@@ -1003,12 +1003,16 @@ class StreamingSpec extends SparkSpec {
       q2.processAllAvailable()
       assert(landed(1L) === Map(
         2L -> ((2L, 1L, "real two")), 3L -> ((1L, 0L, "all original text"))))
-      // ledger: per-batch sentence-df rows keyed by source batch
+      // ledger: DISTINCT (sh, doc_id) pairs attributed to their
+      // first-seen batch — batch 0 contributed 4 pairs (chrome in two
+      // docs + two unique sentences), batch 1 three fresh pairs
       val led = spark.read.parquet(store).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      assert(led.count(_._3 == 0L) === 3 && led.count(_._3 == 1L) === 3)
-      assert(led.filter(_._2 == 2L).map(_._3).toSeq === Seq(0L),
-        "only batch 0 saw the chrome twice")
+      assert(led.distinct.length === led.length, "pair ledger holds no duplicates")
+      assert(led.count(_._3 == 0L) === 4 && led.count(_._3 == 1L) === 3)
+      // the chrome digest carries exactly one row per doc that said it
+      val chromeSh = led.groupBy(_._1).maxBy(_._2.size)._1
+      assert(led.filter(_._1 == chromeSh).map(_._2).sorted.toSeq === Seq(0L, 1L, 2L))
     } finally q2.stop()
   }
 
