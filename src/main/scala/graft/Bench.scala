@@ -44,12 +44,7 @@ object Bench {
     // oracle-comparable ones; these show what dropping the
     // deterministic sorted folds buys.
     spark.conf.set(operators.Folds.ConfKey, "false")
-    val prodResults = Seq("embedding_pca", "embedding_stats", "neardup_pagerank",
-        "perplexity_doc", "qlm_topk", "source_kl", "zipf_fit",
-        "term_entropy", "keyword_textrank", "knn_ivf_trained", "knn_pq",
-        "embedding_outliers", "events_twap", "curriculum_order",
-        "source_length_quartiles", "revenue_gini", "revenue_pareto",
-        "rfm_segments", "orders_abc_class")
+    val prodResults = operators.Folds.ProdTwinKeys
       .filter(k => only.forall(_.contains(k)))
       .map { k => s"$k#prod" -> time(SparkEntry.queries(k)) }
     spark.conf.set(operators.Folds.ConfKey, "true")

@@ -30,6 +30,20 @@ import org.apache.spark.sql.functions._
 object Folds {
   val ConfKey = "spark.graft.bitwiseFolds"
 
+  /** The query keys whose plans change under the production switch
+    * (rangeRank/runningTotal instead of global windows, plain partial
+    * sums instead of sorted folds). Bench times each twice (gate +
+    * `#prod`); Verify re-dumps them against the SAME DuckDB oracles
+    * when `SPARK_GRAFT_FOLDS=prod`, so the production path is
+    * oracle-gated, not just spec-compared to the gate path.
+    */
+  val ProdTwinKeys: Seq[String] = Seq("embedding_pca", "embedding_stats",
+    "neardup_pagerank", "perplexity_doc", "qlm_topk", "source_kl", "zipf_fit",
+    "term_entropy", "keyword_textrank", "knn_ivf_trained", "knn_pq",
+    "embedding_outliers", "events_twap", "curriculum_order",
+    "source_length_quartiles", "revenue_gini", "revenue_pareto",
+    "rfm_segments", "orders_abc_class")
+
   def bitwise(df: DataFrame): Boolean =
     df.sparkSession.conf.get(ConfKey, "true").toBoolean
 

@@ -61,19 +61,35 @@ object Multimodal {
         substring(hex(col("media")), 1, 8).as("magic"))
       .orderBy("doc_id")
 
-  /** Batch feature extraction via mapPartitions: a 16-bucket byte
-    * histogram stands in for the decoded-media feature vector. The
-    * decode call is the deliberate stub — a real pipeline opens a codec
-    * once per partition where `it =>` begins and maps frames to
-    * features; the partitioning, batch shape, and schema here are what
-    * that pipeline runs on. Because the stub decode is deterministic
-    * (UTF-8 bytes), the histogram IS cross-engine checkable: the
-    * oracle counts high nibbles off the hex encoding — so even the
+  /** Batch feature extraction via mapPartitions — TWO feature
+    * families sharing one per-partition batch pass, the shape a real
+    * media pipeline runs (codec/model session opened once where
+    * `it =>` begins, every feature computed off the one decode):
+    *
+    *  1. a 16-bucket byte histogram (the "global feature vector"),
+    *  2. strided-frame Shannon entropy: the payload split into
+    *     [[FrameBytes]] frames, every [[FrameStride]]-th sampled (the
+    *     keyframe discipline of [[mediaFrames]]), and the byte-value
+    *     entropy of the SAMPLED frames — the cheap "is this content
+    *     compressible/synthetic?" signal a filter stage gates on.
+    *
+    * The decode call is the deliberate stub (deterministic UTF-8
+    * bytes), so BOTH families are cross-engine checkable and the
     * mapPartitions path runs under the full rows+schema+hash gate.
+    * Entropy is emitted as round-half-up micro-bits (BIGINT) — the
+    * term order of its float fold is pinned to ascending byte value on
+    * both engines, so the double is shared IEEE work, and the integer
+    * scaling closes the round()-tie channel.
     */
-  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    mediaFeaturesOf(Tables.documents(spark, dir))
+
+  /** [[mediaFeatures]] over any (doc_id, text) frame. */
+  def mediaFeaturesOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables.documents(spark, dir)
+    val ln2 = math.log(2.0)
+    docs
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -83,10 +99,31 @@ object Multimodal {
           val hist = new Array[Long](16)
           var i = 0
           while (i < bytes.length) { hist((bytes(i) & 0xFF) >> 4) += 1; i += 1 }
-          (docId, bytes.length.toLong, hist.mkString(","))
+          val counts = new Array[Long](256)
+          var total = 0L
+          var sampled = 0L
+          val frames = bytes.grouped(FrameBytes).zipWithIndex
+          frames.foreach { case (f, fno) =>
+            if (fno % FrameStride == 0) {
+              sampled += 1
+              var j = 0
+              while (j < f.length) { counts(f(j) & 0xFF) += 1; total += 1; j += 1 }
+            }
+          }
+          // ascending byte value = the oracle's list_sort fold order;
+          // term shape -(p·ln p / ln 2) mirrored exactly
+          var ent = 0.0
+          var v = 0
+          while (v < 256) {
+            val c = counts(v)
+            if (c > 0) { val p = c.toDouble / total; ent += -(p * math.log(p) / ln2) }
+            v += 1
+          }
+          (docId, bytes.length.toLong, hist.mkString(","), sampled,
+            math.floor(ent * 1e6 + 0.5).toLong)
         }
       }
-      .toDF("doc_id", "n_bytes", "byte_hist")
+      .toDF("doc_id", "n_bytes", "byte_hist", "frames_sampled", "frame_entropy_e6")
       .orderBy("doc_id")
   }
 
@@ -238,28 +275,57 @@ object Multimodal {
         |    CAST(total_bytes AS DOUBLE), 4) AS dedup_savings_pct
         |FROM per JOIN u USING (source) ORDER BY source""".stripMargin,
     "media_features" ->
-      """WITH m AS (
-        |  SELECT doc_id, hex(encode(text)) AS h FROM documents
-        |), g AS (
-        |  SELECT doc_id,
-        |    strpos('0123456789ABCDEF', substring(h, 2 * i::INT + 1, 1)) - 1 AS bucket
-        |  FROM m, unnest(range(length(h) // 2)) AS u(i)
-        |), gc AS (
-        |  SELECT doc_id, bucket, count(*) AS n FROM g GROUP BY doc_id, bucket
-        |), fl AS (
-        |  SELECT m.doc_id, r.bucket FROM m, (SELECT unnest(range(16)) AS bucket) r
-        |), j AS (
-        |  SELECT fl.doc_id, fl.bucket, coalesce(gc.n, 0) AS n
-        |  FROM fl LEFT JOIN gc USING (doc_id, bucket)
-        |), hist AS (
-        |  SELECT doc_id,
-        |    array_to_string(list_transform(
-        |      list_sort(list(struct_pack(b := bucket, n := n))),
-        |      x -> x['n']::VARCHAR), ',') AS byte_hist
-        |  FROM j GROUP BY doc_id
-        |)
-        |SELECT m.doc_id, CAST(length(m.h) // 2 AS BIGINT) AS n_bytes, hist.byte_hist
-        |FROM m JOIN hist USING (doc_id) ORDER BY doc_id""".stripMargin,
+      s"""WITH m AS (
+         |  SELECT doc_id, hex(encode(text)) AS h FROM documents
+         |), g AS (
+         |  SELECT doc_id,
+         |    strpos('0123456789ABCDEF', substring(h, 2 * i::INT + 1, 1)) - 1 AS bucket
+         |  FROM m, unnest(range(length(h) // 2)) AS u(i)
+         |), gc AS (
+         |  SELECT doc_id, bucket, count(*) AS n FROM g GROUP BY doc_id, bucket
+         |), fl AS (
+         |  SELECT m.doc_id, r.bucket FROM m, (SELECT unnest(range(16)) AS bucket) r
+         |), j AS (
+         |  SELECT fl.doc_id, fl.bucket, coalesce(gc.n, 0) AS n
+         |  FROM fl LEFT JOIN gc USING (doc_id, bucket)
+         |), hist AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_transform(
+         |      list_sort(list(struct_pack(b := bucket, n := n))),
+         |      x -> x['n']::VARCHAR), ',') AS byte_hist
+         |  FROM j GROUP BY doc_id
+         |), sf AS (
+         |  SELECT doc_id, substring(h, fno::INT * ${FrameBytes * 2} + 1, ${FrameBytes * 2}) AS f
+         |  FROM (SELECT doc_id, h,
+         |          unnest(range(CAST(ceil(length(h)::DOUBLE / ${FrameBytes * 2}) AS INT))) AS fno
+         |        FROM m WHERE length(h) > 0)
+         |  WHERE fno % $FrameStride = 0
+         |), ns AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS frames_sampled FROM sf GROUP BY doc_id
+         |), by AS (
+         |  SELECT doc_id,
+         |    16 * (strpos('0123456789ABCDEF', substring(f, 2 * i::INT + 1, 1)) - 1)
+         |      + (strpos('0123456789ABCDEF', substring(f, 2 * i::INT + 2, 1)) - 1) AS b
+         |  FROM sf, unnest(range(length(f) // 2)) AS u(i)
+         |), bc AS (
+         |  SELECT doc_id, b, count(*)::DOUBLE AS c FROM by GROUP BY doc_id, b
+         |), bt AS (SELECT doc_id, sum(c) AS t FROM bc GROUP BY doc_id),
+         |terms AS (
+         |  SELECT bc.doc_id, bc.b, -((bc.c / bt.t) * ln(bc.c / bt.t) / ln(2.0)) AS x
+         |  FROM bc JOIN bt USING (doc_id)
+         |), ef AS (
+         |  SELECT doc_id, CAST(floor(
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+         |      list_sort(list(struct_pack(b := b, x := x))), p -> p['x'])),
+         |      (a, v) -> a + v) * 1e6 + 0.5) AS BIGINT) AS frame_entropy_e6
+         |  FROM terms GROUP BY doc_id
+         |)
+         |SELECT m.doc_id, CAST(length(m.h) // 2 AS BIGINT) AS n_bytes, hist.byte_hist,
+         |  coalesce(ns.frames_sampled, 0) AS frames_sampled,
+         |  coalesce(ef.frame_entropy_e6, 0) AS frame_entropy_e6
+         |FROM m JOIN hist USING (doc_id)
+         |  LEFT JOIN ns USING (doc_id) LEFT JOIN ef USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "media_neardup" ->
       s"""WITH m AS (
          |  SELECT doc_id, hex(encode(text)) AS h,

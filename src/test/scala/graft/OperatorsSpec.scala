@@ -730,6 +730,33 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(r(0).getDouble(3) - 2.0 / 3) < 1e-5)
   }
 
+  test("media_features: strided-frame entropy recomputes on crafted payloads") {
+    import spark.implicits._
+    val fb = operators.Multimodal.FrameBytes
+    val docs = Seq(
+      // 2 frames, only frame 0 sampled (stride 4): constant bytes → H=0
+      (0L, "a" * fb + "b" * fb),
+      // frame 0 alternates two byte values → H=1 bit exactly
+      (1L, "ab" * (fb / 2)),
+      // 5 frames: sampled {0, 4} are all-a and all-b → H=1 bit
+      (2L, "a" * fb + "x" * (3 * fb) + "b" * fb),
+      // short tail frame only: 4 distinct bytes equiprobable → H=2 bits
+      (3L, "wxyz"))
+      .toDF("doc_id", "text")
+    val r = operators.Multimodal.mediaFeaturesOf(docs).collect()
+      .map(row => row.getLong(0) ->
+        ((row.getLong(1), row.getLong(3), row.getLong(4)))).toMap
+    assert(r(0L) === ((2L * fb, 1L, 0L)))
+    assert(r(1L) === ((fb.toLong, 1L, 1000000L)))
+    assert(r(2L) === ((5L * fb, 2L, 1000000L)))
+    assert(r(3L) === ((4L, 1L, 2000000L)))
+    // histogram still counts ALL bytes (not just sampled frames):
+    // doc 2 is 1×'a' frame + 3×'x' frames + 1×'b' frame, all bucket 6/7
+    val h2 = operators.Multimodal.mediaFeaturesOf(docs)
+      .filter(col("doc_id") === 2L).collect()(0).getString(2).split(",").map(_.toLong)
+    assert(h2(6) === 2L * fb && h2(7) === 3L * fb)
+  }
+
   test("orders_gap_fill: dense daily calendar, fill days carry zero") {
     val r = SparkEntry.queries("orders_gap_fill")(spark, sfDir).collect()
     val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE

@@ -5,9 +5,27 @@ import java.sql.Timestamp
 import graft.streaming.Stream
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.concurrent.{Signaler, ThreadSignaler, TimeLimitedTests}
+import org.scalatest.time.{Seconds, Span}
 
-/** Structured Streaming specs (SURVEY §2.G) over MemoryStream. */
-class StreamingSpec extends SparkSpec {
+/** Structured Streaming specs (SURVEY §2.G) over MemoryStream.
+  *
+  * Every test runs under a 90 s wall budget (ThreadSignaler interrupts
+  * a blocked `processAllAvailable`), so a hung stream surfaces as a
+  * named test FAILURE instead of a silent multi-minute stall; the
+  * suite prints its total wall time on completion.
+  */
+class StreamingSpec extends SparkSpec with TimeLimitedTests {
+
+  val timeLimit: Span = Span(90, Seconds)
+  override val defaultTestSignaler: Signaler = ThreadSignaler
+
+  private val suiteStartNanos = System.nanoTime()
+
+  override def afterAll(): Unit = {
+    println(f"[StreamingSpec] suite wall time: ${(System.nanoTime() - suiteStartNanos) / 1e9}%.1f s (33 tests, 90 s/test budget)")
+    super.afterAll()
+  }
 
   private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
 
