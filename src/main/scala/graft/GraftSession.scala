@@ -24,6 +24,11 @@ object GraftSession {
     withGraftConfs(SparkSession.builder())
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
+      // the driver-generated test parquet is one row group per file —
+      // unsplittable — so local sessions re-spread fact scans
+      // (Tables.RespreadTables) to engage all threads; cluster
+      // sessions (clusterBuilder) never set this
+      .config("spark.graft.parallelizeScans", "true")
       .config("spark.ui.enabled", "false")
 
   /** Builder for spark-submit onto a REAL cluster: the same semantic
