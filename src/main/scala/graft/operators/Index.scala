@@ -420,11 +420,20 @@ object Index {
     // query terms through the full corpus-wide base aggregation
     val tf = tokenStreamOf(docs).filter(col("term").isin(terms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    tfidfScoredCore(tf, df, nDf)
+  }
+
+  /** The TF-IDF scoring formula over prebuilt (tf, df, n) frames — the
+    * single definition [[tfidfScoredOf]] and [[rankerEval]] share, so
+    * the shared-base evaluation path cannot drift from the standalone
+    * ranker the oracle gates.
+    */
+  private def tfidfScoredCore(tf: DataFrame, df: DataFrame,
+      nDf: DataFrame): DataFrame =
     tf.join(broadcast(df), "term")
       .crossJoin(broadcast(nDf))
       .withColumn("w", col("tf") * log(col("n") / col("df")))
       .groupBy("doc_id").agg(round(sum(col("w")), 4).as("score"))
-  }
 
   def tfidfTopkOf(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame =
     tfidfScoredOf(docs, terms)
@@ -449,14 +458,24 @@ object Index {
     * Shared by [[bm25ScoredOf]] and the [[wandTopkOf]] pruning ladder.
     */
   def bm25WeightsOf(docs: DataFrame, terms: Seq[String]): DataFrame = {
-    val (k1, b) = (1.2, 0.75)
     val base = tfBaseOf(docs)
     val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
     val dl = base.groupBy("doc_id").agg(sum(col("tf")).cast("double").as("dl"))
-    val avgdlDf = dl.agg(avg(col("dl")).as("avgdl"))
     val df = base.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val tf = tokenStreamOf(docs).filter(col("term").isin(terms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    bm25WeightsCore(tf, df, dl, nDf)
+  }
+
+  /** The BM25 weight formula (k1=1.2, b=0.75) over prebuilt (tf, df,
+    * dl, n) frames — single definition shared by [[bm25WeightsOf]]
+    * and [[rankerEval]]'s shared-base path (avgdl derives from dl, so
+    * feeders agree on it by construction).
+    */
+  private def bm25WeightsCore(tf: DataFrame, df: DataFrame, dl: DataFrame,
+      nDf: DataFrame): DataFrame = {
+    val (k1, b) = (1.2, 0.75)
+    val avgdlDf = dl.agg(avg(col("dl")).as("avgdl"))
     tf.join(broadcast(df), "term").join(dl, "doc_id")
       .crossJoin(broadcast(nDf)).crossJoin(broadcast(avgdlDf))
       .withColumn("idf", log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
@@ -544,14 +563,36 @@ object Index {
     * agreement with it). DCG sums fold in rank order through
     * [[Folds.groupSums]] (10 doubles — addition order must be pinned
     * cross-engine); every ranker list and the qrel are bounded
-    * TakeOrdered frames, so the whole evaluation costs three ranker
-    * runs + joins of ≤20-row frames.
+    * TakeOrdered frames.
+    *
+    * All three rankers (and the qrel's 4th run) evaluate off ONE
+    * materialized (doc_id, term, tf) base: each standalone ranker
+    * pipeline re-tokenizes the corpus for its df/dl/tf statistics (22
+    * Generate nodes, 33 scans in the naive 4-ranker plan — Catalyst
+    * does not dedupe the identical subtrees across the union), so the
+    * base is checkpointed once and every statistic derives from it
+    * through the same `*Core` scoring definitions the standalone
+    * oracle-gated rankers use — shared-base evaluation cannot drift
+    * from the rankers it evaluates.
     */
   def rankerEval(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val terms = Seq("spark", "join")
+    val base = tfBaseOf(docs).localCheckpoint() // one tokenize, 8 consumers
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
+    val df = base.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val dl = base.groupBy("doc_id").agg(sum(col("tf")).cast("double").as("dl"))
+    val cDf = base.agg(sum(col("tf")).cast("double").as("c"))
+    val cf = base.filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(sum(col("tf")).cast("double").as("cf"))
+    val tf = base.filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("term"), col("tf").cast("double").as("tf"))
+    val bm25Scored = bm25WeightsCore(tf, df, dl, nDf)
+      .groupBy("doc_id").agg(round(sum(col("w")), 4).as("score"))
+    def topk(scored: DataFrame, k: Int): DataFrame =
+      scored.orderBy(col("score").desc, col("doc_id")).limit(k)
     val wS = Window.orderBy(col("score").desc, col("doc_id"))
-    val truth = bm25TopkOf(docs, terms, 20)
+    val truth = topk(bm25Scored, 20)
       .withColumn("rt", row_number().over(wS).cast("long"))
       .select(col("doc_id"), (lit(21L) - col("rt")).as("rel"))
       .localCheckpoint() // read by idcg + all three ranker joins
@@ -565,9 +606,9 @@ object Index {
       df.withColumn("ri", row_number().over(wS).cast("long"))
         .select("doc_id", "ri")
     val m = Seq(
-      "bm25" -> ranked(bm25TopkOf(docs, terms, 10)),
-      "tfidf" -> ranked(tfidfTopkOf(docs, terms, 10)),
-      "qlm" -> ranked(qlmTopkOf(docs, terms, 10)))
+      "bm25" -> ranked(topk(bm25Scored, 10)),
+      "tfidf" -> ranked(topk(tfidfScoredCore(tf, df, nDf), 10)),
+      "qlm" -> ranked(topk(qlmScoredCore(tf, dl, cf, cDf), 10)))
       .map { case (nm, r) =>
         r.join(truth, Seq("doc_id"), "left")
           .select(lit(nm).as("ranker"), col("ri"),
@@ -612,7 +653,6 @@ object Index {
     * production mode).
     */
   def qlmTopkOf(docs: DataFrame, qterms: Seq[String], k: Int = 20): DataFrame = {
-    val mu = 100.0
     val base = tfBaseOf(docs)
     val dl = base.groupBy("doc_id").agg(sum(col("tf")).cast("double").as("dl"))
     val cDf = base.agg(sum(col("tf")).cast("double").as("c"))
@@ -620,6 +660,18 @@ object Index {
       .groupBy("term").agg(sum(col("tf")).cast("double").as("cf"))
     val tf = tokenStreamOf(docs).filter(col("term").isin(qterms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    qlmScoredCore(tf, dl, cf, cDf)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The Dirichlet-smoothed QL scoring formula (μ=100) over prebuilt
+    * (tf, dl, cf, c) frames — single definition shared by
+    * [[qlmTopkOf]] and [[rankerEval]]'s shared-base path.
+    */
+  private def qlmScoredCore(tf: DataFrame, dl: DataFrame, cf: DataFrame,
+      cDf: DataFrame): DataFrame = {
+    val mu = 100.0
     val scored = tf.select("doc_id").distinct()
       .crossJoin(broadcast(cf.crossJoin(cDf)))
       .join(tf, Seq("doc_id", "term"), "left")
@@ -629,8 +681,6 @@ object Index {
           (col("dl") + lit(mu))))
     Folds.groupSums(scored, Seq("doc_id"), col("term"), Seq("wsum" -> col("w")))
       .select(col("doc_id"), round(col("wsum"), 4).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
   }
 
   def qlmTopk(spark: SparkSession, dir: String): DataFrame =
