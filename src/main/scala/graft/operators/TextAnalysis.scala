@@ -118,6 +118,87 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ---- nb_langid -------------------------------------------------------
+
+  /** Trained multinomial Naive Bayes language classifier — the
+    * learned sibling of [[langId]]'s fixed marker heuristic, and the
+    * engine's minimal distributed train→apply loop: fit on a
+    * deterministic 80% hash split, score the 20% holdout. The model
+    * is three aggregate frames (per-(term, lang) token counts, per-
+    * lang totals + doc priors, |V|), all vocab-bounded — broadcast at
+    * any corpus scale. Scoring uses the add-one identity
+    * score(d,l) = ln π_l + Σ_t tf·ln(c_tl + 1) − dl_V·ln(tot_l + |V|):
+    * zero-count (term, lang) cells contribute tf·ln(1) = 0, so the
+    * join touches ONLY observed model rows — no vocab×lang dense
+    * frame ever materializes. The per-(doc, lang) log-sum folds in
+    * term order through [[Folds.groupSums]] (bitwise under the gate,
+    * plain partial-agg in production); the argmax reads the ROUNDED
+    * score with lang tie-break, [[langId]]'s determinism discipline.
+    */
+  def nbLangid(spark: SparkSession, dir: String): DataFrame =
+    nbScored(spark, dir)
+      .select("doc_id", "lang", "pred_lang", "correct")
+      .orderBy("doc_id")
+
+  private def nbScored(spark: SparkSession, dir: String): DataFrame =
+    nbScoredOf(Tables.documents(spark, dir))
+
+  def nbScoredOf(docs: DataFrame): DataFrame = {
+    val isTrain = HashFns.rollingHash(concat(lit("nb:"), col("doc_id").cast("string"))) % 100 < 80
+    val train = docs.filter(isTrain)
+    val test = docs.filter(!isTrain)
+    val tt = train.select(col("lang"), explode(TextFns.tokens(col("text"))).as("term"))
+    val ctl = tt.groupBy("term", "lang").agg(count(lit(1)).as("c"))
+    val totl = tt.groupBy("lang").agg(count(lit(1)).as("tot"))
+    val vocab = ctl.select("term").distinct()
+    val vDf = vocab.agg(count(lit(1)).as("v"))
+    val prior = train.groupBy("lang").agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("n"))))
+      .select(col("lang"),
+        log(col("nd").cast("double") / col("n").cast("double")).as("lnp"))
+    val tf = test.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // in-vocab doc length: tokens outside the train vocabulary carry no
+    // model mass for ANY language, so they cancel out of the argmax and
+    // are dropped (the standard vocabulary-restricted NB contract)
+    val dv = tf.join(broadcast(vocab), "term")
+      .groupBy("doc_id").agg(sum(col("tf")).as("dv"))
+    val part1 = Folds.groupSums(
+      tf.join(broadcast(ctl), "term"),
+      Seq("doc_id", "lang"), col("term"),
+      Seq("p1" -> (col("tf").cast("double") * log(col("c").cast("double") + 1.0))))
+    val langs = totl.join(broadcast(prior), "lang").crossJoin(broadcast(vDf))
+      .select(col("lang").as("l"), col("lnp"),
+        log((col("tot") + col("v")).cast("double")).as("lnt"))
+    val scored = test.select(col("doc_id"), col("lang"))
+      .crossJoin(broadcast(langs))
+      .join(part1.withColumnRenamed("lang", "l"), Seq("doc_id", "l"), "left")
+      .join(dv, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("l"),
+        round(col("lnp") + coalesce(col("p1"), lit(0.0)) -
+          coalesce(col("dv"), lit(0L)).cast("double") * col("lnt"), 6).as("score"))
+    val wD = Window.partitionBy("doc_id").orderBy(col("score").desc, col("l"))
+    scored.withColumn("rn", row_number().over(wD))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("l").as("pred_lang"),
+        when(col("l") === col("lang"), 1L).otherwise(0L).as("correct"))
+  }
+
+  /** Holdout evaluation of [[nbLangid]]: per gold language, test-doc
+    * count, correct count and accuracy — the number that says whether
+    * the trained router beats [[langId]]'s heuristic before
+    * [[graft.sources.CorpusStore]] partitions by either. One 4-row
+    * rollup over the prediction frame.
+    */
+  def nbLangidEval(spark: SparkSession, dir: String): DataFrame =
+    nbScored(spark, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_test"),
+        sum(col("correct")).as("n_correct"))
+      .withColumn("accuracy",
+        round(col("n_correct").cast("double") / col("n_test").cast("double"), 4))
+      .orderBy("lang")
+
   // ---- quality_score ---------------------------------------------------
 
   /** Quality features: token/char counts, punctuation ratio, stopword
@@ -1155,6 +1236,8 @@ object TextAnalysis {
     "perplexity_doc" -> perplexityDoc,
     "bpe_merges" -> bpeMerges,
     "lang_id" -> langId,
+    "nb_langid" -> nbLangid,
+    "nb_langid_eval" -> nbLangidEval,
     "doc_lang_mismatch" -> docLangMismatch,
     "oov_rate" -> oovRate,
     "langid_confusion" -> langidConfusion,
@@ -1204,6 +1287,73 @@ object TextAnalysis {
        |  SELECT *, round(least(n_tokens::DOUBLE / 100.0, 1.0)
        |    * (1.0 - np::DOUBLE / greatest(n_chars, 1)), 4) AS quality
        |  FROM qbase)""".stripMargin
+
+  /** The NB model + scored-holdout CTE chain shared by nb_langid and
+    * nb_langid_eval — one definition, so the two gate keys cannot
+    * desynchronize on the model arithmetic. Mirrors [[nbScored]]
+    * exactly: same 80/20 rolling-hash split, same add-one identity,
+    * same term-ordered fold for the per-(doc, lang) log sum, same
+    * rounded-score argmax with lang tie-break.
+    */
+  private val nbLangidSql: String = {
+    val split = s"${OracleSql.roll("'nb:' || doc_id::VARCHAR", HashFns.P)} % 100 < 80"
+    s"""WITH tr AS (
+       |  SELECT * FROM documents WHERE $split
+       |), te AS (
+       |  SELECT * FROM documents WHERE NOT ($split)
+       |), tt AS (
+       |  SELECT lang, unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+       |    t -> len(t) > 0)) AS term
+       |  FROM tr
+       |), ctl AS (
+       |  SELECT term, lang, count(*) AS c FROM tt GROUP BY term, lang
+       |), totl AS (
+       |  SELECT lang, count(*) AS tot FROM tt GROUP BY lang
+       |), voc AS (
+       |  SELECT DISTINCT term FROM ctl
+       |), vd AS (
+       |  SELECT count(*) AS v FROM voc
+       |), pri AS (
+       |  SELECT lang, ln(count(*)::DOUBLE /
+       |    (SELECT count(*) FROM tr)::DOUBLE) AS lnp
+       |  FROM tr GROUP BY lang
+       |), lg AS (
+       |  SELECT totl.lang AS l, pri.lnp, ln((totl.tot + vd.v)::DOUBLE) AS lnt
+       |  FROM totl JOIN pri ON pri.lang = totl.lang, vd
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+       |      t -> len(t) > 0)) AS term
+       |    FROM te)
+       |  GROUP BY doc_id, term
+       |), dv AS (
+       |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS dv
+       |  FROM tf JOIN voc USING (term) GROUP BY tf.doc_id
+       |), p1 AS (
+       |  SELECT tf.doc_id, ctl.lang AS l,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+       |      list_sort(list(struct_pack(term := tf.term,
+       |        c := tf.tf::DOUBLE * ln(ctl.c::DOUBLE + 1.0)))),
+       |      s -> s['c'])), (a, x) -> a + x) AS p1
+       |  FROM tf JOIN ctl USING (term) GROUP BY tf.doc_id, ctl.lang
+       |), sc AS (
+       |  SELECT te.doc_id, te.lang, lg.l,
+       |    round(lg.lnp + coalesce(p1.p1, 0.0) -
+       |      coalesce(dv.dv, 0)::DOUBLE * lg.lnt, 6) AS score
+       |  FROM te CROSS JOIN lg
+       |  LEFT JOIN p1 ON p1.doc_id = te.doc_id AND p1.l = lg.l
+       |  LEFT JOIN dv ON dv.doc_id = te.doc_id
+       |), rk AS (
+       |  SELECT doc_id, lang, l,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, l) AS rn
+       |  FROM sc
+       |)""".stripMargin
+  }
+
+  private val nbPredSelect: String =
+    """SELECT doc_id, lang, l AS pred_lang,
+      |  CAST(CASE WHEN l = lang THEN 1 ELSE 0 END AS BIGINT) AS correct
+      |FROM rk WHERE rn = 1""".stripMargin
 
   private val langIdSql: String = {
     val langs = TextFns.LangMarkers
@@ -1530,6 +1680,15 @@ object TextAnalysis {
          |SELECT c1, c2, count(*) AS freq FROM pr GROUP BY c1, c2
          |ORDER BY freq DESC, c1, c2 LIMIT 20""".stripMargin,
     "lang_id" -> langIdSql,
+    "nb_langid" -> s"$nbLangidSql\n$nbPredSelect ORDER BY doc_id",
+    "nb_langid_eval" ->
+      s"""$nbLangidSql, pred AS (
+         |$nbPredSelect
+         |)
+         |SELECT lang, count(*) AS n_test,
+         |  CAST(sum(correct) AS BIGINT) AS n_correct,
+         |  round(sum(correct)::DOUBLE / count(*)::DOUBLE, 4) AS accuracy
+         |FROM pred GROUP BY lang ORDER BY lang""".stripMargin,
     "metadata_k_anonymity" ->
       """SELECT source, lang, n_chars // 100 AS len_bucket,
         |  CAST(count(*) AS BIGINT) AS k,

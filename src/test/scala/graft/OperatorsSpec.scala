@@ -1107,6 +1107,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("nb_langid: NB trained on a separable crafted corpus classifies its holdout") {
+    import spark.implicits._
+    // two perfectly separable languages: every 'xx' doc speaks only
+    // xa/xb tokens, every 'yy' doc only ya/yb — whatever side of the
+    // 80/20 hash split a doc lands on, a correct NB must recover its
+    // language from the other docs' counts
+    val docs = (1L to 120L).map { i =>
+      if (i % 2 == 0) (i, "xa xb xa xb xa", "xx", "s1")
+      else (i, "ya yb ya yb ya", "yy", "s1")
+    }.toDF("doc_id", "text", "lang", "source")
+    val r = operators.TextAnalysis.nbScoredOf(docs).collect()
+    // the rolling-hash split must hold out a real minority (not 0%,
+    // not 50%) and be deterministic across invocations
+    assert(r.length > 6 && r.length < 60, s"holdout size ${r.length}")
+    assert(r.forall(_.getLong(3) == 1L),
+      "separable corpus must classify perfectly")
+    val again = operators.TextAnalysis.nbScoredOf(docs).collect()
+    assert(r.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("pii_report: crafted PII rows yield per-source density; corpus is clean") {
     import spark.implicits._
     val crafted = Seq(
