@@ -1361,6 +1361,60 @@ object Analytics {
       .orderBy("lag")
   }
 
+  /** STL-lite decomposition of daily event volume into trend +
+    * weekly seasonal + residual — the chart behind
+    * [[eventsDowProfile]]'s single table and [[eventsAutocorr]]'s
+    * lag-7 peak: trend is the 7-day centered moving average, seasonal
+    * the per-day-of-week mean of the detrended series, residual the
+    * remainder. Everything stays integer-exact until the emitted
+    * division: detrended values are scaled by 7 (d = 7c − s7, exact),
+    * the seasonal mean is the rational Σd/(7·n_dow), and the residual
+    * combines over the common denominator 7·n_dow — each emitted
+    * value is one round-half-up-at-10⁻⁶ `div` ([[eventsAutocorr]]'s
+    * trick), so both engines print identical doubles. Seasonal/trend/
+    * residual are null on the ≤6 edge days whose centered window is
+    * partial. Products route through DECIMAL(38,0) (exact for
+    * n_dow·c ≲ 10³⁴ — centuries of 100 TB/day). Shape: corpus-sized
+    * work is the daily rollup; the windows run on the |days| frame
+    * (the calendar-bounded global-window family of [[eventsMad]]),
+    * and the seasonal table is a 7-row broadcast.
+    */
+  def eventsStl(spark: SparkSession, dir: String): DataFrame =
+    eventsStlOf(eventsUs(spark, dir)
+      .groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c")))
+
+  /** The decomposition over any (day, c) daily frame — factored for
+    * crafted-series specs (a pure trend+weekly series must decompose
+    * to residual exactly 0).
+    */
+  def eventsStlOf(daily: DataFrame): DataFrame = {
+    val w7 = Window.orderBy("day").rangeBetween(-3, 3)
+    val wd = daily
+      .withColumn("s7", sum(col("c")).over(w7))
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("dow", pmod(col("day"), lit(7)))
+    val seas = wd.filter(col("n7") === 7)
+      .groupBy("dow")
+      .agg(sum((lit(7) * col("c") - col("s7")).cast("decimal(38,0)")).as("a"),
+        count(lit(1)).cast("decimal(38,0)").as("b"))
+    wd.join(broadcast(seas), Seq("dow"), "left")
+      .withColumn("rn",
+        expr("7 * b * cast(c as decimal(38,0)) - b * cast(s7 as decimal(38,0)) - a"))
+      .select(col("day"), col("c"),
+        when(col("n7") === 7,
+          expr("cast((s7 * 2000000 + 7) div 14 as double) / 1e6")).as("trend"),
+        when(col("n7") === 7, expr("""cast(case when a < 0
+          then -((-a * 2000000 + 7 * b) div (14 * b))
+          else ((a * 2000000 + 7 * b) div (14 * b)) end as double) / 1e6"""))
+          .as("seasonal"),
+        when(col("n7") === 7, expr("""cast(case when rn < 0
+          then -((-rn * 2000000 + 7 * b) div (14 * b))
+          else ((rn * 2000000 + 7 * b) div (14 * b)) end as double) / 1e6"""))
+          .as("resid"))
+      .orderBy("day")
+  }
+
   /** Single change-point detection on daily event volume by exact
     * binary segmentation: the split day minimizing SSE_left +
     * SSE_right, the first recursion step of the classic change-point
@@ -2329,6 +2383,7 @@ object Analytics {
     "events_mad" -> eventsMad,
     "events_cusum" -> eventsCusum,
     "events_autocorr" -> eventsAutocorr,
+    "events_stl" -> eventsStl,
     "events_changepoint" -> eventsChangepoint,
     "events_burstiness" -> eventsBurstiness,
     "orders_abc_class" -> ordersAbcClass,
@@ -2880,6 +2935,36 @@ object Analytics {
          |)
          |SELECT day, c AS n_events, s AS scaled_dev, p AS cusum_pos, q AS cusum_neg
          |FROM rec ORDER BY day""".stripMargin,
+    "events_stl" ->
+      s"""$EvSql, d AS (
+         |  SELECT ts_us // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c
+         |  FROM ev GROUP BY 1
+         |), wd AS (
+         |  SELECT day, c,
+         |    CAST(sum(c) OVER (ORDER BY day
+         |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS s7,
+         |    count(*) OVER (ORDER BY day
+         |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7,
+         |    day % 7 AS dow
+         |  FROM d
+         |), seas AS (
+         |  SELECT dow, sum((7 * c - s7)::HUGEINT) AS a, count(*)::HUGEINT AS b
+         |  FROM wd WHERE n7 = 7 GROUP BY dow
+         |)
+         |SELECT day, c,
+         |  CASE WHEN n7 = 7
+         |    THEN CAST((s7 * 2000000 + 7) // 14 AS DOUBLE) / 1e6 END AS trend,
+         |  CASE WHEN n7 = 7 THEN CAST(CASE WHEN a < 0
+         |    THEN -((-a * 2000000 + 7 * b) // (14 * b))
+         |    ELSE ((a * 2000000 + 7 * b) // (14 * b)) END AS DOUBLE) / 1e6
+         |  END AS seasonal,
+         |  CASE WHEN n7 = 7 THEN CAST(CASE
+         |    WHEN 7 * b * c - b * s7 - a < 0
+         |    THEN -((-(7 * b * c - b * s7 - a) * 2000000 + 7 * b) // (14 * b))
+         |    ELSE (((7 * b * c - b * s7 - a) * 2000000 + 7 * b) // (14 * b))
+         |    END AS DOUBLE) / 1e6
+         |  END AS resid
+         |FROM wd LEFT JOIN seas USING (dow) ORDER BY day""".stripMargin,
     "events_autocorr" ->
       s"""$EvSql, d AS (
          |  SELECT ts_us // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c

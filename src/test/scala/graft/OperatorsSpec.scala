@@ -1107,6 +1107,24 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("events_stl: linear trend + pure weekly cycle decomposes with zero residual") {
+    import spark.implicits._
+    // c = 100 + day + 10*dow: the 7-day MA is exactly 130 + day (each
+    // window covers every dow once), seasonal is 10*dow - 30, residual 0
+    val daily = (0L to 27L).map(d => (d, 100L + d + 10L * (d % 7))).toDF("day", "c")
+    val r = operators.Analytics.eventsStlOf(daily).collect()
+    assert(r.length === 28)
+    r.foreach { row =>
+      val day = row.getLong(0)
+      if (day < 3 || day > 24) assert(row.isNullAt(2) && row.isNullAt(3) && row.isNullAt(4))
+      else {
+        assert(row.getDouble(2) === 130.0 + day)
+        assert(row.getDouble(3) === 10.0 * (day % 7) - 30.0)
+        assert(row.getDouble(4) === 0.0)
+      }
+    }
+  }
+
   test("nb_langid: NB trained on a separable crafted corpus classifies its holdout") {
     import spark.implicits._
     // two perfectly separable languages: every 'xx' doc speaks only
