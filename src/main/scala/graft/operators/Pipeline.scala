@@ -589,6 +589,50 @@ object Pipeline {
     dsirScoreOf(docs, dsirLlrOf(docs)).orderBy("doc_id")
   }
 
+  /** Multi-epoch training order: each epoch gets its own
+    * deterministic, decorrelated permutation of the corpus — position
+    * = rank of the 60-bit md5 prefix of "ep:&lt;epoch&gt;:&lt;doc_id&gt;" —
+    * the data order a multi-epoch training loader replays identically
+    * across reruns and reshards. md5, not the polynomial rollingHash:
+    * the rolling hash of sequential ids is an arithmetic progression
+    * mod P (order-structured, and epochs differ only by a rotation),
+    * while md5's avalanche makes the permutations independent — the
+    * salt discipline [[trainTestSplit]]'s 100-bucket split doesn't
+    * need but a full shuffle ORDER does. Under the gate's bitwise
+    * contract the per-epoch position is a rank window; production
+    * mode replaces it with ONE global [[GraftOps.rangeRank]] over the
+    * collision-free composite key epoch·2⁶⁰ + h (h < 2⁶⁰), then
+    * subtracts the epoch's offset — the [[revenuePareto]] discipline,
+    * no per-epoch unpartitioned window at any corpus size. FoldsSpec
+    * asserts the two modes agree exactly.
+    */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame =
+    epochShuffleOf(Tables.documents(spark, dir), nEpochs = 3)
+
+  def epochShuffleOf(docs: DataFrame, nEpochs: Int): DataFrame = {
+    val epochs = docs.sparkSession.range(0, nEpochs.toLong)
+      .select(col("id").as("epoch"))
+    val keyed = docs.select(col("doc_id")).crossJoin(broadcast(epochs))
+      .withColumn("h", conv(substring(md5(concat(
+          lit("ep:"), col("epoch").cast("string"),
+          lit(":"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long"))
+    val pos =
+      if (Folds.bitwise(keyed))
+        keyed.withColumn("pos", row_number().over(
+          Window.partitionBy("epoch").orderBy(col("h"), col("doc_id"))).cast("long"))
+      else {
+        val nd = docs.agg(count(lit(1)).as("nd"))
+        GraftOps.rangeRank(keyed,
+            col("epoch") * lit(1L << 60) + col("h"), col("doc_id"))
+          .crossJoin(broadcast(nd))
+          .withColumn("pos", col("rn") - col("epoch") * col("nd"))
+          .drop("rn", "nd")
+      }
+    pos.select(col("epoch"), col("pos"), col("doc_id"))
+      .orderBy("epoch", "pos")
+  }
+
   /** Length-free curriculum manifest: bucket the corpus into four
     * training stages by a difficulty proxy (mean characters per token
     * — longer words ≈ denser prose), with stage boundaries at the
@@ -638,6 +682,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dsir_weights" -> dsirWeights,
     "curriculum_order" -> curriculumOrder,
+    "epoch_shuffle" -> epochShuffle,
     "source_length_quartiles" -> sourceLengthQuartiles,
     "shard_assign" -> shardAssign,
     "mix_temperature" -> mixTemperature,
@@ -739,6 +784,19 @@ object Pipeline {
          |SELECT doc_id, n_tokens, dsir_logweight,
          |  CAST(CASE WHEN dsir_logweight > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM f ORDER BY doc_id""".stripMargin,
+    "epoch_shuffle" ->
+      s"""WITH e AS (
+         |  SELECT unnest(range(3)) AS epoch
+         |), k AS (
+         |  SELECT epoch, doc_id,
+         |    ('0x' || substr(md5('ep:' || epoch::VARCHAR || ':' || doc_id::VARCHAR),
+         |      1, 15))::BIGINT AS h
+         |  FROM documents, e
+         |)
+         |SELECT epoch,
+         |  row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS pos,
+         |  doc_id
+         |FROM k ORDER BY epoch, pos""".stripMargin,
     "curriculum_order" ->
       """WITH c AS (
         |  SELECT doc_id,

@@ -123,6 +123,25 @@ class FoldsSpec extends SparkSpec {
     } finally spark.conf.set(Folds.ConfKey, "true")
   }
 
+  test("epoch_shuffle production composite rangeRank EXACTLY equals per-epoch windows") {
+    val gate = operators.Pipeline.epochShuffle(spark, sfDir).collect().toSeq
+    spark.conf.set(Folds.ConfKey, "false")
+    try {
+      val prodDf = operators.Pipeline.epochShuffle(spark, sfDir)
+      val prod = prodDf.collect().toSeq
+      assert(prod === gate && gate.nonEmpty)
+      // every epoch is a PERMUTATION: positions 1..n, all docs present
+      val n = gate.length / 3
+      (0L to 2L).foreach { e =>
+        val ep = gate.filter(_.getLong(0) == e)
+        assert(ep.map(_.getLong(1)).sorted.toSeq === (1L to n).toSeq)
+      }
+      // and epochs are decorrelated (doc at pos 1 differs somewhere)
+      assert(gate.filter(_.getLong(1) == 1L).map(_.getLong(2)).distinct.length > 1)
+      assert(prodDf.queryExecution.executedPlan.toString.contains("__bk"))
+    } finally spark.conf.set(Folds.ConfKey, "true")
+  }
+
   test("abc production rank+prefix EXACTLY equals the gate's global window") {
     val gate = operators.Analytics.ordersAbcClass(spark, sfDir).collect().toSeq
     spark.conf.set(Folds.ConfKey, "false")
