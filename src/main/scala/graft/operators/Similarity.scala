@@ -843,6 +843,33 @@ object Similarity {
     adcRank(pqCodes(parts, cb).join(broadcast(pqDtab(parts, cb)), Seq("m", "code")))
   }
 
+  /** PQ codebook-quality audit — the distortion side of what
+    * [[annRecallPq]] measures end-to-end: per subspace, the mean and
+    * max squared quantization error ‖sv − cv_code‖² over every
+    * vector's assigned code (FAISS's quantization-error report). A
+    * subspace whose MSE dwarfs the others is where recall dies first
+    * — the diagnostic read BEFORE re-training the codebook
+    * ([[ivfRetrain]]'s decision, one level down). Same shape as
+    * encoding itself: codebook broadcast, one narrow argmin per
+    * (vector, subspace), one NSub-row rollup; per-subspace error sums
+    * fold vec_id-ordered through [[Folds]].
+    */
+  def pqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val parts = pqParts(Tables.embeddings(spark, dir))
+    val cb = pqCodebook(parts)
+    val wEnc = Window.partitionBy("vec_id", "m").orderBy(col("d").asc, col("cid"))
+    val best = parts.join(broadcast(cb), "m")
+      .withColumn("d", l2sq(col("sv"), col("cv")))
+      .withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+    Folds.groupSums(best, Seq("m"), col("vec_id"), Seq("sse" -> col("d")),
+        Seq(count(lit(1)).as("n_vectors"), max(col("d")).as("mx")))
+      .select(col("m").cast("long").as("m"), col("n_vectors"),
+        round(col("sse") / col("n_vectors").cast("double"), 6).as("mse"),
+        round(col("mx"), 6).as("max_sq_err"))
+      .orderBy("m")
+  }
+
   /** IVF + PQ — the standard billion-scale ANN architecture (an IVF
     * coarse quantizer routes each query to its nearest-centroid
     * bucket; inside the bucket, candidates rank by their global PQ
@@ -1197,6 +1224,7 @@ object Similarity {
     "knn_sq8" -> knnSq8,
     "ann_recall_sq8" -> annRecallSq8,
     "knn_pq" -> knnPq,
+    "pq_distortion" -> pqDistortion,
     "knn_ivf_pq" -> knnIvfPq,
     "knn_ivf_pq_residual" -> knnIvfPqResidual,
     "knn_bruteforce" -> knnBruteforce,
@@ -1541,6 +1569,19 @@ object Similarity {
          |  round(sum(CASE WHEN rrf2.vec_id IS NOT NULL THEN 1 ELSE 0 END) / $TopK.0, 4) AS recall
          |FROM bfr LEFT JOIN rrf2 ON bfr.query_id = rrf2.query_id AND bfr.vec_id = rrf2.vec_id
          |GROUP BY bfr.query_id ORDER BY query_id""".stripMargin,
+    "pq_distortion" ->
+      s"""WITH ${pqCteOn("embeddings")}, best AS (
+         |  SELECT vec_id, m, d FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY d ASC, cid) AS rn
+         |    FROM enc) WHERE rn = 1
+         |)
+         |SELECT m, CAST(count(*) AS BIGINT) AS n_vectors,
+         |  round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+         |    list_sort(list(struct_pack(v := vec_id, d := d))), s -> s['d'])),
+         |    (a, x) -> a + x) / count(*)::DOUBLE, 6) AS mse,
+         |  round(max(d), 6) AS max_sq_err
+         |FROM best GROUP BY m ORDER BY m""".stripMargin,
     "knn_pq" ->
       s"""WITH ${pqCteOn("embeddings")}, r AS (
          |  SELECT query_id, vec_id, adist,
