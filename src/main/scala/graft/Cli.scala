@@ -93,12 +93,25 @@ object Cli {
       val (cleaned, stages) = operators.Pipeline.cleanOf(keyed)
       cleaned.write.mode("overwrite").parquet(out)
       stages.reduce(_ unionByName _).orderBy("stage")
+    case Seq("export", input, out, rest @ _*) =>
+      // interchange export: any readable corpus (tsv/jsonl/csv or a
+      // parquet dir) out as JSONL shards — the hand-off format for a
+      // downstream training loader. [shards] fixes the file fan-out.
+      val shards = rest.headOption.map(_.toInt).getOrElse(0)
+      val corpus =
+        if (input.endsWith(".tsv") || input.endsWith(".jsonl") ||
+            input.endsWith(".csv")) readCorpus(spark, input)._1
+        else spark.read.parquet(input)
+      Jsonl.writeDocuments(corpus, out, shards)
+      val back = spark.read.text(out)
+      back.groupBy().agg(count(lit(1)).as("lines"))
     case _ =>
       throw new IllegalArgumentException(
         "usage: index <in.tsv> <indexPath> [nBuckets] | " +
           "search <indexPath> <term> [k] | query <in.tsv> '<query>' [k] | " +
           "bquery <indexPath> '<query>' [nBuckets] | stats <indexPath> | " +
-          "clean <in.(tsv|jsonl|csv)> <outPath>")
+          "clean <in.(tsv|jsonl|csv)> <outPath> | " +
+          "export <in.(tsv|jsonl|csv)|parquetDir> <outPath> [shards]")
   }
 
   def main(args: Array[String]): Unit = {

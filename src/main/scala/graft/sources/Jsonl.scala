@@ -47,4 +47,19 @@ object Jsonl {
       .filter(col("_corrupt").isNotNull || col("doc_id").isNull)
       .select(coalesce(col("_corrupt"), to_json(struct(col("doc_id"),
         col("text"), col("lang"), col("source")))).as("line"))
+
+  /** The writer side of the interchange contract: one JSON object per
+    * line, round-trippable through [[readDocuments]]'s explicit
+    * schema. `shards > 0` fixes the output file count (the training-
+    * loader contract: consumers address shard k of n, so the fan-out
+    * is an interface, not an accident of the upstream partitioning);
+    * `shards = 0` keeps the input partitioning — no extra shuffle for
+    * a corpus that is already laid out. Uncompressed by design: a
+    * gzip'd JSONL file is not byte-splittable, which silently
+    * serializes every downstream scan of a shard.
+    */
+  def writeDocuments(docs: DataFrame, path: String, shards: Int = 0): Unit = {
+    val d = if (shards > 0) docs.repartition(shards) else docs
+    d.write.mode("overwrite").option("compression", "none").json(path)
+  }
 }

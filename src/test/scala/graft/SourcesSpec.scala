@@ -249,6 +249,25 @@ class SourcesSpec extends SparkSpec {
     assert(idx.count() === 3) // alpha, beta, gamma
   }
 
+  test("jsonl writer: round-trips through the explicit-schema reader, shard count honored") {
+    val dir = tmpDir("graft-jsonl-rt")
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    Jsonl.writeDocuments(docs, s"$dir/out", shards = 3)
+    val files = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.endsWith(".json"))
+    assert(files.length === 3, "shard count is an interface, not an accident")
+    val back = Jsonl.readDocuments(spark, s"$dir/out")
+    assert(back.count() === docs.count())
+    // value-exact round trip (text with quotes/unicode survives JSON)
+    val a = docs.select("doc_id", "text", "lang", "source").collect()
+      .map(_.toString).sorted
+    val b = back.select("doc_id", "text", "lang", "source").collect()
+      .map(_.toString).sorted
+    assert(a.sameElements(b))
+    // and nothing lands in quarantine
+    assert(Jsonl.readCorrupt(spark, s"$dir/out").count() === 0L)
+  }
+
   test("csv source: explicit schema, quoted commas kept, corrupt rows quarantined") {
     val dir = tmpDir("graft-csv")
     Files.writeString(java.nio.file.Paths.get(s"$dir/docs.csv"),
@@ -405,6 +424,11 @@ class SourcesSpec extends SparkSpec {
     val bq = Cli.run(spark,
         Seq("bquery", s"$dir/index", "spark AND NOT filter", "4")).collect()
     assert(bq.map(_.getAs[Long]("doc_id")).toSeq === Seq(10L))
+    // export: the same corpus back out as a single JSONL shard
+    val ex = Cli.run(spark,
+      Seq("export", s"$dir/docs.jsonl", s"$dir/export", "1")).collect()
+    assert(ex.head.getLong(0) === 3L)
+    assert(Jsonl.readDocuments(spark, s"$dir/export").count() === 3L)
   }
 
   test("cli: clean runs the funnel and writes the survivor corpus") {
