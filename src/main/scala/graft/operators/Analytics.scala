@@ -1415,6 +1415,39 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** Seasonality-aware anomaly flags: [[eventsMad]]'s robust
+    * 3×MAD rule applied to [[eventsStl]]'s RESIDUAL instead of the
+    * raw count — a weekly-cyclic series flags Sunday troughs as
+    * anomalies under a raw-count threshold, while the residual has
+    * the cycle subtracted and only genuine departures remain. Both
+    * medians are the rank-based lower median over the emitted 6dp
+    * residuals — values already proven identical cross-engine by the
+    * events_stl gate, so every downstream comparison operates on
+    * bit-equal doubles and needs no further rounding discipline.
+    * Edge days without a full STL window are excluded (their residual
+    * is undefined). Shape: everything after the daily rollup runs on
+    * the |days| frame.
+    */
+  def eventsStlAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val core = eventsStl(spark, dir).filter(col("resid").isNotNull)
+    val nn = core.agg(count(lit(1)).as("n"))
+    def lowerMedian(df: DataFrame, v: String, out: String): DataFrame =
+      df.withColumn("__rn",
+          row_number().over(Window.orderBy(col(v), col("day"))).cast("long"))
+        .crossJoin(broadcast(nn))
+        .filter(col("__rn") === expr("(n + 1) div 2"))
+        .select(col(v).as(out))
+    val med = lowerMedian(core, "resid", "med")
+    val dev = core.crossJoin(broadcast(med))
+      .withColumn("dev", abs(col("resid") - col("med")))
+    val mad = lowerMedian(dev, "dev", "mad")
+    dev.crossJoin(broadcast(mad))
+      .select(col("day"), col("c").as("n_events"), col("resid"),
+        col("med"), col("mad"),
+        when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L).as("is_anomaly"))
+      .orderBy("day")
+  }
+
   /** Single change-point detection on daily event volume by exact
     * binary segmentation: the split day minimizing SSE_left +
     * SSE_right, the first recursion step of the classic change-point
@@ -2384,6 +2417,7 @@ object Analytics {
     "events_cusum" -> eventsCusum,
     "events_autocorr" -> eventsAutocorr,
     "events_stl" -> eventsStl,
+    "events_stl_anomaly" -> eventsStlAnomaly,
     "events_changepoint" -> eventsChangepoint,
     "events_burstiness" -> eventsBurstiness,
     "orders_abc_class" -> ordersAbcClass,
@@ -2447,6 +2481,43 @@ object Analytics {
       |         epoch_ns(ts) // 1000 AS ts_us
       |  FROM events
       |)""".stripMargin
+
+  /** The STL decomposition CTE chain + final select, shared by the
+    * events_stl oracle and the events_stl_anomaly oracle so the two
+    * gate keys cannot desynchronize on the decomposition arithmetic.
+    */
+  private val StlChainSql: String =
+    s"""$EvSql, d AS (
+       |  SELECT ts_us // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c
+       |  FROM ev GROUP BY 1
+       |), wd AS (
+       |  SELECT day, c,
+       |    CAST(sum(c) OVER (ORDER BY day
+       |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS s7,
+       |    count(*) OVER (ORDER BY day
+       |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7,
+       |    day % 7 AS dow
+       |  FROM d
+       |), seas AS (
+       |  SELECT dow, sum((7 * c - s7)::HUGEINT) AS a, count(*)::HUGEINT AS b
+       |  FROM wd WHERE n7 = 7 GROUP BY dow
+       |)""".stripMargin
+
+  private val StlSelectSql: String =
+    """SELECT day, c,
+      |  CASE WHEN n7 = 7
+      |    THEN CAST((s7 * 2000000 + 7) // 14 AS DOUBLE) / 1e6 END AS trend,
+      |  CASE WHEN n7 = 7 THEN CAST(CASE WHEN a < 0
+      |    THEN -((-a * 2000000 + 7 * b) // (14 * b))
+      |    ELSE ((a * 2000000 + 7 * b) // (14 * b)) END AS DOUBLE) / 1e6
+      |  END AS seasonal,
+      |  CASE WHEN n7 = 7 THEN CAST(CASE
+      |    WHEN 7 * b * c - b * s7 - a < 0
+      |    THEN -((-(7 * b * c - b * s7 - a) * 2000000 + 7 * b) // (14 * b))
+      |    ELSE (((7 * b * c - b * s7 - a) * 2000000 + 7 * b) // (14 * b))
+      |    END AS DOUBLE) / 1e6
+      |  END AS resid
+      |FROM wd LEFT JOIN seas USING (dow)""".stripMargin
 
   private val sessionizeSql: String =
     s"""$EvSql, lagged AS (
@@ -2935,36 +3006,33 @@ object Analytics {
          |)
          |SELECT day, c AS n_events, s AS scaled_dev, p AS cusum_pos, q AS cusum_neg
          |FROM rec ORDER BY day""".stripMargin,
-    "events_stl" ->
-      s"""$EvSql, d AS (
-         |  SELECT ts_us // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c
-         |  FROM ev GROUP BY 1
-         |), wd AS (
-         |  SELECT day, c,
-         |    CAST(sum(c) OVER (ORDER BY day
-         |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS s7,
-         |    count(*) OVER (ORDER BY day
-         |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7,
-         |    day % 7 AS dow
-         |  FROM d
-         |), seas AS (
-         |  SELECT dow, sum((7 * c - s7)::HUGEINT) AS a, count(*)::HUGEINT AS b
-         |  FROM wd WHERE n7 = 7 GROUP BY dow
+    "events_stl" -> s"$StlChainSql\n$StlSelectSql ORDER BY day",
+    "events_stl_anomaly" ->
+      s"""$StlChainSql, stl AS (
+         |$StlSelectSql
+         |), core AS (
+         |  SELECT day, c, resid FROM stl WHERE resid IS NOT NULL
+         |), nn AS (
+         |  SELECT count(*) AS n FROM core
+         |), med AS (
+         |  SELECT resid AS med FROM (
+         |    SELECT resid, row_number() OVER (ORDER BY resid, day) AS rn
+         |    FROM core), nn
+         |  WHERE rn = (n + 1) // 2
+         |), dv AS (
+         |  SELECT core.day, core.c, core.resid, med.med,
+         |    abs(core.resid - med.med) AS dev
+         |  FROM core, med
+         |), mad AS (
+         |  SELECT dev AS mad FROM (
+         |    SELECT dev, day, row_number() OVER (ORDER BY dev, day) AS rn
+         |    FROM dv), nn
+         |  WHERE rn = (n + 1) // 2
          |)
-         |SELECT day, c,
-         |  CASE WHEN n7 = 7
-         |    THEN CAST((s7 * 2000000 + 7) // 14 AS DOUBLE) / 1e6 END AS trend,
-         |  CASE WHEN n7 = 7 THEN CAST(CASE WHEN a < 0
-         |    THEN -((-a * 2000000 + 7 * b) // (14 * b))
-         |    ELSE ((a * 2000000 + 7 * b) // (14 * b)) END AS DOUBLE) / 1e6
-         |  END AS seasonal,
-         |  CASE WHEN n7 = 7 THEN CAST(CASE
-         |    WHEN 7 * b * c - b * s7 - a < 0
-         |    THEN -((-(7 * b * c - b * s7 - a) * 2000000 + 7 * b) // (14 * b))
-         |    ELSE (((7 * b * c - b * s7 - a) * 2000000 + 7 * b) // (14 * b))
-         |    END AS DOUBLE) / 1e6
-         |  END AS resid
-         |FROM wd LEFT JOIN seas USING (dow) ORDER BY day""".stripMargin,
+         |SELECT day, c AS n_events, resid, med, mad,
+         |  CAST(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_anomaly
+         |FROM dv, mad ORDER BY day""".stripMargin,
     "events_autocorr" ->
       s"""$EvSql, d AS (
          |  SELECT ts_us // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c
