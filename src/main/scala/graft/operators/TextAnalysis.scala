@@ -146,19 +146,33 @@ object TextAnalysis {
   def nbScoredOf(docs: DataFrame): DataFrame = {
     val isTrain = HashFns.rollingHash(concat(lit("nb:"), col("doc_id").cast("string"))) % 100 < 80
     val train = docs.filter(isTrain)
-    val test = docs.filter(!isTrain)
-    val tt = train.select(col("lang"), explode(TextFns.tokens(col("text"))).as("term"))
-    val ctl = tt.groupBy("term", "lang").agg(count(lit(1)).as("c"))
-    val totl = tt.groupBy("lang").agg(count(lit(1)).as("tot"))
+    val ctl = train
+      .select(col("lang"), explode(TextFns.tokens(col("text"))).as("term"))
+      .groupBy("term", "lang").agg(count(lit(1)).as("c"))
+    val priorDocs = train.groupBy("lang").agg(count(lit(1)).as("nd"))
+    nbScoreAgainst(docs.filter(!isTrain), ctl, priorDocs)
+  }
+
+  /** Score `test` docs against a PREBUILT NB model — (term, lang, c)
+    * token counts plus (lang, nd) doc priors — the shared core of the
+    * batch holdout eval and [[graft.streaming.Stream.nbRouterGate]]'s
+    * prequential scoring against its counts ledger. Same add-one
+    * identity, same term-ordered [[Folds]] log-sum, same
+    * rounded-score/lang-tie-break argmax as documented on
+    * [[nbLangid]].
+    */
+  def nbScoreAgainst(test: DataFrame, ctl: DataFrame,
+      priorDocs: DataFrame): DataFrame = {
+    val totl = ctl.groupBy("lang").agg(sum(col("c")).as("tot"))
     val vocab = ctl.select("term").distinct()
     val vDf = vocab.agg(count(lit(1)).as("v"))
-    val prior = train.groupBy("lang").agg(count(lit(1)).as("nd"))
-      .crossJoin(broadcast(train.agg(count(lit(1)).as("n"))))
+    val prior = priorDocs
+      .crossJoin(broadcast(priorDocs.agg(sum(col("nd")).as("n"))))
       .select(col("lang"),
         log(col("nd").cast("double") / col("n").cast("double")).as("lnp"))
     val tf = test.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // in-vocab doc length: tokens outside the train vocabulary carry no
+    // in-vocab doc length: tokens outside the model vocabulary carry no
     // model mass for ANY language, so they cancel out of the argmax and
     // are dropped (the standard vocabulary-restricted NB contract)
     val dv = tf.join(broadcast(vocab), "term")

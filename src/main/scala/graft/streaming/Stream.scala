@@ -896,6 +896,68 @@ object Stream {
         ()
       }
 
+  /** Streaming Naive Bayes language router — the batch
+    * [[graft.operators.TextAnalysis.nbLangid]] trained CONTINUOUSLY:
+    * every micro-batch is scored against the model accumulated from
+    * all PRIOR batches (prequential test-then-train evaluation — each
+    * doc is scored by a model that has never seen it), then the
+    * batch's own (term, lang) token counts and per-lang doc counts
+    * merge into the saved counts ledger. The first batch, with no
+    * model yet, routes unscored (null prediction) rather than
+    * guessing. Scoring reuses
+    * [[graft.operators.TextAnalysis.nbScoreAgainst]] verbatim, so the
+    * online router and the oracle-gated batch classifier share one
+    * arithmetic definition. The ledger is vocab × langs + |langs|
+    * rows (tiny, model-sized — never corpus-sized); the only
+    * corpus-scaled stage is the batch's own token rollup.
+    * Replay-idempotent by the same batch-granular replace as the
+    * other store-backed gates: a replayed batch's ledger rows are
+    * dropped before scoring, so it is re-scored by the same
+    * prior-model state and re-merged without double counting.
+    */
+  def nbRouterGate(docs: DataFrame, storePath: String, outPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val basePath = new org.apache.hadoop.fs.Path(storePath)
+        val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverStore(fs, basePath)
+        val prior =
+          if (fs.exists(basePath))
+            spark.read.parquet(storePath).filter(col("src_batch") =!= batchId)
+          else spark.emptyDataFrame.select(lit("").as("kind"),
+            lit("").as("term"), lit("").as("lang"), lit(0L).as("c"),
+            lit(0L).as("src_batch")).limit(0)
+        val ctl = prior.filter(col("kind") === "tl")
+          .groupBy("term", "lang").agg(sum(col("c")).as("c"))
+        val priorDocs = prior.filter(col("kind") === "dl")
+          .groupBy("lang").agg(sum(col("c")).as("nd"))
+        val preds =
+          if (priorDocs.isEmpty)
+            batch.select(col("doc_id"), col("lang"),
+              lit(null).cast("string").as("pred_lang"),
+              lit(null).cast("long").as("correct"))
+          else
+            graft.operators.TextAnalysis.nbScoreAgainst(batch, ctl, priorDocs)
+        preds.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        val btl = batch
+          .select(col("lang"), explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+          .groupBy("term", "lang").agg(count(lit(1)).as("c"))
+          .select(lit("tl").as("kind"), col("term"), col("lang"), col("c"))
+        val bdl = batch.groupBy("lang").agg(count(lit(1)).as("c"))
+          .select(lit("dl").as("kind"), lit(null).cast("string").as("term"),
+            col("lang"), col("c"))
+        val merged = prior.unionByName(
+          btl.unionByName(bdl).withColumn("src_batch", lit(batchId)))
+        val tmp = s"$storePath.merged-$batchId"
+        merged.write.mode("overwrite").parquet(tmp)
+        if (fs.exists(basePath)) swapStore(fs, basePath, tmp)
+        else mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
+        ()
+      }
+
   /** Streaming boilerplate scrub against an UNBOUNDED sentence-df
     * ledger — the batch `boilerplate_scrub` as a continuous gate:
     * each micro-batch's documents are split into trimmed sentences

@@ -696,6 +696,41 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
     } finally q2.stop()
   }
 
+  test("stream_nb_langid: prequential NB router learns across batches and restarts") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-nbgate").toString
+    val (store, out, ckpt) = (s"$base/ledger", s"$base/out", s"$base/ckpt")
+    def preds(id: Long): Map[Long, (String, Option[String])] =
+      spark.read.parquet(s"$out/batch=$id").collect().map { r =>
+        r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("lang"), Option(r.getAs[String]("pred_lang"))))
+      }.toMap
+    val in = MemoryStream[(Long, String, String)]
+    val df = in.toDF().toDF("doc_id", "lang", "text")
+    val q1 = Stream.nbRouterGate(df, store, out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // batch 0: no model yet -> routed unscored, counts merge in
+      in.addData((0L, "xx", "xa xb xa"), (1L, "yy", "ya yb"))
+      q1.processAllAvailable()
+      assert(preds(0L) === Map(0L -> (("xx", None)), 1L -> (("yy", None))))
+      // batch 1: scored by the model trained on batch 0 alone
+      in.addData((2L, "xx", "xa xb"), (3L, "yy", "yb ya yb"))
+      q1.processAllAvailable()
+      assert(preds(1L) === Map(
+        2L -> (("xx", Some("xx"))), 3L -> (("yy", Some("yy")))))
+    } finally q1.stop()
+    // restart: the counts ledger, not executor state, is the model
+    val q2 = Stream.nbRouterGate(df, store, out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData((4L, "yy", "ya ya"))
+      q2.processAllAvailable()
+      assert(preds(2L) === Map(4L -> (("yy", Some("yy")))))
+    } finally q2.stop()
+  }
+
   test("stream_pipeline: quality -> exact -> neardup funnel with per-stage counts across restart") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
