@@ -162,6 +162,19 @@ object Explain {
     "band_bucket_stats" -> Rule(),
     "ivf_retrain" -> Rule(),
 
+    // r8 additions: the NB model frames (counts, vocab, priors) are
+    // vocab-bounded and must BROADCAST into the test-doc scoring join;
+    // PQ distortion broadcasts its codebook the same way
+    "nb_langid" -> Rule(required = Seq("BroadcastHashJoin")),
+    "nb_langid_eval" -> Rule(required = Seq("BroadcastHashJoin")),
+    "pq_distortion" -> Rule(required = Seq("BroadcastHashJoin")),
+    // shared-base ranker eval: ONE tokenize feeds all rankers — the
+    // checkpointed base shows as scan-free reuse, and the per-doc
+    // ranker joins broadcast the model-side frames
+    "ranker_eval" -> Rule(required = Seq("BroadcastHashJoin")),
+    "events_stl" -> Rule(),
+    "events_stl_anomaly" -> Rule(),
+    "epoch_shuffle" -> Rule(),
     "cms_error_curve" -> Rule(),
     "events_ewma" -> Rule(),
     "query_slop" -> Rule(),
