@@ -181,8 +181,12 @@ object Multimodal {
   def mediaNeardup(spark: SparkSession, dir: String): DataFrame =
     mediaNeardupOf(mediaTable(spark, dir))
 
-  /** [[mediaNeardup]] over any (doc_id, media binary) frame. */
-  def mediaNeardupOf(media: DataFrame): DataFrame = {
+  /** (doc_a < doc_b, ov, na, nb): the frame-set overlap relation both
+    * perceptual detectors score — candidates from a join on shared
+    * frame checksums (digest-keyed, never all-pairs), overlap counted
+    * exactly, set sizes joined back.
+    */
+  private def framePairsOf(media: DataFrame): DataFrame = {
     val hexLen = FrameBytes * 2
     val fr = media
       .select(col("doc_id"), hex(col("media")).as("h"))
@@ -201,6 +205,11 @@ object Multimodal {
       .agg(count(lit(1)).as("ov"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("nf").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("nf").as("nb")), "doc_b")
+  }
+
+  /** [[mediaNeardup]] over any (doc_id, media binary) frame. */
+  def mediaNeardupOf(media: DataFrame): DataFrame =
+    framePairsOf(media)
       .withColumn("jraw",
         col("ov").cast("double") /
           (col("na") + col("nb") - col("ov")).cast("double"))
@@ -211,7 +220,34 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"), col("ov"),
         round(col("jraw"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
-  }
+
+  /** Directional frame containment — the clip-inside-video detector
+    * Jaccard CANNOT express: a 10-frame clip embedded in a
+    * 1000-frame video scores ov/min = 1.0 here but Jaccard ≈ 0.01 at
+    * [[mediaNeardup]], so symmetric near-dup misses exactly the
+    * republished-excerpt case takedown pipelines care about. clip =
+    * the smaller frame set (id tie-break), containment =
+    * ov / nf_clip, kept at ≥ 0.8 on the RAW ratio (same
+    * membership-before-rounding discipline as the Jaccard twin).
+    * Shares [[framePairsOf]]'s digest-keyed candidate relation —
+    * payloads never shuffle.
+    */
+  def mediaContainment(spark: SparkSession, dir: String): DataFrame =
+    mediaContainmentOf(mediaTable(spark, dir))
+
+  def mediaContainmentOf(media: DataFrame): DataFrame =
+    framePairsOf(media)
+      .withColumn("craw",
+        col("ov").cast("double") / least(col("na"), col("nb")).cast("double"))
+      .filter(col("craw") >= 0.8)
+      .select(
+        when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b"))
+          .as("clip_doc"),
+        when(col("na") <= col("nb"), col("doc_b")).otherwise(col("doc_a"))
+          .as("host_doc"),
+        col("ov"), least(col("na"), col("nb")).as("nf_clip"),
+        round(col("craw"), 6).as("containment"))
+      .orderBy("clip_doc", "host_doc")
 
   /** The apply half of [[mediaDedup]]: only canonical payload owners
     * (min doc_id per content digest) survive, each carrying how many
@@ -246,6 +282,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_neardup" -> mediaNeardup,
+    "media_containment" -> mediaContainment,
     "media_size_report" -> mediaSizeReport,
     "media_meta" -> mediaMeta,
     "media_features" -> mediaFeatures,
@@ -347,6 +384,32 @@ object Multimodal {
          |FROM ov JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
          |WHERE ov::DOUBLE / (sa.nf + sb.nf - ov)::DOUBLE >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "media_containment" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, hex(encode(text)) AS h,
+         |    CAST(ceil(length(hex(encode(text)))::DOUBLE / ${FrameBytes * 2}) AS INT) AS n_frames
+         |  FROM documents
+         |), fr AS (
+         |  SELECT DISTINCT doc_id,
+         |    md5(substring(h, fno::INT * ${FrameBytes * 2} + 1, ${FrameBytes * 2})) AS fmd5
+         |  FROM (SELECT doc_id, h, unnest(range(n_frames)) AS fno FROM m WHERE n_frames > 0)
+         |), sz AS (
+         |  SELECT doc_id, count(*) AS nf FROM fr GROUP BY doc_id
+         |), ov AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ov
+         |  FROM fr a JOIN fr b ON a.fmd5 = b.fmd5 AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), pr AS (
+         |  SELECT doc_a, doc_b, ov, sa.nf AS na, sb.nf AS nb
+         |  FROM ov JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+         |)
+         |SELECT
+         |  CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS clip_doc,
+         |  CASE WHEN na <= nb THEN doc_b ELSE doc_a END AS host_doc,
+         |  ov, least(na, nb) AS nf_clip,
+         |  round(ov::DOUBLE / least(na, nb)::DOUBLE, 6) AS containment
+         |FROM pr WHERE ov::DOUBLE / least(na, nb)::DOUBLE >= 0.8
+         |ORDER BY clip_doc, host_doc""".stripMargin,
     "media_dedup_apply" ->
       """WITH m AS (
         |  SELECT doc_id, md5(text) AS h FROM documents

@@ -730,6 +730,24 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(r(0).getDouble(3) - 2.0 / 3) < 1e-5)
   }
 
+  test("media_containment: a clip inside a longer video is caught where jaccard misses") {
+    import spark.implicits._
+    // clip = frames [a, b]; host = the same two frames + three more:
+    // containment 2/2 = 1.0 while jaccard 2/5 = 0.4 sits under the
+    // neardup threshold — the republished-excerpt case
+    val f = (c: Char) => c.toString * 256
+    val crafted = Seq(
+      (1L, f('a') + f('b')),
+      (2L, f('a') + f('b') + f('c') + f('d') + f('e')))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+    val cont = operators.Multimodal.mediaContainmentOf(crafted).collect()
+    assert(cont.length === 1)
+    assert(cont.head.getLong(0) === 1L && cont.head.getLong(1) === 2L)
+    assert(cont.head.getLong(3) === 2L && cont.head.getDouble(4) === 1.0)
+    assert(operators.Multimodal.mediaNeardupOf(crafted).collect().isEmpty)
+  }
+
   test("media_features: strided-frame entropy recomputes on crafted payloads") {
     import spark.implicits._
     val fb = operators.Multimodal.FrameBytes
