@@ -42,7 +42,7 @@ object Folds {
     "term_entropy", "keyword_textrank", "knn_ivf_trained", "knn_pq",
     "embedding_outliers", "events_twap", "curriculum_order",
     "source_length_quartiles", "revenue_gini", "revenue_pareto",
-    "rfm_segments", "orders_abc_class", "epoch_shuffle")
+    "rfm_segments", "orders_abc_class", "epoch_shuffle", "ppl_bucket_mix")
 
   def bitwise(df: DataFrame): Boolean =
     df.sparkSession.conf.get(ConfKey, "true").toBoolean

@@ -986,6 +986,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ---- ppl_bucket_mix --------------------------------------------------
+
+  /** CCNet-style perplexity bucketing (Wenzek et al., LREC'20): docs
+    * split into head/middle/tail at the corpus perplexity TERCILES,
+    * rolled up per source — the design table behind "keep the head,
+    * LM-filter the middle, drop the tail" data decisions, using
+    * [[perplexityDoc]]'s own LM score. Tercile cutoffs are RANK-BASED
+    * selections (the value at rank ⌈n/3⌉ / ⌈2n/3⌉ ordered by
+    * (ppl, doc_id)) — pure selection like [[Analytics.eventsMad]]'s
+    * lower median, no interpolated percentile whose last-ulp behavior
+    * differs by engine. Docs too short to score (< 2 tokens) land in
+    * an explicit unscored bucket rather than vanishing. Under the
+    * gate's bitwise contract the cutoff ranks come from a global rank
+    * window; production mode swaps in [[GraftOps.rangeRank]]
+    * (the [[Analytics.revenuePareto]] discipline). The rollup is
+    * |sources| × 4 rows; token shares are exact-integer ratios.
+    */
+  def pplBucketMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sp = docs.select(col("doc_id"), col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(perplexityDocOf(docs).select(col("doc_id"), col("ppl")),
+        Seq("doc_id"), "left")
+    val scored = sp.filter(col("ppl").isNotNull)
+    val nn = scored.agg(count(lit(1)).as("n"))
+    val ranked =
+      if (Folds.bitwise(sp))
+        scored.withColumn("rn", row_number().over(
+          Window.orderBy(col("ppl"), col("doc_id"))).cast("long"))
+      else GraftOps.rangeRank(scored, col("ppl"), col("doc_id"))
+    def cutoff(kExpr: String, out: String): DataFrame =
+      ranked.crossJoin(broadcast(nn))
+        .filter(col("rn") === expr(kExpr)).select(col("ppl").as(out))
+    val t1 = cutoff("(n + 2) div 3", "t1")
+    val t2 = cutoff("(2 * n + 2) div 3", "t2")
+    val bucketed = sp.crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+      .withColumn("bucket",
+        when(col("ppl").isNull, "3_unscored")
+          .when(col("ppl") <= col("t1"), "0_head")
+          .when(col("ppl") <= col("t2"), "1_middle")
+          .otherwise("2_tail"))
+    val perSource = bucketed.groupBy("source")
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+    bucketed.groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .join(perSource, "source")
+      .select(col("source"), col("bucket"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") /
+          col("src_tokens").cast("double"), 6).as("tok_share"))
+      .orderBy("source", "bucket")
+  }
+
   // ---- keyword_textrank ------------------------------------------------
 
   /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04): terms
@@ -1248,6 +1300,7 @@ object TextAnalysis {
     "keyword_textrank" -> keywordTextrank,
     "repetition_ratio" -> repetitionRatio,
     "perplexity_doc" -> perplexityDoc,
+    "ppl_bucket_mix" -> pplBucketMix,
     "bpe_merges" -> bpeMerges,
     "lang_id" -> langId,
     "nb_langid" -> nbLangid,
@@ -1368,6 +1421,35 @@ object TextAnalysis {
     """SELECT doc_id, lang, l AS pred_lang,
       |  CAST(CASE WHEN l = lang THEN 1 ELSE 0 END AS BIGINT) AS correct
       |FROM rk WHERE rn = 1""".stripMargin
+
+  /** The per-doc perplexity CTE chain ending in `pdoc` (doc_id,
+    * n_bigrams, avg_nll, ppl) — shared by the perplexity_doc oracle
+    * and the ppl_bucket_mix oracle.
+    */
+  private val PplChainSql: String =
+    s"""${Index.TokSql}, v AS (
+       |  SELECT count(DISTINCT term)::DOUBLE AS v FROM tok
+       |), bi AS (
+       |  SELECT doc_id, tk[i+1] AS w1, tk[i+2] AS w2
+       |  FROM toks, unnest(range(greatest(len(tk) - 1, 0))) AS u(i)
+       |), bc AS (
+       |  SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2
+       |), ctx AS (
+       |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1
+       |), sc AS (
+       |  SELECT bc.w1, bc.w2,
+       |    ln((bc.c12 + 1)::DOUBLE / (ctx.c1::DOUBLE + v.v)) AS lp
+       |  FROM bc JOIN ctx USING (w1), v
+       |), d AS (
+       |  SELECT bi.doc_id, list_sort(list(sc.lp)) AS lps, count(*)::DOUBLE AS nbg
+       |  FROM bi JOIN sc ON bi.w1 = sc.w1 AND bi.w2 = sc.w2
+       |  GROUP BY bi.doc_id
+       |), pdoc AS (
+       |  SELECT doc_id, CAST(nbg AS BIGINT) AS n_bigrams,
+       |    round(-(list_reduce(list_prepend(0.0::DOUBLE, lps), (a, x) -> a + x)) / nbg, 6) AS avg_nll,
+       |    round(exp(-(list_reduce(list_prepend(0.0::DOUBLE, lps), (a, x) -> a + x)) / nbg), 4) AS ppl
+       |  FROM d
+       |)""".stripMargin
 
   private val langIdSql: String = {
     val langs = TextFns.LangMarkers
@@ -1662,28 +1744,40 @@ object TextAnalysis {
          |LEFT JOIN ts ON t.doc_id = ts.doc_id
          |ORDER BY t.doc_id""".stripMargin,
     "perplexity_doc" ->
-      s"""${Index.TokSql}, v AS (
-         |  SELECT count(DISTINCT term)::DOUBLE AS v FROM tok
-         |), bi AS (
-         |  SELECT doc_id, tk[i+1] AS w1, tk[i+2] AS w2
-         |  FROM toks, unnest(range(greatest(len(tk) - 1, 0))) AS u(i)
-         |), bc AS (
-         |  SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2
-         |), ctx AS (
-         |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1
-         |), sc AS (
-         |  SELECT bc.w1, bc.w2,
-         |    ln((bc.c12 + 1)::DOUBLE / (ctx.c1::DOUBLE + v.v)) AS lp
-         |  FROM bc JOIN ctx USING (w1), v
-         |), d AS (
-         |  SELECT bi.doc_id, list_sort(list(sc.lp)) AS lps, count(*)::DOUBLE AS nbg
-         |  FROM bi JOIN sc ON bi.w1 = sc.w1 AND bi.w2 = sc.w2
-         |  GROUP BY bi.doc_id
+      s"$PplChainSql\nSELECT * FROM pdoc ORDER BY doc_id",
+    "ppl_bucket_mix" ->
+      s"""$PplChainSql, sp AS (
+         |  SELECT dd.doc_id, dd.source,
+         |    CAST(len(list_filter(regexp_split_to_array(dd.text, '\\s+'),
+         |      t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+         |    pdoc.ppl
+         |  FROM documents dd LEFT JOIN pdoc USING (doc_id)
+         |), nn AS (
+         |  SELECT count(*) AS n FROM sp WHERE ppl IS NOT NULL
+         |), rk AS (
+         |  SELECT ppl, row_number() OVER (ORDER BY ppl, doc_id) AS rn
+         |  FROM sp WHERE ppl IS NOT NULL
+         |), b1 AS (
+         |  SELECT ppl AS t1 FROM rk, nn WHERE rn = (n + 2) // 3
+         |), b2 AS (
+         |  SELECT ppl AS t2 FROM rk, nn WHERE rn = (2 * n + 2) // 3
+         |), bk AS (
+         |  SELECT sp.source, sp.n_tokens,
+         |    CASE WHEN sp.ppl IS NULL THEN '3_unscored'
+         |      WHEN sp.ppl <= b1.t1 THEN '0_head'
+         |      WHEN sp.ppl <= b2.t2 THEN '1_middle'
+         |      ELSE '2_tail' END AS bucket
+         |  FROM sp, b1, b2
+         |), st AS (
+         |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+         |  FROM bk GROUP BY source
          |)
-         |SELECT doc_id, CAST(nbg AS BIGINT) AS n_bigrams,
-         |  round(-(list_reduce(list_prepend(0.0::DOUBLE, lps), (a, x) -> a + x)) / nbg, 6) AS avg_nll,
-         |  round(exp(-(list_reduce(list_prepend(0.0::DOUBLE, lps), (a, x) -> a + x)) / nbg), 4) AS ppl
-         |FROM d ORDER BY doc_id""".stripMargin,
+         |SELECT bk.source, bk.bucket, count(*) AS n_docs,
+         |  CAST(sum(bk.n_tokens) AS BIGINT) AS n_tokens,
+         |  round(sum(bk.n_tokens)::DOUBLE / any_value(st.src_tokens)::DOUBLE, 6)
+         |    AS tok_share
+         |FROM bk JOIN st USING (source)
+         |GROUP BY bk.source, bk.bucket ORDER BY source, bucket""".stripMargin,
     "bpe_merges" ->
       s"""${Index.TokSql}, ch AS (
          |  SELECT string_split(term, '') AS cs FROM tok

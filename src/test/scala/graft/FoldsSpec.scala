@@ -142,6 +142,17 @@ class FoldsSpec extends SparkSpec {
     } finally spark.conf.set(Folds.ConfKey, "true")
   }
 
+  test("ppl_bucket_mix production tercile cutoffs EXACTLY equal the gate's") {
+    val gate = operators.TextAnalysis.pplBucketMix(spark, sfDir).collect().toSeq
+    spark.conf.set(Folds.ConfKey, "false")
+    try {
+      val prod = operators.TextAnalysis.pplBucketMix(spark, sfDir).collect().toSeq
+      assert(prod === gate && gate.nonEmpty)
+      // terciles actually split: more than one bucket appears
+      assert(gate.map(_.getString(1)).distinct.length > 1)
+    } finally spark.conf.set(Folds.ConfKey, "true")
+  }
+
   test("abc production rank+prefix EXACTLY equals the gate's global window") {
     val gate = operators.Analytics.ordersAbcClass(spark, sfDir).collect().toSeq
     spark.conf.set(Folds.ConfKey, "false")
