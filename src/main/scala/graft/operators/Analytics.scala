@@ -1278,6 +1278,62 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** Holt-Winters additive triple smoothing (period 7) — the seasonal
+    * completion of the [[eventsEwma]] → [[eventsHolt]] ladder: level,
+    * trend AND a 7-slot seasonal register, so the one-step forecast
+    * l + b + s_{t−6} anticipates the weekly cycle [[eventsHolt]]
+    * smooths away. Coefficients α=¼, β=½, γ=½ are exact binary
+    * fractions; the seed week sets l = mean(x₁..₇) (one IEEE division
+    * by 7 — correctly rounded on both engines), b = 0,
+    * sᵢ = xᵢ − mean, and from day 8 the recursion
+    *   l_t = ¼(x_t − s_{t−7}) + ¾(l_{t−1} + b_{t−1})
+    *   b_t = ½(l_t − l_{t−1}) + ½ b_{t−1}
+    *   s_t = ½(x_t − l_t) + ½ s_{t−7}
+    * is one fold over the day-sorted array, s_{t−7} read 7 entries
+    * back in the accumulator; the oracle's recursive CTE carries the
+    * seasonal register as an explicit 7-column shift register and
+    * repeats the l_t subexpression verbatim where the fold names it,
+    * so every double matches bitwise before display rounding. Fewer
+    * than 8 days → empty output (no cycle to fit). Scale shape:
+    * [[eventsEwma]]'s — daily rollup, then one |days|-array walk.
+    */
+  def eventsHoltWinters(spark: SparkSession, dir: String): DataFrame =
+    holtWintersOf(eventsUs(spark, dir)
+      .groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c")))
+
+  def holtWintersOf(daily: DataFrame): DataFrame = {
+    val arr = daily.agg(sort_array(collect_list(struct(col("day"), col("c")))).as("ds"))
+      .filter(size(col("ds")) >= 8)
+    val mean7 = aggregate(slice(col("ds"), 1, 7), lit(0.0),
+      (a, e) => a + e("c").cast("double")) / lit(7.0)
+    val seed = transform(slice(col("ds"), 1, 7), e => struct(
+      e("day").as("day"), e("c").as("c"),
+      mean7.as("l"), lit(0.0).as("b"),
+      (e("c").cast("double") - mean7).as("s"),
+      lit(null).cast("double").as("f")))
+    arr.select(explode(aggregate(
+        slice(col("ds"), lit(8), greatest(size(col("ds")) - 7, lit(0))),
+        seed,
+        (acc, e) => {
+          val (pl, pb) = (element_at(acc, -1)("l"), element_at(acc, -1)("b"))
+          val s7 = element_at(acc, -7)("s")
+          val x = e("c").cast("double")
+          def lNew = lit(0.25) * (x - s7) + lit(0.75) * (pl + pb)
+          concat(acc, array(struct(
+            e("day").as("day"), e("c").as("c"),
+            lNew.as("l"),
+            (lit(0.5) * (lNew - pl) + lit(0.5) * pb).as("b"),
+            (lit(0.5) * (x - lNew) + lit(0.5) * s7).as("s"),
+            (pl + pb + s7).as("f"))))
+        }
+      )).as("r"))
+      .select(col("r.day").as("day"), col("r.c").as("n_events"),
+        round(col("r.l"), 6).as("level"), round(col("r.b"), 6).as("trend"),
+        round(col("r.s"), 6).as("seasonal"), round(col("r.f"), 6).as("forecast"))
+      .orderBy("day")
+  }
+
   /** One-step-ahead backtest of the [[eventsHolt]] forecast — the
     * "should we trust this projection?" number: for every day t≥2 the
     * PREVIOUS day's published forecast (level+trend, the rounded
@@ -2422,6 +2478,7 @@ object Analytics {
     "events_burstiness" -> eventsBurstiness,
     "orders_abc_class" -> ordersAbcClass,
     "events_holt" -> eventsHolt,
+    "events_holt_winters" -> eventsHoltWinters,
     "events_forecast_eval" -> eventsForecastEval,
     "funnel_latency" -> funnelLatency,
     "revenue_gini" -> revenueGini,
@@ -3033,6 +3090,62 @@ object Analytics {
          |  CAST(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END AS BIGINT)
          |    AS is_anomaly
          |FROM dv, mad ORDER BY day""".stripMargin,
+    "events_holt_winters" ->
+      // the seasonal register rides the recursive CTE as 7 explicit
+      // columns (r1 = s_{t-6} … r7 = s_t); every l_t use repeats the
+      // subexpression verbatim where the Spark fold names it
+      s"""${EvSql.replaceFirst("WITH ", "WITH RECURSIVE ")}, d AS (
+         |  SELECT ts_us // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c
+         |  FROM ev GROUP BY 1
+         |), rn0 AS (
+         |  SELECT day, c, row_number() OVER (ORDER BY day) AS i FROM d
+         |), g AS (
+         |  SELECT count(*) AS n FROM rn0
+         |), m AS (
+         |  SELECT list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+         |    list_sort(list(struct_pack(day := day, c := c))), x -> x['c']::DOUBLE)),
+         |    (a, x) -> a + x) / 7.0 AS mean7
+         |  FROM rn0 WHERE i <= 7
+         |), seed AS (
+         |  SELECT i, day, c, m.mean7 AS l, 0.0::DOUBLE AS b,
+         |    c::DOUBLE - m.mean7 AS s
+         |  FROM rn0, m WHERE i <= 7
+         |), reg AS (
+         |  SELECT
+         |    max(CASE WHEN i = 1 THEN s END) AS r1,
+         |    max(CASE WHEN i = 2 THEN s END) AS r2,
+         |    max(CASE WHEN i = 3 THEN s END) AS r3,
+         |    max(CASE WHEN i = 4 THEN s END) AS r4,
+         |    max(CASE WHEN i = 5 THEN s END) AS r5,
+         |    max(CASE WHEN i = 6 THEN s END) AS r6,
+         |    max(CASE WHEN i = 7 THEN s END) AS r7
+         |  FROM seed
+         |), rec AS (
+         |  SELECT 7::BIGINT AS i, NULL::BIGINT AS day, NULL::BIGINT AS c,
+         |    m.mean7 AS l, 0.0::DOUBLE AS b,
+         |    reg.r1, reg.r2, reg.r3, reg.r4, reg.r5, reg.r6, reg.r7,
+         |    NULL::DOUBLE AS f
+         |  FROM m, reg, g WHERE g.n >= 8
+         |  UNION ALL
+         |  SELECT rn0.i, rn0.day, rn0.c,
+         |    0.25 * (rn0.c::DOUBLE - rec.r1) + 0.75 * (rec.l + rec.b),
+         |    0.5 * ((0.25 * (rn0.c::DOUBLE - rec.r1) + 0.75 * (rec.l + rec.b))
+         |      - rec.l) + 0.5 * rec.b,
+         |    rec.r2, rec.r3, rec.r4, rec.r5, rec.r6, rec.r7,
+         |    0.5 * (rn0.c::DOUBLE - (0.25 * (rn0.c::DOUBLE - rec.r1)
+         |      + 0.75 * (rec.l + rec.b))) + 0.5 * rec.r1,
+         |    rec.l + rec.b + rec.r1
+         |  FROM rec JOIN rn0 ON rn0.i = rec.i + 1
+         |), outp AS (
+         |  SELECT day, c, round(l, 6) AS level, round(b, 6) AS trend,
+         |    round(s, 6) AS seasonal, NULL::DOUBLE AS forecast
+         |  FROM seed, g WHERE g.n >= 8
+         |  UNION ALL
+         |  SELECT day, c, round(l, 6), round(b, 6), round(r7, 6), round(f, 6)
+         |  FROM rec WHERE i >= 8
+         |)
+         |SELECT day, c AS n_events, level, trend, seasonal, forecast
+         |FROM outp ORDER BY day""".stripMargin,
     "events_autocorr" ->
       s"""$EvSql, d AS (
          |  SELECT ts_us // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c

@@ -1125,6 +1125,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("events_holt_winters: constant series is a fixed point; short series empty") {
+    import spark.implicits._
+    // x_t = 40: seed mean 40, seasonals 0 -> level stays 40, trend 0,
+    // every forecast exactly 40 (the algebraic fixed point)
+    val flat = (0L to 13L).map(d => (d, 40L)).toDF("day", "c")
+    val r = operators.Analytics.holtWintersOf(flat).collect()
+    assert(r.length === 14)
+    r.filter(_.getLong(0) >= 7).foreach { row =>
+      assert(row.getDouble(2) === 40.0 && row.getDouble(3) === 0.0)
+      assert(row.getDouble(4) === 0.0 && row.getDouble(5) === 40.0)
+    }
+    r.filter(_.getLong(0) < 7).foreach(row => assert(row.isNullAt(5)))
+    // fewer than 8 days: no cycle to fit, empty output
+    val short = (0L to 6L).map(d => (d, 40L)).toDF("day", "c")
+    assert(operators.Analytics.holtWintersOf(short).collect().isEmpty)
+  }
+
   test("events_stl: linear trend + pure weekly cycle decomposes with zero residual") {
     import spark.implicits._
     // c = 100 + day + 10*dow: the 7-day MA is exactly 130 + day (each
