@@ -1334,6 +1334,43 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** Three-way forecast backtest — Holt-Winters vs Holt vs naive
+    * carry-forward on the days where all three have a prediction
+    * (t ≥ 8, after the HW seed week): the model-selection table that
+    * says whether period-7 seasonality EARNS its extra state on this
+    * series, via the same skill-score convention as
+    * [[eventsForecastEval]] (positive skill_hw_vs_holt = the seasonal
+    * register beats plain trend smoothing). All three error streams
+    * read the PUBLISHED rounded forecast columns (each already
+    * certified bitwise by its own gate key); error sums route through
+    * [[Folds]] keyed by day.
+    */
+  def eventsForecastCompare(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("day")
+    val h = eventsHolt(spark, dir)
+      .withColumn("fprev", lag(col("forecast"), 1).over(w))
+      .withColumn("cprev", lag(col("n_events"), 1).over(w))
+    val hw = eventsHoltWinters(spark, dir)
+      .select(col("day"), col("forecast").as("fhw"))
+    val j = h.join(hw, Seq("day"))
+      .filter(col("fprev").isNotNull && col("fhw").isNotNull)
+      .select(col("day"),
+        abs(col("n_events").cast("double") - col("fprev")).as("eh"),
+        abs(col("n_events").cast("double") - col("fhw")).as("ew"),
+        abs(col("n_events") - col("cprev")).cast("double").as("en"))
+    Folds.groupSums(j, Nil, col("day"),
+        Seq("seh" -> col("eh"), "sew" -> col("ew"), "sen" -> col("en")),
+        Seq(count(lit(1)).cast("double").as("n")))
+      .select(col("n").cast("long").as("n_forecasts"),
+        round(col("seh") / col("n"), 6).as("mae_holt"),
+        round(col("sew") / col("n"), 6).as("mae_hw"),
+        round(col("sen") / col("n"), 6).as("mae_naive"),
+        when(col("seh") > 0,
+          round(lit(1.0) - col("sew") / col("seh"), 6)).as("skill_hw_vs_holt"),
+        when(col("sen") > 0,
+          round(lit(1.0) - col("sew") / col("sen"), 6)).as("skill_hw_vs_naive"))
+  }
+
   /** One-step-ahead backtest of the [[eventsHolt]] forecast — the
     * "should we trust this projection?" number: for every day t≥2 the
     * PREVIOUS day's published forecast (level+trend, the rounded
@@ -2479,6 +2516,7 @@ object Analytics {
     "orders_abc_class" -> ordersAbcClass,
     "events_holt" -> eventsHolt,
     "events_holt_winters" -> eventsHoltWinters,
+    "events_forecast_compare" -> eventsForecastCompare,
     "events_forecast_eval" -> eventsForecastEval,
     "funnel_latency" -> funnelLatency,
     "revenue_gini" -> revenueGini,
@@ -2543,6 +2581,66 @@ object Analytics {
     * events_stl oracle and the events_stl_anomaly oracle so the two
     * gate keys cannot desynchronize on the decomposition arithmetic.
     */
+  /** Holt-Winters CTE chain (requires a WITH RECURSIVE prefix):
+    * `d` → `rn0`/`g`/`m`/`seed`/`reg` → recursive `rec` → `outp`
+    * (day, c, level, trend, seasonal, forecast). The 7-slot seasonal
+    * register rides the recursion as explicit columns r1..r7
+    * (r1 = s_{t−6} … r7 = s_t); every l_t use repeats the
+    * subexpression verbatim where the Spark fold names it. Shared by
+    * the events_holt_winters oracle and events_forecast_compare.
+    */
+  private val HwChainSql: String =
+    """, d AS (
+      |  SELECT ts_us // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c
+      |  FROM ev GROUP BY 1
+      |), rn0 AS (
+      |  SELECT day, c, row_number() OVER (ORDER BY day) AS i FROM d
+      |), g AS (
+      |  SELECT count(*) AS n FROM rn0
+      |), m AS (
+      |  SELECT list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+      |    list_sort(list(struct_pack(day := day, c := c))), x -> x['c']::DOUBLE)),
+      |    (a, x) -> a + x) / 7.0 AS mean7
+      |  FROM rn0 WHERE i <= 7
+      |), seed AS (
+      |  SELECT i, day, c, m.mean7 AS l, 0.0::DOUBLE AS b,
+      |    c::DOUBLE - m.mean7 AS s
+      |  FROM rn0, m WHERE i <= 7
+      |), reg AS (
+      |  SELECT
+      |    max(CASE WHEN i = 1 THEN s END) AS r1,
+      |    max(CASE WHEN i = 2 THEN s END) AS r2,
+      |    max(CASE WHEN i = 3 THEN s END) AS r3,
+      |    max(CASE WHEN i = 4 THEN s END) AS r4,
+      |    max(CASE WHEN i = 5 THEN s END) AS r5,
+      |    max(CASE WHEN i = 6 THEN s END) AS r6,
+      |    max(CASE WHEN i = 7 THEN s END) AS r7
+      |  FROM seed
+      |), rec AS (
+      |  SELECT 7::BIGINT AS i, NULL::BIGINT AS day, NULL::BIGINT AS c,
+      |    m.mean7 AS l, 0.0::DOUBLE AS b,
+      |    reg.r1, reg.r2, reg.r3, reg.r4, reg.r5, reg.r6, reg.r7,
+      |    NULL::DOUBLE AS f
+      |  FROM m, reg, g WHERE g.n >= 8
+      |  UNION ALL
+      |  SELECT rn0.i, rn0.day, rn0.c,
+      |    0.25 * (rn0.c::DOUBLE - rec.r1) + 0.75 * (rec.l + rec.b),
+      |    0.5 * ((0.25 * (rn0.c::DOUBLE - rec.r1) + 0.75 * (rec.l + rec.b))
+      |      - rec.l) + 0.5 * rec.b,
+      |    rec.r2, rec.r3, rec.r4, rec.r5, rec.r6, rec.r7,
+      |    0.5 * (rn0.c::DOUBLE - (0.25 * (rn0.c::DOUBLE - rec.r1)
+      |      + 0.75 * (rec.l + rec.b))) + 0.5 * rec.r1,
+      |    rec.l + rec.b + rec.r1
+      |  FROM rec JOIN rn0 ON rn0.i = rec.i + 1
+      |), outp AS (
+      |  SELECT day, c, round(l, 6) AS level, round(b, 6) AS trend,
+      |    round(s, 6) AS seasonal, NULL::DOUBLE AS forecast
+      |  FROM seed, g WHERE g.n >= 8
+      |  UNION ALL
+      |  SELECT day, c, round(l, 6), round(b, 6), round(r7, 6), round(f, 6)
+      |  FROM rec WHERE i >= 8
+      |)""".stripMargin
+
   private val StlChainSql: String =
     s"""$EvSql, d AS (
        |  SELECT ts_us // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c
@@ -3091,61 +3189,47 @@ object Analytics {
          |    AS is_anomaly
          |FROM dv, mad ORDER BY day""".stripMargin,
     "events_holt_winters" ->
-      // the seasonal register rides the recursive CTE as 7 explicit
-      // columns (r1 = s_{t-6} … r7 = s_t); every l_t use repeats the
-      // subexpression verbatim where the Spark fold names it
-      s"""${EvSql.replaceFirst("WITH ", "WITH RECURSIVE ")}, d AS (
-         |  SELECT ts_us // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c
-         |  FROM ev GROUP BY 1
-         |), rn0 AS (
-         |  SELECT day, c, row_number() OVER (ORDER BY day) AS i FROM d
-         |), g AS (
-         |  SELECT count(*) AS n FROM rn0
-         |), m AS (
-         |  SELECT list_reduce(list_prepend(0.0::DOUBLE, list_transform(
-         |    list_sort(list(struct_pack(day := day, c := c))), x -> x['c']::DOUBLE)),
-         |    (a, x) -> a + x) / 7.0 AS mean7
-         |  FROM rn0 WHERE i <= 7
-         |), seed AS (
-         |  SELECT i, day, c, m.mean7 AS l, 0.0::DOUBLE AS b,
-         |    c::DOUBLE - m.mean7 AS s
-         |  FROM rn0, m WHERE i <= 7
-         |), reg AS (
-         |  SELECT
-         |    max(CASE WHEN i = 1 THEN s END) AS r1,
-         |    max(CASE WHEN i = 2 THEN s END) AS r2,
-         |    max(CASE WHEN i = 3 THEN s END) AS r3,
-         |    max(CASE WHEN i = 4 THEN s END) AS r4,
-         |    max(CASE WHEN i = 5 THEN s END) AS r5,
-         |    max(CASE WHEN i = 6 THEN s END) AS r6,
-         |    max(CASE WHEN i = 7 THEN s END) AS r7
-         |  FROM seed
-         |), rec AS (
-         |  SELECT 7::BIGINT AS i, NULL::BIGINT AS day, NULL::BIGINT AS c,
-         |    m.mean7 AS l, 0.0::DOUBLE AS b,
-         |    reg.r1, reg.r2, reg.r3, reg.r4, reg.r5, reg.r6, reg.r7,
-         |    NULL::DOUBLE AS f
-         |  FROM m, reg, g WHERE g.n >= 8
-         |  UNION ALL
-         |  SELECT rn0.i, rn0.day, rn0.c,
-         |    0.25 * (rn0.c::DOUBLE - rec.r1) + 0.75 * (rec.l + rec.b),
-         |    0.5 * ((0.25 * (rn0.c::DOUBLE - rec.r1) + 0.75 * (rec.l + rec.b))
-         |      - rec.l) + 0.5 * rec.b,
-         |    rec.r2, rec.r3, rec.r4, rec.r5, rec.r6, rec.r7,
-         |    0.5 * (rn0.c::DOUBLE - (0.25 * (rn0.c::DOUBLE - rec.r1)
-         |      + 0.75 * (rec.l + rec.b))) + 0.5 * rec.r1,
-         |    rec.l + rec.b + rec.r1
-         |  FROM rec JOIN rn0 ON rn0.i = rec.i + 1
-         |), outp AS (
-         |  SELECT day, c, round(l, 6) AS level, round(b, 6) AS trend,
-         |    round(s, 6) AS seasonal, NULL::DOUBLE AS forecast
-         |  FROM seed, g WHERE g.n >= 8
-         |  UNION ALL
-         |  SELECT day, c, round(l, 6), round(b, 6), round(r7, 6), round(f, 6)
-         |  FROM rec WHERE i >= 8
-         |)
+      s"""${EvSql.replaceFirst("WITH ", "WITH RECURSIVE ")}$HwChainSql
          |SELECT day, c AS n_events, level, trend, seasonal, forecast
          |FROM outp ORDER BY day""".stripMargin,
+    "events_forecast_compare" ->
+      s"""${EvSql.replaceFirst("WITH ", "WITH RECURSIVE ")}$HwChainSql, dd AS (
+         |  SELECT day, c, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn FROM d
+         |), r AS (
+         |  SELECT rn, day, c, c::DOUBLE AS l, 0.0::DOUBLE AS b FROM dd WHERE rn = 1
+         |  UNION ALL
+         |  SELECT dd.rn, dd.day, dd.c,
+         |    0.25 * dd.c::DOUBLE + 0.75 * (r.l + r.b),
+         |    0.5 * ((0.25 * dd.c::DOUBLE + 0.75 * (r.l + r.b)) - r.l) + 0.5 * r.b
+         |  FROM r JOIN dd ON dd.rn = r.rn + 1
+         |), hf AS (
+         |  SELECT rn, day, c, round(l + b, 6) AS forecast FROM r
+         |), j AS (
+         |  SELECT a.day,
+         |    abs(a.c::DOUBLE - b.forecast) AS eh,
+         |    abs(a.c::DOUBLE - o.forecast) AS ew,
+         |    CAST(abs(a.c - b.c) AS DOUBLE) AS en
+         |  FROM hf a JOIN hf b ON b.rn = a.rn - 1
+         |  JOIN outp o ON o.day = a.day
+         |  WHERE o.forecast IS NOT NULL AND b.forecast IS NOT NULL
+         |), g2 AS (
+         |  SELECT count(*)::DOUBLE AS n,
+         |    list_sort(list(struct_pack(o := day, eh := eh, ew := ew, en := en))) AS ps
+         |  FROM j
+         |), sm AS (
+         |  SELECT n,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(ps, p -> p['eh'])), (a, v) -> a + v) AS seh,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(ps, p -> p['ew'])), (a, v) -> a + v) AS sew,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(ps, p -> p['en'])), (a, v) -> a + v) AS sen
+         |  FROM g2
+         |)
+         |SELECT CAST(n AS BIGINT) AS n_forecasts,
+         |  round(seh / n, 6) AS mae_holt,
+         |  round(sew / n, 6) AS mae_hw,
+         |  round(sen / n, 6) AS mae_naive,
+         |  CASE WHEN seh > 0 THEN round(1.0 - sew / seh, 6) END AS skill_hw_vs_holt,
+         |  CASE WHEN sen > 0 THEN round(1.0 - sew / sen, 6) END AS skill_hw_vs_naive
+         |FROM sm""".stripMargin,
     "events_autocorr" ->
       s"""$EvSql, d AS (
          |  SELECT ts_us // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c
