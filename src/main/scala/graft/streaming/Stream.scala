@@ -1394,6 +1394,33 @@ object Stream {
         .crossJoin(broadcast(cum.agg(count(lit(1)).as("n_days"))))
     }
 
+  /** Continuous Holt-Winters forecast — [[forecastMonitor]] with the
+    * period-7 seasonal register: each batch merges its day counts and
+    * replays [[graft.operators.Analytics.holtWintersOf]] (shared
+    * fold — the monitor and the oracle-gated batch key can never
+    * drift) over the complete ledger, publishing the latest state and
+    * the NEXT-day projection level + trend + s_{t−6} (the register
+    * entry that comes due tomorrow, read off the published seasonal
+    * column 7 rows back). Emits nothing until the ledger holds the
+    * 8 days the seed week needs; late/replayed days are exact by the
+    * ledger replay, same as the Holt monitor.
+    */
+  def hwForecastMonitor(events: DataFrame, storePath: String, outPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    dayLedgerMonitor(events, storePath, outPath) { (cum, _, batchId) =>
+      val hw = graft.operators.Analytics.holtWintersOf(cum)
+      val last = hw.orderBy(col("day").desc).limit(1)
+      val sNext = hw.orderBy(col("day").desc).limit(7)
+        .orderBy(col("day").asc).limit(1)
+        .select(col("seasonal").as("s_next"))
+      last.crossJoin(broadcast(sNext))
+        .select(lit(batchId).as("batch_id"), col("day").as("latest_day"),
+          col("level"), col("trend"), col("seasonal"),
+          round(col("level") + col("trend") + col("s_next"), 6)
+            .as("next_forecast"))
+        .crossJoin(broadcast(cum.agg(count(lit(1)).as("n_days"))))
+    }
+
   /** Continuous change-point monitor — [[forecastMonitor]]'s sibling
     * over the same ledger discipline: each micro-batch merges its
     * per-day counts and replays the EXACT integer binary-segmentation

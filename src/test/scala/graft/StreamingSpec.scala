@@ -1115,6 +1115,39 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
     } finally q2.stop()
   }
 
+  test("stream_hw_forecast: seeds after 8 ledger days, next-day projection uses the register") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-hwfc").toString
+    val (store, out, ckpt) = (s"$base/ledger", s"$base/out", s"$base/ckpt")
+    def day(d: Long, n: Int): Seq[Timestamp] =
+      (1 to n).map(i => new Timestamp(d * 86400000L + i * 1000L))
+    val in = MemoryStream[Timestamp]
+    val df = in.toDF().toDF("ts")
+    val q1 = Stream.hwForecastMonitor(df, store, out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // 7 days: below the seed-week bar, the monitor must emit nothing
+      in.addData((100L to 106L).flatMap(d => day(d, 5)): _*)
+      q1.processAllAvailable()
+      assert(spark.read.parquet(s"$out/batch=0").count() === 0L)
+      // day 8 of a CONSTANT series: fixed point — level 5, trend 0,
+      // seasonal 0, next-day projection exactly 5
+      in.addData(day(107, 5): _*)
+      q1.processAllAvailable()
+      val r = spark.read.parquet(s"$out/batch=1").collect().head
+      assert(r.getLong(1) === 107L && r.getLong(6) === 8L)
+      assert(r.getDouble(2) === 5.0 && r.getDouble(3) === 0.0)
+      assert(r.getDouble(5) === 5.0, "next-day projection at the fixed point")
+      // the monitor's latest state equals the batch fold on the ledger
+      val w = operators.Analytics.holtWintersOf(
+          (100L to 107L).map(d => (d, 5L)).toDF("day", "c"))
+        .orderBy(org.apache.spark.sql.functions.col("day").desc).limit(1)
+        .collect().head
+      assert(r.getDouble(2) === w.getDouble(2) && r.getDouble(3) === w.getDouble(3))
+    } finally q1.stop()
+  }
+
   test("stream_changepoint: split tracks the level shift across a restart") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
