@@ -1005,10 +1005,14 @@ object TextAnalysis {
     */
   def pplBucketMix(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // one (doc, source, tokens, ppl) materialization: the LM pipeline
+    // under perplexityDocOf would otherwise replay for each of its
+    // three consumers (both tercile cutoffs + the bucket rollup)
     val sp = docs.select(col("doc_id"), col("source"),
         size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
       .join(perplexityDocOf(docs).select(col("doc_id"), col("ppl")),
         Seq("doc_id"), "left")
+      .localCheckpoint()
     val scored = sp.filter(col("ppl").isNotNull)
     val nn = scored.agg(count(lit(1)).as("n"))
     val ranked =
