@@ -391,6 +391,32 @@ object Index {
   def phraseSearch(spark: SparkSession, dir: String): DataFrame =
     phraseSearchOf(Tables.documents(spark, dir), Seq("key", "order"))
 
+  /** Phrase-prefix retrieval (Lucene's match_phrase_prefix): word at
+    * position p, any term with the given prefix at p + 1 — the
+    * search-as-you-type phrase operator. Both postings lists filter
+    * BEFORE the doc-keyed positional join (the [[phraseSearchOf]]
+    * shape; the prefix leg is a pushdown-friendly StartsWith), so at
+    * 100 TB the cost is the two filtered postings, never the corpus.
+    * Reports match count and how many distinct completions matched.
+    */
+  def phrasePrefixSearchOf(docs: DataFrame, word: String,
+      prefix: String): DataFrame = {
+    val tok = tokenStreamOf(docs)
+    val a = tok.filter(col("term") === word)
+      .select(col("doc_id").as("ida"), col("pos").as("pa"))
+    val b = tok.filter(col("term").startsWith(prefix))
+      .select(col("doc_id").as("idb"), col("pos").as("pb"),
+        col("term").as("completion"))
+    a.join(b, col("ida") === col("idb") && col("pb") === col("pa") + 1)
+      .groupBy(col("ida").as("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        countDistinct(col("completion")).as("n_completions"))
+      .orderBy("doc_id")
+  }
+
+  def phrasePrefixSearch(spark: SparkSession, dir: String): DataFrame =
+    phrasePrefixSearchOf(Tables.documents(spark, dir), "key", "or")
+
   private val QueryTerms = Seq("spark", "query", "join")
 
   /** (doc_id, term, tf) — the per-document term-frequency base both
@@ -904,6 +930,36 @@ object Index {
       .orderBy("term", "dict_term")
   }
 
+  /** Whole-query spelling correction — the serving-side consumer of
+    * [[spellCandidates]]' dictionary sweep: each query term maps to
+    * its best vocabulary term by (edit distance ≤ 2, then collection
+    * frequency desc, then alpha) — the SymSpell lookup direction, one
+    * argmin per query term. An in-vocabulary term corrects to itself
+    * at distance 0 (freq ties cannot demote an exact hit). The
+    * distance scan is |vocab| × |query| against the aggregated
+    * vocabulary (never the token stream), query side broadcast.
+    */
+  def spellCorrectOf(docs: DataFrame, query: Seq[String]): DataFrame = {
+    val vocab = tokenStreamOf(docs)
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val qdf = docs.sparkSession.range(1)
+      .select(explode(array(query.map(lit): _*)).as("q"))
+    val wQ = Window.partitionBy("q")
+      .orderBy(col("dist"), col("freq").desc, col("term"))
+    vocab.join(broadcast(qdf),
+        abs(length(col("q")) - length(col("term"))) <= 2 &&
+        levenshtein(col("q"), col("term")) <= 2)
+      .withColumn("dist", levenshtein(col("q"), col("term")).cast("long"))
+      .withColumn("rn", row_number().over(wQ))
+      .filter(col("rn") === 1)
+      .select(col("q").as("query_term"), col("term").as("corrected"),
+        col("dist"), col("freq"))
+      .orderBy("query_term")
+  }
+
+  def spellCorrect(spark: SparkSession, dir: String): DataFrame =
+    spellCorrectOf(Tables.documents(spark, dir), Seq("spak", "jion", "merge"))
+
   /** Fuzzy term lookup: vocabulary terms within edit distance 1 of the
     * query, with their collection frequency — "did you mean". The
     * distance runs over the (tiny, aggregated) vocabulary, never the
@@ -1129,6 +1185,8 @@ object Index {
     "mlt_topk" -> mltTopk,
     "prf_expand" -> prfExpand,
     "spell_candidates" -> spellCandidates,
+    "spell_correct" -> spellCorrect,
+    "phrase_prefix_search" -> phrasePrefixSearch,
     "qlm_topk" -> qlmTopk,
     "top_terms_per_doc" -> topTermsPerDoc,
     "kwic" -> kwic,
@@ -1372,6 +1430,27 @@ object Index {
          |FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
          |WHERE a.term = 'key' AND b.term = 'order'
          |GROUP BY a.doc_id ORDER BY doc_id""".stripMargin,
+    "phrase_prefix_search" ->
+      s"""$TokSql SELECT a.doc_id AS doc_id, count(*) AS n_matches,
+         |  count(DISTINCT b.term) AS n_completions
+         |FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |WHERE a.term = 'key' AND b.term LIKE 'or%'
+         |GROUP BY a.doc_id ORDER BY doc_id""".stripMargin,
+    "spell_correct" ->
+      s"""$TokSql, vocab AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY term
+         |), q AS (
+         |  SELECT unnest(['spak', 'jion', 'merge']) AS q
+         |), c AS (
+         |  SELECT q.q, vocab.term, CAST(levenshtein(q.q, vocab.term) AS BIGINT) AS dist,
+         |    vocab.freq
+         |  FROM q JOIN vocab ON abs(length(q.q) - length(vocab.term)) <= 2
+         |    AND levenshtein(q.q, vocab.term) <= 2
+         |)
+         |SELECT q AS query_term, term AS corrected, dist, freq FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q
+         |    ORDER BY dist, freq DESC, term) AS rn
+         |  FROM c) WHERE rn = 1 ORDER BY query_term""".stripMargin,
     "tfidf_topk" ->
       s"""$TokSql, n AS (SELECT count(*)::DOUBLE AS n FROM documents),
          |df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY term),
