@@ -1521,8 +1521,18 @@ object Analytics {
     * is undefined). Shape: everything after the daily rollup runs on
     * the |days| frame.
     */
-  def eventsStlAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    val core = eventsStl(spark, dir).filter(col("resid").isNotNull)
+  def eventsStlAnomaly(spark: SparkSession, dir: String): DataFrame =
+    eventsStlAnomalyOf(eventsUs(spark, dir)
+      .groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c")))
+
+  /** The STL-residual anomaly rule over any (day, c) daily frame —
+    * factored so the streaming monitor can replay it over its day
+    * ledger (same decomposition, same medians — the two can never
+    * disagree).
+    */
+  def eventsStlAnomalyOf(daily: DataFrame): DataFrame = {
+    val core = eventsStlOf(daily).filter(col("resid").isNotNull)
     val nn = core.agg(count(lit(1)).as("n"))
     def lowerMedian(df: DataFrame, v: String, out: String): DataFrame =
       df.withColumn("__rn",

@@ -1421,6 +1421,31 @@ object Stream {
         .crossJoin(broadcast(cum.agg(count(lit(1)).as("n_days"))))
     }
 
+  /** Continuous seasonality-aware anomaly monitor — the batch
+    * [[graft.operators.Analytics.eventsStlAnomaly]] replayed over the
+    * day ledger (shared `eventsStlAnomalyOf` — decomposition and
+    * medians can never drift from the oracle-gated batch key): each
+    * batch publishes the LATEST decomposable day's residual, the
+    * robust 3×MAD verdict, and the flagged-day count over the whole
+    * history. Because trend is a CENTERED 7-day MA, the newest 3 days
+    * are never decomposable yet — the published day trails the ledger
+    * head by 3, the price of a symmetric window (the Holt-Winters
+    * monitor is the zero-lag alternative). Late days revise the whole
+    * decomposition exactly, same ledger discipline as the others.
+    */
+  def stlAnomalyMonitor(events: DataFrame, storePath: String, outPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    dayLedgerMonitor(events, storePath, outPath) { (cum, _, batchId) =>
+      val a = graft.operators.Analytics.eventsStlAnomalyOf(cum)
+      a.orderBy(col("day").desc).limit(1)
+        .select(lit(batchId).as("batch_id"), col("day").as("latest_scored_day"),
+          col("n_events"), col("resid"), col("med"), col("mad"),
+          col("is_anomaly"))
+        .crossJoin(broadcast(
+          a.agg(sum(col("is_anomaly")).as("n_flagged"),
+            count(lit(1)).as("n_scored_days"))))
+    }
+
   /** Continuous change-point monitor — [[forecastMonitor]]'s sibling
     * over the same ledger discipline: each micro-batch merges its
     * per-day counts and replays the EXACT integer binary-segmentation

@@ -1148,6 +1148,36 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
     } finally q1.stop()
   }
 
+  test("stream_stl_anomaly: residual spike flagged on the decomposable day") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-stlmon").toString
+    val (store, out, ckpt) = (s"$base/ledger", s"$base/out", s"$base/ckpt")
+    def day(d: Long, n: Int): Seq[Timestamp] =
+      (1 to n).map(i => new Timestamp(d * 86400000L + i * 1000L))
+    val in = MemoryStream[Timestamp]
+    val df = in.toDF().toDF("ts")
+    val q1 = Stream.stlAnomalyMonitor(df, store, out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // 14 flat days, then a 10x spike at day 114; the spike day is
+      // decomposable once days 115-117 arrive (centered window)
+      in.addData((100L to 113L).flatMap(d => day(d, 5)) ++ day(114, 50) ++
+        (115L to 117L).flatMap(d => day(d, 5)): _*)
+      q1.processAllAvailable()
+      val r = spark.read.parquet(s"$out/batch=0").collect().head
+      assert(r.getLong(1) === 114L, "latest decomposable day trails head by 3")
+      assert(r.getLong(2) === 50L && r.getLong(6) === 1L, "spike flagged")
+      assert(r.getLong(7) >= 1L)
+      // the monitor row equals the batch key on the same daily frame
+      val counts = (100L to 117L).map(d => (d, if (d == 114L) 50L else 5L))
+      val w = operators.Analytics.eventsStlAnomalyOf(counts.toDF("day", "c"))
+        .orderBy(org.apache.spark.sql.functions.col("day").desc).limit(1)
+        .collect().head
+      assert(r.getDouble(3) === w.getDouble(2) && r.getLong(6) === w.getLong(5))
+    } finally q1.stop()
+  }
+
   test("stream_changepoint: split tracks the level shift across a restart") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
