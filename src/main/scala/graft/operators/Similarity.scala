@@ -843,6 +843,35 @@ object Similarity {
     adcRank(pqCodes(parts, cb).join(broadcast(pqDtab(parts, cb)), Seq("m", "code")))
   }
 
+  /** ANN index sizing table — the capacity-planning arithmetic next
+    * to the recall audits: per storage variant (raw fp32, SQ8 bytes,
+    * PQ codes, IVF+PQ codes + bucket id), bytes per vector, corpus
+    * total, and compression vs raw — the numbers that decide which
+    * rung of the ANN ladder fits in executor memory at a given corpus
+    * size (recall for the same rungs is priced by the `ann_recall*`
+    * family; memory is the other axis of that trade). All-integer
+    * arithmetic off one (n, d) aggregate of the vector table.
+    */
+  def annMemoryReport(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.embeddings(spark, dir)
+      .agg(count(lit(1)).as("n"), max(size(col("embedding"))).cast("long").as("d"))
+    st.select(col("n"), col("d"), explode(array(
+        struct(lit("1_raw_fp32").as("variant"), (lit(4L) * col("d")).as("bpv")),
+        struct(lit("2_sq8").as("variant"), col("d").as("bpv")),
+        struct(lit("3_pq").as("variant"), lit(NSub.toLong).as("bpv")),
+        struct(lit("4_ivf_pq").as("variant"), lit(NSub.toLong + 8L).as("bpv"))))
+        .as("v"))
+      .select(col("n"), col("d"), col("v.variant").as("variant"),
+        col("v.bpv").as("bytes_per_vec"))
+      .select(col("variant"), col("bytes_per_vec"),
+        (col("n") * col("bytes_per_vec")).as("total_bytes"),
+        // milli-precision integer ratio: 4d·1000 div bpv — exact, no
+        // float division to disagree on
+        expr("cast((4 * d * 1000) div bytes_per_vec as double) / 1000")
+          .as("compression_x"))
+      .orderBy("variant")
+  }
+
   /** PQ codebook-quality audit — the distortion side of what
     * [[annRecallPq]] measures end-to-end: per subspace, the mean and
     * max squared quantization error ‖sv − cv_code‖² over every
@@ -1225,6 +1254,7 @@ object Similarity {
     "ann_recall_sq8" -> annRecallSq8,
     "knn_pq" -> knnPq,
     "pq_distortion" -> pqDistortion,
+    "ann_memory_report" -> annMemoryReport,
     "knn_ivf_pq" -> knnIvfPq,
     "knn_ivf_pq_residual" -> knnIvfPqResidual,
     "knn_bruteforce" -> knnBruteforce,
@@ -1569,6 +1599,25 @@ object Similarity {
          |  round(sum(CASE WHEN rrf2.vec_id IS NOT NULL THEN 1 ELSE 0 END) / $TopK.0, 4) AS recall
          |FROM bfr LEFT JOIN rrf2 ON bfr.query_id = rrf2.query_id AND bfr.vec_id = rrf2.vec_id
          |GROUP BY bfr.query_id ORDER BY query_id""".stripMargin,
+    "ann_memory_report" ->
+      s"""WITH st AS (
+         |  SELECT count(*) AS n, CAST(max(len(embedding)) AS BIGINT) AS d
+         |  FROM embeddings
+         |), v AS (
+         |  SELECT * FROM (VALUES
+         |    ('1_raw_fp32', NULL), ('2_sq8', NULL),
+         |    ('3_pq', ${NSub}::BIGINT), ('4_ivf_pq', ${NSub + 8}::BIGINT))
+         |    AS t(variant, fixed)
+         |)
+         |SELECT variant,
+         |  CASE variant WHEN '1_raw_fp32' THEN 4 * d WHEN '2_sq8' THEN d
+         |    ELSE fixed END AS bytes_per_vec,
+         |  n * (CASE variant WHEN '1_raw_fp32' THEN 4 * d WHEN '2_sq8' THEN d
+         |    ELSE fixed END) AS total_bytes,
+         |  CAST((4 * d * 1000) // (CASE variant WHEN '1_raw_fp32' THEN 4 * d
+         |    WHEN '2_sq8' THEN d ELSE fixed END) AS DOUBLE) / 1000
+         |    AS compression_x
+         |FROM v, st ORDER BY variant""".stripMargin,
     "pq_distortion" ->
       s"""WITH ${pqCteOn("embeddings")}, best AS (
          |  SELECT vec_id, m, d FROM (
