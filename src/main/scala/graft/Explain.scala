@@ -175,6 +175,17 @@ object Explain {
     "events_stl" -> Rule(),
     "events_stl_anomaly" -> Rule(),
     "epoch_shuffle" -> Rule(),
+    // the levenshtein sweep must stream the aggregated vocabulary
+    // against the BROADCAST query side, never the token stream
+    "spell_correct" -> Rule(required = Seq("BroadcastNestedLoopJoin")),
+    // both postings filter before the positional join; the prefix leg
+    // must keep its StartsWith filter
+    "phrase_prefix_search" -> Rule(required = Seq("StartsWith")),
+    "ann_memory_report" -> Rule(),
+    "events_holt_winters" -> Rule(),
+    "events_forecast_compare" -> Rule(),
+    "media_containment" -> Rule(),
+    "ppl_bucket_mix" -> Rule(),
     "cms_error_curve" -> Rule(),
     "events_ewma" -> Rule(),
     "query_slop" -> Rule(),
