@@ -127,6 +127,56 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Batched media RESIZE — the missing rung between decode and
+    * feature-extract in a real pipeline (downscale before you embed):
+    * stub decode → 2:1 box downsample (each output byte the floor
+    * mean of an adjacent input pair — an audio half-rate resample /
+    * 1-D image pyramid step), re-encoded and content-addressed. Runs
+    * on [[mediaFeaturesOf]]'s mapPartitions batch path (the resampler
+    * kernel would initialize where `it =>` begins); the emitted
+    * columns are the downstream contract: new payload digest, in/out
+    * sizes, and the mean output byte as an exact integer ratio. The
+    * deterministic stub keeps the whole path under the
+    * rows+schema+hash gate; payloads shuffle only as the resized hex
+    * (half the input) and the digest.
+    */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame =
+    mediaResizeOf(Tables.documents(spark, dir))
+
+  def mediaResizeOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hexDigits = "0123456789ABCDEF".toCharArray
+    docs
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        // per-partition setup would open the resampler here
+        it.map { case (docId, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8) // stub decode
+          val n = bytes.length / 2
+          val sb = new java.lang.StringBuilder(n * 2)
+          var sum = 0L
+          var i = 0
+          while (i < n) {
+            val v = ((bytes(2 * i) & 0xFF) + (bytes(2 * i + 1) & 0xFF)) / 2
+            sum += v
+            sb.append(hexDigits(v >> 4)).append(hexDigits(v & 0xF))
+            i += 1
+          }
+          (docId, bytes.length.toLong, n.toLong, sb.toString, sum)
+        }
+      }
+      .toDF("doc_id", "in_bytes", "out_bytes", "out_hex", "sum")
+      .select(col("doc_id"), col("in_bytes"), col("out_bytes"),
+        md5(col("out_hex")).as("out_md5"),
+        // exact mean in milli-units: sum·1000 div n (0 for empty output)
+        when(col("out_bytes") > 0,
+          expr("cast((sum * 1000) div out_bytes as double) / 1000"))
+          .otherwise(lit(0.0)).as("mean_byte"))
+      .orderBy("doc_id")
+  }
+
   /** Frame sampling over the opaque payload: fixed 256-byte frames,
     * every 4th sampled (a video pipeline's keyframe stride), each
     * emitted with its checksum. The explode is narrow — frame count
@@ -283,6 +333,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_neardup" -> mediaNeardup,
     "media_containment" -> mediaContainment,
+    "media_resize" -> mediaResize,
     "media_size_report" -> mediaSizeReport,
     "media_meta" -> mediaMeta,
     "media_features" -> mediaFeatures,
@@ -384,6 +435,27 @@ object Multimodal {
          |FROM ov JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
          |WHERE ov::DOUBLE / (sa.nf + sb.nf - ov)::DOUBLE >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "media_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id, hex(encode(text)) AS h FROM documents
+        |), vs AS (
+        |  SELECT doc_id, CAST(length(h) // 2 AS BIGINT) AS in_bytes,
+        |    list_transform(range(length(h) // 4), i ->
+        |      ((16 * (strpos('0123456789ABCDEF', substring(h, 4 * i::INT + 1, 1)) - 1)
+        |        + (strpos('0123456789ABCDEF', substring(h, 4 * i::INT + 2, 1)) - 1))
+        |       + (16 * (strpos('0123456789ABCDEF', substring(h, 4 * i::INT + 3, 1)) - 1)
+        |        + (strpos('0123456789ABCDEF', substring(h, 4 * i::INT + 4, 1)) - 1))) // 2)
+        |      AS v
+        |  FROM m
+        |)
+        |SELECT doc_id, in_bytes, CAST(len(v) AS BIGINT) AS out_bytes,
+        |  md5(array_to_string(list_transform(v, x -> format('{:02X}', x)), ''))
+        |    AS out_md5,
+        |  CASE WHEN len(v) > 0 THEN
+        |    CAST((list_reduce(list_prepend(0::BIGINT, v), (a, x) -> a + x) * 1000)
+        |      // len(v) AS DOUBLE) / 1000
+        |  ELSE 0.0 END AS mean_byte
+        |FROM vs ORDER BY doc_id""".stripMargin,
     "media_containment" ->
       s"""WITH m AS (
          |  SELECT doc_id, hex(encode(text)) AS h,

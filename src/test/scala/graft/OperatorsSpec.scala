@@ -730,6 +730,23 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(r(0).getDouble(3) - 2.0 / 3) < 1e-5)
   }
 
+  test("media_resize: 2:1 box downsample has exact bytes, digest and mean") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab"), (2L, "abc"), (3L, "")).toDF("doc_id", "text")
+    val r = operators.Multimodal.mediaResizeOf(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // "ab" = bytes (97, 98) -> one byte floor(195/2) = 97 = 0x61
+    assert(r(1L).getLong(1) === 2L && r(1L).getLong(2) === 1L)
+    assert(r(1L).getString(3) ===
+      java.security.MessageDigest.getInstance("MD5").digest("61".getBytes)
+        .map("%02x".format(_)).mkString)
+    assert(r(1L).getDouble(4) === 97.0)
+    // odd tail byte is dropped by the 2:1 contract
+    assert(r(2L).getLong(1) === 3L && r(2L).getLong(2) === 1L)
+    // empty payload: zero out-bytes, mean 0
+    assert(r(3L).getLong(2) === 0L && r(3L).getDouble(4) === 0.0)
+  }
+
   test("media_containment: a clip inside a longer video is caught where jaccard misses") {
     import spark.implicits._
     // clip = frames [a, b]; host = the same two frames + three more:
