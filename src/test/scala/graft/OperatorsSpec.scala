@@ -1177,6 +1177,33 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("events_stl: trend+seasonal+resid reconstructs c exactly on a random series") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val daily = (0L to 40L).map(d => (d, 50L + rnd.nextInt(100).toLong)).toDF("day", "c")
+    val r = operators.Analytics.eventsStlOf(daily).collect()
+    val scored = r.filter(!_.isNullAt(2))
+    assert(scored.length === 35) // 41 days minus the 3+3 window edges
+    scored.foreach { row =>
+      val recon = row.getDouble(2) + row.getDouble(3) + row.getDouble(4)
+      // identity holds pre-rounding; three 6dp roundings bound the drift
+      assert(math.abs(row.getLong(1).toDouble - recon) <= 2e-6,
+        s"day ${row.getLong(0)}: $recon")
+    }
+  }
+
+  test("epoch_shuffle: sparse non-contiguous ids still permute per epoch") {
+    import spark.implicits._
+    val ids = Seq(3L, 17L, 400L, 401L, 9999L, 123456789L)
+    val docs = ids.map(i => (i, "x")).toDF("doc_id", "text")
+    val r = operators.Pipeline.epochShuffleOf(docs, nEpochs = 2).collect()
+    (0L to 1L).foreach { e =>
+      val ep = r.filter(_.getLong(0) == e)
+      assert(ep.map(_.getLong(1)).sorted.toSeq === (1L to ids.length).toSeq)
+      assert(ep.map(_.getLong(2)).sorted.toSeq === ids.sorted)
+    }
+  }
+
   test("nb_langid: NB trained on a separable crafted corpus classifies its holdout") {
     import spark.implicits._
     // two perfectly separable languages: every 'xx' doc speaks only
