@@ -1358,13 +1358,15 @@ object Analytics {
         abs(col("n_events").cast("double") - col("fprev")).as("eh"),
         abs(col("n_events").cast("double") - col("fhw")).as("ew"),
         abs(col("n_events") - col("cprev")).cast("double").as("en"))
+    // a <8-day series leaves no overlap days: n = 0 must publish null
+    // MAEs (NaN compares unequal to itself across engines)
     Folds.groupSums(j, Nil, col("day"),
         Seq("seh" -> col("eh"), "sew" -> col("ew"), "sen" -> col("en")),
         Seq(count(lit(1)).cast("double").as("n")))
       .select(col("n").cast("long").as("n_forecasts"),
-        round(col("seh") / col("n"), 6).as("mae_holt"),
-        round(col("sew") / col("n"), 6).as("mae_hw"),
-        round(col("sen") / col("n"), 6).as("mae_naive"),
+        when(col("n") > 0, round(col("seh") / col("n"), 6)).as("mae_holt"),
+        when(col("n") > 0, round(col("sew") / col("n"), 6)).as("mae_hw"),
+        when(col("n") > 0, round(col("sen") / col("n"), 6)).as("mae_naive"),
         when(col("seh") > 0,
           round(lit(1.0) - col("sew") / col("seh"), 6)).as("skill_hw_vs_holt"),
         when(col("sen") > 0,
@@ -3234,9 +3236,9 @@ object Analytics {
          |  FROM g2
          |)
          |SELECT CAST(n AS BIGINT) AS n_forecasts,
-         |  round(seh / n, 6) AS mae_holt,
-         |  round(sew / n, 6) AS mae_hw,
-         |  round(sen / n, 6) AS mae_naive,
+         |  CASE WHEN n > 0 THEN round(seh / n, 6) END AS mae_holt,
+         |  CASE WHEN n > 0 THEN round(sew / n, 6) END AS mae_hw,
+         |  CASE WHEN n > 0 THEN round(sen / n, 6) END AS mae_naive,
          |  CASE WHEN seh > 0 THEN round(1.0 - sew / seh, 6) END AS skill_hw_vs_holt,
          |  CASE WHEN sen > 0 THEN round(1.0 - sew / sen, 6) END AS skill_hw_vs_naive
          |FROM sm""".stripMargin,
