@@ -451,6 +451,47 @@ object Pipeline {
       .orderBy("shard")
   }
 
+  /** Per-shard reproducibility manifest — the provenance record a
+    * governed training run keeps beside its shards ([[shardAssign]]'s
+    * layout made auditable): for every token-budget shard, doc/token
+    * counts, the dominant source and its share, and a CONTENT HASH of
+    * the ordered member list (md5 over the sorted doc_id list) — the
+    * digest that proves two runs consumed byte-identical shard
+    * membership without comparing the data. The member-list fold is
+    * shard-bounded (≤ budget tokens ⇒ bounded docs), never
+    * corpus-wide; everything else is per-shard partial aggs.
+    */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame =
+    shardManifestOf(Tables.documents(spark, dir), budget = 4096L)
+
+  def shardManifestOf(docs: DataFrame, budget: Long): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0L)
+    val sharded = GraftOps.runningTotal(counts, order = col("doc_id"),
+        value = col("n"), bucket = expr("doc_id div 64"))
+      .withColumn("shard", expr(s"(running - n) div $budget"))
+    val base = sharded.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+        md5(concat_ws(",", sort_array(collect_list(col("doc_id")))))
+          .as("members_md5"))
+    val topSrc = sharded.groupBy("shard", "source")
+      .agg(count(lit(1)).as("sn"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("shard").orderBy(col("sn").desc, col("source"))))
+      .filter(col("rn") === 1)
+      .select(col("shard"), col("source").as("top_source"),
+        col("sn").as("top_source_docs"))
+    base.join(topSrc, "shard")
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        col("top_source"), col("top_source_docs"),
+        expr("cast((top_source_docs * 1000000) div n_docs as double) / 1e6")
+          .as("top_source_share"),
+        col("members_md5"))
+      .orderBy("shard")
+  }
+
   /** Temperature-scaled source mixing — the multi-source sampling rule
     * LLM pretraining uses to keep head sources from drowning the tail:
     * weight ∝ tokens^τ with τ = 1/2, so a 100× larger source gets only
@@ -685,6 +726,7 @@ object Pipeline {
     "epoch_shuffle" -> epochShuffle,
     "source_length_quartiles" -> sourceLengthQuartiles,
     "shard_assign" -> shardAssign,
+    "shard_manifest" -> shardManifest,
     "mix_temperature" -> mixTemperature,
     "dataset_card" -> datasetCard,
     "doc_chunking" -> docChunking,
@@ -871,6 +913,33 @@ object Pipeline {
         |  round(quantile_cont(n_chars, 0.50), 6) AS q50,
         |  round(quantile_cont(n_chars, 0.75), 6) AS q75
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "shard_manifest" ->
+      """WITH c AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0)) AS BIGINT) AS n
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, source, n,
+        |    CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) - n AS cb
+        |  FROM c WHERE n > 0
+        |), s AS (
+        |  SELECT CAST(cb // 4096 AS BIGINT) AS shard, doc_id, source, n FROM r
+        |), base AS (
+        |  SELECT shard, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |    md5(array_to_string(list_sort(list(doc_id)), ',')) AS members_md5
+        |  FROM s GROUP BY shard
+        |), ts AS (
+        |  SELECT shard, source AS top_source, sn AS top_source_docs FROM (
+        |    SELECT shard, source, count(*) AS sn,
+        |      row_number() OVER (PARTITION BY shard
+        |        ORDER BY count(*) DESC, source) AS rn
+        |    FROM s GROUP BY shard, source) WHERE rn = 1
+        |)
+        |SELECT base.shard, n_docs, n_tokens, top_source, top_source_docs,
+        |  CAST((top_source_docs * 1000000) // n_docs AS DOUBLE) / 1e6
+        |    AS top_source_share,
+        |  members_md5
+        |FROM base JOIN ts USING (shard) ORDER BY shard""".stripMargin,
     "shard_assign" ->
       """WITH c AS (
         |  SELECT doc_id,
