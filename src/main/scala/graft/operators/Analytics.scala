@@ -763,8 +763,10 @@ object Analytics {
     * broadcast threshold compare replaces the global ntile (same
     * output contract).
     */
-  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame =
+    rfmSegmentsOf(Tables.orders(spark, dir))
+
+  def rfmSegmentsOf(o: DataFrame): DataFrame = {
     val maxD = o.agg(max(col("o_orderdate")).as("maxd"))
     val cust = o.groupBy(col("o_custkey"))
       .agg(max(col("o_orderdate")).as("lastd"),
@@ -807,6 +809,38 @@ object Analytics {
         round(col("monetary"), 2).as("monetary"),
         col("r_score"), col("f_score"), col("m_score"), col("segment"))
       .orderBy("o_custkey")
+  }
+
+  /** RFM segment migration — the longitudinal read [[rfmSegments]]'
+    * snapshot cannot give: the order history splits at the rank-based
+    * lower-median DISTINCT order date, each half gets its own full
+    * RFM segmentation (recency relative to that half's horizon, via
+    * the shared [[rfmSegmentsOf]] — gate/production switch
+    * inherited), and the output is the (segment_from → segment_to)
+    * customer transition matrix with 'new'/'churned' absorbing states
+    * — the churn-risk flow chart a retention team reads. The
+    * date-median window is calendar-bounded; everything else is the
+    * RFM machinery twice plus one custkey-keyed full-outer join.
+    */
+  def rfmMigration(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val dts = o.select(col("o_orderdate").as("d")).distinct()
+    val nn = dts.agg(count(lit(1)).as("n"))
+    val sp = dts
+      .withColumn("rn", row_number().over(Window.orderBy("d")).cast("long"))
+      .crossJoin(broadcast(nn))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("d").as("split"))
+    val oo = o.crossJoin(broadcast(sp))
+    val a = rfmSegmentsOf(oo.filter(col("o_orderdate") <= col("split")))
+    val b = rfmSegmentsOf(oo.filter(col("o_orderdate") > col("split")))
+    a.select(col("o_custkey"), col("segment").as("sfrom"))
+      .join(b.select(col("o_custkey"), col("segment").as("sto")),
+        Seq("o_custkey"), "full_outer")
+      .groupBy(coalesce(col("sfrom"), lit("new")).as("seg_from"),
+        coalesce(col("sto"), lit("churned")).as("seg_to"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("seg_from", "seg_to")
   }
 
   /** Gini coefficient of customer revenue concentration — the
@@ -2539,6 +2573,7 @@ object Analytics {
     "orders_seasonality" -> ordersSeasonality,
     "revenue_pareto" -> revenuePareto,
     "rfm_segments" -> rfmSegments,
+    "rfm_migration" -> rfmMigration,
     "skew_report" -> skewReport,
     "range_boundaries" -> rangeBoundaries,
     "concurrency_peak" -> concurrencyPeak,
@@ -3531,6 +3566,48 @@ object Analytics {
         |SELECT decile, n_customers, round(share0, 4) AS rev_share,
         |  round(cum0, 4) AS cum_share
         |FROM c ORDER BY decile""".stripMargin,
+    "rfm_migration" ->
+      """WITH dts AS (SELECT DISTINCT o_orderdate AS d FROM orders),
+        |nn AS (SELECT count(*) AS n FROM dts),
+        |sp AS (
+        |  SELECT d AS split FROM (
+        |    SELECT d, row_number() OVER (ORDER BY d) AS rn FROM dts), nn
+        |  WHERE rn = (n + 1) // 2
+        |),
+        |pa AS (SELECT o.* FROM orders o, sp WHERE o.o_orderdate <= sp.split),
+        |pb AS (SELECT o.* FROM orders o, sp WHERE o.o_orderdate > sp.split),
+        |ca AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', max(o_orderdate)::DATE,
+        |      (SELECT max(o_orderdate) FROM pa)::DATE) AS BIGINT) AS recency_days,
+        |    count(*) AS frequency,
+        |    CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS monetary
+        |  FROM pa GROUP BY o_custkey
+        |), cb AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', max(o_orderdate)::DATE,
+        |      (SELECT max(o_orderdate) FROM pb)::DATE) AS BIGINT) AS recency_days,
+        |    count(*) AS frequency,
+        |    CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS monetary
+        |  FROM pb GROUP BY o_custkey
+        |), sa AS (
+        |  SELECT o_custkey,
+        |    CAST(ntile(4) OVER (ORDER BY recency_days ASC, o_custkey) AS BIGINT)::VARCHAR ||
+        |    CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT)::VARCHAR ||
+        |    CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT)::VARCHAR AS segment
+        |  FROM ca
+        |), sb AS (
+        |  SELECT o_custkey,
+        |    CAST(ntile(4) OVER (ORDER BY recency_days ASC, o_custkey) AS BIGINT)::VARCHAR ||
+        |    CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT)::VARCHAR ||
+        |    CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT)::VARCHAR AS segment
+        |  FROM cb
+        |)
+        |SELECT coalesce(sa.segment, 'new') AS seg_from,
+        |  coalesce(sb.segment, 'churned') AS seg_to,
+        |  count(*) AS n_customers
+        |FROM sa FULL OUTER JOIN sb USING (o_custkey)
+        |GROUP BY 1, 2 ORDER BY seg_from, seg_to""".stripMargin,
     "rfm_segments" ->
       """WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
         |c AS (

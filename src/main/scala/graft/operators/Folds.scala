@@ -42,7 +42,8 @@ object Folds {
     "term_entropy", "keyword_textrank", "knn_ivf_trained", "knn_pq",
     "embedding_outliers", "events_twap", "curriculum_order",
     "source_length_quartiles", "revenue_gini", "revenue_pareto",
-    "rfm_segments", "orders_abc_class", "epoch_shuffle", "ppl_bucket_mix")
+    "rfm_segments", "orders_abc_class", "epoch_shuffle", "ppl_bucket_mix",
+    "rfm_migration")
 
   def bitwise(df: DataFrame): Boolean =
     df.sparkSession.conf.get(ConfKey, "true").toBoolean

@@ -153,6 +153,19 @@ class FoldsSpec extends SparkSpec {
     } finally spark.conf.set(Folds.ConfKey, "true")
   }
 
+  test("rfm_migration production half-segmentations EXACTLY equal the gate's") {
+    val gate = operators.Analytics.rfmMigration(spark, sfDir).collect().toSeq
+    spark.conf.set(Folds.ConfKey, "false")
+    try {
+      val prod = operators.Analytics.rfmMigration(spark, sfDir).collect().toSeq
+      assert(prod === gate && gate.nonEmpty)
+      // both absorbing states occur on the gate corpus
+      val froms = gate.map(_.getString(0)).toSet
+      val tos = gate.map(_.getString(1)).toSet
+      assert(froms.contains("new") && tos.contains("churned"))
+    } finally spark.conf.set(Folds.ConfKey, "true")
+  }
+
   test("abc production rank+prefix EXACTLY equals the gate's global window") {
     val gate = operators.Analytics.ordersAbcClass(spark, sfDir).collect().toSeq
     spark.conf.set(Folds.ConfKey, "false")
