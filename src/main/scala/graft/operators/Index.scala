@@ -960,6 +960,26 @@ object Index {
   def spellCorrect(spark: SparkSession, dir: String): DataFrame =
     spellCorrectOf(Tables.documents(spark, dir), Seq("spak", "jion", "merge"))
 
+  /** Faceted search — the result-page sidebar every search engine
+    * renders beside the hit list: for the documents matching a term,
+    * hit counts per (facet, value) over the metadata fields (lang,
+    * source). One narrow `array_contains` filter (no explode — the
+    * match test runs inside the scan stage) and one |facets×values|
+    * rollup; at 100 TB the aggregate is metadata-cardinality-sized,
+    * never corpus-sized.
+    */
+  def facetCountsOf(docs: DataFrame, term: String): DataFrame =
+    docs.filter(array_contains(TextFns.tokens(col("text")), term))
+      .select(explode(array(
+        struct(lit("lang").as("facet"), col("lang").as("value")),
+        struct(lit("source").as("facet"), col("source").as("value")))).as("f"))
+      .groupBy(col("f.facet").as("facet"), col("f.value").as("value"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("facet", "value")
+
+  def facetCounts(spark: SparkSession, dir: String): DataFrame =
+    facetCountsOf(Tables.documents(spark, dir), "spark")
+
   /** Fuzzy term lookup: vocabulary terms within edit distance 1 of the
     * query, with their collection frequency — "did you mean". The
     * distance runs over the (tiny, aggregated) vocabulary, never the
@@ -1187,6 +1207,7 @@ object Index {
     "spell_candidates" -> spellCandidates,
     "spell_correct" -> spellCorrect,
     "phrase_prefix_search" -> phrasePrefixSearch,
+    "facet_counts" -> facetCounts,
     "qlm_topk" -> qlmTopk,
     "top_terms_per_doc" -> topTermsPerDoc,
     "kwic" -> kwic,
@@ -1436,6 +1457,18 @@ object Index {
          |FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
          |WHERE a.term = 'key' AND b.term LIKE 'or%'
          |GROUP BY a.doc_id ORDER BY doc_id""".stripMargin,
+    "facet_counts" ->
+      """WITH hits AS (
+        |  SELECT lang, source FROM documents
+        |  WHERE list_contains(list_filter(regexp_split_to_array(text, '\s+'),
+        |    t -> len(t) > 0), 'spark')
+        |), f AS (
+        |  SELECT 'lang' AS facet, lang AS value FROM hits
+        |  UNION ALL
+        |  SELECT 'source' AS facet, source AS value FROM hits
+        |)
+        |SELECT facet, value, count(*) AS n_docs
+        |FROM f GROUP BY facet, value ORDER BY facet, value""".stripMargin,
     "spell_correct" ->
       s"""$TokSql, vocab AS (
          |  SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY term
