@@ -1544,6 +1544,46 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** Seasonal-strength statistic (Hyndman & Athanasopoulos, FPP):
+    * F_s = max(0, 1 − Var(resid)/Var(seasonal + resid)) over the STL
+    * frame — the single number that says whether [[eventsStl]]'s
+    * weekly component is real structure (→1) or noise the
+    * decomposition invented (→0), i.e. whether the Holt-Winters
+    * register or the plain Holt model deserves the series
+    * ([[eventsForecastCompare]] measures the same question
+    * empirically). Inputs are the published 6dp STL columns (already
+    * bitwise cross-engine); variances use the n·Σx² − (Σx)² form with
+    * sums folded day-ordered through [[Folds]], so every double is
+    * shared IEEE work. Null when the deseasonalized variance is zero
+    * (a constant series has no strength to measure).
+    */
+  def eventsSeasonalStrength(spark: SparkSession, dir: String): DataFrame =
+    eventsSeasonalStrengthOf(eventsUs(spark, dir)
+      .groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c")))
+
+  def eventsSeasonalStrengthOf(daily: DataFrame): DataFrame = {
+    val core = eventsStlOf(daily).filter(col("resid").isNotNull)
+      .select(col("day"), col("resid").as("r"),
+        (col("seasonal") + col("resid")).as("z"))
+    Folds.groupSums(core, Nil, col("day"),
+        Seq("sr" -> col("r"), "sr2" -> (col("r") * col("r")),
+          "sz" -> col("z"), "sz2" -> (col("z") * col("z"))),
+        Seq(count(lit(1)).cast("double").as("n")))
+      .select(col("n").cast("long").as("n_days"),
+        when(col("n") > 0, round(
+          (col("n") * col("sr2") - col("sr") * col("sr")) /
+            (col("n") * col("n")), 6)).as("var_resid"),
+        when(col("n") > 0, round(
+          (col("n") * col("sz2") - col("sz") * col("sz")) /
+            (col("n") * col("n")), 6)).as("var_deseason"),
+        when(col("n") * col("sz2") - col("sz") * col("sz") > 0, round(
+          greatest(lit(0.0), lit(1.0) -
+            (col("n") * col("sr2") - col("sr") * col("sr")) /
+            (col("n") * col("sz2") - col("sz") * col("sz"))), 6))
+          .as("seasonal_strength"))
+  }
+
   /** Seasonality-aware anomaly flags: [[eventsMad]]'s robust
     * 3×MAD rule applied to [[eventsStl]]'s RESIDUAL instead of the
     * raw count — a weekly-cyclic series flags Sunday troughs as
@@ -2557,6 +2597,7 @@ object Analytics {
     "events_autocorr" -> eventsAutocorr,
     "events_stl" -> eventsStl,
     "events_stl_anomaly" -> eventsStlAnomaly,
+    "events_seasonal_strength" -> eventsSeasonalStrength,
     "events_changepoint" -> eventsChangepoint,
     "events_burstiness" -> eventsBurstiness,
     "orders_abc_class" -> ordersAbcClass,
@@ -3235,6 +3276,35 @@ object Analytics {
          |  CAST(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END AS BIGINT)
          |    AS is_anomaly
          |FROM dv, mad ORDER BY day""".stripMargin,
+    "events_seasonal_strength" ->
+      s"""$StlChainSql, stl AS (
+         |$StlSelectSql
+         |), core AS (
+         |  SELECT day, resid AS r, seasonal + resid AS z
+         |  FROM stl WHERE resid IS NOT NULL
+         |), g2 AS (
+         |  SELECT count(*)::DOUBLE AS n,
+         |    list_sort(list(struct_pack(o := day, r := r, r2 := r * r,
+         |      z := z, z2 := z * z))) AS ps
+         |  FROM core
+         |), sm AS (
+         |  SELECT n,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(ps, p -> p['r'])), (a, v) -> a + v) AS sr,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(ps, p -> p['r2'])), (a, v) -> a + v) AS sr2,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(ps, p -> p['z'])), (a, v) -> a + v) AS sz,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(ps, p -> p['z2'])), (a, v) -> a + v) AS sz2
+         |  FROM g2
+         |)
+         |SELECT CAST(n AS BIGINT) AS n_days,
+         |  CASE WHEN n > 0
+         |    THEN round((n * sr2 - sr * sr) / (n * n), 6) END AS var_resid,
+         |  CASE WHEN n > 0
+         |    THEN round((n * sz2 - sz * sz) / (n * n), 6) END AS var_deseason,
+         |  CASE WHEN n * sz2 - sz * sz > 0
+         |    THEN round(greatest(0.0, 1.0 -
+         |      (n * sr2 - sr * sr) / (n * sz2 - sz * sz)), 6)
+         |  END AS seasonal_strength
+         |FROM sm""".stripMargin,
     "events_holt_winters" ->
       s"""${EvSql.replaceFirst("WITH ", "WITH RECURSIVE ")}$HwChainSql
          |SELECT day, c AS n_events, level, trend, seasonal, forecast

@@ -1177,6 +1177,18 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("events_seasonal_strength: pure weekly cycle scores 1; constant series null") {
+    import spark.implicits._
+    val weekly = (0L to 27L).map(d => (d, 100L + 10L * (d % 7))).toDF("day", "c")
+    val rw = operators.Analytics.eventsSeasonalStrengthOf(weekly).collect().head
+    assert(rw.getLong(0) === 22L)
+    assert(rw.getDouble(1) === 0.0, "pure cycle leaves zero residual variance")
+    assert(rw.getDouble(3) === 1.0, "strength 1 on a pure cycle")
+    val flat = (0L to 27L).map(d => (d, 100L)).toDF("day", "c")
+    val rf = operators.Analytics.eventsSeasonalStrengthOf(flat).collect().head
+    assert(rf.isNullAt(3), "a constant series has no strength to measure")
+  }
+
   test("events_stl: trend+seasonal+resid reconstructs c exactly on a random series") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
