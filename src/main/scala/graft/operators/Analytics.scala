@@ -2303,6 +2303,61 @@ object Analytics {
     * digits). Supplier names broadcast at the end, after the result
     * is |suppliers| rows.
     */
+  /** Per-supplier fulfillment profile — the operations table behind
+    * [[q21LateSupplier]]'s blame query: order-to-ship delay stats
+    * (mean in exact 10⁻⁴-day units via integer division, max) and the
+    * late-share (>60d, the Q12/Q21 lateness convention) for every
+    * supplier. Day deltas are exact integers, so the mean needs no
+    * float sum; the rollup is |suppliers|-sized with the name table
+    * broadcast.
+    */
+  def supplierLeadTime(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay", datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("delay")).as("sd"),
+        max(col("delay")).as("max_delay_days"),
+        sum(when(col("delay") > 60, 1L).otherwise(0L)).as("n_late"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("n_items"),
+        expr("cast((sd * 10000) div n_items as double) / 1e4").as("avg_delay_days"),
+        col("max_delay_days"),
+        expr("cast((n_late * 10000) div n_items as double) / 1e4").as("late_share"))
+      .orderBy("s_name")
+
+  /** Discount-band demand lift — the pricing read beside
+    * [[q6Revenue]]'s what-if: per discount band (per-cent steps),
+    * item count, average quantity, and the lift of that average over
+    * the zero-discount baseline — whether discounts actually move
+    * volume. Quantities are integral doubles (sums exact below 2⁵³,
+    * order-free); the averages and the lift are exact integer ratios
+    * in 10⁻⁴ units, so no float division can disagree. One
+    * |bands|-row rollup plus a 1-row broadcast baseline.
+    */
+  def discountLift(spark: SparkSession, dir: String): DataFrame = {
+    val bands = Tables.lineitem(spark, dir)
+      .select((round(col("l_discount") * 100, 0)).cast("long").as("band"),
+        col("l_quantity"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).cast("long").as("qsum"))
+    val base = bands.filter(col("band") === 0)
+      .select(col("n_items").as("n0"), col("qsum").as("q0"))
+    bands.crossJoin(broadcast(base))
+      .select(col("band"), col("n_items"),
+        expr("cast((qsum * 10000) div n_items as double) / 1e4").as("avg_qty"),
+        // lift = (qsum/n) / (q0/n0) = qsum·n0 / (n·q0), exact 1e-4 units
+        when(col("q0") > 0,
+          expr("cast((qsum * n0 * 10000) div (n_items * q0) as double) / 1e4"))
+          .as("lift_vs_zero"))
+      .orderBy("band")
+  }
+
   def q21LateSupplier(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_orderkey")
     Tables.lineitem(spark, dir)
@@ -2570,6 +2625,8 @@ object Analytics {
     "q12_ship_delay" -> q12ShipDelay,
     "q16_supplier_variety" -> q16SupplierVariety,
     "q21_late_supplier" -> q21LateSupplier,
+    "supplier_lead_time" -> supplierLeadTime,
+    "discount_lift" -> discountLift,
     "q14_promo" -> q14Promo,
     "q10_returns" -> q10Returns,
     "q13_custdist" -> q13Custdist,
@@ -2944,6 +3001,39 @@ object Analytics {
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE rn = 1
         |ORDER BY supply_cost DESC, p_partkey LIMIT 100""".stripMargin,
+    "supplier_lead_time" ->
+      """WITH d AS (
+        |  SELECT l_suppkey,
+        |    CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS delay
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), a AS (
+        |  SELECT l_suppkey, count(*) AS n_items,
+        |    CAST(sum(delay) AS BIGINT) AS sd,
+        |    max(delay) AS max_delay_days,
+        |    CAST(sum(CASE WHEN delay > 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        |  FROM d GROUP BY l_suppkey
+        |)
+        |SELECT s_name, n_items,
+        |  CAST((sd * 10000) // n_items AS DOUBLE) / 1e4 AS avg_delay_days,
+        |  max_delay_days,
+        |  CAST((n_late * 10000) // n_items AS DOUBLE) / 1e4 AS late_share
+        |FROM a JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY s_name""".stripMargin,
+    "discount_lift" ->
+      """WITH b AS (
+        |  SELECT CAST(round(l_discount * 100, 0) AS BIGINT) AS band,
+        |    count(*) AS n_items,
+        |    CAST(sum(l_quantity) AS BIGINT) AS qsum
+        |  FROM lineitem GROUP BY band
+        |), z AS (
+        |  SELECT n_items AS n0, qsum AS q0 FROM b WHERE band = 0
+        |)
+        |SELECT band, n_items,
+        |  CAST((qsum * 10000) // n_items AS DOUBLE) / 1e4 AS avg_qty,
+        |  CASE WHEN q0 > 0 THEN
+        |    CAST((qsum * n0 * 10000) // (n_items * q0) AS DOUBLE) / 1e4
+        |  END AS lift_vs_zero
+        |FROM b, z ORDER BY band""".stripMargin,
     "q12_ship_delay" ->
       """SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 60
         |    THEN 'SLOW' ELSE 'FAST' END AS delay_class,
