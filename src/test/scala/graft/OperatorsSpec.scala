@@ -1216,6 +1216,28 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("nb_langid: a language seen only in the holdout degrades gracefully") {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    def inTest(id: Long): Boolean =
+      graft.functions.HashImpl.roll(
+        UTF8String.fromString(s"nb:$id"), graft.functions.HashFns.P) % 100 >= 80
+    // a doc_id the 80/20 split sends to the HOLDOUT, carrying a lang
+    // the model never trained on and tokens outside its vocabulary
+    val zz = (1001L to 1500L).find(inTest).get
+    val docs2 = ((1L to 120L).map { i =>
+      if (i % 2 == 0) (i, "xa xb xa", "xx") else (i, "ya yb ya", "yy")
+    } :+ ((zz, "qq qq qq", "zz"))).toDF("doc_id", "text", "lang")
+    val r = operators.TextAnalysis.nbScoredOf(docs2).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // the zz doc is scored (no crash), predicted as SOME trained lang,
+    // and necessarily wrong — its tokens are out-of-vocabulary, so the
+    // argmax falls back to the prior
+    assert(r.contains(zz))
+    assert(Set("xx", "yy").contains(r(zz).getString(2)))
+    assert(r(zz).getLong(3) === 0L)
+  }
+
   test("nb_langid: NB trained on a separable crafted corpus classifies its holdout") {
     import spark.implicits._
     // two perfectly separable languages: every 'xx' doc speaks only
