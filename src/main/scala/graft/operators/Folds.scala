@@ -30,12 +30,19 @@ import org.apache.spark.sql.functions._
 object Folds {
   val ConfKey = "spark.graft.bitwiseFolds"
 
-  /** The query keys whose plans change under the production switch
-    * (rangeRank/runningTotal instead of global windows, plain partial
-    * sums instead of sorted folds). Bench times each twice (gate +
-    * `#prod`); Verify re-dumps them against the SAME DuckDB oracles
-    * when `SPARK_GRAFT_FOLDS=prod`, so the production path is
-    * oracle-gated, not just spec-compared to the gate path.
+  /** The ORACLE-VERIFIED subset of the keys whose plans change under
+    * the production switch (rangeRank/runningTotal instead of global
+    * windows, plain partial sums instead of sorted folds): every key
+    * here has been re-run under `bitwiseFolds=false` against its
+    * unchanged DuckDB oracle and matched exactly. Bench times each
+    * twice (gate + `#prod`); Verify re-dumps them against the SAME
+    * oracles when `SPARK_GRAFT_FOLDS=prod`, so the production path is
+    * oracle-gated, not just spec-compared to the gate path. Folds
+    * consumers NOT listed (e.g. `wand_topk`, `ranker_eval`,
+    * `mlt_topk`) also change plans under the switch but emit values
+    * whose cross-mode agreement is asserted to 1e-9 by FoldsSpec
+    * rather than bitwise by the oracle — add a key here only after
+    * its prod run hash-matches at both gate SFs.
     */
   val ProdTwinKeys: Seq[String] = Seq("embedding_pca", "embedding_stats",
     "neardup_pagerank", "perplexity_doc", "qlm_topk", "source_kl", "zipf_fit",
@@ -43,7 +50,9 @@ object Folds {
     "embedding_outliers", "events_twap", "curriculum_order",
     "source_length_quartiles", "revenue_gini", "revenue_pareto",
     "rfm_segments", "orders_abc_class", "epoch_shuffle", "ppl_bucket_mix",
-    "rfm_migration")
+    "rfm_migration", "nb_langid", "nb_langid_eval", "pq_distortion",
+    "events_forecast_compare", "events_forecast_eval",
+    "events_seasonal_strength", "quality_ppl_corr")
 
   def bitwise(df: DataFrame): Boolean =
     df.sparkSession.conf.get(ConfKey, "true").toBoolean

@@ -994,8 +994,20 @@ object Stream {
           .withColumn("sh", md5(col("sent")))
         val pairs = sents.select(col("sh"), col("doc_id")).distinct()
         val prior =
-          if (fs.exists(basePath))
-            spark.read.parquet(storePath).filter(col("src_batch") =!= batchId)
+          if (fs.exists(basePath)) {
+            val saved = spark.read.parquet(storePath)
+            // the ledger format changed from per-batch (sh, n_docs,
+            // src_batch) counts to distinct (sh, doc_id, src_batch)
+            // pairs; legacy counts can't be migrated to pairs (the doc
+            // identities are gone), so fail loud with the remedy
+            // instead of an AnalysisException mid-plan on first batch
+            require(saved.columns.contains("doc_id"),
+              s"boilerplate ledger at $storePath is in the legacy " +
+                "(sh, n_docs, src_batch) format, which cannot express " +
+                "distinct-doc reach; delete the store and replay the " +
+                "stream from a fresh checkpoint to rebuild it")
+            saved.filter(col("src_batch") =!= batchId)
+          }
           else spark.emptyDataFrame.select(lit("").as("sh"),
             lit(0L).as("doc_id"), lit(0L).as("src_batch")).limit(0)
         // pairs not yet in the ledger: the union below is then a

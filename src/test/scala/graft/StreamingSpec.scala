@@ -1069,6 +1069,28 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
     } finally q2.stop()
   }
 
+  test("stream_boilerplate_store: legacy count ledger fails loud with the remedy") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-bpl").toString
+    val (store, out, ckpt) = (s"$base/ledger", s"$base/out", s"$base/ckpt")
+    // a store written by the r7 code: per-batch counts, no doc identities
+    Seq(("d41d8cd98f00b204e9800998ecf8427e", 2L, 0L))
+      .toDF("sh", "n_docs", "src_batch").write.parquet(store)
+    val in = MemoryStream[(Long, String)]
+    val q = Stream.boilerplateGate(in.toDF().toDF("doc_id", "text"), store, out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData((0L, "some text here"))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      val all = msgs(e).mkString("\n")
+      assert(all.contains("legacy") && all.contains("delete the store"),
+        s"expected the explicit ledger-format error, got: $all")
+    } finally q.stop()
+  }
+
   test("stream_forecast: ledger replay equals the batch Holt fold, late days revise") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
