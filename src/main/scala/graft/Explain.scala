@@ -60,7 +60,11 @@ object Explain {
     // over an unbounded candidate relation)
     "rrf_fusion" -> Rule(required = Seq("TakeOrderedAndProject")),
     "minhash_dedup_apply" -> Rule(),
-    "basket_lift" -> Rule(required = Seq("BroadcastHashJoin")),
+    // the distinct basket frame is localCheckpoint'd once for its four
+    // consumers, so the final plan must read ONLY the materialized RDD
+    // (a parquet scan here means a branch re-derived the distinct)
+    "basket_lift" -> Rule(required = Seq("BroadcastHashJoin"),
+      forbidden = Seq("Scan parquet")),
     "q10_returns" -> Rule(required = Seq("BroadcastHashJoin")),
     "q14_promo" -> Rule(required = Seq("BroadcastHashJoin")),
     "gram_novelty" -> Rule(),

@@ -766,21 +766,44 @@ object Analytics {
   def rfmSegments(spark: SparkSession, dir: String): DataFrame =
     rfmSegmentsOf(Tables.orders(spark, dir))
 
-  def rfmSegmentsOf(o: DataFrame): DataFrame = {
-    val maxD = o.agg(max(col("o_orderdate")).as("maxd"))
-    val cust = o.groupBy(col("o_custkey"))
-      .agg(max(col("o_orderdate")).as("lastd"),
-        count(lit(1)).as("frequency"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).as("mdec"))
+  def rfmSegmentsOf(o: DataFrame): DataFrame =
+    rfmFromCustRaw(
+      o.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("lastd"),
+          count(lit(1)).as("frequency"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("mdec")),
+      materialized = false)
+
+  /** RFM scoring off a prepared (o_custkey, lastd, frequency, mdec)
+    * rollup — split out so [[rfmMigration]] can feed BOTH halves from
+    * one combined scan+rollup pass. `materialized = true` means the
+    * caller already checkpointed the rollup's parent (row-local
+    * filters on top are fine), so production mode skips its own.
+    */
+  private def rfmFromCustRaw(custRaw: DataFrame,
+                             materialized: Boolean): DataFrame = {
+    // production materializes the |customers|-row rollup once: the
+    // horizon max, the count and the rank passes all read it (gate
+    // mode keeps the pure plan). The horizon derives from the rollup
+    // itself — max over per-customer lasts = global max — so no
+    // second scan of the order frame in either mode.
+    val custBase =
+      if (Folds.bitwise(custRaw) || materialized) custRaw
+      else custRaw.localCheckpoint()
+    val maxD = custBase.agg(max(col("lastd")).as("maxd"))
+    val cust = custBase
       .crossJoin(broadcast(maxD))
       .select(col("o_custkey"),
         datediff(col("maxd"), col("lastd")).cast("long").as("recency_days"),
         col("frequency"),
         col("mdec").cast("double").as("monetary"))
-    // gate = three global NTILE windows; production = three
-    // [[GraftOps.rangeRank]] passes + the NTILE arithmetic (identical
-    // scores — FoldsSpec asserts exact equality; no unpartitioned
-    // window at any cardinality)
+    // gate = three global NTILE windows; production = ONE
+    // [[GraftOps.rangeRankMulti]] call ranking all three scores off a
+    // single checkpoint + cut-point sample (identical scores —
+    // FoldsSpec asserts exact equality; no unpartitioned window at
+    // any cardinality; three chained single-pass calls paid the
+    // checkpoint+sample floor three times per half — the
+    // rfm_migration#prod 6.4s finding)
     val scored = if (Folds.bitwise(cust)) {
       def score(c: String, asc: Boolean): Column =
         ntile(4).over(Window.orderBy(
@@ -790,17 +813,17 @@ object Analytics {
         .withColumn("f_score", score("frequency", asc = false))
         .withColumn("m_score", score("monetary", asc = false))
     } else {
-      val n = cust.agg(count(lit(1)).as("nn"))
-      def score(df: DataFrame, c: String, asc: Boolean, as: String): DataFrame =
-        GraftOps.rangeRank(df, if (asc) col(c) else -col(c), col("o_custkey"))
-          .withColumn(as, ntileFromRank(4, col("rn"), col("nn")).cast("long"))
-          .drop("rn")
-      val withN = cust.crossJoin(broadcast(n))
-      score(score(score(withN,
-          "recency_days", asc = true, "r_score"),
-          "frequency", asc = false, "f_score"),
-          "monetary", asc = false, "m_score")
-        .drop("nn")
+      // custBase is already materialized and cust is row-local
+      // arithmetic on top of it, so the count and the rank passes
+      // need no further checkpoint
+      val n = custBase.agg(count(lit(1)).as("nn"))
+      GraftOps.rangeRankMulti(cust.crossJoin(broadcast(n)),
+          Seq("__rnr" -> col("recency_days"), "__rnf" -> -col("frequency"),
+            "__rnm" -> -col("monetary")), col("o_custkey"), materialized = true)
+        .withColumn("r_score", ntileFromRank(4, col("__rnr"), col("nn")).cast("long"))
+        .withColumn("f_score", ntileFromRank(4, col("__rnf"), col("nn")).cast("long"))
+        .withColumn("m_score", ntileFromRank(4, col("__rnm"), col("nn")).cast("long"))
+        .drop("__rnr", "__rnf", "__rnm", "nn")
     }
     scored
       .withColumn("segment",
@@ -831,9 +854,28 @@ object Analytics {
       .crossJoin(broadcast(nn))
       .filter(col("rn") === expr("(n + 1) div 2"))
       .select(col("d").as("split"))
-    val oo = o.crossJoin(broadcast(sp))
-    val a = rfmSegmentsOf(oo.filter(col("o_orderdate") <= col("split")))
-    val b = rfmSegmentsOf(oo.filter(col("o_orderdate") > col("split")))
+    // production mode materializes the 1-row split point once — both
+    // halves' rollups otherwise re-run its distinct-date lineage
+    val spM = if (Folds.bitwise(o)) sp else sp.localCheckpoint()
+    val oo = o.crossJoin(broadcast(spM))
+    // ONE scan+shuffle computes both halves' per-customer rollups
+    // (grouped by (custkey, half) — a customer active in both halves
+    // yields two rows); production checkpoints the combined frame so
+    // the two scoring passes share the materialization instead of
+    // each re-running a filtered scan (the rfm_migration#prod 6.4s
+    // finding: six rank passes × their own scan+sample floors)
+    val rawBoth = oo
+      .groupBy(col("o_custkey"),
+        (col("o_orderdate") <= col("split")).as("__in_a"))
+      .agg(max(col("o_orderdate")).as("lastd"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("mdec"))
+    val prod = !Folds.bitwise(o)
+    val rawM = if (prod) rawBoth.localCheckpoint() else rawBoth
+    def halfCust(inA: Boolean): DataFrame =
+      rawM.filter(col("__in_a") === inA).drop("__in_a")
+    val a = rfmFromCustRaw(halfCust(inA = true), materialized = prod)
+    val b = rfmFromCustRaw(halfCust(inA = false), materialized = prod)
     a.select(col("o_custkey"), col("segment").as("sfrom"))
       .join(b.select(col("o_custkey"), col("segment").as("sto")),
         Seq("o_custkey"), "full_outer")
@@ -1877,10 +1919,18 @@ object Analytics {
     * integer counts and one double ratio, partial-agg friendly
     * everywhere. At 100 TB the only skew risk is a mega-basket, which
     * the distinct-ification and AQE absorb.
+    *
+    * The distinct basket frame feeds FOUR branches (the corpus count,
+    * the per-part supports and both self-join sides); left as a plain
+    * subtree the pair branch recomputes the scan+distinct under its
+    * own projection (ReusedExchange only dedupes identical exchanges),
+    * so the frame is materialized ONCE via localCheckpoint — the
+    * [[Index.rankerEval]] treatment (6.6s → ~2s at sf0.1).
     */
   def basketLift(spark: SparkSession, dir: String): DataFrame = {
     val b = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint() // one scan+distinct, 4 consumers
     val nDf = b.agg(countDistinct(col("l_orderkey")).cast("double").as("n"))
     val pa = b.groupBy(col("l_partkey")).agg(count(lit(1)).as("na"))
     val pairs = b.as("x").join(b.as("y"),
@@ -2336,8 +2386,12 @@ object Analytics {
     * the zero-discount baseline — whether discounts actually move
     * volume. Quantities are integral doubles (sums exact below 2⁵³,
     * order-free); the averages and the lift are exact integer ratios
-    * in 10⁻⁴ units, so no float division can disagree. One
-    * |bands|-row rollup plus a 1-row broadcast baseline.
+    * in 10⁻⁴ units, so no float division can disagree. The lift
+    * numerator qsum·n0·10⁴ passes ~7.6·10²⁰ around sf100 — past
+    * bigint, where Spark's non-ANSI multiply wraps silently while
+    * DuckDB errors — so both products route through DECIMAL(38,0)
+    * (HUGEINT on the oracle side), the [[eventsAutocorr]] treatment.
+    * One |bands|-row rollup plus a 1-row broadcast baseline.
     */
   def discountLift(spark: SparkSession, dir: String): DataFrame = {
     val bands = Tables.lineitem(spark, dir)
@@ -2351,9 +2405,12 @@ object Analytics {
     bands.crossJoin(broadcast(base))
       .select(col("band"), col("n_items"),
         expr("cast((qsum * 10000) div n_items as double) / 1e4").as("avg_qty"),
-        // lift = (qsum/n) / (q0/n0) = qsum·n0 / (n·q0), exact 1e-4 units
+        // lift = (qsum/n) / (q0/n0) = qsum·n0 / (n·q0), exact 1e-4 units;
+        // both products DECIMAL(38,0) so the numerator survives past 2^63
         when(col("q0") > 0,
-          expr("cast((qsum * n0 * 10000) div (n_items * q0) as double) / 1e4"))
+          expr("""cast((cast(qsum as decimal(38,0)) * cast(n0 as decimal(38,0))
+            * 10000) div (cast(n_items as decimal(38,0)) * cast(q0 as decimal(38,0)))
+            as double) / 1e4"""))
           .as("lift_vs_zero"))
       .orderBy("band")
   }
@@ -3031,7 +3088,8 @@ object Analytics {
         |SELECT band, n_items,
         |  CAST((qsum * 10000) // n_items AS DOUBLE) / 1e4 AS avg_qty,
         |  CASE WHEN q0 > 0 THEN
-        |    CAST((qsum * n0 * 10000) // (n_items * q0) AS DOUBLE) / 1e4
+        |    CAST((qsum::HUGEINT * n0::HUGEINT * 10000)
+        |      // (n_items::HUGEINT * q0::HUGEINT) AS DOUBLE) / 1e4
         |  END AS lift_vs_zero
         |FROM b, z ORDER BY band""".stripMargin,
     "q12_ship_delay" ->

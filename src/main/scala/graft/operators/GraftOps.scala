@@ -180,27 +180,82 @@ object GraftOps {
     * (value ASC, tie ASC); any existing `rn` column is replaced). For
     * a descending rank pass the negated value.
     */
-  def rangeRank(df: DataFrame, value: Column, tie: Column): DataFrame = {
-    val b = df.withColumn("__v", value).withColumn("__t", tie).localCheckpoint()
+  def rangeRank(df: DataFrame, value: Column, tie: Column): DataFrame =
+    rangeRankMulti(df, Seq("rn" -> value), tie)
+
+  /** N [[rangeRank]] passes amortized over ONE input materialization
+    * and ONE cut-point sample pass: all pass values project onto the
+    * same localCheckpoint'd frame, one aggregate computes every
+    * pass's approx_percentile sketch together (a single partial-agg
+    * scan instead of one per pass), and each pass then pays only its
+    * inherent per-bucket rank window plus a tiny offset rollup. Six
+    * chained single-pass calls on the same frame pay the
+    * checkpoint+sample floor six times (the `rfm_migration#prod`
+    * 6.4s finding); this shape pays it once per frame.
+    *
+    * Output: the input columns + one 1-based global-rank column per
+    * `(name, value)` pass (rank by (value ASC, tie ASC) — negate the
+    * value for descending), each bitwise-identical to the equivalent
+    * single [[rangeRank]] pass.
+    */
+  def rangeRankMulti(df: DataFrame, passes: Seq[(String, Column)],
+                     tie: Column, materialized: Boolean = false): DataFrame = {
+    val vi = passes.indices
+    val proj = vi.foldLeft(df.withColumn("__t", tie)) { (d, i) =>
+      d.withColumn(s"__v$i", passes(i)._2)
+    }
+    // `materialized = true`: the caller already localCheckpoint'd the
+    // frame (the pass projections are cheap row-local arithmetic), so
+    // a second materialization here would only add a pass
+    val b = if (materialized) proj else proj.localCheckpoint()
     val fracs = (1 to 31).map(k => k / 32.0).mkString("array(", ", ", ")")
     val bounds = b.agg(
-      expr(s"approx_percentile(cast(__v as double), $fracs, 1000)").as("__bs"))
-    val bucketed = b.crossJoin(broadcast(bounds))
-      .withColumn("__bk",
-        size(filter(array_distinct(col("__bs")),
-          x => col("__v").cast("double") > x)).cast("long"))
-      .drop("__bs")
-    val offsets = bucketed.groupBy("__bk").agg(count(lit(1)).as("__c"))
-      .withColumn("__off", coalesce(
-        sum(col("__c")).over(
-          Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select(col("__bk"), col("__off"))
-    bucketed.join(broadcast(offsets), "__bk")
-      .withColumn("rn",
-        (col("__off") + row_number().over(
-          Window.partitionBy("__bk").orderBy(col("__v"), col("__t")))).cast("long"))
-      .drop("__bk", "__off", "__v", "__t")
+      expr(s"approx_percentile(cast(__v0 as double), $fracs, 1000)").as("__bs0"),
+      vi.drop(1).map(i =>
+        expr(s"approx_percentile(cast(__v$i as double), $fracs, 1000)").as(s"__bs$i")): _*)
+    val bucketed = vi.foldLeft(b.crossJoin(broadcast(bounds))) { (d, i) =>
+        d.withColumn(s"__bk$i",
+          size(filter(array_distinct(col(s"__bs$i")),
+            x => col(s"__v$i").cast("double") > x)).cast("long"))
+      }.drop(vi.map(i => s"__bs$i"): _*)
+    // one job computes every pass's per-bucket offsets (explode to
+    // (pass, bucket) rows, ≤32·N groups) and materializes the tiny
+    // table; N separate rollups would each pay a full scheduling
+    // round. Single-pass calls keep the direct rollup — the explode
+    // and extra materialization would only add jobs there.
+    val offAll =
+      if (vi.size == 1) None
+      else Some(bucketed
+        .select(explode(array(vi.map(i =>
+          struct(lit(i).as("__p"), col(s"__bk$i").as("__bk"))): _*)).as("__e"))
+        .groupBy(col("__e.__p").as("__p"), col("__e.__bk").as("__bk"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__off", coalesce(
+          sum(col("__c")).over(
+            Window.partitionBy("__p").orderBy("__bk")
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("__p"), col("__bk"), col("__off"))
+        .localCheckpoint())
+    vi.foldLeft(bucketed) { (d, i) =>
+        val offsets = offAll match {
+          case Some(oa) => oa.filter(col("__p") === i)
+            .select(col("__bk").as(s"__bk$i"), col("__off"))
+          case None =>
+            bucketed.groupBy(s"__bk$i").agg(count(lit(1)).as("__c"))
+              .withColumn("__off", coalesce(
+                sum(col("__c")).over(
+                  Window.orderBy(s"__bk$i").rowsBetween(Window.unboundedPreceding, -1)),
+                lit(0L)))
+              .select(col(s"__bk$i"), col("__off"))
+        }
+        d.join(broadcast(offsets), s"__bk$i")
+          .withColumn(passes(i)._1,
+            (col("__off") + row_number().over(
+              Window.partitionBy(s"__bk$i").orderBy(col(s"__v$i"), col("__t")))).cast("long"))
+          .drop("__off")
+      }
+      .drop(vi.flatMap(i => Seq(s"__bk$i", s"__v$i")) :+ "__t": _*)
   }
 
   /** Distributed running total: prefix sums of `value` over the TOTAL

@@ -530,28 +530,56 @@ object Pipeline {
     * q25 is huge needs chunking first. Under the gate's bitwise
     * contract Spark's exact `percentile` runs (per-GROUP value
     * buffers — fine at |source| granularity until a source spans
-    * billions of docs); production mode ([[Folds]] switch) swaps in
-    * `approx_percentile`'s constant-size GK sketch on the same plan —
-    * a nearest-rank data value (no interpolation) whose rank is
-    * within the sketch's n/accuracy bound of the target (the spec
-    * asserts the rank bracket per source and quartile).
+    * billions of docs); production mode ([[Folds]] switch) computes
+    * the SAME interpolated quantile distributively off a per-source
+    * VALUE HISTOGRAM: group by (source, n_chars) — the frame is
+    * bounded by distinct lengths per source, never by docs — then a
+    * source-partitioned cumulative count locates the two bracketing
+    * values of each (n−1)·q rank and one line of exact double
+    * arithmetic interpolates. Rank positions and fractions are
+    * quarter-integers (exact binary doubles on integer lengths), so
+    * production output is bitwise-equal to the gate's and both pass
+    * the same quantile_cont oracle at every SF — an approx sketch
+    * here could never match, since it returns a data value while the
+    * oracle interpolates (the r9 sf0.1 PRODPATH find).
     */
   def sourceLengthQuartiles(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val pctExpr =
-      if (Folds.bitwise(docs)) "percentile(n_chars, array(0.25D, 0.5D, 0.75D))"
-      else "approx_percentile(n_chars, array(0.25D, 0.5D, 0.75D), 10000)"
-    docs
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), expr(pctExpr).as("qs"))
-      // the double cast keeps one output schema across both modes
-      // (exact percentile interpolates to double, the GK sketch
-      // returns the integer data value)
-      .select(col("source"), col("n_docs"),
-        round(col("qs").getItem(0).cast("double"), 6).as("q25"),
-        round(col("qs").getItem(1).cast("double"), 6).as("q50"),
-        round(col("qs").getItem(2).cast("double"), 6).as("q75"))
-      .orderBy("source")
+    if (Folds.bitwise(docs)) {
+      docs
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D))").as("qs"))
+        .select(col("source"), col("n_docs"),
+          round(col("qs").getItem(0).cast("double"), 6).as("q25"),
+          round(col("qs").getItem(1).cast("double"), 6).as("q50"),
+          round(col("qs").getItem(2).cast("double"), 6).as("q75"))
+        .orderBy("source")
+    } else {
+      val hist = docs.groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("c"))
+      val cum = hist.withColumn("cum",
+        sum(col("c")).over(Window.partitionBy("source").orderBy("n_chars")))
+      val tot = cum.groupBy("source").agg(max(col("cum")).as("nn"))
+      cum.join(broadcast(tot), "source")
+        .withColumn("q", explode(array(lit(0.25d), lit(0.5d), lit(0.75d))))
+        // 0-based fractional rank p = (n-1)·q; bracketing 1-based ranks
+        // floor(p)+1 and ceil(p)+1; value at rank r = min length whose
+        // cumulative count reaches r
+        .withColumn("p", (col("nn") - 1).cast("double") * col("q"))
+        .groupBy("source", "q")
+        .agg(first(col("nn")).as("nn"), first(col("p")).as("p"),
+          min(when(col("cum") >= floor(col("p")) + 1, col("n_chars"))).as("vlo"),
+          min(when(col("cum") >= ceil(col("p")) + 1, col("n_chars"))).as("vhi"))
+        .withColumn("v", round(col("vlo").cast("double") +
+          (col("p") - floor(col("p")).cast("double")) *
+            (col("vhi") - col("vlo")).cast("double"), 6))
+        .groupBy("source")
+        .agg(first(col("nn")).as("n_docs"),
+          max(when(col("q") === 0.25d, col("v"))).as("q25"),
+          max(when(col("q") === 0.5d, col("v"))).as("q50"),
+          max(when(col("q") === 0.75d, col("v"))).as("q75"))
+        .orderBy("source")
+    }
   }
 
   // -- DSIR importance resampling (Xie et al. 2023, "Data Selection

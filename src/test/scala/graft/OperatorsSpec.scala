@@ -1418,27 +1418,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
-  test("source_length_quartiles production mode: GK values hold their rank bracket") {
+  test("source_length_quartiles production mode: histogram quantiles equal the exact interpolation") {
     val lens = sources.Tables.documents(spark, sfDir)
       .select("source", "n_chars").collect()
       .groupBy(_.getString(0))
       .map { case (s, rs) => s -> rs.map(_.getLong(1)).sorted }
+    val gate = operators.Pipeline.sourceLengthQuartiles(spark, sfDir).collect()
     spark.conf.set(operators.Folds.ConfKey, "false")
     try {
       val prod = operators.Pipeline.sourceLengthQuartiles(spark, sfDir).collect()
       assert(prod.nonEmpty)
+      // production's value-histogram path is EXACT: every quartile must
+      // equal the R-7 interpolation over the sorted lengths, and the
+      // whole row must be bitwise-equal to the gate's exact-percentile
+      // output (the oracle compares both modes to one quantile_cont)
+      assert(prod.map(_.toString).sorted.toSeq === gate.map(_.toString).sorted.toSeq)
       prod.foreach { r =>
         val xs = lens(r.getString(0))
         val n = xs.length
-        val slack = n / 10000 + 1
+        assert(r.getLong(1) === n.toLong)
         Seq(0.25 -> r.getDouble(2), 0.5 -> r.getDouble(3), 0.75 -> r.getDouble(4))
           .foreach { case (p, q) =>
-            assert(xs.contains(q.toLong), s"${r.getString(0)} p=$p: $q not a data value")
-            val le = xs.count(_ <= q.toLong)
-            val lt = xs.count(_ < q.toLong)
-            val target = p * n
-            assert(le >= math.floor(target) - slack && lt <= math.ceil(target) + slack,
-              s"${r.getString(0)} p=$p: value $q rank [$lt,$le] vs target $target")
+            val h = (n - 1) * p
+            val lo = math.floor(h).toInt
+            val hi = math.min(lo + 1, n - 1)
+            val want = xs(lo) + (h - lo) * (xs(hi) - xs(lo))
+            assert(q === math.rint(want * 1e6) / 1e6, s"${r.getString(0)} p=$p")
           }
       }
     } finally spark.conf.set(operators.Folds.ConfKey, "true")
