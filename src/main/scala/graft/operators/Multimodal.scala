@@ -328,9 +328,79 @@ object Multimodal {
       .select(col("node").as("doc_id"), col("component").as("cluster_id"))
       .orderBy("doc_id")
 
+  /** Token budget of one assembled training sequence and the fixed
+    * slot cost of one media anchor inside it (a vision encoder's
+    * patch-token count — 16 for the stub). */
+  val SeqBudget = 256L
+  val MediaSlotTokens = 16L
+
+  /** MMC4-style doc↔media interleaved sequence assembly — the
+    * multimodal training-sample packer that completes §2.E beyond
+    * detect/dedup/resize: each document becomes an ordered segment
+    * list (non-overlapping 32-token text chunks, plus ONE media
+    * anchor — its digest, never its payload — inserted after chunk
+    * `n_bytes mod n_chunks`, the stub for an alignment model's
+    * placement choice), and the corpus-ordered segment stream packs
+    * into [[SeqBudget]]-token sequences. Segments are ATOMIC (a media
+    * anchor cannot straddle two sequences), so a segment belongs to
+    * the pack where its cumulative offset STARTS and a pack can run
+    * over budget by at most max(31, [[MediaSlotTokens]]−1) tokens —
+    * the bounded-overflow contract real packers trade against
+    * padding. Positions come from [[GraftOps.runningTotal]]'s
+    * two-phase prefix sum (order = (doc_id, ord) struct, doc-bucketed)
+    * — no corpus-wide window; the per-pack manifest carries the media
+    * digests in sequence order, which is all a trainer's data loader
+    * needs to fetch payloads (digests shuffle, payloads never do —
+    * the §2.E discipline).
+    */
+  def mediaInterleave(spark: SparkSession, dir: String): DataFrame =
+    mediaInterleaveOf(Tables.documents(spark, dir))
+
+  def mediaInterleaveOf(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("tk"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("nb"),
+        md5(encode(col("text"), "UTF-8")).as("mref"))
+      .withColumn("n", size(col("tk")).cast("long"))
+      .filter(col("n") > 0L)
+      .withColumn("nchunks", expr("(n + 31) div 32"))
+    // text chunk i sits at even ord 2i+2; the media anchor after chunk
+    // k at odd ord 2k+3 — interleaved, unique within the doc
+    val text = base
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(0L), col("n") - 1L, lit(32L))).as("s"))
+      .select(col("doc_id"),
+        (expr("s div 32") * 2L + 2L).as("ord"),
+        least(lit(32L), col("n") - col("s")).as("cost"),
+        lit(null).cast("string").as("mref"))
+    val media = base
+      .select(col("doc_id"),
+        (pmod(col("nb"), col("nchunks")) * 2L + 3L).as("ord"),
+        lit(MediaSlotTokens).as("cost"), col("mref"))
+    val segs = text.unionByName(media)
+    val cum = GraftOps.runningTotal(segs,
+        order = struct(col("doc_id"), col("ord")),
+        value = col("cost"), bucket = expr("doc_id div 64"))
+      .withColumn("cb", col("running") - col("cost"))
+    cum
+      .groupBy(expr(s"cb div $SeqBudget").as("pack_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("mref").isNull, 1L).otherwise(0L)).as("n_text_segs"),
+        sum(when(col("mref").isNotNull, 1L).otherwise(0L)).as("n_media_segs"),
+        sum(col("cost")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        array_join(transform(
+          sort_array(collect_list(when(col("mref").isNotNull,
+            struct(col("doc_id"), col("ord"), col("mref"))))),
+          x => x.getField("mref")), ",").as("media_refs"))
+      .orderBy("pack_id")
+  }
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_interleave" -> mediaInterleave,
     "media_neardup" -> mediaNeardup,
     "media_containment" -> mediaContainment,
     "media_resize" -> mediaResize,
@@ -343,6 +413,39 @@ object Multimodal {
     "media_neardup_clusters" -> mediaNeardupClusters)
 
   val oracles: Map[String, String] = Map(
+    "media_interleave" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) AS tk,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS nb, md5(text) AS mref
+         |  FROM documents
+         |), b AS (
+         |  SELECT doc_id, nb, mref, CAST(len(tk) AS BIGINT) AS n,
+         |    CAST((len(tk) + 31) // 32 AS BIGINT) AS nchunks
+         |  FROM toks WHERE len(tk) > 0
+         |), t AS (
+         |  SELECT doc_id, CAST((s // 32) * 2 + 2 AS BIGINT) AS ord,
+         |    CAST(least(32, n - s) AS BIGINT) AS cost, NULL::VARCHAR AS mref
+         |  FROM (SELECT doc_id, n, unnest(range(0, n, 32)) AS s FROM b)
+         |), m AS (
+         |  SELECT doc_id, CAST((nb % nchunks) * 2 + 3 AS BIGINT) AS ord,
+         |    CAST(${MediaSlotTokens} AS BIGINT) AS cost, mref FROM b
+         |), segs AS (
+         |  SELECT * FROM t UNION ALL SELECT * FROM m
+         |), cum AS (
+         |  SELECT doc_id, ord, cost, mref,
+         |    CAST(sum(cost) OVER (ORDER BY doc_id, ord) - cost AS BIGINT) AS cb
+         |  FROM segs
+         |)
+         |SELECT CAST(cb // ${SeqBudget} AS BIGINT) AS pack_id,
+         |  CAST(count(*) AS BIGINT) AS n_segs,
+         |  CAST(count(*) FILTER (WHERE mref IS NULL) AS BIGINT) AS n_text_segs,
+         |  CAST(count(*) FILTER (WHERE mref IS NOT NULL) AS BIGINT) AS n_media_segs,
+         |  CAST(sum(cost) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+         |  coalesce(string_agg(mref, ',' ORDER BY doc_id, ord)
+         |    FILTER (WHERE mref IS NOT NULL), '') AS media_refs
+         |FROM cum GROUP BY 1 ORDER BY pack_id""".stripMargin,
     "media_size_report" ->
       """WITH m AS (
         |  SELECT source,

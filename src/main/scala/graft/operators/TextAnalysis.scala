@@ -900,6 +900,67 @@ object TextAnalysis {
       .limit(20)
   }
 
+  // ---- bpe_train -------------------------------------------------------
+
+  /** Number of BPE merge rounds [[bpeTrain]] runs — fixed so the
+    * DuckDB oracle (a chained CTE replaying the same rounds) and the
+    * Spark loop always agree on the trained table's shape. */
+  val BpeRounds = 8
+
+  /** ITERATED BPE tokenizer training — the merge loop [[bpeMerges]]
+    * only computes round 1 of: [[BpeRounds]] deterministic rounds,
+    * each = one vocab-bounded adjacent-pair rollup, a TakeOrdered
+    * argmax (ties broken (freq DESC, l, r) on both engines), and a
+    * broadcast of the winning merge applied to every word via a
+    * greedy left-to-right `aggregate` fold over its symbol array —
+    * the Lloyd-iteration shape the engine already uses for
+    * `knn_ivf_trained` (broadcast model, re-score, repeat). State
+    * between rounds is the (symbols, count) WORD table — bounded by
+    * |vocab|, never by corpus size, which is what makes tokenizer
+    * training feasible at 100 TB: the corpus is touched once (the
+    * initial term rollup); every round after that runs on the
+    * checkpointed vocab frame. Output: one row per round —
+    * (round, l, r, merged, freq) — the ordered merge table a BPE
+    * tokenizer IS.
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainOf(Tables.documents(spark, dir))
+
+  def bpeTrainOf(docs: DataFrame): DataFrame = {
+    var words = Index.tokenStreamOf(docs)
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .select(split(col("term"), "").as("syms"), col("cnt"))
+      .localCheckpoint() // vocab-bounded; every round reads this, not the corpus
+    val rounds = (1 to BpeRounds).map { round =>
+      val win = words
+        .select(col("cnt"), explode(when(size(col("syms")) >= 2,
+          arrays_zip(slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1)))
+          .otherwise(array().cast("array<struct<`0`:string,`1`:string>>"))).as("p"))
+        .groupBy(col("p.0").as("l"), col("p.1").as("r"))
+        .agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("l"), col("r")).limit(1)
+        .select(lit(round.toLong).as("round"), col("l"), col("r"), col("freq"))
+        .localCheckpoint() // 1 row; keeps each round's lineage flat
+      // greedy left-to-right merge: after a merge the fold continues
+      // AFTER the merged token (the merged symbol can't immediately
+      // re-match its own left half), which is standard BPE apply order
+      words = words.crossJoin(broadcast(win.select(col("l"), col("r"))))
+        .select(expr("""aggregate(syms, cast(array() as array<string>),
+            (acc, x) -> case
+              when size(acc) > 0 and element_at(acc, -1) = l and x = r
+              then concat(slice(acc, 1, size(acc) - 1), array(concat(l, r)))
+              else concat(acc, array(x)) end)""").as("syms"),
+          col("cnt"))
+        .localCheckpoint()
+      win
+    }
+    rounds.reduce(_.unionByName(_))
+      .select(col("round"), col("l"), col("r"),
+        concat(col("l"), col("r")).as("merged"), col("freq"))
+      .orderBy("round")
+  }
+
   // ---- repetition_ratio ------------------------------------------------
 
   /** Gopher-style repetition diagnostics per document: the share of
@@ -1306,6 +1367,7 @@ object TextAnalysis {
     "perplexity_doc" -> perplexityDoc,
     "ppl_bucket_mix" -> pplBucketMix,
     "bpe_merges" -> bpeMerges,
+    "bpe_train" -> bpeTrain,
     "lang_id" -> langId,
     "nb_langid" -> nbLangid,
     "nb_langid_eval" -> nbLangidEval,
@@ -1527,6 +1589,43 @@ object TextAnalysis {
           .otherwise(round(col("n_oov").cast("double") /
             col("n_tokens").cast("double"), 6)).as("oov_rate"))
       .orderBy("doc_id")
+  }
+
+  /** The [[bpeTrain]] oracle: [[BpeRounds]] chained CTE rounds, each
+    * literally replaying one merge round — pair rollup, (freq DESC,
+    * l, r) argmax, greedy list_reduce merge apply (the fold's
+    * accumulator is prepended as an empty list so single-symbol
+    * element type matches the accumulator's, the engine's standard
+    * list_reduce-with-init idiom).
+    */
+  private def bpeTrainSql: String = {
+    val rounds = (0 until BpeRounds).map { i =>
+      s"""p$i AS (
+         |  SELECT syms[j+1] AS l, syms[j+2] AS r, cnt
+         |  FROM w$i, unnest(range(greatest(len(syms) - 1, 0))) AS u$i(j)
+         |), g$i AS (
+         |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS freq FROM p$i GROUP BY l, r
+         |), b$i AS (
+         |  SELECT l, r, freq FROM g$i ORDER BY freq DESC, l, r LIMIT 1
+         |), w${i + 1} AS (
+         |  SELECT list_reduce(
+         |    list_prepend([]::VARCHAR[], list_transform(syms, s -> [s])),
+         |    (acc, e) -> CASE
+         |      WHEN len(acc) > 0 AND acc[-1] = b$i.l AND e[1] = b$i.r
+         |      THEN list_append(acc[1:len(acc)-1], b$i.l || b$i.r)
+         |      ELSE list_append(acc, e[1]) END) AS syms, cnt
+         |  FROM w$i, b$i
+         |)""".stripMargin
+    }.mkString(", ")
+    val sel = (0 until BpeRounds).map { i =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS round, l, r, l || r AS merged, freq FROM b$i"
+    }.mkString("\nUNION ALL\n")
+    s"""${Index.TokSql}, w0 AS (
+       |  SELECT string_split(term, '') AS syms, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM tok GROUP BY term
+       |), $rounds
+       |$sel
+       |ORDER BY round""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -1782,6 +1881,7 @@ object TextAnalysis {
          |    AS tok_share
          |FROM bk JOIN st USING (source)
          |GROUP BY bk.source, bk.bucket ORDER BY source, bucket""".stripMargin,
+    "bpe_train" -> bpeTrainSql,
     "bpe_merges" ->
       s"""${Index.TokSql}, ch AS (
          |  SELECT string_split(term, '') AS cs FROM tok

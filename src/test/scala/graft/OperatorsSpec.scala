@@ -1794,6 +1794,82 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getDouble(1) > 0 && r.getDouble(2) > 0 && r.getDouble(4) < 1.0)
   }
 
+  test("bpe_train: merge table equals an independent reference trainer on a crafted corpus") {
+    import spark.implicits._
+    // crafted so the first rounds are hand-checkable and the greedy
+    // overlap case fires: merging (a,a) inside "aaa" must yield
+    // [aa, a] (scan continues AFTER the merged token), never [a, aa]
+    val docs = Seq(
+      (0L, "aaa aaa bcbc zq zq zq zq"),
+      (1L, "aaa bcbc bcbc frost frost garden"),
+      (2L, "garden frost zq aaa")).toDF("doc_id", "text")
+    // reference trainer: plain Scala, same (freq DESC, l, r) argmax
+    def refBpe(counts: Map[String, Long], k: Int): Seq[(Long, String, String, String, Long)] = {
+      var words = counts.toSeq.map { case (w, c) => (w.map(_.toString).toVector, c) }
+      (1 to k).map { r =>
+        val pc = scala.collection.mutable.Map[(String, String), Long]()
+        words.foreach { case (syms, c) =>
+          syms.zip(syms.drop(1)).foreach(p => pc(p) = pc.getOrElse(p, 0L) + c)
+        }
+        val ((l, rr), f) = pc.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head
+        words = words.map { case (syms, c) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          syms.foreach { x =>
+            if (out.nonEmpty && out.last == l && x == rr) out(out.length - 1) = l + rr
+            else out += x
+          }
+          (out.toVector, c)
+        }
+        (r.toLong, l, rr, l + rr, f)
+      }
+    }
+    val counts = Seq("aaa aaa bcbc zq zq zq zq", "aaa bcbc bcbc frost frost garden",
+        "garden frost zq aaa")
+      .flatMap(_.split("\\s+")).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val want = refBpe(counts, operators.TextAnalysis.BpeRounds)
+    val got = operators.TextAnalysis.bpeTrainOf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    assert(got === want)
+    // the hand-known opening: "aaa" occurs 4 times → 8 (a,a) pairs wins
+    // round 1; round 2 sees only 4 (aa,a) pairs (the overlap merged
+    // greedily left-to-right), so "bcbc"'s 6 (b,c) pairs win
+    assert(got.head === ((1L, "a", "a", "aa", 8L)))
+    assert(got(1) === ((2L, "b", "c", "bc", 6L)))
+    assert(got.map(_._1) === (1 to operators.TextAnalysis.BpeRounds).map(_.toLong))
+  }
+
+  test("media_interleave: atomic segments, bounded overflow, one ordered anchor per doc") {
+    val packs = operators.Multimodal.mediaInterleave(spark, sfDir).collect()
+    assert(packs.nonEmpty)
+    val nDocs = sources.Tables.documents(spark, sfDir)
+      .filter(size(functions.TextFns.tokens(col("text"))) > 0).count()
+    // every doc contributes exactly one media anchor, each priced at
+    // the fixed slot cost
+    assert(packs.map(_.getLong(3)).sum === nDocs)
+    packs.foreach { p =>
+      val (nSegs, nText, nMedia, nTok) =
+        (p.getLong(1), p.getLong(2), p.getLong(3), p.getLong(4))
+      assert(nSegs === nText + nMedia)
+      // manifest refs match the anchor count (empty string = 0 refs)
+      val refs = p.getString(7)
+      assert((if (refs.isEmpty) 0 else refs.split(",").length).toLong === nMedia)
+      refs.split(",").filter(_.nonEmpty).foreach(r => assert(r.matches("[0-9a-f]{32}")))
+      // atomic segments: a pack overruns its 256 budget by at most one
+      // segment's tail (31 text tokens or a 15-token media remainder)
+      assert(nTok <= operators.Multimodal.SeqBudget + 31,
+        s"pack ${p.getLong(0)} overflows: $nTok")
+    }
+    // non-terminal packs are filled to within one segment of budget
+    packs.dropRight(1).foreach { p =>
+      assert(p.getLong(4) >= operators.Multimodal.SeqBudget - 31,
+        s"pack ${p.getLong(0)} underfilled: ${p.getLong(4)}")
+    }
+    // pack ids are the dense prefix-sum range
+    assert(packs.map(_.getLong(0)).toSeq === packs.indices.map(_.toLong))
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
