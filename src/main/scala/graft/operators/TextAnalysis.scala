@@ -926,10 +926,22 @@ object TextAnalysis {
   def bpeTrain(spark: SparkSession, dir: String): DataFrame =
     bpeTrainOf(Tables.documents(spark, dir))
 
-  def bpeTrainOf(docs: DataFrame): DataFrame = {
+  def bpeTrainOf(docs: DataFrame): DataFrame =
+    bpeLoopOf(docs)._1
+      .reduce(_.unionByName(_))
+      .select(col("round"), col("l"), col("r"),
+        concat(col("l"), col("r")).as("merged"), col("freq"))
+      .orderBy("round")
+
+  /** The shared trainer loop: returns (per-round winner frames, the
+    * final (term, syms, cnt) word table after all [[BpeRounds]]
+    * merges — i.e. the trained tokenizer APPLIED to the vocab, which
+    * [[bpeFertility]] evaluates).
+    */
+  private def bpeLoopOf(docs: DataFrame): (Seq[DataFrame], DataFrame) = {
     var words = Index.tokenStreamOf(docs)
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      .select(split(col("term"), "").as("syms"), col("cnt"))
+      .select(col("term"), split(col("term"), "").as("syms"), col("cnt"))
       .localCheckpoint() // vocab-bounded; every round reads this, not the corpus
     val rounds = (1 to BpeRounds).map { round =>
       val win = words
@@ -946,7 +958,7 @@ object TextAnalysis {
       // AFTER the merged token (the merged symbol can't immediately
       // re-match its own left half), which is standard BPE apply order
       words = words.crossJoin(broadcast(win.select(col("l"), col("r"))))
-        .select(expr("""aggregate(syms, cast(array() as array<string>),
+        .select(col("term"), expr("""aggregate(syms, cast(array() as array<string>),
             (acc, x) -> case
               when size(acc) > 0 and element_at(acc, -1) = l and x = r
               then concat(slice(acc, 1, size(acc) - 1), array(concat(l, r)))
@@ -955,10 +967,37 @@ object TextAnalysis {
         .localCheckpoint()
       win
     }
-    rounds.reduce(_.unionByName(_))
-      .select(col("round"), col("l"), col("r"),
-        concat(col("l"), col("r")).as("merged"), col("freq"))
-      .orderBy("round")
+    (rounds, words)
+  }
+
+  /** Fertility of the TRAINED tokenizer — the evaluation loop closed:
+    * the [[bpeTrain]]ed merge table applied to the vocab (the trainer
+    * loop's final word table, at zero extra cost) scores each source's
+    * corpus by subwords-per-word and chars-per-subword — the numbers
+    * that say whether [[BpeRounds]] merges actually compress the
+    * corpus, per source (a source whose fertility stays ~word-length
+    * is character soup the tokenizer can't help). The corpus-side
+    * cost is one token-stream join on the vocab-keyed subword table —
+    * partial-agg rollup per source; the vocab side is the training
+    * loop's state, already bounded.
+    */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sub = bpeLoopOf(docs)._2
+      .select(col("term"), size(col("syms")).cast("long").as("n_sub"))
+    Index.tokenStreamOf(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .join(sub, "term")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_subwords"),
+        sum(length(col("term")).cast("long")).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_subwords"),
+        round(col("n_subwords").cast("double") / col("n_words").cast("double"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_subwords").cast("double"), 6)
+          .as("chars_per_subword"))
+      .orderBy("source")
   }
 
   // ---- repetition_ratio ------------------------------------------------
@@ -1368,6 +1407,7 @@ object TextAnalysis {
     "ppl_bucket_mix" -> pplBucketMix,
     "bpe_merges" -> bpeMerges,
     "bpe_train" -> bpeTrain,
+    "bpe_fertility" -> bpeFertility,
     "lang_id" -> langId,
     "nb_langid" -> nbLangid,
     "nb_langid_eval" -> nbLangidEval,
@@ -1598,7 +1638,7 @@ object TextAnalysis {
     * element type matches the accumulator's, the engine's standard
     * list_reduce-with-init idiom).
     */
-  private def bpeTrainSql: String = {
+  private def bpeChainSql: String = {
     val rounds = (0 until BpeRounds).map { i =>
       s"""p$i AS (
          |  SELECT syms[j+1] AS l, syms[j+2] AS r, cnt
@@ -1608,7 +1648,7 @@ object TextAnalysis {
          |), b$i AS (
          |  SELECT l, r, freq FROM g$i ORDER BY freq DESC, l, r LIMIT 1
          |), w${i + 1} AS (
-         |  SELECT list_reduce(
+         |  SELECT term, list_reduce(
          |    list_prepend([]::VARCHAR[], list_transform(syms, s -> [s])),
          |    (acc, e) -> CASE
          |      WHEN len(acc) > 0 AND acc[-1] = b$i.l AND e[1] = b$i.r
@@ -1617,16 +1657,33 @@ object TextAnalysis {
          |  FROM w$i, b$i
          |)""".stripMargin
     }.mkString(", ")
+    s"""${Index.TokSql}, w0 AS (
+       |  SELECT term, string_split(term, '') AS syms,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM tok GROUP BY term
+       |), $rounds""".stripMargin
+  }
+
+  private def bpeTrainSql: String = {
     val sel = (0 until BpeRounds).map { i =>
       s"SELECT CAST(${i + 1} AS BIGINT) AS round, l, r, l || r AS merged, freq FROM b$i"
     }.mkString("\nUNION ALL\n")
-    s"""${Index.TokSql}, w0 AS (
-       |  SELECT string_split(term, '') AS syms, CAST(count(*) AS BIGINT) AS cnt
-       |  FROM tok GROUP BY term
-       |), $rounds
+    s"""$bpeChainSql
        |$sel
        |ORDER BY round""".stripMargin
   }
+
+  private def bpeFertilitySql: String =
+    s"""$bpeChainSql
+       |SELECT d.source,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(w.syms)) AS BIGINT) AS n_subwords,
+       |  round(sum(len(w.syms))::DOUBLE / count(*)::DOUBLE, 6) AS fertility,
+       |  round(sum(len(w.term))::DOUBLE / sum(len(w.syms))::DOUBLE, 6)
+       |    AS chars_per_subword
+       |FROM tok JOIN w${BpeRounds} w USING (term)
+       |JOIN documents d USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "pii_report" ->
@@ -1882,6 +1939,7 @@ object TextAnalysis {
          |FROM bk JOIN st USING (source)
          |GROUP BY bk.source, bk.bucket ORDER BY source, bucket""".stripMargin,
     "bpe_train" -> bpeTrainSql,
+    "bpe_fertility" -> bpeFertilitySql,
     "bpe_merges" ->
       s"""${Index.TokSql}, ch AS (
          |  SELECT string_split(term, '') AS cs FROM tok

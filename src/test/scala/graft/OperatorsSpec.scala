@@ -1840,6 +1840,20 @@ class OperatorsSpec extends SparkSpec {
     assert(got.map(_._1) === (1 to operators.TextAnalysis.BpeRounds).map(_.toLong))
   }
 
+  test("bpe_fertility: trained tokenizer compresses — 1 <= fertility < chars/word") {
+    val rows = operators.TextAnalysis.bpeFertility(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, ns, fert, cps) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      // every word is at least one subword, and 8 merges must have
+      // fused SOMETHING in every source (subwords strictly < chars)
+      assert(ns >= nw, r.getString(0))
+      assert(fert >= 1.0 && cps > 1.0, s"${r.getString(0)}: fert=$fert cps=$cps")
+      assert(math.abs(fert - ns.toDouble / nw) < 1e-5)
+    }
+  }
+
   test("media_interleave: atomic segments, bounded overflow, one ordered anchor per doc") {
     val packs = operators.Multimodal.mediaInterleave(spark, sfDir).collect()
     assert(packs.nonEmpty)
