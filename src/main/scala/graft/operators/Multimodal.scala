@@ -397,10 +397,29 @@ object Multimodal {
       .orderBy("pack_id")
   }
 
+  /** Packing-efficiency rollup over [[mediaInterleave]] — the
+    * multimodal twin of `pack_efficiency_report`: sequence count,
+    * token fill rate against [[SeqBudget]], the media anchors' share
+    * of the token budget (the compute a trainer spends on vision
+    * slots), and the worst bounded-overflow actually realized. One
+    * aggregate over the already-rollup-sized pack frame.
+    */
+  def mediaPackReport(spark: SparkSession, dir: String): DataFrame =
+    mediaInterleave(spark, dir).agg(
+      count(lit(1)).as("n_seqs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      sum(col("n_media_segs")).as("n_anchors"),
+      round(sum(col("n_media_segs")).cast("double") * MediaSlotTokens /
+        sum(col("n_tokens")).cast("double"), 6).as("media_token_share"),
+      round(sum(col("n_tokens")).cast("double") /
+        (count(lit(1)) * lit(SeqBudget)).cast("double"), 6).as("fill_rate"),
+      (max(col("n_tokens")) - lit(SeqBudget)).as("max_overflow"))
+
   // ---- wiring ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_interleave" -> mediaInterleave,
+    "media_pack_report" -> mediaPackReport,
     "media_neardup" -> mediaNeardup,
     "media_containment" -> mediaContainment,
     "media_resize" -> mediaResize,
@@ -412,40 +431,64 @@ object Multimodal {
     "media_dedup_apply" -> mediaDedupApply,
     "media_neardup_clusters" -> mediaNeardupClusters)
 
+  private def mediaInterleaveSql: String =
+    s"""$mediaInterleaveChainSql
+       |$mediaInterleavePackSelect
+       |ORDER BY pack_id""".stripMargin
+
+  private def mediaPackReportSql: String =
+    s"""$mediaInterleaveChainSql, packs AS (
+       |$mediaInterleavePackSelect
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_seqs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(sum(n_media_segs) AS BIGINT) AS n_anchors,
+       |  round(sum(n_media_segs)::DOUBLE * ${MediaSlotTokens} /
+       |    sum(n_tokens)::DOUBLE, 6) AS media_token_share,
+       |  round(sum(n_tokens)::DOUBLE /
+       |    (count(*) * ${SeqBudget})::DOUBLE, 6) AS fill_rate,
+       |  CAST(max(n_tokens) - ${SeqBudget} AS BIGINT) AS max_overflow
+       |FROM packs""".stripMargin
+
+  private def mediaInterleavePackSelect: String =
+    s"""SELECT CAST(cb // ${SeqBudget} AS BIGINT) AS pack_id,
+       |  CAST(count(*) AS BIGINT) AS n_segs,
+       |  CAST(count(*) FILTER (WHERE mref IS NULL) AS BIGINT) AS n_text_segs,
+       |  CAST(count(*) FILTER (WHERE mref IS NOT NULL) AS BIGINT) AS n_media_segs,
+       |  CAST(sum(cost) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |  coalesce(string_agg(mref, ',' ORDER BY doc_id, ord)
+       |    FILTER (WHERE mref IS NOT NULL), '') AS media_refs
+       |FROM cum GROUP BY 1""".stripMargin
+
+  private def mediaInterleaveChainSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) AS tk,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS nb, md5(text) AS mref
+       |  FROM documents
+       |), b AS (
+       |  SELECT doc_id, nb, mref, CAST(len(tk) AS BIGINT) AS n,
+       |    CAST((len(tk) + 31) // 32 AS BIGINT) AS nchunks
+       |  FROM toks WHERE len(tk) > 0
+       |), t AS (
+       |  SELECT doc_id, CAST((s // 32) * 2 + 2 AS BIGINT) AS ord,
+       |    CAST(least(32, n - s) AS BIGINT) AS cost, NULL::VARCHAR AS mref
+       |  FROM (SELECT doc_id, n, unnest(range(0, n, 32)) AS s FROM b)
+       |), m AS (
+       |  SELECT doc_id, CAST((nb % nchunks) * 2 + 3 AS BIGINT) AS ord,
+       |    CAST(${MediaSlotTokens} AS BIGINT) AS cost, mref FROM b
+       |), segs AS (
+       |  SELECT * FROM t UNION ALL SELECT * FROM m
+       |), cum AS (
+       |  SELECT doc_id, ord, cost, mref,
+       |    CAST(sum(cost) OVER (ORDER BY doc_id, ord) - cost AS BIGINT) AS cb
+       |  FROM segs
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "media_interleave" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id,
-         |    list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) AS tk,
-         |    CAST(octet_length(encode(text)) AS BIGINT) AS nb, md5(text) AS mref
-         |  FROM documents
-         |), b AS (
-         |  SELECT doc_id, nb, mref, CAST(len(tk) AS BIGINT) AS n,
-         |    CAST((len(tk) + 31) // 32 AS BIGINT) AS nchunks
-         |  FROM toks WHERE len(tk) > 0
-         |), t AS (
-         |  SELECT doc_id, CAST((s // 32) * 2 + 2 AS BIGINT) AS ord,
-         |    CAST(least(32, n - s) AS BIGINT) AS cost, NULL::VARCHAR AS mref
-         |  FROM (SELECT doc_id, n, unnest(range(0, n, 32)) AS s FROM b)
-         |), m AS (
-         |  SELECT doc_id, CAST((nb % nchunks) * 2 + 3 AS BIGINT) AS ord,
-         |    CAST(${MediaSlotTokens} AS BIGINT) AS cost, mref FROM b
-         |), segs AS (
-         |  SELECT * FROM t UNION ALL SELECT * FROM m
-         |), cum AS (
-         |  SELECT doc_id, ord, cost, mref,
-         |    CAST(sum(cost) OVER (ORDER BY doc_id, ord) - cost AS BIGINT) AS cb
-         |  FROM segs
-         |)
-         |SELECT CAST(cb // ${SeqBudget} AS BIGINT) AS pack_id,
-         |  CAST(count(*) AS BIGINT) AS n_segs,
-         |  CAST(count(*) FILTER (WHERE mref IS NULL) AS BIGINT) AS n_text_segs,
-         |  CAST(count(*) FILTER (WHERE mref IS NOT NULL) AS BIGINT) AS n_media_segs,
-         |  CAST(sum(cost) AS BIGINT) AS n_tokens,
-         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
-         |  coalesce(string_agg(mref, ',' ORDER BY doc_id, ord)
-         |    FILTER (WHERE mref IS NOT NULL), '') AS media_refs
-         |FROM cum GROUP BY 1 ORDER BY pack_id""".stripMargin,
+    "media_pack_report" -> mediaPackReportSql,
+    "media_interleave" -> mediaInterleaveSql,
     "media_size_report" ->
       """WITH m AS (
         |  SELECT source,

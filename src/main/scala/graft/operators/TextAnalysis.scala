@@ -970,6 +970,24 @@ object TextAnalysis {
     (rounds, words)
   }
 
+  /** The trained subword vocabulary: every distinct symbol the
+    * [[BpeRounds]]-merge tokenizer emits, with its corpus-weighted
+    * occurrence count and whether it is a learned MERGE or a base
+    * character — the artifact a tokenizer ships as its vocab file,
+    * and the coverage check beside [[bpeFertility]]'s compression
+    * check. One explode of the trainer's final word table (weighted
+    * by word count) + a symbol-keyed rollup; top-20 by count for a
+    * stable audit surface.
+    */
+  def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    bpeLoopOf(Tables.documents(spark, dir))._2
+      .select(explode(col("syms")).as("subword"), col("cnt"))
+      .groupBy("subword")
+      .agg(sum(col("cnt")).as("n_occurrences"))
+      .withColumn("is_merge", length(col("subword")) > 1)
+      .orderBy(col("n_occurrences").desc, col("subword"))
+      .limit(20)
+
   /** Fertility of the TRAINED tokenizer — the evaluation loop closed:
     * the [[bpeTrain]]ed merge table applied to the vocab (the trainer
     * loop's final word table, at zero extra cost) scores each source's
@@ -1408,6 +1426,7 @@ object TextAnalysis {
     "bpe_merges" -> bpeMerges,
     "bpe_train" -> bpeTrain,
     "bpe_fertility" -> bpeFertility,
+    "bpe_vocab" -> bpeVocab,
     "lang_id" -> langId,
     "nb_langid" -> nbLangid,
     "nb_langid_eval" -> nbLangidEval,
@@ -1672,6 +1691,13 @@ object TextAnalysis {
        |$sel
        |ORDER BY round""".stripMargin
   }
+
+  private def bpeVocabSql: String =
+    s"""$bpeChainSql
+       |SELECT s AS subword, CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+       |  len(s) > 1 AS is_merge
+       |FROM (SELECT unnest(syms) AS s, cnt FROM w${BpeRounds})
+       |GROUP BY s ORDER BY n_occurrences DESC, subword LIMIT 20""".stripMargin
 
   private def bpeFertilitySql: String =
     s"""$bpeChainSql
@@ -1940,6 +1966,7 @@ object TextAnalysis {
          |GROUP BY bk.source, bk.bucket ORDER BY source, bucket""".stripMargin,
     "bpe_train" -> bpeTrainSql,
     "bpe_fertility" -> bpeFertilitySql,
+    "bpe_vocab" -> bpeVocabSql,
     "bpe_merges" ->
       s"""${Index.TokSql}, ch AS (
          |  SELECT string_split(term, '') AS cs FROM tok

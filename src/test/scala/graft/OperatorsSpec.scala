@@ -1854,6 +1854,20 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("bpe_vocab: learned merges appear in the emitted vocab, flags consistent") {
+    val rows = operators.TextAnalysis.bpeVocab(spark, sfDir).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.getBoolean(2) === (r.getString(0).length > 1))
+      assert(r.getLong(1) > 0)
+    }
+    // counts are emitted in the audit's (count DESC, subword) order and
+    // at least one multi-char merge product made the top-20
+    val cs = rows.map(_.getLong(1)).toSeq
+    assert(cs === cs.sorted.reverse)
+    assert(rows.exists(_.getBoolean(2)))
+  }
+
   test("media_interleave: atomic segments, bounded overflow, one ordered anchor per doc") {
     val packs = operators.Multimodal.mediaInterleave(spark, sfDir).collect()
     assert(packs.nonEmpty)
