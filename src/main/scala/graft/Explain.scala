@@ -65,6 +65,12 @@ object Explain {
     // (a parquet scan here means a branch re-derived the distinct)
     "basket_lift" -> Rule(required = Seq("BroadcastHashJoin"),
       forbidden = Seq("Scan parquet")),
+    // the trainer's final plan reads only checkpointed vocab state (the
+    // corpus was scanned exactly once, into the round-0 checkpoint)
+    "bpe_train" -> Rule(forbidden = Seq("Scan parquet")),
+    // assembly packs via broadcast offsets; no corpus-wide window
+    "media_interleave" -> Rule(required = Seq("BroadcastHashJoin")),
+    "bpe_fertility" -> Rule(),
     "q10_returns" -> Rule(required = Seq("BroadcastHashJoin")),
     "q14_promo" -> Rule(required = Seq("BroadcastHashJoin")),
     "gram_novelty" -> Rule(),
