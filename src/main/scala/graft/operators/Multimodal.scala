@@ -357,6 +357,18 @@ object Multimodal {
     mediaInterleaveOf(Tables.documents(spark, dir))
 
   def mediaInterleaveOf(docs: DataFrame): DataFrame = {
+    val cum = GraftOps.runningTotal(interleaveSegmentsOf(docs),
+        order = struct(col("doc_id"), col("ord")),
+        value = col("cost"), bucket = expr("doc_id div 64"))
+      .withColumn("cb", col("running") - col("cost"))
+    interleavePackRollup(cum).orderBy("pack_id")
+  }
+
+  /** The (doc_id, ord, cost, mref) interleaved segment stream of a
+    * document frame — [[mediaInterleave]]'s first stage, shared with
+    * the streaming maintainer ([[graft.streaming.Stream.interleaveMaintenance]]).
+    */
+  private[graft] def interleaveSegmentsOf(docs: DataFrame): DataFrame = {
     val base = docs
       .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("tk"),
         length(encode(col("text"), "UTF-8")).cast("long").as("nb"),
@@ -377,11 +389,14 @@ object Multimodal {
       .select(col("doc_id"),
         (pmod(col("nb"), col("nchunks")) * 2L + 3L).as("ord"),
         lit(MediaSlotTokens).as("cost"), col("mref"))
-    val segs = text.unionByName(media)
-    val cum = GraftOps.runningTotal(segs,
-        order = struct(col("doc_id"), col("ord")),
-        value = col("cost"), bucket = expr("doc_id div 64"))
-      .withColumn("cb", col("running") - col("cost"))
+    text.unionByName(media)
+  }
+
+  /** Per-pack manifest rollup over a positioned segment frame (needs
+    * doc_id, ord, cost, mref, cb) — [[mediaInterleave]]'s second
+    * stage, shared with the streaming maintainer's per-batch delta.
+    */
+  private[graft] def interleavePackRollup(cum: DataFrame): DataFrame =
     cum
       .groupBy(expr(s"cb div $SeqBudget").as("pack_id"))
       .agg(count(lit(1)).as("n_segs"),
@@ -394,8 +409,6 @@ object Multimodal {
           sort_array(collect_list(when(col("mref").isNotNull,
             struct(col("doc_id"), col("ord"), col("mref"))))),
           x => x.getField("mref")), ",").as("media_refs"))
-      .orderBy("pack_id")
-  }
 
   /** Packing-efficiency rollup over [[mediaInterleave]] — the
     * multimodal twin of `pack_efficiency_report`: sequence count,

@@ -584,6 +584,75 @@ object Stream {
         ()
       }
 
+  /** Streaming MMC4-style sequence assembly — `media_interleave`'s
+    * streaming twin, completing the multimodal family's §G rung: each
+    * micro-batch expands its documents through the SHARED
+    * [[graft.operators.Multimodal.interleaveSegmentsOf]] stage
+    * (atomic 32-token text chunks + the fixed-slot media anchor), lays
+    * the segments on the global token line from the stored offset
+    * (state-in-store: Σ n_tokens of the pack table), and merges pack
+    * deltas with the store at PACK granularity — counts sum, first/
+    * last docs min/max, and a boundary-straddling pack's media-ref
+    * manifests CONCATENATE store-before-delta, which is position
+    * order because the token line only ever extends (append-only
+    * stream ⇒ every new segment's offset exceeds every stored one).
+    * Same marker-based replay idempotence and two-rename crash-safe
+    * swap as [[packMaintenance]]; when documents arrive in doc_id
+    * order the store equals the batch operator exactly
+    * (spec-asserted, restart drill included).
+    */
+  def interleaveMaintenance(docs: DataFrame, storePath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val basePath = new org.apache.hadoop.fs.Path(storePath)
+        val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverStore(fs, basePath)
+        val marker = new org.apache.hadoop.fs.Path(s"$storePath/_applied_$batchId")
+        if (!fs.exists(marker)) { // replayed batch: already applied → no-op
+          val segs = graft.operators.Multimodal.interleaveSegmentsOf(
+            batch.select(col("doc_id"), col("text")))
+          val offset: Long =
+            if (fs.exists(basePath))
+              spark.read.parquet(storePath)
+                .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
+            else 0L
+          val cum = graft.operators.GraftOps.runningTotal(segs,
+              order = struct(col("doc_id"), col("ord")),
+              value = col("cost"), bucket = expr("doc_id div 64"))
+            .withColumn("cb", col("running") - col("cost") + lit(offset))
+          val delta = graft.operators.Multimodal.interleavePackRollup(cum)
+          if (fs.exists(basePath)) {
+            val merged = spark.read.parquet(storePath)
+              .withColumn("__t", lit(0L))
+              .unionByName(delta.withColumn("__t", lit(1L)))
+              .groupBy("pack_id")
+              .agg(sum(col("n_segs")).as("n_segs"),
+                sum(col("n_text_segs")).as("n_text_segs"),
+                sum(col("n_media_segs")).as("n_media_segs"),
+                sum(col("n_tokens")).as("n_tokens"),
+                min(col("first_doc")).as("first_doc"),
+                max(col("last_doc")).as("last_doc"),
+                // store (__t=0) precedes delta (__t=1) = token-line order
+                array_join(filter(transform(
+                  sort_array(collect_list(struct(col("__t"), col("media_refs").as("r")))),
+                  x => x.getField("r")), s => length(s) > 0), ",").as("media_refs"))
+            val tmp = s"$storePath.merged-$batchId"
+            merged.write.mode("overwrite").parquet(tmp)
+            fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_applied_$batchId")).close()
+            swapStore(fs, basePath, tmp)
+          } else {
+            val tmp = s"$storePath.init-$batchId"
+            delta.write.mode("overwrite").parquet(tmp)
+            fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_applied_$batchId")).close()
+            mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
+          }
+        }
+        ()
+      }
+
   /** Streaming uniform k-sample per source — `sample_k`'s streaming
     * twin: each micro-batch salts doc keys with the same md5 as the
     * batch operator and the store keeps the k SMALLEST hashes per

@@ -960,6 +960,77 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
     assert(got.exists(p => p._4 < 2L && p._5 >= 2L))
   }
 
+  test("stream_interleave: streamed sequence assembly equals the batch packer, restart-safe") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val (b1, rest) = docs.splitAt(docs.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val base = java.nio.file.Files.createTempDirectory("graft-il").toString
+    val (store, ckpt) = (s"$base/packs", s"$base/ckpt")
+    def snap() = spark.read.parquet(store)
+      .orderBy("pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7))).toSeq
+    def batchWant(ds: Seq[(Long, String)]) =
+      operators.Multimodal.mediaInterleaveOf(ds.toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7))).toSeq
+    val in = MemoryStream[(Long, String)]
+    val df = in.toDF().toDF("doc_id", "text")
+    val q = Stream.interleaveMaintenance(df, store)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      in.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = snap()
+    assert(got === batchWant((b1 ++ b2).toSeq))
+    // restart drill: same source + checkpoint — the store (its Σ
+    // n_tokens offset), not executor state, carries the token line
+    val q2 = Stream.interleaveMaintenance(df, store)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData(b3.toSeq: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(snap() === batchWant(docs.toSeq))
+
+    // crafted straddle: doc 0 (300 tokens, 316 slots) ends inside pack
+    // 1; doc 1 arrives in a LATER batch and lands in pack 1 too, so the
+    // pack-granular merge must sum the partial rows and concatenate the
+    // manifests store-before-delta (both anchors sit in pack 1 by
+    // construction: nb mod nchunks puts each after its last chunk)
+    val t0 = Seq.fill(300)("aaaa").mkString(" ")
+    val t1 = Seq.fill(100)("bbbb").mkString(" ")
+    val store2 = s"$base/packs2"
+    val in2 = MemoryStream[(Long, String)]
+    val q3 = Stream.interleaveMaintenance(in2.toDF().toDF("doc_id", "text"), store2)
+      .option("checkpointLocation", s"$base/ckpt2").start()
+    try {
+      in2.addData((0L, t0)); q3.processAllAvailable()
+      in2.addData((1L, t1)); q3.processAllAvailable()
+    } finally q3.stop()
+    val packs2 = spark.read.parquet(store2).orderBy("pack_id").collect()
+    val p1 = packs2.find(_.getLong(0) === 1L).get
+    assert(p1.getLong(5) === 0L && p1.getLong(6) === 1L) // straddles both batches
+    assert(p1.getLong(3) === 2L)                         // both anchors in pack 1
+    assert(p1.getString(7) ===
+      java.security.MessageDigest.getInstance("MD5").digest(t0.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString + "," +
+      java.security.MessageDigest.getInstance("MD5").digest(t1.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    // and the merged store still equals the batch packer on both docs
+    assert(packs2.map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getString(7))).toSeq
+      === operators.Multimodal.mediaInterleaveOf(Seq((0L, t0), (1L, t1)).toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getString(7))).toSeq)
+  }
+
   test("stream_topk: update-mode running wordcount merges across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
