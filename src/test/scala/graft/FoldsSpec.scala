@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.Folds
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, row_number}
 
 /** The bitwise-vs-production contract of [[graft.operators.Folds]]:
   * the gate's sorted-fold plans and the 100 TB plain-partial-agg
@@ -121,6 +122,35 @@ class FoldsSpec extends SparkSpec {
       assert(prodR === gateR)
       assert(gateR.nonEmpty && gateP.nonEmpty)
     } finally spark.conf.set(Folds.ConfKey, "true")
+  }
+
+  test("rangeRankMulti: every pass equals the global row_number, incl. ties and skew") {
+    import spark.implicits._
+    // adversarial frame: heavy value ties (so bucket boundaries cut
+    // through tie runs), skewed magnitudes, and a negated descending
+    // pass — every rank must still be EXACTLY the global window's
+    val rows = (1L to 2000L).map { i =>
+      (i, (i % 7) * 100L, math.pow(-1, i % 3).toLong * (i % 13), (i * 2654435761L) % 1000)
+    }
+    val df = rows.toDF("id", "a", "b", "c")
+    val multi = operators.GraftOps.rangeRankMulti(df,
+        Seq("ra" -> col("a"), "rb" -> -col("b"), "rc" -> col("c")), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1).toSeq
+    def winRank(v: org.apache.spark.sql.Column) =
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(v, col("id"))).cast("long")
+    val want = df
+      .withColumn("ra", winRank(col("a")))
+      .withColumn("rb", winRank(-col("b")))
+      .withColumn("rc", winRank(col("c")))
+      .collect().map(r => (r.getLong(0), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1).toSeq
+    assert(multi === want)
+    // and the single-pass wrapper agrees with its own multi path
+    val one = operators.GraftOps.rangeRank(df, col("a"), col("id"))
+      .select("id", "rn").collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(one === want.map(t => (t._1, t._2)))
   }
 
   test("epoch_shuffle production composite rangeRank EXACTLY equals per-epoch windows") {
