@@ -147,6 +147,44 @@ object Pipeline {
       .orderBy("holdout_doc")
   }
 
+  /** The APPLY half of benchmark decontamination — [[contaminationCheck]]
+    * detects holdout↔train shingle overlap; this emits the per-TRAIN-doc
+    * verdict the corpus actually acts on (the GPT-3/Pile discipline:
+    * DROP the contaminated train doc, never touch the benchmark):
+    * every train-split doc with its shared-shingle and holdout-doc
+    * counts and `kept` = shares < 3 distinct df-capped shingles with
+    * the holdout. Same df-capped shingle join as the check (the Bloom
+    * twin is the 100 TB pre-filter); one extra left join back to the
+    * train roster so clean docs report 0/0/true rather than vanishing.
+    */
+  def contaminationApply(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleHashes(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(array_distinct(col("hs"))).as("hh"))
+    val keep = sh.groupBy("hh")
+      .agg(countDistinct(col("doc_id")).as("sdf"))
+      .filter(col("sdf") <= 100)
+      .select("hh")
+    val informative = sh.join(keep, "hh")
+    val isTrain = HashFns.rollingHash(col("doc_id").cast("string")) % 100 < 90
+    val train = informative.filter(isTrain)
+      .select(col("hh"), col("doc_id").as("train_doc"))
+    val hold = informative.filter(!isTrain)
+      .select(col("hh"), col("doc_id").as("holdout_doc"))
+    val flagged = train.join(hold, "hh")
+      .groupBy(col("train_doc").as("doc_id"))
+      .agg(countDistinct(col("hh")).as("n_shared_shingles"),
+        countDistinct(col("holdout_doc")).as("n_holdout_docs"))
+    Tables.documents(spark, dir)
+      .filter(isTrain)
+      .select(col("doc_id"))
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_shingles"), lit(0L)).as("n_shared_shingles"),
+        coalesce(col("n_holdout_docs"), lit(0L)).as("n_holdout_docs"),
+        (coalesce(col("n_shared_shingles"), lit(0L)) < 3).as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** The end-to-end cleaning funnel a training corpus goes through,
     * as ONE composed query: raw → quality rules
     * ([[TextAnalysis.qualityFlagsOf]]) → exact dedup (canonical
@@ -765,6 +803,7 @@ object Pipeline {
     "sampling_weights" -> samplingWeights,
     "pipeline_clean" -> pipelineClean,
     "contamination_check" -> contaminationCheck,
+    "contamination_apply" -> contaminationApply,
     "train_test_split" -> trainTestSplit,
     "stratified_sample" -> stratifiedSample,
     "corpus_stats" -> corpusStats,
@@ -794,6 +833,30 @@ object Pipeline {
        |  CAST(count(DISTINCT h.hh) AS BIGINT) AS n_shared_shingles
        |FROM lab h JOIN lab t ON h.hh = t.hh AND NOT h.is_train AND t.is_train
        |GROUP BY h.doc_id ORDER BY holdout_doc""".stripMargin
+
+  private val contaminationApplySql: String =
+    s"""${OracleSql.ShingleHashCte}, ex AS (
+       |  SELECT doc_id, unnest(list_distinct(h)) AS hh FROM hs
+       |), keep AS (
+       |  SELECT hh FROM ex GROUP BY hh HAVING count(DISTINCT doc_id) <= 100
+       |), lab AS (
+       |  SELECT ex.doc_id, ex.hh,
+       |    (${hashPct("ex.doc_id::VARCHAR")} < 90) AS is_train
+       |  FROM ex JOIN keep USING (hh)
+       |), fl AS (
+       |  SELECT t.doc_id,
+       |    CAST(count(DISTINCT t.hh) AS BIGINT) AS n_shared_shingles,
+       |    CAST(count(DISTINCT h.doc_id) AS BIGINT) AS n_holdout_docs
+       |  FROM lab t JOIN lab h ON t.hh = h.hh AND t.is_train AND NOT h.is_train
+       |  GROUP BY t.doc_id
+       |)
+       |SELECT d.doc_id,
+       |  coalesce(fl.n_shared_shingles, 0) AS n_shared_shingles,
+       |  coalesce(fl.n_holdout_docs, 0) AS n_holdout_docs,
+       |  coalesce(fl.n_shared_shingles, 0) < 3 AS kept
+       |FROM documents d LEFT JOIN fl USING (doc_id)
+       |WHERE ${hashPct("d.doc_id::VARCHAR")} < 90
+       |ORDER BY d.doc_id""".stripMargin
 
   private val packChunksSql: String =
     """WITH toks AS (
@@ -1091,6 +1154,7 @@ object Pipeline {
          |  UNION ALL SELECT '4_train', count(*) FROM tr
          |) ORDER BY stage""".stripMargin,
     "contamination_check" -> contaminationSql,
+    "contamination_apply" -> contaminationApplySql,
     "train_test_split" ->
       s"""SELECT doc_id,
          |  CASE WHEN ${hashPct("doc_id::VARCHAR")} < 90 THEN 'train' ELSE 'holdout' END AS split
