@@ -752,11 +752,19 @@ object Pipeline {
     * every value in one aggregation buffer, the same declared hazard
     * as [[sourceLengthQuartiles]]); in production mode
     * (`spark.graft.bitwiseFolds=false`, the [[Folds]] switch) the
-    * SAME plan runs on `approx_percentile` — a constant-size
-    * Greenwald-Khanna sketch, partial-aggregated like any other — and
-    * only boundary-adjacent docs can change stage (spec-bounded).
-    * Everything else is partial-agg over a 4-row final group; the
-    * boundary frame is a broadcast 1-row cross join.
+    * SAME interpolated boundaries come from [[GraftOps.rangeRank]]:
+    * the distributed exact rank locates the two bracketing difficulty
+    * values of each (n−1)·q position (a 6-row filter on the ranked
+    * frame) and one line of double arithmetic interpolates — the
+    * EXACT quantile_cont formula (vlo + f·(vhi−vlo)) at ANY
+    * cardinality with no global aggregation buffer and no
+    * unpartitioned window. (An
+    * approx_percentile sketch held exact parity only while its rank
+    * error was < 1 — the r9 `source_length_quartiles` find, preempted
+    * here; difficulty is continuous, so the value-histogram variant
+    * would itself be corpus-sized — the rank route is the bounded
+    * one.) Everything else is partial-agg over a 4-row final group;
+    * the boundary frame is a broadcast 1-row cross join.
     */
   def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
@@ -766,10 +774,30 @@ object Pipeline {
       .filter(col("n_tokens") > 0)
       .withColumn("difficulty",
         col("ntc").cast("double") / col("n_tokens").cast("double"))
-    val pctExpr =
-      if (Folds.bitwise(d)) "percentile(difficulty, array(0.25D, 0.5D, 0.75D))"
-      else "approx_percentile(difficulty, array(0.25D, 0.5D, 0.75D), 10000)"
-    val qs = d.agg(expr(pctExpr).as("qs"))
+    val qs =
+      if (Folds.bitwise(d))
+        d.agg(expr("percentile(difficulty, array(0.25D, 0.5D, 0.75D))").as("qs"))
+      else {
+        val ranked = GraftOps.rangeRank(
+          d.select(col("difficulty").as("v")), col("v"), col("v"))
+        val n = d.agg(count(lit(1)).as("nn"))
+        // for q in {¼, ½, ¾}: p = (n−1)q (0-based); boundary =
+        // v[floor(p)] + (p − floor(p))·(v[ceil(p)] − v[floor(p)])
+        ranked.crossJoin(broadcast(n))
+          .withColumn("q", explode(array(lit(0.25d), lit(0.5d), lit(0.75d))))
+          .withColumn("p", (col("nn") - 1).cast("double") * col("q"))
+          .filter(col("rn") === floor(col("p")) + 1 || col("rn") === ceil(col("p")) + 1)
+          .groupBy("q")
+          .agg(first(col("p")).as("p"),
+            min(when(col("rn") === floor(col("p")) + 1, col("v"))).as("vlo"),
+            min(when(col("rn") === ceil(col("p")) + 1, col("v"))).as("vhi"))
+          .withColumn("b", col("vlo") +
+            (col("p") - floor(col("p")).cast("double")) * (col("vhi") - col("vlo")))
+          .agg(array(
+            min(when(col("q") === 0.25d, col("b"))),
+            min(when(col("q") === 0.5d, col("b"))),
+            min(when(col("q") === 0.75d, col("b")))).as("qs"))
+      }
     d.crossJoin(broadcast(qs))
       .withColumn("stage",
         when(col("difficulty") <= col("qs").getItem(0), "0_intro")

@@ -124,6 +124,17 @@ class FoldsSpec extends SparkSpec {
     } finally spark.conf.set(Folds.ConfKey, "true")
   }
 
+  test("curriculum_order production rank-lookup boundaries EXACTLY equal the gate's percentile") {
+    // the rangeRank boundary route must reproduce the exact
+    // interpolated quartiles (no sketch drift at any cardinality)
+    val gate = operators.Pipeline.curriculumOrder(spark, sfDir).collect().toSeq
+    spark.conf.set(Folds.ConfKey, "false")
+    try {
+      val prod = operators.Pipeline.curriculumOrder(spark, sfDir).collect().toSeq
+      assert(prod === gate && gate.length === 4)
+    } finally spark.conf.set(Folds.ConfKey, "true")
+  }
+
   test("rangeRankMulti: every pass equals the global row_number, incl. ties and skew") {
     import spark.implicits._
     // adversarial frame: heavy value ties (so bucket boundaries cut
