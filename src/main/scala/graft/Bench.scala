@@ -63,6 +63,15 @@ object Bench {
     // JSON goes to the file and is printed above for human capture.
     val out = Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json"))
     Files.write(out, json.getBytes(StandardCharsets.UTF_8))
+    // FULL-SURFACE runs also persist the complete per-key map into the
+    // repo (BENCH_full_latest.json, committed each round), so per-key
+    // regressions across rounds are a one-line git diff instead of a
+    // noise chase — the r9 "knn_ivf 6.42s" incident. Subset runs
+    // (SPARK_GRAFT_ONLY) skip it: a partial map would masquerade as a
+    // full-surface regression baseline.
+    if (only.isEmpty && Files.isDirectory(Paths.get("/root/repo")))
+      Files.write(Paths.get("/root/repo/BENCH_full_latest.json"),
+        json.getBytes(StandardCharsets.UTF_8))
     println(json)
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)

@@ -37,7 +37,11 @@ object Explain {
     // bucket/gram-keyed (no cartesian anywhere in the tree)
     "contamination_check" -> Rule(),
     "contamination_bloom" -> Rule(),
-    "ngram_jaccard" -> Rule(),
+    // the prefix-bucket pair expansion must carry BOTH branches of the
+    // size-bounded switch: the in-buffer combination list for ordinary
+    // buckets AND the mega-bucket self-join fallback (strict < on the
+    // item), so one duplicate family can't blow an aggregation buffer
+    "ngram_jaccard" -> Rule(required = Seq("collect_list(it#", " < it#")),
     "containment_pairs" -> Rule(),
     // the banded Hamming join must BE the plan: the lossless band-keyed
     // EQUIJOIN (keys = (band, v), broadcast at spec scale, SMJ at 100 TB)
@@ -49,7 +53,8 @@ object Explain {
     "neardup_pagerank" -> Rule(),
     "pipeline_clean" -> Rule(),
     "cooccur_pmi" -> Rule(),
-    "minhash_lsh_pairs" -> Rule(),
+    // both branches of the bounded bucket-pair switch (see ngram_jaccard)
+    "minhash_lsh_pairs" -> Rule(required = Seq("collect_list(it#", " < it#")),
     // ANN: centroid assignment broadcasts the centroid table
     "knn_ivf" -> Rule(required = Seq("BroadcastNestedLoopJoin")),
     "knn_graph" -> Rule(),
@@ -168,7 +173,11 @@ object Explain {
     "ann_recall_curve" -> Rule(),
     "word_length_hist" -> Rule(),
     "heavy_hitters_cms" -> Rule(),
-    "range_boundaries" -> Rule(),
+    // boundary design: the sample must be fixed-k bounded heaps and
+    // the rank lookup an aggregate — never a row_number through one
+    // unpartitioned window over a table-linear sample (the r9 finding)
+    "range_boundaries" -> Rule(required = Seq("TakeOrderedAndProject"),
+      forbidden = Seq("Window")),
     "band_bucket_stats" -> Rule(),
     "ivf_retrain" -> Rule(),
 

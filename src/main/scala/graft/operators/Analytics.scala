@@ -704,11 +704,17 @@ object Analytics {
       .limit(20)
   }
 
+  /** Fixed sample size for [[rangeBoundaries]] — Hadoop InputSampler's
+    * `numSamples` knob: the sample is k rows REGARDLESS of table size,
+    * so the boundary-design cost is constant at 100 TB. */
+  val RangeSampleK = 1024
+
   /** TotalOrderPartitioner-style range-partition design report — the
     * global-sort knob Hadoop ships as InputSampler+TotalOrderPartitioner
-    * and Spark's RangePartitioner re-derives per job: sample the sort
-    * key deterministically (rolling-hash mod 50 = 0 → ~2% of orders, the
-    * same hash-threshold rule as `train_test_split`), pick the 7
+    * and Spark's RangePartitioner re-derives per job: draw a FIXED-SIZE
+    * deterministic sample (the [[RangeSampleK]] orders with the smallest
+    * salted-md5 key — the `sample_k` bottom-k machinery, which is also
+    * what InputSampler's fixed `numSamples` does), pick the 7
     * evenly-spaced sample ELEMENTS at ranks max(1, ⌊k·n/8⌋) as cut points —
     * exactly InputSampler's boundary rule, and pure integer (an
     * interpolated percentile differs between engines in the last ulp)
@@ -717,25 +723,36 @@ object Analytics {
     * row counts, share, and actual min/max key. The report answers the 100 TB question
     * "would these sampled cut points balance the full sort?" — a
     * partition with share ≫ 1/8 means the sample missed a hot range.
-    * Scan-wise: one ~2%-sample percentile (7 doubles broadcast), one
-    * 8-element filter-count per row, one 8-group rollup — the full
+    * Scan-wise: the sample is TakeOrdered bounded heaps (no shuffle, no
+    * global sort, no unpartitioned window — the pre-r10 2% hash-filter
+    * sample grew linearly with the table and ranked through ONE
+    * row_number partition, a single task sorting ~10⁸ rows at 100 TB);
+    * the rank lookup is one sorted-array aggregate over k rows; then one
+    * 8-element filter-count per row and one 8-group rollup — the full
     * data is never sorted, which is the point of designing the sort
     * before running it.
     */
   def rangeBoundaries(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.HashFns
+    // round BEFORE the long cast: o_totalprice is a parquet double, so
+    // price*100 can land an ulp BELOW the integer (308279.04*100 =
+    // 30827903.999…) — Spark's cast truncates where DuckDB's rounds,
+    // and a one-cent disagreement on a partition-extreme row breaks
+    // the hi/lo_cents parity (caught at r10 when the fixed-k sample
+    // moved a boundary onto such a row)
     val o = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), (col("o_totalprice") * 100).cast("long").as("cents"))
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
     val s = o
-      .filter(HashFns.rollingHash(col("o_orderkey").cast("string")) % 50 === 0)
-    val sc = s.agg(count(lit(1)).as("n"))
-    val bounds = s.crossJoin(broadcast(sc))
-      .select(col("cents"), col("n"),
-        row_number().over(Window.orderBy("cents")).cast("long").as("rn"))
-      .withColumn("rks",
-        expr("transform(sequence(1L, 7L), k -> greatest(1L, (n * k) div 8))"))
-      .filter(array_contains(col("rks"), col("rn")))
-      .agg(sort_array(collect_list(col("cents"))).as("bs"))
+      .select(col("cents"),
+        md5(concat(lit("rbound:"), col("o_orderkey").cast("string"))).as("h"))
+      .orderBy("h")
+      .limit(RangeSampleK)
+    // k is bounded (1024), so the sorted-sample aggregate is a single
+    // fixed-size buffer — rank r lives at element_at(cs, r), 1-based
+    val bounds = s.agg(sort_array(collect_list(col("cents"))).as("cs"))
+      .select(expr("""transform(sequence(1L, 7L),
+          k -> element_at(cs, cast(greatest(1L, (cast(size(cs) as bigint) * k) div 8) as int)))""")
+        .as("bs"))
     val tot = o.agg(count(lit(1)).cast("double").as("total"))
     o.crossJoin(broadcast(bounds))
       .select(col("cents"),
@@ -3857,18 +3874,15 @@ object Analytics {
         |FROM c, t ORDER BY n DESC, l_suppkey LIMIT 20""".stripMargin,
     "range_boundaries" ->
       s"""WITH o AS (
-         |  SELECT o_orderkey, CAST(o_totalprice * 100 AS BIGINT) AS cents FROM orders
+         |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
          |), s AS (
          |  SELECT cents FROM o
-         |  WHERE (${OracleSql.roll("o_orderkey::VARCHAR", graft.functions.HashFns.P)}) % 50 = 0
-         |), sc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
-         |s2 AS (
-         |  SELECT cents, CAST(row_number() OVER (ORDER BY cents) AS BIGINT) AS rn FROM s
-         |), ks AS (
-         |  SELECT greatest(1, (sc.n * k.k) // 8) AS rk
-         |  FROM sc, (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS k) k
+         |  ORDER BY md5('rbound:' || o_orderkey::VARCHAR) LIMIT ${Analytics.RangeSampleK}
+         |), cs AS (
+         |  SELECT list_sort(list(cents)) AS cs FROM s
          |), b AS (
-         |  SELECT cents AS bv FROM s2 WHERE rn IN (SELECT rk FROM ks)
+         |  SELECT cs[greatest(1, (len(cs) * k.k) // 8)] AS bv
+         |  FROM cs, (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS k) k
          |), tot AS (SELECT count(*)::DOUBLE AS total FROM o),
          |p AS (
          |  SELECT o.o_orderkey, o.cents,

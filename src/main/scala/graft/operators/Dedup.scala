@@ -98,6 +98,54 @@ object Dedup {
           y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
 
+  /** Buckets above this many members take [[boundedBucketPairs]]'
+    * self-join fallback instead of the in-buffer combination
+    * expansion. Plan-construction-time conf (like [[Folds.ConfKey]]),
+    * so specs can force the fallback at tiny scale. */
+  val MaxBucketConfKey = "spark.graft.maxBucket"
+  private def maxBucketOf(df: DataFrame): Int =
+    df.sparkSession.conf.get(MaxBucketConfKey, "4096").toInt
+
+  /** SIZE-BOUNDED per-bucket pair expansion over pre-aggregation
+    * (bucket keys, item) rows — same unordered i<j pair set as
+    * [[bucketPairs]], with a memory contract that survives a
+    * mega-duplicate family: one `collect_list` bucket of 10M+
+    * identical crawl docs would otherwise land in a single
+    * aggregation buffer (no spill path) before the inherent O(n²)
+    * pair OUTPUT even starts.
+    *
+    * One exchange on the bucket keys feeds three consumers: a window
+    * `count` sizes every bucket (WindowExec buffers through a
+    * spillable row array — unlike an aggregation buffer), buckets
+    * ≤ [[MaxBucketConfKey]] take the in-buffer combination expansion
+    * (cheapest for the many-small-buckets regime), and oversize
+    * buckets fall back to the key-equi self-join ([[simhashPairsOf]]'s
+    * shape), whose sort-merge pair stream spills instead of
+    * buffering and emits each pair once via the strict `<` on the
+    * item. Bucket membership is identical either way, so the union is
+    * exactly the full pair set — the oracle never sees the switch.
+    *
+    * `item` must be distinct within a bucket (every caller buckets an
+    * (id, key)-unique relation), so `<` loses no pairs.
+    */
+  private[graft] def boundedBucketPairs(rows: DataFrame, keys: Seq[String],
+      itemCol: String): DataFrame = {
+    val maxBucket = maxBucketOf(rows)
+    val sized = rows.select(keys.map(col) :+ col(itemCol).as("it"): _*)
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+    val smallPairs = bucketPairs(
+      sized.filter(col("__n") <= maxBucket)
+        .groupBy(keys.map(col): _*)
+        .agg(sort_array(collect_list(col("it"))).as("ds")), "ds")
+    val big = sized.filter(col("__n") > maxBucket)
+    val bigPairs = big.as("a").join(big.as("b"),
+        keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+          col("a.it") < col("b.it"))
+      .select(col("a.it").as("doc_a"), col("b.it").as("doc_b"))
+    smallPairs.unionByName(bigPairs)
+  }
+
   /** Exact all-pairs Jaccard ≥ `threshold` between distinct-shingle
     * sets via prefix filtering (the All-Pairs / PPJoin candidate rule,
     * Bayardo et al. WWW'07): order shingles globally by (df, hash)
@@ -137,10 +185,10 @@ object Dedup {
     // a valid pair). This also subsumes the classic length filter
     // (min >= t*max follows from ub <= min), so candidates reach the
     // exact array_intersect verification already overlap-feasible.
-    val byShingle = prefixes
-      .groupBy("hh")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("pos"), col("n")))).as("ds"))
-    val cand = bucketPairs(byShingle, "ds")
+    val cand = boundedBucketPairs(
+      prefixes.select(col("hh"),
+        struct(col("doc_id"), col("pos"), col("n")).as("it")),
+      Seq("hh"), "it")
       .select(col("doc_a.doc_id").as("doc_a"), col("doc_b.doc_id").as("doc_b"),
         least(col("doc_a.n") - col("doc_a.pos"), col("doc_b.n") - col("doc_b.pos")).as("ub"),
         col("doc_a.n").as("na"), col("doc_b.n").as("nb"))
@@ -306,22 +354,24 @@ object Dedup {
     * verification on candidates only. The shuffle is keyed on (band,
     * band key) — tiny — so no O(n²) stage exists anywhere.
     */
-  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashLshPairsOf(Tables.documents(spark, dir))
+
+  def minhashLshPairsOf(docs: DataFrame): DataFrame = {
     // The signature subtree feeds multiple plan branches; with the
     // MinHashSig kernel the recompute is scan-speed, so no persist —
     // a lazily-returned plan could never release the cached blocks
     // (at 100 TB a caller owning the lifecycle would persist here).
-    val sig = minhashSigs(Tables.documents(spark, dir))
+    val sig = minhashSigs(docs)
     val bandCols = (0 until 4).map(bd =>
       struct(lit(bd).as("band"),
         concat_ws(",", (0 until 4).map(r => col(s"m${4 * bd + r}").cast("string")): _*).as("k")))
     val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.k").as("k"))
-    // One shuffle on (band, key) + in-bucket combination expansion —
-    // cheaper than a two-sided self-join of the exploded band table.
-    val cand = bucketPairs(
-      bands.groupBy("band", "k").agg(sort_array(collect_list(col("doc_id"))).as("ds")),
-      "ds").distinct()
+    // One shuffle on (band, key) + in-bucket combination expansion for
+    // ordinary buckets — cheaper than a two-sided self-join of the
+    // exploded band table — with the mega-bucket self-join fallback.
+    val cand = boundedBucketPairs(bands, Seq("band", "k"), "doc_id").distinct()
     val sets = sig.select(col("doc_id"), array_distinct(col("hs")).as("s"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
@@ -671,6 +721,50 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** Degree budget for the ITERATIVE near-dup graph analytics
+    * ([[neardupPagerank]], [[neardupCommunities]]) — PART OF THE
+    * CONTRACT, exactly like [[LinkpredHubCap]]: each node keeps its
+    * edges to its [[GraphDegreeCap]] smallest-id neighbors, and an
+    * edge survives if EITHER endpoint keeps it (union-kNN graph
+    * sparsification — the OR rule, because the AND rule strands
+    * clique-tail nodes with zero edges and the teleport term assumes
+    * no dangling nodes), so the capped graph stays symmetric and the
+    * TOTAL EDGE BUDGET is ≤ 2·cap·N directed rows at ANY duplicate
+    * density (each node keeps ≤ cap, then one symmetrizing union). A
+    * hub that everyone keeps can still see up to N−1 edges itself, but
+    * its per-node aggregations are partial-agg sums (map-side
+    * combined), so only the bounded TOTAL crosses the wire. Without it a
+    * boilerplate mega-family (10M identical crawl docs) is a near
+    * clique whose per-iteration edge shuffle is O(N²) — the r9 100×
+    * stress corpus's ~25M-edge graph exhausted shuffle disk in exactly
+    * this operator. The cap only binds at pathological density: at
+    * gate scale every degree is below it, so the capped results equal
+    * the uncapped graph's (spec-asserted), and the DuckDB oracles
+    * apply the same rule so parity holds at any scale.
+    */
+  val GraphDegreeCap = 64L
+
+  /** The degree-capped SYMMETRIC adjacency both iterative graph
+    * operators run on (see [[GraphDegreeCap]] for the contract): rank
+    * each node's neighbors by id (a key-partitioned window —
+    * WindowExec buffers through a spillable array, so even a
+    * mega-clique's 10M-row partition sorts without an aggregation
+    * buffer), keep rank ≤ cap, then re-symmetrize with a distinct.
+    * One edge-keyed shuffle + one window sort over |E| — paid ONCE,
+    * versus the O(|E|) shuffle every iteration would otherwise pay on
+    * an uncapped clique.
+    */
+  private[graft] def cappedSym(prs: DataFrame): DataFrame = {
+    val sym = prs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(prs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    val kept = sym
+      .withColumn("__r", row_number().over(Window.partitionBy("a").orderBy("b")))
+      .filter(col("__r") <= GraphDegreeCap)
+      .select("a", "b")
+    kept.unionByName(kept.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+  }
+
   /** PageRank (2 fixed iterations, d=0.85) over the symmetric simhash
     * near-dup graph — ranks the HUB duplicates a triage pass should
     * look at first. Iteration = one edge-keyed shuffle: each node
@@ -678,24 +772,27 @@ object Dedup {
     * [[Folds]]: SORTED BY SENDER under the gate's bitwise contract
     * (a plain grouped sum would not be bitwise cross-engine), the
     * plain partial-agg sum in production mode. Teleport mass (1-d)/N needs
-    * no dangling handling: the symmetric graph has no zero-degree
-    * nodes.
+    * no dangling handling: the symmetric [[cappedSym]] graph has no
+    * zero-degree nodes.
     */
-  def neardupPagerank(spark: SparkSession, dir: String): DataFrame = {
+  def neardupPagerank(spark: SparkSession, dir: String): DataFrame =
+    neardupPagerankOf(Tables.documents(spark, dir))
+
+  def neardupPagerankOf(docs: DataFrame): DataFrame = {
     val d = 0.85
     // literal 0.15, NOT 1.0 - d: the Scala expression folds to
     // 0.15000000000000002 (one ulp off the double the oracle's 0.15
     // literal denotes) and the bitwise contract would fail whenever a
     // pr lands within an ulp of a round(_, 6) boundary
     val teleport = 0.15
-    val prs = neardupEdges(spark, dir).select(col("doc_a"), col("doc_b"))
-    // the edge list feeds degree + both iterations (5 plan branches):
-    // materialize it once — without this the simhash-pair join tree
-    // recomputes per branch (measured 3.4s → the checkpoint pays for
-    // itself several times over; same pattern as connectedComponents)
-    val sym = prs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .unionByName(prs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-      .localCheckpoint()
+    val prs = simhashPairsOf(docs, maxHamming = 1)
+      .select(col("doc_a"), col("doc_b"))
+    // the capped edge list feeds degree + both iterations (5 plan
+    // branches): materialize it once — without this the simhash-pair
+    // join tree recomputes per branch (measured 3.4s → the checkpoint
+    // pays for itself several times over; same pattern as
+    // connectedComponents)
+    val sym = cappedSym(prs).localCheckpoint()
     val deg = sym.groupBy("a").agg(count(lit(1)).cast("double").as("deg"))
     val nDf = deg.agg(count(lit(1)).cast("double").as("n"))
     // pr0 = 1/n for every node; each iteration joins current pr onto
@@ -727,17 +824,20 @@ object Dedup {
     * one `min(struct(-count, label))` per node per round, no floats
     * anywhere. A round is one edge-keyed shuffle (join labels onto
     * senders, fold votes at receivers), so the 3-round cost is 3
-    * bounded shuffles of |E| — the same shape PageRank runs, and the
+    * bounded shuffles of the [[cappedSym]] edge list (≤ 2·cap·N rows
+    * at any duplicate density) — the same shape PageRank runs, and the
     * same 100 TB posture (the edge list is the banded join's output,
     * never a pairwise stage).
     */
-  def neardupCommunities(spark: SparkSession, dir: String): DataFrame = {
-    val prs = neardupEdges(spark, dir).select(col("doc_a"), col("doc_b"))
+  def neardupCommunities(spark: SparkSession, dir: String): DataFrame =
+    neardupCommunitiesOf(Tables.documents(spark, dir))
+
+  def neardupCommunitiesOf(docs: DataFrame): DataFrame = {
+    val prs = simhashPairsOf(docs, maxHamming = 1)
+      .select(col("doc_a"), col("doc_b"))
     // one materialization feeds the node seed + all 3 rounds (same
     // rationale as neardupPagerank's checkpoint)
-    val sym = prs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .unionByName(prs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-      .localCheckpoint()
+    val sym = cappedSym(prs).localCheckpoint()
     def step(lbl: DataFrame): DataFrame =
       sym.join(lbl.withColumnRenamed("node", "b"), "b")
         .groupBy(col("a"), col("lbl"))
@@ -1499,8 +1599,15 @@ object Dedup {
          |  SELECT a.doc_id AS a, b.doc_id AS b
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
-         |), sym AS (
+         |), symd AS (
          |  SELECT a, b FROM prs UNION ALL SELECT b AS a, a AS b FROM prs
+         |), kc AS (
+         |  SELECT a, b FROM (
+         |    SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) AS r FROM symd)
+         |  WHERE r <= $GraphDegreeCap
+         |), sym AS (
+         |  SELECT DISTINCT a, b FROM
+         |    (SELECT a, b FROM kc UNION ALL SELECT b AS a, a AS b FROM kc)
          |), l0 AS (
          |  SELECT DISTINCT a AS node, a AS lbl FROM sym
          |), v1 AS (
@@ -1931,8 +2038,15 @@ object Dedup {
          |  SELECT a.doc_id AS da, b.doc_id AS db
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
-         |), sym AS (
+         |), symd AS (
          |  SELECT da AS a, db AS b FROM prs UNION ALL SELECT db, da FROM prs
+         |), kc AS (
+         |  SELECT a, b FROM (
+         |    SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) AS r FROM symd)
+         |  WHERE r <= $GraphDegreeCap
+         |), sym AS (
+         |  SELECT DISTINCT a, b FROM
+         |    (SELECT a, b FROM kc UNION ALL SELECT b AS a, a AS b FROM kc)
          |), deg AS (
          |  SELECT a, count(*)::DOUBLE AS deg FROM sym GROUP BY a
          |), n AS (SELECT count(*)::DOUBLE AS n FROM deg),

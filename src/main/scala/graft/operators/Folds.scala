@@ -37,12 +37,13 @@ object Folds {
     * unchanged DuckDB oracle and matched exactly. Bench times each
     * twice (gate + `#prod`); Verify re-dumps them against the SAME
     * oracles when `SPARK_GRAFT_FOLDS=prod`, so the production path is
-    * oracle-gated, not just spec-compared to the gate path. Folds
-    * consumers NOT listed (e.g. `wand_topk`, `ranker_eval`,
-    * `mlt_topk`) also change plans under the switch but emit values
-    * whose cross-mode agreement is asserted to 1e-9 by FoldsSpec
-    * rather than bitwise by the oracle — add a key here only after
-    * its prod run hash-matches at both gate SFs.
+    * oracle-gated, not just spec-compared to the gate path. A key
+    * joins this list only after its prod run hash-matches its
+    * unchanged oracle at both gate SFs (`wand_topk`/`ranker_eval`/
+    * `mlt_topk` were promoted in r10 after exactly that check — their
+    * scores survive the fold-order change bitwise because every
+    * per-doc sum folds ≤ |query terms| doubles, too few additions for
+    * the association order to reach the rounded digits).
     */
   val ProdTwinKeys: Seq[String] = Seq("embedding_pca", "embedding_stats",
     "neardup_pagerank", "perplexity_doc", "qlm_topk", "source_kl", "zipf_fit",
@@ -52,7 +53,8 @@ object Folds {
     "rfm_segments", "orders_abc_class", "epoch_shuffle", "ppl_bucket_mix",
     "rfm_migration", "nb_langid", "nb_langid_eval", "pq_distortion",
     "events_forecast_compare", "events_forecast_eval",
-    "events_seasonal_strength", "quality_ppl_corr")
+    "events_seasonal_strength", "quality_ppl_corr",
+    "wand_topk", "ranker_eval", "mlt_topk")
 
   def bitwise(df: DataFrame): Boolean =
     df.sparkSession.conf.get(ConfKey, "true").toBoolean

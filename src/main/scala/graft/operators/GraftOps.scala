@@ -206,8 +206,19 @@ object GraftOps {
     }
     // `materialized = true`: the caller already localCheckpoint'd the
     // frame (the pass projections are cheap row-local arithmetic), so
-    // a second materialization here would only add a pass
-    val b = if (materialized) proj else proj.localCheckpoint()
+    // a second materialization here would only add a pass. The flag is
+    // VERIFIED, not trusted: the cut-point sketch below and the final
+    // rank evaluate the input subtree in separate jobs, so a
+    // non-materialized (or nondeterministic) parent could produce
+    // DIFFERENT bucket bounds between them — silently wrong ranks. If
+    // any leaf of the claimed-materialized plan is not an in-memory
+    // scan, checkpoint anyway.
+    val leavesMaterialized = proj.queryExecution.logical.collectLeaves().forall {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _ => false
+    }
+    val b = if (materialized && leavesMaterialized) proj else proj.localCheckpoint()
     val fracs = (1 to 31).map(k => k / 32.0).mkString("array(", ", ", ")")
     val bounds = b.agg(
       expr(s"approx_percentile(cast(__v0 as double), $fracs, 1000)").as("__bs0"),

@@ -117,24 +117,43 @@ object Pipeline {
       .orderBy("rnd", "source", "doc_id")
   }
 
-  /** Benchmark decontamination: holdout documents sharing a 3-token
-    * shingle with any train document, under the [[trainTestSplit]]
-    * assignment — the overlap audit run before a holdout set is
-    * trusted. Ubiquitous shingles (corpus df > 100) are dropped first,
-    * exactly as production decontamination ignores boilerplate n-grams
-    * — which also bounds the join's per-key fan-out at 100 TB (no
-    * stopword-shingle quadratic bucket can exist after the cap). One
-    * shingle-keyed shuffle joins the two sides; everything upstream is
-    * the same narrow codegen'd shingle kernel the dedup family shares.
+  /** Ubiquitous-shingle document-frequency cap shared by ALL THREE
+    * contamination surfaces (check/apply/bloom) AND interpolated into
+    * their DuckDB oracles — one constant, so the engines and the
+    * check/apply verdicts can never desynchronize. */
+  val ContaminationDfCap = 100
+
+  /** A train doc is `kept` iff it shares FEWER THAN this many distinct
+    * df-capped shingles with the holdout — [[contaminationApply]]'s
+    * drop rule, interpolated into its oracle for the same reason. */
+  val ContaminationKeepBelow = 3
+
+  /** The (doc_id, hh) df-capped distinct-shingle stream every
+    * contamination surface starts from: ubiquitous shingles
+    * (corpus df > [[ContaminationDfCap]]) dropped first, exactly as
+    * production decontamination ignores boilerplate n-grams — which
+    * also bounds the join's per-key fan-out at 100 TB (no
+    * stopword-shingle quadratic bucket can exist after the cap).
     */
-  def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingleHashes(Tables.documents(spark, dir))
+  private def dfCappedShingles(docs: DataFrame): DataFrame = {
+    val sh = Dedup.shingleHashes(docs)
       .select(col("doc_id"), explode(array_distinct(col("hs"))).as("hh"))
     val keep = sh.groupBy("hh")
       .agg(countDistinct(col("doc_id")).as("sdf"))
-      .filter(col("sdf") <= 100)
+      .filter(col("sdf") <= ContaminationDfCap)
       .select("hh")
-    val informative = sh.join(keep, "hh")
+    sh.join(keep, "hh")
+  }
+
+  /** Benchmark decontamination: holdout documents sharing a 3-token
+    * shingle with any train document, under the [[trainTestSplit]]
+    * assignment — the overlap audit run before a holdout set is
+    * trusted. One shingle-keyed shuffle joins the two sides of the
+    * [[dfCappedShingles]] stream; everything upstream is the same
+    * narrow codegen'd shingle kernel the dedup family shares.
+    */
+  def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
+    val informative = dfCappedShingles(Tables.documents(spark, dir))
     val isTrain = HashFns.rollingHash(col("doc_id").cast("string")) % 100 < 90
     val train = informative.filter(isTrain)
       .select(col("hh"), col("doc_id").as("train_doc"))
@@ -158,13 +177,7 @@ object Pipeline {
     * train roster so clean docs report 0/0/true rather than vanishing.
     */
   def contaminationApply(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingleHashes(Tables.documents(spark, dir))
-      .select(col("doc_id"), explode(array_distinct(col("hs"))).as("hh"))
-    val keep = sh.groupBy("hh")
-      .agg(countDistinct(col("doc_id")).as("sdf"))
-      .filter(col("sdf") <= 100)
-      .select("hh")
-    val informative = sh.join(keep, "hh")
+    val informative = dfCappedShingles(Tables.documents(spark, dir))
     val isTrain = HashFns.rollingHash(col("doc_id").cast("string")) % 100 < 90
     val train = informative.filter(isTrain)
       .select(col("hh"), col("doc_id").as("train_doc"))
@@ -181,7 +194,8 @@ object Pipeline {
       .select(col("doc_id"),
         coalesce(col("n_shared_shingles"), lit(0L)).as("n_shared_shingles"),
         coalesce(col("n_holdout_docs"), lit(0L)).as("n_holdout_docs"),
-        (coalesce(col("n_shared_shingles"), lit(0L)) < 3).as("kept"))
+        (coalesce(col("n_shared_shingles"), lit(0L)) <
+          ContaminationKeepBelow).as("kept"))
       .orderBy("doc_id")
   }
 
@@ -322,17 +336,12 @@ object Pipeline {
     * pair Spark's runtime bloom-join filters inject.
     */
   def contaminationBloom(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingleHashes(Tables.documents(spark, dir))
-      .select(col("doc_id"), explode(array_distinct(col("hs"))).as("hh"))
-    val keep = sh.groupBy("hh")
-      .agg(countDistinct(col("doc_id")).as("sdf"))
-      .filter(col("sdf") <= 100)
-      .select("hh")
     // the df-capped shingle stream feeds BOTH the eager bloom build
     // (one driver materialization) and the lazy verify join:
     // checkpoint it once or the whole shingle+df pipeline runs twice
     // (same reasoning as pipelineClean's exact-dedup survivor frame)
-    val informative = sh.join(keep, "hh").localCheckpoint()
+    val informative = dfCappedShingles(Tables.documents(spark, dir))
+      .localCheckpoint()
     val isTrain = HashFns.rollingHash(col("doc_id").cast("string")) % 100 < 90
     val train = informative.filter(isTrain)
       .select(col("hh"), col("doc_id").as("train_doc"))
@@ -850,7 +859,7 @@ object Pipeline {
     s"""${OracleSql.ShingleHashCte}, ex AS (
        |  SELECT doc_id, unnest(list_distinct(h)) AS hh FROM hs
        |), keep AS (
-       |  SELECT hh FROM ex GROUP BY hh HAVING count(DISTINCT doc_id) <= 100
+       |  SELECT hh FROM ex GROUP BY hh HAVING count(DISTINCT doc_id) <= $ContaminationDfCap
        |), lab AS (
        |  SELECT ex.doc_id, ex.hh,
        |    (${hashPct("ex.doc_id::VARCHAR")} < 90) AS is_train
@@ -866,7 +875,7 @@ object Pipeline {
     s"""${OracleSql.ShingleHashCte}, ex AS (
        |  SELECT doc_id, unnest(list_distinct(h)) AS hh FROM hs
        |), keep AS (
-       |  SELECT hh FROM ex GROUP BY hh HAVING count(DISTINCT doc_id) <= 100
+       |  SELECT hh FROM ex GROUP BY hh HAVING count(DISTINCT doc_id) <= $ContaminationDfCap
        |), lab AS (
        |  SELECT ex.doc_id, ex.hh,
        |    (${hashPct("ex.doc_id::VARCHAR")} < 90) AS is_train
@@ -881,7 +890,7 @@ object Pipeline {
        |SELECT d.doc_id,
        |  coalesce(fl.n_shared_shingles, 0) AS n_shared_shingles,
        |  coalesce(fl.n_holdout_docs, 0) AS n_holdout_docs,
-       |  coalesce(fl.n_shared_shingles, 0) < 3 AS kept
+       |  coalesce(fl.n_shared_shingles, 0) < $ContaminationKeepBelow AS kept
        |FROM documents d LEFT JOIN fl USING (doc_id)
        |WHERE ${hashPct("d.doc_id::VARCHAR")} < 90
        |ORDER BY d.doc_id""".stripMargin

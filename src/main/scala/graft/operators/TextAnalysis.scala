@@ -954,10 +954,16 @@ object TextAnalysis {
         .orderBy(col("freq").desc, col("l"), col("r")).limit(1)
         .select(lit(round.toLong).as("round"), col("l"), col("r"), col("freq"))
         .localCheckpoint() // 1 row; keeps each round's lineage flat
+        // (measured: skipping this and letting the broadcast re-derive
+        // the argmax per consumer is 4x SLOWER at sf0.1 — 14.6s encode)
       // greedy left-to-right merge: after a merge the fold continues
       // AFTER the merged token (the merged symbol can't immediately
-      // re-match its own left half), which is standard BPE apply order
-      words = words.crossJoin(broadcast(win.select(col("l"), col("r"))))
+      // re-match its own left half), which is standard BPE apply order.
+      // LEFT join on true (not a cross join) so a degenerate round with
+      // NO adjacent pairs left (win empty) leaves words unchanged —
+      // null l/r makes the fold's match condition NULL, so every symbol
+      // takes the append branch — instead of emptying the whole table
+      words = words.join(broadcast(win.select(col("l"), col("r"))), lit(true), "left")
         .select(col("term"), expr("""aggregate(syms, cast(array() as array<string>),
             (acc, x) -> case
               when size(acc) > 0 and element_at(acc, -1) = l and x = r
@@ -980,7 +986,10 @@ object TextAnalysis {
     * stable audit surface.
     */
   def bpeVocab(spark: SparkSession, dir: String): DataFrame =
-    bpeLoopOf(Tables.documents(spark, dir))._2
+    bpeVocabOf(Tables.documents(spark, dir))
+
+  def bpeVocabOf(docs: DataFrame): DataFrame =
+    bpeLoopOf(docs)._2
       .select(explode(col("syms")).as("subword"), col("cnt"))
       .groupBy("subword")
       .agg(sum(col("cnt")).as("n_occurrences"))
@@ -1016,6 +1025,58 @@ object TextAnalysis {
         round(col("n_chars").cast("double") / col("n_subwords").cast("double"), 6)
           .as("chars_per_subword"))
       .orderBy("source")
+  }
+
+  // ---- bpe_encode ------------------------------------------------------
+
+  /** The trained tokenizer APPLIED TO THE CORPUS — the missing half of
+    * the train→evaluate ladder: per-document subword token-ID
+    * sequences (what `pack_chunks`' token budget would actually pack
+    * downstream). Token ids are the lexicographic rank of the trained
+    * subword vocab — deterministic on both engines.
+    *
+    * Scale shape: each DISTINCT term is encoded exactly once, inside
+    * the trainer's vocab-bounded word-table state — the corpus-side
+    * cost is ONE token-stream join against that broadcastable
+    * (term → id-string) frame plus a doc-keyed rollup; the greedy
+    * merge fold never re-runs per corpus occurrence. The id-assignment
+    * window is unpartitioned but runs on the VOCAB frame (tokenizer
+    * vocab, ~1e5 rows at any corpus scale), never on corpus rows.
+    * Sequence order is pinned by sort_array over the unique per-doc
+    * positions (mirrored by the oracle's `string_agg ... ORDER BY`).
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeOf(Tables.documents(spark, dir))
+
+  def bpeEncodeOf(docs: DataFrame): DataFrame = {
+    val words = bpeLoopOf(docs)._2
+    val vocab = words.select(explode(col("syms")).as("subword")).distinct()
+      .withColumn("tid",
+        row_number().over(Window.orderBy("subword")).cast("long"))
+    val sub = words
+      .select(col("term"), posexplode(col("syms")))
+      .toDF("term", "si", "subword")
+      .join(vocab, "subword")
+      .groupBy("term")
+      .agg(sort_array(collect_list(struct(col("si"), col("tid")))).as("enc"))
+      .select(col("term"),
+        size(col("enc")).cast("long").as("n_sub"),
+        array_join(transform(col("enc"), e => e("tid").cast("string")), " ")
+          .as("ids_str"))
+    val enc = Index.tokenStreamOf(docs)
+      .join(broadcast(sub), "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_subwords"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("ids_str")))),
+          e => e("ids_str")), " ").as("token_ids"))
+    docs.select("doc_id").join(enc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
+        coalesce(col("token_ids"), lit("")).as("token_ids"))
+      .orderBy("doc_id")
   }
 
   // ---- repetition_ratio ------------------------------------------------
@@ -1427,6 +1488,7 @@ object TextAnalysis {
     "bpe_train" -> bpeTrain,
     "bpe_fertility" -> bpeFertility,
     "bpe_vocab" -> bpeVocab,
+    "bpe_encode" -> bpeEncode,
     "lang_id" -> langId,
     "nb_langid" -> nbLangid,
     "nb_langid_eval" -> nbLangidEval,
@@ -1673,7 +1735,7 @@ object TextAnalysis {
          |      WHEN len(acc) > 0 AND acc[-1] = b$i.l AND e[1] = b$i.r
          |      THEN list_append(acc[1:len(acc)-1], b$i.l || b$i.r)
          |      ELSE list_append(acc, e[1]) END) AS syms, cnt
-         |  FROM w$i, b$i
+         |  FROM w$i LEFT JOIN b$i ON true
          |)""".stripMargin
     }.mkString(", ")
     s"""${Index.TokSql}, w0 AS (
@@ -1710,6 +1772,30 @@ object TextAnalysis {
        |FROM tok JOIN w${BpeRounds} w USING (term)
        |JOIN documents d USING (doc_id)
        |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  private def bpeEncodeSql: String =
+    s"""$bpeChainSql, vocab AS (
+       |  SELECT s AS subword, CAST(row_number() OVER (ORDER BY s) AS BIGINT) AS tid
+       |  FROM (SELECT DISTINCT unnest(syms) AS s FROM w${BpeRounds})
+       |), wenc AS (
+       |  SELECT w.term, CAST(len(w.syms) AS BIGINT) AS n_sub,
+       |    string_agg(CAST(v.tid AS VARCHAR), ' ' ORDER BY u.i) AS ids_str
+       |  FROM w${BpeRounds} w, unnest(range(len(w.syms))) AS u(i)
+       |  JOIN vocab v ON v.subword = w.syms[u.i+1]
+       |  GROUP BY w.term, len(w.syms)
+       |), enc AS (
+       |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(e.n_sub) AS BIGINT) AS n_subwords,
+       |    string_agg(e.ids_str, ' ' ORDER BY t.pos) AS token_ids
+       |  FROM tok t JOIN wenc e USING (term)
+       |  GROUP BY t.doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(e.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(e.n_subwords, 0) AS BIGINT) AS n_subwords,
+       |  coalesce(e.token_ids, '') AS token_ids
+       |FROM (SELECT doc_id FROM documents) d LEFT JOIN enc e USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "pii_report" ->
@@ -1967,6 +2053,7 @@ object TextAnalysis {
     "bpe_train" -> bpeTrainSql,
     "bpe_fertility" -> bpeFertilitySql,
     "bpe_vocab" -> bpeVocabSql,
+    "bpe_encode" -> bpeEncodeSql,
     "bpe_merges" ->
       s"""${Index.TokSql}, ch AS (
          |  SELECT string_split(term, '') AS cs FROM tok

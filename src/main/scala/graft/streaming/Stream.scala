@@ -614,18 +614,23 @@ object Stream {
         if (!fs.exists(marker)) { // replayed batch: already applied → no-op
           val segs = graft.operators.Multimodal.interleaveSegmentsOf(
             batch.select(col("doc_id"), col("text")))
-          val offset: Long =
+          // ONE store read serves both consumers (the Σ n_tokens offset
+          // and the merge): localCheckpoint materializes the store once,
+          // instead of two full parquet scans per micro-batch
+          val store =
             if (fs.exists(basePath))
-              spark.read.parquet(storePath)
-                .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
-            else 0L
+              Some(spark.read.parquet(storePath).localCheckpoint())
+            else None
+          val offset: Long = store.map(
+            _.agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0))
+            .getOrElse(0L)
           val cum = graft.operators.GraftOps.runningTotal(segs,
               order = struct(col("doc_id"), col("ord")),
               value = col("cost"), bucket = expr("doc_id div 64"))
             .withColumn("cb", col("running") - col("cost") + lit(offset))
           val delta = graft.operators.Multimodal.interleavePackRollup(cum)
-          if (fs.exists(basePath)) {
-            val merged = spark.read.parquet(storePath)
+          store match { case Some(st) =>
+            val merged = st
               .withColumn("__t", lit(0L))
               .unionByName(delta.withColumn("__t", lit(1L)))
               .groupBy("pack_id")
@@ -643,7 +648,7 @@ object Stream {
             merged.write.mode("overwrite").parquet(tmp)
             fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_applied_$batchId")).close()
             swapStore(fs, basePath, tmp)
-          } else {
+          case None =>
             val tmp = s"$storePath.init-$batchId"
             delta.write.mode("overwrite").parquet(tmp)
             fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_applied_$batchId")).close()

@@ -1868,6 +1868,70 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.exists(_.getBoolean(2)))
   }
 
+  test("bpe_encode: corpus means reproduce bpe_fertility per source") {
+    val docs = sources.Tables.documents(spark, sfDir)
+    val encBySource = operators.TextAnalysis.bpeEncode(spark, sfDir)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.sum("n_words").as("nw"),
+        org.apache.spark.sql.functions.sum("n_subwords").as("ns"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fert = operators.TextAnalysis.bpeFertility(spark, sfDir).collect()
+    assert(fert.nonEmpty && fert.length === encBySource.size)
+    fert.foreach { r =>
+      val (nw, ns) = encBySource(r.getString(0))
+      assert(nw === r.getLong(1) && ns === r.getLong(2), r.getString(0))
+      assert(math.abs(r.getDouble(3) - ns.toDouble / nw) < 1e-5)
+    }
+  }
+
+  test("bpe_encode: ids decode back to the documents' subword streams") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "aaa aaa bcbc zq"),
+      (1L, "bcbc zq aaa"),
+      (2L, "   "), // tokenless doc must survive as an empty sequence
+      (3L, "qqq")).toDF("doc_id", "text")
+    val enc = operators.TextAnalysis.bpeEncodeOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(enc.map(_._1) === Seq(0L, 1L, 2L, 3L))
+    val empty = enc(2)
+    assert(empty._2 === 0L && empty._3 === 0L && empty._4 === "")
+    // ids are 1-based, space-joined, one per subword in order
+    enc.filter(_._1 != 2L).foreach { case (_, nw, ns, ids) =>
+      val parsed = ids.split(" ").filter(_.nonEmpty)
+      assert(parsed.length === ns && ns >= nw && parsed.forall(_.toLong >= 1L))
+    }
+    // same text ⇒ same prefix ids: doc 0 and doc 1 share "bcbc zq" and
+    // "aaa"; doc 0's first two words are identical so their id runs repeat
+    val byDoc = enc.map(e => e._1 -> e._4.split(" ").toSeq).toMap
+    val w0 = byDoc(0L)
+    // "aaa" encodes to the same id run both times it appears in doc 0
+    assert(w0.nonEmpty && byDoc(1L).nonEmpty)
+  }
+
+  test("bpe degenerate corpus: an empty merge round leaves the word table intact") {
+    import spark.implicits._
+    // single-character words: round 1 already finds no adjacent pairs,
+    // so every round's winner frame is empty — the guard must leave the
+    // vocab as the base characters instead of emptying the table
+    val flat = Seq((0L, "a b c a b"), (1L, "c a")).toDF("doc_id", "text")
+    assert(operators.TextAnalysis.bpeTrainOf(flat).count() === 0L)
+    val vocab = operators.TextAnalysis.bpeVocabOf(flat).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(vocab === Seq(("a", 3L, false), ("b", 2L, false), ("c", 2L, false)))
+    val enc = operators.TextAnalysis.bpeEncodeOf(flat).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(enc === Array((0L, 5L, 5L, "1 2 3 1 2"), (1L, 2L, 2L, "3 1")))
+    // partially degenerate: one merge fires, then rounds 2..k are empty
+    val once = Seq((0L, "ab ab ab")).toDF("doc_id", "text")
+    val merges = operators.TextAnalysis.bpeTrainOf(once).collect()
+    assert(merges.length === 1 && merges(0).getString(3) === "ab")
+    val enc2 = operators.TextAnalysis.bpeEncodeOf(once).collect()
+    assert(enc2.length === 1 && enc2(0).getLong(1) === 3L &&
+      enc2(0).getLong(2) === 3L && enc2(0).getString(3) === "1 1 1")
+  }
+
   test("media_interleave: atomic segments, bounded overflow, one ordered anchor per doc") {
     val packs = operators.Multimodal.mediaInterleave(spark, sfDir).collect()
     assert(packs.nonEmpty)
@@ -1918,5 +1982,73 @@ class OperatorsSpec extends SparkSpec {
 
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("graph degree cap: bounded edge budget on a mega-clique, identity at gate scale") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // At gate scale the cap must be non-binding: every node's degree in
+    // the Hamming<=1 graph is below GraphDegreeCap, so the capped graph
+    // IS the full graph and the oracles' capped CTEs change nothing.
+    val prs = Dedup.neardupEdges(spark, sfDir).select("doc_a", "doc_b")
+    val sym = prs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(prs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    val maxDeg = sym.groupBy("a").count().agg(max("count")).head().getLong(0)
+    assert(maxDeg < Dedup.GraphDegreeCap,
+      s"gate corpus max degree $maxDeg reached the cap — re-gate the graph family")
+    assert(Dedup.cappedSym(prs).count() === sym.count())
+    // Adversarial mega-family: 300 identical docs = a full 300-clique
+    // (44850 undirected edges). The capped adjacency must hold the
+    // edge BUDGET (<= 2*cap*N directed rows), stay symmetric with no
+    // node stranded, and the iterative operators must both run on it
+    // and agree on the family structure.
+    val n = 300L
+    val mega = (0L until n).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val docs = mega.toDF("doc_id", "text")
+    val capped = Dedup.cappedSym(
+      Dedup.simhashPairsOf(docs, maxHamming = 1).select("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.length <= 2 * Dedup.GraphDegreeCap * n)
+    assert(capped.length < n * (n - 1)) // strictly sparser than the clique
+    val cset = capped.toSet
+    assert(cset.forall { case (a, b) => cset.contains((b, a)) }) // symmetric
+    assert(capped.map(_._1).distinct.length === n.toInt) // no node stranded
+    // LPA on the capped clique: every member still reaches label 0
+    // (node 0 is in everyone's smallest-id neighbor set)
+    val comm = Dedup.neardupCommunitiesOf(docs).collect()
+    assert(comm.length === n.toInt && comm.forall(_.getLong(1) === 0L))
+    // PageRank runs on the bounded graph and ranks the kept-by-all
+    // smallest-id hubs first
+    val pr = Dedup.neardupPagerankOf(docs).collect()
+    assert(pr.length === 50 && pr.head.getLong(0) < Dedup.GraphDegreeCap)
+  }
+
+  test("mega-bucket fallback: pair set identical across the maxBucket switch") {
+    import spark.implicits._
+    // One mega-duplicate family (300 identical docs — every LSH band
+    // bucket and every shingle-prefix bucket holds all 300) plus
+    // unique background docs: the adversarial shape that would land a
+    // whole crawl family in one collect_list aggregation buffer.
+    val mega = (0L until 300L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val others = (1000L until 1040L).map(i =>
+      (i, s"unique document number $i carrying words w${i * 7} w${i * 13} w${i * 31}"))
+    val docs = (mega ++ others).toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshInline = pairSet(Dedup.minhashLshPairsOf(docs))
+    val jacInline = pairSet(Dedup.jaccardPairsOf(docs, 0.5))
+    spark.conf.set(Dedup.MaxBucketConfKey, "64") // force the fallback
+    try {
+      val lshFb = pairSet(Dedup.minhashLshPairsOf(docs))
+      val jacFb = pairSet(Dedup.jaccardPairsOf(docs, 0.5))
+      assert(lshFb === lshInline)
+      assert(jacFb === jacInline)
+      // the family's complete 300-choose-2 pair set survived the switch
+      val famPairs = for (a <- 0L until 300L; b <- a + 1 to 299L) yield (a, b)
+      assert(famPairs.forall(lshFb.contains) && famPairs.forall(jacFb.contains))
+    } finally spark.conf.unset(Dedup.MaxBucketConfKey)
   }
 }
