@@ -750,14 +750,69 @@ object Dedup {
     * WindowExec buffers through a spillable array, so even a
     * mega-clique's 10M-row partition sorts without an aggregation
     * buffer), keep rank ≤ cap, then re-symmetrize with a distinct.
-    * One edge-keyed shuffle + one window sort over |E| — paid ONCE,
-    * versus the O(|E|) shuffle every iteration would otherwise pay on
-    * an uncapped clique.
+    * REFERENCE SEMANTICS ONLY: this caps an already-materialized edge
+    * list, so its input is the full O(Σ clique²) pair mass. The
+    * production discovery path is [[cappedSymH1]], which builds the
+    * IDENTICAL capped graph without ever emitting that mass
+    * (spec-asserted equal on the gate corpus and a mega-clique).
     */
   private[graft] def cappedSym(prs: DataFrame): DataFrame = {
     val sym = prs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(prs.select(col("doc_b").as("a"), col("doc_a").as("b")))
     val kept = sym
+      .withColumn("__r", row_number().over(Window.partitionBy("a").orderBy("b")))
+      .filter(col("__r") <= GraphDegreeCap)
+      .select("a", "b")
+    kept.unionByName(kept.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+  }
+
+  /** BOUNDED-DISCOVERY construction of the [[GraphDegreeCap]]ped
+    * Hamming ≤ 1 adjacency — the 100 TB path. The banded pair join
+    * ([[simhashPairsOf]]) must EMIT every edge before a cap can drop
+    * it, and on a boilerplate-heavy crawl the Hamming ≤ 1 relation is
+    * Σ family² — the r10 100× attempt shuffled 25 GB and counting in
+    * pure candidate generation. This path never materializes that
+    * mass, exploiting Hamming ≤ 1 structure: a doc's neighbor set is
+    * EXACTLY its own simhash-value group plus the ≤ 32 groups at one
+    * bit flip (every member of such a group is a verified neighbor by
+    * construction — the distance is a function of the two VALUES). So
+    * the cap-smallest neighbors of any doc live in the (cap+1)-smallest
+    * member PREFIX of those ≤ 33 groups, and the whole graph rebuilds
+    * from per-group bounded prefixes:
+    *
+    *   1. one window ranks members within each value group (spillable
+    *      sort; a 10M-doc family costs one partition sort, not 10M²
+    *      pairs) and keeps each group's cap+1 smallest;
+    *   2. each doc probes its own value + the 32 bit-flips (a 33-way
+    *      explode of the DOC table, never of pairs) against the prefix
+    *      table — every surviving (doc, prefix-member) row is a true
+    *      edge, ≤ 33·(cap+1) per doc at ANY duplicate density;
+    *   3. the same per-node rank ≤ cap + OR-symmetrization as
+    *      [[cappedSym]] — over the bounded candidate stream, whose
+    *      per-node cap-smallest is provably the full graph's (the
+    *      prefix of each group covers every candidate small enough to
+    *      survive the global cap).
+    *
+    * Output is bitwise the [[cappedSym]] graph; only the plan differs.
+    */
+  private[graft] def cappedSymH1(docs: DataFrame): DataFrame = {
+    val k1 = GraphDegreeCap + 1
+    val sh = simhashDf(docs)
+    val prefix = sh
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("simhash").orderBy("doc_id")))
+      .filter(col("__r") <= k1)
+      .groupBy(col("simhash").as("v"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ms")) // ≤ cap+1 longs
+    val probes = sh.select(col("doc_id"), explode(expr(
+        // own value first, then the 32 one-bit flips (all distinct)
+        "concat(array(simhash), transform(sequence(0, 31), b -> simhash ^ shiftleft(1L, b)))"))
+        .as("v"))
+    val cand = probes.join(prefix, "v")
+      .select(col("doc_id").as("a"), explode(col("ms")).as("b"))
+      .filter(col("a") =!= col("b"))
+    val kept = cand
       .withColumn("__r", row_number().over(Window.partitionBy("a").orderBy("b")))
       .filter(col("__r") <= GraphDegreeCap)
       .select("a", "b")
@@ -785,14 +840,12 @@ object Dedup {
     // literal denotes) and the bitwise contract would fail whenever a
     // pr lands within an ulp of a round(_, 6) boundary
     val teleport = 0.15
-    val prs = simhashPairsOf(docs, maxHamming = 1)
-      .select(col("doc_a"), col("doc_b"))
     // the capped edge list feeds degree + both iterations (5 plan
-    // branches): materialize it once — without this the simhash-pair
-    // join tree recomputes per branch (measured 3.4s → the checkpoint
+    // branches): materialize it once — without this the discovery
+    // tree recomputes per branch (measured 3.4s → the checkpoint
     // pays for itself several times over; same pattern as
     // connectedComponents)
-    val sym = cappedSym(prs).localCheckpoint()
+    val sym = cappedSymH1(docs).localCheckpoint()
     val deg = sym.groupBy("a").agg(count(lit(1)).cast("double").as("deg"))
     val nDf = deg.agg(count(lit(1)).cast("double").as("n"))
     // pr0 = 1/n for every node; each iteration joins current pr onto
@@ -833,11 +886,9 @@ object Dedup {
     neardupCommunitiesOf(Tables.documents(spark, dir))
 
   def neardupCommunitiesOf(docs: DataFrame): DataFrame = {
-    val prs = simhashPairsOf(docs, maxHamming = 1)
-      .select(col("doc_a"), col("doc_b"))
     // one materialization feeds the node seed + all 3 rounds (same
     // rationale as neardupPagerank's checkpoint)
-    val sym = cappedSym(prs).localCheckpoint()
+    val sym = cappedSymH1(docs).localCheckpoint()
     def step(lbl: DataFrame): DataFrame =
       sym.join(lbl.withColumnRenamed("node", "b"), "b")
         .groupBy(col("a"), col("lbl"))

@@ -1997,6 +1997,12 @@ class OperatorsSpec extends SparkSpec {
     assert(maxDeg < Dedup.GraphDegreeCap,
       s"gate corpus max degree $maxDeg reached the cap — re-gate the graph family")
     assert(Dedup.cappedSym(prs).count() === sym.count())
+    // the bounded-discovery path (value groups + bit-flip probes, no
+    // pair emission) must rebuild EXACTLY the reference capped graph
+    val gateDocs = sources.Tables.documents(spark, sfDir)
+    def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges(Dedup.cappedSymH1(gateDocs)) === edges(Dedup.cappedSym(prs)))
     // Adversarial mega-family: 300 identical docs = a full 300-clique
     // (44850 undirected edges). The capped adjacency must hold the
     // edge BUDGET (<= 2*cap*N directed rows), stay symmetric with no
@@ -2006,9 +2012,12 @@ class OperatorsSpec extends SparkSpec {
     val mega = (0L until n).map(i =>
       (i, "the quick brown fox jumps over the lazy dog again and again"))
     val docs = mega.toDF("doc_id", "text")
-    val capped = Dedup.cappedSym(
-      Dedup.simhashPairsOf(docs, maxHamming = 1).select("doc_a", "doc_b"))
+    val capped = Dedup.cappedSymH1(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ...and on the clique too, bounded discovery == reference cap
+    assert(capped.toSet === Dedup.cappedSym(
+      Dedup.simhashPairsOf(docs, maxHamming = 1).select("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
     assert(capped.length <= 2 * Dedup.GraphDegreeCap * n)
     assert(capped.length < n * (n - 1)) // strictly sparser than the clique
     val cset = capped.toSet
