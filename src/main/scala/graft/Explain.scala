@@ -75,6 +75,7 @@ object Explain {
     "bpe_train" -> Rule(forbidden = Seq("Scan parquet")),
     // assembly packs via broadcast offsets; no corpus-wide window
     "media_interleave" -> Rule(required = Seq("BroadcastHashJoin")),
+    "pack_tokens" -> Rule(required = Seq("BroadcastHashJoin")),
     "bpe_fertility" -> Rule(),
     "q10_returns" -> Rule(required = Seq("BroadcastHashJoin")),
     "q14_promo" -> Rule(required = Seq("BroadcastHashJoin")),

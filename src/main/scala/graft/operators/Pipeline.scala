@@ -441,6 +441,57 @@ object Pipeline {
       .orderBy("pack_id")
   }
 
+  /** Token budget per pack for [[packTokens]] — interpolated into the
+    * oracle so the engines share one constant. */
+  val PackTokensBudget = 256L
+
+  /** TOKEN-ID sequence packing — the step an LLM pretraining pipeline
+    * actually ships: [[packChunks]] packs whitespace-token COUNTS;
+    * this packs the trained tokenizer's real per-doc subword id
+    * sequences ([[TextAnalysis.bpeEncode]]) into fixed
+    * [[PackTokensBudget]]-token training sequences, emitting each
+    * pack's materialized ids (docs straddle boundaries; a straddling
+    * doc's sequence is SLICED at the boundary, so concatenating the
+    * packs reproduces the corpus token stream exactly — spec-asserted
+    * roundtrip). Same 100 TB shape as packChunks: global positions via
+    * [[GraftOps.runningTotal]]'s two-phase prefix sum (no corpus-wide
+    * window), each doc explodes to only the packs it touches, one
+    * partial-agg shuffle builds the pack table; the id slicing is
+    * row-local array arithmetic on the encode frame.
+    */
+  def packTokens(spark: SparkSession, dir: String): DataFrame =
+    packTokensOf(Tables.documents(spark, dir), PackTokensBudget)
+
+  def packTokensOf(docs: DataFrame, budget: Long): DataFrame = {
+    val enc = TextAnalysis.bpeEncFrame(docs)
+      .filter(col("n_subwords") > 0L)
+      .select(col("doc_id"), col("n_subwords").as("n"),
+        split(col("token_ids"), " ").as("ids"))
+    val cum = GraftOps.runningTotal(enc, order = col("doc_id"),
+        value = col("n"), bucket = expr("doc_id div 64"))
+      .withColumn("cb", col("running") - col("n"))
+    cum
+      .select(col("doc_id"), col("n"), col("cb"), col("ids"),
+        explode(sequence(expr(s"cb div $budget"),
+          expr(s"(cb + n - 1) div $budget"))).as("pack_id"))
+      // the doc's slice landing in this pack: global token positions
+      // [max(cb, pack·b), min(cb+n, (pack+1)·b)) → local 1-based slice
+      .withColumn("lo", greatest(col("cb"), col("pack_id") * budget) - col("cb"))
+      .withColumn("hi",
+        least(col("cb") + col("n"), (col("pack_id") + 1L) * budget) - col("cb"))
+      .select(col("pack_id"), col("doc_id"), (col("hi") - col("lo")).as("seg_n"),
+        expr("slice(ids, cast(lo as int) + 1, cast(hi - lo as int))").as("seg"))
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("seg_n")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("doc_id"), col("seg")))),
+          e => array_join(e("seg"), " ")), " ").as("token_ids"))
+      .orderBy("pack_id")
+  }
+
   /** The dataset card in one row: corpus size, token volume, source/
     * language spread, exact-duplicate rate, and the quality keep rate —
     * the numbers a released dataset publishes. Each component is a
@@ -834,6 +885,7 @@ object Pipeline {
     "dataset_card" -> datasetCard,
     "doc_chunking" -> docChunking,
     "pack_chunks" -> packChunks,
+    "pack_tokens" -> packTokens,
     "pack_efficiency_report" -> packEfficiencyReport,
     "contamination_bloom" -> contaminationBloom,
     "token_budget_allocation" -> tokenBudgetAllocation,
@@ -894,6 +946,29 @@ object Pipeline {
        |FROM documents d LEFT JOIN fl USING (doc_id)
        |WHERE ${hashPct("d.doc_id::VARCHAR")} < 90
        |ORDER BY d.doc_id""".stripMargin
+
+  private def packTokensSql: String =
+    s"""${TextAnalysis.bpeEncCoreSql}, cum AS (
+       |  SELECT doc_id, n_subwords AS n, token_ids AS ids,
+       |    CAST(sum(n_subwords) OVER (ORDER BY doc_id) - n_subwords AS BIGINT) AS cb
+       |  FROM enc WHERE n_subwords > 0
+       |), ex AS (
+       |  SELECT doc_id, n, cb, ids,
+       |    unnest(range(cb // $PackTokensBudget, (cb + n - 1) // $PackTokensBudget + 1)) AS pack_id
+       |  FROM cum
+       |), seg AS (
+       |  SELECT pack_id, doc_id,
+       |    greatest(cb, pack_id * $PackTokensBudget) - cb AS lo,
+       |    least(cb + n, (pack_id + 1) * $PackTokensBudget) - cb AS hi,
+       |    string_split(ids, ' ') AS arr
+       |  FROM ex
+       |)
+       |SELECT CAST(pack_id AS BIGINT) AS pack_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(hi - lo) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |  string_agg(array_to_string(arr[lo+1:hi], ' '), ' ' ORDER BY doc_id) AS token_ids
+       |FROM seg GROUP BY pack_id ORDER BY pack_id""".stripMargin
 
   private val packChunksSql: String =
     """WITH toks AS (
@@ -1105,6 +1180,7 @@ object Pipeline {
         |  round((w / t.wtot) * 1000000.0 / n_tokens::DOUBLE, 6) AS epochs_at_1m
         |FROM w, t ORDER BY source""".stripMargin,
     "pack_chunks" -> packChunksSql,
+    "pack_tokens" -> packTokensSql,
     "pack_efficiency_report" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_packs,
          |  CAST(sum(CASE WHEN n_tokens = 256 THEN 1 ELSE 0 END) AS BIGINT) AS full_packs,

@@ -1048,7 +1048,13 @@ object TextAnalysis {
   def bpeEncode(spark: SparkSession, dir: String): DataFrame =
     bpeEncodeOf(Tables.documents(spark, dir))
 
-  def bpeEncodeOf(docs: DataFrame): DataFrame = {
+  /** The per-doc encode frame for docs WITH tokens — (doc_id, n_words,
+    * n_subwords, token_ids) — shared by [[bpeEncode]] (which left-joins
+    * the doc roster so tokenless docs surface as empty sequences) and
+    * [[Pipeline.packTokens]] (which packs the sequences and never
+    * needs the empty rows).
+    */
+  private[operators] def bpeEncFrame(docs: DataFrame): DataFrame = {
     val words = bpeLoopOf(docs)._2
     val vocab = words.select(explode(col("syms")).as("subword")).distinct()
       .withColumn("tid",
@@ -1063,7 +1069,7 @@ object TextAnalysis {
         size(col("enc")).cast("long").as("n_sub"),
         array_join(transform(col("enc"), e => e("tid").cast("string")), " ")
           .as("ids_str"))
-    val enc = Index.tokenStreamOf(docs)
+    Index.tokenStreamOf(docs)
       .join(broadcast(sub), "term")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
@@ -1071,6 +1077,10 @@ object TextAnalysis {
         array_join(transform(
           sort_array(collect_list(struct(col("pos"), col("ids_str")))),
           e => e("ids_str")), " ").as("token_ids"))
+  }
+
+  def bpeEncodeOf(docs: DataFrame): DataFrame = {
+    val enc = bpeEncFrame(docs)
     docs.select("doc_id").join(enc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_words"), lit(0L)).as("n_words"),
@@ -1773,7 +1783,11 @@ object TextAnalysis {
        |JOIN documents d USING (doc_id)
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
-  private def bpeEncodeSql: String =
+  /** Chain CTEs through the per-doc encode frame (`enc`: doc_id,
+    * n_words, n_subwords, token_ids — docs with tokens only) — shared
+    * by [[bpeEncodeSql]] and [[Pipeline]]'s pack_tokens oracle.
+    */
+  private[operators] def bpeEncCoreSql: String =
     s"""$bpeChainSql, vocab AS (
        |  SELECT s AS subword, CAST(row_number() OVER (ORDER BY s) AS BIGINT) AS tid
        |  FROM (SELECT DISTINCT unnest(syms) AS s FROM w${BpeRounds})
@@ -1789,7 +1803,10 @@ object TextAnalysis {
        |    string_agg(e.ids_str, ' ' ORDER BY t.pos) AS token_ids
        |  FROM tok t JOIN wenc e USING (term)
        |  GROUP BY t.doc_id
-       |)
+       |)""".stripMargin
+
+  private def bpeEncodeSql: String =
+    s"""$bpeEncCoreSql
        |SELECT d.doc_id,
        |  CAST(coalesce(e.n_words, 0) AS BIGINT) AS n_words,
        |  CAST(coalesce(e.n_subwords, 0) AS BIGINT) AS n_subwords,

@@ -1984,6 +1984,28 @@ class OperatorsSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("pack_tokens: packs roundtrip the bpe_encode token stream exactly") {
+    val packs = operators.Pipeline.packTokens(spark, sfDir).collect()
+    assert(packs.nonEmpty)
+    val enc = operators.TextAnalysis.bpeEncode(spark, sfDir).collect()
+    // totals: every subword lands in exactly one pack
+    val encTok = enc.map(_.getLong(2)).sum
+    assert(packs.map(_.getLong(2)).sum === encTok)
+    // pack_ids are dense 0..P-1, and every pack but the last is full
+    assert(packs.map(_.getLong(0)).toSeq === (0L until packs.length).toSeq)
+    packs.dropRight(1).foreach(p => assert(p.getLong(2) === 256L, p.toString))
+    // ROUNDTRIP: concatenating packs in order reproduces the corpus
+    // token stream (doc_id order) — boundary slicing loses nothing
+    val fromPacks = packs.sortBy(_.getLong(0)).map(_.getString(5))
+      .filter(_.nonEmpty).mkString(" ")
+    val fromDocs = enc.sortBy(_.getLong(0)).map(_.getString(3))
+      .filter(_.nonEmpty).mkString(" ")
+    assert(fromPacks === fromDocs)
+    // docs straddle boundaries on the gate corpus (the packing is
+    // concat-and-chunk, not per-doc padding)
+    assert(packs.exists(_.getLong(1) > 1L))
+  }
+
   test("graph degree cap: bounded edge budget on a mega-clique, identity at gate scale") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
