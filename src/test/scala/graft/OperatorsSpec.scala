@@ -2025,6 +2025,11 @@ class OperatorsSpec extends SparkSpec {
     def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(edges(Dedup.cappedSymH1(gateDocs)) === edges(Dedup.cappedSym(prs)))
+    // ...and its PLAN must be the group-structural discovery, not a
+    // pairwise candidate join: no bit_count verification stage exists
+    // (that marker is the banded pair path's exact-verify signature)
+    val h1Plan = Dedup.cappedSymH1(gateDocs).queryExecution.executedPlan.toString
+    assert(!h1Plan.contains("bit_count("))
     // Adversarial mega-family: 300 identical docs = a full 300-clique
     // (44850 undirected edges). The capped adjacency must hold the
     // edge BUDGET (<= 2*cap*N directed rows), stay symmetric with no
