@@ -492,6 +492,23 @@ object Pipeline {
       .orderBy("pack_id")
   }
 
+  /** Packing-efficiency rollup over [[packTokens]] —
+    * [[packEfficiencyReport]]'s twin for the SHIPPED packing: pack
+    * count, full packs, total/min subword fill and the fill rate
+    * against [[PackTokensBudget]] — the wasted-compute number a
+    * training run reads off the real token-id packs. One aggregate
+    * over the (already corpus-rollup-sized) pack frame.
+    */
+  def packTokensReport(spark: SparkSession, dir: String): DataFrame =
+    packTokens(spark, dir).agg(
+      count(lit(1)).as("n_packs"),
+      sum(when(col("n_tokens") === PackTokensBudget, 1L).otherwise(0L))
+        .as("full_packs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      min(col("n_tokens")).as("min_fill"),
+      round(sum(col("n_tokens")).cast("double") /
+        (count(lit(1)) * lit(PackTokensBudget)).cast("double"), 6).as("fill_rate"))
+
   /** The dataset card in one row: corpus size, token volume, source/
     * language spread, exact-duplicate rate, and the quality keep rate —
     * the numbers a released dataset publishes. Each component is a
@@ -887,6 +904,7 @@ object Pipeline {
     "pack_chunks" -> packChunks,
     "pack_tokens" -> packTokens,
     "pack_efficiency_report" -> packEfficiencyReport,
+    "pack_tokens_report" -> packTokensReport,
     "contamination_bloom" -> contaminationBloom,
     "token_budget_allocation" -> tokenBudgetAllocation,
     "sampling_weights" -> samplingWeights,
@@ -1188,6 +1206,13 @@ object Pipeline {
          |  CAST(min(n_tokens) AS BIGINT) AS min_fill,
          |  round(sum(n_tokens)::DOUBLE / (count(*) * 256)::DOUBLE, 6) AS fill_rate
          |FROM ($packChunksSql) p""".stripMargin,
+    "pack_tokens_report" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_packs,
+         |  CAST(sum(CASE WHEN n_tokens = $PackTokensBudget THEN 1 ELSE 0 END) AS BIGINT) AS full_packs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(min(n_tokens) AS BIGINT) AS min_fill,
+         |  round(sum(n_tokens)::DOUBLE / (count(*) * $PackTokensBudget)::DOUBLE, 6) AS fill_rate
+         |FROM ($packTokensSql) p""".stripMargin,
     "contamination_bloom" -> contaminationSql,
     "token_budget_allocation" ->
       """WITH s AS (

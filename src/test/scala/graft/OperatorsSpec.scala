@@ -2004,6 +2004,12 @@ class OperatorsSpec extends SparkSpec {
     // docs straddle boundaries on the gate corpus (the packing is
     // concat-and-chunk, not per-doc padding)
     assert(packs.exists(_.getLong(1) > 1L))
+    // the efficiency report is the packs frame's exact rollup
+    val rep = operators.Pipeline.packTokensReport(spark, sfDir).collect()
+    assert(rep.length === 1)
+    assert(rep.head.getLong(0) === packs.length.toLong)
+    assert(rep.head.getLong(2) === encTok)
+    assert(rep.head.getLong(1) >= packs.length.toLong - 1) // all but the last full
   }
 
   test("graph degree cap: bounded edge budget on a mega-clique, identity at gate scale") {
