@@ -69,8 +69,9 @@ object Bench {
     // noise chase — the r9 "knn_ivf 6.42s" incident. Subset runs
     // (SPARK_GRAFT_ONLY) skip it: a partial map would masquerade as a
     // full-surface regression baseline.
-    if (only.isEmpty && Files.isDirectory(Paths.get("/root/repo")))
-      Files.write(Paths.get("/root/repo/BENCH_full_latest.json"),
+    val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO", sys.props("user.dir"))
+    if (only.isEmpty && Files.isDirectory(Paths.get(repoRoot, ".git")))
+      Files.write(Paths.get(repoRoot, "BENCH_full_latest.json"),
         json.getBytes(StandardCharsets.UTF_8))
     println(json)
     def r3(v: Double): Double = math.rint(v * 1000) / 1000

@@ -10,7 +10,16 @@ package graft
   */
 object Explain {
 
-  /** Plan substrings that must / must not appear for a query. */
+  /** Plan substrings that must / must not appear for a query.
+    *
+    * VERSION PIN: every substring below (including attribute-reference
+    * spellings like `collect_list(it#` / ` < it#`) is pinned against
+    * the plan-string format of Spark 4.1.2 (`explain("formatted")` +
+    * the analyzed-plan text). They prove the audited branch exists
+    * SOMEWHERE in the tree — intentionally loose, since Catalyst may
+    * reorder nodes — and a Spark upgrade that reformats plan strings
+    * is expected to fail these specs loudly (re-pin, don't loosen).
+    */
   final case class Rule(required: Seq[String] = Nil, forbidden: Seq[String] = Nil)
 
   /** Invariants for the most expensive / most shuffle-prone queries.
@@ -48,7 +57,12 @@ object Explain {
     // carries its bit_count(xor) verification in the join condition — a
     // pairwise rewrite would lose both the key shape and the substring
     "simhash_pairs" -> Rule(required = Seq("bit_count(", "Join [band#")),
-    "dedup_clusters" -> Rule(),
+    // the CC family must take the value-graph collapse (r11): the final
+    // plan carries NO banded-pair bit_count verification stage — the
+    // pair relation is never materialized (neardupComponents)
+    "dedup_clusters" -> Rule(forbidden = Seq("bit_count(")),
+    "neardup_apply" -> Rule(forbidden = Seq("bit_count(")),
+    "dedup_provenance" -> Rule(forbidden = Seq("bit_count(")),
     "neardup_triangles" -> Rule(),
     "neardup_pagerank" -> Rule(),
     "pipeline_clean" -> Rule(),

@@ -12,6 +12,36 @@ package graft
   * round's heaviest audit keys); dirs via SPARK_GRAFT_STRESS_DIRS
   * (comma-separated, default sf0.1 + /tmp/stress10x).
   */
+/** Rounds-vs-time curve for the BPE trainer (SURVEY §6; r10 VERDICT
+  * item 2): times `bpe_train` at production round counts via the
+  * [[graft.operators.TextAnalysis.BpeRoundsConfKey]] knob. Usage:
+  * `runMain graft.BpeStress [rounds,rounds,...]` (default 8,64,256);
+  * dirs via SPARK_GRAFT_STRESS_DIRS (default sf0.1).
+  */
+object BpeStress {
+  def main(args: Array[String]): Unit = {
+    val rounds =
+      if (args.nonEmpty) args(0).split(',').toSeq.map(_.toInt)
+      else Seq(8, 64, 256)
+    val dirs = sys.env.getOrElse("SPARK_GRAFT_STRESS_DIRS",
+      "/root/testdata/sf0.1").split(',').toSeq
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.entry(spark).count() // warm codegen/readers/shuffle
+    for (dir <- dirs; r <- rounds) {
+      spark.conf.set(operators.TextAnalysis.BpeRoundsConfKey, r.toString)
+      val t0 = System.nanoTime()
+      val merges = operators.TextAnalysis
+        .bpeTrainOf(sources.Tables.documents(spark, dir))
+        .queryExecution.toRdd.count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"BPESTRESS dir=$dir%-24s rounds=$r%-4d merges=$merges%-4d $t%8.2fs")
+    }
+    spark.conf.unset(operators.TextAnalysis.BpeRoundsConfKey)
+    spark.stop()
+  }
+}
+
 object StressBench {
   def main(args: Array[String]): Unit = {
     val keys =

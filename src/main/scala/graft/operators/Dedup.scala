@@ -545,6 +545,61 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Connected components of the Hamming ≤ 1 near-dup graph WITHOUT
+    * ever materializing the pair relation — the 100 TB spine under
+    * [[neardupApply]], [[dedupClusters]] and [[dedupProvenance]]
+    * (r10 VERDICT item 1, generalized). Two structural facts about
+    * Hamming ≤ 1 make the doc-level reachability computable on the
+    * DISTINCT-SIMHASH-VALUE graph:
+    *
+    *   1. docs sharing a simhash VALUE have identical neighbor sets
+    *      (edge existence is a function of the two values), and are
+    *      all mutually adjacent (distance 0) — so a value group is one
+    *      supernode whose canonical is its min doc_id. This SUBSUMES
+    *      exact-duplicate pre-collapse: md5-identical docs share a
+    *      simhash, so a 10M-doc boilerplate mega-family is ONE node.
+    *   2. two distinct values are adjacent iff one is the other with
+    *      a single bit flipped — so the value-level edge list is
+    *      found by probing each value's 32 flips against the value
+    *      table: ≤ 32·V candidate rows for V distinct values, an
+    *      EXACT edge list with ZERO quadratic stage at ANY duplicate
+    *      density (the banded pair join must emit Σ family² candidate
+    *      rows before anything can drop them — the shape that
+    *      exhausted shuffle disk at 500k docs in r9/r10).
+    *
+    * Components over the ≤ 32·V-edge canonical graph re-expand onto
+    * members by one value-keyed join; component ids equal the full
+    * doc-level graph's (min reachable doc_id: every value's min doc is
+    * its canonical, so min over reachable canonicals = min over
+    * reachable docs). Output rows are exactly the docs WITH at least
+    * one neighbor (group size ≥ 2 or a present adjacent value) —
+    * bitwise the `connectedComponents(neardupEdges)` frame
+    * (spec-asserted on the gate corpus and a mega-family corpus), so
+    * every consumer's oracle is unchanged.
+    */
+  private[graft] def neardupComponents(docs: DataFrame): DataFrame = {
+    val sh = simhashDf(docs).select(col("doc_id"), col("simhash"))
+    val vals = sh.groupBy("simhash")
+      .agg(min(col("doc_id")).as("canon"), count(lit(1)).as("n"))
+    val vedges = vals
+      .select(col("canon"), explode(expr(
+        "transform(sequence(0, 31), b -> simhash ^ shiftleft(1L, b))")).as("v2"))
+      .join(vals.select(col("simhash").as("v2"), col("canon").as("canon_b")), "v2")
+      // each undirected value pair surfaces once from each side; keep
+      // the a<b orientation (CC symmetrizes internally)
+      .filter(col("canon") < col("canon_b"))
+      .select(col("canon").as("doc_a"), col("canon_b").as("doc_b"))
+    val cc = GraftOps.connectedComponents(vedges, "doc_a", "doc_b")
+    val vcomp = vals
+      .join(cc.withColumnRenamed("node", "canon"), Seq("canon"), "left")
+      .select(col("simhash"), col("n"),
+        coalesce(col("component"), col("canon")).as("component"),
+        col("component").isNotNull.as("linked"))
+    sh.join(vcomp, "simhash")
+      .filter(col("n") >= 2 || col("linked"))
+      .select(col("doc_id").as("node"), col("component"))
+  }
+
   /** Dedup lineage: every document the dedup passes DROP, with the
     * canonical it was collapsed into, WHICH detector dropped it
     * (`norm` = normalized-text group, [[dedupApply]]'s rule;
@@ -565,8 +620,11 @@ object Dedup {
       .filter(col("doc_id") =!= col("kept_doc"))
       .select(col("doc_id").as("dropped_doc"), col("kept_doc"),
         lit("norm").as("detector"), col("n_members"))
-    val cls = GraftOps.connectedComponents(
-      neardupEdges(spark, dir), srcCol = "doc_a", dstCol = "doc_b")
+    // the component frame feeds BOTH the drop list and the size rollup
+    // (a self-join): materialize it once — without this the whole
+    // value-graph pipeline (tokenize + simhash over the corpus)
+    // executes once per branch
+    val cls = neardupComponents(Tables.documents(spark, dir)).localCheckpoint()
     val sizes = cls.groupBy("component").agg(count(lit(1)).as("n_members"))
     val simDropped = cls.filter(col("node") =!= col("component"))
       .join(sizes, "component")
@@ -576,14 +634,13 @@ object Dedup {
       .orderBy("dropped_doc", "detector")
   }
 
-  /** Dedup clusters: connected components over the [[simhashPairs]]
-    * near-dup graph ([[GraftOps.connectedComponents]] — min-label
-    * propagation with path halving), cluster_id = the smallest doc_id
-    * reachable.
+  /** Dedup clusters: connected components over the Hamming ≤ 1
+    * near-dup graph, cluster_id = the smallest doc_id reachable —
+    * computed on the distinct-simhash-VALUE graph
+    * ([[neardupComponents]]), never the doc-level pair relation.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    GraftOps.connectedComponents(
-        neardupEdges(spark, dir), srcCol = "doc_a", dstCol = "doc_b")
+    neardupComponents(Tables.documents(spark, dir))
       .select(col("node").as("doc_id"), col("component").as("cluster_id"))
       .orderBy("doc_id")
 
@@ -649,20 +706,24 @@ object Dedup {
 
   /** End-to-end near-dup REMOVAL: the corpus with only each simhash
     * cluster's canonical (min doc_id) member kept — the full pipeline
-    * step ([[simhashPairs]] → [[GraftOps.connectedComponents]] →
-    * anti-join) that [[dedupApply]] performs for exact-normalized
-    * groups. Cluster ids ARE the canonical doc ids (component = min
-    * reachable node), so "drop non-canonical members" is one anti-join
-    * against the nodes whose component differs from themselves — a
-    * frame bounded by the near-dup graph, not the corpus.
+    * step that [[dedupApply]] performs for exact-normalized groups.
+    * Reachability comes from [[neardupComponents]]' value-graph
+    * collapse (r10 VERDICT item 1): the pair relation is NEVER
+    * materialized, so a boilerplate mega-family costs one supernode
+    * instead of Σ family² candidate rows — scale-safe standalone, no
+    * exact-dedup pre-pass needed. Cluster ids ARE the canonical doc
+    * ids (component = min reachable node), so "drop non-canonical
+    * members" is one anti-join against the nodes whose component
+    * differs from themselves.
     */
-  def neardupApply(spark: SparkSession, dir: String): DataFrame = {
-    val drop = GraftOps.connectedComponents(
-        neardupEdges(spark, dir), srcCol = "doc_a", dstCol = "doc_b")
+  def neardupApply(spark: SparkSession, dir: String): DataFrame =
+    neardupApplyOf(Tables.documents(spark, dir))
+
+  private[graft] def neardupApplyOf(docs: DataFrame): DataFrame = {
+    val drop = neardupComponents(docs)
       .filter(col("node") =!= col("component"))
       .select(col("node").as("doc_id"))
-    Tables.documents(spark, dir)
-      .join(drop, Seq("doc_id"), "left_anti")
+    docs.join(drop, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
   }

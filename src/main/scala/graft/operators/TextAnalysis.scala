@@ -902,10 +902,30 @@ object TextAnalysis {
 
   // ---- bpe_train -------------------------------------------------------
 
-  /** Number of BPE merge rounds [[bpeTrain]] runs — fixed so the
-    * DuckDB oracle (a chained CTE replaying the same rounds) and the
-    * Spark loop always agree on the trained table's shape. */
+  /** Number of BPE merge rounds [[bpeTrain]] runs AT THE GATE — fixed
+    * so the DuckDB oracle (a chained CTE replaying the same rounds)
+    * and the Spark loop always agree on the trained table's shape. */
   val BpeRounds = 8
+
+  /** Round-count knob (r10 VERDICT item 2): `spark.graft.bpeRounds`
+    * overrides [[BpeRounds]] for production-scale training runs — a
+    * real tokenizer is ~30k merges, and per-round cost is a
+    * driver-scheduled job over the vocab-bounded word table, so the
+    * rounds-vs-time curve is the trainer's true scaling axis
+    * (measured at 8/64/256 in SURVEY §6 via [[graft.BpeStress]]).
+    * The GATE keys always run at the default: the oracle's
+    * chained-CTE replay is pinned to 8. Above the gate count the
+    * word-table checkpoint drops to every 4th round (the 1-row winner
+    * checkpoint stays per-round — skipping it re-derives the argmax
+    * inside every consumer's broadcast, measured 4× worse): lineage
+    * between checkpoints is ≤ 4 broadcast-join folds, and the
+    * per-round job count — the dominant cost at high round counts —
+    * drops from 2 to ~1.25.
+    */
+  val BpeRoundsConfKey = "spark.graft.bpeRounds"
+
+  private def bpeRoundCount(spark: SparkSession): Int =
+    spark.conf.getOption(BpeRoundsConfKey).map(_.toInt).getOrElse(BpeRounds)
 
   /** ITERATED BPE tokenizer training — the merge loop [[bpeMerges]]
     * only computes round 1 of: [[BpeRounds]] deterministic rounds,
@@ -939,11 +959,16 @@ object TextAnalysis {
     * [[bpeFertility]] evaluates).
     */
   private def bpeLoopOf(docs: DataFrame): (Seq[DataFrame], DataFrame) = {
+    val nRounds = bpeRoundCount(docs.sparkSession)
+    // checkpoint cadence for the WORD table: every round at gate
+    // counts (<= 8, the measured-optimal shape), every 4th beyond —
+    // see [[BpeRoundsConfKey]]
+    val cadence = if (nRounds <= BpeRounds) 1 else 4
     var words = Index.tokenStreamOf(docs)
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .select(col("term"), split(col("term"), "").as("syms"), col("cnt"))
       .localCheckpoint() // vocab-bounded; every round reads this, not the corpus
-    val rounds = (1 to BpeRounds).map { round =>
+    val rounds = (1 to nRounds).map { round =>
       val win = words
         .select(col("cnt"), explode(when(size(col("syms")) >= 2,
           arrays_zip(slice(col("syms"), lit(1), size(col("syms")) - 1),
@@ -970,7 +995,8 @@ object TextAnalysis {
               then concat(slice(acc, 1, size(acc) - 1), array(concat(l, r)))
               else concat(acc, array(x)) end)""").as("syms"),
           col("cnt"))
-        .localCheckpoint()
+      if (round % cadence == 0 || round == nRounds)
+        words = words.localCheckpoint()
       win
     }
     (rounds, words)

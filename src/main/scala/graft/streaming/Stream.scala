@@ -615,11 +615,16 @@ object Stream {
           val segs = graft.operators.Multimodal.interleaveSegmentsOf(
             batch.select(col("doc_id"), col("text")))
           // ONE store read serves both consumers (the Σ n_tokens offset
-          // and the merge): localCheckpoint materializes the store once,
-          // instead of two full parquet scans per micro-batch
+          // and the merge): persist() materializes the store once,
+          // instead of two full parquet scans per micro-batch. persist,
+          // NOT localCheckpoint: checkpoint blocks are only freed when
+          // the driver GCs the RDD, so a long-running stream would
+          // accumulate executor storage batch after batch — persist is
+          // released explicitly at the end of the batch (below).
           val store =
             if (fs.exists(basePath))
-              Some(spark.read.parquet(storePath).localCheckpoint())
+              Some(spark.read.parquet(storePath).persist(
+                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
             else None
           val offset: Long = store.map(
             _.agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0))
@@ -654,6 +659,9 @@ object Stream {
             fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_applied_$batchId")).close()
             mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
           }
+          // release this batch's cached store copy eagerly — a soak of
+          // N batches must hold O(1) storage, not N store snapshots
+          store.foreach(_.unpersist(blocking = false))
         }
         ()
       }

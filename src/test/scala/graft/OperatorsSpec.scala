@@ -1840,6 +1840,55 @@ class OperatorsSpec extends SparkSpec {
     assert(got.map(_._1) === (1 to operators.TextAnalysis.BpeRounds).map(_.toLong))
   }
 
+  test("bpe_train: 64 rounds via the bpeRounds knob still match the reference trainer") {
+    import spark.implicits._
+    // a corpus with enough distinct adjacent-pair structure to sustain
+    // 64 non-degenerate merges (sum of (len-1) over distinct words
+    // ~= 170): 16 distinct 10-12 char words at distinct frequencies,
+    // so every round's argmax is unambiguous or lexicographically tied
+    val vocabWords = (0 until 16).map { i =>
+      val letters = "abcdefghijklmnop"
+      (0 until 10).map(j => letters((i * 7 + j * 3) % 16)).mkString + s"${i}x"
+    }
+    val texts = vocabWords.zipWithIndex.map { case (w, i) =>
+      (i.toLong, Seq.fill(i + 2)(w).mkString(" "))
+    }
+    val docs = texts.toDF("doc_id", "text")
+    def refBpe(counts: Map[String, Long], k: Int): Seq[(Long, String, String, String, Long)] = {
+      var words = counts.toSeq.map { case (w, c) => (w.map(_.toString).toVector, c) }
+      (1 to k).flatMap { r =>
+        val pc = scala.collection.mutable.Map[(String, String), Long]()
+        words.foreach { case (syms, c) =>
+          syms.zip(syms.drop(1)).foreach(p => pc(p) = pc.getOrElse(p, 0L) + c)
+        }
+        if (pc.isEmpty) None
+        else {
+          val ((l, rr), f) = pc.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head
+          words = words.map { case (syms, c) =>
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            syms.foreach { x =>
+              if (out.nonEmpty && out.last == l && x == rr) out(out.length - 1) = l + rr
+              else out += x
+            }
+            (out.toVector, c)
+          }
+          Some((r.toLong, l, rr, l + rr, f))
+        }
+      }
+    }
+    val counts = texts.flatMap(_._2.split("\\s+")).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val want = refBpe(counts, 64)
+    assert(want.length === 64, s"crafted corpus exhausted at ${want.length} merges")
+    spark.conf.set(operators.TextAnalysis.BpeRoundsConfKey, "64")
+    try {
+      val got = operators.TextAnalysis.bpeTrainOf(docs).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+        .toSeq.sortBy(_._1)
+      assert(got === want)
+    } finally spark.conf.unset(operators.TextAnalysis.BpeRoundsConfKey)
+  }
+
   test("bpe_fertility: trained tokenizer compresses — 1 <= fertility < chars/word") {
     val rows = operators.TextAnalysis.bpeFertility(spark, sfDir).collect()
     assert(rows.nonEmpty)
@@ -2064,6 +2113,56 @@ class OperatorsSpec extends SparkSpec {
     // smallest-id hubs first
     val pr = Dedup.neardupPagerankOf(docs).collect()
     assert(pr.length === 50 && pr.head.getLong(0) < Dedup.GraphDegreeCap)
+  }
+
+  test("neardupComponents: value-graph collapse equals pair-graph CC; apply is scale-safe standalone") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def comps(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select("node", "component").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def refComps(docs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      comps(operators.GraftOps.connectedComponents(
+        Dedup.simhashPairsOf(docs, maxHamming = 1).select("doc_a", "doc_b"),
+        srcCol = "doc_a", dstCol = "doc_b"))
+    // 1. gate corpus: distinct texts with natural simhash-collision /
+    //    Hamming-1 links — the value-graph path must produce the exact
+    //    doc-level component map (same nodes, same component ids)
+    val gateDocs = sources.Tables.documents(spark, sfDir)
+    assert(comps(Dedup.neardupComponents(gateDocs)) === refComps(gateDocs))
+    // 2. mega-family corpus where the collapse BINDS: three exact-dup
+    //    families (identical text => identical simhash => one supernode
+    //    each) over unique background docs. The pair-graph reference
+    //    pays sum(family^2) edges (~65k here); the value graph is ~53
+    //    nodes regardless of family size.
+    val fams = Seq(
+      (0L, 300L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1000L, 200L, "one two three four five six seven eight nine ten"),
+      (2000L, 100L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed"))
+    val mega = fams.flatMap { case (base, n, t) =>
+      (0L until n).map(i => (base + i, t, "en", "crawl")) }
+    val uniq = (5000L until 5050L).map(i =>
+      (i, s"unique document $i carrying w${i * 7} w${i * 13} w${i * 31}", "en", "web"))
+    val docs = (mega ++ uniq).toDF("doc_id", "text", "lang", "source")
+    val got = comps(Dedup.neardupComponents(docs))
+    assert(got === refComps(docs))
+    // every non-min family member is in the graph and can never be its
+    // own component (the family min is always reachable and smaller)
+    fams.foreach { case (base, n, _) =>
+      (base + 1 until base + n).foreach(d => assert(got(d) < d)) }
+    // 3. the standalone apply keeps exactly canonical + unlinked docs
+    val kept = Dedup.neardupApplyOf(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val refKept = (mega.map(_._1) ++ uniq.map(_._1)).toSet --
+      got.collect { case (n, c) if n != c => n }.toSet
+    assert(kept === refKept)
+    assert(kept.size <= uniq.size + fams.size) // families collapsed to 1 each
+    // 4. scale shape: the executed plan has NO banded-pair verification
+    //    stage (bit_count is the pair path's signature) — the Hamming
+    //    relation is never materialized, so a 10M-doc boilerplate
+    //    family costs one supernode, not 10M^2 candidate rows
+    val plan = Dedup.neardupApplyOf(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("bit_count("))
   }
 
   test("mega-bucket fallback: pair set identical across the maxBucket switch") {

@@ -49,7 +49,7 @@ def main(sf_dir: str, out_dir: str, artifact: str) -> int:
                 except AssertionError:
                     pass
         except Exception as e:  # noqa: BLE001 — the artifact records the error
-            res["err"] = str(e).splitlines()[0][:200]
+            res["err"] = (str(e).splitlines() or [""])[0][:200]
         keys[name] = res
         ok = res["rows_match"] and res["schema_match"] and res["hash_match"]
         print(f"[{'OK  ' if ok else 'FAIL'}] {name} ({res['spark_rows']} rows)")
@@ -65,4 +65,6 @@ def main(sf_dir: str, out_dir: str, artifact: str) -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) != 4:
+        sys.exit(f"usage: {sys.argv[0]} <sfDir> <outDir> <artifact.json>")
     sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3]))
