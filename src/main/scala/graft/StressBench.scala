@@ -1,17 +1,5 @@
 package graft
 
-/** Scale-stress runner behind SURVEY §6's 10× study: times a set of
-  * keys against two data dirs (sf0.1 and the `tools/make_stress10x.py`
-  * clone corpus) under BOTH fold modes — the gate's bitwise
-  * deterministic folds and the production plain partial-agg path — so
-  * each key's cost can be attributed to its input measure rather than
-  * the fold kernels. Shares Bench's honest-materialization contract
-  * (`queryExecution.toRdd`, min-of-2).
-  *
-  * Usage: `runMain graft.StressBench [key,key,...]` (defaults to the
-  * round's heaviest audit keys); dirs via SPARK_GRAFT_STRESS_DIRS
-  * (comma-separated, default sf0.1 + /tmp/stress10x).
-  */
 /** Rounds-vs-time curve for the BPE trainer (SURVEY §6; r10 VERDICT
   * item 2): times `bpe_train` at production round counts via the
   * [[graft.operators.TextAnalysis.BpeRoundsConfKey]] knob. Usage:
@@ -42,6 +30,175 @@ object BpeStress {
   }
 }
 
+/** Saved-index retrieval at stress scale (SURVEY §6; r10 VERDICT item
+  * 6): builds a term-bucketed [[graft.sources.IndexStore]] from a
+  * stress corpus (timed), then times three retrieval shapes against
+  * it — single-term lookup, boolean AND through the query grammar,
+  * and a positional phrase — and re-checks the [[Explain
+  * .IndexAuditRules]] plan pins against the AT-SCALE index (bucket
+  * partition pruning + prefix pushdown must hold on 500k docs exactly
+  * as they do on the spec's small index).
+  *
+  * Usage: `runMain graft.IndexScaleStress [dir]` (default
+  * /tmp/stress100x).
+  */
+object IndexScaleStress {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/stress100x")
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.entry(spark).count() // warm codegen/readers/shuffle
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft-idx-stress").toString + "/index"
+    val t0 = System.nanoTime()
+    sources.IndexStore.save(operators.Index.invertedIndex(spark, dir), idxPath,
+      nBuckets = 64)
+    println(f"IDXSTRESS dir=$dir%-20s build ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+    val shapes = Seq(
+      "term_lookup" -> (() =>
+        sources.IndexStore.lookup(spark, idxPath, "the", nBuckets = 64)),
+      "bool_and" -> (() =>
+        operators.Query.searchIndex(spark, idxPath, "the AND a", nBuckets = 64)),
+      "phrase" -> (() =>
+        operators.Query.searchIndex(spark, idxPath, "\"the a\"", nBuckets = 64)))
+    shapes.foreach { case (name, mk) =>
+      val t = (1 to 2).map { _ =>
+        val s = System.nanoTime()
+        val n = mk().queryExecution.toRdd.count()
+        (System.nanoTime() - s) / 1e9 -> n
+      }.minBy(_._1)
+      println(f"IDXSTRESS dir=$dir%-20s $name%-12s ${t._1}%8.2fs rows=${t._2}")
+    }
+    // the small-index plan pins, re-checked at scale
+    val plans = Map(
+      "index_lookup" ->
+        sources.IndexStore.lookup(spark, idxPath, "spark", nBuckets = 64),
+      "index_lookup_terms" ->
+        sources.IndexStore.lookupTerms(spark, idxPath, Seq("spark", "join"),
+          nBuckets = 64),
+      "searchindex_prefix" ->
+        operators.Query.searchIndex(spark, idxPath, "quer* AND NOT slow",
+          nBuckets = 64))
+    val violations = Explain.IndexAuditRules.toSeq.sortBy(_._1).flatMap {
+      case (name, rule) =>
+        val plan = plans(name).queryExecution.executedPlan.toString
+        (rule.forbidden :+ "CartesianProduct").filter(plan.contains)
+          .map(f => s"$name: forbidden plan feature $f") ++
+          rule.required.filterNot(plan.contains)
+            .map(r => s"$name: missing plan feature $r")
+    }
+    violations.foreach(v => println(s"IDXSTRESS AUDIT-VIOLATION $v"))
+    println(s"IDXSTRESS audit violations: ${violations.size}")
+    spark.stop()
+  }
+}
+
+/** Blocking-recall audit for `tfidf_cosine_pairs` at stress scale
+  * (SURVEY §6; r10 VERDICT item 7): the production operator blocks
+  * candidate pairs on SHARED RARE TERMS (df ≤ RareDfFrac·n) — by
+  * construction it can only miss a pair whose entire overlap is
+  * common terms. This audit measures that miss rate the way
+  * `neardup_eval` does for the sketches: over a deterministic doc
+  * sample (id mod `step` == 0, ~1k docs so the exact side stays
+  * feasible at any corpus scale), score EVERY in-sample pair exactly
+  * with the FULL-corpus tf-idf weights, then report what fraction of
+  * the truly-similar pairs (cosine ≥ τ) the rare-term blocking
+  * retains, at τ = 0.3 and 0.5.
+  *
+  * Usage: `runMain graft.CosineRecallStress [dir] [step]`
+  * (default /tmp/stress10x, step = |docs|/1024 rounded up).
+  */
+object CosineRecallStress {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val dir = args.headOption.getOrElse("/tmp/stress10x")
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    // `zipf:<n>` synthesizes a ZIPFIAN corpus (V = 20k terms, 60
+    // tokens/doc, inverse-CDF V^u draws from deterministic xxhash64
+    // uniforms) with every 10th doc a planted near-dup of its
+    // predecessor (first 6 tokens re-drawn) — the vocabulary regime
+    // the rare-term blocking contract is FOR: a Zipf draw is rare
+    // (df ≤ 0.05n) with p ≈ 0.5, so near-dup pairs share ~27 rare
+    // terms. The clone-corpus dirs measure the DEGENERATE regime (a
+    // 31-word vocabulary has no rare-term structure at all): the
+    // contract's precondition — detectable in-engine via zipf_fit /
+    // vocab_growth — fails there, and the measured recall collapse is
+    // the evidence for why the precondition matters.
+    val docs =
+      if (dir.startsWith("zipf:")) {
+        val n = dir.stripPrefix("zipf:").toLong
+        spark.range(n).select(col("id").as("doc_id"),
+          array_join(expr(
+            """transform(sequence(0, 59), j -> concat('t', cast(pow(20000.0,
+              |  (abs(xxhash64(concat(cast(if(id % 10 = 1 and j >= 6, id - 1, id)
+              |     as string), ':', cast(j as string),
+              |     if(id % 10 = 1 and j < 6, ':c', '')))) % 1000000) / 1000000.0)
+              |  as long)))""".stripMargin), " ").as("text"))
+      } else sources.Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val step = if (args.length > 1) args(1).toLong
+               else math.max(1L, nDocs / 1024L)
+    // full-corpus tf-idf weights — identical to tfidfCosinePairs
+    val base = operators.Index.tokenStreamOf(docs).groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
+    val w = base.join(base.groupBy("term")
+        .agg(count(lit(1)).cast("double").as("df")), "term")
+      .crossJoin(broadcast(nDf))
+      .filter(col("df") < col("n"))
+      .select(col("doc_id"), col("term"), col("df"), col("n"),
+        (col("tf") * log(col("n") / col("df"))).as("w"))
+      .localCheckpoint() // feeds 4 branches below
+    val nrm = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    // zipf mode samples a PREFIX so planted (id-1, id) near-dup pairs
+    // land in-sample; step-sampling would systematically exclude them
+    val inS = (c: org.apache.spark.sql.Column) =>
+      if (dir.startsWith("zipf:")) c < math.min(nDocs, 2048L) else c % step === 0
+    val wS = w.filter(inS(col("doc_id")))
+    // exact cosine over every in-sample pair (all shared terms)
+    val exact = wS.select(col("doc_id").as("doc_a"), col("term"), col("w").as("wa"))
+      .join(wS.select(col("doc_id").as("doc_b"), col("term"), col("w").as("wb")),
+        Seq("term"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(nrm.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
+      .join(nrm.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("dot") / (col("na") * col("nb"))).as("cos"))
+      .localCheckpoint()
+    // the operator's blocking: pairs sharing >= 1 rare term
+    val rareS = w.filter(col("df") <= col("n") * operators.Index.RareDfFrac)
+      .filter(inS(col("doc_id"))).select("doc_id", "term")
+    val blocked = rareS.select(col("doc_id").as("doc_a"), col("term"))
+      .join(rareS.select(col("doc_id").as("doc_b"), col("term")), "term")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    Seq(0.3, 0.5).foreach { tau =>
+      val truth = exact.filter(col("cos") >= tau)
+      val nTrue = truth.count()
+      val nKept = truth.join(blocked, Seq("doc_a", "doc_b"), "left_semi").count()
+      val rec = if (nTrue == 0) 1.0 else nKept.toDouble / nTrue
+      val sampleN = if (dir.startsWith("zipf:")) math.min(nDocs, 2048L) else nDocs / step
+      println(f"COSRECALL dir=$dir%-20s sample=$sampleN tau=$tau%.1f " +
+        f"true=$nTrue kept=$nKept recall=$rec%.4f")
+    }
+    spark.stop()
+  }
+}
+
+/** Scale-stress runner behind SURVEY §6's 10× study: times a set of
+  * keys against two data dirs (sf0.1 and the `tools/make_stress10x.py`
+  * clone corpus) under BOTH fold modes — the gate's bitwise
+  * deterministic folds and the production plain partial-agg path — so
+  * each key's cost can be attributed to its input measure rather than
+  * the fold kernels. Shares Bench's honest-materialization contract
+  * (`queryExecution.toRdd`, min-of-2).
+  *
+  * Usage: `runMain graft.StressBench [key,key,...]` (defaults to the
+  * round's heaviest audit keys); dirs via SPARK_GRAFT_STRESS_DIRS
+  * (comma-separated, default sf0.1 + /tmp/stress10x).
+  */
 object StressBench {
   def main(args: Array[String]): Unit = {
     val keys =

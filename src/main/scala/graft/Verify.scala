@@ -45,6 +45,7 @@ object Verify {
     // prod mode dumps only the twin keys, so only their oracles land in
     // the json — check_oracle.py then gates exactly what was dumped
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .filter { case (k, _) => !prodMode || operators.Folds.ProdTwinKeys.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

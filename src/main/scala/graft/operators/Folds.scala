@@ -54,7 +54,23 @@ object Folds {
     "rfm_migration", "nb_langid", "nb_langid_eval", "pq_distortion",
     "events_forecast_compare", "events_forecast_eval",
     "events_seasonal_strength", "quality_ppl_corr",
-    "wand_topk", "ranker_eval", "mlt_topk")
+    "wand_topk", "ranker_eval", "mlt_topk",
+    // r11 promotion sweep (r10 VERDICT item 8): the COMPLETE
+    // accounting of groupSums consumers. The 36 code call sites
+    // resolve to 24 enclosing defs; every gate key whose plan
+    // transits one of them is now in this list — the 14 below were
+    // the last non-twins, promoted after hash-matching their
+    // unchanged oracles under SPARK_GRAFT_FOLDS=prod at BOTH sf0.01
+    // and sf0.1 (14/14 each). No exclusions remain: every Folds
+    // consumer is oracle-gated on the production path. (Keys that
+    // look related but do NOT transit groupSums — the bm25 family
+    // incl. rrf_fusion/hybrid_search/prf_expand, doc_lang_mismatch,
+    // gram_novelty — need no twin.)
+    "hashing_vectorize", "wand_prune_stats", "mix_temperature",
+    "ivf_retrain", "ivf_elbow", "ivf_silhouette", "knn_ivf_pq",
+    "knn_ivf_pq_residual", "knn_pq_rerank", "ann_recall_pq",
+    "ann_recall_ivfpq", "ann_recall_rerank", "char_entropy",
+    "source_lang_mi")
 
   def bitwise(df: DataFrame): Boolean =
     df.sparkSession.conf.get(ConfKey, "true").toBoolean
