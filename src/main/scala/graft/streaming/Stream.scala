@@ -413,30 +413,69 @@ object Stream {
         val spark = batch.sparkSession
         val basePath = new org.apache.hadoop.fs.Path(storePath)
         val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        recoverStore(fs, basePath)
+        recoverStore(fs, basePath) // a compaction may have died mid-swap
         val cent = spark.read.parquet(centroidPath)
         val assigned = graft.operators.Similarity
           .ivfAssignTo(graft.operators.Similarity.withNormOf(batch), cent)
           .select(col("vec_id"), col("embedding"), col("nm"), col("bucket"))
-        def write(df: DataFrame, path: String): Unit =
-          df.repartition(col("bucket"))
-            .write.mode("overwrite").partitionBy("bucket").parquet(path)
-        if (fs.exists(basePath)) {
-          val base = spark.read.parquet(storePath)
-            .select(col("vec_id"), col("embedding"), col("nm"), col("bucket"))
-          val merged = base
-            .join(assigned.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
-            .unionByName(assigned)
-          val tmp = s"$storePath.merged-$batchId"
-          write(merged, tmp)
-          swapStore(fs, basePath, tmp)
-        } else {
-          val tmp = s"$storePath.init-$batchId"
-          write(assigned, tmp)
-          mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
-        }
+        // delta-sized landing (r10 VERDICT item 3): each batch's
+        // assignments land as seg=<id>/bucket=<b> (bucket partitioning
+        // INSIDE the segment keeps serve-side directory pruning);
+        // vector granularity is resolved last-writer-wins at read
+        // ([[loadEmbedStore]]) — a re-embedded vec_id's newest segment
+        // wins even when its bucket changed. Ids are monotonic, so a
+        // replayed batch lands a duplicate segment that resolves
+        // identically (content-idempotent, like [[indexMaintenance]]).
+        val segId = segmentIdsAt(fs, basePath).lastOption.getOrElse(-1L) + 1L
+        val tmp = new org.apache.hadoop.fs.Path(storePath, s".seg-tmp-$segId")
+        if (fs.exists(tmp)) fs.delete(tmp, true) // dead-build leftover
+        assigned.repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+        mustRename(fs, tmp, new org.apache.hadoop.fs.Path(storePath, s"seg=$segId"))
+        if (segmentIdsAt(fs, basePath).size >= 16)
+          compactEmbedStore(spark, storePath)
         ()
       }
+
+  /** Read an [[embedIndexMaintenance]] store with vector-granular
+    * last-writer-wins resolution: a vec_id's rows from any segment
+    * older than its newest are dropped (one column-pruned (vec_id,
+    * seg) scan + a left-semi join — ids are ~100× narrower than the
+    * embedding payload the old full-rewrite path copied every batch).
+    * Bucket predicates still prune each segment's `bucket=` dirs and
+    * push through the semi-join's streamed side. A plain
+    * (pre-segment or compacted single-segment) store passes through.
+    */
+  def loadEmbedStore(spark: SparkSession, storePath: String): DataFrame = {
+    val raw = spark.read.parquet(storePath)
+    if (!raw.columns.contains("seg")) raw
+    else {
+      val vecMax = raw.select(col("vec_id"), col("seg").cast("long").as("seg"))
+        .groupBy("vec_id").agg(max(col("seg")).as("seg"))
+      raw.withColumn("seg", col("seg").cast("long"))
+        .join(vecMax, Seq("vec_id", "seg"), "left_semi")
+        .drop("seg")
+    }
+  }
+
+  /** Fold every segment of the embed store into one (`seg=<max>`,
+    * bucket-partitioned) via the crash-safe swap. No-op below two
+    * segments.
+    */
+  def compactEmbedStore(spark: SparkSession, storePath: String): Unit = {
+    val base = new org.apache.hadoop.fs.Path(storePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs = segmentIdsAt(fs, base)
+    if (segs.size < 2) return
+    val resolved = loadEmbedStore(spark, storePath)
+    val tmpRoot = storePath + ".compacting"
+    if (fs.exists(new org.apache.hadoop.fs.Path(tmpRoot)))
+      fs.delete(new org.apache.hadoop.fs.Path(tmpRoot), true)
+    resolved.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$tmpRoot/seg=${segs.max}")
+    swapStore(fs, base, tmpRoot)
+  }
 
   /** Streaming ANN serving — the query side of [[embedIndexMaintenance]]:
     * each micro-batch of query vectors is assigned to its IVF bucket
@@ -448,8 +487,9 @@ object Stream {
     * 100 TB the per-batch read is |buckets hit| / |buckets| of the
     * store, never a full scan.
     *
-    * Concurrent serve + maintain: [[embedIndexMaintenance]]'s
-    * two-rename swap has a window (base→backup, merged→base) where
+    * Concurrent serve + maintain: a segment LANDING is one atomic
+    * rename (no window at all); only [[compactEmbedStore]]'s
+    * two-rename swap has an instant (base→backup, merged→base) where
     * the base path briefly does not exist, so a serve micro-batch
     * planned in that instant fails — transiently and replayably (the
     * next trigger re-plans against the swapped store; no partial
@@ -470,7 +510,7 @@ object Stream {
           .ivfAssignTo(graft.operators.Similarity.withNormOf(batch), cent)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
             col("nm").as("qnm"), col("bucket"))
-        val store = spark.read.parquet(storePath)
+        val store = loadEmbedStore(spark, storePath)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
         store.join(broadcast(q), "bucket")
@@ -612,10 +652,7 @@ object Stream {
               value = col("cost"), bucket = expr("doc_id div 64"))
             .withColumn("cb", col("running") - col("cost") + lit(offset))
           val delta = graft.operators.Multimodal.interleavePackRollup(cum)
-          val tmp = new org.apache.hadoop.fs.Path(storePath, s".seg-tmp-$batchId")
-          if (fs.exists(tmp)) fs.delete(tmp, true) // dead-build leftover
-          delta.write.mode("overwrite").parquet(tmp.toString)
-          mustRename(fs, tmp, seg)
+          landSegment(delta, storePath, batchId, fs)
           if (segmentIdsAt(fs, basePath).size >= compactEvery)
             compactPackStore(spark, storePath)
         }
@@ -631,6 +668,40 @@ object Stream {
     else fs.listStatus(base).map(_.getPath.getName)
       .filter(_.startsWith("seg=")).map(_.stripPrefix("seg=").toLong)
       .sorted.toSeq
+
+  /** Land `delta` as `seg=<segId>` of a segmented store (build in a
+    * dot-prefixed temp dir, one atomic rename — the landing IS the
+    * applied marker). Returns false when the segment already exists
+    * (replayed batch → no-op).
+    */
+  private def landSegment(delta: DataFrame, storePath: String,
+                          segId: Long,
+                          fs: org.apache.hadoop.fs.FileSystem): Boolean = {
+    val seg = new org.apache.hadoop.fs.Path(storePath, s"seg=$segId")
+    if (fs.exists(seg)) return false
+    val tmp = new org.apache.hadoop.fs.Path(storePath, s".seg-tmp-$segId")
+    if (fs.exists(tmp)) fs.delete(tmp, true) // dead-build leftover
+    delta.write.mode("overwrite").parquet(tmp.toString)
+    mustRename(fs, tmp, seg)
+    true
+  }
+
+  /** Fold a segmented SET store (rows are facts, no merge semantics —
+    * the md5/fingerprint screens) into one `seg=<max>` via the
+    * crash-safe swap. No-op below two segments.
+    */
+  private def compactSetStore(spark: SparkSession, storePath: String): Unit = {
+    val base = new org.apache.hadoop.fs.Path(storePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs = segmentIdsAt(fs, base)
+    if (segs.size < 2) return
+    val rows = spark.read.parquet(storePath).drop("seg")
+    val tmpRoot = storePath + ".compacting"
+    if (fs.exists(new org.apache.hadoop.fs.Path(tmpRoot)))
+      fs.delete(new org.apache.hadoop.fs.Path(tmpRoot), true)
+    rows.write.mode("overwrite").parquet(s"$tmpRoot/seg=${segs.max}")
+    swapStore(fs, base, tmpRoot)
+  }
 
   /** Read a [[interleaveMaintenance]] pack store with its pack-granular
     * merge applied: rows of the same pack_id across segments fold —
@@ -1211,19 +1282,20 @@ object Stream {
             lit(nClean).as("n_clean"))
           .write.mode("overwrite").parquet(s"$outPath/report/batch=$batchId")
         // store updates: md5 for every exact-stage survivor, simhash
-        // fingerprints only for landed docs — both batch-keyed
-        val md5Merged = md5Prior.unionByName(
-          exactFresh.select(col("text_md5"), lit(batchId).as("src_batch")))
-        val md5Tmp = s"$md5StorePath.merged-$batchId"
-        md5Merged.write.mode("overwrite").parquet(md5Tmp)
-        if (fs.exists(md5Base)) swapStore(fs, md5Base, md5Tmp)
-        else mustRename(fs, new org.apache.hadoop.fs.Path(md5Tmp), md5Base)
-        val fpMerged = fpPrior.unionByName(
-          freshFp.select(col("doc_id"), col("simhash"), lit(batchId).as("src_batch")))
-        val fpTmp = s"$fpStorePath.merged-$batchId"
-        fpMerged.write.mode("overwrite").parquet(fpTmp)
-        if (fs.exists(fpBase)) swapStore(fs, fpBase, fpTmp)
-        else mustRename(fs, new org.apache.hadoop.fs.Path(fpTmp), fpBase)
+        // fingerprints only for landed docs. Both stores are
+        // append-only SETS, so each batch lands as a delta-sized
+        // `seg=<batchId>` (r10 VERDICT item 3 — the old path unioned
+        // and rewrote the WHOLE store every batch); the src_batch
+        // column still keys replay exclusion in the prior reads, and
+        // periodic compaction bounds the file count
+        landSegment(exactFresh.select(col("text_md5"),
+          lit(batchId).as("src_batch")), md5StorePath, batchId, fs)
+        landSegment(freshFp.select(col("doc_id"), col("simhash"),
+          lit(batchId).as("src_batch")), fpStorePath, batchId, fs)
+        if (segmentIdsAt(fs, md5Base).size >= 16) {
+          compactSetStore(spark, md5StorePath)
+          compactSetStore(spark, fpStorePath)
+        }
         q.unpersist()
         exactFresh.unpersist()
         freshFp.unpersist()
@@ -1335,7 +1407,7 @@ object Stream {
                   .dropDuplicates("vec_id")), cent)
             .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
               col("nm").as("qnm"), col("bucket"))
-          val store = spark.read.parquet(storePath)
+          val store = loadEmbedStore(spark, storePath)
           val wd = W.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
           val dense = store.join(broadcast(qv), "bucket")
             .withColumn("cos",

@@ -283,14 +283,14 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
     try {
       in.addData((100L, Array(0.9f, 0.1f)), (101L, Array(0.1f, 0.8f)))
       q.processAllAvailable()
-      val s1 = spark.read.parquet(storePath)
+      val s1 = Stream.loadEmbedStore(spark, storePath)
         .select(col("vec_id"), col("bucket").cast("long")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(s1 === Map(100L -> 0L, 101L -> 1L))
       // batch 2: vec 100 re-embedded into bucket 1, vec 102 new in bucket 0
       in.addData((100L, Array(0.05f, 0.9f)), (102L, Array(1f, 0.2f)))
       q.processAllAvailable()
-      val s2 = spark.read.parquet(storePath)
+      val s2 = Stream.loadEmbedStore(spark, storePath)
         .select(col("vec_id"), col("bucket").cast("long")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(s2 === Map(100L -> 1L, 101L -> 1L, 102L -> 0L)) // old 100→0 row gone
