@@ -186,6 +186,61 @@ class KernelPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("value-graph reachability law: Hamming<=1 components over values == over docs") {
+    // The law Dedup.neardupComponents rests on: computing connected
+    // components of the doc-level Hamming<=1 graph on the
+    // DISTINCT-VALUE graph (same-value docs = one supernode with the
+    // min doc as canonical; cross-value edges = single bit flips)
+    // yields the exact doc-level component map. Values are drawn from
+    // a pool built by <=2 bit flips off 3 random seeds, forcing both
+    // same-value supernodes and hamming-1/2 cross-value structure
+    // (distance-2 pairs must NOT link directly but may via a bridge).
+    def docLevel(docs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val inGraph = scala.collection.mutable.HashSet[Long]()
+      for { (da, va) <- docs; (db, vb) <- docs if da < db
+            if java.lang.Long.bitCount(va ^ vb) <= 1 } {
+        union(da, db); inGraph += da; inGraph += db
+      }
+      inGraph.iterator.map(d => d -> find(d)).toMap
+    }
+    def valueLevel(docs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val groups = docs.groupBy(_._2).map { case (v, ds) =>
+        v -> (ds.map(_._1).min, ds.size) }
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val linked = scala.collection.mutable.HashSet[Long]()
+      for { (v, (canon, _)) <- groups; b <- 0 until 32
+            v2 = v ^ (1L << b); g2 <- groups.get(v2) } {
+        union(canon, g2._1); linked += v; linked += v2
+      }
+      docs.iterator.collect { case (d, v)
+        if groups(v)._2 >= 2 || linked(v) =>
+        d -> find(groups(v)._1)
+      }.toMap
+    }
+    val genSeed = Gen.choose(Long.MinValue, Long.MaxValue).map(_ & 0xFFFFFFFFL)
+    val genCase = for {
+      seeds <- Gen.listOfN(3, genSeed)
+      pool = seeds.flatMap { s =>
+        s :: (0 until 32 by 5).map(b => s ^ (1L << b)).toList :::
+          List(s ^ 3L, s ^ 5L) // some distance-2 values
+      }
+      n <- Gen.choose(1, 60)
+      vals <- Gen.listOfN(n, Gen.oneOf(pool))
+    } yield vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    check(Prop.forAll(genCase) { docs => docLevel(docs) == valueLevel(docs) })
+  }
+
   test("sq8Dequant: reconstruction error bounded by half a quantization step") {
     // per-dimension (mn, mx) envelopes with x inside them
     val genDim = for {

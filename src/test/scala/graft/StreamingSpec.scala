@@ -298,6 +298,13 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
       val plan = spark.read.parquet(storePath).filter(col("bucket") === 0L)
         .queryExecution.executedPlan.toString
       assert(plan.contains("PartitionFilters") && plan.contains("bucket"))
+      // ...and the pruning survives the segment RESOLVER (the serve
+      // path): the bucket predicate pushes through the last-writer-
+      // wins semi-join into each segment's partition filters
+      val rPlan = Stream.loadEmbedStore(spark, storePath)
+        .filter(col("bucket") === 0L)
+        .queryExecution.executedPlan.toString
+      assert(rPlan.contains("PartitionFilters") && rPlan.contains("bucket"))
     } finally q.stop()
   }
 
