@@ -444,6 +444,43 @@ object Similarity {
     * `index_stats`' term-bucket report). Narrow broadcast assignment
     * + one |buckets|-row rollup; nothing corpus-sized moves.
     */
+  /** Per-source SEMANTIC concentration — the data-mixing audit beside
+    * `sampling_weights`/`mix_temperature`'s token-count view: each
+    * source's documents (vec_id ≡ doc_id by the corpus convention the
+    * semantic_dedup family already uses) are bucketed by the IVF
+    * coarse quantizer, and the report scores how concentrated the
+    * source is across semantic cells — n_buckets hit, the dominant
+    * bucket and its share, and the Herfindahl index Σ share² (1.0 =
+    * the whole source is one semantic cluster and adds less diversity
+    * than its token count suggests; 1/16 = uniform). Cost: the
+    * broadcast-centroid assignment scan + one (source, bucket) rollup
+    * + a per-source argmax window over ≤ |sources|·16 rows — the same
+    * 100 TB shape as `ivf_bucket_stats`. HHI stays in exact integer
+    * arithmetic (Σc², n²) until the final division.
+    */
+  def semanticSourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val asg = ivfAssign(Tables.embeddings(spark, dir))
+      .select(col("vec_id").as("doc_id"), col("bucket"))
+    val m = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(asg, "doc_id")
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source").orderBy(col("c").desc, col("bucket"))
+    m.withColumn("rn", row_number().over(w))
+      .groupBy("source")
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_buckets"),
+        max(when(col("rn") === 1, col("bucket"))).as("top_bucket"),
+        max(when(col("rn") === 1, col("c"))).as("tc"),
+        sum(col("c") * col("c")).as("ssq"))
+      .select(col("source"), col("n_docs"), col("n_buckets"), col("top_bucket"),
+        round(col("tc").cast("double") / col("n_docs").cast("double"), 6)
+          .as("top_share"),
+        round(col("ssq").cast("double") /
+          (col("n_docs") * col("n_docs")).cast("double"), 6).as("hhi"))
+      .orderBy("source")
+  }
+
   def ivfBucketStats(spark: SparkSession, dir: String): DataFrame = {
     val bc = ivfAssign(Tables.embeddings(spark, dir))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs"))
@@ -1280,7 +1317,8 @@ object Similarity {
     "ivf_retrain" -> ivfRetrain,
     "ivf_elbow" -> ivfElbow,
     "ivf_label_purity" -> ivfLabelPurity,
-    "ivf_silhouette" -> ivfSilhouette)
+    "ivf_silhouette" -> ivfSilhouette,
+    "semantic_source_mix" -> semanticSourceMix)
 
   /** `asg` CTE on top of [[OracleSql.NormCte]]: the IVF bucket
     * assignment (argmax cosine over the 16 seed centroids).
@@ -1905,6 +1943,23 @@ object Similarity {
          |)
          |SELECT query_id, rk, vec_id, round(c, 6) AS cosine
          |FROM r WHERE rk <= $TopK ORDER BY query_id, rk""".stripMargin,
+    "semantic_source_mix" ->
+      s"""${OracleSql.NormCte}$AssignCte, m AS (
+         |  SELECT d.source AS source, a.bucket AS bucket, count(*) AS c
+         |  FROM asg a JOIN documents d ON d.doc_id = a.vec_id
+         |  GROUP BY d.source, a.bucket
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY c DESC, bucket) AS rn
+         |  FROM m
+         |)
+         |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_buckets,
+         |  max(CASE WHEN rn = 1 THEN bucket END) AS top_bucket,
+         |  round(CAST(max(CASE WHEN rn = 1 THEN c END) AS DOUBLE)
+         |    / CAST(sum(c) AS DOUBLE), 6) AS top_share,
+         |  round(CAST(sum(c * c) AS DOUBLE)
+         |    / CAST(sum(c) * sum(c) AS DOUBLE), 6) AS hhi
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "ivf_bucket_stats" ->
       s"""${OracleSql.NormCte}$AssignCte, bc AS (
          |  SELECT bucket, count(*) AS n_vecs FROM asg GROUP BY bucket

@@ -2165,6 +2165,30 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("bit_count("))
   }
 
+  test("semantic_source_mix: shares/HHI laws hold and totals tie to ivf_bucket_stats") {
+    val rows = Similarity.semanticSourceMix(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, nBuckets) = (r.getLong(1), r.getLong(2))
+      val (topShare, hhi) = (r.getDouble(4), r.getDouble(5))
+      assert(nBuckets >= 1L && nBuckets <= 16L)
+      assert(topShare > 0.0 && topShare <= 1.0)
+      // HHI is bounded by the dominant share on one side and uniform
+      // mass on the other: top² <= Σ s² <= top·Σ s = top
+      assert(hhi <= topShare + 1e-6)
+      assert(hhi >= topShare * topShare - 1e-6)
+      assert(hhi >= 1.0 / nBuckets - 1e-6) // Cauchy-Schwarz floor
+      assert(nDocs >= nBuckets)
+    }
+    // every embedded doc lands in exactly one (source, bucket) cell
+    val total = rows.map(_.getLong(1)).sum
+    assert(total === sources.Tables.embeddings(spark, sfDir).count())
+    // and the same assignment feeds ivf_bucket_stats: totals agree
+    val bucketTotal = Similarity.ivfBucketStats(spark, sfDir)
+      .collect().map(_.getLong(1)).sum
+    assert(total === bucketTotal)
+  }
+
   test("mega-bucket fallback: pair set identical across the maxBucket switch") {
     import spark.implicits._
     // One mega-duplicate family (300 identical docs — every LSH band
