@@ -53,8 +53,14 @@ object SoakStress {
       }
     }
     def report(sink: String, times: Seq[Double], fileCounts: Seq[Int]): Unit = {
-      val early = times.slice(2, 12).sorted.apply(5) // median of batches 3-12
-      val late = times.takeRight(10).sorted.apply(5)
+      def median(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        s(s.size / 2)
+      }
+      // window medians when the soak is long enough; whole-run median
+      // otherwise (a short smoke run must still print its summary)
+      val early = if (times.size >= 12) median(times.slice(2, 12)) else median(times)
+      val late = if (times.size >= 12) median(times.takeRight(10)) else median(times)
       println(f"SOAK-SUMMARY sink=$sink%-18s batches=${times.size} " +
         f"median(3-12)=$early%.2fs median(last10)=$late%.2fs " +
         f"ratio=${late / early}%.2f maxFiles=${fileCounts.max} lastFiles=${fileCounts.last}")

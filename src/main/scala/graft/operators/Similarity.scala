@@ -455,8 +455,11 @@ object Similarity {
     * than its token count suggests; 1/16 = uniform). Cost: the
     * broadcast-centroid assignment scan + one (source, bucket) rollup
     * + a per-source argmax window over ≤ |sources|·16 rows — the same
-    * 100 TB shape as `ivf_bucket_stats`. HHI stays in exact integer
-    * arithmetic (Σc², n²) until the final division.
+    * 100 TB shape as `ivf_bucket_stats`. The HHI squares are computed
+    * in doubles (exact for counts below 2^26.5 per cell — long c·c
+    * would overflow ANSI arithmetic at ~3e9-doc sources, where the
+    * double path stays finite and equals the oracle's HUGEINT→DOUBLE
+    * cast).
     */
   def semanticSourceMix(spark: SparkSession, dir: String): DataFrame = {
     val asg = ivfAssign(Tables.embeddings(spark, dir))
@@ -472,12 +475,13 @@ object Similarity {
         count(lit(1)).as("n_buckets"),
         max(when(col("rn") === 1, col("bucket"))).as("top_bucket"),
         max(when(col("rn") === 1, col("c"))).as("tc"),
-        sum(col("c") * col("c")).as("ssq"))
+        sum(col("c").cast("double") * col("c").cast("double")).as("ssq"))
       .select(col("source"), col("n_docs"), col("n_buckets"), col("top_bucket"),
         round(col("tc").cast("double") / col("n_docs").cast("double"), 6)
           .as("top_share"),
-        round(col("ssq").cast("double") /
-          (col("n_docs") * col("n_docs")).cast("double"), 6).as("hhi"))
+        round(col("ssq") /
+          (col("n_docs").cast("double") * col("n_docs").cast("double")), 6)
+          .as("hhi"))
       .orderBy("source")
   }
 

@@ -294,6 +294,12 @@ object IndexStore {
           .forall(n => !n.startsWith("term_bucket=")),
         s"$path holds a plain index layout; compact it into a segmented " +
           "store before landing segments")
+    // a segment with a DIFFERENT bucket count would make term lookups
+    // silently miss postings in half the layout — fail loudly instead
+    savedBuckets(spark, path).foreach(saved =>
+      require(saved == nBuckets,
+        s"segmented store at $path was created with nBuckets=$saved, " +
+          s"not $nBuckets; pass the store's bucket count"))
     val tmp = new org.apache.hadoop.fs.Path(path, s".seg-tmp-$segId")
     if (fs.exists(tmp)) fs.delete(tmp, true) // crash leftover from a dead build
     save(delta, tmp.toString, nBuckets)

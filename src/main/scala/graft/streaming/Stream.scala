@@ -406,7 +406,7 @@ object Stream {
     * two-rename crash-safe swap.
     */
   def embedIndexMaintenance(vecs: DataFrame, centroidPath: String,
-                            storePath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                            storePath: String, compactEvery: Int = 16): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -427,12 +427,8 @@ object Stream {
         // replayed batch lands a duplicate segment that resolves
         // identically (content-idempotent, like [[indexMaintenance]]).
         val segId = segmentIdsAt(fs, basePath).lastOption.getOrElse(-1L) + 1L
-        val tmp = new org.apache.hadoop.fs.Path(storePath, s".seg-tmp-$segId")
-        if (fs.exists(tmp)) fs.delete(tmp, true) // dead-build leftover
-        assigned.repartition(col("bucket"))
-          .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
-        mustRename(fs, tmp, new org.apache.hadoop.fs.Path(storePath, s"seg=$segId"))
-        if (segmentIdsAt(fs, basePath).size >= 16)
+        landSegment(assigned, storePath, segId, fs, partitionCol = Some("bucket"))
+        if (segmentIdsAt(fs, basePath).size >= compactEvery)
           compactEmbedStore(spark, storePath)
         ()
       }
@@ -447,8 +443,16 @@ object Stream {
     * (pre-segment or compacted single-segment) store passes through.
     */
   def loadEmbedStore(spark: SparkSession, storePath: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(storePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nSegs = segmentIdsAt(fs, base).size
     val raw = spark.read.parquet(storePath)
+    // a compacted (or single-landing) store needs NO resolution: skip
+    // the full-store vecMax scan so a serve batch reads only its
+    // probed buckets — the resolver's O(|store| ids) pass is paid
+    // only while multiple segments are outstanding
     if (!raw.columns.contains("seg")) raw
+    else if (nSegs <= 1) raw.drop("seg")
     else {
       val vecMax = raw.select(col("vec_id"), col("seg").cast("long").as("seg"))
         .groupBy("vec_id").agg(max(col("seg")).as("seg"))
@@ -462,20 +466,9 @@ object Stream {
     * bucket-partitioned) via the crash-safe swap. No-op below two
     * segments.
     */
-  def compactEmbedStore(spark: SparkSession, storePath: String): Unit = {
-    val base = new org.apache.hadoop.fs.Path(storePath)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val segs = segmentIdsAt(fs, base)
-    if (segs.size < 2) return
-    val resolved = loadEmbedStore(spark, storePath)
-    val tmpRoot = storePath + ".compacting"
-    if (fs.exists(new org.apache.hadoop.fs.Path(tmpRoot)))
-      fs.delete(new org.apache.hadoop.fs.Path(tmpRoot), true)
-    resolved.repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$tmpRoot/seg=${segs.max}")
-    swapStore(fs, base, tmpRoot)
-  }
+  def compactEmbedStore(spark: SparkSession, storePath: String): Unit =
+    foldSegments(spark, storePath, loadEmbedStore(spark, storePath),
+      partitionCol = Some("bucket"))
 
   /** Streaming ANN serving — the query side of [[embedIndexMaintenance]]:
     * each micro-batch of query vectors is assigned to its IVF bucket
@@ -643,7 +636,7 @@ object Stream {
           // additive across the partial pack rows) — a column-pruned
           // scan, never a full-store materialization
           val offset: Long =
-            if (fs.exists(basePath))
+            if (storeHasData(fs, basePath))
               spark.read.parquet(storePath)
                 .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
             else 0L
@@ -669,39 +662,84 @@ object Stream {
       .filter(_.startsWith("seg=")).map(_.stripPrefix("seg=").toLong)
       .sorted.toSeq
 
+  /** True when the store directory exists AND holds at least one
+    * VISIBLE entry (a dot-prefixed dead tmp build or a bare mkdir is
+    * not data). The sinks gate their prior-state reads on this, not
+    * bare `fs.exists` — a first-batch crash inside a landing leaves
+    * the root with only an invisible tmp dir, and a raw parquet read
+    * of that would throw on every replay, bricking the stream.
+    */
+  private def storeHasData(fs: org.apache.hadoop.fs.FileSystem,
+                           base: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(base) && fs.listStatus(base).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith(".") && !n.startsWith("_")
+    }
+
   /** Land `delta` as `seg=<segId>` of a segmented store (build in a
     * dot-prefixed temp dir, one atomic rename — the landing IS the
     * applied marker). Returns false when the segment already exists
-    * (replayed batch → no-op).
+    * (replayed batch → no-op). Refuses a root holding a PLAIN
+    * (pre-segment) layout — landing beside it would corrupt partition
+    * discovery with mixed directory depths; adopt an old store by
+    * rewriting it into `seg=<id>` form offline first (the same guard
+    * IndexStore.saveSegment applies).
     */
   private def landSegment(delta: DataFrame, storePath: String,
                           segId: Long,
-                          fs: org.apache.hadoop.fs.FileSystem): Boolean = {
+                          fs: org.apache.hadoop.fs.FileSystem,
+                          partitionCol: Option[String] = None): Boolean = {
+    val base = new org.apache.hadoop.fs.Path(storePath)
     val seg = new org.apache.hadoop.fs.Path(storePath, s"seg=$segId")
     if (fs.exists(seg)) return false
+    if (fs.exists(base))
+      require(fs.listStatus(base).forall { st =>
+        val n = st.getPath.getName
+        n.startsWith("seg=") || n.startsWith(".") || n.startsWith("_")
+      }, s"$storePath holds a plain (pre-segment) layout; rewrite it " +
+        "into seg=<id> form before landing segments")
     val tmp = new org.apache.hadoop.fs.Path(storePath, s".seg-tmp-$segId")
     if (fs.exists(tmp)) fs.delete(tmp, true) // dead-build leftover
-    delta.write.mode("overwrite").parquet(tmp.toString)
+    partitionCol match {
+      case Some(c) => delta.repartition(col(c))
+        .write.mode("overwrite").partitionBy(c).parquet(tmp.toString)
+      case None => delta.write.mode("overwrite").parquet(tmp.toString)
+    }
     mustRename(fs, tmp, seg)
     true
   }
 
-  /** Fold a segmented SET store (rows are facts, no merge semantics —
-    * the md5/fingerprint screens) into one `seg=<max>` via the
-    * crash-safe swap. No-op below two segments.
+  /** Shared crash-safe segment fold: write `resolved` as the single
+    * `seg=<max>` of a fresh root (optionally partitioned), then the
+    * two-rename swap. No-op below two segments — every compaction
+    * (set / pack / embed) is this routine plus its own resolve step.
     */
-  private def compactSetStore(spark: SparkSession, storePath: String): Unit = {
+  private def foldSegments(spark: SparkSession, storePath: String,
+                           resolved: => DataFrame,
+                           partitionCol: Option[String] = None): Unit = {
     val base = new org.apache.hadoop.fs.Path(storePath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val segs = segmentIdsAt(fs, base)
     if (segs.size < 2) return
-    val rows = spark.read.parquet(storePath).drop("seg")
     val tmpRoot = storePath + ".compacting"
     if (fs.exists(new org.apache.hadoop.fs.Path(tmpRoot)))
       fs.delete(new org.apache.hadoop.fs.Path(tmpRoot), true)
-    rows.write.mode("overwrite").parquet(s"$tmpRoot/seg=${segs.max}")
+    val out = s"$tmpRoot/seg=${segs.max}"
+    partitionCol match {
+      case Some(c) => resolved.repartition(col(c))
+        .write.mode("overwrite").partitionBy(c).parquet(out)
+      case None => resolved.write.mode("overwrite").parquet(out)
+    }
     swapStore(fs, base, tmpRoot)
   }
+
+  /** Fold a segmented SET store (rows are facts, no merge semantics —
+    * the md5/fingerprint/semantic screens) into one `seg=<max>`.
+    */
+  private def compactSetStore(spark: SparkSession, storePath: String,
+                              partitionCol: Option[String] = None): Unit =
+    foldSegments(spark, storePath,
+      spark.read.parquet(storePath).drop("seg"), partitionCol)
 
   /** Read a [[interleaveMaintenance]] pack store with its pack-granular
     * merge applied: rows of the same pack_id across segments fold —
@@ -734,18 +772,8 @@ object Stream {
     * same way [[graft.sources.IndexStore.compactSegments]] does for
     * the index. No-op below two segments.
     */
-  def compactPackStore(spark: SparkSession, storePath: String): Unit = {
-    val base = new org.apache.hadoop.fs.Path(storePath)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val segs = segmentIdsAt(fs, base)
-    if (segs.size < 2) return
-    val resolved = loadPackStore(spark, storePath)
-    val tmpRoot = storePath + ".compacting"
-    if (fs.exists(new org.apache.hadoop.fs.Path(tmpRoot)))
-      fs.delete(new org.apache.hadoop.fs.Path(tmpRoot), true)
-    resolved.write.mode("overwrite").parquet(s"$tmpRoot/seg=${segs.max}")
-    swapStore(fs, base, tmpRoot)
-  }
+  def compactPackStore(spark: SparkSession, storePath: String): Unit =
+    foldSegments(spark, storePath, loadPackStore(spark, storePath))
 
   /** Streaming uniform k-sample per source — `sample_k`'s streaming
     * twin: each micro-batch salts doc keys with the same md5 as the
@@ -819,18 +847,19 @@ object Stream {
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
         val prior =
-          if (fs.exists(basePath))
+          if (storeHasData(fs, basePath))
             spark.read.parquet(storePath).filter(col("src_batch") =!= batchId)
           else spark.emptyDataFrame.select(lit("").as("text_md5"), lit(0L).as("src_batch")).limit(0)
         val fresh = batchCanon
           .join(prior.select("text_md5"), Seq("text_md5"), "left_anti")
         fresh.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-        val merged = prior.unionByName(
-          fresh.select(col("text_md5"), lit(batchId).as("src_batch")))
-        val tmp = s"$storePath.merged-$batchId"
-        merged.write.mode("overwrite").parquet(tmp)
-        if (fs.exists(basePath)) swapStore(fs, basePath, tmp)
-        else mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
+        // the md5 set grows with the corpus: land the batch's NEW
+        // fingerprints as a delta-sized segment (r11), never a
+        // full-store rewrite; compaction bounds the read width
+        landSegment(fresh.select(col("text_md5"),
+          lit(batchId).as("src_batch")), storePath, batchId, fs)
+        if (segmentIdsAt(fs, basePath).size >= 16)
+          compactSetStore(spark, storePath)
         ()
       }
 
@@ -868,7 +897,7 @@ object Stream {
         val survivorsFp = Dedup.simhashDf(batch)
           .join(inDups, Seq("doc_id"), "left_anti")
         val prior =
-          if (fs.exists(basePath))
+          if (storeHasData(fs, basePath))
             spark.read.parquet(storePath).filter(col("src_batch") =!= batchId)
           else spark.emptyDataFrame.select(lit(0L).as("doc_id"),
             lit(0L).as("simhash"), lit(0L).as("src_batch")).limit(0)
@@ -881,12 +910,12 @@ object Stream {
         val freshFp = survivorsFp.join(matched, Seq("doc_id"), "left_anti")
         batch.join(freshFp.select("doc_id"), Seq("doc_id"), "left_semi")
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-        val merged = prior.unionByName(
-          freshFp.select(col("doc_id"), col("simhash"), lit(batchId).as("src_batch")))
-        val tmp = s"$storePath.merged-$batchId"
-        merged.write.mode("overwrite").parquet(tmp)
-        if (fs.exists(basePath)) swapStore(fs, basePath, tmp)
-        else mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
+        // fingerprint set grows with the corpus: delta-sized segment
+        // landing + compaction (r11), never a full-store rewrite
+        landSegment(freshFp.select(col("doc_id"), col("simhash"),
+          lit(batchId).as("src_batch")), storePath, batchId, fs)
+        if (segmentIdsAt(fs, basePath).size >= 16)
+          compactSetStore(spark, storePath)
         ()
       }
 
@@ -926,7 +955,7 @@ object Stream {
           .select(col("y.vec_id").as("vec_id")).distinct()
         val surv = a.join(inDups, Seq("vec_id"), "left_anti")
         val prior =
-          if (fs.exists(basePath))
+          if (storeHasData(fs, basePath))
             spark.read.parquet(storePath).filter(col("src_batch") =!= batchId)
               .select(col("vec_id"), col("embedding"), col("nm"),
                 col("bucket").cast("long").as("bucket"), col("src_batch"))
@@ -942,13 +971,13 @@ object Stream {
         val fresh = surv.join(matched, Seq("vec_id"), "left_anti")
         batch.join(fresh.select("vec_id"), Seq("vec_id"), "left_semi")
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-        val merged = prior.unionByName(
-          fresh.withColumn("src_batch", lit(batchId)))
-        val tmp = s"$storePath.merged-$batchId"
-        merged.repartition(col("bucket"))
-          .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-        if (fs.exists(basePath)) swapStore(fs, basePath, tmp)
-        else mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
+        // the semantic fingerprint set grows with the corpus: land the
+        // batch's fresh vectors as a bucket-partitioned delta segment
+        // (r11), never a full-store rewrite
+        landSegment(fresh.withColumn("src_batch", lit(batchId)),
+          storePath, batchId, fs, partitionCol = Some("bucket"))
+        if (segmentIdsAt(fs, basePath).size >= 16)
+          compactSetStore(spark, storePath, partitionCol = Some("bucket"))
         ()
       }
 
@@ -1247,7 +1276,7 @@ object Stream {
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
         val md5Prior =
-          if (fs.exists(md5Base))
+          if (storeHasData(fs, md5Base))
             spark.read.parquet(md5StorePath).filter(col("src_batch") =!= batchId)
           else spark.emptyDataFrame.select(lit("").as("text_md5"),
             lit(0L).as("src_batch")).limit(0)
@@ -1260,7 +1289,7 @@ object Stream {
         val survivorsFp = Dedup.simhashDf(exactFresh)
           .join(inDups, Seq("doc_id"), "left_anti")
         val fpPrior =
-          if (fs.exists(fpBase))
+          if (storeHasData(fs, fpBase))
             spark.read.parquet(fpStorePath).filter(col("src_batch") =!= batchId)
           else spark.emptyDataFrame.select(lit(0L).as("doc_id"),
             lit(0L).as("simhash"), lit(0L).as("src_batch")).limit(0)
@@ -1292,10 +1321,12 @@ object Stream {
           lit(batchId).as("src_batch")), md5StorePath, batchId, fs)
         landSegment(freshFp.select(col("doc_id"), col("simhash"),
           lit(batchId).as("src_batch")), fpStorePath, batchId, fs)
-        if (segmentIdsAt(fs, md5Base).size >= 16) {
+        // each store triggers on its OWN count: a crash between the
+        // two folds must not let the second store outrun the bound
+        if (segmentIdsAt(fs, md5Base).size >= 16)
           compactSetStore(spark, md5StorePath)
+        if (segmentIdsAt(fs, fpBase).size >= 16)
           compactSetStore(spark, fpStorePath)
-        }
         q.unpersist()
         exactFresh.unpersist()
         freshFp.unpersist()
