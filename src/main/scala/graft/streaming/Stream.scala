@@ -550,15 +550,17 @@ object Stream {
         val spark = batch.sparkSession
         val basePath = new org.apache.hadoop.fs.Path(storePath)
         val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        recoverStore(fs, basePath)
-        val marker = new org.apache.hadoop.fs.Path(s"$storePath/_applied_$batchId")
-        if (!fs.exists(marker)) { // replayed batch: already applied → no-op
+        recoverStore(fs, basePath) // a compaction may have died mid-swap
+        val seg = new org.apache.hadoop.fs.Path(storePath, s"seg=$batchId")
+        if (!fs.exists(seg)) { // replayed batch: already landed → no-op
           val counts = batch
             .select(col("doc_id"),
               size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n"))
             .filter(col("n") > 0L)
+          // Σ n_tokens is additive across the partial pack rows, so the
+          // offset needs one column-pruned scan of the segments
           val offset: Long =
-            if (fs.exists(basePath))
+            if (storeHasData(fs, basePath))
               spark.read.parquet(storePath)
                 .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
             else 0L
@@ -575,26 +577,38 @@ object Stream {
                 greatest(col("cb"), col("pack_id") * budget)).as("n_tokens"),
               min(col("doc_id")).as("first_doc"),
               max(col("doc_id")).as("last_doc"))
-          if (fs.exists(basePath)) {
-            val merged = spark.read.parquet(storePath).unionByName(delta)
-              .groupBy("pack_id")
-              .agg(sum(col("n_docs")).as("n_docs"),
-                sum(col("n_tokens")).as("n_tokens"),
-                min(col("first_doc")).as("first_doc"),
-                max(col("last_doc")).as("last_doc"))
-            val tmp = s"$storePath.merged-$batchId"
-            merged.write.mode("overwrite").parquet(tmp)
-            fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_applied_$batchId")).close()
-            swapStore(fs, basePath, tmp)
-          } else {
-            val tmp = s"$storePath.init-$batchId"
-            delta.write.mode("overwrite").parquet(tmp)
-            fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_applied_$batchId")).close()
-            mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
-          }
+          // delta-sized segment landing (r11); the pack-granular sums
+          // fold at read time ([[loadChunkStore]]) and compaction
+          // bounds the merge width — the old path rewrote the whole
+          // pack table every batch
+          landSegment(delta, storePath, batchId, fs)
+          if (segmentIdsAt(fs, basePath).size >= 16)
+            compactChunkStore(spark, storePath)
         }
         ()
       }
+
+  /** Read a [[packMaintenance]] chunk-pack store with its
+    * pack-granular merge applied (counts/tokens sum, first/last docs
+    * min/max across segments); a plain or compacted store passes
+    * through. Column order matches the pack_chunks batch schema.
+    */
+  def loadChunkStore(spark: SparkSession, storePath: String): DataFrame = {
+    val raw = spark.read.parquet(storePath)
+    if (!raw.columns.contains("seg")) raw
+    else raw.groupBy("pack_id")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("first_doc")).as("first_doc"),
+        max(col("last_doc")).as("last_doc"))
+      .select("pack_id", "n_docs", "n_tokens", "first_doc", "last_doc")
+  }
+
+  /** Fold every segment of a chunk-pack store into one (`seg=<max>`)
+    * via the crash-safe swap. No-op below two segments.
+    */
+  def compactChunkStore(spark: SparkSession, storePath: String): Unit =
+    foldSegments(spark, storePath, loadChunkStore(spark, storePath))
 
   /** Streaming MMC4-style sequence assembly — `media_interleave`'s
     * streaming twin, completing the multimodal family's §G rung: each
@@ -1009,7 +1023,7 @@ object Stream {
           .select(explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
           .groupBy("term").agg(count(lit(1)).as("freq"))
         val prior =
-          if (fs.exists(basePath))
+          if (storeHasData(fs, basePath))
             spark.read.parquet(storePath).filter(col("src_batch") =!= batchId)
           else spark.emptyDataFrame
             .select(lit("").as("term"), lit(0L).as("src_batch")).limit(0)
@@ -1026,12 +1040,12 @@ object Stream {
             round(col("new_term_tokens").cast("double") /
               col("n_batch_tokens").cast("double"), 6).as("new_token_share"))
         report.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-        val merged = prior.unionByName(
-          novel.select(col("term"), lit(batchId).as("src_batch")))
-        val tmp = s"$storePath.merged-$batchId"
-        merged.write.mode("overwrite").parquet(tmp)
-        if (fs.exists(basePath)) swapStore(fs, basePath, tmp)
-        else mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
+        // the vocabulary set grows with the corpus (heavy-tail): land
+        // only the batch's NOVEL terms as a delta segment (r11)
+        landSegment(novel.select(col("term"), lit(batchId).as("src_batch")),
+          storePath, batchId, fs)
+        if (segmentIdsAt(fs, basePath).size >= 16)
+          compactSetStore(spark, storePath)
         ()
       }
 
@@ -1117,7 +1131,7 @@ object Stream {
         val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         recoverStore(fs, basePath)
         val prior =
-          if (fs.exists(basePath))
+          if (storeHasData(fs, basePath))
             spark.read.parquet(storePath).filter(col("src_batch") =!= batchId)
           else spark.emptyDataFrame.select(lit("").as("kind"),
             lit("").as("term"), lit("").as("lang"), lit(0L).as("c"),
@@ -1141,12 +1155,14 @@ object Stream {
         val bdl = batch.groupBy("lang").agg(count(lit(1)).as("c"))
           .select(lit("dl").as("kind"), lit(null).cast("string").as("term"),
             col("lang"), col("c"))
-        val merged = prior.unionByName(
-          btl.unionByName(bdl).withColumn("src_batch", lit(batchId)))
-        val tmp = s"$storePath.merged-$batchId"
-        merged.write.mode("overwrite").parquet(tmp)
-        if (fs.exists(basePath)) swapStore(fs, basePath, tmp)
-        else mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
+        // the model ledger is an append-only set of per-batch count
+        // rows (consumers re-aggregate): land the batch's rows as a
+        // delta segment (r11) — the model is vocab-sized and the old
+        // path rewrote all of it every batch
+        landSegment(btl.unionByName(bdl).withColumn("src_batch", lit(batchId)),
+          storePath, batchId, fs)
+        if (segmentIdsAt(fs, basePath).size >= 16)
+          compactSetStore(spark, storePath)
         ()
       }
 
@@ -1186,7 +1202,7 @@ object Stream {
           .withColumn("sh", md5(col("sent")))
         val pairs = sents.select(col("sh"), col("doc_id")).distinct()
         val prior =
-          if (fs.exists(basePath)) {
+          if (storeHasData(fs, basePath)) {
             val saved = spark.read.parquet(storePath)
             // the ledger format changed from per-batch (sh, n_docs,
             // src_batch) counts to distinct (sh, doc_id, src_batch)
@@ -1223,12 +1239,12 @@ object Stream {
             coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
             coalesce(col("kept_text"), lit("")).as("kept_text"))
         scrubbed.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-        val merged = prior.unionByName(
-          fresh.withColumn("src_batch", lit(batchId)))
-        val tmp = s"$storePath.merged-$batchId"
-        merged.write.mode("overwrite").parquet(tmp)
-        if (fs.exists(basePath)) swapStore(fs, basePath, tmp)
-        else mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
+        // the sentence-pair ledger grows with the corpus: land only
+        // the batch's FRESH pairs as a delta segment (r11)
+        landSegment(fresh.withColumn("src_batch", lit(batchId)),
+          storePath, batchId, fs)
+        if (segmentIdsAt(fs, basePath).size >= 16)
+          compactSetStore(spark, storePath)
         ()
       }
 

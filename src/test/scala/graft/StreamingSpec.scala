@@ -954,7 +954,7 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
       in.addData(b2: _*)
       q.processAllAvailable()
     } finally q.stop()
-    val got = spark.read.parquet(store)
+    val got = Stream.loadChunkStore(spark, store)
       .select("pack_id", "n_docs", "n_tokens", "first_doc", "last_doc")
       .orderBy("pack_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
