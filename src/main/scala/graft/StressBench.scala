@@ -183,6 +183,16 @@ object CosineRecallStress {
       println(f"COSRECALL dir=$dir%-20s sample=$sampleN tau=$tau%.1f " +
         f"true=$nTrue kept=$nKept recall=$rec%.4f")
     }
+    // the wired-in guard (r11 VERDICT item 1): the blocking-coverage
+    // companion key must read 'degenerate' exactly where the measured
+    // recall collapses, and 'ok' where recall holds — same corpus,
+    // same run
+    val g = operators.Index.tfidfBlockingCoverageOf(docs)
+      .select("coverage", "regime", "covered_docs", "n_block_terms",
+        "candidate_mass").head()
+    println(f"COSRECALL dir=$dir%-20s guard coverage=${g.getDouble(0)}%.4f " +
+      f"regime=${g.getString(1)} covered=${g.getLong(2)} " +
+      f"block_terms=${g.getLong(3)} cand_mass=${g.getDouble(4)}%.0f")
     spark.stop()
   }
 }

@@ -244,6 +244,13 @@ object Index {
     * At 100 TB the candidate stream is bounded by the rare-posting
     * mass, the dictionary is never materialized, and no broadcast
     * grows with the corpus.
+    *
+    * DEGENERATE-REGIME GUARD: the blocking precondition (most docs
+    * hold a shared rare term) is priced by the companion
+    * [[tfidfBlockingCoverage]] (`tfidf_blocking_coverage`) — run it
+    * alongside; `regime = 'degenerate'` means this top-20 is
+    * recall-unbounded on this corpus and a MinHash/winnow candidate
+    * set should drive pairing instead.
     */
   def tfidfCosinePairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -275,6 +282,72 @@ object Index {
         round(col("dot") / (col("na") * col("nb")), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
       .limit(20)
+  }
+
+  /** Coverage floor below which [[tfidfBlockingCoverage]] declares the
+    * rare-term blocking regime DEGENERATE. The two measured regimes sit
+    * far apart (coverage 1.000 on Zipfian corpora vs ~0.000 on the
+    * 31-word clone corpora — CosineRecallStress), so any mid threshold
+    * separates them; 0.5 reads as "most docs can't even enter the
+    * candidate relation".
+    */
+  val BlockingCoverageFloor = 0.5
+
+  /** Blocking-coverage guard for [[tfidfCosinePairs]] — the wired-in
+    * detector for that operator's one degenerate regime. The blocked
+    * top-20 is contract-correct but RECALL-BLIND when the corpus has
+    * no shared rare terms (df ≤ [[RareDfFrac]]·n): candidates need a
+    * shared blocking term, and on a tiny homogeneous vocabulary almost
+    * no doc contributes one, so the operator silently returns a
+    * near-empty ranking (measured: blocking recall 1.000 on Zipfian
+    * 50k/500k-doc corpora vs 0.003/0.000 on the 10×/100× clone
+    * corpora). This companion prices the precondition ON the corpus,
+    * in one term-keyed pass (no doc×doc anywhere):
+    *
+    *  - `covered_docs` / `coverage`: docs holding ≥1 BLOCK-ELIGIBLE
+    *    term (2 ≤ df ≤ 0.05·n — a df=1 term can never key a pair);
+    *    coverage is the share of the corpus that can enter the
+    *    candidate relation at all.
+    *  - `candidate_mass`: Σ df·(df−1)/2 over eligible terms — the
+    *    upper bound on the blocked pair relation the join will emit.
+    *  - `regime`: 'ok' when coverage ≥ [[BlockingCoverageFloor]],
+    *    'degenerate' otherwise — the signal that the top-20 must be
+    *    read as recall-unbounded and a MinHash/winnow candidate set
+    *    (`neardup_eval` prices that path) should drive pairing
+    *    instead.
+    *
+    * Run it beside every `tfidf_cosine_pairs` production invocation;
+    * at 100 TB it costs one tf/df rollup — the same frames the main
+    * operator builds anyway.
+    */
+  def tfidfBlockingCoverage(spark: SparkSession, dir: String): DataFrame =
+    tfidfBlockingCoverageOf(Tables.documents(spark, dir))
+
+  /** [[tfidfBlockingCoverage]] over an arbitrary (doc_id, text) frame —
+    * the form CosineRecallStress runs against its synthetic corpora so
+    * the guard is measured in exactly the regimes the recall audit
+    * measures.
+    */
+  def tfidfBlockingCoverageOf(docs: DataFrame): DataFrame = {
+    val base = tokenStreamOf(docs).groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val nDf = docs.agg(count(lit(1)).as("n_docs"))
+    val df = base.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val eligible = df.crossJoin(broadcast(nDf))
+      .filter(col("df") >= 2.0 && col("df") <= col("n_docs") * RareDfFrac)
+    val massTerms = eligible.agg(
+      count(lit(1)).as("n_block_terms"),
+      coalesce(sum(col("df") * (col("df") - 1.0) / 2.0), lit(0.0)).as("candidate_mass"))
+    val covered = base.join(eligible.select("term"), "term")
+      .agg(count_distinct(col("doc_id")).as("covered_docs"))
+    broadcast(nDf).crossJoin(broadcast(massTerms)).crossJoin(broadcast(covered))
+      .select(col("n_docs"), col("n_block_terms"), col("covered_docs"),
+        round(col("covered_docs").cast("double") /
+          col("n_docs").cast("double"), 6).as("coverage"),
+        col("candidate_mass"),
+        when(col("covered_docs").cast("double") >=
+            col("n_docs").cast("double") * BlockingCoverageFloor, lit("ok"))
+          .otherwise(lit("degenerate")).as("regime"))
   }
 
   /** The dense-dictionary cosine formulation [[tfidfCosinePairs]] used
@@ -1190,6 +1263,7 @@ object Index {
     "index_prune_curve" -> indexPruneCurve,
     "champion_lists" -> championLists,
     "tfidf_cosine_pairs" -> tfidfCosinePairs,
+    "tfidf_blocking_coverage" -> tfidfBlockingCoverage,
     "tfidf_cosine_dense" -> tfidfCosineDense,
     "doc_stats" -> docStats,
     "term_search" -> termSearch,
@@ -1326,6 +1400,28 @@ object Index {
          |JOIN nrm na ON na.doc_id = doc_a
          |JOIN nrm nb ON nb.doc_id = doc_b
          |ORDER BY cosine DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    "tfidf_blocking_coverage" ->
+      s"""$TokSql, base AS (
+         |  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2
+         |), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |df AS (SELECT term, count(*)::DOUBLE AS df FROM base GROUP BY term),
+         |elig AS (
+         |  SELECT term, df FROM df, n
+         |  WHERE df >= 2.0 AND df <= n_docs::DOUBLE * 0.05
+         |), mass AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_block_terms,
+         |    coalesce(sum(df * (df - 1.0) / 2.0), 0.0)::DOUBLE AS candidate_mass
+         |  FROM elig
+         |), cov AS (
+         |  SELECT CAST(count(DISTINCT b.doc_id) AS BIGINT) AS covered_docs
+         |  FROM base b JOIN elig e USING (term)
+         |)
+         |SELECT n_docs, n_block_terms, covered_docs,
+         |  round(covered_docs::DOUBLE / n_docs::DOUBLE, 6) AS coverage,
+         |  candidate_mass,
+         |  CASE WHEN covered_docs::DOUBLE >= n_docs::DOUBLE * 0.5
+         |    THEN 'ok' ELSE 'degenerate' END AS regime
+         |FROM n, mass, cov""".stripMargin,
     // the dense audit twin's oracle is the same sparse SQL restricted to
     // the declared doc_id < 100 sample (a zero dot can't enter the top-20
     // while >= 20 sample pairs share a term, which every sf satisfies)

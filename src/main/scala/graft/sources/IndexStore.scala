@@ -180,9 +180,16 @@ object IndexStore {
       case None =>
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val ids = fs.listStatus(p).map(_.getPath.getName)
-          .filter(_.startsWith("term_bucket="))
-          .map(_.stripPrefix("term_bucket=").toLong)
+        val top = fs.listStatus(p).map(_.getPath)
+        // a SEGMENTED root has no term_bucket= dirs of its own —
+        // descend into the seg= dirs so the bound still sees real
+        // bucket ids (a flat root listing would vacuously accept ANY
+        // count and a wrong-count lookup would return empty postings)
+        val bucketDirs = top.filter(_.getName.startsWith("term_bucket=")) ++
+          top.filter(_.getName.startsWith("seg="))
+            .flatMap(seg => fs.listStatus(seg).map(_.getPath)
+              .filter(_.getName.startsWith("term_bucket=")))
+        val ids = bucketDirs.map(_.getName.stripPrefix("term_bucket=").toLong)
         require(ids.isEmpty || ids.max < nBuckets,
           s"index at $path has bucket ids up to ${ids.max} — it was not saved " +
             s"with nBuckets=$nBuckets; pass the bucket count used at save time")
@@ -306,14 +313,21 @@ object IndexStore {
     delta.select(col("doc_id")).distinct().coalesce(1)
       .write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(tmp, DocsManifest).toString)
-    StoreSwap.mustRename(fs, tmp, seg)
     // root-level bucket marker so requireBucketsMatch validates the
-    // segmented store exactly like a plain one (same value each batch)
+    // segmented store exactly like a plain one (same value each batch).
+    // Written BEFORE the segment rename: any VISIBLE segment then
+    // implies the marker exists — the reverse order left a window
+    // (crash between rename and marker) where a marker-less segmented
+    // store silently accepted lookups with any bucket count. A crash
+    // after the marker but before the rename leaves marker + invisible
+    // tmp only, which the replaying batch completes consistently (the
+    // nBuckets equality was already enforced above).
     val marker = new org.apache.hadoop.fs.Path(path, BucketsMarker)
     if (!fs.exists(marker)) {
       val out = fs.create(marker, true)
       try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
     }
+    StoreSwap.mustRename(fs, tmp, seg)
     true
   }
 
@@ -333,7 +347,13 @@ object IndexStore {
     if (fs.exists(new org.apache.hadoop.fs.Path(tmpRoot)))
       fs.delete(new org.apache.hadoop.fs.Path(tmpRoot), true)
     save(resolved, s"$tmpRoot/seg=${segs.max}", nb)
-    resolved.select(col("doc_id")).distinct().coalesce(1)
+    // derive the manifest from the JUST-WRITTEN segment — a
+    // column-pruned scan of the fold's own output — instead of
+    // executing the `resolved` plan a second time (two full loads of
+    // the segmented store per compaction, and unlike localCheckpoint
+    // it pins nothing in executor memory at 100 TB store sizes)
+    spark.read.parquet(s"$tmpRoot/seg=${segs.max}")
+      .select(col("doc_id")).distinct().coalesce(1)
       .write.mode("overwrite").parquet(s"$tmpRoot/seg=${segs.max}/$DocsManifest")
     val marker = new org.apache.hadoop.fs.Path(tmpRoot, BucketsMarker)
     val out = fs.create(marker, true)

@@ -441,19 +441,33 @@ object Stream {
     * Bucket predicates still prune each segment's `bucket=` dirs and
     * push through the semi-join's streamed side. A plain
     * (pre-segment or compacted single-segment) store passes through.
+    *
+    * The read is PINNED to one FS listing: the segment dirs listed up
+    * front are exactly the paths handed to the scan, so the
+    * single-segment fast path and the data it reads can never
+    * disagree. (Deriving the fast path from a listing but the scan
+    * from a later root re-list was a TOCTOU under concurrent
+    * serve+maintain: a segment landing between the two made the
+    * reader skip resolution yet scan both the stale and fresh rows of
+    * a re-embedded vec_id.) A segment landed after the listing is
+    * simply not part of this read's snapshot.
     */
   def loadEmbedStore(spark: SparkSession, storePath: String): DataFrame = {
     val base = new org.apache.hadoop.fs.Path(storePath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val nSegs = segmentIdsAt(fs, base).size
-    val raw = spark.read.parquet(storePath)
+    val segs = segmentIdsAt(fs, base)
     // a compacted (or single-landing) store needs NO resolution: skip
     // the full-store vecMax scan so a serve batch reads only its
     // probed buckets — the resolver's O(|store| ids) pass is paid
     // only while multiple segments are outstanding
-    if (!raw.columns.contains("seg")) raw
-    else if (nSegs <= 1) raw.drop("seg")
+    if (segs.isEmpty) spark.read.parquet(storePath)
+    else if (segs.size == 1)
+      // reading the one segment dir directly discovers its bucket=
+      // partitions and yields no seg column — nothing to resolve
+      spark.read.parquet(s"$storePath/seg=${segs.head}")
     else {
+      val raw = spark.read.option("basePath", storePath)
+        .parquet(segs.map(id => s"$storePath/seg=$id"): _*)
       val vecMax = raw.select(col("vec_id"), col("seg").cast("long").as("seg"))
         .groupBy("vec_id").agg(max(col("seg")).as("seg"))
       raw.withColumn("seg", col("seg").cast("long"))
@@ -536,11 +550,12 @@ object Stream {
     * window.
     *
     * Unlike the doc-granular index merges, summing partial pack rows
-    * is NOT naturally replay-idempotent — so each applied batch leaves
-    * an `_applied_<batchId>` marker inside the store (underscore
-    * prefix: invisible to parquet readers) and a replayed batch no-ops
-    * on seeing its own marker. Only the last uncommitted batch can
-    * ever replay, so one marker generation suffices.
+    * is NOT naturally replay-idempotent — so each landing stamps the
+    * store's APPLIED HORIZON (`_applied_upto_<batchId>` inside the
+    * new segment, one atomic rename with the data) and a batch the
+    * horizon already covers no-ops. A batch BELOW the horizon fails
+    * loudly: that is a fresh checkpoint restarted over an existing
+    * store, which would double-count every replayed pack.
     */
   def packMaintenance(docs: DataFrame, storePath: String,
                       budget: Long = 256L): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -551,8 +566,9 @@ object Stream {
         val basePath = new org.apache.hadoop.fs.Path(storePath)
         val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         recoverStore(fs, basePath) // a compaction may have died mid-swap
-        val seg = new org.apache.hadoop.fs.Path(storePath, s"seg=$batchId")
-        if (!fs.exists(seg)) { // replayed batch: already landed → no-op
+        val upto = appliedUpTo(fs, basePath)
+        requireBatchInHorizon(batchId, upto, storePath)
+        if (batchId > upto) { // == upto: replayed batch, already landed → no-op
           val counts = batch
             .select(col("doc_id"),
               size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n"))
@@ -581,7 +597,7 @@ object Stream {
           // fold at read time ([[loadChunkStore]]) and compaction
           // bounds the merge width — the old path rewrote the whole
           // pack table every batch
-          landSegment(delta, storePath, batchId, fs)
+          landBatchSegment(delta, storePath, batchId, fs)
           if (segmentIdsAt(fs, basePath).size >= 16)
             compactChunkStore(spark, storePath)
         }
@@ -627,10 +643,14 @@ object Stream {
     * because the token line only ever extends (append-only stream ⇒
     * every new segment's offset exceeds every stored one) —
     * [[compactPackStore]] folds segments when the count reaches
-    * `compactEvery`. The segment-directory rename is the atomic
-    * applied marker (replay = no-op); when documents arrive in doc_id
-    * order the resolved store equals the batch operator exactly
-    * (spec-asserted, restart drill included).
+    * `compactEvery`. Segment ids are monotonic and the applied
+    * horizon rides inside each landing's atomic rename
+    * ([[landBatchSegment]]): replay no-ops, and a fresh checkpoint
+    * restarted over an existing store fails loudly instead of landing
+    * lower-ordered segments that would silently invert the media_refs
+    * concatenation. When documents arrive in doc_id order the
+    * resolved store equals the batch operator exactly (spec-asserted,
+    * restart drill included).
     */
   def interleaveMaintenance(docs: DataFrame, storePath: String,
                             compactEvery: Int = 16)
@@ -642,8 +662,9 @@ object Stream {
         val basePath = new org.apache.hadoop.fs.Path(storePath)
         val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         recoverStore(fs, basePath) // a compaction may have died mid-swap
-        val seg = new org.apache.hadoop.fs.Path(storePath, s"seg=$batchId")
-        if (!fs.exists(seg)) { // replayed batch: already landed → no-op
+        val upto = appliedUpTo(fs, basePath)
+        requireBatchInHorizon(batchId, upto, storePath)
+        if (batchId > upto) { // == upto: replayed batch, already landed → no-op
           val segs = graft.operators.Multimodal.interleaveSegmentsOf(
             batch.select(col("doc_id"), col("text")))
           // the offset needs only Σ n_tokens across segments (sums are
@@ -659,7 +680,7 @@ object Stream {
               value = col("cost"), bucket = expr("doc_id div 64"))
             .withColumn("cb", col("running") - col("cost") + lit(offset))
           val delta = graft.operators.Multimodal.interleavePackRollup(cum)
-          landSegment(delta, storePath, batchId, fs)
+          landBatchSegment(delta, storePath, batchId, fs)
           if (segmentIdsAt(fs, basePath).size >= compactEvery)
             compactPackStore(spark, storePath)
         }
@@ -682,6 +703,8 @@ object Stream {
     * bare `fs.exists` — a first-batch crash inside a landing leaves
     * the root with only an invisible tmp dir, and a raw parquet read
     * of that would throw on every replay, bricking the stream.
+    * (Empty SEGMENTS can't arise: [[landSegment]] refuses to land a
+    * delta whose write emitted no data files.)
     */
   private def storeHasData(fs: org.apache.hadoop.fs.FileSystem,
                            base: org.apache.hadoop.fs.Path): Boolean =
@@ -689,6 +712,97 @@ object Stream {
       val n = st.getPath.getName
       !n.startsWith(".") && !n.startsWith("_")
     }
+
+  /** True when `dir` holds at least one visible data FILE at any
+    * depth (`_SUCCESS`, applied markers, and dot-prefixed leftovers
+    * don't count). This is the "did the write emit any rows" test the
+    * landing gate needs: `partitionBy` on an empty frame writes no
+    * partition dirs at all, so an empty delta landed blindly would
+    * become a data-less segment that fails schema inference on every
+    * later whole-store read — a replay-loop brick.
+    */
+  private def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: org.apache.hadoop.fs.Path): Boolean = {
+    if (!fs.exists(dir)) return false
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val n = it.next().getPath.getName
+      if (!n.startsWith(".") && !n.startsWith("_")) return true
+    }
+    false
+  }
+
+  /** Name prefix of the applied-horizon marker a batch-keyed landing
+    * leaves INSIDE its segment dir (underscore prefix: invisible to
+    * parquet readers). The marker travels with the segment through
+    * the one atomic rename, so "the segment is visible" and "batch
+    * `<id>` is recorded as applied" can never disagree — the failure
+    * the old root-level marker schemes had a window for.
+    */
+  private val AppliedUpToPrefix = "_applied_upto_"
+
+  /** Highest batchId recorded by an [[AppliedUpToPrefix]] marker in
+    * any segment of the store; None when no segment carries one.
+    */
+  private def markerUpTo(fs: org.apache.hadoop.fs.FileSystem,
+                         base: org.apache.hadoop.fs.Path): Option[Long] = {
+    if (!fs.exists(base)) return None
+    val marks = fs.listStatus(base).map(_.getPath)
+      .filter(_.getName.startsWith("seg="))
+      .flatMap(seg => fs.listStatus(seg).map(_.getPath.getName)
+        .filter(_.startsWith(AppliedUpToPrefix))
+        .map(_.stripPrefix(AppliedUpToPrefix).toLong))
+    if (marks.isEmpty) None else Some(marks.max)
+  }
+
+  /** The store's APPLIED HORIZON: the highest batchId whose landing
+    * committed. Markers are the source of truth; a store written
+    * before the marker scheme falls back to its max segment id (those
+    * stores' segment ids WERE batch ids, so the two schemes agree at
+    * the upgrade boundary). -1 for an absent or segment-less store.
+    */
+  private def appliedUpTo(fs: org.apache.hadoop.fs.FileSystem,
+                          base: org.apache.hadoop.fs.Path): Long =
+    markerUpTo(fs, base)
+      .getOrElse(segmentIdsAt(fs, base).lastOption.getOrElse(-1L))
+
+  /** Fail LOUDLY when `batchId` sits below the store's applied
+    * horizon. Batch ids within one query only move forward, so a
+    * lower id means the stream was restarted with a FRESH checkpoint
+    * over an existing store — out of contract for every batch-keyed
+    * store, and previously a SILENT corruption (double-applied sums,
+    * inverted media_refs segment order) instead of an error. An id
+    * EQUAL to the horizon is the legitimate replay of the last
+    * uncommitted batch: callers recompute their idempotent outputs
+    * and [[landBatchSegment]] no-ops the landing.
+    */
+  private def requireBatchInHorizon(batchId: Long, upto: Long,
+                                    storePath: String): Unit =
+    require(batchId >= upto,
+      s"batch $batchId is below the applied horizon $upto of store " +
+        s"$storePath: the stream was restarted with a fresh checkpoint " +
+        "over an existing store. Restart from the original checkpoint, " +
+        "or point the stream at a fresh store path")
+
+  /** Land `delta` as the NEXT monotonic segment of a batch-keyed
+    * store, stamping `_applied_upto_<batchId>` inside the segment so
+    * the landing and the horizon record commit in one atomic rename.
+    * No-op (false) when the horizon already covers `batchId` — the
+    * replayed-batch case. Monotonic ids (not `seg=<batchId>`) keep
+    * segment order equal to application order even across a
+    * compaction, which the pack stores' media_refs concatenation and
+    * every last-writer-wins read depend on.
+    */
+  private def landBatchSegment(delta: DataFrame, storePath: String,
+                               batchId: Long,
+                               fs: org.apache.hadoop.fs.FileSystem,
+                               partitionCol: Option[String] = None): Boolean = {
+    val base = new org.apache.hadoop.fs.Path(storePath)
+    if (appliedUpTo(fs, base) >= batchId) return false
+    val segId = segmentIdsAt(fs, base).lastOption.getOrElse(-1L) + 1L
+    landSegment(delta, storePath, segId, fs, partitionCol,
+      marker = Some(AppliedUpToPrefix + batchId))
+  }
 
   /** Land `delta` as `seg=<segId>` of a segmented store (build in a
     * dot-prefixed temp dir, one atomic rename — the landing IS the
@@ -702,7 +816,8 @@ object Stream {
   private def landSegment(delta: DataFrame, storePath: String,
                           segId: Long,
                           fs: org.apache.hadoop.fs.FileSystem,
-                          partitionCol: Option[String] = None): Boolean = {
+                          partitionCol: Option[String] = None,
+                          marker: Option[String] = None): Boolean = {
     val base = new org.apache.hadoop.fs.Path(storePath)
     val seg = new org.apache.hadoop.fs.Path(storePath, s"seg=$segId")
     if (fs.exists(seg)) return false
@@ -719,6 +834,19 @@ object Stream {
         .write.mode("overwrite").partitionBy(c).parquet(tmp.toString)
       case None => delta.write.mode("overwrite").parquet(tmp.toString)
     }
+    // an EMPTY delta must not land: partitionBy writes no partition
+    // dirs for an empty frame (a data-less segment then fails schema
+    // inference on every later whole-store read — a replay-loop
+    // brick), and a plain write of one emits a single zero-row file
+    // (harmless but junk that accumulates one segment per idle
+    // batch). Checking the WRITTEN tmp — file presence, then a
+    // limit-1 read of the one tiny output — costs no re-execution of
+    // the delta plan. Skipping is replay-safe: the caller's recompute
+    // is deterministic, so a replayed empty batch skips again.
+    val wroteRows = hasDataFiles(fs, tmp) &&
+      !delta.sparkSession.read.parquet(tmp.toString).isEmpty
+    if (!wroteRows) { fs.delete(tmp, true); return false }
+    marker.foreach(m => fs.create(new org.apache.hadoop.fs.Path(tmp, m), true).close())
     mustRename(fs, tmp, seg)
     true
   }
@@ -735,6 +863,10 @@ object Stream {
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val segs = segmentIdsAt(fs, base)
     if (segs.size < 2) return
+    // the applied horizon must survive the fold: segment ids are
+    // monotonic, NOT batch ids, so without re-stamping the max marker
+    // the post-fold fallback would misread the horizon
+    val carried = markerUpTo(fs, base)
     val tmpRoot = storePath + ".compacting"
     if (fs.exists(new org.apache.hadoop.fs.Path(tmpRoot)))
       fs.delete(new org.apache.hadoop.fs.Path(tmpRoot), true)
@@ -744,6 +876,8 @@ object Stream {
         .write.mode("overwrite").partitionBy(c).parquet(out)
       case None => resolved.write.mode("overwrite").parquet(out)
     }
+    carried.foreach(u => fs.create(new org.apache.hadoop.fs.Path(
+      out, AppliedUpToPrefix + u), true).close())
     swapStore(fs, base, tmpRoot)
   }
 
@@ -855,6 +989,7 @@ object Stream {
         val basePath = new org.apache.hadoop.fs.Path(storePath)
         val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         recoverStore(fs, basePath)
+        requireBatchInHorizon(batchId, appliedUpTo(fs, basePath), storePath)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("text_md5").orderBy("doc_id")
         val batchCanon = batch.withColumn("text_md5", md5(col("text")))
@@ -870,7 +1005,7 @@ object Stream {
         // the md5 set grows with the corpus: land the batch's NEW
         // fingerprints as a delta-sized segment (r11), never a
         // full-store rewrite; compaction bounds the read width
-        landSegment(fresh.select(col("text_md5"),
+        landBatchSegment(fresh.select(col("text_md5"),
           lit(batchId).as("src_batch")), storePath, batchId, fs)
         if (segmentIdsAt(fs, basePath).size >= 16)
           compactSetStore(spark, storePath)
@@ -904,6 +1039,7 @@ object Stream {
         val basePath = new org.apache.hadoop.fs.Path(storePath)
         val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         recoverStore(fs, basePath)
+        requireBatchInHorizon(batchId, appliedUpTo(fs, basePath), storePath)
         val Dedup = graft.operators.Dedup
         // in-batch near-dedup: doc_b of every pair has the larger id
         val inDups = Dedup.simhashPairsOf(batch, maxHamming)
@@ -926,7 +1062,7 @@ object Stream {
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         // fingerprint set grows with the corpus: delta-sized segment
         // landing + compaction (r11), never a full-store rewrite
-        landSegment(freshFp.select(col("doc_id"), col("simhash"),
+        landBatchSegment(freshFp.select(col("doc_id"), col("simhash"),
           lit(batchId).as("src_batch")), storePath, batchId, fs)
         if (segmentIdsAt(fs, basePath).size >= 16)
           compactSetStore(spark, storePath)
@@ -958,6 +1094,7 @@ object Stream {
         val basePath = new org.apache.hadoop.fs.Path(storePath)
         val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         recoverStore(fs, basePath)
+        requireBatchInHorizon(batchId, appliedUpTo(fs, basePath), storePath)
         val cent = spark.read.parquet(centroidPath)
         val a = Sim.ivfAssignTo(Sim.withNormOf(batch), cent)
           .select(col("vec_id"), col("embedding"), col("nm"), col("bucket"))
@@ -988,7 +1125,7 @@ object Stream {
         // the semantic fingerprint set grows with the corpus: land the
         // batch's fresh vectors as a bucket-partitioned delta segment
         // (r11), never a full-store rewrite
-        landSegment(fresh.withColumn("src_batch", lit(batchId)),
+        landBatchSegment(fresh.withColumn("src_batch", lit(batchId)),
           storePath, batchId, fs, partitionCol = Some("bucket"))
         if (segmentIdsAt(fs, basePath).size >= 16)
           compactSetStore(spark, storePath, partitionCol = Some("bucket"))
@@ -1019,6 +1156,7 @@ object Stream {
         val basePath = new org.apache.hadoop.fs.Path(storePath)
         val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         recoverStore(fs, basePath)
+        requireBatchInHorizon(batchId, appliedUpTo(fs, basePath), storePath)
         val bt = batch
           .select(explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
           .groupBy("term").agg(count(lit(1)).as("freq"))
@@ -1042,7 +1180,7 @@ object Stream {
         report.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         // the vocabulary set grows with the corpus (heavy-tail): land
         // only the batch's NOVEL terms as a delta segment (r11)
-        landSegment(novel.select(col("term"), lit(batchId).as("src_batch")),
+        landBatchSegment(novel.select(col("term"), lit(batchId).as("src_batch")),
           storePath, batchId, fs)
         if (segmentIdsAt(fs, basePath).size >= 16)
           compactSetStore(spark, storePath)
@@ -1130,6 +1268,7 @@ object Stream {
         val basePath = new org.apache.hadoop.fs.Path(storePath)
         val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         recoverStore(fs, basePath)
+        requireBatchInHorizon(batchId, appliedUpTo(fs, basePath), storePath)
         val prior =
           if (storeHasData(fs, basePath))
             spark.read.parquet(storePath).filter(col("src_batch") =!= batchId)
@@ -1159,7 +1298,7 @@ object Stream {
         // rows (consumers re-aggregate): land the batch's rows as a
         // delta segment (r11) — the model is vocab-sized and the old
         // path rewrote all of it every batch
-        landSegment(btl.unionByName(bdl).withColumn("src_batch", lit(batchId)),
+        landBatchSegment(btl.unionByName(bdl).withColumn("src_batch", lit(batchId)),
           storePath, batchId, fs)
         if (segmentIdsAt(fs, basePath).size >= 16)
           compactSetStore(spark, storePath)
@@ -1198,6 +1337,7 @@ object Stream {
         val basePath = new org.apache.hadoop.fs.Path(storePath)
         val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         recoverStore(fs, basePath)
+        requireBatchInHorizon(batchId, appliedUpTo(fs, basePath), storePath)
         val sents = graft.operators.TextAnalysis.sentencesOf(batch)
           .withColumn("sh", md5(col("sent")))
         val pairs = sents.select(col("sh"), col("doc_id")).distinct()
@@ -1241,7 +1381,7 @@ object Stream {
         scrubbed.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         // the sentence-pair ledger grows with the corpus: land only
         // the batch's FRESH pairs as a delta segment (r11)
-        landSegment(fresh.withColumn("src_batch", lit(batchId)),
+        landBatchSegment(fresh.withColumn("src_batch", lit(batchId)),
           storePath, batchId, fs)
         if (segmentIdsAt(fs, basePath).size >= 16)
           compactSetStore(spark, storePath)
@@ -1278,6 +1418,8 @@ object Stream {
         val fs = md5Base.getFileSystem(spark.sparkContext.hadoopConfiguration)
         recoverStore(fs, md5Base)
         recoverStore(fs, fpBase)
+        requireBatchInHorizon(batchId, appliedUpTo(fs, md5Base), md5StorePath)
+        requireBatchInHorizon(batchId, appliedUpTo(fs, fpBase), fpStorePath)
         val Dedup = graft.operators.Dedup
         val nIn = batch.count()
         // stage 1: quality rules (shared code with qualityGate)
@@ -1329,13 +1471,15 @@ object Stream {
         // store updates: md5 for every exact-stage survivor, simhash
         // fingerprints only for landed docs. Both stores are
         // append-only SETS, so each batch lands as a delta-sized
-        // `seg=<batchId>` (r10 VERDICT item 3 — the old path unioned
+        // monotonic segment (r10 VERDICT item 3 — the old path unioned
         // and rewrote the WHOLE store every batch); the src_batch
-        // column still keys replay exclusion in the prior reads, and
-        // periodic compaction bounds the file count
-        landSegment(exactFresh.select(col("text_md5"),
+        // column still keys replay exclusion in the prior reads (a
+        // crash between the two landings replays with one store
+        // already holding this batch's rows), and periodic compaction
+        // bounds the file count
+        landBatchSegment(exactFresh.select(col("text_md5"),
           lit(batchId).as("src_batch")), md5StorePath, batchId, fs)
-        landSegment(freshFp.select(col("doc_id"), col("simhash"),
+        landBatchSegment(freshFp.select(col("doc_id"), col("simhash"),
           lit(batchId).as("src_batch")), fpStorePath, batchId, fs)
         // each store triggers on its OWN count: a crash between the
         // two folds must not let the second store outrun the bound

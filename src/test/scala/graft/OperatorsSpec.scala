@@ -2216,4 +2216,38 @@ class OperatorsSpec extends SparkSpec {
       assert(famPairs.forall(lshFb.contains) && famPairs.forall(jacFb.contains))
     } finally spark.conf.unset(Dedup.MaxBucketConfKey)
   }
+
+  test("tfidf_blocking_coverage: guard separates the Zipf-like and clone regimes") {
+    import spark.implicits._
+    def row(docs: org.apache.spark.sql.DataFrame) =
+      Index.tfidfBlockingCoverageOf(docs)
+        .select("n_docs", "n_block_terms", "covered_docs", "coverage",
+          "candidate_mass", "regime").head()
+    // clone regime: 60 docs over a tiny shared vocabulary — every
+    // shared term's df is way above 5%, each doc's only rare term is
+    // its UNSHARED suffix (df = 1, can't key a pair). Coverage must
+    // read 0 and the regime 'degenerate' — exactly the corpus where
+    // CosineRecallStress measured recall 0.003/0.000.
+    val clones = (0L until 60L).map(i =>
+      (i, s"the quick brown fox jumps over the lazy dog suffix$i"))
+    val c = row(clones.toDF("doc_id", "text"))
+    assert(c.getLong(1) === 0L && c.getLong(2) === 0L)
+    assert(c.getDouble(3) === 0.0 && c.getString(5) === "degenerate")
+    assert(c.getDouble(4) === 0.0)
+    // heavy-tail regime: 100 docs, each holding one of 50 rare terms
+    // shared by exactly 2 docs (df = 2 = 0.02n ≤ 0.05n) on top of the
+    // common base — every doc can enter the candidate relation
+    val zipfish = (0L until 100L).map(i =>
+      (i, s"the quick brown fox rare${i / 2} and more filler words here"))
+    val z = row(zipfish.toDF("doc_id", "text"))
+    assert(z.getLong(1) === 50L && z.getLong(2) === 100L)
+    assert(z.getDouble(3) === 1.0 && z.getString(5) === "ok")
+    // candidate mass = 50 terms x C(2,2)=1 pair each
+    assert(z.getDouble(4) === 50.0)
+    // threshold boundary: exactly half covered reads 'ok' (>= floor)
+    val half = ((0L until 30L).map(i => (i, s"base words rare${i / 2} tail")) ++
+      (30L until 60L).map(i => (i, "base words tail"))).toDF("doc_id", "text")
+    val h = row(half)
+    assert(h.getLong(2) === 30L && h.getString(5) === "ok")
+  }
 }

@@ -137,6 +137,33 @@ class SourcesSpec extends SparkSpec {
     assert(tooFew.getMessage.contains("saved with nBuckets=8"))
   }
 
+  test("index store: segmented root rejects a wrong bucket count even without the marker") {
+    import spark.implicits._
+    val path = tmpDir("graft-idxseg") + "/index"
+    val docs = (0 until 40).map(i => (i.toLong, s"alpha w$i beta")).toDF("doc_id", "text")
+    val idx = Index.invertedIndexOf(docs)
+    IndexStore.saveSegment(idx, path, 0L, nBuckets = 4)
+    val marker = new org.apache.hadoop.fs.Path(path, "_nbuckets")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the marker is written BEFORE the segment rename: a visible
+    // segment implies the marker exists (no crash window between them)
+    assert(fs.exists(marker))
+    // pre-marker fallback: a segmented root has no term_bucket= dirs of
+    // its own, so the listing bound must descend into seg= dirs — a
+    // flat listing would vacuously accept ANY count and a wrong-count
+    // lookup would silently return empty postings
+    fs.delete(marker, false)
+    // precondition: the 4-bucket layout really uses a bucket id >= 2
+    assert(idx.select("term").distinct().collect()
+      .exists(r => IndexStore.bucketOf(r.getString(0), 4) >= 2))
+    val wrong = intercept[IllegalArgumentException] {
+      IndexStore.lookup(spark, path, "alpha", nBuckets = 2)
+    }
+    assert(wrong.getMessage.contains("bucket ids up to"))
+    // the save-time count still works marker-less
+    assert(IndexStore.lookup(spark, path, "alpha", nBuckets = 4).count() === 40L)
+  }
+
   test("index store: tombstone delete hides docs from every reader, compact folds in") {
     val base = tmpDir("graft-idxdel")
     val path = s"$base/index"

@@ -1098,6 +1098,116 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
     assert(gotPk === wantPk)
   }
 
+  test("batch-keyed stores: fresh checkpoint over an existing store fails loudly; horizon survives compaction") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-horizon").toString
+    val store = s"$base/packs"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def segsOf(p: String): Seq[String] = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .map(_.getPath.getName).filter(_.startsWith("seg=")).sorted.toSeq
+    def doc(id: Long): (Long, String) = (id, Seq.fill(20)(s"t$id").mkString(" "))
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = Stream.interleaveMaintenance(in1.toDF().toDF("doc_id", "text"), store)
+      .option("checkpointLocation", s"$base/ckpt1").start()
+    try {
+      in1.addData(doc(0), doc(1)); q1.processAllAvailable() // batch 0
+      in1.addData(doc(2), doc(3)); q1.processAllAvailable() // batch 1
+    } finally q1.stop()
+    // compaction must CARRY the applied horizon: segment ids are
+    // monotonic, not batch ids, so the fold re-stamps the max marker
+    Stream.compactPackStore(spark, store)
+    assert(segsOf(store) === Seq("seg=1"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(store, "seg=1/_applied_upto_1")))
+    val before = Stream.loadPackStore(spark, store).orderBy("pack_id")
+      .collect().map(_.toSeq).toSeq
+    // fresh checkpoint + fresh source over the same store: batch ids
+    // restart at 0, BELOW the applied horizon 1 — the old batchId-keyed
+    // scheme landed seg=0 under the compacted seg=1 and silently
+    // inverted media_refs order; now the query fails loudly
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = Stream.interleaveMaintenance(in2.toDF().toDF("doc_id", "text"), store)
+      .option("checkpointLocation", s"$base/ckpt2").start()
+    val ex = intercept[Throwable] {
+      try { in2.addData(doc(9)); q2.processAllAvailable() } finally q2.stop()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(chain(ex).exists(_.contains("below the applied horizon")),
+      s"expected the horizon failure, got: ${chain(ex)}")
+    // ... and the failed attempt left the store untouched
+    assert(Stream.loadPackStore(spark, store).orderBy("pack_id")
+      .collect().map(_.toSeq).toSeq === before)
+    // CONTINUING the original checkpoint still works: batch 2 lands as
+    // the next monotonic segment above the compacted one
+    val q3 = Stream.interleaveMaintenance(in1.toDF().toDF("doc_id", "text"), store)
+      .option("checkpointLocation", s"$base/ckpt1").start()
+    try {
+      in1.addData(doc(4)); q3.processAllAvailable()
+    } finally q3.stop()
+    assert(segsOf(store) === Seq("seg=1", "seg=2"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(store, "seg=2/_applied_upto_2")))
+    assert(Stream.loadPackStore(spark, store).orderBy("pack_id")
+        .collect().map(_.toSeq).toSeq ===
+      operators.Multimodal.mediaInterleaveOf(
+          (0L to 4L).map(doc).toDF("doc_id", "text"))
+        .orderBy("pack_id").collect().map(_.toSeq).toSeq)
+  }
+
+  test("empty deltas never land: no data-less segments, offsets and novelty unaffected") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def segsOf(p: String): Seq[String] =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(p))) Seq.empty
+      else fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .map(_.getPath.getName).filter(_.startsWith("seg=")).sorted.toSeq
+
+    // ---- pack store: an all-empty FIRST batch must not brick the
+    //      store (the old path's empty partitioned segment failed
+    //      schema inference on every later read → replay loop)
+    val pkStore = s"$base/packs"
+    val in = MemoryStream[(Long, String)]
+    val q = Stream.packMaintenance(in.toDF().toDF("doc_id", "text"), pkStore, budget = 64L)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      in.addData((0L, ""), (1L, "")); q.processAllAvailable() // batch 0: zero tokens
+      assert(segsOf(pkStore).isEmpty)                         // nothing landed
+      in.addData((2L, (1 to 100).map(i => s"w$i").mkString(" ")))
+      q.processAllAvailable()                                 // batch 1 lands fine
+    } finally q.stop()
+    assert(segsOf(pkStore) === Seq("seg=0")) // next monotonic id, offset started at 0
+    assert(Stream.loadChunkStore(spark, pkStore).agg(
+      org.apache.spark.sql.functions.sum("n_tokens")).head.getLong(0) === 100L)
+
+    // ---- bucket-partitioned set store: an all-duplicate batch's empty
+    //      delta must not land a data-less partitioned segment
+    val (centPath, store, out) = (s"$base/centroids", s"$base/vecs", s"$base/out")
+    graft.operators.Similarity.saveCentroids(
+      Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f))).toDF("vec_id", "embedding"),
+      centPath)
+    val in2 = MemoryStream[(Long, Array[Float])]
+    val q2 = Stream.semdedupGate(in2.toDF().toDF("vec_id", "embedding"),
+        centPath, store, out)
+      .option("checkpointLocation", s"$base/ckpt2").start()
+    try {
+      in2.addData((100L, Array(0.9f, 0.1f))); q2.processAllAvailable()
+      assert(segsOf(store) === Seq("seg=0"))
+      // batch 1: a pure semantic dup of the saved 100 → empty delta
+      in2.addData((101L, Array(0.89f, 0.11f))); q2.processAllAvailable()
+      assert(segsOf(store) === Seq("seg=0")) // skipped, not landed empty
+      // batch 2 still reads the store cleanly and lands
+      in2.addData((102L, Array(0.1f, 0.9f))); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(segsOf(store) === Seq("seg=0", "seg=1"))
+    assert(spark.read.parquet(out).select("vec_id").collect()
+      .map(_.getLong(0)).toSet === Set(100L, 102L))
+  }
+
   test("stream_interleave: streamed sequence assembly equals the batch packer, restart-safe") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
