@@ -35,19 +35,30 @@ object Bench {
       }
       if (times.contains(-1.0)) -1.0 else times.min
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) => name -> time(fn) }
-    // The Folds family timed again in production (plain partial-agg)
+    // The Folds family is timed again in production (plain partial-agg)
     // mode — the 100 TB aggregation shape — reported as "<key>#prod"
-    // next to its bitwise gate twin. The gate numbers above stay the
+    // next to its bitwise gate twin. The gate numbers stay the
     // oracle-comparable ones; these show what dropping the
-    // deterministic sorted folds buys.
-    spark.conf.set(operators.Folds.ConfKey, "false")
-    val prodResults = operators.Folds.ProdTwinKeys
-      .filter(k => only.forall(_.contains(k)))
-      .map { k => s"$k#prod" -> time(SparkEntry.queries(k)) }
-    spark.conf.set(operators.Folds.ConfKey, "true")
+    // deterministic sorted folds buys. Each twin runs IMMEDIATELY
+    // after its gate key (r11 VERDICT item 4): the old tail-position
+    // block read ~2x its isolated time from late-session GC/run
+    // position and needed manual adjudication every round — adjacent
+    // runs share the same session phase, so gate-vs-prod deltas are
+    // attributable to the fold path alone.
+    val gateBuf = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    val prodBuf = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+        gateBuf += name -> time(fn)
+        if (operators.Folds.ProdTwinKeys.contains(name)) {
+          spark.conf.set(operators.Folds.ConfKey, "false")
+          prodBuf += s"$name#prod" -> time(fn)
+          spark.conf.set(operators.Folds.ConfKey, "true")
+        }
+      }
+    val results = gateBuf.toSeq
+    val prodResults = prodBuf.toSeq
     val all = results ++ prodResults
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

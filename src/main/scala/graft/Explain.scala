@@ -220,7 +220,9 @@ object Explain {
     "events_forecast_compare" -> Rule(),
     "media_containment" -> Rule(),
     "ppl_bucket_mix" -> Rule(),
-    "cms_error_curve" -> Rule(),
+    // one-pass contract (r11 item 5): the corpus rollup materializes
+    // once up front; the emitted plan must re-read NO file at all
+    "cms_error_curve" -> Rule(forbidden = Seq("FileScan")),
     "events_ewma" -> Rule(),
     "query_slop" -> Rule(),
     "events_mad" -> Rule(),

@@ -18,15 +18,46 @@ object BpeStress {
     SparkEntry.entry(spark).count() // warm codegen/readers/shuffle
     for (dir <- dirs; r <- rounds) {
       spark.conf.set(operators.TextAnalysis.BpeRoundsConfKey, r.toString)
+      // `zipf:<n>` = the shared Zipfian synthetic (20k-term vocab) —
+      // the sf corpora's 31-word vocabulary exhausts all pair
+      // structure at ~89 merges, far too small to exercise a
+      // production merge count
       val t0 = System.nanoTime()
       val merges = operators.TextAnalysis
-        .bpeTrainOf(sources.Tables.documents(spark, dir))
+        .bpeTrainOf(StressData.docsOf(spark, dir))
         .queryExecution.toRdd.count()
       val t = (System.nanoTime() - t0) / 1e9
-      println(f"BPESTRESS dir=$dir%-24s rounds=$r%-4d merges=$merges%-4d $t%8.2fs")
+      val scans = operators.TextAnalysis.lastBpeScans
+      val mps = if (scans > 0) merges.toDouble / scans else merges.toDouble
+      println(f"BPESTRESS dir=$dir%-24s rounds=$r%-6d merges=$merges%-6d " +
+        f"scans=$scans%-5d merges/scan=$mps%7.1f $t%8.2fs")
     }
     spark.conf.unset(operators.TextAnalysis.BpeRoundsConfKey)
     spark.stop()
+  }
+}
+
+/** Shared stress-corpus loader: a real sf/clone dir, or `zipf:<n>` —
+  * the deterministic Zipfian synthetic (V = 20k terms, 60 tokens/doc,
+  * inverse-CDF V^u draws from xxhash64 uniforms, every 10th doc a
+  * planted near-dup of its predecessor) that CosineRecallStress
+  * introduced; BpeStress shares it so tokenizer scaling is measured
+  * on a vocabulary with production-like pair structure.
+  */
+object StressData {
+  def docsOf(spark: org.apache.spark.sql.SparkSession,
+             dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (dir.startsWith("zipf:")) {
+      val n = dir.stripPrefix("zipf:").toLong
+      spark.range(n).select(col("id").as("doc_id"),
+        array_join(expr(
+          """transform(sequence(0, 59), j -> concat('t', cast(pow(20000.0,
+            |  (abs(xxhash64(concat(cast(if(id % 10 = 1 and j >= 6, id - 1, id)
+            |     as string), ':', cast(j as string),
+            |     if(id % 10 = 1 and j < 6, ':c', '')))) % 1000000) / 1000000.0)
+            |  as long)))""".stripMargin), " ").as("text"))
+    } else sources.Tables.documents(spark, dir)
   }
 }
 
@@ -125,17 +156,7 @@ object CosineRecallStress {
     // contract's precondition — detectable in-engine via zipf_fit /
     // vocab_growth — fails there, and the measured recall collapse is
     // the evidence for why the precondition matters.
-    val docs =
-      if (dir.startsWith("zipf:")) {
-        val n = dir.stripPrefix("zipf:").toLong
-        spark.range(n).select(col("id").as("doc_id"),
-          array_join(expr(
-            """transform(sequence(0, 59), j -> concat('t', cast(pow(20000.0,
-              |  (abs(xxhash64(concat(cast(if(id % 10 = 1 and j >= 6, id - 1, id)
-              |     as string), ':', cast(j as string),
-              |     if(id % 10 = 1 and j < 6, ':c', '')))) % 1000000) / 1000000.0)
-              |  as long)))""".stripMargin), " ").as("text"))
-      } else sources.Tables.documents(spark, dir)
+    val docs = StressData.docsOf(spark, dir)
     val nDocs = docs.count()
     val step = if (args.length > 1) args(1).toLong
                else math.max(1L, nDocs / 1024L)
@@ -193,6 +214,15 @@ object CosineRecallStress {
     println(f"COSRECALL dir=$dir%-20s guard coverage=${g.getDouble(0)}%.4f " +
       f"regime=${g.getString(1)} covered=${g.getLong(2)} " +
       f"block_terms=${g.getLong(3)} cand_mass=${g.getDouble(4)}%.0f")
+    // the DECISIVE guard: sampled top-k recall vs exact truth —
+    // coverage is necessary-only (the 100x clone corpus reads
+    // coverage 'ok' with true recall 0.000; this one reads
+    // 'degenerate' there)
+    val r = operators.Index.tfidfBlockingRecallOf(docs)
+      .select("n_sample", "n_true", "n_kept", "recall", "regime").head()
+    println(f"COSRECALL dir=$dir%-20s guard2 sample=${r.getLong(0)} " +
+      f"top_true=${r.getLong(1)} kept=${r.getLong(2)} " +
+      f"recall=${r.getDouble(3)}%.4f regime=${r.getString(4)}")
     spark.stop()
   }
 }

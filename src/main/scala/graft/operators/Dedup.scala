@@ -32,6 +32,19 @@ object Dedup {
     docs.select(col("doc_id"),
       HashFns.shingleHash(TextFns.tokens(col("text"))).as("hs"))
 
+  /** [[shingleHashes]] generalized to k-token shingles (the
+    * contamination family's n-gram knob): n = 3 keeps the dedicated
+    * codegen kernel; other widths compose [[TextFns.shinglesK]] with
+    * the same rolling hash — identical hash-of-space-joined-ngram
+    * contract, so oracles replay either width the same way. Still a
+    * pure narrow map stage.
+    */
+  def shingleHashesN(docs: DataFrame, n: Int): DataFrame =
+    if (n == 3) shingleHashes(docs)
+    else docs.select(col("doc_id"),
+      transform(TextFns.shinglesK(TextFns.tokens(col("text")), n),
+        s => HashFns.rollingHash(s)).as("hs"))
+
   /** doc_id, hs, m0..m15 — k=16 universal-hash MinHash signature:
     * sig_i = min over shingle hashes h of (A_i*h + B_i) mod P,
     * computed in one [[graft.functions.MinHashSig]] pass.

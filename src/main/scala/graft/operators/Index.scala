@@ -245,12 +245,13 @@ object Index {
     * mass, the dictionary is never materialized, and no broadcast
     * grows with the corpus.
     *
-    * DEGENERATE-REGIME GUARD: the blocking precondition (most docs
-    * hold a shared rare term) is priced by the companion
-    * [[tfidfBlockingCoverage]] (`tfidf_blocking_coverage`) — run it
-    * alongside; `regime = 'degenerate'` means this top-20 is
-    * recall-unbounded on this corpus and a MinHash/winnow candidate
-    * set should drive pairing instead.
+    * DEGENERATE-REGIME GUARD: run the two companions alongside —
+    * [[tfidfBlockingCoverage]] (`tfidf_blocking_coverage`, the cheap
+    * necessary-condition check) and [[tfidfBlockingRecall]]
+    * (`tfidf_blocking_recall`, the decisive sampled recall audit vs
+    * exact truth). `regime = 'degenerate'` on either means this
+    * top-20 is recall-unbounded on this corpus and a MinHash/winnow
+    * candidate set should drive pairing instead.
     */
   def tfidfCosinePairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -293,8 +294,13 @@ object Index {
     */
   val BlockingCoverageFloor = 0.5
 
-  /** Blocking-coverage guard for [[tfidfCosinePairs]] — the wired-in
-    * detector for that operator's one degenerate regime. The blocked
+  /** Blocking-coverage guard for [[tfidfCosinePairs]] — the cheap
+    * full-corpus NECESSARY-condition check (coverage ~0 ⇒ blocking
+    * cannot work; the 10× clone corpus reads 0.05 → 'degenerate').
+    * Coverage is NOT sufficient — rare terms can exist yet join the
+    * wrong docs (the 100× clone corpus reads coverage 0.905 while
+    * true recall is 0.000) — so the DECISIVE guard is the sampled
+    * recall audit [[tfidfBlockingRecall]]; run both. The blocked
     * top-20 is contract-correct but RECALL-BLIND when the corpus has
     * no shared rare terms (df ≤ [[RareDfFrac]]·n): candidates need a
     * shared blocking term, and on a tiny homogeneous vocabulary almost
@@ -347,6 +353,85 @@ object Index {
         col("candidate_mass"),
         when(col("covered_docs").cast("double") >=
             col("n_docs").cast("double") * BlockingCoverageFloor, lit("ok"))
+          .otherwise(lit("degenerate")).as("regime"))
+  }
+
+  /** Top-k depth and recall floor for [[tfidfBlockingRecall]]. */
+  val BlockingRecallK = 50
+  val BlockingRecallFloor = 0.8
+
+  /** Sampled blocking-RECALL audit for [[tfidfCosinePairs]] — the
+    * decisive guard, `neardup_eval`'s sketch-vs-truth contract applied
+    * to the rare-term blocking. [[tfidfBlockingCoverage]] prices a
+    * NECESSARY condition and catches the 10× clone corpus (coverage
+    * 0.05), but coverage alone is not sufficient: on the 100× clone
+    * corpus every doc carries a block-eligible per-clone suffix token
+    * (coverage 0.905) yet those tokens join docs that are NOT similar
+    * while the truly-similar clone families share only ubiquitous
+    * terms — measured recall 0.000 with coverage 'ok'. Recall against
+    * exact truth is the only signal that closes that gap, so this
+    * operator measures it on a bounded deterministic sample:
+    *
+    *  - sample: docs with doc_id ≡ 0 (mod ⌈n/1024⌉) — ~1k docs at any
+    *    corpus scale, so the exact side is ≤ ~0.5M pairs forever;
+    *  - truth: the top-[[BlockingRecallK]] in-sample pairs by EXACT
+    *    cosine under FULL-corpus tf-idf weights (the quantity
+    *    `tfidf_cosine_pairs` is supposed to surface);
+    *  - kept: how many of those the rare-term blocking retains;
+    *  - regime: 'ok' iff recall ≥ [[BlockingRecallFloor]].
+    *
+    * At 100 TB: one corpus pass for weights (shared shape with the
+    * main operator), then everything runs on the fixed-size sample.
+    */
+  def tfidfBlockingRecall(spark: SparkSession, dir: String): DataFrame =
+    tfidfBlockingRecallOf(Tables.documents(spark, dir))
+
+  def tfidfBlockingRecallOf(docs: DataFrame): DataFrame = {
+    val base = tokenStreamOf(docs).groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
+    val df = base.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val w = base.join(df, "term").crossJoin(broadcast(nDf))
+      .filter(col("df") < col("n"))
+      .select(col("doc_id"), col("term"), col("df"), col("n"),
+        (col("tf") * log(col("n") / col("df"))).as("w"))
+    // deterministic ~1k-doc sample; ceil(double) is a long on both
+    // engines after the oracle's explicit cast
+    val wS = w.filter(col("doc_id") % ceil(col("n") / 1024.0) === 0)
+    val nrm = wS.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val sampleN = wS.select("doc_id").distinct()
+      .agg(count(lit(1)).as("n_sample"))
+    val exact = wS.select(col("doc_id").as("doc_a"), col("term"), col("w").as("wa"))
+      .join(wS.select(col("doc_id").as("doc_b"), col("term"), col("w").as("wb")),
+        Seq("term"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(nrm.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
+      .join(nrm.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dot") / (col("na") * col("nb")), 4).as("cosine"))
+    val top = exact
+      .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
+      .limit(BlockingRecallK)
+    val rareS = wS.filter(col("df") <= col("n") * RareDfFrac)
+      .select("doc_id", "term")
+    val blocked = rareS.select(col("doc_id").as("doc_a"), col("term"))
+      .join(rareS.select(col("doc_id").as("doc_b"), col("term")), "term")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val agg = top
+      .join(blocked.withColumn("b", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum(col("b")), lit(0L)).as("n_kept"))
+    broadcast(sampleN).crossJoin(broadcast(agg))
+      .select(col("n_sample"), lit(BlockingRecallK.toLong).as("k"),
+        col("n_true"), col("n_kept"),
+        when(col("n_true") === 0L, lit(1.0))
+          .otherwise(round(col("n_kept").cast("double") /
+            col("n_true").cast("double"), 6)).as("recall"),
+        when(col("n_true") === 0L ||
+            col("n_kept").cast("double") >=
+              col("n_true").cast("double") * BlockingRecallFloor, lit("ok"))
           .otherwise(lit("degenerate")).as("regime"))
   }
 
@@ -1264,6 +1349,7 @@ object Index {
     "champion_lists" -> championLists,
     "tfidf_cosine_pairs" -> tfidfCosinePairs,
     "tfidf_blocking_coverage" -> tfidfBlockingCoverage,
+    "tfidf_blocking_recall" -> tfidfBlockingRecall,
     "tfidf_cosine_dense" -> tfidfCosineDense,
     "doc_stats" -> docStats,
     "term_search" -> termSearch,
@@ -1422,6 +1508,48 @@ object Index {
          |  CASE WHEN covered_docs::DOUBLE >= n_docs::DOUBLE * 0.5
          |    THEN 'ok' ELSE 'degenerate' END AS regime
          |FROM n, mass, cov""".stripMargin,
+    "tfidf_blocking_recall" ->
+      s"""$TokSql, base AS (
+         |  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2
+         |), n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |df AS (SELECT term, count(*)::DOUBLE AS df FROM base GROUP BY term),
+         |w AS (
+         |  SELECT doc_id, base.term, df.df AS df, n.n AS n, tf * ln(n.n / df.df) AS w
+         |  FROM base JOIN df USING (term), n WHERE df.df < n.n
+         |), ws AS (
+         |  SELECT * FROM w WHERE doc_id % CAST(ceil(n / 1024.0) AS BIGINT) = 0
+         |), nrm AS (
+         |  SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM ws GROUP BY doc_id
+         |), samp AS (
+         |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_sample FROM ws
+         |), exact AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+         |  FROM ws a JOIN ws b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), top AS (
+         |  SELECT e.doc_a, e.doc_b,
+         |    round(e.dot / (na.nrm * nb.nrm), 4) AS cosine
+         |  FROM exact e
+         |  JOIN nrm na ON na.doc_id = e.doc_a
+         |  JOIN nrm nb ON nb.doc_id = e.doc_b
+         |  ORDER BY cosine DESC, e.doc_a, e.doc_b LIMIT 50
+         |), blocked AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ws a JOIN ws b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  WHERE a.df <= a.n * 0.05
+         |), agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_true,
+         |    CAST(coalesce(sum(CASE WHEN bl.doc_a IS NOT NULL THEN 1 END), 0)
+         |      AS BIGINT) AS n_kept
+         |  FROM top t LEFT JOIN blocked bl
+         |    ON bl.doc_a = t.doc_a AND bl.doc_b = t.doc_b
+         |)
+         |SELECT n_sample, CAST(50 AS BIGINT) AS k, n_true, n_kept,
+         |  CASE WHEN n_true = 0 THEN 1.0
+         |    ELSE round(n_kept::DOUBLE / n_true::DOUBLE, 6) END AS recall,
+         |  CASE WHEN n_true = 0 OR n_kept::DOUBLE >= n_true::DOUBLE * 0.8
+         |    THEN 'ok' ELSE 'degenerate' END AS regime
+         |FROM samp, agg""".stripMargin,
     // the dense audit twin's oracle is the same sparse SQL restricted to
     // the declared doc_id < 100 sample (a zero dot can't enter the top-20
     // while >= 20 sample pairs share a term, which every sf satisfies)

@@ -52,6 +52,28 @@ object OracleSql {
        |  FROM shl
        |)""".stripMargin
 
+  /** [[ShingleHashCte]] at any shingle width (the contamination
+    * family's n-gram knob): same tokenizer, same hash of the
+    * space-joined n-gram. Width 3 stays on the shared constant above
+    * so every existing oracle's SQL is byte-identical.
+    */
+  def shingleHashCteN(n: Int): String =
+    if (n == 3) ShingleHashCte
+    else
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0) AS tk
+         |  FROM documents
+         |), shl AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(tk) >= $n
+         |      THEN list_transform(range(len(tk) - ${n - 1}), i -> array_to_string(tk[i+1:i+$n], ' '))
+         |      ELSE CAST([] AS VARCHAR[]) END AS sh
+         |  FROM toks
+         |), hs AS (
+         |  SELECT doc_id, list_transform(sh, s -> ${roll("s", graft.functions.HashFns.P)}) AS h
+         |  FROM shl
+         |)""".stripMargin
+
   /** `sig` CTE on top of [[ShingleHashCte]]: 16 MinHash signature
     * columns s0..s15 from the same (A, B) constants as
     * [[graft.functions.HashFns.MinhashA]]/B.

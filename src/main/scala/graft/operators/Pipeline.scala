@@ -128,6 +128,14 @@ object Pipeline {
     * drop rule, interpolated into its oracle for the same reason. */
   val ContaminationKeepBelow = 3
 
+  /** Default shingle width of the contamination family. The gate keys
+    * pin 3 (the dedup family's shared kernel); production
+    * decontamination (the GPT-3/Pile discipline the scaladocs cite)
+    * overlaps on 8–13-gram windows — every surface takes `n` as a
+    * knob and `contamination_ngram8` is the oracle-gated 8-gram
+    * instantiation. The df cap applies identically at any width. */
+  val ContaminationShingleN = 3
+
   /** The (doc_id, hh) df-capped distinct-shingle stream every
     * contamination surface starts from: ubiquitous shingles
     * (corpus df > [[ContaminationDfCap]]) dropped first, exactly as
@@ -135,8 +143,9 @@ object Pipeline {
     * also bounds the join's per-key fan-out at 100 TB (no
     * stopword-shingle quadratic bucket can exist after the cap).
     */
-  private def dfCappedShingles(docs: DataFrame): DataFrame = {
-    val sh = Dedup.shingleHashes(docs)
+  private def dfCappedShingles(docs: DataFrame,
+                               n: Int = ContaminationShingleN): DataFrame = {
+    val sh = Dedup.shingleHashesN(docs, n)
       .select(col("doc_id"), explode(array_distinct(col("hs"))).as("hh"))
     val keep = sh.groupBy("hh")
       .agg(countDistinct(col("doc_id")).as("sdf"))
@@ -152,8 +161,9 @@ object Pipeline {
     * [[dfCappedShingles]] stream; everything upstream is the same
     * narrow codegen'd shingle kernel the dedup family shares.
     */
-  def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
-    val informative = dfCappedShingles(Tables.documents(spark, dir))
+  def contaminationCheck(spark: SparkSession, dir: String,
+                         n: Int = ContaminationShingleN): DataFrame = {
+    val informative = dfCappedShingles(Tables.documents(spark, dir), n)
     val isTrain = HashFns.rollingHash(col("doc_id").cast("string")) % 100 < 90
     val train = informative.filter(isTrain)
       .select(col("hh"), col("doc_id").as("train_doc"))
@@ -176,8 +186,9 @@ object Pipeline {
     * twin is the 100 TB pre-filter); one extra left join back to the
     * train roster so clean docs report 0/0/true rather than vanishing.
     */
-  def contaminationApply(spark: SparkSession, dir: String): DataFrame = {
-    val informative = dfCappedShingles(Tables.documents(spark, dir))
+  def contaminationApply(spark: SparkSession, dir: String,
+                         n: Int = ContaminationShingleN): DataFrame = {
+    val informative = dfCappedShingles(Tables.documents(spark, dir), n)
     val isTrain = HashFns.rollingHash(col("doc_id").cast("string")) % 100 < 90
     val train = informative.filter(isTrain)
       .select(col("hh"), col("doc_id").as("train_doc"))
@@ -335,12 +346,13 @@ object Pipeline {
     * `BloomFilterMightContain` predicate — exactly the expression
     * pair Spark's runtime bloom-join filters inject.
     */
-  def contaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+  def contaminationBloom(spark: SparkSession, dir: String,
+                         n: Int = ContaminationShingleN): DataFrame = {
     // the df-capped shingle stream feeds BOTH the eager bloom build
     // (one driver materialization) and the lazy verify join:
     // checkpoint it once or the whole shingle+df pipeline runs twice
     // (same reasoning as pipelineClean's exact-dedup survivor frame)
-    val informative = dfCappedShingles(Tables.documents(spark, dir))
+    val informative = dfCappedShingles(Tables.documents(spark, dir), n)
       .localCheckpoint()
     val isTrain = HashFns.rollingHash(col("doc_id").cast("string")) % 100 < 90
     val train = informative.filter(isTrain)
@@ -905,12 +917,13 @@ object Pipeline {
     "pack_tokens" -> packTokens,
     "pack_efficiency_report" -> packEfficiencyReport,
     "pack_tokens_report" -> packTokensReport,
-    "contamination_bloom" -> contaminationBloom,
+    "contamination_bloom" -> ((s, d) => contaminationBloom(s, d)),
     "token_budget_allocation" -> tokenBudgetAllocation,
     "sampling_weights" -> samplingWeights,
     "pipeline_clean" -> pipelineClean,
-    "contamination_check" -> contaminationCheck,
-    "contamination_apply" -> contaminationApply,
+    "contamination_check" -> ((s, d) => contaminationCheck(s, d)),
+    "contamination_apply" -> ((s, d) => contaminationApply(s, d)),
+    "contamination_ngram8" -> ((s, d) => contaminationCheck(s, d, 8)),
     "train_test_split" -> trainTestSplit,
     "stratified_sample" -> stratifiedSample,
     "corpus_stats" -> corpusStats,
@@ -925,6 +938,26 @@ object Pipeline {
     * pre-filter provably does not change results (no false negatives +
     * exact verification), so both gate against this one oracle.
     */
+  /** [[contaminationSql]] at any shingle width — the `n`-gram knob's
+    * oracle; width 3 keeps the byte-identical shared CTE so the
+    * existing keys' SQL is unchanged.
+    */
+  private def contaminationSqlN(n: Int): String =
+    s"""${OracleSql.shingleHashCteN(n)}, ex AS (
+       |  SELECT doc_id, unnest(list_distinct(h)) AS hh FROM hs
+       |), keep AS (
+       |  SELECT hh FROM ex GROUP BY hh HAVING count(DISTINCT doc_id) <= $ContaminationDfCap
+       |), lab AS (
+       |  SELECT ex.doc_id, ex.hh,
+       |    (${hashPct("ex.doc_id::VARCHAR")} < 90) AS is_train
+       |  FROM ex JOIN keep USING (hh)
+       |)
+       |SELECT h.doc_id AS holdout_doc,
+       |  CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_train_docs,
+       |  CAST(count(DISTINCT h.hh) AS BIGINT) AS n_shared_shingles
+       |FROM lab h JOIN lab t ON h.hh = t.hh AND NOT h.is_train AND t.is_train
+       |GROUP BY h.doc_id ORDER BY holdout_doc""".stripMargin
+
   private val contaminationSql: String =
     s"""${OracleSql.ShingleHashCte}, ex AS (
        |  SELECT doc_id, unnest(list_distinct(h)) AS hh FROM hs
@@ -1214,6 +1247,7 @@ object Pipeline {
          |  round(sum(n_tokens)::DOUBLE / (count(*) * $PackTokensBudget)::DOUBLE, 6) AS fill_rate
          |FROM ($packTokensSql) p""".stripMargin,
     "contamination_bloom" -> contaminationSql,
+    "contamination_ngram8" -> contaminationSqlN(8),
     "token_budget_allocation" ->
       """WITH s AS (
         |  SELECT source,

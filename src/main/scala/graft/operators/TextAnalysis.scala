@@ -521,23 +521,50 @@ object TextAnalysis {
     * exact top-20 heavy hitters the sketch's top-20 still recovers.
     * Answers "how small can the sketch be before the heavy-hitter
     * readout lies" with ALL-integer arithmetic (estimates, set
-    * intersections) — the only scale-variant cost is the |vocab|-row
-    * estimate frame, computed once per width.
+    * intersections).
+    *
+    * ONE corpus pass for all three widths (r11 VERDICT item 5): the
+    * token-stream rollup materializes once (vocab-bounded
+    * localCheckpoint) and every width's cell assignment — a pure
+    * function of (term, row, w) — explodes off that frame, so the
+    * widths share the scan instead of re-reading the corpus each
+    * (the old shape's 3 full passes were the bench tail's 4.1s).
+    * The emitted plan re-reads NOTHING (plan-audit: FileScan
+    * forbidden); per-width readouts are window ranks over the
+    * 3·|vocab| estimate frame.
     */
-  def cmsErrorCurve(spark: SparkSession, dir: String): DataFrame =
-    Seq(16L, 64L, 256L).map { w =>
-      val est = cmsEstimatesOf(spark, dir, w)
-      val exactTop = est
-        .orderBy(col("tf").desc, col("term")).limit(20).select("term")
-      val cmsTop = est
-        .orderBy(col("cms_est").desc, col("term")).limit(20).select("term")
-      est.agg(sum(col("cms_est") - col("tf")).as("total_overcount"),
-          max(col("cms_est") - col("tf")).as("max_overcount"))
-        .crossJoin(broadcast(
-          exactTop.join(cmsTop, "term").agg(count(lit(1)).as("hits_at_20"))))
-        .select(lit(w).as("w"), col("total_overcount"), col("max_overcount"),
-          col("hits_at_20"))
-    }.reduce(_ unionByName _).orderBy("w")
+  def cmsErrorCurve(spark: SparkSession, dir: String): DataFrame = {
+    val widths = Seq(16L, 64L, 256L)
+    val cnt = Index.tokenStream(spark, dir)
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+      .withColumn("rh", HashFns.rollingHash(col("term")))
+      .localCheckpoint() // the ONE corpus pass; everything below is vocab-sized
+    val hashed = cnt.select(col("term"), col("tf"),
+      posexplode(array(widths.flatMap(w => (0 until 4).map { j =>
+        struct(lit(w).as("w"), lit(j).as("row"),
+          ((col("rh") * lit(HashFns.MinhashA(j)) + lit(HashFns.MinhashB(j))) %
+            lit(HashFns.P) % lit(w)).as("bucket"))
+      }): _*)).as(Seq("i", "cell")))
+      .select(col("term"), col("tf"), col("cell.w").as("w"),
+        col("cell.row").as("row"), col("cell.bucket").as("bucket"))
+    val counters = hashed.groupBy("w", "row", "bucket").agg(sum(col("tf")).as("c"))
+    val est = hashed.join(broadcast(counters), Seq("w", "row", "bucket"))
+      .groupBy("w", "term")
+      .agg(max(col("tf")).as("tf"), min(col("c")).as("cms_est"))
+    val exactTop = cnt.orderBy(col("tf").desc, col("term")).limit(20).select("term")
+    val cmsTop = est.withColumn("rk", row_number().over(
+        Window.partitionBy("w").orderBy(col("cms_est").desc, col("term"))))
+      .filter(col("rk") <= 20)
+    val hits = cmsTop.join(broadcast(exactTop), "term")
+      .groupBy("w").agg(count(lit(1)).as("hits_at_20"))
+    est.groupBy("w")
+      .agg(sum(col("cms_est") - col("tf")).as("total_overcount"),
+        max(col("cms_est") - col("tf")).as("max_overcount"))
+      .join(hits, Seq("w"), "left")
+      .select(col("w"), col("total_overcount"), col("max_overcount"),
+        coalesce(col("hits_at_20"), lit(0L)).as("hits_at_20"))
+      .orderBy("w")
+  }
 
   // ---- bigram_lm -------------------------------------------------------
 
@@ -907,22 +934,25 @@ object TextAnalysis {
     * and the Spark loop always agree on the trained table's shape. */
   val BpeRounds = 8
 
-  /** Round-count knob (r10 VERDICT item 2): `spark.graft.bpeRounds`
+  /** Merge-count knob (r10 VERDICT item 2): `spark.graft.bpeRounds`
     * overrides [[BpeRounds]] for production-scale training runs — a
-    * real tokenizer is ~30k merges, and per-round cost is a
-    * driver-scheduled job over the vocab-bounded word table, so the
-    * rounds-vs-time curve is the trainer's true scaling axis
-    * (measured at 8/64/256 in SURVEY §6 via [[graft.BpeStress]]).
-    * The GATE keys always run at the default: the oracle's
-    * chained-CTE replay is pinned to 8. Above the gate count the
-    * word-table checkpoint drops to every 4th round (the 1-row winner
-    * checkpoint stays per-round — skipping it re-derives the argmax
-    * inside every consumer's broadcast, measured 4× worse): lineage
-    * between checkpoints is ≤ 4 broadcast-join folds, and the
-    * per-round job count — the dominant cost at high round counts —
-    * drops from 2 to ~1.25.
+    * real tokenizer is ~30k merges. The GATE keys always run at the
+    * default: the oracle's chained-CTE replay is pinned to 8, and the
+    * ≤8-merge path keeps the measured-optimal one-merge-per-scan
+    * loop. ABOVE the gate count the trainer switches to BATCHED
+    * merges (r11 VERDICT item 2): each corpus-table scan accepts the
+    * longest provably-sequence-equivalent prefix of the top
+    * candidates (symbol-disjoint, strictly dominating every pair
+    * that an earlier accepted merge could create — see
+    * [[compatibleBatch]]), so merges-per-scan ≫ 1 and a ~30k-merge
+    * tokenizer pays thousands of scans, not 30k job floors. Batched
+    * output is IDENTICAL to the one-at-a-time trainer
+    * (reference-trainer-exact spec at 1k+ merges).
     */
   val BpeRoundsConfKey = "spark.graft.bpeRounds"
+
+  /** Max merges accepted per scan in the batched trainer. */
+  val BpeBatchMax = 256
 
   private def bpeRoundCount(spark: SparkSession): Int =
     spark.conf.getOption(BpeRoundsConfKey).map(_.toInt).getOrElse(BpeRounds)
@@ -960,14 +990,20 @@ object TextAnalysis {
     */
   private def bpeLoopOf(docs: DataFrame): (Seq[DataFrame], DataFrame) = {
     val nRounds = bpeRoundCount(docs.sparkSession)
-    // checkpoint cadence for the WORD table: every round at gate
-    // counts (<= 8, the measured-optimal shape), every 4th beyond —
-    // see [[BpeRoundsConfKey]]
-    val cadence = if (nRounds <= BpeRounds) 1 else 4
-    var words = Index.tokenStreamOf(docs)
+    val words0 = Index.tokenStreamOf(docs)
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .select(col("term"), split(col("term"), "").as("syms"), col("cnt"))
       .localCheckpoint() // vocab-bounded; every round reads this, not the corpus
+    if (nRounds <= BpeRounds) bpeSequentialLoop(words0, nRounds)
+    else bpeBatchedLoop(words0, nRounds)
+  }
+
+  /** The gate-count trainer: one merge per scan, the shape the DuckDB
+    * oracle replays CTE-by-CTE. Kept verbatim for ≤ [[BpeRounds]].
+    */
+  private def bpeSequentialLoop(words0: DataFrame,
+                                nRounds: Int): (Seq[DataFrame], DataFrame) = {
+    var words = words0
     val rounds = (1 to nRounds).map { round =>
       val win = words
         .select(col("cnt"), explode(when(size(col("syms")) >= 2,
@@ -995,11 +1031,125 @@ object TextAnalysis {
               then concat(slice(acc, 1, size(acc) - 1), array(concat(l, r)))
               else concat(acc, array(x)) end)""").as("syms"),
           col("cnt"))
-      if (round % cadence == 0 || round == nRounds)
-        words = words.localCheckpoint()
+      words = words.localCheckpoint()
       win
     }
     (rounds, words)
+  }
+
+  /** The production trainer: BATCHED merges, sequence-equivalent to
+    * the one-at-a-time loop. Per corpus-table scan: take the top
+    * [[BpeBatchMax]]+1 pair candidates (one bounded TakeOrdered
+    * collect — the driver-side list a trainer legitimately holds,
+    * like hybridServe's per-batch term list), select the provably
+    * independent prefix ([[compatibleBatch]]), apply ALL of them in
+    * ONE fold pass over the word table via a broadcast map literal,
+    * checkpoint, repeat. Scans needed ≈ merges / batch size instead
+    * of merges, which is what makes a ~30k-merge production tokenizer
+    * affordable: per-scan cost stays word-table-bounded and the job
+    * floor amortizes across the whole batch.
+    */
+  /** Corpus-table scan count of the most recent [[bpeBatchedLoop]]
+    * run — the denominator of the §6 merges-per-scan curve
+    * ([[graft.BpeStress]] reads it). Diagnostic only; never feeds a
+    * query result.
+    */
+  @volatile private[graft] var lastBpeScans: Int = 0
+
+  private def bpeBatchedLoop(words0: DataFrame,
+                             totalMerges: Int): (Seq[DataFrame], DataFrame) = {
+    val spark = words0.sparkSession
+    import spark.implicits._
+    var words = words0
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var exhausted = false
+    lastBpeScans = 0
+    while (merges.size < totalMerges && !exhausted) {
+      lastBpeScans += 1
+      val top = words
+        .select(col("cnt"), explode(when(size(col("syms")) >= 2,
+          arrays_zip(slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1)))
+          .otherwise(array().cast("array<struct<`0`:string,`1`:string>>"))).as("p"))
+        .groupBy(col("p.0").as("l"), col("p.1").as("r"))
+        .agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("l"), col("r"))
+        .limit(BpeBatchMax + 1)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      if (top.isEmpty) exhausted = true
+      else {
+        val batch = compatibleBatch(top, totalMerges - merges.size)
+        batch.foreach { case (l, r, f) =>
+          merges += ((merges.size + 1L, l, r, f))
+        }
+        // one fold applies the whole batch: disjoint merges can't
+        // interact, so a single greedy left-to-right pass with a map
+        // lookup equals applying them one at a time (spec-asserted
+        // against the reference trainer at 1k+ merges)
+        val mp = typedlit(batch.map { case (l, r, _) =>
+          (l + " " + r) -> (l + r) }.toMap)
+        words = words.select(col("term"),
+            aggregate(col("syms"), array().cast("array<string>"), (acc, x) => {
+              val hit = try_element_at(mp,
+                concat(try_element_at(acc, lit(-1)), lit(" "), x))
+              when(size(acc) > 0 && hit.isNotNull,
+                concat(slice(acc, lit(1), size(acc) - 1), array(hit)))
+                .otherwise(concat(acc, array(x)))
+            }).as("syms"),
+            col("cnt"))
+          .localCheckpoint()
+      }
+    }
+    val mergeDf =
+      if (merges.isEmpty)
+        Seq.empty[(Long, String, String, Long)].toDF("round", "l", "r", "freq")
+      else merges.toSeq.toDF("round", "l", "r", "freq")
+    (Seq(mergeDf), words)
+  }
+
+  /** Longest prefix of the (freq DESC, l, r)-sorted candidate list
+    * that is provably SEQUENCE-EQUIVALENT to one-at-a-time BPE:
+    *
+    *  - walk in sorted order, accepting candidates whose symbols
+    *    (l, r, AND the merged output string) are disjoint from every
+    *    previously accepted candidate's; STOP at the first conflict —
+    *    disjoint merges cannot change each other's pair counts, and a
+    *    conflicting pair must wait for the recount;
+    *  - truncate the accepted prefix to candidates whose frequency is
+    *    STRICTLY above the first unaccepted (or first unseen)
+    *    frequency: a merge (l,r)→lr can only CREATE pairs (x,lr) /
+    *    (lr,y) whose counts are bounded by existing pairs touching
+    *    {l,r} — all at or below the stop frequency — so strict
+    *    dominance guarantees each accepted merge is still the global
+    *    (freq, l, r) argmax at its virtual round, ties included.
+    *
+    * The head survives unconditionally: it IS the global argmax.
+    */
+  private def compatibleBatch(top: Seq[(String, String, Long)],
+                              maxN: Int): Seq[(String, String, Long)] = {
+    val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    val touched = scala.collection.mutable.Set[String]()
+    var bound = -1L
+    var stopped = false
+    val it = top.iterator
+    while (it.hasNext && !stopped) {
+      val c = it.next()
+      val (l, r, f) = c
+      if (accepted.size >= maxN || touched(l) || touched(r) || touched(l + r)) {
+        bound = f; stopped = true
+      } else {
+        accepted += c; touched ++= Seq(l, r, l + r)
+      }
+    }
+    // ran off the window without a conflict: if the window was FULL,
+    // unseen candidates bounded by its tail may exist; if it held ALL
+    // pairs, nothing is unseen (and no pair touches an accepted
+    // symbol — else the walk would have stopped — so no merge can
+    // create any pair at all) and no truncation bound applies
+    if (!stopped) bound = if (top.size >= BpeBatchMax + 1) top.last._3 else -1L
+    val strict = accepted.takeWhile(_._3 > bound).toSeq
+    if (strict.isEmpty) accepted.take(1).toSeq else strict
   }
 
   /** The trained subword vocabulary: every distinct symbol the

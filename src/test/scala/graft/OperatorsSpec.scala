@@ -1889,6 +1889,58 @@ class OperatorsSpec extends SparkSpec {
     } finally spark.conf.unset(operators.TextAnalysis.BpeRoundsConfKey)
   }
 
+  test("bpe_train: batched trainer is reference-exact at 1000 merges") {
+    import spark.implicits._
+    // enough distinct pair structure for 1000+ non-degenerate merges:
+    // 100 words of 21 chars each over PER-WORD-DISJOINT character
+    // ranges (2000 available merges, zero cross-word sharing — the
+    // shape that lets the batcher accept large symbol-disjoint
+    // batches), at 17 distinct frequency levels so ties exercise the
+    // lexicographic argmax. The >gate path batches merges per scan;
+    // the output must be IDENTICAL to the one-at-a-time reference,
+    // ties included.
+    val vocabWords = (0 until 100).map { i =>
+      (0 until 21).map(j => (0x4E00 + i * 21 + j).toChar).mkString
+    }
+    val texts = vocabWords.zipWithIndex.map { case (w, i) =>
+      (i.toLong, Seq.fill(i % 17 + 2)(w).mkString(" "))
+    }
+    val docs = texts.toDF("doc_id", "text")
+    def refBpe(counts: Map[String, Long], k: Int): Seq[(Long, String, String, String, Long)] = {
+      var words = counts.toSeq.map { case (w, c) => (w.map(_.toString).toVector, c) }
+      (1 to k).flatMap { r =>
+        val pc = scala.collection.mutable.Map[(String, String), Long]()
+        words.foreach { case (syms, c) =>
+          syms.zip(syms.drop(1)).foreach(p => pc(p) = pc.getOrElse(p, 0L) + c)
+        }
+        if (pc.isEmpty) None
+        else {
+          val ((l, rr), f) = pc.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head
+          words = words.map { case (syms, c) =>
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            syms.foreach { x =>
+              if (out.nonEmpty && out.last == l && x == rr) out(out.length - 1) = l + rr
+              else out += x
+            }
+            (out.toVector, c)
+          }
+          Some((r.toLong, l, rr, l + rr, f))
+        }
+      }
+    }
+    val counts = texts.flatMap(_._2.split("\\s+")).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val want = refBpe(counts, 1000)
+    assert(want.length === 1000, s"crafted corpus exhausted at ${want.length} merges")
+    spark.conf.set(operators.TextAnalysis.BpeRoundsConfKey, "1000")
+    try {
+      val got = operators.TextAnalysis.bpeTrainOf(docs).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+        .toSeq.sortBy(_._1)
+      assert(got === want)
+    } finally spark.conf.unset(operators.TextAnalysis.BpeRoundsConfKey)
+  }
+
   test("bpe_fertility: trained tokenizer compresses — 1 <= fertility < chars/word") {
     val rows = operators.TextAnalysis.bpeFertility(spark, sfDir).collect()
     assert(rows.nonEmpty)
@@ -2027,6 +2079,46 @@ class OperatorsSpec extends SparkSpec {
     // (train,holdout,shingle) incidence seen from either end matches
     val check = operators.Pipeline.contaminationCheck(spark, sfDir).collect()
     assert((check.map(_.getLong(2)).sum > 0) === rows.exists(_._2 > 0))
+  }
+
+  test("contamination n-gram knob: 8-gram overlap is strictly stricter than 3-gram") {
+    import spark.implicits._
+    // crafted corpus in a temp sf-dir: pairs that share a 3-token run
+    // but NEVER an 8-token run must contaminate at n=3 and stay clean
+    // at n=8; one pair shares a full 8-token run and must fire at both.
+    // doc_id parity vs the train hash is irrelevant — we only assert
+    // about the (n=3 vs n=8) difference over the same split.
+    val base = java.nio.file.Files.createTempDirectory("graft-cn8").toString
+    val share3 = "alpha beta gamma" // the 3-gram bait (df 80 <= cap 100)
+    val docs = (
+      (0L until 80L).map(i => (i,
+        s"$share3 filler${i} x${i * 7} y${i * 13} z${i * 3} q${i * 11} r${i * 5}")) ++
+      // 6 pairs each sharing a UNIQUE 8-token run (df 2), with ids
+      // picked so every pair PROVABLY straddles the deterministic
+      // 90/10 rolling-hash split (200..203 hash train, 204..209
+      // holdout — verified against the same polynomial the engine
+      // and oracle share)
+      Seq((200L, 204L), (201L, 205L), (202L, 206L),
+          (203L, 207L), (210L, 208L), (211L, 209L)).zipWithIndex.flatMap {
+        case ((tid, hid), j) =>
+          val run8 = (0 until 8).map(t => s"run${j}w$t").mkString(" ")
+          Seq((tid, s"$run8 taila$j"), (hid, s"$run8 tailb$j"))
+      }
+    ).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$base/documents.parquet")
+    def hits(n: Int): Map[Long, Long] =
+      operators.Pipeline.contaminationCheck(spark, base, n).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val h3 = hits(3)
+    val h8 = hits(8)
+    // the 3-gram bait contaminates at n=3...
+    assert(h3.keys.exists(_ < 80L), s"3-gram side found nothing: $h3")
+    // ...but none of those docs share an 8-token run with anything
+    assert(!h8.keys.exists(_ < 80L), s"8-gram flagged a 3-gram-only doc: $h8")
+    // the genuine 8-token runs fire at n=8 (and are the only things
+    // that do): strictly stricter than the 3-gram sweep
+    assert(h8.nonEmpty && h8.size < h3.size)
+    h8.foreach { case (d, sh) => assert(d >= 200L && sh >= 1L) }
   }
 
   test("flagship entry returns rows") {
@@ -2249,5 +2341,42 @@ class OperatorsSpec extends SparkSpec {
       (30L until 60L).map(i => (i, "base words tail"))).toDF("doc_id", "text")
     val h = row(half)
     assert(h.getLong(2) === 30L && h.getString(5) === "ok")
+  }
+
+  test("tfidf_blocking_recall: catches the misleading-rare-terms regime coverage misses") {
+    import spark.implicits._
+    def row(docs: org.apache.spark.sql.DataFrame) =
+      Index.tfidfBlockingRecallOf(docs)
+        .select("n_sample", "k", "n_true", "n_kept", "recall", "regime").head()
+    // the 100x-clone failure shape in miniature: 20 originals x 40
+    // clones (n = 800). Clone k of EVERY original carries suffix "ck"
+    // (df = 20 <= 0.05n = 40 — block-ELIGIBLE), while the 8 common
+    // words repeat 5x each so the clone family's shared mass dominates
+    // the norm (the real clone corpora's shape: common tf >> suffix).
+    // Truly-similar pairs are clone families — they share NO rare term
+    // (their suffixes differ); the rare suffixes join docs of
+    // DIFFERENT originals whose cosine is low.
+    val originals = (0 until 20).map(o =>
+      (0 until 8).flatMap(j => Seq.fill(5)(s"w${(o * 31 + j * 7) % 23}"))
+        .mkString(" "))
+    val docs = (for (o <- 0 until 20; k <- 0 until 40) yield
+      ((o * 40 + k).toLong, s"${originals(o)} c$k")).toDF("doc_id", "text")
+    val r = row(docs)
+    // sample = all 800 docs (n < 1024); the exact top-50 is all clone
+    // pairs, none blocked — recall collapses and the guard must say so
+    // even though every doc holds a block-eligible rare term (the
+    // regime coverage cannot see)
+    assert(r.getLong(0) === 800L && r.getLong(2) === 50L)
+    assert(r.getDouble(4) < 0.8 && r.getString(5) === "degenerate")
+    val cov = Index.tfidfBlockingCoverageOf(docs).select("regime").head.getString(0)
+    assert(cov === "ok") // the documented blind spot, asserted real
+    // healthy regime: near-dup pairs share their rare terms -> top
+    // pairs survive blocking
+    val good = (0L until 200L).map { i =>
+      val fam = i / 2
+      (i, s"the quick brown fox shared${fam} extra${fam} tail${i % 2}")
+    }.toDF("doc_id", "text")
+    val g = row(good)
+    assert(g.getString(5) === "ok" && g.getDouble(4) >= 0.8)
   }
 }
