@@ -223,6 +223,11 @@ object Explain {
     // one-pass contract (r11 item 5): the corpus rollup materializes
     // once up front; the emitted plan must re-read NO file at all
     "cms_error_curve" -> Rule(forbidden = Seq("FileScan")),
+    // the r12 blocking guards: term-keyed passes, never doc×doc
+    // (the implicit no-CartesianProduct pin is the contract)
+    "tfidf_blocking_coverage" -> Rule(),
+    "tfidf_blocking_recall" -> Rule(),
+    "contamination_ngram8" -> Rule(),
     "events_ewma" -> Rule(),
     "query_slop" -> Rule(),
     "events_mad" -> Rule(),

@@ -87,12 +87,80 @@ object SoakStress {
       report(sink, times.result(), counts.result())
     }
 
+    // vector twin of `drive` for the embedding-keyed sinks (r11
+    // VERDICT item 3: the embed IVF store and the semantic screen got
+    // their segment landings after the r11 soak ran — soak them too)
+    val vecs = sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val vSliceSz = math.max(1, vecs.length / math.min(nBatches, vecs.length))
+    def vSlice(b: Int): Seq[(Long, Array[Float])] = {
+      val off = (b * vSliceSz) % vecs.length
+      val cyc = (b * vSliceSz) / vecs.length
+      vecs.slice(off, off + vSliceSz).toIndexedSeq
+        .map { case (id, e) => (id + cyc * 1000000L, e) }
+    }
+    def driveVec(sink: String, storePaths: Seq[String],
+                 start: org.apache.spark.sql.DataFrame => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
+      val in = MemoryStream[(Long, Array[Float])]
+      val q = start(in.toDF().toDF("vec_id", "embedding")).start()
+      val times = Seq.newBuilder[Double]
+      val counts = Seq.newBuilder[Int]
+      try {
+        (0 until nBatches).foreach { b =>
+          val t0 = System.nanoTime()
+          in.addData(vSlice(b): _*)
+          q.processAllAvailable()
+          val dt = (System.nanoTime() - t0) / 1e9
+          val nf = storePaths.map(files).sum
+          times += dt
+          counts += nf
+          if (b % 10 == 9) println(f"SOAK sink=$sink%-18s batch=${b + 1}%3d t=$dt%6.2fs files=$nf")
+        }
+      } finally q.stop()
+      report(sink, times.result(), counts.result())
+    }
+
+    // shared coarse quantizer: the first 8 corpus vectors as centroids
+    val centPath = s"$base/centroids"
+    import org.apache.spark.sql.functions.col
+    operators.Similarity.saveCentroids(
+      sources.Tables.embeddings(spark, sfDir)
+        .orderBy("vec_id").limit(8)
+        .select((org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
+          .cast("long").as("vec_id"), col("embedding")),
+      centPath)
+
     drive("stream_index", Seq(s"$base/index"),
       df => streaming.Stream.indexMaintenance(df, s"$base/index", nBuckets = 8, compactEvery = 16))
     drive("stream_interleave", Seq(s"$base/packs"),
       df => streaming.Stream.interleaveMaintenance(df, s"$base/packs", compactEvery = 16))
     drive("stream_pipeline", Seq(s"$base/md5", s"$base/fp"),
       df => streaming.Stream.pipelineGate(df, s"$base/md5", s"$base/fp", s"$base/out"))
+    driveVec("stream_embed_index", Seq(s"$base/vecstore"),
+      df => streaming.Stream.embedIndexMaintenance(df, centPath, s"$base/vecstore", compactEvery = 16))
+    driveVec("stream_semantic_store", Seq(s"$base/semstore"),
+      df => streaming.Stream.semdedupGate(df, centPath, s"$base/semstore", s"$base/semout"))
+
+    // content exactness across a compaction: the resolved embed store
+    // folds to one segment with IDENTICAL (vec_id, bucket) content
+    val preFold = streaming.Stream.loadEmbedStore(spark, s"$base/vecstore")
+      .select(col("vec_id"), col("bucket").cast("long").as("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    streaming.Stream.compactEmbedStore(spark, s"$base/vecstore")
+    val postFold = streaming.Stream.loadEmbedStore(spark, s"$base/vecstore")
+      .select(col("vec_id"), col("bucket").cast("long").as("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    println(s"SOAK-COMPACT stream_embed_index: rows=${postFold.size} " +
+      s"files=${files(s"$base/vecstore")} exact=${preFold == postFold}")
+    // the semantic store's membership must equal the landed survivors
+    val landedVecs = spark.read.parquet(s"$base/semout")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val storeVecs = spark.read.parquet(s"$base/semstore")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    println(s"SOAK-CHECK stream_semantic_store: survivors=${landedVecs.size} " +
+      s"store=${storeVecs.size} consistent=${landedVecs == storeVecs}")
     // the pipeline gate's clean landing accumulates batch=<id> dirs by
     // design; CorpusStore.compact (save under the hood) folds them —
     // the soak slices carry no lang/source, so stamp the canonical

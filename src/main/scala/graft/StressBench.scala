@@ -100,6 +100,56 @@ object IndexScaleStress {
       }.minBy(_._1)
       println(f"IDXSTRESS dir=$dir%-20s $name%-12s ${t._1}%8.2fs rows=${t._2}")
     }
+    // serving-latency percentiles (r11 VERDICT item 8): a 100-query
+    // mixed workload — 25 each of term lookup, boolean AND, exact
+    // phrase, tf-ranked top-10 — run sequentially like a serving
+    // loop, p50/p95 per shape and overall, with EVERY query's plan
+    // asserted bucket-pruned (PartitionFilters present). Terms drawn
+    // round-robin from the index's 60 highest-df entries so the
+    // workload hits real postings, not empty buckets.
+    locally {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val vocab = sources.IndexStore.load(spark, idxPath)
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term")).limit(60)
+        .collect().map(_.getString(0))
+      val shapes = Array("term", "bool", "phrase", "ranked")
+      val lat = scala.collection.mutable.Map[String, Vector[Double]]()
+        .withDefaultValue(Vector.empty)
+      var unpruned = 0
+      (0 until 100).foreach { i =>
+        val t1 = vocab(i % vocab.length)
+        val t2 = vocab((i * 7 + 3) % vocab.length)
+        val shape = shapes(i % 4)
+        val mk: () => org.apache.spark.sql.DataFrame = shape match {
+          case "term" => () => sources.IndexStore.lookup(spark, idxPath, t1, 64)
+          case "bool" => () =>
+            operators.Query.searchIndex(spark, idxPath, s"$t1 AND $t2", 64)
+          case "phrase" => () =>
+            operators.Query.searchIndex(spark, idxPath, "\"" + t1 + " " + t2 + "\"", 64)
+          case "ranked" => () => sources.IndexStore.lookup(spark, idxPath, t1, 64)
+            .orderBy(col("tf").desc, col("doc_id")).limit(10)
+        }
+        val t0 = System.nanoTime()
+        val df = mk()
+        df.queryExecution.toRdd.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        lat(shape) = lat(shape) :+ dt
+        if (!df.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+          unpruned += 1
+      }
+      def pct(xs: Seq[Double], p: Double): Double = {
+        val s = xs.sorted
+        s(math.min(s.size - 1, (p * s.size).toInt))
+      }
+      (shapes.toSeq :+ "all").foreach { sh =>
+        val xs = if (sh == "all") lat.values.flatten.toSeq else lat(sh)
+        println(f"IDXSTRESS dir=$dir%-20s serve $sh%-7s n=${xs.size}%3d " +
+          f"p50=${pct(xs, 0.50)}%6.3fs p95=${pct(xs, 0.95)}%6.3fs")
+      }
+      println(s"IDXSTRESS serve unpruned-plans: $unpruned")
+    }
+
     // the small-index plan pins, re-checked at scale
     val plans = Map(
       "index_lookup" ->
