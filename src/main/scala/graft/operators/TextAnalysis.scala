@@ -1063,6 +1063,7 @@ object TextAnalysis {
     var words = words0
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     var exhausted = false
+    var sinceCheckpoint = 0
     lastBpeScans = 0
     while (merges.size < totalMerges && !exhausted) {
       lastBpeScans += 1
@@ -1098,9 +1099,20 @@ object TextAnalysis {
                 .otherwise(concat(acc, array(x)))
             }).as("syms"),
             col("cnt"))
-          .localCheckpoint()
+        // the batched fold is a PURE map-literal projection (no join,
+        // no broadcast), so lineage between checkpoints is ≤ 4 narrow
+        // vocab-sized maps — checkpoint every 4th scan and the scan's
+        // TakeOrdered re-executes at most 3 cheap folds, trading that
+        // for 3/4 of the checkpoint materializations (the dominant
+        // fixed cost at high merge counts)
+        sinceCheckpoint += 1
+        if (sinceCheckpoint >= 4 || merges.size >= totalMerges) {
+          words = words.localCheckpoint()
+          sinceCheckpoint = 0
+        }
       }
     }
+    if (sinceCheckpoint > 0) words = words.localCheckpoint()
     val mergeDf =
       if (merges.isEmpty)
         Seq.empty[(Long, String, String, Long)].toDF("round", "l", "r", "freq")
