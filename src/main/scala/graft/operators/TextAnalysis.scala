@@ -1037,6 +1037,13 @@ object TextAnalysis {
     (rounds, words)
   }
 
+  /** Corpus-table scan count of the most recent [[bpeBatchedLoop]]
+    * run — the denominator of the §6 merges-per-scan curve
+    * ([[graft.BpeStress]] reads it). Diagnostic only; never feeds a
+    * query result.
+    */
+  @volatile private[graft] var lastBpeScans: Int = 0
+
   /** The production trainer: BATCHED merges, sequence-equivalent to
     * the one-at-a-time loop. Per corpus-table scan: take the top
     * [[BpeBatchMax]]+1 pair candidates (one bounded TakeOrdered
@@ -1049,13 +1056,6 @@ object TextAnalysis {
     * affordable: per-scan cost stays word-table-bounded and the job
     * floor amortizes across the whole batch.
     */
-  /** Corpus-table scan count of the most recent [[bpeBatchedLoop]]
-    * run — the denominator of the §6 merges-per-scan curve
-    * ([[graft.BpeStress]] reads it). Diagnostic only; never feeds a
-    * query result.
-    */
-  @volatile private[graft] var lastBpeScans: Int = 0
-
   private def bpeBatchedLoop(words0: DataFrame,
                              totalMerges: Int): (Seq[DataFrame], DataFrame) = {
     val spark = words0.sparkSession
