@@ -784,6 +784,42 @@ object Stream {
         "over an existing store. Restart from the original checkpoint, " +
         "or point the stream at a fresh store path")
 
+  /** Applied horizon of a whole-rewrite SWAP store (the bounded-state
+    * ledgers: day counts, source mix, CMS cells): one
+    * `_applied_upto_<id>` marker at the store ROOT, written into each
+    * rewrite's tmp dir so the two-rename swap carries data + horizon
+    * atomically (old markers vanish with the replaced dir — exactly
+    * one marker exists). -1 for an absent or pre-upgrade store; the
+    * guard then activates on the first post-upgrade rewrite. These
+    * stores' sum-merge rows are keyed by src_batch, so a fresh
+    * checkpoint re-feeding old batch ids would silently REPLACE
+    * earlier batches' ledger rows — same corruption class the
+    * segmented stores' horizon closes.
+    */
+  private def swapAppliedUpTo(fs: org.apache.hadoop.fs.FileSystem,
+                              base: org.apache.hadoop.fs.Path): Long =
+    if (!fs.exists(base)) -1L
+    else fs.listStatus(base).map(_.getPath.getName)
+      .filter(_.startsWith(AppliedUpToPrefix))
+      .map(_.stripPrefix(AppliedUpToPrefix).toLong)
+      .maxOption.getOrElse(-1L)
+
+  /** Write `merged` + the horizon marker to a tmp dir and swap it in
+    * as the new store content — the shared tail of every swap-store
+    * sink, now horizon-stamped.
+    */
+  private def swapInMerged(merged: DataFrame, storePath: String,
+                           batchId: Long,
+                           fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val base = new org.apache.hadoop.fs.Path(storePath)
+    val tmp = s"$storePath.merged-$batchId"
+    merged.write.mode("overwrite").parquet(tmp)
+    fs.create(new org.apache.hadoop.fs.Path(tmp, AppliedUpToPrefix + batchId),
+      true).close()
+    if (fs.exists(base)) swapStore(fs, base, tmp)
+    else mustRename(fs, new org.apache.hadoop.fs.Path(tmp), base)
+  }
+
   /** Land `delta` as the NEXT monotonic segment of a batch-keyed
     * store, stamping `_applied_upto_<batchId>` inside the segment so
     * the landing and the horizon record commit in one atomic rename.
@@ -1209,6 +1245,7 @@ object Stream {
         val basePath = new org.apache.hadoop.fs.Path(storePath)
         val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         recoverStore(fs, basePath)
+        requireBatchInHorizon(batchId, swapAppliedUpTo(fs, basePath), storePath)
         val bt = batch
           .select(col("source"),
             size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("t"))
@@ -1232,11 +1269,8 @@ object Stream {
             round(col("cum_tokens").cast("double") /
               col("total").cast("double"), 6).as("cum_share"))
         report.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-        val merged = prior.unionByName(bt.withColumn("src_batch", lit(batchId)))
-        val tmp = s"$storePath.merged-$batchId"
-        merged.write.mode("overwrite").parquet(tmp)
-        if (fs.exists(basePath)) swapStore(fs, basePath, tmp)
-        else mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
+        swapInMerged(prior.unionByName(bt.withColumn("src_batch", lit(batchId))),
+          storePath, batchId, fs)
         ()
       }
 
@@ -1518,6 +1552,7 @@ object Stream {
         val basePath = new org.apache.hadoop.fs.Path(storePath)
         val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         recoverStore(fs, basePath)
+        requireBatchInHorizon(batchId, swapAppliedUpTo(fs, basePath), storePath)
         val cnt = batch
           .select(explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
           .groupBy("term").agg(count(lit(1)).as("tf"))
@@ -1540,11 +1575,8 @@ object Stream {
           .select(lit(batchId).as("batch_id"), col("term"),
             col("batch_tf"), col("cms_est"))
         report.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-        val merged = prior.unionByName(bt.withColumn("src_batch", lit(batchId)))
-        val tmp = s"$storePath.merged-$batchId"
-        merged.write.mode("overwrite").parquet(tmp)
-        if (fs.exists(basePath)) swapStore(fs, basePath, tmp)
-        else mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
+        swapInMerged(prior.unionByName(bt.withColumn("src_batch", lit(batchId))),
+          storePath, batchId, fs)
         ()
       }
 
@@ -1693,6 +1725,7 @@ object Stream {
         val basePath = new org.apache.hadoop.fs.Path(storePath)
         val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         recoverStore(fs, basePath)
+        requireBatchInHorizon(batchId, swapAppliedUpTo(fs, basePath), storePath)
         val bt = batch
           .select(expr("unix_micros(ts) div 86400000000").as("day"))
           .groupBy("day").agg(count(lit(1)).as("n_events"))
@@ -1706,11 +1739,8 @@ object Stream {
           .groupBy("day").agg(sum(col("n_events")).as("c"))
         report(cum, bt, batchId)
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-        val merged = prior.unionByName(bt.withColumn("src_batch", lit(batchId)))
-        val tmp = s"$storePath.merged-$batchId"
-        merged.write.mode("overwrite").parquet(tmp)
-        if (fs.exists(basePath)) swapStore(fs, basePath, tmp)
-        else mustRename(fs, new org.apache.hadoop.fs.Path(tmp), basePath)
+        swapInMerged(prior.unionByName(bt.withColumn("src_batch", lit(batchId))),
+          storePath, batchId, fs)
         ()
       }
 

@@ -1154,6 +1154,31 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
       operators.Multimodal.mediaInterleaveOf(
           (0L to 4L).map(doc).toDF("doc_id", "text"))
         .orderBy("pack_id").collect().map(_.toSeq).toSeq)
+
+    // the whole-rewrite SWAP ledgers carry the same horizon (one
+    // root marker riding each rewrite's swap): a fresh checkpoint
+    // over an existing source-mix ledger would silently REPLACE old
+    // batches' src_batch-keyed rows — it must fail loudly instead
+    val mixStore = s"$base/mix"
+    val inM = MemoryStream[(Long, String, String)]
+    val qm = Stream.sourceMixMonitor(
+        inM.toDF().toDF("doc_id", "source", "text"), mixStore, s"$base/mixout")
+      .option("checkpointLocation", s"$base/ckptM1").start()
+    try {
+      inM.addData((0L, "web", "alpha beta")); qm.processAllAvailable()
+      inM.addData((1L, "web", "gamma delta")); qm.processAllAvailable()
+    } finally qm.stop()
+    assert(fs.exists(new org.apache.hadoop.fs.Path(mixStore, "_applied_upto_1")))
+    val inM2 = MemoryStream[(Long, String, String)]
+    val qm2 = Stream.sourceMixMonitor(
+        inM2.toDF().toDF("doc_id", "source", "text"), mixStore, s"$base/mixout2")
+      .option("checkpointLocation", s"$base/ckptM2").start()
+    val exM = intercept[Throwable] {
+      try { inM2.addData((9L, "web", "omega")); qm2.processAllAvailable() }
+      finally qm2.stop()
+    }
+    assert(chain(exM).exists(_.contains("below the applied horizon")),
+      s"expected the swap-ledger horizon failure, got: ${chain(exM)}")
   }
 
   test("empty deltas never land: no data-less segments, offsets and novelty unaffected") {
