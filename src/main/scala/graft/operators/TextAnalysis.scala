@@ -1138,8 +1138,8 @@ object TextAnalysis {
     *
     * The head survives unconditionally: it IS the global argmax.
     */
-  private def compatibleBatch(top: Seq[(String, String, Long)],
-                              maxN: Int): Seq[(String, String, Long)] = {
+  private[graft] def compatibleBatch(top: Seq[(String, String, Long)],
+                                     maxN: Int): Seq[(String, String, Long)] = {
     val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     val touched = scala.collection.mutable.Set[String]()
     var bound = -1L

@@ -257,4 +257,78 @@ class KernelPropertiesSpec extends AnyFunSuite {
       }
     })
   }
+
+  test("compatibleBatch: batched BPE == one-at-a-time BPE on random word tables") {
+    // The sequence-equivalence LAW behind the batched trainer
+    // (operators.TextAnalysis.bpeBatchedLoop): per scan, the accepted
+    // prefix of (freq DESC, l, r)-sorted candidates — symbol-disjoint,
+    // strictly dominating anything a merge could create — applied in
+    // ONE greedy map-lookup fold must reproduce the one-merge-per-
+    // round trainer merge-for-merge, ties and degenerate tails
+    // included. Checked with a PURE local simulator (no Spark) that
+    // mirrors the driver/fold split exactly, against the same
+    // reference trainer the crafted-corpus specs use.
+    type Word = (Vector[String], Long)
+    def pairCounts(words: Seq[Word]): Map[(String, String), Long] = {
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+      words.foreach { case (syms, c) =>
+        syms.zip(syms.drop(1)).foreach(p => pc(p) = pc.getOrElse(p, 0L) + c)
+      }
+      pc.toMap
+    }
+    def applyMerges(words: Seq[Word], mp: Map[(String, String), String]): Seq[Word] =
+      words.map { case (syms, c) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        syms.foreach { x =>
+          if (out.nonEmpty && mp.contains((out.last, x)))
+            out(out.length - 1) = mp((out.last, x))
+          else out += x
+        }
+        (out.toVector, c)
+      }
+    def sequential(words0: Seq[Word], k: Int): Seq[(String, String, Long)] = {
+      var words = words0
+      val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      var done = false
+      while (out.size < k && !done) {
+        val pc = pairCounts(words)
+        if (pc.isEmpty) done = true
+        else {
+          val ((l, r), f) = pc.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head
+          out += ((l, r, f))
+          words = applyMerges(words, Map((l, r) -> (l + r)))
+        }
+      }
+      out.toSeq
+    }
+    def batched(words0: Seq[Word], k: Int): Seq[(String, String, Long)] = {
+      var words = words0
+      val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      var done = false
+      while (out.size < k && !done) {
+        val top = pairCounts(words).toSeq
+          .map { case ((l, r), f) => (l, r, f) }
+          .sortBy { case (l, r, f) => (-f, l, r) }
+          .take(operators.TextAnalysis.BpeBatchMax + 1)
+        if (top.isEmpty) done = true
+        else {
+          val batch = operators.TextAnalysis.compatibleBatch(top, k - out.size)
+          out ++= batch
+          words = applyMerges(words,
+            batch.map { case (l, r, _) => (l, r) -> (l + r) }.toMap)
+        }
+      }
+      out.toSeq
+    }
+    val genWord = for {
+      len <- Gen.choose(1, 10)
+      cs <- Gen.listOfN(len, Gen.oneOf("abcdef".toSeq))
+      cnt <- Gen.choose(1L, 9L)
+    } yield (cs.map(_.toString).toVector, cnt)
+    val genTable = Gen.choose(3, 20).flatMap(n => Gen.listOfN(n, genWord))
+      .map(_.groupBy(_._1).map { case (syms, g) => (syms, g.map(_._2).sum) }.toSeq)
+    check(Prop.forAll(genTable, Gen.choose(1, 25)) { (table, k) =>
+      batched(table, k) == sequential(table, k)
+    })
+  }
 }
