@@ -93,6 +93,11 @@ object SoakStress {
     val vecs = sources.Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    // the vector soaks (and the centroid save below) need a non-empty
+    // embeddings table; fail loudly up front instead of an
+    // ArithmeticException out of the slice arithmetic
+    require(vecs.nonEmpty,
+      s"SoakStress: embeddings table at $sfDir is empty — vector soaks need at least one vector")
     val vSliceSz = math.max(1, vecs.length / math.min(nBatches, vecs.length))
     def vSlice(b: Int): Seq[(Long, Array[Float])] = {
       val off = (b * vSliceSz) % vecs.length

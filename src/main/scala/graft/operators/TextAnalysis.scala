@@ -1130,11 +1130,20 @@ object TextAnalysis {
     *    conflicting pair must wait for the recount;
     *  - truncate the accepted prefix to candidates whose frequency is
     *    STRICTLY above the first unaccepted (or first unseen)
-    *    frequency: a merge (l,r)→lr can only CREATE pairs (x,lr) /
-    *    (lr,y) whose counts are bounded by existing pairs touching
-    *    {l,r} — all at or below the stop frequency — so strict
-    *    dominance guarantees each accepted merge is still the global
-    *    (freq, l, r) argmax at its virtual round, ties included.
+    *    frequency: a merge (l,r)→lr with l ≠ r can only CREATE pairs
+    *    (x,lr) / (lr,y) whose counts are bounded by existing pairs
+    *    touching {l,r} — all at or below the stop frequency — so
+    *    strict dominance guarantees each accepted merge is still the
+    *    global (freq, l, r) argmax at its virtual round, ties included;
+    *  - a SELF-merge (l==r, e.g. (a,a)→aa) additionally creates
+    *    in-run pairs (aa,a)/(aa,aa) out of the runs of ≥3 identical
+    *    symbols that fed its own count: a run of k a's contributes
+    *    k−1 to f but its greedy rewrite creates ⌈k/2⌉−1 ≤ (k−1)/2
+    *    adjacent aa-pairs, so created counts total ≤ ⌊f/2⌋ — those
+    *    pairs touch ONLY {a,aa}, never the stop logic, so each
+    *    accepted self-merge raises the truncation bound to ⌊f/2⌋
+    *    (boundary replacements (x,aa)/(aa,y) inherit (x,a)/(a,y)
+    *    counts, which the stop logic already bounds).
     *
     * The head survives unconditionally: it IS the global argmax.
     */
@@ -1143,6 +1152,7 @@ object TextAnalysis {
     val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     val touched = scala.collection.mutable.Set[String]()
     var bound = -1L
+    var createdBound = -1L
     var stopped = false
     val it = top.iterator
     while (it.hasNext && !stopped) {
@@ -1152,15 +1162,18 @@ object TextAnalysis {
         bound = f; stopped = true
       } else {
         accepted += c; touched ++= Seq(l, r, l + r)
+        if (l == r) createdBound = math.max(createdBound, f / 2)
       }
     }
     // ran off the window without a conflict: if the window was FULL,
     // unseen candidates bounded by its tail may exist; if it held ALL
     // pairs, nothing is unseen (and no pair touches an accepted
-    // symbol — else the walk would have stopped — so no merge can
-    // create any pair at all) and no truncation bound applies
+    // symbol — else the walk would have stopped — so a non-self merge
+    // can create no pair at all; self-merge creation is covered by
+    // createdBound above)
     if (!stopped) bound = if (top.size >= BpeBatchMax + 1) top.last._3 else -1L
-    val strict = accepted.takeWhile(_._3 > bound).toSeq
+    val finalBound = math.max(bound, createdBound)
+    val strict = accepted.takeWhile(_._3 > finalBound).toSeq
     if (strict.isEmpty) accepted.take(1).toSeq else strict
   }
 

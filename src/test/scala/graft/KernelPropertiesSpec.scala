@@ -330,5 +330,48 @@ class KernelPropertiesSpec extends AnyFunSuite {
     check(Prop.forAll(genTable, Gen.choose(1, 25)) { (table, k) =>
       batched(table, k) == sequential(table, k)
     })
+
+    // Deterministic regression tables for the SELF-MERGE creation case
+    // the uniform generator only hits ~0.05% of the time: a self-merge
+    // (a,a)→aa on runs of ≥3 identical symbols CREATES (aa,a)/(aa,aa)
+    // pairs with counts up to ⌊f/2⌋, which must dominate-truncate any
+    // later same-batch candidate at or below that count.
+    def W(s: String, c: Long): Word = (s.split(" ").toVector, c)
+    val regressionTables: Seq[Seq[Word]] = Seq(
+      // freq(a,a)=18; created (aa,a)=9 > freq(c,d)=5 — the batch must
+      // NOT commit (c,d) ahead of (aa,a)
+      Seq(W("a a a", 9), W("c d", 5)),
+      // created count exactly EQUAL to the competitor: ⌊16/2⌋=8=(c,d)
+      Seq(W("a a a", 8), W("c d", 8)),
+      // runs of 4: (a,a)=12, created (aa,aa)=4 vs (c,d)=3
+      Seq(W("a a a a", 4), W("c d", 3)),
+      // two self-merges in one window
+      Seq(W("a a a", 6), W("b b b", 5), W("c d", 4)),
+      // odd/even mixed runs with boundary symbols
+      Seq(W("x a a a a a y", 5), W("c d", 4), W("e f", 2)),
+      // self-merge output chains: aa then (aa,a) then (aaa,*)
+      Seq(W("a a a a a a a", 3), W("c d", 2))
+    )
+    for (table <- regressionTables; k <- 1 to 6) {
+      assert(batched(table, k) == sequential(table, k),
+        s"self-merge regression: table=$table k=$k " +
+          s"batched=${batched(table, k)} sequential=${sequential(table, k)}")
+    }
+
+    // and a generator BIASED toward runs of identical symbols, where
+    // the uniform-letters generator almost never lands
+    val genRunWord = for {
+      nRuns <- Gen.choose(1, 4)
+      runs <- Gen.listOfN(nRuns, for {
+        c <- Gen.oneOf("abc".toSeq)
+        len <- Gen.choose(1, 7)
+      } yield List.fill(len)(c.toString))
+      cnt <- Gen.choose(1L, 9L)
+    } yield (runs.flatten.toVector, cnt)
+    val genRunTable = Gen.choose(2, 12).flatMap(n => Gen.listOfN(n, genRunWord))
+      .map(_.groupBy(_._1).map { case (syms, g) => (syms, g.map(_._2).sum) }.toSeq)
+    check(Prop.forAll(genRunTable, Gen.choose(1, 25)) { (table, k) =>
+      batched(table, k) == sequential(table, k)
+    })
   }
 }
