@@ -59,7 +59,37 @@ object Bench {
       }
     val results = gateBuf.toSeq
     val prodResults = prodBuf.toSeq
-    val all = results ++ prodResults
+    // Serving regression entries (r12 VERDICT item 8): the serving
+    // percentiles used to be one-shot §6 prose — as `serve:*` keys in
+    // the same per-key map, bench_diff flags serving regressions the
+    // way it flags query regressions. One index build from sfDir (+
+    // stats side table), then the shared 40-query mixed workload
+    // ([[Serving.mix]]: term/bool/phrase/BM25-ranked, all
+    // index-served); p50/p95 per shape land as seconds beside a
+    // serve:index_build / serve:stats_build deploy cost and the
+    // bucket-pruning violation count. Informational like the #prod
+    // twins — never in "total". Skipped on SPARK_GRAFT_ONLY subset
+    // runs (no index build for a two-key iteration loop).
+    val serveBuf = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    if (only.isEmpty) try {
+      val idxPath = java.nio.file.Files
+        .createTempDirectory("graft-bench-idx").toString + "/index"
+      val tB = System.nanoTime()
+      sources.IndexStore.save(operators.Index.invertedIndex(spark, sfDir),
+        idxPath, nBuckets = 64)
+      serveBuf += "serve:index_build" -> (System.nanoTime() - tB) / 1e9
+      val tS = System.nanoTime()
+      sources.IndexStore.saveStats(spark, idxPath)
+      serveBuf += "serve:stats_build" -> (System.nanoTime() - tS) / 1e9
+      val r = Serving.mix(spark, idxPath, 64, Serving.vocabOf(spark, idxPath),
+        nQueries = 40)
+      (r.shapes :+ "all").foreach { sh =>
+        serveBuf += s"serve:${sh}_p50" -> r.p(sh, 0.50)
+        serveBuf += s"serve:${sh}_p95" -> r.p(sh, 0.95)
+      }
+      serveBuf += "serve:unpruned" -> r.unpruned.toDouble
+    } catch { case _: Throwable => serveBuf += "serve:index_build" -> -1.0 }
+    val all = results ++ prodResults ++ serveBuf.toSeq
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = all.collect { case (k, -1.0) => "\"" + k + "\"" }.mkString("[", ",", "]")

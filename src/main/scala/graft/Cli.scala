@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   *   - `search <indexPath> <term> [k]` — term lookup against the
   *     SAVED index, tf-ranked; planning-time bucket pruning means one
   *     partition is read, not the index.
-  *   - `query <input.tsv> '<boolean query>' [k]` — parsed
-  *     boolean/phrase retrieval (AND/OR/NOT/"...") with BM25 ranking
-  *     over a corpus.
+  *   - `query <input.tsv|indexPath> '<boolean query>' [k]` — parsed
+  *     boolean/phrase retrieval (AND/OR/NOT/"...") with BM25 ranking.
+  *     Given a corpus file it ranks off the corpus; given a SAVED
+  *     index directory it dispatches to the index-served ranked path
+  *     (bucket-pruned leaf fetch + persisted stats — no corpus scan
+  *     per query).
   *   - `bquery <indexPath> '<boolean query>' [nBuckets]` — the same
   *     grammar against the SAVED index (bucket-pruned leaf reads:
   *     index once, query many times).
@@ -64,8 +67,21 @@ object Cli {
         .limit(k)
     case Seq("query", input, q, rest @ _*) =>
       val k = rest.headOption.map(_.toInt).getOrElse(10)
-      val (corpus, id) = readCorpus(spark, input)
-      Query.searchRanked(corpus, q, k, id = id)
+      if (IndexStore.isIndex(spark, input)) {
+        // a saved index serves ranked queries without touching any
+        // corpus: bucket-pruned leaf fetch + the persisted stats side
+        // table (built lazily here on first use — a one-time index
+        // pass, after which every query is leaf-bounded)
+        if (!IndexStore.hasStats(spark, input)) IndexStore.saveStats(spark, input)
+        val nBuckets = IndexStore.buckets(spark, input)
+          .getOrElse(IndexStore.DefaultBuckets)
+        val idCol = Seq("title", "doc_id")
+          .find(IndexStore.load(spark, input).columns.contains).get
+        Query.searchRankedIndex(spark, input, q, k, nBuckets, id = idCol)
+      } else {
+        val (corpus, id) = readCorpus(spark, input)
+        Query.searchRanked(corpus, q, k, id = id)
+      }
     case Seq("bquery", indexPath, q, rest @ _*) =>
       // boolean/phrase/prefix retrieval against the SAVED index: only
       // the query terms' buckets are read (Query.searchIndex)

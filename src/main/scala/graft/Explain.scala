@@ -296,7 +296,14 @@ object Explain {
   val IndexAuditRules: Map[String, Rule] = Map(
     "index_lookup" -> Rule(required = Seq("PartitionFilters", "term_bucket")),
     "index_lookup_terms" -> Rule(required = Seq("PartitionFilters", "term_bucket")),
-    "searchindex_prefix" -> Rule(required = Seq("StringStartsWith(term,quer")))
+    "searchindex_prefix" -> Rule(required = Seq("StringStartsWith(term,quer")),
+    // the index-served BM25 path: leaf fetch bucket-pruned at planning
+    // time, and the corpus NEVER appears — its only scans are the index
+    // layout and the _stats side table (a "documents" relation in this
+    // plan would mean the per-query corpus rebuild came back)
+    "searchranked_index" -> Rule(
+      required = Seq("PartitionFilters", "term_bucket"),
+      forbidden = Seq("documents")))
 
   /** Violations ("query: missing/forbidden …") over [[AuditRules]] —
     * empty = every audited plan holds its invariants. The audited
@@ -351,13 +358,17 @@ object Explain {
       .toString + "/index"
     sources.IndexStore.save(operators.Index.invertedIndex(spark, sfDir), idx,
       nBuckets = 8)
+    sources.IndexStore.saveStats(spark, idx)
     val plans = Map(
       "index_lookup" ->
         sources.IndexStore.lookup(spark, idx, "spark", nBuckets = 8),
       "index_lookup_terms" ->
         sources.IndexStore.lookupTerms(spark, idx, Seq("spark", "join"), nBuckets = 8),
       "searchindex_prefix" ->
-        operators.Query.searchIndex(spark, idx, "quer* AND NOT slow", nBuckets = 8))
+        operators.Query.searchIndex(spark, idx, "quer* AND NOT slow", nBuckets = 8),
+      "searchranked_index" ->
+        operators.Query.searchRankedIndex(spark, idx, "spark AND join",
+          nBuckets = 8))
     IndexAuditRules.toSeq.sortBy(_._1).flatMap { case (name, rule) =>
       applyRule(name, rule, plans(name).queryExecution.executedPlan.toString)
     }

@@ -249,6 +249,23 @@ object Query {
                   nBuckets: Int = graft.sources.IndexStore.DefaultBuckets,
                   id: String = "doc_id"): DataFrame = {
     val ast = parse(query)
+    val tok = leafPostings(spark, indexPath, ast, nBuckets, query)
+      .select(col(id), col("term"), explode(col("positions")).as("pos"))
+    val universe = graft.sources.IndexStore.load(spark, indexPath)
+      .select(id).distinct()
+    eval(tok, universe, ast, id)
+  }
+
+  /** The posting rows a query's leaves need, fetched from the saved
+    * index: exact-term leaves via ONE bucket-pruned multi-term scan,
+    * prefix leaves via a pushed StartsWith, fuzzy leaves via a
+    * dictionary distance scan. Returns (id, term, tf, positions) rows —
+    * the shared leaf source of [[searchIndex]] (which explodes
+    * positions back to a token stream) and [[searchRankedIndex]]
+    * (which also reads tf and per-term row counts off the SAME fetch).
+    */
+  private def leafPostings(spark: SparkSession, indexPath: String, ast: Q,
+                           nBuckets: Int, query: String): DataFrame = {
     val (ts, ps, fz) = leaves(ast)
     val byTerm =
       if (ts.nonEmpty)
@@ -266,11 +283,7 @@ object Query {
     }
     require(byTerm.nonEmpty || byPrefix.nonEmpty || byFuzzy.nonEmpty,
       s"query has no leaves: $query")
-    val tok = (byTerm ++ byPrefix ++ byFuzzy).reduce(_ unionByName _)
-      .select(col(id), col("term"), explode(col("positions")).as("pos"))
-    val universe = graft.sources.IndexStore.load(spark, indexPath)
-      .select(id).distinct()
-    eval(tok, universe, ast, id)
+    (byTerm ++ byPrefix ++ byFuzzy).reduce(_ unionByName _)
   }
 
   /** The positive (non-negated) words of a query — the terms ranking
@@ -334,6 +347,72 @@ object Query {
     tf.join(broadcast(df.filter(col("term").isin(terms: _*))), "term")
       .join(dl, id)
       .crossJoin(broadcast(nDf)).crossJoin(broadcast(avgdlDf))
+      .withColumn("w",
+        boosts.foldLeft(lit(1.0)) { case (acc, (t, bw)) =>
+          when(col("term") === t, lit(bw)).otherwise(acc)
+        } *
+          log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(id).agg(round(sum(col("w")), 4).as("score"))
+      .orderBy(col("score").desc, col(id))
+      .limit(k)
+  }
+
+  /** [[searchRanked]] served from a SAVED index — the retrieve-then-
+    * rank path a deployment actually runs (r12 VERDICT item 1: the
+    * corpus path re-tokenizes the whole corpus per query, the plan
+    * you'd never run at 100 TB). Everything per-query rides the ONE
+    * bucket-pruned leaf fetch [[searchIndex]] already does:
+    *
+    *   - matching: same [[eval]] plan over the exploded positions;
+    *   - tf: the stored per-posting `tf` column of the fetched rows;
+    *   - df: a per-term row count over the SAME fetch — a bucket-pruned
+    *     term fetch returns the term's COMPLETE posting list, so df
+    *     needs no side table and is exact even between stats refreshes
+    *     (tombstones/segment versions resolve in the fetch);
+    *   - dl / n / avgdl: the persisted doc-count-sized
+    *     [[graft.sources.IndexStore.saveStats]] side table (dl involves
+    *     terms not in the query — the one statistic a leaf fetch cannot
+    *     supply). Between refreshes they are snapshot values (scores
+    *     drift like any serving engine between index refreshes; a
+    *     deleted doc still vanishes, because matching/tf are live).
+    *
+    * Per query the read is ≤ |query terms|/nBuckets of the index plus
+    * one column-pruned pass of the doc-count-sized dl table; no corpus
+    * scan anywhere. Score semantics (BM25 k1=1.2 b=0.75, boosts, ties,
+    * rounding) are [[searchRanked]]'s exactly — parity-specced row for
+    * row on the gate corpora. `n` counts INDEXED docs (a zero-token doc
+    * never enters the index; corpora with empty docs shift the corpus
+    * path's n but not the result set, since ranked output requires a
+    * positive-term match).
+    */
+  def searchRankedIndex(spark: SparkSession, indexPath: String, query: String,
+                        k: Int = 20,
+                        nBuckets: Int = graft.sources.IndexStore.DefaultBuckets,
+                        id: String = "doc_id"): DataFrame = {
+    val (k1, b) = (1.2, 0.75)
+    val ast = parse(query)
+    val terms = positiveTerms(ast)
+    val boosts = boostWeights(ast)
+    require(terms.nonEmpty, s"query has no positive terms to rank by: $query")
+    val postings = leafPostings(spark, indexPath, ast, nBuckets, query)
+    val tok = postings
+      .select(col(id), col("term"), explode(col("positions")).as("pos"))
+    // the universe frame only enters the plan under a NOT node — a
+    // NOT-less ranked query never scans beyond its terms' buckets
+    val universe = graft.sources.IndexStore.load(spark, indexPath)
+      .select(id).distinct()
+    val matches = eval(tok, universe, ast, id)
+    val (dl, corpus) = graft.sources.IndexStore.loadStats(spark, indexPath)
+    val ranked = postings.filter(col("term").isin(terms: _*))
+      .select(col(id), col("term"), col("tf").cast("double").as("tf"))
+    val df = ranked.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    ranked.join(matches, Seq(id), "left_semi")
+      .join(broadcast(df), "term")
+      .join(dl, id)
+      .crossJoin(broadcast(corpus))
       .withColumn("w",
         boosts.foldLeft(lit(1.0)) { case (acc, (t, bw)) =>
           when(col("term") === t, lit(bw)).otherwise(acc)

@@ -372,6 +372,92 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException](operators.Query.parse("(a AND b) NEAR/2 c"))
   }
 
+  test("ranked query over saved index: BM25 matches the corpus path row for row") {
+    val docs = sources.Tables.documents(spark, sfDir)
+    val path = tmpDir("graft-idxrank") + "/index"
+    IndexStore.save(Index.invertedIndexOf(docs), path, nBuckets = 8)
+    // stats must be built explicitly — serving without them fails loudly
+    val noStats = intercept[IllegalArgumentException] {
+      operators.Query.searchRankedIndex(spark, path, "spark", 20, nBuckets = 8)
+        .collect()
+    }
+    assert(noStats.getMessage.contains("saveStats"))
+    IndexStore.saveStats(spark, path)
+    // parity across the ranked surface: plain, NOT, boost, multi-term,
+    // phrase (ranks all phrase words), NEAR — exact row equality
+    // including score rounding and tie order
+    val queries = Seq(
+      "spark AND NOT slow",
+      "spark^3 AND NOT slow",
+      "spark AND join",
+      "\"key order\" OR spark",
+      "spark NEAR/4 join")
+    queries.foreach { q =>
+      val want = operators.Query.searchRanked(docs, q, k = 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = operators.Query.searchRankedIndex(spark, path, q, k = 20, nBuckets = 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got === want, s"ranked corpus↔index parity for '$q'")
+      assert(got.nonEmpty, s"vacuous parity for '$q'")
+    }
+    // the serving plan is bucket-pruned and never scans a corpus: its
+    // only parquet relations are the index layout and the _stats table
+    val plan = operators.Query.searchRankedIndex(
+      spark, path, "spark AND join", 20, nBuckets = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("term_bucket"))
+    assert(!plan.contains("documents"), "ranked serving must not scan the corpus")
+  }
+
+  test("index store: deleted doc vanishes from term/phrase/ranked serving, across re-open and compaction") {
+    import spark.implicits._
+    val path = tmpDir("graft-idxdelserve") + "/index"
+    // segmented store: two landings, so the delete must resolve across
+    // segments (doc 0 lands in seg 0; docs 2/3 in seg 1)
+    val seg0 = Seq(
+      (0L, "spark makes key order fast and spark is neat"),
+      (1L, "key order matters in a sort")).toDF("doc_id", "text")
+    val seg1 = Seq(
+      (2L, "slow spark query with key order"),
+      (3L, "spark spark spark everywhere")).toDF("doc_id", "text")
+    assert(IndexStore.saveSegment(Index.invertedIndexOf(seg0), path, 0L, nBuckets = 4))
+    assert(IndexStore.saveSegment(Index.invertedIndexOf(seg1), path, 1L, nBuckets = 4))
+    IndexStore.saveStats(spark, path)
+    def servedDocs(): (Seq[Long], Seq[Long], Seq[Long]) = (
+      IndexStore.lookup(spark, path, "spark", nBuckets = 4)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq,
+      operators.Query.searchIndex(spark, path, "\"key order\"", nBuckets = 4)
+        .collect().map(_.getLong(0)).sorted.toSeq,
+      operators.Query.searchRankedIndex(spark, path, "spark OR \"key order\"",
+          k = 10, nBuckets = 4)
+        .collect().map(_.getLong(0)).sorted.toSeq)
+    val (t0, p0, r0) = servedDocs()
+    assert(t0 === Seq(0L, 2L, 3L) && p0 === Seq(0L, 1L, 2L) &&
+      r0 === Seq(0L, 1L, 2L, 3L))
+    IndexStore.delete(spark, path, Seq(0L, 2L))
+    val (t1, p1, r1) = servedDocs()
+    assert(t1 === Seq(3L) && p1 === Seq(1L) && r1 === Seq(1L, 3L))
+    // ranked still works off the PRE-delete stats snapshot (n/avgdl are
+    // refresh-time values; matching and tf are live) — the deleted docs
+    // are gone even though stats were never rebuilt
+    // compaction folds tombstones away AND refreshes the stats table
+    val statsN = () => IndexStore.loadStats(spark, path)._2
+      .collect().head.getDouble(0)
+    assert(statsN() === 4.0)
+    IndexStore.compactSegments(spark, path)
+    assert(!new java.io.File(s"$path/_tombstones").exists())
+    assert(statsN() === 2.0, "compaction must refresh the stats snapshot")
+    val (t2, p2, r2) = servedDocs()
+    assert(t2 === t1 && p2 === p1 && r2 === r1,
+      "serving results must be identical across the compaction")
+    // re-open: a fresh reader over the on-disk store (restart
+    // semantics — nothing cached carries over) sees the same results
+    val again = operators.Query.searchRankedIndex(spark, path,
+        "spark OR \"key order\"", k = 10, nBuckets = 4)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(again === r1)
+  }
+
   test("corpus store: lang-partitioned layout prunes single-language reads") {
     val dir = tmpDir("graft-corpus") + "/corpus"
     val docs = sources.Tables.documents(spark, sfDir)
@@ -431,6 +517,17 @@ class SourcesSpec extends SparkSpec {
     val bstats = Cli.run(spark, Seq("stats", s"$dir/index")).collect()
     assert(bstats.map(_.getAs[Long]("terms")).sum === 5L)
     assert(bstats.map(_.getAs[Long]("postings")).sum === 6L)
+    // `query` given a SAVED INDEX path dispatches to the index-served
+    // BM25 path (building the stats side table on first use) and must
+    // return exactly what the corpus path returns — incl. the score
+    val iq = Cli.run(spark,
+        Seq("query", s"$dir/index", "spark AND NOT filter")).collect()
+      .map(r => (r.getAs[String]("title"), r.getAs[Double]("score")))
+    val cq = Cli.run(spark,
+        Seq("query", s"$dir/docs.tsv", "spark AND NOT filter")).collect()
+      .map(r => (r.getAs[String]("title"), r.getAs[Double]("score")))
+    assert(iq.toSeq === cq.toSeq && iq.nonEmpty)
+    assert(IndexStore.hasStats(spark, s"$dir/index"))
     intercept[IllegalArgumentException](Cli.run(spark, Seq("bogus")))
   }
 
