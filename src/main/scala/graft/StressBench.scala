@@ -85,6 +85,11 @@ object IndexScaleStress {
     sources.IndexStore.save(operators.Index.invertedIndex(spark, dir), idxPath,
       nBuckets = 64)
     println(f"IDXSTRESS dir=$dir%-20s build ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+    // the ranked serving leg needs the stats side table — one index
+    // pass at deploy time, priced here like the build
+    val tS = System.nanoTime()
+    sources.IndexStore.saveStats(spark, idxPath)
+    println(f"IDXSTRESS dir=$dir%-20s stats ${(System.nanoTime() - tS) / 1e9}%8.2fs")
     val shapes = Seq(
       "term_lookup" -> (() =>
         sources.IndexStore.lookup(spark, idxPath, "the", nBuckets = 64)),
@@ -100,54 +105,25 @@ object IndexScaleStress {
       }.minBy(_._1)
       println(f"IDXSTRESS dir=$dir%-20s $name%-12s ${t._1}%8.2fs rows=${t._2}")
     }
-    // serving-latency percentiles (r11 VERDICT item 8): a 100-query
-    // mixed workload — 25 each of term lookup, boolean AND, exact
-    // phrase, tf-ranked top-10 — run sequentially like a serving
-    // loop, p50/p95 per shape and overall, with EVERY query's plan
-    // asserted bucket-pruned (PartitionFilters present). Terms drawn
-    // round-robin from the index's 60 highest-df entries so the
-    // workload hits real postings, not empty buckets.
+    // serving-latency percentiles (r11 item 8, upgraded per r12 items
+    // 1 and 5): the shared 100-query mixed workload ([[Serving.mix]] —
+    // 25 each of term lookup, boolean AND, exact phrase, and the REAL
+    // index-served BM25 ranker), run sequentially AND at 4 / 16
+    // concurrent query threads. Latency is per-query wall clock, so
+    // the concurrent rows price what overlap costs an individual
+    // query; every plan is asserted bucket-pruned in all three runs.
     locally {
-      import org.apache.spark.sql.functions.{col, count, lit}
-      val vocab = sources.IndexStore.load(spark, idxPath)
-        .groupBy("term").agg(count(lit(1)).as("df"))
-        .orderBy(col("df").desc, col("term")).limit(60)
-        .collect().map(_.getString(0))
-      val shapes = Array("term", "bool", "phrase", "ranked")
-      val lat = scala.collection.mutable.Map[String, Vector[Double]]()
-        .withDefaultValue(Vector.empty)
-      var unpruned = 0
-      (0 until 100).foreach { i =>
-        val t1 = vocab(i % vocab.length)
-        val t2 = vocab((i * 7 + 3) % vocab.length)
-        val shape = shapes(i % 4)
-        val mk: () => org.apache.spark.sql.DataFrame = shape match {
-          case "term" => () => sources.IndexStore.lookup(spark, idxPath, t1, 64)
-          case "bool" => () =>
-            operators.Query.searchIndex(spark, idxPath, s"$t1 AND $t2", 64)
-          case "phrase" => () =>
-            operators.Query.searchIndex(spark, idxPath, "\"" + t1 + " " + t2 + "\"", 64)
-          case "ranked" => () => sources.IndexStore.lookup(spark, idxPath, t1, 64)
-            .orderBy(col("tf").desc, col("doc_id")).limit(10)
+      val vocab = Serving.vocabOf(spark, idxPath)
+      Seq(1, 4, 16).foreach { threads =>
+        val r = Serving.mix(spark, idxPath, 64, vocab, nQueries = 100,
+          threads = threads)
+        (r.shapes :+ "all").foreach { sh =>
+          val n = if (sh == "all") r.all.size else r.latencies.getOrElse(sh, Vector.empty).size
+          println(f"IDXSTRESS dir=$dir%-20s serve thr=$threads%-3d $sh%-7s n=$n%3d " +
+            f"p50=${r.p(sh, 0.50)}%6.3fs p95=${r.p(sh, 0.95)}%6.3fs")
         }
-        val t0 = System.nanoTime()
-        val df = mk()
-        df.queryExecution.toRdd.count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        lat(shape) = lat(shape) :+ dt
-        if (!df.queryExecution.executedPlan.toString.contains("PartitionFilters"))
-          unpruned += 1
+        println(s"IDXSTRESS serve thr=$threads unpruned-plans: ${r.unpruned}")
       }
-      def pct(xs: Seq[Double], p: Double): Double = {
-        val s = xs.sorted
-        s(math.min(s.size - 1, (p * s.size).toInt))
-      }
-      (shapes.toSeq :+ "all").foreach { sh =>
-        val xs = if (sh == "all") lat.values.flatten.toSeq else lat(sh)
-        println(f"IDXSTRESS dir=$dir%-20s serve $sh%-7s n=${xs.size}%3d " +
-          f"p50=${pct(xs, 0.50)}%6.3fs p95=${pct(xs, 0.95)}%6.3fs")
-      }
-      println(s"IDXSTRESS serve unpruned-plans: $unpruned")
     }
 
     // the small-index plan pins, re-checked at scale
@@ -159,6 +135,9 @@ object IndexScaleStress {
           nBuckets = 64),
       "searchindex_prefix" ->
         operators.Query.searchIndex(spark, idxPath, "quer* AND NOT slow",
+          nBuckets = 64),
+      "searchranked_index" ->
+        operators.Query.searchRankedIndex(spark, idxPath, "spark AND join",
           nBuckets = 64))
     val violations = Explain.IndexAuditRules.toSeq.sortBy(_._1).flatMap {
       case (name, rule) =>
@@ -273,6 +252,24 @@ object CosineRecallStress {
     println(f"COSRECALL dir=$dir%-20s guard2 sample=${r.getLong(0)} " +
       f"top_true=${r.getLong(1)} kept=${r.getLong(2)} " +
       f"recall=${r.getDouble(3)}%.4f regime=${r.getString(4)}")
+    // the COMPOSED operator (r12 VERDICT item 2): tfidf_cosine_guarded
+    // drives its candidate relation by guard2's regime — measure THAT
+    // relation's recall in the same frame as the blocking rows above
+    // (in-sample candidates: the winnow side runs on the sample docs,
+    // like the blocked side). This is the row that must read >= 0.8 on
+    // the clone corpora where the unguarded relation reads 0.003/0.000.
+    val gcand =
+      if (r.getString(4) == "ok") blocked
+      else operators.Dedup.winnowCandidatesOf(docs.filter(inS(col("doc_id"))))
+        .select("doc_a", "doc_b")
+    Seq(0.3, 0.5).foreach { tau =>
+      val truth = exact.filter(col("cos") >= tau)
+      val nTrue = truth.count()
+      val nKept = truth.join(gcand, Seq("doc_a", "doc_b"), "left_semi").count()
+      val rec = if (nTrue == 0) 1.0 else nKept.toDouble / nTrue
+      println(f"COSRECALL dir=$dir%-20s GUARDED regime=${r.getString(4)}%-10s " +
+        f"tau=$tau%.1f true=$nTrue kept=$nKept recall=$rec%.4f")
+    }
     spark.stop()
   }
 }

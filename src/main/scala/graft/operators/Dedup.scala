@@ -1453,8 +1453,20 @@ object Dedup {
     * same scale shape as the MinHash band join but with positional
     * (run-preserving) rather than set-sampled evidence.
     */
-  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
-    val fp = winnowSelected(Tables.documents(spark, dir))
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame =
+    winnowCandidatesOf(Tables.documents(spark, dir))
+      .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+
+  /** The full winnow candidate RELATION (doc_a, doc_b, n_shared ≥ 3),
+    * unranked and unlimited — [[winnowPairs]]'s top-20 rides it, and
+    * [[Index.tfidfCosineGuarded]] substitutes it for the rare-term
+    * blocking when the corpus regime is degenerate (the r12 VERDICT
+    * item-2 fallback). Inverted-fingerprint bucket join over the
+    * ~1/3-density selected hashes, never all-pairs.
+    */
+  def winnowCandidatesOf(docs: DataFrame): DataFrame = {
+    val fp = winnowSelected(docs)
       .select(col("doc_id"),
         explode(array_distinct(transform(col("sel"),
           p => element_at(col("h"), (p + lit(1)).cast("int"))))).as("fh"))
@@ -1464,8 +1476,6 @@ object Dedup {
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 3)
-      .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
-      .limit(20)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1580,8 +1590,12 @@ object Dedup {
     * `list_prepend(s, range(s+1, s+5))` is exactly the Spark
     * `aggregate(sequence(s+1, s+4), s, …)` fold).
     */
-  private val winnowCte: String =
-    s"""${OracleSql.ToksCte}, gh AS (
+  /** The gh → selw chain alone (no WITH, builds on a `toks` CTE) so
+    * oracles that already opened their WITH (the guarded cosine) can
+    * append it; [[winnowCte]] prepends the shared toks CTE.
+    */
+  private[operators] val winnowChainCte: String =
+    s"""gh AS (
        |  SELECT doc_id,
        |    list_transform(
        |      list_transform(range(greatest(len(tk) - 3, 0)), i -> array_to_string(tk[i+1:i+4], ' ')),
@@ -1596,6 +1610,9 @@ object Dedup {
        |    ELSE CAST([] AS BIGINT[]) END AS sel
        |  FROM gh
        |)""".stripMargin
+
+  private[operators] val winnowCte: String =
+    s"""${OracleSql.ToksCte}, $winnowChainCte"""
 
   val oracles: Map[String, String] = Map(
     "winnow_fingerprints" ->

@@ -253,8 +253,10 @@ object Index {
     * top-20 is recall-unbounded on this corpus and a MinHash/winnow
     * candidate set should drive pairing instead.
     */
-  def tfidfCosinePairs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def tfidfCosinePairs(spark: SparkSession, dir: String): DataFrame =
+    tfidfCosinePairsOf(Tables.documents(spark, dir))
+
+  def tfidfCosinePairsOf(docs: DataFrame): DataFrame = {
     val base = tokenStreamOf(docs).groupBy("doc_id", "term")
       .agg(count(lit(1)).cast("double").as("tf"))
     val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
@@ -281,6 +283,70 @@ object Index {
       .join(nrm.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(col("dot") / (col("na") * col("nb")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  /** The GUARDED composition of [[tfidfCosinePairs]] (r12 VERDICT
+    * item 2): the two guard keys measure the blocking regime but a
+    * pipeline running only `tfidf_cosine_pairs` still got a silently
+    * near-empty top-20 in the degenerate regime — this operator ACTS
+    * on the guard. It runs the decisive sampled recall audit
+    * ([[tfidfBlockingRecallOf]] — coverage alone is necessary-only:
+    * the 100× clone corpus reads coverage 'ok' with true recall
+    * 0.000), then drives the candidate relation by the verdict:
+    *
+    *  - regime 'ok' → the rare-term blocked relation (the 100 TB
+    *    shape, unchanged);
+    *  - regime 'degenerate' → the winnow fingerprint candidate
+    *    relation ([[Dedup.winnowCandidatesOf]] — positional ≥8-token
+    *    run evidence needs no Zipfian vocabulary), still bucket-keyed,
+    *    never doc×doc.
+    *
+    * Rescoring is identical either way (full shared-term dot under
+    * corpus idf weights), so scores are true cosines and only the
+    * candidate relation switches; the `regime` column tells the
+    * reader which relation produced the ranking. The branch reads the
+    * guard's ONE-row verdict on the driver (a bounded collect, like
+    * the trained-model frames): the audit is sample-bounded (~1k docs)
+    * at any corpus scale, and planning both relations declaratively
+    * would execute the loser too.
+    */
+  def tfidfCosineGuarded(spark: SparkSession, dir: String): DataFrame =
+    tfidfCosineGuardedOf(Tables.documents(spark, dir))
+
+  def tfidfCosineGuardedOf(docs: DataFrame): DataFrame = {
+    val regime = tfidfBlockingRecallOf(docs)
+      .select("regime").head().getString(0)
+    val base = tokenStreamOf(docs).groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
+    val df = base.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val w = base.join(df, "term").crossJoin(broadcast(nDf))
+      .filter(col("df") < col("n"))
+      .select(col("doc_id"), col("term"), col("df"), col("n"),
+        (col("tf") * log(col("n") / col("df"))).as("w"))
+    val nrm = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val cand =
+      if (regime == "ok") {
+        val rare = w.filter(col("df") <= col("n") * RareDfFrac)
+          .select("doc_id", "term")
+        rare.select(col("doc_id").as("doc_a"), col("term"))
+          .join(rare.select(col("doc_id").as("doc_b"), col("term")), "term")
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+      } else Dedup.winnowCandidatesOf(docs).select("doc_a", "doc_b")
+    cand
+      .join(w.select(col("doc_id").as("doc_a"), col("term"), col("w").as("wa")),
+        Seq("doc_a"))
+      .join(w.select(col("doc_id").as("doc_b"), col("term"), col("w").as("wb")),
+        Seq("doc_b", "term"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(nrm.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
+      .join(nrm.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dot") / (col("na") * col("nb")), 4).as("cosine"),
+        lit(regime).as("regime"))
       .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
       .limit(20)
   }
@@ -1351,6 +1417,7 @@ object Index {
     "tfidf_blocking_coverage" -> tfidfBlockingCoverage,
     "tfidf_blocking_recall" -> tfidfBlockingRecall,
     "tfidf_cosine_dense" -> tfidfCosineDense,
+    "tfidf_cosine_guarded" -> tfidfCosineGuarded,
     "doc_stats" -> docStats,
     "term_search" -> termSearch,
     "bool_and_search" -> boolAndSearch,
@@ -1482,6 +1549,79 @@ object Index {
          |)
          |SELECT doc_a, doc_b,
          |  round(dot / (na.nrm * nb.nrm), 4) AS cosine
+         |FROM dots
+         |JOIN nrm na ON na.doc_id = doc_a
+         |JOIN nrm nb ON nb.doc_id = doc_b
+         |ORDER BY cosine DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    // guarded cosine: the recall-guard CTEs decide the regime scalar,
+    // then ONE of the two candidate relations feeds the shared exact
+    // rescoring — mirrored by the Spark side's driver branch (the
+    // regime is deterministic per corpus, so both engines take the
+    // same branch; the WHERE-on-scalar keeps it one SQL statement)
+    "tfidf_cosine_guarded" ->
+      s"""$TokSql, base AS (
+         |  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2
+         |), n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |df AS (SELECT term, count(*)::DOUBLE AS df FROM base GROUP BY term),
+         |w AS (
+         |  SELECT doc_id, base.term, df.df AS df, n.n AS n, tf * ln(n.n / df.df) AS w
+         |  FROM base JOIN df USING (term), n WHERE df.df < n.n
+         |), nrm AS (
+         |  SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id
+         |), ws AS (
+         |  SELECT * FROM w WHERE doc_id % CAST(ceil(n / 1024.0) AS BIGINT) = 0
+         |), rnrm AS (
+         |  SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM ws GROUP BY doc_id
+         |), rexact AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+         |  FROM ws a JOIN ws b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), rtop AS (
+         |  SELECT e.doc_a, e.doc_b,
+         |    round(e.dot / (na.nrm * nb.nrm), 4) AS cosine
+         |  FROM rexact e
+         |  JOIN rnrm na ON na.doc_id = e.doc_a
+         |  JOIN rnrm nb ON nb.doc_id = e.doc_b
+         |  ORDER BY cosine DESC, e.doc_a, e.doc_b LIMIT ${BlockingRecallK}
+         |), rblocked AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ws a JOIN ws b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  WHERE a.df <= a.n * $RareDfFrac
+         |), ragg AS (
+         |  SELECT count(*) AS n_true,
+         |    coalesce(sum(CASE WHEN bl.doc_a IS NOT NULL THEN 1 END), 0) AS n_kept
+         |  FROM rtop t LEFT JOIN rblocked bl
+         |    ON bl.doc_a = t.doc_a AND bl.doc_b = t.doc_b
+         |), regime AS (
+         |  SELECT CASE WHEN n_true = 0 OR
+         |      n_kept::DOUBLE >= n_true::DOUBLE * $BlockingRecallFloor
+         |    THEN 'ok' ELSE 'degenerate' END AS r FROM ragg
+         |), rare_cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  WHERE a.df <= a.n * $RareDfFrac
+         |), ${graft.operators.Dedup.winnowChainCte},
+         |fp AS (
+         |  SELECT DISTINCT doc_id, h[p+1] AS fh
+         |  FROM selw, unnest(sel) AS u(p)
+         |), win_cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM fp a JOIN fp b ON a.fh = b.fh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 3
+         |), cand AS (
+         |  SELECT doc_a, doc_b FROM rare_cand WHERE (SELECT r FROM regime) = 'ok'
+         |  UNION ALL
+         |  SELECT doc_a, doc_b FROM win_cand WHERE (SELECT r FROM regime) = 'degenerate'
+         |), dots AS (
+         |  SELECT c.doc_a, c.doc_b, sum(a.w * b.w) AS dot
+         |  FROM cand c
+         |  JOIN w a ON a.doc_id = c.doc_a
+         |  JOIN w b ON b.doc_id = c.doc_b AND b.term = a.term
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b,
+         |  round(dot / (na.nrm * nb.nrm), 4) AS cosine,
+         |  (SELECT r FROM regime) AS regime
          |FROM dots
          |JOIN nrm na ON na.doc_id = doc_a
          |JOIN nrm nb ON nb.doc_id = doc_b

@@ -2379,4 +2379,40 @@ class OperatorsSpec extends SparkSpec {
     val g = row(good)
     assert(g.getString(5) === "ok" && g.getDouble(4) >= 0.8)
   }
+
+  test("tfidf_cosine_guarded: acts on the guard — winnow fallback recovers the clone families") {
+    import spark.implicits._
+    // the blind-spot corpus from the recall spec: coverage reads 'ok',
+    // true recall of the rare-term blocking is ~0, and truly-similar
+    // pairs are clone families sharing NO rare term
+    val originals = (0 until 20).map(o =>
+      (0 until 8).flatMap(j => Seq.fill(5)(s"w${(o * 31 + j * 7) % 23}"))
+        .mkString(" "))
+    val docs = (for (o <- 0 until 20; k <- 0 until 40) yield
+      ((o * 40 + k).toLong, s"${originals(o)} c$k")).toDF("doc_id", "text")
+    // the UNGUARDED relation surfaces only cross-family pairs (joined
+    // by the misleading per-clone suffixes) — the failure being fixed
+    val unguarded = Index.tfidfCosinePairsOf(docs).collect()
+    assert(unguarded.nonEmpty &&
+      !unguarded.exists(r => r.getLong(0) / 40 === r.getLong(1) / 40))
+    // the guarded operator must flip to the winnow relation and rank
+    // REAL clone-family pairs at clone-level cosine
+    val g = Index.tfidfCosineGuardedOf(docs).collect()
+    assert(g.length === 20 && g.forall(_.getString(3) === "degenerate"))
+    assert(g.forall(r => r.getLong(0) / 40 === r.getLong(1) / 40),
+      "every guarded pair must be a true clone-family pair")
+    assert(g.forall(_.getDouble(2) >= 0.9))
+    // healthy regime: the guard reads 'ok' and the guarded ranking IS
+    // the rare-blocked ranking, regime column aside — the fallback
+    // must never replace the 100 TB-shaped relation where it works
+    val good = (0L until 200L).map { i =>
+      val fam = i / 2
+      (i, s"the quick brown fox shared${fam} extra${fam} tail${i % 2}")
+    }.toDF("doc_id", "text")
+    val gg = Index.tfidfCosineGuardedOf(good).collect()
+    assert(gg.nonEmpty && gg.forall(_.getString(3) === "ok"))
+    val plain = Index.tfidfCosinePairsOf(good).collect()
+    assert(gg.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      plain.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+  }
 }
