@@ -31,4 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // ad-hoc -D flags for stress runs (e.g. a zstd shuffle/spill codec
+  // for the spill-bound ngram_jaccard 100x attempt) without editing
+  // the build: SPARK_GRAFT_EXTRA_OPTS="-Dspark.io.compression.codec=zstd"
+  sys.env.get("SPARK_GRAFT_EXTRA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -13,14 +13,18 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   * read side bounded), and file counts stay BOUNDED (auto-compaction
   * every `compactEvery` batches folds the landings).
   *
-  * Usage: `runMain graft.SoakStress [nBatches] [sfDir]`
-  * (default 100 batches over sf0.01). Prints `SOAK sink=... batch=K
+  * Usage: `runMain graft.SoakStress [nBatches] [sfDir] [sinks]`
+  * (default 100 batches over sf0.01, all five sinks; `sinks` is a
+  * comma list for targeted long soaks, e.g. `1000 ... stream_pipeline`
+  * — the r12 VERDICT item 4 run). Prints `SOAK sink=... batch=K
   * t=...s files=N` every 10th batch plus a summary per sink.
   */
 object SoakStress {
   def main(args: Array[String]): Unit = {
     val nBatches = args.headOption.map(_.toInt).getOrElse(100)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val sinks: String => Boolean =
+      if (args.length > 2) args(2).split(',').toSet else _ => true
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -137,17 +141,23 @@ object SoakStress {
           .cast("long").as("vec_id"), col("embedding")),
       centPath)
 
-    drive("stream_index", Seq(s"$base/index"),
-      df => streaming.Stream.indexMaintenance(df, s"$base/index", nBuckets = 8, compactEvery = 16))
-    drive("stream_interleave", Seq(s"$base/packs"),
-      df => streaming.Stream.interleaveMaintenance(df, s"$base/packs", compactEvery = 16))
-    drive("stream_pipeline", Seq(s"$base/md5", s"$base/fp"),
-      df => streaming.Stream.pipelineGate(df, s"$base/md5", s"$base/fp", s"$base/out"))
-    driveVec("stream_embed_index", Seq(s"$base/vecstore"),
-      df => streaming.Stream.embedIndexMaintenance(df, centPath, s"$base/vecstore", compactEvery = 16))
-    driveVec("stream_semantic_store", Seq(s"$base/semstore"),
-      df => streaming.Stream.semdedupGate(df, centPath, s"$base/semstore", s"$base/semout"))
+    if (sinks("stream_index"))
+      drive("stream_index", Seq(s"$base/index"),
+        df => streaming.Stream.indexMaintenance(df, s"$base/index", nBuckets = 8, compactEvery = 16))
+    if (sinks("stream_interleave"))
+      drive("stream_interleave", Seq(s"$base/packs"),
+        df => streaming.Stream.interleaveMaintenance(df, s"$base/packs", compactEvery = 16))
+    if (sinks("stream_pipeline"))
+      drive("stream_pipeline", Seq(s"$base/md5", s"$base/fp"),
+        df => streaming.Stream.pipelineGate(df, s"$base/md5", s"$base/fp", s"$base/out"))
+    if (sinks("stream_embed_index"))
+      driveVec("stream_embed_index", Seq(s"$base/vecstore"),
+        df => streaming.Stream.embedIndexMaintenance(df, centPath, s"$base/vecstore", compactEvery = 16))
+    if (sinks("stream_semantic_store"))
+      driveVec("stream_semantic_store", Seq(s"$base/semstore"),
+        df => streaming.Stream.semdedupGate(df, centPath, s"$base/semstore", s"$base/semout"))
 
+    if (sinks("stream_embed_index")) {
     // content exactness across a compaction: the resolved embed store
     // folds to one segment with IDENTICAL (vec_id, bucket) content
     val preFold = streaming.Stream.loadEmbedStore(spark, s"$base/vecstore")
@@ -159,6 +169,8 @@ object SoakStress {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     println(s"SOAK-COMPACT stream_embed_index: rows=${postFold.size} " +
       s"files=${files(s"$base/vecstore")} exact=${preFold == postFold}")
+    }
+    if (sinks("stream_semantic_store")) {
     // the semantic store's membership must equal the landed survivors
     val landedVecs = spark.read.parquet(s"$base/semout")
       .select("vec_id").collect().map(_.getLong(0)).toSet
@@ -166,6 +178,8 @@ object SoakStress {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     println(s"SOAK-CHECK stream_semantic_store: survivors=${landedVecs.size} " +
       s"store=${storeVecs.size} consistent=${landedVecs == storeVecs}")
+    }
+    if (sinks("stream_pipeline")) {
     // the pipeline gate's clean landing accumulates batch=<id> dirs by
     // design; CorpusStore.compact (save under the hood) folds them —
     // the soak slices carry no lang/source, so stamp the canonical
@@ -179,6 +193,7 @@ object SoakStress {
     println(f"SOAK-COMPACT stream_pipeline clean: $cleanFiles files -> " +
       f"${files(s"$base/out/clean_compacted")} files, $n docs preserved=" +
       s"${spark.read.parquet(s"$base/out/clean_compacted").count() == n}")
+    }
     spark.stop()
   }
 }

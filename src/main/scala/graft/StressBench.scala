@@ -16,6 +16,15 @@ object BpeStress {
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.entry(spark).count() // warm codegen/readers/shuffle
+    // optional 2nd arg: trainer path (hot | batched) for A/B curves;
+    // 3rd/4th: window and slice-cap overrides (multi-super-round and
+    // fallback measurements at production shapes)
+    args.drop(1).headOption.foreach(t =>
+      spark.conf.set(operators.TextAnalysis.BpeTrainerConfKey, t))
+    args.drop(2).headOption.foreach(w =>
+      spark.conf.set(operators.TextAnalysis.BpeWindowConfKey, w))
+    args.drop(3).headOption.foreach(c =>
+      spark.conf.set(operators.TextAnalysis.BpeSliceCapConfKey, c))
     for (dir <- dirs; r <- rounds) {
       spark.conf.set(operators.TextAnalysis.BpeRoundsConfKey, r.toString)
       // `zipf:<n>` = the shared Zipfian synthetic (20k-term vocab) —
@@ -29,8 +38,13 @@ object BpeStress {
       val t = (System.nanoTime() - t0) / 1e9
       val scans = operators.TextAnalysis.lastBpeScans
       val mps = if (scans > 0) merges.toDouble / scans else merges.toDouble
-      println(f"BPESTRESS dir=$dir%-24s rounds=$r%-6d merges=$merges%-6d " +
-        f"scans=$scans%-5d merges/scan=$mps%7.1f $t%8.2fs")
+      val trainer = spark.conf
+        .getOption(operators.TextAnalysis.BpeTrainerConfKey).getOrElse("hot")
+      val sup = operators.TextAnalysis.lastBpeSuperRounds
+      val fb = operators.TextAnalysis.lastBpeFellBack
+      println(f"BPESTRESS dir=$dir%-24s trainer=$trainer%-8s rounds=$r%-6d " +
+        f"merges=$merges%-6d scans=$scans%-5d superrounds=$sup%-5d " +
+        f"fellback=$fb%-5s merges/scan=$mps%7.1f $t%8.2fs")
     }
     spark.conf.unset(operators.TextAnalysis.BpeRoundsConfKey)
     spark.stop()

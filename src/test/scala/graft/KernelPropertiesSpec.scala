@@ -374,4 +374,151 @@ class KernelPropertiesSpec extends AnyFunSuite {
       batched(table, k) == sequential(table, k)
     })
   }
+
+  test("hotSliceKernel: hot-slice trainer == one-at-a-time BPE across windows, caps, and fallback") {
+    // The sequence-equivalence LAW behind the incremental hot-slice
+    // trainer (operators.TextAnalysis.bpeHotSliceLoop): per
+    // super-round, pull the top-W candidate window + every word
+    // containing a window pair, run EXACT sequential BPE locally
+    // (sound against un-pulled pairs via the window's tail bound —
+    // un-windowed counts only ever DECREASE, created pairs involve a
+    // just-merged symbol and are tracked exactly), write back words
+    // and pair deltas. The simulator below mirrors the cluster
+    // orchestration exactly — including the INCREMENTAL pair frame
+    // (base + deltas, never re-aggregated) and the slice-cap fallback
+    // to the batched loop — so a delta bug cannot hide behind a
+    // recount.
+    type Word = (Vector[String], Long)
+    def pairCounts(words: Seq[Word]): Map[(String, String), Long] = {
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+      words.foreach { case (syms, c) =>
+        syms.zip(syms.drop(1)).foreach(p => pc(p) = pc.getOrElse(p, 0L) + c)
+      }
+      pc.toMap
+    }
+    def applyMerges(words: Seq[Word], mp: Map[(String, String), String]): Seq[Word] =
+      words.map { case (syms, c) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        syms.foreach { x =>
+          if (out.nonEmpty && mp.contains((out.last, x)))
+            out(out.length - 1) = mp((out.last, x))
+          else out += x
+        }
+        (out.toVector, c)
+      }
+    def sequential(words0: Seq[Word], k: Int): Seq[(String, String, Long)] = {
+      var words = words0
+      val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      var done = false
+      while (out.size < k && !done) {
+        val pc = pairCounts(words)
+        if (pc.isEmpty) done = true
+        else {
+          val ((l, r), f) = pc.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head
+          out += ((l, r, f))
+          words = applyMerges(words, Map((l, r) -> (l + r)))
+        }
+      }
+      out.toSeq
+    }
+    def batched(words0: Seq[Word], k: Int): Seq[(String, String, Long)] = {
+      var words = words0
+      val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      var done = false
+      while (out.size < k && !done) {
+        val top = pairCounts(words).toSeq
+          .map { case ((l, r), f) => (l, r, f) }
+          .sortBy { case (l, r, f) => (-f, l, r) }
+          .take(operators.TextAnalysis.BpeBatchMax + 1)
+        if (top.isEmpty) done = true
+        else {
+          val batch = operators.TextAnalysis.compatibleBatch(top, k - out.size)
+          out ++= batch
+          words = applyMerges(words,
+            batch.map { case (l, r, _) => (l, r) -> (l + r) }.toMap)
+        }
+      }
+      out.toSeq
+    }
+    def hot(words0: Seq[Word], k: Int, w: Int, cap: Int): Seq[(String, String, Long)] = {
+      var words: Map[String, Word] =
+        words0.map(t => (t._1.mkString(""), t)).toMap
+      var pairs: Map[(String, String), Long] = pairCounts(words.values.toSeq)
+      val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      var exhausted = false
+      var fell = false
+      while (out.size < k && !exhausted && !fell) {
+        val top = pairs.toSeq.map { case ((l, r), f) => (l, r, f) }
+          .sortBy { case (l, r, f) => (-f, l, r) }.take(w + 1)
+        if (top.isEmpty) exhausted = true
+        else {
+          val window = top.take(w)
+          val tail = if (top.size > w) top.last._3 else -1L
+          val wset = window.map { case (l, r, _) => (l, r) }.toSet
+          val slice = words.filter { case (_, (s, _)) =>
+            s.zip(s.drop(1)).exists(wset) }
+          if (slice.size > cap) {
+            fell = true
+            out ++= batched(words.values.toSeq, k - out.size)
+          } else {
+            val (got, changed, deltas) = operators.TextAnalysis.hotSliceKernel(
+              slice, window, tail, k - out.size)
+            out ++= got
+            words = words ++ changed.map { case (t, s) => t -> ((s, words(t)._2)) }
+            pairs = (pairs.keySet ++ deltas.keySet).iterator.map { p =>
+              p -> (pairs.getOrElse(p, 0L) + deltas.getOrElse(p, 0L))
+            }.filter(_._2 > 0).toMap
+          }
+        }
+      }
+      out.toSeq
+    }
+    val genWord = for {
+      len <- Gen.choose(1, 10)
+      cs <- Gen.listOfN(len, Gen.oneOf("abcdef".toSeq))
+      cnt <- Gen.choose(1L, 9L)
+    } yield (cs.map(_.toString).toVector, cnt)
+    val genTable = Gen.choose(3, 20).flatMap(n => Gen.listOfN(n, genWord))
+      .map(_.groupBy(_._1).map { case (syms, g) => (syms, g.map(_._2).sum) }.toSeq)
+    // windows down to 1 force the tail-bound stop on nearly every
+    // merge (max super-round churn); 64 usually holds every live pair
+    check(Prop.forAll(genTable, Gen.choose(1, 25), Gen.oneOf(1, 2, 3, 8, 64)) {
+      (table, k, w) => hot(table, k, w, Int.MaxValue) == sequential(table, k)
+    })
+    // forced slice-cap fallback mid-run (cap 0 falls back on round 1;
+    // small caps fall back once the slice grows past them)
+    check(Prop.forAll(genTable, Gen.choose(1, 25), Gen.oneOf(0, 1, 3)) {
+      (table, k, cap) => hot(table, k, 4, cap) == sequential(table, k)
+    })
+    // runs of identical symbols: self-merge creation chains
+    // ((a,a)→aa, then (aa,a)/(aa,aa)) under tight windows
+    val genRunWord = for {
+      nRuns <- Gen.choose(1, 4)
+      runs <- Gen.listOfN(nRuns, for {
+        c <- Gen.oneOf("abc".toSeq)
+        len <- Gen.choose(1, 7)
+      } yield List.fill(len)(c.toString))
+      cnt <- Gen.choose(1L, 9L)
+    } yield (runs.flatten.toVector, cnt)
+    val genRunTable = Gen.choose(2, 12).flatMap(n => Gen.listOfN(n, genRunWord))
+      .map(_.groupBy(_._1).map { case (syms, g) => (syms, g.map(_._2).sum) }.toSeq)
+    check(Prop.forAll(genRunTable, Gen.choose(1, 25), Gen.oneOf(1, 2, 8)) {
+      (table, k, w) => hot(table, k, w, Int.MaxValue) == sequential(table, k)
+    })
+    // the deterministic self-merge regression tables, at every window
+    def W(s: String, c: Long): Word = (s.split(" ").toVector, c)
+    val regressionTables: Seq[Seq[Word]] = Seq(
+      Seq(W("a a a", 9), W("c d", 5)),
+      Seq(W("a a a", 8), W("c d", 8)),
+      Seq(W("a a a a", 4), W("c d", 3)),
+      Seq(W("a a a", 6), W("b b b", 5), W("c d", 4)),
+      Seq(W("x a a a a a y", 5), W("c d", 4), W("e f", 2)),
+      Seq(W("a a a a a a a", 3), W("c d", 2))
+    )
+    for (table <- regressionTables; k <- 1 to 6; w <- Seq(1, 2, 8)) {
+      assert(hot(table, k, w, Int.MaxValue) == sequential(table, k),
+        s"hot-slice regression: table=$table k=$k w=$w " +
+          s"hot=${hot(table, k, w, Int.MaxValue)} sequential=${sequential(table, k)}")
+    }
+  }
 }

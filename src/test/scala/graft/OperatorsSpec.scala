@@ -1941,6 +1941,75 @@ class OperatorsSpec extends SparkSpec {
     } finally spark.conf.unset(operators.TextAnalysis.BpeRoundsConfKey)
   }
 
+  test("bpe_train: hot-slice trainer matches reference under tight windows, cap fallback, and the batched knob") {
+    import spark.implicits._
+    // Same crafted-corpus family as the 1000-merge spec (disjoint
+    // per-word character ranges, 17 frequency levels for ties), small
+    // enough that the tight-window variant's many super-rounds stay
+    // cheap. Exercises the three >gate cluster paths the default
+    // config doesn't: (a) bpeWindow=3 — the tail bound stops nearly
+    // every local run, so the trainer crosses MANY super-rounds and
+    // the incremental pair frame carries deltas across write-backs;
+    // (b) bpeSliceCap=1 — round-1 overflow delegates to the batched
+    // loop mid-flight; (c) trainer=batched — the r12 path stays live.
+    val vocabWords = (0 until 24).map { i =>
+      (0 until 9).map(j => (0x4E00 + i * 9 + j).toChar).mkString
+    }
+    val texts = vocabWords.zipWithIndex.map { case (w, i) =>
+      (i.toLong, Seq.fill(i % 17 + 2)(w).mkString(" "))
+    }
+    val docs = texts.toDF("doc_id", "text")
+    def refBpe(counts: Map[String, Long], k: Int): Seq[(Long, String, String, String, Long)] = {
+      var words = counts.toSeq.map { case (w, c) => (w.map(_.toString).toVector, c) }
+      (1 to k).flatMap { r =>
+        val pc = scala.collection.mutable.Map[(String, String), Long]()
+        words.foreach { case (syms, c) =>
+          syms.zip(syms.drop(1)).foreach(p => pc(p) = pc.getOrElse(p, 0L) + c)
+        }
+        if (pc.isEmpty) None
+        else {
+          val ((l, rr), f) = pc.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head
+          words = words.map { case (syms, c) =>
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            syms.foreach { x =>
+              if (out.nonEmpty && out.last == l && x == rr) out(out.length - 1) = l + rr
+              else out += x
+            }
+            (out.toVector, c)
+          }
+          Some((r.toLong, l, rr, l + rr, f))
+        }
+      }
+    }
+    val counts = texts.flatMap(_._2.split("\\s+")).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val want = refBpe(counts, 48)
+    assert(want.length === 48, s"crafted corpus exhausted at ${want.length} merges")
+    val configs = Seq(
+      "window=3" -> Map(operators.TextAnalysis.BpeWindowConfKey -> "3"),
+      "cap=1 fallback" -> Map(operators.TextAnalysis.BpeSliceCapConfKey -> "1"),
+      "batched" -> Map(operators.TextAnalysis.BpeTrainerConfKey -> "batched"))
+    spark.conf.set(operators.TextAnalysis.BpeRoundsConfKey, "48")
+    try {
+      configs.foreach { case (label, conf) =>
+        conf.foreach { case (k, v) => spark.conf.set(k, v) }
+        try {
+          val got = operators.TextAnalysis.bpeTrainOf(docs).collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+              r.getString(3), r.getLong(4)))
+            .toSeq.sortBy(_._1)
+          assert(got === want, s"trainer config '$label' diverged from reference")
+          if (label == "cap=1 fallback")
+            assert(operators.TextAnalysis.lastBpeFellBack,
+              "cap=1 run did not exercise the fallback path")
+          if (label == "window=3")
+            assert(operators.TextAnalysis.lastBpeSuperRounds > 5,
+              s"window=3 run crossed only ${operators.TextAnalysis.lastBpeSuperRounds} super-rounds")
+        } finally conf.keys.foreach(spark.conf.unset)
+      }
+    } finally spark.conf.unset(operators.TextAnalysis.BpeRoundsConfKey)
+  }
+
   test("bpe_fertility: trained tokenizer compresses — 1 <= fertility < chars/word") {
     val rows = operators.TextAnalysis.bpeFertility(spark, sfDir).collect()
     assert(rows.nonEmpty)
