@@ -179,8 +179,14 @@ object IndexScaleStress {
   * the truly-similar pairs (cosine ≥ τ) the rare-term blocking
   * retains, at τ = 0.3 and 0.5.
   *
-  * Usage: `runMain graft.CosineRecallStress [dir] [step]`
-  * (default /tmp/stress10x, step = |docs|/1024 rounded up).
+  * Usage: `runMain graft.CosineRecallStress [dir] [step] [stride]`
+  * (default /tmp/stress10x, step = |docs|/1024 rounded up). `stride`
+  * is the clone-family id stride of the make_stress10x corpora
+  * (= the source dir's doc count): when given, the sample keeps WHOLE
+  * families — (doc_id % stride) % baseStep == 0 — so the planted
+  * near-dup signal the corpus exists to provide is in-frame (plain
+  * step-sampling never lands two members of the same family: family
+  * ids differ by the stride, which is not a step multiple).
   */
 object CosineRecallStress {
   def main(args: Array[String]): Unit = {
@@ -216,9 +222,19 @@ object CosineRecallStress {
       .localCheckpoint() // feeds 4 branches below
     val nrm = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     // zipf mode samples a PREFIX so planted (id-1, id) near-dup pairs
-    // land in-sample; step-sampling would systematically exclude them
+    // land in-sample; step-sampling would systematically exclude them.
+    // clone dirs take the family stride (3rd arg) for the same reason:
+    // whole families in-sample, ~1k docs total
+    val stride = if (args.length > 2) Some(args(2).toLong) else None
     val inS = (c: org.apache.spark.sql.Column) =>
-      if (dir.startsWith("zipf:")) c < math.min(nDocs, 2048L) else c % step === 0
+      if (dir.startsWith("zipf:")) c < math.min(nDocs, 2048L)
+      else stride match {
+        case Some(st) =>
+          val familySz = math.max(1L, nDocs / st)
+          val baseStep = math.max(1L, st * familySz / 1024L)
+          (c % st) % baseStep === 0
+        case None => c % step === 0
+      }
     val wS = w.filter(inS(col("doc_id")))
     // exact cosine over every in-sample pair (all shared terms)
     val exact = wS.select(col("doc_id").as("doc_a"), col("term"), col("w").as("wa"))
@@ -243,7 +259,7 @@ object CosineRecallStress {
       val nTrue = truth.count()
       val nKept = truth.join(blocked, Seq("doc_a", "doc_b"), "left_semi").count()
       val rec = if (nTrue == 0) 1.0 else nKept.toDouble / nTrue
-      val sampleN = if (dir.startsWith("zipf:")) math.min(nDocs, 2048L) else nDocs / step
+      val sampleN = docs.filter(inS(col("doc_id"))).count()
       println(f"COSRECALL dir=$dir%-20s sample=$sampleN tau=$tau%.1f " +
         f"true=$nTrue kept=$nKept recall=$rec%.4f")
     }
@@ -276,6 +292,9 @@ object CosineRecallStress {
       if (r.getString(4) == "ok") blocked
       else operators.Dedup.winnowCandidatesOf(docs.filter(inS(col("doc_id"))))
         .select("doc_a", "doc_b")
+        .unionByName(operators.Index.profileIvfCandidatesOf(
+          w.filter(inS(col("doc_id")))))
+        .distinct()
     Seq(0.3, 0.5).foreach { tau =>
       val truth = exact.filter(col("cos") >= tau)
       val nTrue = truth.count()
@@ -283,6 +302,91 @@ object CosineRecallStress {
       val rec = if (nTrue == 0) 1.0 else nKept.toDouble / nTrue
       println(f"COSRECALL dir=$dir%-20s GUARDED regime=${r.getString(4)}%-10s " +
         f"tau=$tau%.1f true=$nTrue kept=$nKept recall=$rec%.4f")
+    }
+    // the OPERATOR-CONTRACT frame: recall against the top-50 in-sample
+    // pairs by exact cosine — what a top-20 ranking must surface. The
+    // tau-threshold relation on a tiny-vocab corpus is DENSE (~2.5% of
+    // ALL pairs at tau=0.3: every doc pair shares most of a 31-word
+    // vocabulary), so recall@tau of ANY sub-quadratic candidate
+    // relation is bounded by candidate mass there — the top-k frame is
+    // the one a bounded generator can and must win.
+    val top50 = exact.orderBy(col("cos").desc, col("doc_a"), col("doc_b"))
+      .limit(50).localCheckpoint()
+    // DENSE-REGIME probe: on a tiny vocabulary, similarity is a
+    // PROFILE property (near-proportional tf-idf weights over the
+    // common terms) — no shared rare term, no shared n-gram run, so
+    // every TEXTUAL candidate generator is structurally blind to it.
+    // The profile-space tool: each doc's tf-idf vector over the
+    // top-32-df COMMON terms, the deterministic 12-bit sign-LSH
+    // signature (same rational-hyperplane kernel as knn_lsh), and the
+    // Hamming<=2 relation — enumerable sub-quadratically in production
+    // by the pigeonhole band join simhash_pairs ships (<=2 differing
+    // bits leave one of 3 4-bit bands intact). The sample is ~1k docs,
+    // so the relation is evaluated directly here.
+    val dWin = org.apache.spark.sql.expressions.Window
+      .orderBy(col("df").desc, col("term"))
+    val topIdx = w.groupBy("term").agg(max(col("df")).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(32)
+      .select(col("term"), (row_number().over(dWin) - 1).as("idx"))
+    val prof = w.filter(inS(col("doc_id"))).join(broadcast(topIdx), "term")
+      .groupBy("doc_id")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("idx"), col("w"))))).as("m"))
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, 31), i -> cast(coalesce(try_element_at(m, i), 0.0d) as float))")
+        .as("emb"))
+    val sig = prof.select(col("doc_id"),
+        graft.functions.VectorFns.lshBucket(col("emb"), 12).as("sig"))
+      .localCheckpoint()
+    val profCand = sig.select(col("doc_id").as("doc_a"), col("sig").as("sa"))
+      .crossJoin(broadcast(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb"))))
+      .filter(col("doc_a") < col("doc_b") && expr("bit_count(sa ^ sb) <= 2"))
+      .select("doc_a", "doc_b")
+    // and the full dense-ANN shape over the same profiles: the
+    // engine's untrained-IVF pattern (first-16 sample profiles as
+    // deterministic centroids — saveCentroids' own convention), probe
+    // the top-2 cells by cosine, candidates = co-probed pairs. This is
+    // exactly `knn_ivf`/`semantic_dedup`'s candidate relation applied
+    // to vocab-profile vectors.
+    val cents = prof.orderBy("doc_id").limit(16)
+      .select(col("doc_id").as("cid"), col("emb").as("ce"))
+    val aWin = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("sim").desc, col("cid"))
+    val assigned = prof.crossJoin(broadcast(cents))
+      .withColumn("sim",
+        graft.functions.VectorFns.dot(col("emb"), col("ce")) /
+          (sqrt(graft.functions.VectorFns.dot(col("emb"), col("emb"))) *
+            sqrt(graft.functions.VectorFns.dot(col("ce"), col("ce"))) + lit(1e-12)))
+      .withColumn("rk", row_number().over(aWin))
+      .filter(col("rk") <= 4).select(col("doc_id"), col("cid"), col("rk"))
+      .localCheckpoint()
+    def ivfCand(probe: Int): org.apache.spark.sql.DataFrame = {
+      val a2 = assigned.filter(col("rk") <= probe)
+      a2.select(col("doc_id").as("doc_a"), col("cid"))
+        .join(a2.select(col("doc_id").as("doc_b"), col("cid")), "cid")
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    }
+    val rels = Seq("blocked" -> blocked,
+      s"guarded:${r.getString(4)}" -> gcand,
+      "profile-lsh12" -> profCand,
+      "profile-ivf16x2" -> ivfCand(2),
+      "profile-ivf16x4" -> ivfCand(4))
+    rels.foreach { case (nm, c) =>
+      val tot = top50.count()
+      val kept = top50.join(c, Seq("doc_a", "doc_b"), "left_semi").count()
+      println(f"COSRECALL dir=$dir%-20s TOP50 rel=$nm%-20s " +
+        f"true=$tot kept=$kept recall=${kept.toDouble / math.max(1L, tot)}%.4f")
+    }
+    rels.drop(2).foreach { case (nm, c) =>
+      Seq(0.3, 0.5).foreach { tau =>
+        val truth = exact.filter(col("cos") >= tau)
+        val nTrue = truth.count()
+        val nKept = truth.join(c, Seq("doc_a", "doc_b"), "left_semi").count()
+        val rec = if (nTrue == 0) 1.0 else nKept.toDouble / nTrue
+        println(f"COSRECALL dir=$dir%-20s PROFILE rel=$nm%-16s tau=$tau%.1f " +
+          f"true=$nTrue kept=$nKept recall=$rec%.4f")
+      }
     }
     spark.stop()
   }
@@ -308,10 +412,15 @@ object StressBench {
                "doc_lang_mismatch", "simhash_pairs")
     val dirs = sys.env.getOrElse("SPARK_GRAFT_STRESS_DIRS",
       "/root/testdata/sf0.1,/tmp/stress10x").split(',').toSeq
+    // fold-mode filter (default both): heavyweight single-key runs
+    // (e.g. the spill-bound ngram_jaccard 100x) pick one mode so the
+    // shuffle footprint isn't paid twice in one session
+    val modes = sys.env.getOrElse("SPARK_GRAFT_STRESS_FOLDS", "true,false")
+      .split(',').toSeq
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.entry(spark).count() // warm codegen/readers/shuffle
-    for (dir <- dirs; mode <- Seq("true", "false")) {
+    for (dir <- dirs; mode <- modes) {
       spark.conf.set(operators.Folds.ConfKey, mode)
       keys.foreach { k =>
         val t = (1 to 2).map { _ =>

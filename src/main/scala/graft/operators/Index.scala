@@ -298,10 +298,14 @@ object Index {
     *
     *  - regime 'ok' → the rare-term blocked relation (the 100 TB
     *    shape, unchanged);
-    *  - regime 'degenerate' → the winnow fingerprint candidate
+    *  - regime 'degenerate' → the UNION of the winnow fingerprint
     *    relation ([[Dedup.winnowCandidatesOf]] — positional ≥8-token
-    *    run evidence needs no Zipfian vocabulary), still bucket-keyed,
-    *    never doc×doc.
+    *    run evidence for textual near-dups, no Zipfian vocabulary
+    *    needed) and the dense profile-space rung
+    *    ([[profileIvfCandidatesOf]] — r13: in a degenerate vocabulary
+    *    similarity can be a pure PROFILE property with no shared rare
+    *    term and no shared n-gram run, which only the engine's
+    *    dense-ANN shape can see). Both bucket-keyed, never doc×doc.
     *
     * Rescoring is identical either way (full shared-term dot under
     * corpus idf weights), so scores are true cosines and only the
@@ -335,7 +339,10 @@ object Index {
           .join(rare.select(col("doc_id").as("doc_b"), col("term")), "term")
           .filter(col("doc_a") < col("doc_b"))
           .select("doc_a", "doc_b").distinct()
-      } else Dedup.winnowCandidatesOf(docs).select("doc_a", "doc_b")
+      } else
+        Dedup.winnowCandidatesOf(docs).select("doc_a", "doc_b")
+          .unionByName(profileIvfCandidatesOf(w))
+          .distinct()
     cand
       .join(w.select(col("doc_id").as("doc_a"), col("term"), col("w").as("wa")),
         Seq("doc_a"))
@@ -349,6 +356,70 @@ object Index {
         lit(regime).as("regime"))
       .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
       .limit(20)
+  }
+
+  /** Profile-space fallback dimensions/cells/probes (r13). Constants,
+    * not knobs: the DuckDB oracle replays the exact same values.
+    */
+  val ProfileDims = 32
+  val ProfileCells = 16
+  val ProfileProbes = 4
+
+  /** The DENSE-REGIME candidate rung of [[tfidfCosineGuardedOf]] (r13):
+    * when the vocabulary is degenerate, similarity is a PROFILE
+    * property — near-proportional tf-idf weights over the COMMON terms
+    * — so truly-similar pairs can share no rare term AND no n-gram run
+    * (measured: the 10× clone corpus's top-50 exact-cosine pairs are
+    * kept 0.08 / 0.00 by the blocked and winnow relations). The tool
+    * for that regime is the engine's own dense-ANN shape
+    * (`knn_ivf` / `semantic_dedup`): project each doc onto the corpus's
+    * top-[[ProfileDims]]-df terms (exactly the terms rare-term blocking
+    * ignores), assign to [[ProfileCells]] deterministic centroids (the
+    * [[ProfileCells]] lowest-doc_id profiles — `saveCentroids`' own
+    * first-k convention, no training pass), probe the top-
+    * [[ProfileProbes]] cells by cosine, and emit co-probed in-cell
+    * pairs. Measured on the clone corpora (CosineRecallStress): top-50
+    * recall 1.000 / 0.92, τ=0.3 recall 0.89 / 0.96 — where every
+    * textual generator reads ≈ 0.
+    *
+    * Scale shape: one broadcast [[ProfileDims]]-term dictionary, a
+    * vocab-profile rollup, a narrow broadcast-centroid assignment, and
+    * a cid-keyed pair join — `semantic_dedup`'s declared candidate
+    * shape (in-cell pair mass is governed by the cell count; a
+    * production deployment scales cells with corpus size exactly as it
+    * does for the IVF family). All arithmetic is the bitwise
+    * cross-engine float→double fold ([[graft.functions.VectorFns.dot]]
+    * ↔ OracleSql.dot), so both engines assign identical cells.
+    */
+  private[graft] def profileIvfCandidatesOf(w: DataFrame): DataFrame = {
+    import graft.functions.VectorFns
+    val dWin = Window.orderBy(col("df").desc, col("term"))
+    val topIdx = w.groupBy("term").agg(max(col("df")).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(ProfileDims)
+      .select(col("term"), (row_number().over(dWin) - 1).as("idx"))
+    val prof = w.join(broadcast(topIdx), "term")
+      .groupBy("doc_id")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("idx"), col("w"))))).as("m"))
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, ${ProfileDims - 1}), " +
+          "i -> cast(coalesce(try_element_at(m, i), 0.0d) as float))").as("emb"))
+      .localCheckpoint() // feeds centroid pick + assignment
+    val cents = prof.orderBy("doc_id").limit(ProfileCells)
+      .select(col("doc_id").as("cid"), col("emb").as("ce"))
+    val aWin = Window.partitionBy("doc_id").orderBy(col("sim").desc, col("cid"))
+    val assigned = prof.crossJoin(broadcast(cents))
+      .withColumn("sim",
+        VectorFns.dot(col("emb"), col("ce")) /
+          (sqrt(VectorFns.dot(col("emb"), col("emb"))) *
+            sqrt(VectorFns.dot(col("ce"), col("ce"))) + lit(1e-12)))
+      .withColumn("rk", row_number().over(aWin))
+      .filter(col("rk") <= ProfileProbes)
+      .select(col("doc_id"), col("cid"))
+    assigned.select(col("doc_id").as("doc_a"), col("cid"))
+      .join(assigned.select(col("doc_id").as("doc_b"), col("cid")), "cid")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
   }
 
   /** Coverage floor below which [[tfidfBlockingCoverage]] declares the
@@ -1608,10 +1679,45 @@ object Index {
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM fp a JOIN fp b ON a.fh = b.fh AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2 HAVING count(*) >= 3
+         |), pidx AS (
+         |  SELECT term, CAST(rn - 1 AS INT) AS idx FROM (
+         |    SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rn
+         |    FROM (SELECT term, max(df) AS df FROM w GROUP BY term))
+         |  WHERE rn <= $ProfileDims
+         |), pv AS (
+         |  SELECT w.doc_id, p.idx, CAST(w.w AS FLOAT) AS v
+         |  FROM w JOIN pidx p USING (term)
+         |), slots AS (
+         |  SELECT d.doc_id, r.i AS idx
+         |  FROM (SELECT DISTINCT doc_id FROM pv) d, range($ProfileDims) r(i)
+         |), prof AS (
+         |  SELECT doc_id, list(v ORDER BY idx) AS emb FROM (
+         |    SELECT s.doc_id, s.idx, coalesce(max(p.v), CAST(0.0 AS FLOAT)) AS v
+         |    FROM slots s LEFT JOIN pv p ON p.doc_id = s.doc_id AND p.idx = s.idx
+         |    GROUP BY s.doc_id, s.idx)
+         |  GROUP BY doc_id
+         |), pcents AS (
+         |  SELECT doc_id AS cid, emb AS ce FROM prof ORDER BY doc_id
+         |  LIMIT $ProfileCells
+         |), pasg AS (
+         |  SELECT doc_id, cid FROM (
+         |    SELECT p.doc_id, c.cid, row_number() OVER (PARTITION BY p.doc_id
+         |      ORDER BY (${OracleSql.dot("p.emb", "c.ce")} /
+         |        (sqrt(${OracleSql.dot("p.emb", "p.emb")}) *
+         |         sqrt(${OracleSql.dot("c.ce", "c.ce")}) + 1e-12)) DESC, c.cid) AS rk
+         |    FROM prof p, pcents c)
+         |  WHERE rk <= $ProfileProbes
+         |), prof_cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pasg a JOIN pasg b ON a.cid = b.cid AND a.doc_id < b.doc_id
          |), cand AS (
          |  SELECT doc_a, doc_b FROM rare_cand WHERE (SELECT r FROM regime) = 'ok'
          |  UNION ALL
-         |  SELECT doc_a, doc_b FROM win_cand WHERE (SELECT r FROM regime) = 'degenerate'
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b FROM win_cand
+         |    UNION
+         |    SELECT doc_a, doc_b FROM prof_cand
+         |  ) WHERE (SELECT r FROM regime) = 'degenerate'
          |), dots AS (
          |  SELECT c.doc_a, c.doc_b, sum(a.w * b.w) AS dot
          |  FROM cand c

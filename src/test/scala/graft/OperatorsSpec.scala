@@ -2484,4 +2484,42 @@ class OperatorsSpec extends SparkSpec {
     assert(gg.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ===
       plain.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
   }
+
+  test("tfidf_cosine_guarded: profile rung sees pairs both textual generators are blind to") {
+    import spark.implicits._
+    // PROFILE-similarity corpus (r13): doc pair (2i, 2i+1) carries the
+    // SAME word-count profile — counts = 2 + base-5 digits of i, so
+    // profiles are distinct across i — but emitted in different orders
+    // (blocked runs vs round-robin), so the pair shares at most the
+    // tail run's couple of 3-shingles (winnow needs >= 3 matching
+    // selected fingerprints) and NO rare term (every v-word's df is
+    // 200 of 202 docs; the two salt docs keep df < n so weights
+    // exist). Exact cosine of each pair is 1.0: only the dense
+    // profile-space rung can surface them.
+    val nPairs = 100
+    def counts(i: Int): Seq[Int] =
+      (0 until 10).map(j => 2 + (i / math.pow(5, j).toInt) % 5)
+    val rows = (0 until nPairs).flatMap { i =>
+      val c = counts(i)
+      val blocked = (0 until 10).flatMap(j => Seq.fill(c(j))(s"v$j"))
+      val maxC = c.max
+      val roundRobin = (0 until maxC).flatMap(r =>
+        (0 until 10).filter(j => c(j) > r).map(j => s"v$j"))
+      Seq((2L * i, blocked.mkString(" ")),
+          (2L * i + 1, roundRobin.mkString(" ")))
+    } ++ Seq((200L, "x y"), (201L, "y x"))
+    val docs = rows.toDF("doc_id", "text")
+    // the textual generators are blind: no top pair shares a rare term
+    // (blocked relation) and none shares >= 3 winnow fingerprints
+    val winnowHits = operators.Dedup.winnowCandidatesOf(docs)
+      .filter(col("doc_a") / 2 === col("doc_b") / 2).count()
+    assert(winnowHits === 0L,
+      s"winnow unexpectedly sees $winnowHits same-profile pairs — corpus no longer crafts the blind spot")
+    val g = Index.tfidfCosineGuardedOf(docs).collect()
+    assert(g.length === 20 && g.forall(_.getString(3) === "degenerate"))
+    assert(g.forall(_.getDouble(2) >= 0.9999),
+      s"top-20 must be the cosine-1.0 profile pairs, got ${g.map(_.getDouble(2)).min}")
+    assert(g.forall(r => r.getLong(0) / 2 === r.getLong(1) / 2),
+      "every guarded pair must be a same-profile pair")
+  }
 }
