@@ -51,6 +51,11 @@ object Explain {
     // buckets AND the mega-bucket self-join fallback (strict < on the
     // item), so one duplicate family can't blow an aggregation buffer
     "ngram_jaccard" -> Rule(required = Seq("collect_list(it#", " < it#")),
+    // the aggregate twin keeps the same bounded-switch candidate shape
+    // (over profile reps) and its output stays bin-bounded: no doc_id
+    // presentation sort may appear over the pair-scale relation
+    "ngram_jaccard_stats" -> Rule(required = Seq("collect_list(it#", " < it#"),
+      forbidden = Seq("Sort [doc_a#")),
     "containment_pairs" -> Rule(),
     // the banded Hamming join must BE the plan: the lossless band-keyed
     // EQUIJOIN (keys = (band, v), broadcast at spec scale, SMJ at 100 TB)

@@ -172,11 +172,18 @@ object Dedup {
     * is the difference between quadratic stopword buckets and a
     * bounded candidate stream.
     */
-  private def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  private def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
     // recomputing the kernel-hashed sets per branch is cheaper than a
     // session-lifetime persist the lazy plan could never release
-    val sets = shingleHashes(docs)
-      .select(col("doc_id"), sort_array(array_distinct(col("hs"))).as("s"))
+    jaccardPairsFromSets(shingleHashes(docs)
+      .select(col("doc_id"), sort_array(array_distinct(col("hs"))).as("s")), threshold)
+
+  /** [[jaccardPairs]]' candidate + verification pipeline over an
+    * already-built `(doc_id, s)` sorted-distinct-shingle-set frame —
+    * so [[ngramJaccardStats]] can run the same lossless PPJoin
+    * relation over profile REPRESENTATIVES instead of raw docs.
+    */
+  private def jaccardPairsFromSets(sets: DataFrame, threshold: Double): DataFrame = {
     val ex = sets.select(col("doc_id"), explode(col("s")).as("hh"))
     val dfs = ex.groupBy("hh").agg(count(lit(1)).as("df"))
     // Global shingle order = (df asc, hash asc); no rank assignment
@@ -413,6 +420,69 @@ object Dedup {
       .filter(col("j") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+
+  /** AGGREGATE twin of [[ngramJaccard]] — prices the exact J ≥ 0.5
+    * relation at any scale WITHOUT materializing the pair list (the
+    * r12 finding: at 100× clone scale the qualifying relation itself
+    * is 24.75M rows ≈ 1.2B intersection-incidence rows, so the
+    * listing's cost is its output mass; this twin's output is ≤ 11
+    * bin rows no matter the corpus). Per 0.05-wide Jaccard bin over
+    * the qualifying relation:
+    *
+    *   - `n_pairs`       — exact qualifying DOC pairs (the listing's
+    *                       output row count: what `ngram_jaccard`
+    *                       would emit),
+    *   - `n_contracted`  — distinct PROFILE pairs, where a profile is
+    *                       an exact distinct-shingle-SET equivalence
+    *                       class (all expanded pairs of one profile
+    *                       pair share the same (i, j) bit-for-bit) —
+    *                       the exact-duplicate contraction ratio
+    *                       n_pairs / n_contracted is the clone
+    *                       inflation factor,
+    *   - `shared_mass`   — Σ |A∩B| over qualifying pairs: the
+    *                       intersection-incidence row count, i.e. the
+    *                       shuffle mass a full verification carries —
+    *                       THE number that prices a listing run.
+    *
+    * The candidate/verification pipeline is [[jaccardPairs]]' lossless
+    * PPJoin run over one representative per profile; identical-set
+    * families (exact dupes, J = 1.0 by construction) never enter
+    * candidate generation at all — their C(m,2) pairs are priced
+    * arithmetically from the multiplicity. Profile grouping keys on
+    * the sorted set itself (content equality); at 100 TB you'd key on
+    * a 128-bit digest of the set instead — same contract, one narrow
+    * shuffle either way.
+    */
+  def ngramJaccardStats(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardStatsOf(Tables.documents(spark, dir))
+
+  /** [[ngramJaccardStats]] over any (doc_id, text) frame. */
+  def ngramJaccardStatsOf(docs: DataFrame): DataFrame = {
+    val sets = shingleHashes(docs)
+      .select(col("doc_id"), sort_array(array_distinct(col("hs"))).as("s"))
+    val profs = sets.groupBy("s")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("m"))
+    val cross = jaccardPairsFromSets(profs.select(col("doc_id"), col("s")), 0.5)
+      .filter(col("j") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("i"), col("j"))
+      .join(profs.select(col("doc_id").as("doc_a"), col("m").as("ma")), "doc_a")
+      .join(profs.select(col("doc_id").as("doc_b"), col("m").as("mb")), "doc_b")
+      .select(col("j"), (col("ma") * col("mb")).as("n_exp"),
+        (col("ma") * col("mb") * col("i")).as("mass"))
+    val within = profs.filter(col("m") >= 2 && size(col("s")) > 0)
+      .select(lit(1.0).as("j"),
+        ((col("m") * (col("m") - 1)) / 2).cast("long").as("n_exp"),
+        (((col("m") * (col("m") - 1)) / 2).cast("long") *
+          size(col("s")).cast("long")).as("mass"))
+    cross.unionByName(within)
+      .groupBy(floor(col("j") * 20).cast("long").as("bin"))
+      .agg(sum(col("n_exp")).cast("long").as("n_pairs"),
+        count(lit(1)).cast("long").as("n_contracted"),
+        sum(col("mass")).cast("long").as("shared_mass"))
+      .select(col("bin"), round(col("bin").cast("double") / 20.0, 2).as("j_lo"),
+        col("n_pairs"), col("n_contracted"), col("shared_mass"))
+      .orderBy("bin")
+  }
 
   /** Candidate-pair similarity histogram: exact shingle-Jaccard of
     * every PPJoin-verified pair with J ≥ 0.3, binned at 0.05 width —
@@ -1501,6 +1571,7 @@ object Dedup {
     "minhash_lsh_pairs" -> minhashLshPairs,
     "minhash_dedup_apply" -> minhashDedupApply,
     "ngram_jaccard" -> ngramJaccard,
+    "ngram_jaccard_stats" -> ngramJaccardStats,
     "jaccard_hist" -> jaccardHist,
     "containment_pairs" -> containmentPairs,
     "simhash" -> simhash,
@@ -1995,6 +2066,40 @@ object Dedup {
          |)
          |SELECT da AS doc_a, db AS doc_b, round(j, 4) AS jaccard
          |FROM jac WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    // deliberately the NAIVE full-pair formulation (not a replay of the
+    // profile contraction): the oracle derives every bin's n_pairs /
+    // shared_mass by enumerating actual doc pairs, so a wrong expansion
+    // multiplier (ma*mb vs C(m,2), a lost within-profile family, a
+    // double-counted diagonal) hash-mismatches instead of agreeing.
+    "ngram_jaccard_stats" ->
+      s"""${OracleSql.ShingleHashCte}, sets AS (
+         |  SELECT doc_id, list_sort(list_distinct(h)) AS s FROM hs
+         |), prof AS (
+         |  SELECT doc_id, s, min(doc_id) OVER (PARTITION BY s) AS pid FROM sets
+         |), ex AS (
+         |  SELECT doc_id, unnest(s) AS hh FROM sets
+         |), inter AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+         |  FROM ex a JOIN ex b ON a.hh = b.hh AND a.doc_id < b.doc_id
+         |  GROUP BY da, db
+         |), jac AS (
+         |  SELECT x.pid AS pa, y.pid AS pb, i,
+         |    i::DOUBLE / (len(x.s) + len(y.s) - i) AS j
+         |  FROM inter JOIN prof x ON da = x.doc_id JOIN prof y ON db = y.doc_id
+         |), q AS (
+         |  SELECT * FROM jac WHERE j >= 0.5
+         |), con AS (
+         |  SELECT least(pa, pb) AS p1, greatest(pa, pb) AS p2, max(j) AS j,
+         |    count(*) AS n_exp, sum(i) AS mass
+         |  FROM q GROUP BY p1, p2
+         |), binned AS (
+         |  SELECT CAST(floor(j * 20) AS BIGINT) AS bin, n_exp, mass FROM con
+         |)
+         |SELECT bin, round(CAST(bin AS DOUBLE) / 20.0, 2) AS j_lo,
+         |  CAST(sum(n_exp) AS BIGINT) AS n_pairs,
+         |  CAST(count(*) AS BIGINT) AS n_contracted,
+         |  CAST(sum(mass) AS BIGINT) AS shared_mass
+         |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
     "jaccard_hist" ->
       s"""${OracleSql.ShingleHashCte}, sets AS (
          |  SELECT doc_id, list_distinct(h) AS s FROM hs

@@ -917,6 +917,55 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("ngramJaccardStats: bins match brute force; exact-dup families priced without pairing") {
+    import spark.implicits._
+    // three exact-dup families (m=3, m=2, m=2), near-dup cross pairs,
+    // a <3-token doc (empty shingle set; its family must NOT be priced),
+    // and unrelated docs — seeded salad for cross-profile mass
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val base = (0L until 40L).map { i =>
+      val n = 3 + rnd.nextInt(8)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val rows = base ++ Seq(
+      (100L, base(0)._2), (101L, base(0)._2),          // family with doc 0: m=3
+      (102L, base(1)._2),                              // family with doc 1: m=2
+      (103L, "tiny doc"), (104L, "tiny doc"))          // empty-set family
+    val docs = rows.toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardStatsOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // brute force over the same kernel-hashed distinct sets
+    val sets = Dedup.shingleHashes(docs)
+      .select(col("doc_id"), array_distinct(col("hs")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val quals = for {
+      a <- rows.map(_._1); b <- rows.map(_._1) if a < b
+      sa = sets(a); sb = sets(b)
+      i = (sa & sb).size
+      u = sa.size + sb.size - i
+      if u > 0
+      j = i.toDouble / u
+      if j >= 0.5
+    } yield (a, b, i, j)
+    val profOf = rows.map { case (id, _) =>
+      id -> rows.filter(r => sets(r._1) == sets(id)).map(_._1).min
+    }.toMap
+    val want = quals.groupBy { case (_, _, _, j) => math.floor(j * 20).toLong }
+      .map { case (bin, ps) =>
+        bin -> ((ps.size.toLong,
+          ps.map { case (a, b, _, _) =>
+            (math.min(profOf(a), profOf(b)), math.max(profOf(a), profOf(b)))
+          }.toSet.size.toLong,
+          ps.map(_._3.toLong).sum)) }
+    assert(got === want)
+    // the m=3 exact family contributes C(3,2)=3 pairs to bin 20 but
+    // only 1 contracted profile pair; 103/104 (empty sets) none at all
+    val (np20, nc20, _) = got(20L)
+    assert(np20 >= 3L + 1L && nc20 < np20)
+    assert(!quals.exists(q => q._1 >= 103L))
+  }
+
   test("rfm: scores in 1..4, segment concatenates them") {
     val r = operators.Analytics.rfmSegments(spark, sfDir).collect()
     assert(r.nonEmpty)
