@@ -31,6 +31,11 @@ import org.apache.spark.sql.functions._
   *   - `stats <indexPath>` — per-bucket balance of the SAVED index
   *     (terms/postings per term bucket: the observable form of the
   *     reference's num-reducers knob, for picking nBuckets).
+  *   - `takedown <indexPath> <id,id,...> [compact]` — tombstone the
+  *     listed doc_ids (deletion live at the next query without
+  *     touching the layout); `compact` folds tombstones into the
+  *     index for real. The one-shot form of
+  *     [[graft.streaming.Stream.takedownMaintenance]].
   */
 object Cli {
 
@@ -96,6 +101,22 @@ object Cli {
         .agg(countDistinct(col("term")).as("terms"),
           count(lit(1)).as("postings"))
         .orderBy("term_bucket")
+    case Seq("takedown", indexPath, ids, rest @ _*) =>
+      // operational deletes against the SAVED index: tombstone the
+      // listed doc_ids (O(|ids|) write, takedown live at the next
+      // query), then fold them for real when asked — the one-shot
+      // form of the continuous `Stream.takedownMaintenance` loop.
+      // Tombstones anti-join on doc_id, so a title-keyed (TSV) index
+      // must fail LOUDLY here instead of silently ignoring the delete
+      require(IndexStore.load(spark, indexPath).columns.contains("doc_id"),
+        s"takedown needs a doc_id-keyed index; the one at $indexPath " +
+          "is title-keyed — rebuild from a doc_id corpus (jsonl/csv)")
+      IndexStore.delete(spark, indexPath, ids.split(',').map(_.trim.toLong))
+      if (rest.headOption.contains("compact"))
+        IndexStore.compactSegments(spark, indexPath)
+      IndexStore.load(spark, indexPath)
+        .groupBy().agg(countDistinct(col("doc_id")).as("docs_left"),
+          count(lit(1)).as("postings"))
     case Seq("clean", input, out) =>
       // quality rules → exact dedup → near-dup removal over any corpus
       // format; survivors land as parquet at `out`, the funnel counts
@@ -126,6 +147,7 @@ object Cli {
         "usage: index <in.tsv> <indexPath> [nBuckets] | " +
           "search <indexPath> <term> [k] | query <in.tsv> '<query>' [k] | " +
           "bquery <indexPath> '<query>' [nBuckets] | stats <indexPath> | " +
+          "takedown <indexPath> <id,id,...> [compact] | " +
           "clean <in.(tsv|jsonl|csv)> <outPath> | " +
           "export <in.(tsv|jsonl|csv)|parquetDir> <outPath> [shards]")
   }

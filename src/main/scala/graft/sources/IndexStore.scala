@@ -137,13 +137,58 @@ object IndexStore {
       .parquet(new org.apache.hadoop.fs.Path(path, TombstonesDir).toString)
   }
 
+  /** Batch-keyed [[delete]] for the streaming takedown loop
+    * ([[graft.streaming.Stream.takedownMaintenance]]): the batch's
+    * ids land as ONE `src_batch=<id>` subdir that a rewrite REPLACES,
+    * so a replayed micro-batch overwrites its own landing instead of
+    * appending a duplicate — exactly-once at batch granularity, where
+    * plain [[delete]] appends are only content-idempotent (the
+    * accumulated SET is unchanged on replay, but the file count
+    * grows). An empty batch lands nothing (idle queue ticks are
+    * common; cruft dirs are not worth a schema to read back).
+    */
+  def deleteBatch(ids: DataFrame, path: String, srcBatch: Long): Unit = {
+    val dels = ids.select(col("doc_id")).distinct()
+    if (!dels.isEmpty)
+      dels.coalesce(1).write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(path, TombstonesDir),
+          s"src_batch=$srcBatch").toString)
+  }
+
+  /** How many batch-keyed tombstone landings ([[deleteBatch]] dirs)
+    * the index currently carries — the takedown loop's fold trigger.
+    * One driver-side listing, no job.
+    */
+  def tombstoneBatchCount(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path, TombstonesDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(s =>
+      s.isDirectory && s.getPath.getName.startsWith("src_batch="))
+  }
+
+  /** Whether the index carries any tombstone landing at all (plain
+    * appends or batch-keyed dirs). Driver-side existence check.
+    */
+  private def hasTombstones(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, TombstonesDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** The index's accumulated tombstone set (distinct doc_ids across
-    * all delete batches); None when nothing was ever deleted.
+    * all delete batches); None when nothing was ever deleted. The
+    * recursive read deliberately skips partition inference so plain
+    * [[delete]] appends (files at the dir root) and [[deleteBatch]]
+    * `src_batch=` subdirs mix freely — the set is the union either
+    * way, and the schema stays exactly (doc_id).
     */
   private def tombstonesOf(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(path, TombstonesDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString).distinct())
+    if (fs.exists(p))
+      Some(spark.read.option("recursiveFileLookup", "true")
+        .parquet(p.toString).select(col("doc_id")).distinct())
     else None
   }
 
@@ -445,7 +490,11 @@ object IndexStore {
     */
   def compactSegments(spark: SparkSession, path: String): Unit = {
     val segs = segmentIds(spark, path)
-    if (segs.size < 2) return
+    // the fold runs when the store has segments to merge OR tombstones
+    // to drop for real (r13 takedown loop: a PLAIN or one-segment
+    // store accumulating deletes still needs its anti-join list folded
+    // away — the old `< 2` guard silently skipped exactly that store)
+    if (segs.size < 2 && !hasTombstones(spark, path)) return
     val nb = savedBuckets(spark, path).getOrElse(DefaultBuckets)
     val resolved = load(spark, path).drop("term_bucket")
     val tmpRoot = path + ".compacting"
@@ -453,18 +502,24 @@ object IndexStore {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(tmpRoot)))
       fs.delete(new org.apache.hadoop.fs.Path(tmpRoot), true)
-    save(resolved, s"$tmpRoot/seg=${segs.max}", nb)
-    // derive the manifest from the JUST-WRITTEN segment — a
-    // column-pruned scan of the fold's own output — instead of
-    // executing the `resolved` plan a second time (two full loads of
-    // the segmented store per compaction, and unlike localCheckpoint
-    // it pins nothing in executor memory at 100 TB store sizes)
-    spark.read.parquet(s"$tmpRoot/seg=${segs.max}")
-      .select(col("doc_id")).distinct().coalesce(1)
-      .write.mode("overwrite").parquet(s"$tmpRoot/seg=${segs.max}/$DocsManifest")
-    val marker = new org.apache.hadoop.fs.Path(tmpRoot, BucketsMarker)
-    val out = fs.create(marker, true)
-    try out.write(nb.toString.getBytes("UTF-8")) finally out.close()
+    if (segs.nonEmpty) {
+      save(resolved, s"$tmpRoot/seg=${segs.max}", nb)
+      // derive the manifest from the JUST-WRITTEN segment — a
+      // column-pruned scan of the fold's own output — instead of
+      // executing the `resolved` plan a second time (two full loads of
+      // the segmented store per compaction, and unlike localCheckpoint
+      // it pins nothing in executor memory at 100 TB store sizes)
+      spark.read.parquet(s"$tmpRoot/seg=${segs.max}")
+        .select(col("doc_id")).distinct().coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmpRoot/seg=${segs.max}/$DocsManifest")
+      val marker = new org.apache.hadoop.fs.Path(tmpRoot, BucketsMarker)
+      val out = fs.create(marker, true)
+      try out.write(nb.toString.getBytes("UTF-8")) finally out.close()
+    } else
+      // a never-segmented store folds to a plain root (save() writes
+      // the bucket marker itself); landing a seg= layout here would
+      // silently convert the store's read path on a pure-delete fold
+      save(resolved, tmpRoot, nb)
     // stats refresh rides compaction: recompute the serving-stats side
     // table from the just-folded segment so it lands inside the swap
     // (the two-rename replaces the whole root — stats left in the old

@@ -391,6 +391,51 @@ object Stream {
         () // foreachBatch wants (Dataset, Long) => Unit, not => Boolean
       }
 
+  /** Continuous takedown processing — the DELETION twin of
+    * [[indexMaintenance]] (r13): a doc_id stream (the GDPR /
+    * DMCA / redaction queue every serving deployment carries) keeps a
+    * saved index's tombstones current. Per micro-batch:
+    *
+    *   - the batch's ids land as ONE batch-keyed tombstone dir
+    *     ([[graft.sources.IndexStore.deleteBatch]] —
+    *     `_tombstones/src_batch=<id>`, an O(|batch|) write however
+    *     large the index); a REPLAYED batch overwrites its own
+    *     landing, so the write is exactly-once at batch granularity
+    *     and the file count never grows on replay;
+    *   - readers need nothing: [[graft.sources.IndexStore.load]]
+    *     anti-joins the accumulated set, so the takedown is visible
+    *     to term/phrase/ranked serving at the NEXT query with no
+    *     index rewrite;
+    *   - when the landing count reaches `compactEvery`, the loop
+    *     folds tombstones into the index FOR REAL
+    *     ([[graft.sources.IndexStore.compactSegments]], which r13
+    *     generalized to fold a plain or one-segment store too) —
+    *     deleted postings leave disk, the anti-join list resets to
+    *     empty, and the serving-stats side table refreshes inside the
+    *     same crash-safe two-rename swap.
+    *
+    * Deletion state lives in the store (not the checkpoint), so a
+    * restart — even from a FRESH checkpoint — keeps every takedown:
+    * re-fed batches land under new ids and resolve to the same set.
+    * Single-writer discipline is the store family's usual contract:
+    * run the takedown loop in the same driver as (sequenced with) the
+    * index-maintenance loop, not concurrently against one store.
+    */
+  def takedownMaintenance(ids: DataFrame, indexPath: String,
+                          compactEvery: Int = 16): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ids.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val basePath = new org.apache.hadoop.fs.Path(indexPath)
+        val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverStore(fs, basePath) // a fold may have died mid-swap
+        graft.sources.IndexStore.deleteBatch(batch, indexPath, batchId)
+        if (graft.sources.IndexStore.tombstoneBatchCount(spark, indexPath) >= compactEvery)
+          graft.sources.IndexStore.compactSegments(spark, indexPath)
+        ()
+      }
+
   /** Continuous ANN-index maintenance — the embedding twin of
     * [[indexMaintenance]]: an embedding stream keeps a saved
     * bucket-partitioned IVF assignment store fresh. Per micro-batch:

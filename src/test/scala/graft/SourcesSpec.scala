@@ -553,6 +553,26 @@ class SourcesSpec extends SparkSpec {
       Seq("export", s"$dir/docs.jsonl", s"$dir/export", "1")).collect()
     assert(ex.head.getLong(0) === 3L)
     assert(Jsonl.readDocuments(spark, s"$dir/export").count() === 3L)
+    // takedown: doc 10 tombstoned, gone from search; `compact` folds
+    // it out for real (tombstone dir vanishes, postings drop)
+    val td = Cli.run(spark,
+      Seq("takedown", s"$dir/index", "10", "compact")).collect()
+    assert(td.head.getLong(0) === 2L) // docs_left
+    assert(!new java.io.File(s"$dir/index/_tombstones").exists())
+    val after = Cli.run(spark,
+        Seq("search", s"$dir/index", "spark", "10", "4")).collect()
+      .map(_.getAs[Long]("doc_id"))
+    assert(after.toSeq === Seq(11L))
+  }
+
+  test("cli: takedown on a title-keyed index fails loudly instead of no-opping") {
+    val dir = tmpDir("graft-cli-takedown-title")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/docs.tsv"),
+      "Doc One\tspark join\nDoc Two\tsort merge\n")
+    Cli.run(spark, Seq("index", s"$dir/docs.tsv", s"$dir/index", "4")).collect()
+    val e = intercept[IllegalArgumentException](
+      Cli.run(spark, Seq("takedown", s"$dir/index", "1")))
+    assert(e.getMessage.contains("title-keyed"))
   }
 
   test("cli: clean runs the funnel and writes the survivor corpus") {

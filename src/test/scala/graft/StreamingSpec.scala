@@ -267,6 +267,94 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
     } finally q.stop()
   }
 
+  test("stream_takedown: doc_id stream tombstones serving, replays exactly-once, folds at compactEvery") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-takedown").toString
+    val path = s"$base/index"
+    val docs = Seq((0L, "spark join fast"), (1L, "spark join slow"),
+      (2L, "other words here"), (3L, "spark alone")).toDF("doc_id", "text")
+    graft.sources.IndexStore.save(
+      graft.operators.Index.invertedIndexOf(docs), path, nBuckets = 4)
+    graft.sources.IndexStore.saveStats(spark, path)
+    val in = MemoryStream[Long]
+    val q = Stream.takedownMaintenance(in.toDF().toDF("doc_id"), path,
+      compactEvery = 3).start()
+    try {
+      in.addData(0L)
+      q.processAllAvailable()
+      // the takedown is live for term AND ranked serving, no rewrite
+      assert(graft.sources.IndexStore.lookup(spark, path, "spark", nBuckets = 4)
+        .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+      assert(graft.operators.Query
+        .searchRankedIndex(spark, path, "spark OR join", k = 10, nBuckets = 4)
+        .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+      assert(graft.sources.IndexStore.tombstoneBatchCount(spark, path) === 1)
+      // planning-time bucket pruning survives the BATCH-KEYED
+      // tombstone anti-join (the plain-append twin is SourcesSpec's)
+      val prunedPlan = graft.sources.IndexStore
+        .lookup(spark, path, "spark", nBuckets = 4)
+        .queryExecution.executedPlan.toString
+      assert(prunedPlan.contains("PartitionFilters"))
+      // a REPLAYED batch overwrites its own landing: same dir count,
+      // same file count, same accumulated set
+      def tombFiles(): Int = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        walk(new java.io.File(s"$path/_tombstones"))
+      }
+      val filesBefore = tombFiles()
+      graft.sources.IndexStore.deleteBatch(
+        Seq(0L).toDF("doc_id"), path, srcBatch = 0L)
+      assert(tombFiles() === filesBefore)
+      assert(graft.sources.IndexStore.tombstoneBatchCount(spark, path) === 1)
+      // an empty takedown tick lands nothing
+      graft.sources.IndexStore.deleteBatch(
+        Seq.empty[Long].toDF("doc_id"), path, srcBatch = 99L)
+      assert(graft.sources.IndexStore.tombstoneBatchCount(spark, path) === 1)
+      // two more batches reach compactEvery=3: the fold drops the
+      // postings for real on this PLAIN (never-segmented) store — the
+      // r13 compactSegments generalization — and refreshes stats
+      in.addData(2L)
+      q.processAllAvailable()
+      in.addData(1L)
+      q.processAllAvailable()
+      assert(graft.sources.IndexStore.tombstoneBatchCount(spark, path) === 0)
+      assert(!new java.io.File(s"$path/_tombstones").exists())
+      assert(graft.sources.IndexStore.lookup(spark, path, "spark", nBuckets = 4)
+        .select("doc_id").collect().map(_.getLong(0)).toSet === Set(3L))
+      assert(graft.sources.IndexStore.load(spark, path)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet === Set(3L))
+      // serving stats refreshed inside the swap: n counts the survivor
+      val (_, corpus) = graft.sources.IndexStore.loadStats(spark, path)
+      assert(corpus.select(col("n")).head().getDouble(0) === 1.0)
+      // the ranked path still serves off the folded store
+      assert(graft.operators.Query
+        .searchRankedIndex(spark, path, "spark", k = 10, nBuckets = 4)
+        .select("doc_id").collect().map(_.getLong(0)).toSet === Set(3L))
+    } finally q.stop()
+  }
+
+  test("stream_takedown: fold keeps a one-segment store segmented") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-takedown-seg").toString
+    val path = s"$base/index"
+    val docs = Seq((0L, "a b"), (1L, "b c"), (2L, "c d")).toDF("doc_id", "text")
+    graft.sources.IndexStore.saveSegment(
+      graft.operators.Index.invertedIndexOf(docs), path, segId = 0L, nBuckets = 4)
+    graft.sources.IndexStore.delete(spark, path, Seq(1L))
+    // one segment + tombstones: the generalized guard folds instead of
+    // silently returning (the old `< 2` skip left deletes unfolded
+    // forever on a compacted store)
+    graft.sources.IndexStore.compactSegments(spark, path)
+    assert(!new java.io.File(s"$path/_tombstones").exists())
+    assert(graft.sources.IndexStore.segmentIds(spark, path).nonEmpty) // layout preserved
+    assert(graft.sources.IndexStore.load(spark, path)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet === Set(0L, 2L))
+  }
+
   test("stream_embed_index: embedding stream keeps the IVF store fresh across batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
