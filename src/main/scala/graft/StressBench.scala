@@ -294,6 +294,7 @@ object CosineRecallStress {
         .select("doc_a", "doc_b")
         .unionByName(operators.Index.profileIvfCandidatesOf(
           w.filter(inS(col("doc_id")))))
+        .unionByName(blocked) // r13: the operator keeps the cheap rare-term relation in the union
         .distinct()
     Seq(0.3, 0.5).foreach { tau =>
       val truth = exact.filter(col("cos") >= tau)

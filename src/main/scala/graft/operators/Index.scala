@@ -331,17 +331,27 @@ object Index {
       .select(col("doc_id"), col("term"), col("df"), col("n"),
         (col("tf") * log(col("n") / col("df"))).as("w"))
     val nrm = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val rare = w.filter(col("df") <= col("n") * RareDfFrac)
+      .select("doc_id", "term")
+    val blocked = rare.select(col("doc_id").as("doc_a"), col("term"))
+      .join(rare.select(col("doc_id").as("doc_b"), col("term")), "term")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
     val cand =
-      if (regime == "ok") {
-        val rare = w.filter(col("df") <= col("n") * RareDfFrac)
-          .select("doc_id", "term")
-        rare.select(col("doc_id").as("doc_a"), col("term"))
-          .join(rare.select(col("doc_id").as("doc_b"), col("term")), "term")
-          .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
-      } else
+      if (regime == "ok") blocked
+      else
+        // the degenerate branch UNIONS the blocked relation in rather
+        // than replacing it (r13): a degenerate-vocabulary corpus can
+        // still carry partial rare-term structure (measured: the
+        // two-generation clone corpus's root-family frame, where the
+        // top pairs share an INHERITED low-df suffix token that
+        // textual runs and profiles both miss — blocked-only evidence;
+        // 0.60 → ~1.0 recall there for the cost of the cheap relation
+        // the 'ok' branch runs anyway). Union is monotone: recall can
+        // only rise in every frame.
         Dedup.winnowCandidatesOf(docs).select("doc_a", "doc_b")
           .unionByName(profileIvfCandidatesOf(w))
+          .unionByName(blocked)
           .distinct()
     cand
       .join(w.select(col("doc_id").as("doc_a"), col("term"), col("w").as("wa")),
@@ -360,6 +370,24 @@ object Index {
 
   /** Profile-space fallback dimensions/cells/probes (r13). Constants,
     * not knobs: the DuckDB oracle replays the exact same values.
+    *
+    * Why cells do NOT scale with the corpus (measured, r13): the
+    * in-cell pair mass of 16 fixed cells is Θ(n²/16), and an
+    * adaptive-cells variant (max(16, ⌈n/64⌉), probes fixed) was built,
+    * oracle-gated and measured — it cut the sf0.1 bench 40s → 23s but
+    * collapsed the committed 100×-clone recall (τ=0.5 0.994 → 0.686,
+    * top-50 1.000 → 0.700): on a degenerate corpus co-probe recall
+    * tracks the PROBE-MASS FRACTION (probes/cells — the r12 diagnosis
+    * ladder's own probe-2-of-16 row reads 0.41), and holding that
+    * fraction while growing cells is quadratic again. The dense
+    * regime's true relation is itself dense (~2.5% of ALL pairs at
+    * τ=0.3), so a recall ≥ 0.8 fallback is necessarily candidate-mass
+    *-bound — the 16-cell quadratic-over-16 relation IS the declared
+    * price, paid only when the guard says the cheap path is blind. A
+    * production deployment at real scale tunes cells/probes against
+    * its own recall audit (`tfidf_blocking_recall` + `ann_probe_curve`
+    * are exactly that tooling) or TRAINS centroids (`ivf_retrain`);
+    * the gate pins the 16×4 point the committed measurements used.
     */
   val ProfileDims = 32
   val ProfileCells = 16
@@ -1717,6 +1745,8 @@ object Index {
          |    SELECT doc_a, doc_b FROM win_cand
          |    UNION
          |    SELECT doc_a, doc_b FROM prof_cand
+         |    UNION
+         |    SELECT doc_a, doc_b FROM rare_cand
          |  ) WHERE (SELECT r FROM regime) = 'degenerate'
          |), dots AS (
          |  SELECT c.doc_a, c.doc_b, sum(a.w * b.w) AS dot
