@@ -258,7 +258,16 @@ class KernelPropertiesSpec extends AnyFunSuite {
       val out = VectorImpl.sq8Dequant(fArr(xs), fArr(mns), fArr(mxs))
       (0 until out.numElements()).forall { i =>
         val step = (mxs(i) - mns(i)).toDouble / 255.0
-        math.abs(out.getFloat(i).toDouble - xs(i).toDouble) <= step * 0.5 + step * 1e-3 + 1e-6
+        // the kernel's contract is FLOAT output (bitwise cross-engine
+        // collapse), so the true bound is the double-decode half-step
+        // PLUS the final cast's half-ulp: a narrow envelope at large
+        // magnitude (w ~ 1e-3 at mn ~ 50) has step/2 ~ 2e-9 while
+        // ulp(50f)/2 ~ 1.9e-6 — the 20k-case soak caught the old
+        // tolerance omitting exactly that term (error model bug in
+        // the LAW; the kernel is correct)
+        math.abs(out.getFloat(i).toDouble - xs(i).toDouble) <=
+          step * 0.5 + step * 1e-3 +
+            0.5 * math.ulp(out.getFloat(i)).toDouble + 1e-6
       }
     })
   }
