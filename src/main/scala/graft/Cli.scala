@@ -108,6 +108,13 @@ object Cli {
       // form of the continuous `Stream.takedownMaintenance` loop.
       // Tombstones anti-join on doc_id, so a title-keyed (TSV) index
       // must fail LOUDLY here instead of silently ignoring the delete
+      // a trailing arg other than the literal `compact` (a typo like
+      // `comapct`) must not be silently ignored: the tombstone would
+      // land but no fold would run, and the operator would believe the
+      // postings left disk
+      require(rest.isEmpty || rest == Seq("compact"),
+        s"takedown accepts only an optional trailing 'compact', got: " +
+          s"${rest.mkString(" ")} — usage: takedown <indexPath> <id,id,...> [compact]")
       require(IndexStore.load(spark, indexPath).columns.contains("doc_id"),
         s"takedown needs a doc_id-keyed index; the one at $indexPath " +
           "is title-keyed — rebuild from a doc_id corpus (jsonl/csv)")

@@ -20,7 +20,8 @@ object Explain {
     * reorder nodes — and a Spark upgrade that reformats plan strings
     * is expected to fail these specs loudly (re-pin, don't loosen).
     */
-  final case class Rule(required: Seq[String] = Nil, forbidden: Seq[String] = Nil)
+  final case class Rule(required: Seq[String] = Nil, forbidden: Seq[String] = Nil,
+                        forbiddenRegex: Seq[String] = Nil)
 
   /** Invariants for the most expensive / most shuffle-prone queries.
     * Every rule also forbids `CartesianProduct` (a non-broadcast
@@ -52,10 +53,15 @@ object Explain {
     // item), so one duplicate family can't blow an aggregation buffer
     "ngram_jaccard" -> Rule(required = Seq("collect_list(it#", " < it#")),
     // the aggregate twin keeps the same bounded-switch candidate shape
-    // (over profile reps) and its output stays bin-bounded: no doc_id
-    // presentation sort may appear over the pair-scale relation
+    // (over profile reps) and its output stays bin-bounded: no GLOBAL
+    // (doc_a, doc_b) presentation sort may appear over the pair-scale
+    // relation. The regex pins the global two-column sort specifically
+    // — a bare "Sort [doc_a#" substring also matches a sort-merge
+    // join's LOCAL sort on the doc_a join key, so once the profile /
+    // verification joins stop broadcasting at scale the gate would
+    // fail spuriously on a correct plan
     "ngram_jaccard_stats" -> Rule(required = Seq("collect_list(it#", " < it#"),
-      forbidden = Seq("Sort [doc_a#")),
+      forbiddenRegex = Seq("""Sort \[doc_a#\d+ ASC NULLS FIRST, doc_b#[^\]]*\], true""")),
     "containment_pairs" -> Rule(),
     // the banded Hamming join must BE the plan: the lossless band-keyed
     // EQUIJOIN (keys = (band, v), broadcast at spec scale, SMJ at 100 TB)
@@ -322,6 +328,8 @@ object Explain {
   private def applyRule(name: String, rule: Rule, plan: String): Seq[String] =
     (rule.forbidden :+ "CartesianProduct").filter(plan.contains)
       .map(f => s"$name: forbidden plan feature $f") ++
+      rule.forbiddenRegex.filter(_.r.findFirstIn(plan).isDefined)
+        .map(f => s"$name: forbidden plan pattern $f") ++
       rule.required.filterNot(plan.contains)
         .map(r => s"$name: missing plan feature $r")
 

@@ -137,6 +137,37 @@ object IndexStore {
       .parquet(new org.apache.hadoop.fs.Path(path, TombstonesDir).toString)
   }
 
+  /** Name prefix of the applied-horizon marker [[deleteBatch]] stamps
+    * inside [[TombstonesDir]] after each landing (underscore prefix:
+    * invisible to parquet readers). Batch ids within one streaming
+    * query only move forward, so the highest stamped id is the
+    * tombstone set's applied horizon — the guard that turns a
+    * fresh-checkpoint restart over outstanding landings into a loud
+    * error instead of a silent un-delete (see [[deleteBatch]]).
+    */
+  private val AppliedUpToPrefix = "_applied_upto_"
+
+  /** The tombstone set's applied horizon: the highest batch id whose
+    * [[deleteBatch]] landing committed. Markers are the source of
+    * truth; a store written before the marker scheme falls back to
+    * its max `src_batch=` dir id (those ARE batch ids, so the schemes
+    * agree at the upgrade boundary). -1 when no landing is
+    * outstanding — including right after a fold removed the dir, when
+    * there is nothing left for a restarted stream to clobber. One
+    * driver-side listing, no job.
+    */
+  def takedownHorizon(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path, TombstonesDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return -1L
+    val names = fs.listStatus(p).map(_.getPath.getName)
+    val marks = names.filter(_.startsWith(AppliedUpToPrefix))
+      .map(_.stripPrefix(AppliedUpToPrefix).toLong)
+    if (marks.nonEmpty) marks.max
+    else names.filter(_.startsWith("src_batch="))
+      .map(_.stripPrefix("src_batch=").toLong).maxOption.getOrElse(-1L)
+  }
+
   /** Batch-keyed [[delete]] for the streaming takedown loop
     * ([[graft.streaming.Stream.takedownMaintenance]]): the batch's
     * ids land as ONE `src_batch=<id>` subdir that a rewrite REPLACES,
@@ -145,15 +176,44 @@ object IndexStore {
     * plain [[delete]] appends are only content-idempotent (the
     * accumulated SET is unchanged on replay, but the file count
     * grows). An empty batch lands nothing (idle queue ticks are
-    * common; cruft dirs are not worth a schema to read back).
+    * common; cruft dirs are not worth a schema to read back) and
+    * advances no horizon. Returns whether a landing happened.
+    *
+    * FAILS LOUDLY when `srcBatch` sits below the store's
+    * [[takedownHorizon]]: a lower id means the stream restarted with a
+    * FRESH checkpoint over outstanding landings, and the
+    * mode("overwrite") rewrite of `src_batch=<id>` would replace an
+    * EARLIER batch's tombstones with this one's — silently un-deleting
+    * takedown'd documents (they resurface in serving and survive the
+    * next fold for real). An id EQUAL to the horizon is the legitimate
+    * replay of the last uncommitted batch and overwrites only itself.
     */
-  def deleteBatch(ids: DataFrame, path: String, srcBatch: Long): Unit = {
+  def deleteBatch(ids: DataFrame, path: String, srcBatch: Long): Boolean = {
+    val spark = ids.sparkSession
+    val upto = takedownHorizon(spark, path)
+    require(srcBatch >= upto,
+      s"takedown batch $srcBatch is below the applied horizon $upto of " +
+        s"index $path: the stream was restarted with a fresh checkpoint " +
+        "over outstanding tombstone landings — overwriting batch " +
+        s"$srcBatch's earlier landing would silently un-delete its " +
+        "takedowns. Restart from the original checkpoint, or fold the " +
+        "store (compactSegments) before re-pointing a fresh stream at it")
     val dels = ids.select(col("doc_id")).distinct()
-    if (!dels.isEmpty)
-      dels.coalesce(1).write.mode("overwrite")
-        .parquet(new org.apache.hadoop.fs.Path(
-          new org.apache.hadoop.fs.Path(path, TombstonesDir),
-          s"src_batch=$srcBatch").toString)
+    if (dels.isEmpty) return false
+    val tomb = new org.apache.hadoop.fs.Path(path, TombstonesDir)
+    dels.coalesce(1).write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(tomb, s"src_batch=$srcBatch").toString)
+    // stamp the horizon AFTER the landing (a crash in between replays
+    // the same batch, which the >= guard admits and the overwrite
+    // makes idempotent), then drop older markers — subsumed by the max
+    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(tomb, AppliedUpToPrefix + srcBatch),
+      true).close()
+    fs.listStatus(tomb).map(_.getPath)
+      .filter(p => p.getName.startsWith(AppliedUpToPrefix) &&
+        p.getName.stripPrefix(AppliedUpToPrefix).toLong < srcBatch)
+      .foreach(fs.delete(_, false))
+    true
   }
 
   /** How many batch-keyed tombstone landings ([[deleteBatch]] dirs)
@@ -168,27 +228,49 @@ object IndexStore {
       s.isDirectory && s.getPath.getName.startsWith("src_batch="))
   }
 
-  /** Whether the index carries any tombstone landing at all (plain
-    * appends or batch-keyed dirs). Driver-side existence check.
+  /** True when `dir` holds at least one visible data FILE at any
+    * depth (horizon markers and dot-prefixed leftovers don't count).
+    * The tombstone readers key off DATA, not directory existence: a
+    * crash inside [[deleteBatch]] between directory creation and file
+    * commit leaves a file-less tree, and `spark.read.parquet` over it
+    * throws "Unable to infer schema" — which would brick every
+    * [[load]]/[[lookup]] of the index until someone hand-removed the
+    * dir.
+    */
+  private def hasDataFilesUnder(fs: org.apache.hadoop.fs.FileSystem,
+                                dir: org.apache.hadoop.fs.Path): Boolean = {
+    if (!fs.exists(dir)) return false
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val n = it.next().getPath.getName
+      if (!n.startsWith(".") && !n.startsWith("_")) return true
+    }
+    false
+  }
+
+  /** Whether the index carries any tombstone DATA (plain appends or
+    * batch-keyed dirs) — a file-less [[TombstonesDir]] tree (crash
+    * leftover) counts as none. Driver-side listing, no job.
     */
   private def hasTombstones(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path, TombstonesDir)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    hasDataFilesUnder(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
   /** The index's accumulated tombstone set (distinct doc_ids across
-    * all delete batches); None when nothing was ever deleted. The
-    * recursive read deliberately skips partition inference so plain
-    * [[delete]] appends (files at the dir root) and [[deleteBatch]]
-    * `src_batch=` subdirs mix freely — the set is the union either
-    * way, and the schema stays exactly (doc_id).
+    * all delete batches); None when nothing was ever deleted — or
+    * when the tree holds no data file yet (crash leftover; see
+    * [[hasDataFilesUnder]]). The recursive read deliberately skips
+    * partition inference so plain [[delete]] appends (files at the
+    * dir root) and [[deleteBatch]] `src_batch=` subdirs mix freely —
+    * the set is the union either way, and the schema stays exactly
+    * (doc_id).
     */
   private def tombstonesOf(spark: SparkSession, path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(path, TombstonesDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
+    if (hasTombstones(spark, path))
       Some(spark.read.option("recursiveFileLookup", "true")
-        .parquet(p.toString).select(col("doc_id")).distinct())
+        .parquet(new org.apache.hadoop.fs.Path(path, TombstonesDir).toString)
+        .select(col("doc_id")).distinct())
     else None
   }
 

@@ -414,9 +414,16 @@ object Stream {
     *     empty, and the serving-stats side table refreshes inside the
     *     same crash-safe two-rename swap.
     *
-    * Deletion state lives in the store (not the checkpoint), so a
-    * restart — even from a FRESH checkpoint — keeps every takedown:
-    * re-fed batches land under new ids and resolve to the same set.
+    * Deletion state lives in the store (not the checkpoint), and the
+    * store family's fresh-checkpoint contract applies: a restart from
+    * a FRESH checkpoint restarts batch ids at 0, and a landing below
+    * the tombstone set's applied horizon FAILS LOUDLY
+    * ([[graft.sources.IndexStore.deleteBatch]]'s horizon guard) —
+    * silently overwriting `src_batch=0` would un-delete that batch's
+    * earlier takedowns. Restart from the original checkpoint, or fold
+    * the store first: after a fold the landings (and the horizon) are
+    * gone because every takedown left disk for real, so a fresh
+    * checkpoint over a just-folded store is legitimate.
     * Single-writer discipline is the store family's usual contract:
     * run the takedown loop in the same driver as (sequenced with) the
     * index-maintenance loop, not concurrently against one store.

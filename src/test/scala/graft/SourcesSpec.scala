@@ -575,6 +575,16 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("title-keyed"))
   }
 
+  test("cli: a mistyped takedown tail fails instead of silently skipping the fold") {
+    val dir = tmpDir("graft-cli-takedown-typo")
+    // validation happens before any landing: the tombstone must NOT
+    // land when the operator's intent ("fold for real") was garbled
+    val e = intercept[IllegalArgumentException](
+      Cli.run(spark, Seq("takedown", s"$dir/index", "1", "comapct")))
+    assert(e.getMessage.contains("compact"))
+    assert(!new java.io.File(s"$dir/index/_tombstones").exists())
+  }
+
   test("cli: clean runs the funnel and writes the survivor corpus") {
     val dir = tmpDir("graft-cli-clean")
     // base passes every quality rule (24 tokens, stopwords, high TTR);

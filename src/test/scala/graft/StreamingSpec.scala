@@ -337,6 +337,41 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
     } finally q.stop()
   }
 
+  test("stream_takedown: a landing below the applied horizon fails loudly; a file-less tombstone tree is tolerated") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-takedown-hzn").toString
+    val path = s"$base/index"
+    val docs = Seq((0L, "a b"), (1L, "b c"), (2L, "c d")).toDF("doc_id", "text")
+    graft.sources.IndexStore.save(
+      graft.operators.Index.invertedIndexOf(docs), path, nBuckets = 4)
+    // batches 0 and 3 land; horizon advances to 3
+    assert(graft.sources.IndexStore.deleteBatch(Seq(0L).toDF("doc_id"), path, 0L))
+    assert(graft.sources.IndexStore.deleteBatch(Seq(1L).toDF("doc_id"), path, 3L))
+    assert(graft.sources.IndexStore.takedownHorizon(spark, path) === 3L)
+    // a replay of the horizon batch is legitimate (overwrites itself)
+    assert(graft.sources.IndexStore.deleteBatch(Seq(1L).toDF("doc_id"), path, 3L))
+    // a FRESH-checkpoint restart re-feeds batch 0: overwriting
+    // src_batch=0 would un-delete doc 0 — must fail loudly instead
+    val e = intercept[IllegalArgumentException](
+      graft.sources.IndexStore.deleteBatch(Seq(2L).toDF("doc_id"), path, 0L))
+    assert(e.getMessage.contains("applied horizon"))
+    assert(graft.sources.IndexStore.load(spark, path)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet === Set(2L))
+    // a crash between dir creation and file commit leaves a file-less
+    // tombstone tree: readers must treat it as "no tombstones", not
+    // throw "Unable to infer schema" on every load until hand-repair
+    val bare = s"$base/index2"
+    graft.sources.IndexStore.save(
+      graft.operators.Index.invertedIndexOf(docs), bare, nBuckets = 4)
+    new java.io.File(s"$bare/_tombstones/src_batch=7").mkdirs()
+    assert(graft.sources.IndexStore.load(spark, bare)
+      .select("doc_id").distinct().count() === 3L)
+    assert(graft.sources.IndexStore.lookup(spark, bare, "b", nBuckets = 4).count() === 2L)
+    // ...and the fold trigger sees no pending work in the empty tree
+    graft.sources.IndexStore.compactSegments(spark, bare)
+    assert(new java.io.File(s"$bare/_tombstones").exists()) // untouched no-op
+  }
+
   test("stream_takedown: fold keeps a one-segment store segmented") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-takedown-seg").toString
