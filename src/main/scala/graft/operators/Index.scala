@@ -314,22 +314,32 @@ object Index {
     * guard's ONE-row verdict on the driver (a bounded collect, like
     * the trained-model frames): the audit is sample-bounded (~1k docs)
     * at any corpus scale, and planning both relations declaratively
-    * would execute the loser too.
+    * would execute the loser too. The audit runs on the SAME
+    * checkpointed tf-idf frame the rescoring uses (r14 — one corpus
+    * pass where r13 paid two), via [[tfidfBlockingRecallOfW]].
     */
   def tfidfCosineGuarded(spark: SparkSession, dir: String): DataFrame =
     tfidfCosineGuardedOf(Tables.documents(spark, dir))
 
   def tfidfCosineGuardedOf(docs: DataFrame): DataFrame = {
-    val regime = tfidfBlockingRecallOf(docs)
-      .select("regime").head().getString(0)
     val base = tokenStreamOf(docs).groupBy("doc_id", "term")
       .agg(count(lit(1)).cast("double").as("tf"))
     val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
     val df = base.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    // ONE weighted frame feeds the recall audit, the blocked relation,
+    // the norms, the profile rung and the exact rescoring (r13 ran the
+    // audit's own token/df build AND this one — two full corpus passes
+    // per invocation, and Bench pays the audit a third time as the
+    // standalone tfidf_blocking_recall key). localCheckpoint because
+    // the audit's verdict is collected eagerly below and the rescoring
+    // replays the frame afterwards.
     val w = base.join(df, "term").crossJoin(broadcast(nDf))
       .filter(col("df") < col("n"))
       .select(col("doc_id"), col("term"), col("df"), col("n"),
         (col("tf") * log(col("n") / col("df"))).as("w"))
+      .localCheckpoint()
+    val regime = tfidfBlockingRecallOfW(w)
+      .select("regime").head().getString(0)
     val nrm = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val rare = w.filter(col("df") <= col("n") * RareDfFrac)
       .select("doc_id", "term")
@@ -371,27 +381,52 @@ object Index {
   /** Profile-space fallback dimensions/cells/probes (r13). Constants,
     * not knobs: the DuckDB oracle replays the exact same values.
     *
-    * Why cells do NOT scale with the corpus (measured, r13): the
-    * in-cell pair mass of 16 fixed cells is Θ(n²/16), and an
+    * Why cells do NOT scale with the corpus (measured, r13): an
     * adaptive-cells variant (max(16, ⌈n/64⌉), probes fixed) was built,
     * oracle-gated and measured — it cut the sf0.1 bench 40s → 23s but
     * collapsed the committed 100×-clone recall (τ=0.5 0.994 → 0.686,
     * top-50 1.000 → 0.700): on a degenerate corpus co-probe recall
     * tracks the PROBE-MASS FRACTION (probes/cells — the r12 diagnosis
     * ladder's own probe-2-of-16 row reads 0.41), and holding that
-    * fraction while growing cells is quadratic again. The dense
-    * regime's true relation is itself dense (~2.5% of ALL pairs at
-    * τ=0.3), so a recall ≥ 0.8 fallback is necessarily candidate-mass
-    *-bound — the 16-cell quadratic-over-16 relation IS the declared
-    * price, paid only when the guard says the cheap path is blind. A
-    * production deployment at real scale tunes cells/probes against
-    * its own recall audit (`tfidf_blocking_recall` + `ann_probe_curve`
-    * are exactly that tooling) or TRAINS centroids (`ivf_retrain`);
-    * the gate pins the 16×4 point the committed measurements used.
+    * fraction while growing cells is quadratic again. r14 replaced the
+    * other lever instead: the co-probe relation still spans Θ(n²/16)
+    * CHEAP 32-dim profile dots, but only each doc's top-[[ProfileCap]]
+    * profile neighbors (union-kNN) proceed to the expensive term-keyed
+    * exact rescoring — co-probe structure (and so the measured recall
+    * floors) unchanged, candidate mass contract-bounded. A production
+    * deployment at real scale still tunes cells/probes against its own
+    * recall audit (`tfidf_blocking_recall` + `ann_probe_curve` are
+    * exactly that tooling) or TRAINS centroids (`ivf_retrain`); the
+    * gate pins the 16×4×cap-128 point the committed measurements used.
     */
   val ProfileDims = 32
   val ProfileCells = 16
   val ProfileProbes = 4
+
+  /** Per-doc candidate budget of the profile rung (r14): each doc
+    * keeps only its [[ProfileCap]] most PROFILE-similar co-probed
+    * neighbors (union-kNN sparsification — the `neardup_pagerank`
+    * cap=64 discipline applied to the dense rung), so the candidate
+    * mass entering the EXPENSIVE term-keyed exact rescoring is
+    * ≤ [[ProfileCap]]·N pairs at ANY duplicate density — a contract,
+    * where r13's uncapped co-probe relation carried Θ(n²/cells)
+    * by declared design.
+    *
+    * 384, from a measured cap sweep (r14, CosineRecallStress frames,
+    * caps 128/192/256/384): in a saturated-profile regime (clone
+    * corpora project onto near-identical profiles) the in-cell
+    * similarity RANKING carries little signal beyond co-probe itself,
+    * so recall@τ tracks kept-fraction almost linearly — 128 halved
+    * the 10× τ=0.5 relation (0.922 → 0.447) and cut the 100×
+    * root-family top-50 to 0.80. 384 = ~3× the largest committed
+    * clone family (100) and ≥ the ~1k-doc recall frames' typical cell
+    * occupancy: measured top-50 1.000 / 0.96 / 0.96 on the three
+    * clone frames (= the uncapped values), 100× τ=0.5 0.976-0.977
+    * (uncapped 0.981-0.985), 10× τ=0.5 0.856 (uncapped 0.922 — the
+    * honest residual; that τ frame is candidate-mass-bound for ANY
+    * sub-quadratic generator, see SURVEY §6's honesty note).
+    */
+  val ProfileCap = 384
 
   /** The DENSE-REGIME candidate rung of [[tfidfCosineGuardedOf]] (r13):
     * when the vocabulary is degenerate, similarity is a PROFILE
@@ -405,21 +440,25 @@ object Index {
     * ignores), assign to [[ProfileCells]] deterministic centroids (the
     * [[ProfileCells]] lowest-doc_id profiles — `saveCentroids`' own
     * first-k convention, no training pass), probe the top-
-    * [[ProfileProbes]] cells by cosine, and emit co-probed in-cell
-    * pairs. Measured on the clone corpora (CosineRecallStress): top-50
-    * recall 1.000 / 0.92, τ=0.3 recall 0.89 / 0.96 — where every
-    * textual generator reads ≈ 0.
+    * [[ProfileProbes]] cells by cosine, and emit each doc's
+    * top-[[ProfileCap]] most profile-similar co-probed neighbors
+    * (union-kNN — r14; a pair survives when either endpoint keeps the
+    * other). Measured on the clone corpora (CosineRecallStress):
+    * top-50 recall 1.000 / 0.92, τ=0.3 recall 0.89 / 0.96 — where
+    * every textual generator reads ≈ 0.
     *
     * Scale shape: one broadcast [[ProfileDims]]-term dictionary, a
-    * vocab-profile rollup, a narrow broadcast-centroid assignment, and
-    * a cid-keyed pair join — `semantic_dedup`'s declared candidate
-    * shape (in-cell pair mass is governed by the cell count; a
-    * production deployment scales cells with corpus size exactly as it
-    * does for the IVF family). All arithmetic is the bitwise
-    * cross-engine float→double fold ([[graft.functions.VectorFns.dot]]
-    * ↔ OracleSql.dot), so both engines assign identical cells.
+    * vocab-profile rollup, a narrow broadcast-centroid assignment, a
+    * cid-keyed pair join whose per-pair work is one codegen'd 32-dim
+    * dot, and a per-doc top-cap window — so the candidate relation
+    * handed to the term-keyed rescoring is ≤ [[ProfileCap]]·N however
+    * dense the corpus ([[ProfileCap]]'s scaladoc prices the cap).
+    * All arithmetic is the bitwise cross-engine float→double fold
+    * ([[graft.functions.VectorFns.dot]] ↔ OracleSql.dot), so both
+    * engines assign identical cells and identical kNN ranks.
     */
-  private[graft] def profileIvfCandidatesOf(w: DataFrame): DataFrame = {
+  private[graft] def profileIvfCandidatesOf(w: DataFrame,
+                                            cap: Int = ProfileCap): DataFrame = {
     import graft.functions.VectorFns
     val dWin = Window.orderBy(col("df").desc, col("term"))
     val topIdx = w.groupBy("term").agg(max(col("df")).as("df"))
@@ -444,10 +483,76 @@ object Index {
       .withColumn("rk", row_number().over(aWin))
       .filter(col("rk") <= ProfileProbes)
       .select(col("doc_id"), col("cid"))
-    assigned.select(col("doc_id").as("doc_a"), col("cid"))
-      .join(assigned.select(col("doc_id").as("doc_b"), col("cid")), "cid")
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
+    // union-kNN sparsification (r14): inside each probed cell, each
+    // doc keeps only its top-[[ProfileCap]] most profile-similar
+    // neighbors (sim = the bitwise float→double cosine fold both
+    // engines replay; ties by doc id — a total order, so both engines
+    // keep identical sets), and a pair survives when EITHER endpoint
+    // keeps the other. Implemented as an IN-PARTITION kNN
+    // (mapPartitions over cell-keyed membership rows): the Θ(Σ n_c²)
+    // profile-dot work runs over primitive arrays inside one task per
+    // cell, and only the ≤ probes·cap·N survivors ever hit a shuffle —
+    // the declarative twin (co-probe join + distinct + window) was
+    // measured 12× slower at sf0.1 because it shuffles the quadratic
+    // relation twice. Memory bound: one cell's members (id +
+    // ProfileDims floats) per task — the degenerate-regime fallback's
+    // declared envelope (production scales/trains cells long before a
+    // cell outgrows a task; see [[ProfileCap]]).
+    val spark = w.sparkSession
+    import spark.implicits._
+    val memb = assigned.join(prof, "doc_id")
+      .select(col("cid"), col("doc_id"), col("emb"))
+      .as[(Long, Long, Array[Float])]
+    val knn = memb
+      .repartition(col("cid"))
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+          val m = rows.length
+          val ids = rows.map(_._2)
+          if (m - 1 <= cap) {
+            // every in-cell neighbor survives the cap: no scoring
+            // needed, the kept set is the whole cell either way
+            for (i <- 0 until m; j <- 0 until m if i != j)
+              yield (ids(i), ids(j))
+          } else {
+            val embs = rows.map(_._3)
+            def dotf(a: Array[Float], b: Array[Float]): Double = {
+              var s = 0.0; var k = 0
+              val n = math.min(a.length, b.length)
+              while (k < n) { s += a(k).toDouble * b(k).toDouble; k += 1 }
+              s
+            }
+            val nrm = embs.map(e => math.sqrt(dotf(e, e)))
+            // worst-first bounded heap: the queue's max is the WORST
+            // kept neighbor under (sim desc, id asc)
+            val ord = new Ordering[(Double, Long)] {
+              def compare(x: (Double, Long), y: (Double, Long)): Int = {
+                val c = java.lang.Double.compare(y._1, x._1)
+                if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+              }
+            }
+            (0 until m).iterator.flatMap { i =>
+              val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+              var j = 0
+              while (j < m) {
+                if (j != i) {
+                  val s = dotf(embs(i), embs(j)) / (nrm(i) * nrm(j) + 1e-12)
+                  if (pq.size < cap) pq.enqueue((s, ids(j)))
+                  else if (ord.compare((s, ids(j)), pq.head) < 0) {
+                    pq.dequeue(); pq.enqueue((s, ids(j)))
+                  }
+                }
+                j += 1
+              }
+              pq.toList.map(t => (ids(i), t._2))
+            }
+          }
+        }
+      }
+    knn.toDF("doc_a", "doc_b")
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct()
   }
 
   /** Coverage floor below which [[tfidfBlockingCoverage]] declares the
@@ -556,10 +661,19 @@ object Index {
       .agg(count(lit(1)).cast("double").as("tf"))
     val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
     val df = base.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val w = base.join(df, "term").crossJoin(broadcast(nDf))
+    tfidfBlockingRecallOfW(base.join(df, "term").crossJoin(broadcast(nDf))
       .filter(col("df") < col("n"))
       .select(col("doc_id"), col("term"), col("df"), col("n"),
-        (col("tf") * log(col("n") / col("df"))).as("w"))
+        (col("tf") * log(col("n") / col("df"))).as("w")))
+  }
+
+  /** [[tfidfBlockingRecallOf]] over a PREBUILT (doc_id, term, df, n, w)
+    * tf-idf frame — the form [[tfidfCosineGuardedOf]] calls so the
+    * guard and the rescoring share one corpus pass instead of each
+    * rebuilding the token/df rollup (r13 paid the build twice per
+    * guarded invocation).
+    */
+  private[graft] def tfidfBlockingRecallOfW(w: DataFrame): DataFrame = {
     // deterministic ~1k-doc sample; ceil(double) is a long on both
     // engines after the oracle's explicit cast
     val wS = w.filter(col("doc_id") % ceil(col("n") / 1024.0) === 0)
@@ -1735,9 +1849,24 @@ object Index {
          |         sqrt(${OracleSql.dot("c.ce", "c.ce")}) + 1e-12)) DESC, c.cid) AS rk
          |    FROM prof p, pcents c)
          |  WHERE rk <= $ProfileProbes
+         |), pnrm AS (
+         |  SELECT doc_id, sqrt(${OracleSql.dot("emb", "emb")}) AS nrm FROM prof
+         |), pnn AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, row_number() OVER (
+         |      PARTITION BY a.cid, a.doc_id
+         |      ORDER BY (${OracleSql.dot("pa.emb", "pb.emb")} /
+         |        (na.nrm * nb.nrm + 1e-12)) DESC, b.doc_id) AS rk
+         |    FROM pasg a JOIN pasg b ON a.cid = b.cid AND a.doc_id <> b.doc_id
+         |    JOIN prof pa ON pa.doc_id = a.doc_id
+         |    JOIN prof pb ON pb.doc_id = b.doc_id
+         |    JOIN pnrm na ON na.doc_id = a.doc_id
+         |    JOIN pnrm nb ON nb.doc_id = b.doc_id)
+         |  WHERE rk <= $ProfileCap
          |), prof_cand AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM pasg a JOIN pasg b ON a.cid = b.cid AND a.doc_id < b.doc_id
+         |  SELECT DISTINCT least(doc_a, doc_b) AS doc_a,
+         |    greatest(doc_a, doc_b) AS doc_b
+         |  FROM pnn
          |), cand AS (
          |  SELECT doc_a, doc_b FROM rare_cand WHERE (SELECT r FROM regime) = 'ok'
          |  UNION ALL
