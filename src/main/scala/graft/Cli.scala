@@ -57,6 +57,12 @@ object Cli {
       val (corpus, id) = readCorpus(spark, input)
       val idx = Index.invertedIndexOf(corpus, id = id)
       IndexStore.save(idx, out, nBuckets)
+      // fielded-search metadata rides the build when the corpus has
+      // field columns (jsonl/csv carry lang/source): `query`/`bquery`
+      // against this index then serve lang:/source: leaves index-side
+      val fields = corpus.columns.filter(c => c == "lang" || c == "source")
+      if (fields.nonEmpty)
+        IndexStore.saveMeta(corpus.select(id, fields: _*), out)
       IndexStore.load(spark, out)
         .groupBy().agg(count(lit(1)).as("postings"),
           countDistinct(col("term")).as("terms"))

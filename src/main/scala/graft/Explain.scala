@@ -314,6 +314,13 @@ object Explain {
     // plan would mean the per-query corpus rebuild came back)
     "searchranked_index" -> Rule(
       required = Seq("PartitionFilters", "term_bucket"),
+      forbidden = Seq("documents")),
+    // fielded retrieval from the saved index (r14): term leaves still
+    // bucket-prune, the lang: leaf reads the doc-keyed `_meta` side
+    // table COLUMN-PRUNED to (id, field) — and the corpus never appears
+    "searchindex_fielded" -> Rule(
+      required = Seq("PartitionFilters", "term_bucket",
+        "ReadSchema: struct<doc_id:bigint,lang:string>"),
       forbidden = Seq("documents")))
 
   /** Violations ("query: missing/forbidden …") over [[AuditRules]] —
@@ -372,6 +379,8 @@ object Explain {
     sources.IndexStore.save(operators.Index.invertedIndex(spark, sfDir), idx,
       nBuckets = 8)
     sources.IndexStore.saveStats(spark, idx)
+    sources.IndexStore.saveMeta(sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "source"), idx)
     val plans = Map(
       "index_lookup" ->
         sources.IndexStore.lookup(spark, idx, "spark", nBuckets = 8),
@@ -381,7 +390,10 @@ object Explain {
         operators.Query.searchIndex(spark, idx, "quer* AND NOT slow", nBuckets = 8),
       "searchranked_index" ->
         operators.Query.searchRankedIndex(spark, idx, "spark AND join",
-          nBuckets = 8))
+          nBuckets = 8),
+      "searchindex_fielded" ->
+        operators.Query.searchIndex(spark, idx,
+          "lang:en AND (spark OR query)", nBuckets = 8))
     IndexAuditRules.toSeq.sortBy(_._1).flatMap { case (name, rule) =>
       applyRule(name, rule, plans(name).queryExecution.executedPlan.toString)
     }

@@ -142,9 +142,13 @@ object Query {
            meta: DataFrame = null): DataFrame = q match {
     case Field(f, v) =>
       // metadata leaves filter the doc frame, not the token stream —
-      // an equality Catalyst pushes into the metadata scan. Absent
-      // metadata (the saved-index path stores none) fails loudly.
-      require(meta != null, s"field query '$f:$v' needs a metadata frame")
+      // an equality Catalyst pushes into the metadata scan. The corpus
+      // path passes the doc frame itself; the saved-index path passes
+      // the `_meta` side table ([[graft.sources.IndexStore.loadMeta]]).
+      // Absent metadata fails loudly.
+      require(meta != null,
+        s"field query '$f:$v' needs a metadata frame (for a saved " +
+          "index: IndexStore.saveMeta beside the build)")
       meta.filter(col(f) === v).select(col(id)).distinct()
     case Term(t) =>
       tok.filter(col("term") === t).select(col(id)).distinct()
@@ -253,8 +257,18 @@ object Query {
       .select(col(id), col("term"), explode(col("positions")).as("pos"))
     val universe = graft.sources.IndexStore.load(spark, indexPath)
       .select(id).distinct()
-    eval(tok, universe, ast, id)
+    eval(tok, universe, ast, id, metaOf(spark, indexPath))
   }
+
+  /** The index's `_meta` side table when it carries one (fielded
+    * `lang:`/`source:` leaves evaluate against it, doc-keyed and
+    * tombstone-filtered), else null — [[eval]] then fails loudly only
+    * if the query actually HAS a field leaf.
+    */
+  private def metaOf(spark: SparkSession, indexPath: String): DataFrame =
+    if (graft.sources.IndexStore.hasMeta(spark, indexPath))
+      graft.sources.IndexStore.loadMeta(spark, indexPath)
+    else null
 
   /** The posting rows a query's leaves need, fetched from the saved
     * index: exact-term leaves via ONE bucket-pruned multi-term scan,
@@ -335,7 +349,9 @@ object Query {
     val boosts = boostWeights(ast)
     require(terms.nonEmpty, s"query has no positive terms to rank by: $query")
     val tok = Index.tokenStreamOf(docs, id, text)
-    val matches = eval(tok, docs.select(col(id)).distinct(), ast, id)
+    // meta = the doc frame itself, like [[search]]: fielded (lang:/
+    // source:) restrictions compose with ranking on the corpus path too
+    val matches = eval(tok, docs.select(col(id)).distinct(), ast, id, meta = docs)
     val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
     val dl = tok.groupBy(id).agg(count(lit(1)).cast("double").as("dl"))
     val avgdlDf = dl.agg(avg(col("dl")).as("avgdl"))
@@ -386,11 +402,62 @@ object Query {
     * never enters the index; corpora with empty docs shift the corpus
     * path's n but not the result set, since ranked output requires a
     * positive-term match).
+    *
+    * SCORING IS BOUND-PRUNED (r14, MaxScore — Turtle & Flood; the
+    * [[Index.wandTopkOf]] algebra moved onto the serving path): r13
+    * fully scored EVERY matching doc, so one fat-df query term dragged
+    * its whole posting list through the dl join + aggregation + sort
+    * (measured: 383,900 scored rows for `the` on the 500k store). Now
+    * each term carries a score upper bound
+    * `UB(t) = boost·idf(t)·(k1+1)·maxtf/(maxtf + k1(1−b))` — maxtf
+    * rides the SAME full-list leaf fetch df already rides, so no new
+    * side table — and the ladder is wandFrames': exactly score the k
+    * matching docs with the highest Σ UB (a bounded TakeOrdered seed),
+    * take θ = their minimum exact score, then fully score only docs
+    * with Σ UB ≥ θ. Any skipped doc has rounded score ≤ rounded bound
+    * < θ, so the top-k is EXACTLY the unpruned ranking (the parity
+    * specs assert row equality, and [[searchRankedIndexStats]] is the
+    * scored-vs-candidates diagnostic). On a fat+rare query the fat
+    * term's near-zero idf puts its only-fat docs under θ, so the
+    * posting-list tail never reaches the dl join; a query whose terms
+    * discriminate nothing (all-fat) prunes nothing and pays one extra
+    * bound pass — the classic MaxScore trade.
     */
   def searchRankedIndex(spark: SparkSession, indexPath: String, query: String,
                         k: Int = 20,
                         nBuckets: Int = graft.sources.IndexStore.DefaultBuckets,
                         id: String = "doc_id"): DataFrame = {
+    val (_, _, _, scoredCand) =
+      rankedIndexFrames(spark, indexPath, query, k, nBuckets, id)
+    scoredCand
+      .orderBy(col("score").desc, col(id))
+      .limit(k)
+  }
+
+  /** The scored-vs-candidates pruning diagnostic of the index-served
+    * ranked path — [[Index.wandPruneStats]]' contract on the serving
+    * side: matching candidate docs, docs surviving the bound ≥ θ
+    * filter (the only ones the dl join and aggregation ever see), and
+    * θ itself. Run it beside a fat-df workload before trusting the
+    * serving numbers at 100 TB.
+    */
+  def searchRankedIndexStats(spark: SparkSession, indexPath: String,
+                             query: String, k: Int = 20,
+                             nBuckets: Int = graft.sources.IndexStore.DefaultBuckets,
+                             id: String = "doc_id"): DataFrame = {
+    val (docUb, theta, cand, _) =
+      rankedIndexFrames(spark, indexPath, query, k, nBuckets, id)
+    docUb.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_scored"))))
+      .crossJoin(broadcast(theta))
+  }
+
+  /** The shared MaxScore ladder of [[searchRankedIndex]] /
+    * [[searchRankedIndexStats]]: (docUb, theta, cand, scoredCand).
+    */
+  private def rankedIndexFrames(spark: SparkSession, indexPath: String,
+                                query: String, k: Int, nBuckets: Int,
+                                id: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (k1, b) = (1.2, 0.75)
     val ast = parse(query)
     val terms = positiveTerms(ast)
@@ -403,26 +470,39 @@ object Query {
     // NOT-less ranked query never scans beyond its terms' buckets
     val universe = graft.sources.IndexStore.load(spark, indexPath)
       .select(id).distinct()
-    val matches = eval(tok, universe, ast, id)
+    val matches = eval(tok, universe, ast, id, metaOf(spark, indexPath))
     val (dl, corpus) = graft.sources.IndexStore.loadStats(spark, indexPath)
     val ranked = postings.filter(col("term").isin(terms: _*))
       .select(col(id), col("term"), col("tf").cast("double").as("tf"))
-    val df = ranked.groupBy("term")
-      .agg(count(lit(1)).cast("double").as("df"))
-    ranked.join(matches, Seq(id), "left_semi")
-      .join(broadcast(df), "term")
-      .join(dl, id)
-      .crossJoin(broadcast(corpus))
-      .withColumn("w",
-        boosts.foldLeft(lit(1.0)) { case (acc, (t, bw)) =>
-          when(col("term") === t, lit(bw)).otherwise(acc)
-        } *
-          log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+    // df AND the bound's maxtf ride the same complete-list fetch —
+    // both exact even between stats refreshes
+    val tstats = ranked.groupBy("term").agg(
+      count(lit(1)).cast("double").as("df"), max(col("tf")).as("maxtf"))
+    val boostCol = boosts.foldLeft(lit(1.0)) { case (acc, (t, bw)) =>
+      when(col("term") === t, lit(bw)).otherwise(acc)
+    }
+    val idfCol = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val ub = tstats.crossJoin(broadcast(corpus))
+      .select(col("term"), col("df"),
+        (boostCol * idfCol * (col("maxtf") * (k1 + 1.0)) /
+          (col("maxtf") + lit(k1) * lit(1.0 - b))).as("ubt"))
+    val rankedM = ranked.join(matches, Seq(id), "left_semi")
+    val docUb = rankedM.join(broadcast(ub.select("term", "ubt")), "term")
+      .groupBy(id).agg(round(sum(col("ubt")), 4).as("ub"))
+    def scored(sel: DataFrame): DataFrame =
+      rankedM.join(sel, Seq(id), "left_semi")
+        .join(broadcast(tstats.select("term", "df")), "term")
+        .join(dl, id)
+        .crossJoin(broadcast(corpus))
+        .withColumn("w", boostCol * idfCol *
           (col("tf") * (k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-      .groupBy(id).agg(round(sum(col("w")), 4).as("score"))
-      .orderBy(col("score").desc, col(id))
-      .limit(k)
+        .groupBy(id).agg(round(sum(col("w")), 4).as("score"))
+    val seed = docUb.orderBy(col("ub").desc, col(id)).limit(k).select(id)
+    val theta = scored(seed).agg(min(col("score")).as("theta"))
+    val cand = docUb.crossJoin(broadcast(theta))
+      .filter(col("ub") >= col("theta")).select(id)
+    (docUb, theta, cand, scored(cand))
   }
 
   /** Gate query: a fixed compound query over the documents table. */

@@ -290,6 +290,25 @@ object IndexStore {
     save(load(spark, path).drop("term_bucket"), outPath,
       nBuckets.orElse(savedBuckets(spark, path)).getOrElse(DefaultBuckets))
     if (hasStats(spark, path)) saveStats(spark, outPath)
+    if (hasMeta(spark, path)) carryMeta(spark, path, outPath, outPath)
+  }
+
+  /** Rewrite the `_meta` table of the index at `fromPath` into
+    * `toPath`, semi-joined to the docs surviving at `survivorsPath` —
+    * the compaction leg that purges a takedown'd doc's METADATA from
+    * disk in the same fold that purges its postings. One column-pruned
+    * doc-id scan of the fold output + a doc-count-sized rewrite.
+    */
+  private def carryMeta(spark: SparkSession, fromPath: String,
+                        toPath: String, survivorsPath: String): Unit = {
+    val meta = spark.read.parquet(
+      new org.apache.hadoop.fs.Path(fromPath, MetaDir).toString)
+    val id = Seq("doc_id", "title").find(meta.columns.contains).getOrElse(
+      throw new IllegalStateException(
+        s"_meta at $fromPath has neither a doc_id nor a title column"))
+    val survivors = spark.read.parquet(survivorsPath)
+      .select(col(id)).distinct()
+    saveMeta(meta.join(survivors, Seq(id), "left_semi"), toPath)
   }
 
   // ---- BM25 serving statistics (_stats side table) ---------------------
@@ -368,6 +387,77 @@ object IndexStore {
         "(compaction refreshes it automatically)")
     val base = new org.apache.hadoop.fs.Path(path, StatsDir).toString
     (spark.read.parquet(s"$base/dl"), spark.read.parquet(s"$base/corpus"))
+  }
+
+  // ---- fielded-search metadata (_meta side table) -----------------------
+  //
+  // `lang:` / `source:` query leaves filter DOCUMENT METADATA, which
+  // the postings layout doesn't carry (a posting row is (term, doc,
+  // tf, positions) — replicating lang/source onto every posting would
+  // multiply the index by the metadata width). The side table is
+  // doc-count-sized like `_stats`, underscore-prefixed so parquet data
+  // listings skip it, and rides the same crash-safe landing (tmp dir +
+  // atomic rename). A fielded leaf then evaluates index-side as one
+  // column-pruned doc-keyed scan of `_meta`, intersected with the
+  // bucket-pruned term leaves — no corpus anywhere.
+  //
+  // Deletion hygiene: readers anti-join the live tombstone set (a
+  // takedown'd doc must not resurface through a pure `lang:en` leaf
+  // or an OR branch), and compaction REWRITES the table semi-joined to
+  // the surviving doc set — a GDPR takedown purges the doc's metadata
+  // from disk in the same fold that purges its postings.
+
+  /** Underscore-prefixed metadata directory inside an index. */
+  private val MetaDir = "_meta"
+
+  /** Whether the index at `path` carries a persisted metadata table. */
+  def hasMeta(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, MetaDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Persist the fielded-search metadata side table: one row per doc
+    * (id column `doc_id` or `title`, matching the indexed corpus) with
+    * the field columns the query grammar exposes (`lang`, `source`, …
+    * — any column a [[graft.operators.Query.Field]] leaf names).
+    * Doc-count-sized; same atomic landing as [[saveStats]].
+    */
+  def saveMeta(meta: DataFrame, path: String): Unit = {
+    val spark = meta.sparkSession
+    val id = Seq("doc_id", "title").find(meta.columns.contains).getOrElse(
+      throw new IllegalArgumentException(
+        "metadata frame needs a doc_id or title id column; got " +
+          meta.columns.mkString("(", ", ", ")")))
+    require(meta.columns.length > 1,
+      s"metadata frame carries no field columns beside $id")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path, s".$MetaDir-tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    meta.write.mode("overwrite").parquet(tmp.toString)
+    val dest = new org.apache.hadoop.fs.Path(path, MetaDir)
+    if (fs.exists(dest)) fs.delete(dest, true)
+    StoreSwap.mustRename(fs, tmp, dest)
+  }
+
+  /** The persisted metadata of the index at `path`, with tombstoned
+    * docs anti-joined out (matching [[load]]'s read semantics — a
+    * deleted doc must not match a pure field leaf between folds).
+    * Fails loudly when absent: a fielded query against an index with
+    * no `_meta` has nothing correct to return.
+    */
+  def loadMeta(spark: SparkSession, path: String): DataFrame = {
+    require(hasMeta(spark, path),
+      s"index at $path has no $MetaDir side table — fielded (lang:/" +
+        "source:) queries need IndexStore.saveMeta(meta, path) run " +
+        "beside the index build (compaction carries it forward)")
+    val raw = spark.read.parquet(
+      new org.apache.hadoop.fs.Path(path, MetaDir).toString)
+    tombstonesOf(spark, path) match {
+      case Some(t) if raw.columns.contains("doc_id") =>
+        raw.join(t, Seq("doc_id"), "left_anti")
+      case _ => raw
+    }
   }
 
   /** Read an index back, transparently decoding a delta-gap `gaps`
@@ -607,6 +697,12 @@ object IndexStore {
     // (the two-rename replaces the whole root — stats left in the old
     // root would vanish, and stale ones would misprice every score)
     if (hasStats(spark, path)) saveStats(spark, tmpRoot)
+    // ...and the fielded-search metadata is CARRIED (it cannot be
+    // derived from postings), filtered to the fold's survivors so a
+    // takedown'd doc's metadata leaves disk with its postings
+    if (hasMeta(spark, path))
+      carryMeta(spark, path, tmpRoot,
+        if (segs.nonEmpty) s"$tmpRoot/seg=${segs.max}" else tmpRoot)
     StoreSwap.swap(fs, root, tmpRoot)
   }
 

@@ -409,6 +409,94 @@ class SourcesSpec extends SparkSpec {
     assert(!plan.contains("documents"), "ranked serving must not scan the corpus")
   }
 
+  test("ranked serving prunes the fat term's tail: bound >= theta bounds the scored set, result exact") {
+    import spark.implicits._
+    // 200 docs all contain the fat term; 20 (>= k, so the seed frame
+    // is all-rare and theta sits at rare-doc score level) also hold
+    // the rare one — the fat-df shape where r13 scored every match
+    val docs = (0L until 200L).map { i =>
+      val rare = if (i % 10 == 0) " rare" else ""
+      (i, s"the the common words here$rare")
+    }.toDF("doc_id", "text")
+    val path = tmpDir("graft-idxwand") + "/index"
+    IndexStore.save(Index.invertedIndexOf(docs), path, nBuckets = 4)
+    IndexStore.saveStats(spark, path)
+    val q = "the OR rare"
+    // exactness first: pruned serving == unpruned corpus ranking
+    val want = operators.Query.searchRanked(docs, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = operators.Query.searchRankedIndex(spark, path, q, k = 10, nBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === want && got.nonEmpty)
+    // the diagnostic: every doc matches (OR of the fat term), but the
+    // fat term's near-zero idf puts only-fat docs under theta — the dl
+    // join and aggregation see a bounded candidate set, not the tail
+    val d = operators.Query
+      .searchRankedIndexStats(spark, path, q, k = 10, nBuckets = 4).head()
+    val (nCand, nScored) = (d.getLong(0), d.getLong(1))
+    assert(nCand === 200L, "every doc holds the fat term")
+    assert(nScored < nCand, "the bound must prune the fat-only tail")
+    assert(nScored >= 10L, "at least k docs must be fully scored")
+  }
+
+  test("fielded query over saved index: lang:/source: leaves match the corpus path") {
+    import org.apache.spark.sql.functions.col
+    val docs = sources.Tables.documents(spark, sfDir)
+    val path = tmpDir("graft-idxmeta") + "/index"
+    IndexStore.save(Index.invertedIndexOf(docs), path, nBuckets = 8)
+    // without _meta a fielded query fails loudly (never silently empty)
+    val e = intercept[IllegalArgumentException](
+      operators.Query.searchIndex(spark, path, "lang:en AND spark", nBuckets = 8))
+    assert(e.getMessage.contains("saveMeta"))
+    IndexStore.saveMeta(docs.select("doc_id", "lang", "source"), path)
+    IndexStore.saveStats(spark, path)
+    // parity across fielded shapes: field AND terms, NOT-field, OR
+    // composition through a pure field branch
+    val queries = Seq(
+      "lang:en AND (spark OR query) AND NOT source:src0",
+      "lang:de AND spark",
+      "source:src1 AND NOT slow AND key",
+      "lang:de OR spark")
+    queries.foreach { q =>
+      val want = operators.Query.search(docs, q)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val got = operators.Query.searchIndex(spark, path, q, nBuckets = 8)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === want, s"fielded corpus↔index parity for '$q'")
+      assert(got.nonEmpty, s"vacuous parity for '$q'")
+    }
+    // ranked path: the field leaf restricts matching, BM25 unchanged —
+    // row-for-row parity including score rounding and tie order
+    val rq = "lang:en AND spark AND NOT slow"
+    val wantR = operators.Query.searchRanked(docs, rq, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val gotR = operators.Query
+      .searchRankedIndex(spark, path, rq, k = 20, nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotR === wantR && gotR.nonEmpty)
+    // takedown hygiene: a tombstoned doc must not resurface through a
+    // pure field leaf or an OR's metadata branch...
+    val victim = gotR.head._1
+    IndexStore.delete(spark, path, Seq(victim))
+    assert(!operators.Query.searchIndex(spark, path, "lang:de OR spark", nBuckets = 8)
+      .collect().map(_.getLong(0)).contains(victim))
+    // ...and compaction CARRIES _meta (fielded queries keep working on
+    // the folded store) while purging the victim's metadata from disk
+    IndexStore.compactSegments(spark, path)
+    assert(IndexStore.loadMeta(spark, path)
+      .filter(col("doc_id") === victim).count() === 0)
+    val afterFold = operators.Query
+      .searchRankedIndex(spark, path, rq, k = 20, nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the fold refreshed the stats snapshot (n/avgdl over survivors),
+    // so the truth is the corpus path over the corpus MINUS the victim
+    val wantFold = operators.Query
+      .searchRanked(docs.filter(col("doc_id") =!= victim), rq, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(afterFold === wantFold && afterFold.nonEmpty,
+      "fielded ranked serving must survive the fold minus the takedown")
+  }
+
   test("index store: deleted doc vanishes from term/phrase/ranked serving, across re-open and compaction") {
     import spark.implicits._
     val path = tmpDir("graft-idxdelserve") + "/index"
