@@ -27,12 +27,61 @@ object CorpusStore {
       .partitionBy("lang")
       .parquet(path)
 
-  def load(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  def load(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.parquet(path)
+    // takedowns anti-join out at read time ([[Tombstones]] — the same
+    // contract as IndexStore postings: deletion is live at the next
+    // read without rewriting a 100 TB layout, and [[foldTombstones]]
+    // purges for real). lang/source predicates still push through the
+    // anti-join's streamed side, so partition pruning is unaffected.
+    Tombstones.setOf(spark, path) match {
+      case Some(t) if raw.columns.contains("doc_id") =>
+        raw.join(t, Seq("doc_id"), "left_anti")
+      case _ => raw
+    }
+  }
 
   /** Partition-pruned single-language read. */
   def loadLang(spark: SparkSession, path: String, lang: String): DataFrame =
     load(spark, path).filter(col("lang") === lang)
+
+  /** Mark documents DELETED without rewriting the corpus — the
+    * one-shot operational form ([[Tombstones.append]]); readers
+    * anti-join the set out from the next query on.
+    */
+  def delete(spark: SparkSession, path: String, docIds: Seq[Long]): Unit =
+    Tombstones.append(spark, path, docIds)
+
+  /** Batch-keyed [[delete]] for the streaming takedown loop —
+    * exactly-once at batch granularity, loud below the applied
+    * horizon ([[Tombstones.landBatch]]).
+    */
+  def deleteBatch(ids: DataFrame, path: String, srcBatch: Long): Boolean =
+    Tombstones.landBatch(ids, path, srcBatch)
+
+  /** Batch-keyed tombstone landings outstanding — the takedown loop's
+    * fold trigger ([[Tombstones.batchCount]]).
+    */
+  def tombstoneBatchCount(spark: SparkSession, path: String): Int =
+    Tombstones.batchCount(spark, path)
+
+  /** Fold tombstones into the layout FOR REAL, in place: rewrite the
+    * store through the (anti-joined) [[load]] into a temp dir — the
+    * `_tombstones` tree does not travel — then the [[StoreSwap]]
+    * two-rename. Deleted documents leave disk and the reader-side
+    * anti-join list resets to empty. No-op when nothing is deleted.
+    */
+  def foldTombstones(spark: SparkSession, path: String): Unit = {
+    if (!Tombstones.hasAny(spark, path)) return
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StoreSwap.recover(fs, root) // a prior fold may have died mid-swap
+    val tmp = path + ".compacting"
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+    save(load(spark, path), tmp)
+    StoreSwap.swap(fs, root, tmp)
+  }
 
   /** Small-files compaction: coalesce an accumulation of per-batch
     * document directories (the `batch=<id>` landing dirs the
@@ -48,5 +97,8 @@ object CorpusStore {
     * same input produces the same output layout.
     */
   def compact(spark: SparkSession, inPath: String, outPath: String): Unit =
-    save(spark.read.parquet(inPath), outPath)
+    // reads through [[load]], so any tombstones fold away with the
+    // small files (the rewrite is clean either way; `_tombstones`
+    // never travels into `outPath`)
+    save(load(spark, inPath), outPath)
 }

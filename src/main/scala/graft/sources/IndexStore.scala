@@ -116,163 +116,46 @@ object IndexStore {
     }
   }
 
-  /** Underscore-prefixed tombstone directory inside an index: parquet
-    * data listings skip underscore paths, so the deleted-doc set
-    * travels with the index without polluting its data files.
-    */
-  private val TombstonesDir = "_tombstones"
+  // ---- tombstone deletes (shared discipline: [[Tombstones]]) -----------
+  //
+  // The full batch-keyed contract — O(|ids|) landings, the applied-
+  // horizon guard against fresh-checkpoint un-deletes, empty-tree
+  // tolerance — lives in [[Tombstones]] (r14: the SAME discipline now
+  // covers CorpusStore and the streaming embed store, because a
+  // takedown must purge a document everywhere its content lives).
+  // These wrappers keep the index store's public surface.
 
-  /** Mark documents DELETED without rewriting the index: each call
-    * appends one small parquet batch to the [[TombstonesDir]] — an
-    * O(|docIds|) write however large the index is, the production
-    * shape for takedowns/redactions between compactions. Readers
-    * ([[load]], and therefore every lookup and [[merge]]) anti-join
-    * the tombstone set out; [[compact]] folds tombstones into a clean
-    * rewrite when the set has grown enough to matter.
+  /** Mark documents DELETED without rewriting the index — the one-shot
+    * operational form ([[Tombstones.append]]). Readers ([[load]], and
+    * therefore every lookup and [[merge]]) anti-join the set out;
+    * [[compact]]/[[compactSegments]] fold it into a clean rewrite.
     */
-  def delete(spark: SparkSession, path: String, docIds: Seq[Long]): Unit = {
-    require(docIds.nonEmpty, "delete needs at least one doc_id")
-    import spark.implicits._
-    docIds.toDF("doc_id").coalesce(1).write.mode("append")
-      .parquet(new org.apache.hadoop.fs.Path(path, TombstonesDir).toString)
-  }
+  def delete(spark: SparkSession, path: String, docIds: Seq[Long]): Unit =
+    Tombstones.append(spark, path, docIds)
 
-  /** Name prefix of the applied-horizon marker [[deleteBatch]] stamps
-    * inside [[TombstonesDir]] after each landing (underscore prefix:
-    * invisible to parquet readers). Batch ids within one streaming
-    * query only move forward, so the highest stamped id is the
-    * tombstone set's applied horizon — the guard that turns a
-    * fresh-checkpoint restart over outstanding landings into a loud
-    * error instead of a silent un-delete (see [[deleteBatch]]).
-    */
-  private val AppliedUpToPrefix = "_applied_upto_"
-
-  /** The tombstone set's applied horizon: the highest batch id whose
-    * [[deleteBatch]] landing committed. Markers are the source of
-    * truth; a store written before the marker scheme falls back to
-    * its max `src_batch=` dir id (those ARE batch ids, so the schemes
-    * agree at the upgrade boundary). -1 when no landing is
-    * outstanding — including right after a fold removed the dir, when
-    * there is nothing left for a restarted stream to clobber. One
-    * driver-side listing, no job.
-    */
-  def takedownHorizon(spark: SparkSession, path: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(path, TombstonesDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return -1L
-    val names = fs.listStatus(p).map(_.getPath.getName)
-    val marks = names.filter(_.startsWith(AppliedUpToPrefix))
-      .map(_.stripPrefix(AppliedUpToPrefix).toLong)
-    if (marks.nonEmpty) marks.max
-    else names.filter(_.startsWith("src_batch="))
-      .map(_.stripPrefix("src_batch=").toLong).maxOption.getOrElse(-1L)
-  }
+  /** The tombstone set's applied horizon ([[Tombstones.horizon]]). */
+  def takedownHorizon(spark: SparkSession, path: String): Long =
+    Tombstones.horizon(spark, path)
 
   /** Batch-keyed [[delete]] for the streaming takedown loop
-    * ([[graft.streaming.Stream.takedownMaintenance]]): the batch's
-    * ids land as ONE `src_batch=<id>` subdir that a rewrite REPLACES,
-    * so a replayed micro-batch overwrites its own landing instead of
-    * appending a duplicate — exactly-once at batch granularity, where
-    * plain [[delete]] appends are only content-idempotent (the
-    * accumulated SET is unchanged on replay, but the file count
-    * grows). An empty batch lands nothing (idle queue ticks are
-    * common; cruft dirs are not worth a schema to read back) and
-    * advances no horizon. Returns whether a landing happened.
-    *
-    * FAILS LOUDLY when `srcBatch` sits below the store's
-    * [[takedownHorizon]]: a lower id means the stream restarted with a
-    * FRESH checkpoint over outstanding landings, and the
-    * mode("overwrite") rewrite of `src_batch=<id>` would replace an
-    * EARLIER batch's tombstones with this one's — silently un-deleting
-    * takedown'd documents (they resurface in serving and survive the
-    * next fold for real). An id EQUAL to the horizon is the legitimate
-    * replay of the last uncommitted batch and overwrites only itself.
+    * ([[graft.streaming.Stream.takedownMaintenance]]) — exactly-once
+    * at batch granularity, loud below the applied horizon
+    * ([[Tombstones.landBatch]]). Returns whether a landing happened.
     */
-  def deleteBatch(ids: DataFrame, path: String, srcBatch: Long): Boolean = {
-    val spark = ids.sparkSession
-    val upto = takedownHorizon(spark, path)
-    require(srcBatch >= upto,
-      s"takedown batch $srcBatch is below the applied horizon $upto of " +
-        s"index $path: the stream was restarted with a fresh checkpoint " +
-        "over outstanding tombstone landings — overwriting batch " +
-        s"$srcBatch's earlier landing would silently un-delete its " +
-        "takedowns. Restart from the original checkpoint, or fold the " +
-        "store (compactSegments) before re-pointing a fresh stream at it")
-    val dels = ids.select(col("doc_id")).distinct()
-    if (dels.isEmpty) return false
-    val tomb = new org.apache.hadoop.fs.Path(path, TombstonesDir)
-    dels.coalesce(1).write.mode("overwrite")
-      .parquet(new org.apache.hadoop.fs.Path(tomb, s"src_batch=$srcBatch").toString)
-    // stamp the horizon AFTER the landing (a crash in between replays
-    // the same batch, which the >= guard admits and the overwrite
-    // makes idempotent), then drop older markers — subsumed by the max
-    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.create(new org.apache.hadoop.fs.Path(tomb, AppliedUpToPrefix + srcBatch),
-      true).close()
-    fs.listStatus(tomb).map(_.getPath)
-      .filter(p => p.getName.startsWith(AppliedUpToPrefix) &&
-        p.getName.stripPrefix(AppliedUpToPrefix).toLong < srcBatch)
-      .foreach(fs.delete(_, false))
-    true
-  }
+  def deleteBatch(ids: DataFrame, path: String, srcBatch: Long): Boolean =
+    Tombstones.landBatch(ids, path, srcBatch)
 
-  /** How many batch-keyed tombstone landings ([[deleteBatch]] dirs)
-    * the index currently carries — the takedown loop's fold trigger.
-    * One driver-side listing, no job.
+  /** How many batch-keyed tombstone landings the index carries — the
+    * takedown loop's fold trigger ([[Tombstones.batchCount]]).
     */
-  def tombstoneBatchCount(spark: SparkSession, path: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(path, TombstonesDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0
-    else fs.listStatus(p).count(s =>
-      s.isDirectory && s.getPath.getName.startsWith("src_batch="))
-  }
+  def tombstoneBatchCount(spark: SparkSession, path: String): Int =
+    Tombstones.batchCount(spark, path)
 
-  /** True when `dir` holds at least one visible data FILE at any
-    * depth (horizon markers and dot-prefixed leftovers don't count).
-    * The tombstone readers key off DATA, not directory existence: a
-    * crash inside [[deleteBatch]] between directory creation and file
-    * commit leaves a file-less tree, and `spark.read.parquet` over it
-    * throws "Unable to infer schema" — which would brick every
-    * [[load]]/[[lookup]] of the index until someone hand-removed the
-    * dir.
-    */
-  private def hasDataFilesUnder(fs: org.apache.hadoop.fs.FileSystem,
-                                dir: org.apache.hadoop.fs.Path): Boolean = {
-    if (!fs.exists(dir)) return false
-    val it = fs.listFiles(dir, true)
-    while (it.hasNext) {
-      val n = it.next().getPath.getName
-      if (!n.startsWith(".") && !n.startsWith("_")) return true
-    }
-    false
-  }
+  private def hasTombstones(spark: SparkSession, path: String): Boolean =
+    Tombstones.hasAny(spark, path)
 
-  /** Whether the index carries any tombstone DATA (plain appends or
-    * batch-keyed dirs) — a file-less [[TombstonesDir]] tree (crash
-    * leftover) counts as none. Driver-side listing, no job.
-    */
-  private def hasTombstones(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path, TombstonesDir)
-    hasDataFilesUnder(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-  }
-
-  /** The index's accumulated tombstone set (distinct doc_ids across
-    * all delete batches); None when nothing was ever deleted — or
-    * when the tree holds no data file yet (crash leftover; see
-    * [[hasDataFilesUnder]]). The recursive read deliberately skips
-    * partition inference so plain [[delete]] appends (files at the
-    * dir root) and [[deleteBatch]] `src_batch=` subdirs mix freely —
-    * the set is the union either way, and the schema stays exactly
-    * (doc_id).
-    */
-  private def tombstonesOf(spark: SparkSession, path: String): Option[DataFrame] = {
-    if (hasTombstones(spark, path))
-      Some(spark.read.option("recursiveFileLookup", "true")
-        .parquet(new org.apache.hadoop.fs.Path(path, TombstonesDir).toString)
-        .select(col("doc_id")).distinct())
-    else None
-  }
+  private def tombstonesOf(spark: SparkSession, path: String): Option[DataFrame] =
+    Tombstones.setOf(spark, path)
 
   /** Rewrite the index at `path` with tombstoned docs dropped for
     * real, into `outPath` with no tombstone directory — the compaction
@@ -518,6 +401,66 @@ object IndexStore {
           s"index at $path has bucket ids up to ${ids.max} — it was not saved " +
             s"with nBuckets=$nBuckets; pass the bucket count used at save time")
     }
+
+  /** A PINNED serving snapshot of one index (r14 — the serving
+    * latency floor): every per-query `lookup`/`searchIndex`/
+    * `searchRankedIndex` call re-resolves the index relation —
+    * `spark.read.parquet` lists the bucket directories and reads
+    * footers again, a driver-side cost that grows with the store and
+    * was the measured ~0.3s p50 floor on the 500k-doc store. `open`
+    * resolves the listing ONCE (plus the universe frame, the `_stats`
+    * pair and `_meta` when present); the `*On` query variants
+    * ([[lookupOn]], [[lookupTermsOn]], [[graft.operators.Query
+    * .searchIndexOn]]/[[graft.operators.Query.searchRankedIndexOn]])
+    * plan against the held frames, so a query pays only its own
+    * filter/aggregate planning.
+    *
+    * Snapshot semantics, stated plainly: segments, tombstones and
+    * stats landed AFTER `open` are not visible through the handle —
+    * re-open on refresh. That is the serving deployment's usual
+    * snapshot contract (the maintenance loops publish by atomic
+    * rename; a handle pins one published state). The per-query paths
+    * keep their read-latest semantics unchanged.
+    */
+  final case class OpenIndex(spark: SparkSession, path: String, nBuckets: Int,
+                             idx: DataFrame, universe: DataFrame,
+                             stats: Option[(DataFrame, DataFrame)],
+                             meta: Option[DataFrame])
+
+  /** Resolve a serving snapshot (see [[OpenIndex]]). One listing +
+    * side-table reads; no job runs until a query does.
+    */
+  def open(spark: SparkSession, path: String,
+           nBuckets: Int = DefaultBuckets): OpenIndex = {
+    requireBucketsMatch(spark, path, nBuckets)
+    val idx = load(spark, path)
+    // id column follows the indexed corpus (title for tsv, doc_id
+    // otherwise) — the universe frame's column name carries it
+    val idCol = Seq("doc_id", "title").find(idx.columns.contains).getOrElse("doc_id")
+    OpenIndex(spark, path, nBuckets, idx,
+      idx.select(idCol).distinct(),
+      if (hasStats(spark, path)) Some(loadStats(spark, path)) else None,
+      if (hasMeta(spark, path)) Some(loadMeta(spark, path)) else None)
+  }
+
+  /** [[lookup]] against a pinned [[OpenIndex]] snapshot — same plan
+    * (planning-time bucket pruning + pushed term equality), no
+    * re-listing.
+    */
+  def lookupOn(oi: OpenIndex, term: String): DataFrame =
+    oi.idx
+      .filter(col("term_bucket") === bucketOf(term, oi.nBuckets) &&
+        col("term") === term)
+      .drop("term_bucket")
+
+  /** [[lookupTerms]] against a pinned [[OpenIndex]] snapshot. */
+  def lookupTermsOn(oi: OpenIndex, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "lookupTerms needs at least one term")
+    val buckets = terms.map(bucketOf(_, oi.nBuckets)).distinct
+    oi.idx
+      .filter(col("term_bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .drop("term_bucket")
+  }
 
   /** Partition-pruned single-term lookup: the `term_bucket` equality
     * prunes directories at planning time; the `term` equality pushes

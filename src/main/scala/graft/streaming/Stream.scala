@@ -427,9 +427,32 @@ object Stream {
     * Single-writer discipline is the store family's usual contract:
     * run the takedown loop in the same driver as (sequenced with) the
     * index-maintenance loop, not concurrently against one store.
+    *
+    * CROSS-STORE takedown (r14 — the r13 verdict's gap #3: tombstones
+    * purged only the index, while the document's content also lives
+    * in the corpus store and the embedding store): `corpusPath` /
+    * `embedPath` extend the SAME batch-keyed discipline
+    * ([[graft.sources.Tombstones]]) to those stores — per batch the
+    * ids land in each store's own `_tombstones` (each with its own
+    * horizon guard), every reader ([[graft.sources.CorpusStore.load]]/
+    * `loadLang`, [[loadEmbedStore]] and therefore [[knnServe]] and
+    * [[hybridServe]]'s dense leg) anti-joins them live, and each
+    * store folds independently at its own `compactEvery` trigger so
+    * the content leaves disk for real. The embed store keys by
+    * `vec_id` under the deployment convention vec_id == doc_id (a
+    * document's embedding row carries its doc id); a deployment with
+    * a doc→vec mapping expands ids upstream of this sink. PACK /
+    * interleave stores are NOT tombstone-covered by design: a pack
+    * concatenates many documents into one training row, so in-place
+    * excision would rewrite every straddling pack — the documented
+    * contract is REBUILD-ON-TAKEDOWN (re-run packing from the
+    * already-purged corpus store; `pack_tokens`/`media_interleave`
+    * are one-pass rebuilds).
     */
   def takedownMaintenance(ids: DataFrame, indexPath: String,
-                          compactEvery: Int = 16): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                          compactEvery: Int = 16,
+                          corpusPath: Option[String] = None,
+                          embedPath: Option[String] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     ids.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -440,6 +463,21 @@ object Stream {
         graft.sources.IndexStore.deleteBatch(batch, indexPath, batchId)
         if (graft.sources.IndexStore.tombstoneBatchCount(spark, indexPath) >= compactEvery)
           graft.sources.IndexStore.compactSegments(spark, indexPath)
+        corpusPath.foreach { cp =>
+          val root = new org.apache.hadoop.fs.Path(cp)
+          recoverStore(root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+          graft.sources.CorpusStore.deleteBatch(batch, cp, batchId)
+          if (graft.sources.CorpusStore.tombstoneBatchCount(spark, cp) >= compactEvery)
+            graft.sources.CorpusStore.foldTombstones(spark, cp)
+        }
+        embedPath.foreach { ep =>
+          val root = new org.apache.hadoop.fs.Path(ep)
+          recoverStore(root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+          graft.sources.Tombstones.landBatch(
+            batch.select(col("doc_id").as("vec_id")), ep, batchId, key = "vec_id")
+          if (graft.sources.Tombstones.batchCount(spark, ep) >= compactEvery)
+            compactEmbedStore(spark, ep)
+        }
         ()
       }
 
@@ -512,29 +550,47 @@ object Stream {
     // the full-store vecMax scan so a serve batch reads only its
     // probed buckets — the resolver's O(|store| ids) pass is paid
     // only while multiple segments are outstanding
-    if (segs.isEmpty) spark.read.parquet(storePath)
-    else if (segs.size == 1)
-      // reading the one segment dir directly discovers its bucket=
-      // partitions and yields no seg column — nothing to resolve
-      spark.read.parquet(s"$storePath/seg=${segs.head}")
-    else {
-      val raw = spark.read.option("basePath", storePath)
-        .parquet(segs.map(id => s"$storePath/seg=$id"): _*)
-      val vecMax = raw.select(col("vec_id"), col("seg").cast("long").as("seg"))
-        .groupBy("vec_id").agg(max(col("seg")).as("seg"))
-      raw.withColumn("seg", col("seg").cast("long"))
-        .join(vecMax, Seq("vec_id", "seg"), "left_semi")
-        .drop("seg")
+    val resolved =
+      if (segs.isEmpty) spark.read.parquet(storePath)
+      else if (segs.size == 1)
+        // reading the one segment dir directly discovers its bucket=
+        // partitions and yields no seg column — nothing to resolve
+        spark.read.parquet(s"$storePath/seg=${segs.head}")
+      else {
+        val raw = spark.read.option("basePath", storePath)
+          .parquet(segs.map(id => s"$storePath/seg=$id"): _*)
+        val vecMax = raw.select(col("vec_id"), col("seg").cast("long").as("seg"))
+          .groupBy("vec_id").agg(max(col("seg")).as("seg"))
+        raw.withColumn("seg", col("seg").cast("long"))
+          .join(vecMax, Seq("vec_id", "seg"), "left_semi")
+          .drop("seg")
+      }
+    // takedowns anti-join out at read time (r14 — the IndexStore
+    // contract applied to embeddings: a deleted document's vector
+    // must not serve from knnServe/hybridServe between folds). Bucket
+    // predicates still push through the anti-join's streamed side.
+    graft.sources.Tombstones.setOf(spark, storePath, key = "vec_id") match {
+      case Some(t) => resolved.join(t, Seq("vec_id"), "left_anti")
+      case None => resolved
     }
   }
 
   /** Fold every segment of the embed store into one (`seg=<max>`,
-    * bucket-partitioned) via the crash-safe swap. No-op below two
-    * segments.
+    * bucket-partitioned) via the crash-safe swap — tombstoned vectors
+    * leave disk (the rewrite reads through [[loadEmbedStore]]'s
+    * anti-join and `_tombstones` does not travel through the swap).
+    * No-op below two segments unless tombstones are pending (the
+    * r13 compactSegments generalization, applied here).
     */
-  def compactEmbedStore(spark: SparkSession, storePath: String): Unit =
+  def compactEmbedStore(spark: SparkSession, storePath: String): Unit = {
+    val base = new org.apache.hadoop.fs.Path(storePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (segmentIdsAt(fs, base).size < 2 &&
+        !graft.sources.Tombstones.hasAny(spark, storePath)) return
     foldSegments(spark, storePath, loadEmbedStore(spark, storePath),
-      partitionCol = Some("bucket"))
+      partitionCol = Some("bucket"),
+      force = graft.sources.Tombstones.hasAny(spark, storePath))
+  }
 
   /** Streaming ANN serving — the query side of [[embedIndexMaintenance]]:
     * each micro-batch of query vectors is assigned to its IVF bucket
@@ -946,11 +1002,15 @@ object Stream {
     */
   private def foldSegments(spark: SparkSession, storePath: String,
                            resolved: => DataFrame,
-                           partitionCol: Option[String] = None): Unit = {
+                           partitionCol: Option[String] = None,
+                           force: Boolean = false): Unit = {
     val base = new org.apache.hadoop.fs.Path(storePath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val segs = segmentIdsAt(fs, base)
-    if (segs.size < 2) return
+    // `force` folds a ONE-segment store too — the takedown loop's
+    // pending-tombstones case (r13's compactSegments generalization):
+    // the fold is what makes deleted rows leave disk
+    if (segs.isEmpty || (segs.size < 2 && !force)) return
     // the applied horizon must survive the fold: segment ids are
     // monotonic, NOT batch ids, so without re-stamping the max marker
     // the post-fold fallback would misread the horizon

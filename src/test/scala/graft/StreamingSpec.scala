@@ -372,6 +372,94 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
     assert(new java.io.File(s"$bare/_tombstones").exists()) // untouched no-op
   }
 
+  test("stream_takedown: one takedown vanishes from loadLang, knnServe and hybridServe, across re-open and the folds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-takedown-all").toString
+    val (idxP, corP, centP, storeP) =
+      (s"$base/index", s"$base/corpus", s"$base/cent", s"$base/store")
+    val docs = Seq(
+      (100L, "spark join spark", "en", "s0"),
+      (101L, "spark filter", "en", "s0"),
+      (102L, "sort merge", "de", "s1")).toDF("doc_id", "text", "lang", "source")
+    graft.sources.CorpusStore.save(docs, corP)
+    graft.sources.IndexStore.save(
+      graft.operators.Index.invertedIndexOf(docs.select("doc_id", "text")),
+      idxP, nBuckets = 4)
+    graft.sources.IndexStore.saveStats(spark, idxP)
+    graft.operators.Similarity.saveCentroids(
+      Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f))).toDF("vec_id", "embedding"),
+      centP)
+    val vecs = MemoryStream[(Long, Array[Float])]
+    val qi = Stream.embedIndexMaintenance(
+      vecs.toDF().toDF("vec_id", "embedding"), centP, storeP).start()
+    try {
+      vecs.addData((100L, Array(0.9f, 0.1f)), (101L, Array(0.8f, 0.3f)),
+        (102L, Array(0.1f, 0.9f)))
+      qi.processAllAvailable()
+    } finally qi.stop()
+    def knnIds(outDir: String): Set[Long] = {
+      val q = MemoryStream[(Long, Array[Float])]
+      val s = Stream.knnServe(q.toDF().toDF("vec_id", "embedding"),
+        centP, storeP, outDir, k = 3).start()
+      try {
+        q.addData((9000L, Array(1f, 0.05f)))
+        s.processAllAvailable()
+      } finally s.stop()
+      spark.read.parquet(s"$outDir/batch=0")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }
+    def hybridIds(outDir: String): Set[Long] = {
+      val q = MemoryStream[(Long, String, Array[Float])]
+      val s = Stream.hybridServe(q.toDF().toDF("query_id", "term", "embedding"),
+        idxP, centP, storeP, outDir, k = 3, nBuckets = 4).start()
+      try {
+        q.addData((5000L, "spark", Array(1f, 0.05f)))
+        s.processAllAvailable()
+      } finally s.stop()
+      spark.read.parquet(s"$outDir/batch=0")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(knnIds(s"$base/knn0") === Set(100L, 101L)) // bucket-0 neighbors
+    assert(hybridIds(s"$base/hyb0") === Set(100L, 101L))
+    // ONE takedown loop drives all three stores
+    val in = MemoryStream[Long]
+    val td = Stream.takedownMaintenance(in.toDF().toDF("doc_id"), idxP,
+      compactEvery = 3, corpusPath = Some(corP), embedPath = Some(storeP)).start()
+    try {
+      in.addData(100L)
+      td.processAllAvailable()
+      // live at the NEXT read in every store, no rewrite anywhere
+      assert(graft.sources.CorpusStore.loadLang(spark, corP, "en")
+        .select("doc_id").collect().map(_.getLong(0)).toSet === Set(101L))
+      assert(graft.sources.IndexStore.lookup(spark, idxP, "spark", nBuckets = 4)
+        .select("doc_id").collect().map(_.getLong(0)).toSet === Set(101L))
+      assert(knnIds(s"$base/knn1") === Set(101L))
+      assert(hybridIds(s"$base/hyb1") === Set(101L))
+      // two more batches reach compactEvery=3: EVERY store folds — the
+      // deleted content leaves disk and the anti-join lists reset
+      in.addData(102L)
+      td.processAllAvailable()
+      in.addData(999L) // id unknown to any store: still a landing
+      td.processAllAvailable()
+      assert(!new java.io.File(s"$corP/_tombstones").exists())
+      assert(!new java.io.File(s"$idxP/_tombstones").exists())
+      assert(!new java.io.File(s"$storeP/_tombstones").exists())
+      // raw (reader-bypass) content checks: the folds purged the rows
+      assert(spark.read.parquet(corP).select("doc_id")
+        .collect().map(_.getLong(0)).toSet === Set(101L))
+      assert(Stream.loadEmbedStore(spark, storeP).select("vec_id")
+        .collect().map(_.getLong(0)).toSet === Set(101L))
+      // re-open: fresh readers over the folded stores serve the same
+      assert(graft.sources.CorpusStore.loadLang(spark, corP, "en")
+        .select("doc_id").collect().map(_.getLong(0)).toSet === Set(101L))
+      assert(graft.sources.CorpusStore.loadLang(spark, corP, "de").count() === 0L)
+      assert(knnIds(s"$base/knn2") === Set(101L))
+      assert(hybridIds(s"$base/hyb2") === Set(101L))
+    } finally td.stop()
+  }
+
   test("stream_takedown: fold keeps a one-segment store segmented") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-takedown-seg").toString
