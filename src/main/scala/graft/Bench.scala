@@ -81,13 +81,23 @@ object Bench {
       val tS = System.nanoTime()
       sources.IndexStore.saveStats(spark, idxPath)
       serveBuf += "serve:stats_build" -> (System.nanoTime() - tS) / 1e9
-      val r = Serving.mix(spark, idxPath, 64, Serving.vocabOf(spark, idxPath),
-        nQueries = 40)
+      val vocab = Serving.vocabOf(spark, idxPath)
+      val r = Serving.mix(spark, idxPath, 64, vocab, nQueries = 40)
       (r.shapes :+ "all").foreach { sh =>
         serveBuf += s"serve:${sh}_p50" -> r.p(sh, 0.50)
         serveBuf += s"serve:${sh}_p95" -> r.p(sh, 0.95)
       }
       serveBuf += "serve:unpruned" -> r.unpruned.toDouble
+      // the PREPARED session twin (r14): one IndexStore.open pinned
+      // across the same mix — the per-query planning-floor delta shows
+      // up as serve:prep_* beside the per-query keys
+      val rp = Serving.mix(spark, idxPath, 64, vocab, nQueries = 40,
+        prepared = true)
+      (rp.shapes :+ "all").foreach { sh =>
+        serveBuf += s"serve:prep_${sh}_p50" -> rp.p(sh, 0.50)
+        serveBuf += s"serve:prep_${sh}_p95" -> rp.p(sh, 0.95)
+      }
+      serveBuf += "serve:prep_unpruned" -> rp.unpruned.toDouble
     } catch { case _: Throwable => serveBuf += "serve:index_build" -> -1.0 }
     val all = results ++ prodResults ++ serveBuf.toSeq
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -55,21 +55,40 @@ object Serving {
 
   def mix(spark: org.apache.spark.sql.SparkSession, idxPath: String,
           nBuckets: Int, vocab: Array[String], nQueries: Int = 100,
-          threads: Int = 1): MixResult = {
+          threads: Int = 1, prepared: Boolean = false): MixResult = {
     val shapes = Array("term", "bool", "phrase", "ranked")
+    // prepared = the serving-session shape (r13 verdict item 7): ONE
+    // IndexStore.open pins the resolved index relation + side tables,
+    // every query plans against the held frames (`*On` variants)
+    // instead of re-listing the store — the per-query planning floor.
+    // Results are parity-specced identical; only latency may differ.
+    val oi = if (prepared) Some(sources.IndexStore.open(spark, idxPath, nBuckets))
+             else None
     def mkQuery(i: Int): (String, () => DataFrame) = {
       val t1 = vocab(i % vocab.length)
       val t2 = vocab((i * 7 + 3) % vocab.length)
       val shape = shapes(i % 4)
       shape -> (shape match {
-        case "term" => () => sources.IndexStore.lookup(spark, idxPath, t1, nBuckets)
-        case "bool" => () =>
-          operators.Query.searchIndex(spark, idxPath, s"$t1 AND $t2", nBuckets)
-        case "phrase" => () =>
-          operators.Query.searchIndex(spark, idxPath, "\"" + t1 + " " + t2 + "\"", nBuckets)
-        case "ranked" => () =>
-          operators.Query.searchRankedIndex(spark, idxPath, s"$t1 OR $t2",
-            k = 10, nBuckets = nBuckets)
+        case "term" => () => oi match {
+          case Some(h) => sources.IndexStore.lookupOn(h, t1)
+          case None => sources.IndexStore.lookup(spark, idxPath, t1, nBuckets)
+        }
+        case "bool" => () => oi match {
+          case Some(h) => operators.Query.searchIndexOn(h, s"$t1 AND $t2")
+          case None =>
+            operators.Query.searchIndex(spark, idxPath, s"$t1 AND $t2", nBuckets)
+        }
+        case "phrase" => () => oi match {
+          case Some(h) => operators.Query.searchIndexOn(h, "\"" + t1 + " " + t2 + "\"")
+          case None =>
+            operators.Query.searchIndex(spark, idxPath, "\"" + t1 + " " + t2 + "\"", nBuckets)
+        }
+        case "ranked" => () => oi match {
+          case Some(h) => operators.Query.searchRankedIndexOn(h, s"$t1 OR $t2", k = 10)
+          case None =>
+            operators.Query.searchRankedIndex(spark, idxPath, s"$t1 OR $t2",
+              k = 10, nBuckets = nBuckets)
+        }
       })
     }
     val unpruned = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -73,6 +73,23 @@ object StressData {
             |  as long)))""".stripMargin), " ").as("text"))
     } else sources.Tables.documents(spark, dir)
   }
+
+  /** Materialize a `zipf:<n>` synthetic corpus as a parquet sf-dir
+    * (`<out>/documents.parquet`), so the per-key stress runners
+    * ([[StressBench]], Bench's SPARK_GRAFT_ONLY loop) — which read
+    * sf-dir layouts — can time operators on the Zipfian regime too.
+    * Usage: `runMain graft.StressData zipf:50000 /tmp/zipf50k`.
+    */
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2 && args(0).startsWith("zipf:"),
+      "usage: StressData zipf:<n> <outDir>")
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    docsOf(spark, args(0)).write.mode("overwrite")
+      .parquet(s"${args(1)}/documents.parquet")
+    println(s"STRESSDATA wrote ${args(0)} -> ${args(1)}/documents.parquet")
+    spark.stop()
+  }
 }
 
 /** Saved-index retrieval at stress scale (SURVEY §6; r10 VERDICT item
@@ -128,15 +145,22 @@ object IndexScaleStress {
     // query; every plan is asserted bucket-pruned in all three runs.
     locally {
       val vocab = Serving.vocabOf(spark, idxPath)
-      Seq(1, 4, 16).foreach { threads =>
-        val r = Serving.mix(spark, idxPath, 64, vocab, nQueries = 100,
-          threads = threads)
-        (r.shapes :+ "all").foreach { sh =>
-          val n = if (sh == "all") r.all.size else r.latencies.getOrElse(sh, Vector.empty).size
-          println(f"IDXSTRESS dir=$dir%-20s serve thr=$threads%-3d $sh%-7s n=$n%3d " +
-            f"p50=${r.p(sh, 0.50)}%6.3fs p95=${r.p(sh, 0.95)}%6.3fs")
+      // per-query (read-latest) AND prepared-session (one
+      // IndexStore.open pinned across the mix — r13 verdict item 7)
+      // rows side by side, so the planning-floor delta is measured at
+      // every thread count on the big store
+      Seq(false, true).foreach { prep =>
+        val tag = if (prep) "serve+prep" else "serve"
+        Seq(1, 4, 16).foreach { threads =>
+          val r = Serving.mix(spark, idxPath, 64, vocab, nQueries = 100,
+            threads = threads, prepared = prep)
+          (r.shapes :+ "all").foreach { sh =>
+            val n = if (sh == "all") r.all.size else r.latencies.getOrElse(sh, Vector.empty).size
+            println(f"IDXSTRESS dir=$dir%-20s $tag%-10s thr=$threads%-3d $sh%-7s n=$n%3d " +
+              f"p50=${r.p(sh, 0.50)}%6.3fs p95=${r.p(sh, 0.95)}%6.3fs")
+          }
+          println(s"IDXSTRESS $tag thr=$threads unpruned-plans: ${r.unpruned}")
         }
-        println(s"IDXSTRESS serve thr=$threads unpruned-plans: ${r.unpruned}")
       }
     }
 

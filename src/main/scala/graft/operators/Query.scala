@@ -260,6 +260,23 @@ object Query {
     eval(tok, universe, ast, id, metaOf(spark, indexPath))
   }
 
+  /** [[searchIndex]] against a pinned serving snapshot
+    * ([[graft.sources.IndexStore.open]]) — identical results and
+    * pruning, but the index relation, universe and `_meta` are
+    * resolved ONCE per session instead of re-listed per query (the
+    * measured per-query planning floor of the serving mix). Snapshot
+    * semantics are the handle's: takedowns/segments landed after
+    * `open` need a re-open.
+    */
+  def searchIndexOn(oi: graft.sources.IndexStore.OpenIndex,
+                    query: String): DataFrame = {
+    val id = oi.universe.columns.head
+    val ast = parse(query)
+    val tok = leafPostingsOn(oi, ast, query)
+      .select(col(id), col("term"), explode(col("positions")).as("pos"))
+    eval(tok, oi.universe, ast, id, oi.meta.orNull)
+  }
+
   /** The index's `_meta` side table when it carries one (fielded
     * `lang:`/`source:` leaves evaluate against it, doc-keyed and
     * tombstone-filtered), else null — [[eval]] then fails loudly only
@@ -294,6 +311,25 @@ object Query {
     val byFuzzy = fz.distinct.map { case (t, d) =>
       graft.sources.IndexStore.load(spark, indexPath)
         .filter(levenshtein(col("term"), lit(t)) <= d).drop("term_bucket")
+    }
+    require(byTerm.nonEmpty || byPrefix.nonEmpty || byFuzzy.nonEmpty,
+      s"query has no leaves: $query")
+    (byTerm ++ byPrefix ++ byFuzzy).reduce(_ unionByName _)
+  }
+
+  /** [[leafPostings]] against a pinned snapshot: same three leaf
+    * sources, planned over the handle's already-resolved relation.
+    */
+  private def leafPostingsOn(oi: graft.sources.IndexStore.OpenIndex, ast: Q,
+                             query: String): DataFrame = {
+    val (ts, ps, fz) = leaves(ast)
+    val byTerm =
+      if (ts.nonEmpty) Seq(graft.sources.IndexStore.lookupTermsOn(oi, ts.distinct))
+      else Nil
+    val byPrefix = ps.distinct.map(p =>
+      oi.idx.filter(col("term").startsWith(p)).drop("term_bucket"))
+    val byFuzzy = fz.distinct.map { case (t, d) =>
+      oi.idx.filter(levenshtein(col("term"), lit(t)) <= d).drop("term_bucket")
     }
     require(byTerm.nonEmpty || byPrefix.nonEmpty || byFuzzy.nonEmpty,
       s"query has no leaves: $query")
@@ -452,26 +488,51 @@ object Query {
       .crossJoin(broadcast(theta))
   }
 
+  /** [[searchRankedIndex]] against a pinned serving snapshot — the
+    * MaxScore ladder planned over [[graft.sources.IndexStore.open]]'s
+    * resolved frames (see [[searchIndexOn]] for the snapshot
+    * contract).
+    */
+  def searchRankedIndexOn(oi: graft.sources.IndexStore.OpenIndex,
+                          query: String, k: Int = 20): DataFrame = {
+    val id = oi.universe.columns.head
+    val (_, _, _, scoredCand) = rankedIndexFramesOn(oi, query, k)
+    scoredCand
+      .orderBy(col("score").desc, col(id))
+      .limit(k)
+  }
+
   /** The shared MaxScore ladder of [[searchRankedIndex]] /
     * [[searchRankedIndexStats]]: (docUb, theta, cand, scoredCand).
+    * The per-query form opens a fresh snapshot (read-latest
+    * semantics); serving sessions hold one [[graft.sources.IndexStore
+    * .OpenIndex]] and go through [[rankedIndexFramesOn]].
     */
   private def rankedIndexFrames(spark: SparkSession, indexPath: String,
                                 query: String, k: Int, nBuckets: Int,
-                                id: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+                                id: String): (DataFrame, DataFrame, DataFrame, DataFrame) =
+    rankedIndexFramesOn(
+      graft.sources.IndexStore.open(spark, indexPath, nBuckets), query, k)
+
+  private def rankedIndexFramesOn(oi: graft.sources.IndexStore.OpenIndex,
+                                  query: String, k: Int): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val id = oi.universe.columns.head
     val (k1, b) = (1.2, 0.75)
     val ast = parse(query)
     val terms = positiveTerms(ast)
     val boosts = boostWeights(ast)
     require(terms.nonEmpty, s"query has no positive terms to rank by: $query")
-    val postings = leafPostings(spark, indexPath, ast, nBuckets, query)
+    val postings = leafPostingsOn(oi, ast, query)
     val tok = postings
       .select(col(id), col("term"), explode(col("positions")).as("pos"))
     // the universe frame only enters the plan under a NOT node — a
     // NOT-less ranked query never scans beyond its terms' buckets
-    val universe = graft.sources.IndexStore.load(spark, indexPath)
-      .select(id).distinct()
-    val matches = eval(tok, universe, ast, id, metaOf(spark, indexPath))
-    val (dl, corpus) = graft.sources.IndexStore.loadStats(spark, indexPath)
+    val matches = eval(tok, oi.universe, ast, id, oi.meta.orNull)
+    require(oi.stats.nonEmpty,
+      s"index at ${oi.path} has no _stats side table — run " +
+        "IndexStore.saveStats(spark, path) after building the index " +
+        "(compaction refreshes it automatically)")
+    val (dl, corpus) = oi.stats.get
     val ranked = postings.filter(col("term").isin(terms: _*))
       .select(col(id), col("term"), col("tf").cast("double").as("tf"))
     // df AND the bound's maxtf ride the same complete-list fetch —

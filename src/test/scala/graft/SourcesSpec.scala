@@ -497,6 +497,52 @@ class SourcesSpec extends SparkSpec {
       "fielded ranked serving must survive the fold minus the takedown")
   }
 
+  test("prepared serving session: OpenIndex *On variants match the per-query path row for row") {
+    import org.apache.spark.sql.functions.col
+    val docs = sources.Tables.documents(spark, sfDir)
+    val path = tmpDir("graft-idxopen") + "/index"
+    IndexStore.save(Index.invertedIndexOf(docs), path, nBuckets = 8)
+    IndexStore.saveStats(spark, path)
+    IndexStore.saveMeta(docs.select("doc_id", "lang", "source"), path)
+    val oi = IndexStore.open(spark, path, nBuckets = 8)
+    // term lookup
+    assert(IndexStore.lookupOn(oi, "spark").orderBy("doc_id").collect().toSeq ===
+      IndexStore.lookup(spark, path, "spark", nBuckets = 8)
+        .orderBy("doc_id").collect().toSeq)
+    // boolean / phrase / prefix / fielded through the grammar
+    Seq("spark AND join", "\"key order\" AND NOT slow", "quer* OR spark",
+        "lang:en AND (spark OR query) AND NOT source:src0").foreach { q =>
+      val want = operators.Query.searchIndex(spark, path, q, nBuckets = 8)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val got = operators.Query.searchIndexOn(oi, q)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === want && got.nonEmpty, s"prepared parity for '$q'")
+    }
+    // ranked (MaxScore ladder over the held frames)
+    Seq("spark AND NOT slow", "spark^3 OR join", "lang:en AND spark").foreach { q =>
+      val want = operators.Query.searchRankedIndex(spark, path, q, k = 20, nBuckets = 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = operators.Query.searchRankedIndexOn(oi, q, k = 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got === want && got.nonEmpty, s"prepared ranked parity for '$q'")
+    }
+    // the held relation still bucket-prunes at planning time
+    val plan = IndexStore.lookupOn(oi, "spark").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("term_bucket"))
+    // snapshot semantics, stated and tested: a takedown after open()
+    // is visible to fresh per-query reads but NOT through the handle
+    val victim = IndexStore.lookupOn(oi, "spark")
+      .select("doc_id").head().getLong(0)
+    IndexStore.delete(spark, path, Seq(victim))
+    assert(!IndexStore.lookup(spark, path, "spark", nBuckets = 8)
+      .select("doc_id").collect().map(_.getLong(0)).contains(victim))
+    assert(IndexStore.lookupOn(oi, "spark")
+      .select("doc_id").collect().map(_.getLong(0)).contains(victim))
+    // re-open sees it gone
+    assert(!IndexStore.lookupOn(IndexStore.open(spark, path, nBuckets = 8), "spark")
+      .select("doc_id").collect().map(_.getLong(0)).contains(victim))
+  }
+
   test("index store: deleted doc vanishes from term/phrase/ranked serving, across re-open and compaction") {
     import spark.implicits._
     val path = tmpDir("graft-idxdelserve") + "/index"
