@@ -60,7 +60,7 @@ object Cli {
       // fielded-search metadata rides the build when the corpus has
       // field columns (jsonl/csv carry lang/source): `query`/`bquery`
       // against this index then serve lang:/source: leaves index-side
-      val fields = corpus.columns.filter(c => c == "lang" || c == "source")
+      val fields = corpus.columns.filter(c => c == "lang" || c == "source").toSeq
       if (fields.nonEmpty)
         IndexStore.saveMeta(corpus.select(id, fields: _*), out)
       IndexStore.load(spark, out)

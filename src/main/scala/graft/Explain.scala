@@ -308,11 +308,20 @@ object Explain {
     "index_lookup" -> Rule(required = Seq("PartitionFilters", "term_bucket")),
     "index_lookup_terms" -> Rule(required = Seq("PartitionFilters", "term_bucket")),
     "searchindex_prefix" -> Rule(required = Seq("StringStartsWith(term,quer")),
-    // the index-served BM25 path: leaf fetch bucket-pruned at planning
-    // time, and the corpus NEVER appears — its only scans are the index
-    // layout and the _stats side table (a "documents" relation in this
-    // plan would mean the per-query corpus rebuild came back)
+    // the index-served BM25 path: on the default (single-pass) branch
+    // the leaf fetch is bucket-pruned at planning time and the corpus
+    // NEVER appears; on the FORCED MaxScore branch (maxscoreRows=0)
+    // the fetch runs once inside a per-query localCheckpoint — pruning
+    // is pinned on the fetch subtree (`searchranked_fetch`) and the
+    // ladder's final plan must carry NO index scan at all
+    // (`term_bucket` anywhere in it means a ladder pass re-scanned
+    // the layout)
     "searchranked_index" -> Rule(
+      required = Seq("PartitionFilters", "term_bucket"),
+      forbidden = Seq("documents")),
+    "searchranked_ladder" -> Rule(
+      forbidden = Seq("documents", "term_bucket")),
+    "searchranked_fetch" -> Rule(
       required = Seq("PartitionFilters", "term_bucket"),
       forbidden = Seq("documents")),
     // fielded retrieval from the saved index (r14): term leaves still
@@ -390,6 +399,15 @@ object Explain {
         operators.Query.searchIndex(spark, idx, "quer* AND NOT slow", nBuckets = 8),
       "searchranked_index" ->
         operators.Query.searchRankedIndex(spark, idx, "spark AND join",
+          nBuckets = 8),
+      "searchranked_ladder" -> {
+        spark.conf.set("spark.graft.maxscoreRows", "0")
+        try operators.Query.searchRankedIndex(spark, idx, "spark AND join",
+          nBuckets = 8)
+        finally spark.conf.unset("spark.graft.maxscoreRows")
+      },
+      "searchranked_fetch" ->
+        operators.Query.rankedFetchPlan(spark, idx, "spark AND join",
           nBuckets = 8),
       "searchindex_fielded" ->
         operators.Query.searchIndex(spark, idx,

@@ -98,8 +98,15 @@ object Serving {
       val df = mk()
       df.queryExecution.toRdd.count()
       val dt = (System.nanoTime() - t0) / 1e9
-      if (!df.queryExecution.executedPlan.toString.contains("PartitionFilters"))
-        unpruned.incrementAndGet()
+      // pruned = either a planning-time-pruned layout scan
+      // (PartitionFilters — the single-pass branch and every other
+      // shape) or NO layout scan at all (the MaxScore branch reads its
+      // checkpointed fetch; pruning is audited on the fetch subtree —
+      // `searchranked_fetch`). A term_bucket scan WITHOUT
+      // PartitionFilters is the regression this counter exists for.
+      val plan = df.queryExecution.executedPlan.toString
+      val ok = plan.contains("PartitionFilters") || !plan.contains("term_bucket")
+      if (!ok) unpruned.incrementAndGet()
       shape -> dt
     }
     val results: Seq[(String, Double)] =

@@ -121,6 +121,12 @@ object IndexScaleStress {
     val tS = System.nanoTime()
     sources.IndexStore.saveStats(spark, idxPath)
     println(f"IDXSTRESS dir=$dir%-20s stats ${(System.nanoTime() - tS) / 1e9}%8.2fs")
+    // fielded-search metadata: deploy-time cost priced like the stats
+    // table, and the fielded audit rule below needs the side table
+    val tM = System.nanoTime()
+    sources.IndexStore.saveMeta(StressData.docsOf(spark, dir)
+      .select("doc_id", "lang", "source"), idxPath)
+    println(f"IDXSTRESS dir=$dir%-20s meta  ${(System.nanoTime() - tM) / 1e9}%8.2fs")
     val shapes = Seq(
       "term_lookup" -> (() =>
         sources.IndexStore.lookup(spark, idxPath, "the", nBuckets = 64)),
@@ -176,7 +182,19 @@ object IndexScaleStress {
           nBuckets = 64),
       "searchranked_index" ->
         operators.Query.searchRankedIndex(spark, idxPath, "spark AND join",
-          nBuckets = 64))
+          nBuckets = 64),
+      "searchranked_ladder" -> {
+        spark.conf.set("spark.graft.maxscoreRows", "0")
+        try operators.Query.searchRankedIndex(spark, idxPath, "spark AND join",
+          nBuckets = 64)
+        finally spark.conf.unset("spark.graft.maxscoreRows")
+      },
+      "searchranked_fetch" ->
+        operators.Query.rankedFetchPlan(spark, idxPath, "spark AND join",
+          nBuckets = 64),
+      "searchindex_fielded" ->
+        operators.Query.searchIndex(spark, idxPath,
+          "lang:en AND (spark OR query)", nBuckets = 64))
     val violations = Explain.IndexAuditRules.toSeq.sortBy(_._1).flatMap {
       case (name, rule) =>
         val plan = plans(name).queryExecution.executedPlan.toString

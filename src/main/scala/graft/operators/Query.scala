@@ -257,7 +257,7 @@ object Query {
       .select(col(id), col("term"), explode(col("positions")).as("pos"))
     val universe = graft.sources.IndexStore.load(spark, indexPath)
       .select(id).distinct()
-    eval(tok, universe, ast, id, metaOf(spark, indexPath))
+    eval(tok, universe, ast, id, metaOf(spark, indexPath, ast))
   }
 
   /** [[searchIndex]] against a pinned serving snapshot
@@ -277,13 +277,26 @@ object Query {
     eval(tok, oi.universe, ast, id, oi.meta.orNull)
   }
 
-  /** The index's `_meta` side table when it carries one (fielded
+  /** Whether the AST carries a [[Field]] leaf anywhere — the gate
+    * that keeps field-less queries from paying the `_meta` listing
+    * (a per-query driver-side cost measured on the serving mix).
+    */
+  private def hasFieldLeaf(q: Q): Boolean = q match {
+    case Field(_, _) => true
+    case And(l, r) => hasFieldLeaf(l) || hasFieldLeaf(r)
+    case Or(l, r) => hasFieldLeaf(l) || hasFieldLeaf(r)
+    case Not(inner) => hasFieldLeaf(inner)
+    case _ => false
+  }
+
+  /** The index's `_meta` side table when the QUERY needs one (fielded
     * `lang:`/`source:` leaves evaluate against it, doc-keyed and
     * tombstone-filtered), else null — [[eval]] then fails loudly only
-    * if the query actually HAS a field leaf.
+    * if the query actually HAS a field leaf. Field-less queries skip
+    * even the existence check's read.
     */
-  private def metaOf(spark: SparkSession, indexPath: String): DataFrame =
-    if (graft.sources.IndexStore.hasMeta(spark, indexPath))
+  private def metaOf(spark: SparkSession, indexPath: String, ast: Q): DataFrame =
+    if (hasFieldLeaf(ast) && graft.sources.IndexStore.hasMeta(spark, indexPath))
       graft.sources.IndexStore.loadMeta(spark, indexPath)
     else null
 
@@ -316,6 +329,17 @@ object Query {
       s"query has no leaves: $query")
     (byTerm ++ byPrefix ++ byFuzzy).reduce(_ unionByName _)
   }
+
+  /** The UNCHECKPOINTED leaf-fetch plan of a ranked/boolean query —
+    * the subtree [[rankedIndexFramesOn]] materializes per query. The
+    * plan audit pins bucket pruning HERE (`searchranked_fetch`),
+    * because the executed final plan reads the checkpoint and carries
+    * no index scan to inspect.
+    */
+  private[graft] def rankedFetchPlan(spark: SparkSession, indexPath: String,
+                                     query: String, nBuckets: Int): DataFrame =
+    leafPostingsOn(graft.sources.IndexStore.open(spark, indexPath, nBuckets),
+      parse(query), query)
 
   /** [[leafPostings]] against a pinned snapshot: same three leaf
     * sources, planned over the handle's already-resolved relation.
@@ -455,9 +479,19 @@ object Query {
     * specs assert row equality, and [[searchRankedIndexStats]] is the
     * scored-vs-candidates diagnostic). On a fat+rare query the fat
     * term's near-zero idf puts its only-fat docs under θ, so the
-    * posting-list tail never reaches the dl join; a query whose terms
-    * discriminate nothing (all-fat) prunes nothing and pays one extra
-    * bound pass — the classic MaxScore trade.
+    * posting-list tail never reaches the dl join.
+    *
+    * The ladder engages ADAPTIVELY (jobless gate: |positive terms| ·
+    * indexed-docs vs `spark.graft.maxscoreRows`, default 10M): below
+    * the crossover the single-pass scoring wins on stage latency and
+    * the plan is r13's exactly — measured on the 500k fat-df store,
+    * the always-on ladder REGRESSED ranked p50 1.38s → 3.3s because
+    * its extra stages cost more than the sub-second tail they prune;
+    * the crossover where candidate mass dominates is the 10⁷⁺-row
+    * posting lists of a truly large store. On the ladder branch the
+    * leaf fetch materializes once per query (localCheckpoint) and the
+    * final plan carries no index scan (`searchranked_fetch` audits
+    * the pruning on the fetch subtree).
     */
   def searchRankedIndex(spark: SparkSession, indexPath: String, query: String,
                         k: Int = 20,
@@ -512,7 +546,8 @@ object Query {
                                 query: String, k: Int, nBuckets: Int,
                                 id: String): (DataFrame, DataFrame, DataFrame, DataFrame) =
     rankedIndexFramesOn(
-      graft.sources.IndexStore.open(spark, indexPath, nBuckets), query, k)
+      graft.sources.IndexStore.open(spark, indexPath, nBuckets,
+        withMeta = hasFieldLeaf(parse(query))), query, k)
 
   private def rankedIndexFramesOn(oi: graft.sources.IndexStore.OpenIndex,
                                   query: String, k: Int): (DataFrame, DataFrame, DataFrame, DataFrame) = {
@@ -522,16 +557,36 @@ object Query {
     val terms = positiveTerms(ast)
     val boosts = boostWeights(ast)
     require(terms.nonEmpty, s"query has no positive terms to rank by: $query")
-    val postings = leafPostingsOn(oi, ast, query)
+    require(oi.stats.nonEmpty,
+      s"index at ${oi.path} has no _stats side table — run " +
+        "IndexStore.saveStats(spark, path) after building the index " +
+        "(compaction refreshes it automatically)")
+    // LADDER GATE (measured, r14): the ladder's extra stages (fetch
+    // checkpoint, bound pass, seed scoring, θ broadcast) carry ~1.5s+
+    // of fixed stage latency on a local session, while the single-pass
+    // tail they prune (dl join + aggregation + TakeOrdered over the
+    // matched posting rows) stays sub-second until posting lists reach
+    // tens of millions of rows — the always-on ladder REGRESSED the
+    // 500k-store ranked p50 1.38s → 3.3s. The gate is jobless: the
+    // upper bound |positive terms| · indexed-docs (n off the handle's
+    // already-collected stats row) against `spark.graft.maxscoreRows`
+    // (default 10M). Below it the plan is the r13 single pass over the
+    // bucket-pruned layout, exactly; at or above it the fetch
+    // materializes ONCE (localCheckpoint) and the bound-prune-rescore
+    // ladder runs over the pinned rows (pruning audited on the fetch
+    // subtree — `searchranked_fetch`; the ladder's final plan carries
+    // no index scan). Both branches rank identically (parity specs
+    // force the gate both ways); [[searchRankedIndexStats]] always
+    // prices the ladder's scored-vs-candidates split.
+    val ladder = terms.size.toLong * math.max(oi.nDocs, 0L) >= oi.spark.conf
+      .get("spark.graft.maxscoreRows", "10000000").toLong
+    val postings0 = leafPostingsOn(oi, ast, query)
+    val postings = if (ladder) postings0.localCheckpoint() else postings0
     val tok = postings
       .select(col(id), col("term"), explode(col("positions")).as("pos"))
     // the universe frame only enters the plan under a NOT node — a
     // NOT-less ranked query never scans beyond its terms' buckets
     val matches = eval(tok, oi.universe, ast, id, oi.meta.orNull)
-    require(oi.stats.nonEmpty,
-      s"index at ${oi.path} has no _stats side table — run " +
-        "IndexStore.saveStats(spark, path) after building the index " +
-        "(compaction refreshes it automatically)")
     val (dl, corpus) = oi.stats.get
     val ranked = postings.filter(col("term").isin(terms: _*))
       .select(col(id), col("term"), col("tf").cast("double").as("tf"))
@@ -563,7 +618,7 @@ object Query {
     val theta = scored(seed).agg(min(col("score")).as("theta"))
     val cand = docUb.crossJoin(broadcast(theta))
       .filter(col("ub") >= col("theta")).select(id)
-    (docUb, theta, cand, scored(cand))
+    (docUb, theta, cand, if (ladder) scored(cand) else scored(matches))
   }
 
   /** Gate query: a fixed compound query over the documents table. */

@@ -425,13 +425,24 @@ object IndexStore {
   final case class OpenIndex(spark: SparkSession, path: String, nBuckets: Int,
                              idx: DataFrame, universe: DataFrame,
                              stats: Option[(DataFrame, DataFrame)],
-                             meta: Option[DataFrame])
+                             meta: Option[DataFrame]) {
+    /** Indexed doc count from the `_stats` corpus row (−1 without
+      * stats) — collected once per handle; the ranked path's ladder
+      * gate reads it instead of running a per-query count job.
+      */
+    lazy val nDocs: Long =
+      stats.map(_._2.select(col("n")).head().getDouble(0).toLong).getOrElse(-1L)
+  }
 
   /** Resolve a serving snapshot (see [[OpenIndex]]). One listing +
-    * side-table reads; no job runs until a query does.
+    * side-table reads; no job runs until a query does. `withMeta =
+    * false` skips the `_meta` resolution — the per-query wrappers pass
+    * it when the query has no field leaf, so field-less queries never
+    * pay that listing (sessions keep the default and hold everything).
     */
   def open(spark: SparkSession, path: String,
-           nBuckets: Int = DefaultBuckets): OpenIndex = {
+           nBuckets: Int = DefaultBuckets,
+           withMeta: Boolean = true): OpenIndex = {
     requireBucketsMatch(spark, path, nBuckets)
     val idx = load(spark, path)
     // id column follows the indexed corpus (title for tsv, doc_id
@@ -440,7 +451,7 @@ object IndexStore {
     OpenIndex(spark, path, nBuckets, idx,
       idx.select(idCol).distinct(),
       if (hasStats(spark, path)) Some(loadStats(spark, path)) else None,
-      if (hasMeta(spark, path)) Some(loadMeta(spark, path)) else None)
+      if (withMeta && hasMeta(spark, path)) Some(loadMeta(spark, path)) else None)
   }
 
   /** [[lookup]] against a pinned [[OpenIndex]] snapshot — same plan

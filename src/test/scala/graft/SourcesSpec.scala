@@ -399,14 +399,38 @@ class SourcesSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(got === want, s"ranked corpus↔index parity for '$q'")
       assert(got.nonEmpty, s"vacuous parity for '$q'")
+      // ...and through the FORCED MaxScore ladder (maxscoreRows=0):
+      // the bound-prune-rescore path must be row-identical too
+      spark.conf.set("spark.graft.maxscoreRows", "0")
+      try {
+        val viaLadder = operators.Query
+          .searchRankedIndex(spark, path, q, k = 20, nBuckets = 8)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(viaLadder === want, s"MaxScore-ladder parity for '$q'")
+      } finally spark.conf.unset("spark.graft.maxscoreRows")
     }
-    // the serving plan is bucket-pruned and never scans a corpus: its
-    // only parquet relations are the index layout and the _stats table
+    // plan contracts, both branches: the DEFAULT (single-pass) plan is
+    // bucket-pruned and corpus-free; the FORCED MaxScore plan reads
+    // its checkpointed fetch (no index scan at all — pruning audited
+    // on the fetch subtree, which must itself be bucket-pruned)
     val plan = operators.Query.searchRankedIndex(
       spark, path, "spark AND join", 20, nBuckets = 8)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("term_bucket"))
     assert(!plan.contains("documents"), "ranked serving must not scan the corpus")
+    val fetchPlan = operators.Query.rankedFetchPlan(
+      spark, path, "spark AND join", nBuckets = 8)
+      .queryExecution.executedPlan.toString
+    assert(fetchPlan.contains("PartitionFilters") && fetchPlan.contains("term_bucket"))
+    spark.conf.set("spark.graft.maxscoreRows", "0")
+    try {
+      val ladderPlan = operators.Query.searchRankedIndex(
+        spark, path, "spark AND join", 20, nBuckets = 8)
+        .queryExecution.executedPlan.toString
+      assert(!ladderPlan.contains("term_bucket"),
+        "the ladder's final plan must read the checkpointed fetch, not the layout")
+      assert(!ladderPlan.contains("documents"))
+    } finally spark.conf.unset("spark.graft.maxscoreRows")
   }
 
   test("ranked serving prunes the fat term's tail: bound >= theta bounds the scored set, result exact") {
@@ -422,6 +446,10 @@ class SourcesSpec extends SparkSpec {
     IndexStore.save(Index.invertedIndexOf(docs), path, nBuckets = 4)
     IndexStore.saveStats(spark, path)
     val q = "the OR rare"
+    // force the ladder (the adaptive gate would take the single pass
+    // at this toy size — the crossover is 10M matched posting rows)
+    spark.conf.set("spark.graft.maxscoreRows", "0")
+    try {
     // exactness first: pruned serving == unpruned corpus ranking
     val want = operators.Query.searchRanked(docs, q, k = 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
@@ -437,6 +465,7 @@ class SourcesSpec extends SparkSpec {
     assert(nCand === 200L, "every doc holds the fat term")
     assert(nScored < nCand, "the bound must prune the fat-only tail")
     assert(nScored >= 10L, "at least k docs must be fully scored")
+    } finally spark.conf.unset("spark.graft.maxscoreRows")
   }
 
   test("fielded query over saved index: lang:/source: leaves match the corpus path") {
