@@ -63,10 +63,12 @@ object Bench {
     // percentiles used to be one-shot §6 prose — as `serve:*` keys in
     // the same per-key map, bench_diff flags serving regressions the
     // way it flags query regressions. One index build from sfDir (+
-    // stats side table), then the shared 40-query mixed workload
-    // ([[Serving.mix]]: term/bool/phrase/BM25-ranked, all
-    // index-served); p50/p95 per shape land as seconds beside a
-    // serve:index_build / serve:stats_build deploy cost and the
+    // stats and meta side tables), then the shared 60-query mixed
+    // workload ([[Serving.mix]]: term/bool/phrase/BM25-ranked/
+    // fielded/fuzzy, all index-served — 10 queries per shape);
+    // p50/p95 per shape land as seconds beside the
+    // serve:index_build / serve:stats_build / serve:meta_build
+    // deploy costs and the
     // bucket-pruning violation count. Informational like the #prod
     // twins — never in "total". Skipped on SPARK_GRAFT_ONLY subset
     // runs (no index build for a two-key iteration loop).
@@ -81,8 +83,19 @@ object Bench {
       val tS = System.nanoTime()
       sources.IndexStore.saveStats(spark, idxPath)
       serveBuf += "serve:stats_build" -> (System.nanoTime() - tS) / 1e9
+      // fielded serving needs the `_meta` side table — deploy cost
+      // priced like the stats build; langs drawn from it widen the
+      // mix with the r14 fielded + fuzzy shapes
+      val tM = System.nanoTime()
+      sources.IndexStore.saveMeta(sources.Tables.documents(spark, sfDir)
+        .select("doc_id", "lang", "source"), idxPath)
+      serveBuf += "serve:meta_build" -> (System.nanoTime() - tM) / 1e9
+      val langs = sources.IndexStore.loadMeta(spark, idxPath)
+        .select("lang").distinct().orderBy("lang").limit(4)
+        .collect().map(_.getString(0))
       val vocab = Serving.vocabOf(spark, idxPath)
-      val r = Serving.mix(spark, idxPath, 64, vocab, nQueries = 40)
+      val r = Serving.mix(spark, idxPath, 64, vocab, nQueries = 60,
+        langs = langs)
       (r.shapes :+ "all").foreach { sh =>
         serveBuf += s"serve:${sh}_p50" -> r.p(sh, 0.50)
         serveBuf += s"serve:${sh}_p95" -> r.p(sh, 0.95)
@@ -91,8 +104,8 @@ object Bench {
       // the PREPARED session twin (r14): one IndexStore.open pinned
       // across the same mix — the per-query planning-floor delta shows
       // up as serve:prep_* beside the per-query keys
-      val rp = Serving.mix(spark, idxPath, 64, vocab, nQueries = 40,
-        prepared = true)
+      val rp = Serving.mix(spark, idxPath, 64, vocab, nQueries = 60,
+        prepared = true, langs = langs)
       (rp.shapes :+ "all").foreach { sh =>
         serveBuf += s"serve:prep_${sh}_p50" -> rp.p(sh, 0.50)
         serveBuf += s"serve:prep_${sh}_p95" -> rp.p(sh, 0.95)

@@ -67,7 +67,14 @@ object Explain {
     // EQUIJOIN (keys = (band, v), broadcast at spec scale, SMJ at 100 TB)
     // carries its bit_count(xor) verification in the join condition — a
     // pairwise rewrite would lose both the key shape and the substring
-    "simhash_pairs" -> Rule(required = Seq("bit_count(", "Join [band#")),
+    // ...and the LISTING must not globally range-sort its own
+    // output-mass-bound pair stream for presentation (the r14 fix:
+    // the global sort tripled the key on disk-backed scratch; the
+    // regex pins the top-level global=true two-column sort, not a
+    // join's local doc_a sort — same shape as ngram_jaccard_stats)
+    "simhash_pairs" -> Rule(required = Seq("bit_count(", "Join [band#"),
+      forbiddenRegex = Seq("""Sort \[doc_a#\d+ ASC NULLS FIRST, doc_b#[^\]]*\], true""")),
+    "simhash_pairs_stats" -> Rule(required = Seq("bit_count(", "Join [band#")),
     // the CC family must take the value-graph collapse (r11): the final
     // plan carries NO banded-pair bit_count verification stage — the
     // pair relation is never materialized (neardupComponents)

@@ -26,8 +26,9 @@ import org.apache.spark.sql.DataFrame
 object Serving {
 
   final case class MixResult(latencies: Map[String, Vector[Double]],
-                             unpruned: Int) {
-    def shapes: Seq[String] = Seq("term", "bool", "phrase", "ranked")
+                             unpruned: Int,
+                             shapes: Seq[String] =
+                               Seq("term", "bool", "phrase", "ranked")) {
     def all: Vector[Double] = shapes.flatMap(latencies.getOrElse(_, Vector.empty)).toVector
     def p(shape: String, q: Double): Double =
       pct(if (shape == "all") all else latencies.getOrElse(shape, Vector.empty), q)
@@ -53,10 +54,19 @@ object Serving {
       .collect().map(_.getString(0))
   }
 
+  /** `langs` non-empty widens the 4-shape mix with the two r14
+    * serving surfaces: `fielded` (`lang:<l> AND term` — `_meta` side
+    * table must exist at `idxPath`) and `fuzzy` (`term~1` — the
+    * declared full-dictionary probe, exempt from the pruning counter
+    * because an edit can land in any bucket by design).
+    */
   def mix(spark: org.apache.spark.sql.SparkSession, idxPath: String,
           nBuckets: Int, vocab: Array[String], nQueries: Int = 100,
-          threads: Int = 1, prepared: Boolean = false): MixResult = {
-    val shapes = Array("term", "bool", "phrase", "ranked")
+          threads: Int = 1, prepared: Boolean = false,
+          langs: Array[String] = Array.empty): MixResult = {
+    val shapes =
+      if (langs.isEmpty) Array("term", "bool", "phrase", "ranked")
+      else Array("term", "bool", "phrase", "ranked", "fielded", "fuzzy")
     // prepared = the serving-session shape (r13 verdict item 7): ONE
     // IndexStore.open pins the resolved index relation + side tables,
     // every query plans against the held frames (`*On` variants)
@@ -67,7 +77,7 @@ object Serving {
     def mkQuery(i: Int): (String, () => DataFrame) = {
       val t1 = vocab(i % vocab.length)
       val t2 = vocab((i * 7 + 3) % vocab.length)
-      val shape = shapes(i % 4)
+      val shape = shapes(i % shapes.length)
       shape -> (shape match {
         case "term" => () => oi match {
           case Some(h) => sources.IndexStore.lookupOn(h, t1)
@@ -89,6 +99,18 @@ object Serving {
             operators.Query.searchRankedIndex(spark, idxPath, s"$t1 OR $t2",
               k = 10, nBuckets = nBuckets)
         }
+        case "fielded" =>
+          val q = s"lang:${langs(i % langs.length)} AND $t1"
+          () => oi match {
+            case Some(h) => operators.Query.searchIndexOn(h, q)
+            case None => operators.Query.searchIndex(spark, idxPath, q, nBuckets)
+          }
+        case "fuzzy" =>
+          val q = s"$t1~1"
+          () => oi match {
+            case Some(h) => operators.Query.searchIndexOn(h, q)
+            case None => operators.Query.searchIndex(spark, idxPath, q, nBuckets)
+          }
       })
     }
     val unpruned = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -104,8 +126,12 @@ object Serving {
       // checkpointed fetch; pruning is audited on the fetch subtree —
       // `searchranked_fetch`). A term_bucket scan WITHOUT
       // PartitionFilters is the regression this counter exists for.
+      // fuzzy is exempt: its dictionary probe scans every bucket BY
+      // CONTRACT (an edit can land in any bucket), so an unpruned
+      // term_bucket scan is its correct plan, not a regression
       val plan = df.queryExecution.executedPlan.toString
-      val ok = plan.contains("PartitionFilters") || !plan.contains("term_bucket")
+      val ok = shape == "fuzzy" ||
+        plan.contains("PartitionFilters") || !plan.contains("term_bucket")
       if (!ok) unpruned.incrementAndGet()
       shape -> dt
     }
@@ -124,6 +150,6 @@ object Serving {
       }
     MixResult(
       results.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toVector },
-      unpruned.get())
+      unpruned.get(), shapes.toSeq)
   }
 }

@@ -542,6 +542,71 @@ object Dedup {
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     simhashPairsOf(Tables.documents(spark, dir), maxHamming = 6)
 
+  /** Exact Hamming-distance histogram of the SimHash ≤ 6 pair
+    * relation WITHOUT materializing a single doc pair — the pricing
+    * twin [[simhashPairs]] gets, the way `ngram_jaccard_stats` prices
+    * the exact-Jaccard listing. One row per observed distance d with
+    * the value-graph pair count, the DOC pair mass at exactly d, and
+    * the cumulative mass ≤ d: `cum_doc_pairs` at d IS the row count
+    * `simhashPairsOf(_, d)` would list (spec-asserted at d = 6
+    * against [[simhashPairs]] itself), so a pipeline reads the cost
+    * of every threshold from one cheap pass before deciding to list.
+    *
+    * Scale shape: the same supernode trick as [[neardupComponents]] —
+    * Hamming distance is a function of the two simhash VALUES, so the
+    * banded pigeonhole join runs over the DISTINCT-VALUE frame
+    * (weight = value multiplicity) and doc-pair mass is cᵤ·cᵥ (u<v)
+    * plus C(c,2) inside each value (the d = 0 row). The shuffled
+    * relation is the value-level band join — on a duplicate-dense
+    * corpus orders of magnitude below the doc-level candidate mass
+    * (5000 docs → 8.40M doc pairs from a few hundred distinct
+    * values at sf0.1), and never wider than it on any corpus.
+    */
+  def simhashPairsStats(spark: SparkSession, dir: String): DataFrame = {
+    val maxHamming = 6
+    val (widths, offsets) = bandSpec(maxHamming)
+    val nb = maxHamming + 1
+    val vals = simhashDf(Tables.documents(spark, dir))
+      .groupBy("simhash").agg(count(lit(1)).as("c"))
+    // band expansion carrying the multiplicity (simhashBandsOf drops
+    // non-key columns); first-matching-band filter dedups candidate
+    // pairs exactly as simhashPairsOf does
+    val bexp = vals.select(col("simhash"), col("c"),
+        explode(array(Seq.tabulate(nb)(i =>
+          struct(lit(i).as("band"),
+            bandVal(col("simhash"), widths, offsets, i).as("v"))): _*)).as("bk"))
+      .select(col("simhash"), col("c"),
+        col("bk.band").as("band"), col("bk.v").as("v"))
+    val firstBand = Seq.range(0, nb).foldRight(lit(-1): Column) { (i, rest) =>
+      when(bandVal(col("xr"), widths, offsets, i) === 0, lit(i)).otherwise(rest)
+    }
+    val vpairs = bexp.as("a").join(bexp.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.simhash") < col("b.simhash"))
+      .select(col("a.band").as("band"),
+        col("a.simhash").bitwiseXOR(col("b.simhash")).as("xr"),
+        (col("a.c") * col("b.c")).as("m"))
+      .filter(col("band") === firstBand)
+      .withColumn("hamming", expr("bit_count(xr)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("hamming"), col("m"), lit(1L).as("vp"))
+    // d = 0: within-value pairs. `div` keeps the mass integral in
+    // Long arithmetic (c·(c−1) overflows double precision past 2^53
+    // on a mega-family corpus; it is always even so div 2 is exact).
+    val within = vals.select(lit(0L).as("hamming"),
+      expr("(c * (c - 1)) div 2").as("m"),
+      when(col("c") > 1, lit(1L)).otherwise(lit(0L)).as("vp"))
+    vpairs.unionByName(within)
+      .groupBy("hamming")
+      .agg(sum(col("vp")).as("n_value_pairs"), sum(col("m")).as("n_doc_pairs"))
+      // cumulative over ≤ maxHamming+1 aggregate rows — a bounded
+      // presentation window, not a data-scale one
+      .withColumn("cum_doc_pairs",
+        sum(col("n_doc_pairs")).over(
+          Window.orderBy("hamming").rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy("hamming")
+  }
+
   /** The near-dup GRAPH edge set: [[simhashPairsOf]] at Hamming ≤ 1.
     * All graph analytics (`dedup_clusters`, `neardup_*`) build on this
     * sparser relation — see [[simhashPairs]] for why ≤6 is not usable
@@ -584,7 +649,16 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(xr)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
-      .orderBy("doc_a", "doc_b")
+      // partition-local presentation sort, NOT a global orderBy: the
+      // listing is output-mass-bound (8.4M rows at sf0.1 — ~67% of
+      // all pairs on this dup-dense corpus) and a global range sort
+      // re-shuffles the entire listing purely for presentation — the
+      // exact pair-scale shuffle the Explain gate forbids on the
+      // stats twins and [[simhashPairsStats]] exists to price.
+      // Measured: the global sort tripled the key (1.4s join →
+      // 4.9s total at sf0.1 on disk-backed scratch); readers needing
+      // a total order sort their own bounded slices.
+      .sortWithinPartitions("doc_a", "doc_b")
   }
 
   /** Embedding near-dup: each vector's single nearest neighbor by
@@ -1576,6 +1650,7 @@ object Dedup {
     "containment_pairs" -> containmentPairs,
     "simhash" -> simhash,
     "simhash_pairs" -> simhashPairs,
+    "simhash_pairs_stats" -> simhashPairsStats,
     "embed_neardup" -> embedNeardup,
     "dedup_clusters" -> dedupClusters,
     "dedup_keep_best" -> dedupKeepBest,
@@ -2156,6 +2231,26 @@ object Dedup {
          |  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS cand_pairs
          |FROM bk GROUP BY band ORDER BY band""".stripMargin
     },
+    "simhash_pairs_stats" ->
+      s"""$simhashCte, vals AS (
+         |  SELECT simhash, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY simhash
+         |), vp AS (
+         |  SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming,
+         |    a.c * b.c AS m, 1::BIGINT AS vp
+         |  FROM vals a JOIN vals b ON a.simhash < b.simhash
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         |  UNION ALL
+         |  SELECT 0::BIGINT, (c * (c - 1)) // 2,
+         |    CASE WHEN c > 1 THEN 1 ELSE 0 END::BIGINT
+         |  FROM vals
+         |), agg AS (
+         |  SELECT hamming, CAST(sum(vp) AS BIGINT) AS n_value_pairs,
+         |    CAST(sum(m) AS BIGINT) AS n_doc_pairs
+         |  FROM vp GROUP BY hamming
+         |)
+         |SELECT hamming, n_value_pairs, n_doc_pairs,
+         |  CAST(sum(n_doc_pairs) OVER (ORDER BY hamming) AS BIGINT) AS cum_doc_pairs
+         |FROM agg ORDER BY hamming""".stripMargin,
     "simhash_pairs" ->
       s"""$simhashCte
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

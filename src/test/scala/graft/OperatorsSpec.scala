@@ -966,6 +966,33 @@ class OperatorsSpec extends SparkSpec {
     assert(!quals.exists(q => q._1 >= 103L))
   }
 
+  test("simhashPairsStats: histogram matches brute force; cum at max d equals the listing") {
+    val docs = sources.Tables.documents(spark, sfDir)
+    val got = Dedup.simhashPairsStats(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    // brute force on the distinct-value multiset
+    val counts = Dedup.simhashDf(docs).collect().map(_.getLong(1))
+      .groupBy(identity).map { case (v, xs) => v -> xs.length.toLong }
+    val vals = counts.keys.toSeq
+    val cross = for {
+      a <- vals; b <- vals if a < b
+      d = java.lang.Long.bitCount(a ^ b).toLong if d <= 6L
+    } yield (d, counts(a) * counts(b))
+    val byD = cross.groupBy(_._1)
+      .map { case (d, xs) => d -> ((xs.size.toLong, xs.map(_._2).sum)) }
+    // the d = 0 row aggregates EVERY value (c = 1 contributes zeros),
+    // so it exists even on an all-unique corpus — mirrored here
+    val want = byD + (0L -> ((counts.values.count(_ > 1).toLong,
+      counts.values.map(c => c * (c - 1) / 2).sum)))
+    assert(got.map { case (d, (nv, nd, _)) => d -> ((nv, nd)) }.toMap === want)
+    // rows ascend by d and cum_doc_pairs telescopes the masses
+    assert(got.map(_._1) === got.map(_._1).sorted)
+    val cums = got.map(_._2._3)
+    assert(cums === got.map(_._2._2).scanLeft(0L)(_ + _).tail)
+    // the headline contract: cum at the last row IS the listing size
+    assert(cums.last === Dedup.simhashPairsOf(docs, maxHamming = 6).count())
+  }
+
   test("rfm: scores in 1..4, segment concatenates them") {
     val r = operators.Analytics.rfmSegments(spark, sfDir).collect()
     assert(r.nonEmpty)

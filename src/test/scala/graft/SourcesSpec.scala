@@ -369,6 +369,17 @@ class SourcesSpec extends SparkSpec {
     assert(nearIdx === Seq(0L))
     assert(operators.Query.search(docs, "spark NEAR/3 key")
       .orderBy("doc_id").collect().map(_.getLong(0)).toSeq === Seq(0L, 2L))
+    // fuzzy leaf through BOTH paths: spork~1 reaches spark (and only
+    // it) via the index-side dictionary probe — the r14 serving-mix
+    // shape — and composes with a boolean branch
+    Seq("spork~1", "spork~1 AND NOT slow").foreach { fq =>
+      val fuzzyIdx = operators.Query.searchIndex(spark, path, fq, nBuckets = 4)
+        .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+      val fuzzyCorpus = operators.Query.search(docs, fq)
+        .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(fuzzyIdx === fuzzyCorpus && fuzzyIdx.nonEmpty,
+        s"fuzzy corpus↔index parity for '$fq'")
+    }
     intercept[IllegalArgumentException](operators.Query.parse("(a AND b) NEAR/2 c"))
   }
 
@@ -540,7 +551,8 @@ class SourcesSpec extends SparkSpec {
         .orderBy("doc_id").collect().toSeq)
     // boolean / phrase / prefix / fielded through the grammar
     Seq("spark AND join", "\"key order\" AND NOT slow", "quer* OR spark",
-        "lang:en AND (spark OR query) AND NOT source:src0").foreach { q =>
+        "lang:en AND (spark OR query) AND NOT source:src0",
+        "spask~1 OR join").foreach { q =>
       val want = operators.Query.searchIndex(spark, path, q, nBuckets = 8)
         .collect().map(_.getLong(0)).sorted.toSeq
       val got = operators.Query.searchIndexOn(oi, q)
@@ -558,6 +570,15 @@ class SourcesSpec extends SparkSpec {
     // the held relation still bucket-prunes at planning time
     val plan = IndexStore.lookupOn(oi, "spark").queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("term_bucket"))
+    // 6-shape serving-mix wiring (r14 fielded + fuzzy): every shape
+    // measured against this store, and fuzzy's declared
+    // full-dictionary probe is NOT counted as a pruning violation
+    val mr = Serving.mix(spark, path, 8, Serving.vocabOf(spark, path, n = 8),
+      nQueries = 12, langs = Array("en"))
+    assert(mr.shapes ===
+      Seq("term", "bool", "phrase", "ranked", "fielded", "fuzzy"))
+    assert(mr.shapes.forall(s => mr.latencies(s).nonEmpty))
+    assert(mr.unpruned === 0)
     // snapshot semantics, stated and tested: a takedown after open()
     // is visible to fresh per-query reads but NOT through the handle
     val victim = IndexStore.lookupOn(oi, "spark")
