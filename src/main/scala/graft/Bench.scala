@@ -111,6 +111,43 @@ object Bench {
         serveBuf += s"serve:prep_${sh}_p95" -> rp.p(sh, 0.95)
       }
       serveBuf += "serve:prep_unpruned" -> rp.unpruned.toDouble
+      // DENSE serving leg (late r14 — the prepared-session discipline
+      // on the ANN path): land a first-16-centroid IVF store from
+      // sfDir's embeddings, then serve 10 single-vector probes
+      // per-query (fresh store listing + centroid read each time, the
+      // streaming micro-batch shape) vs through one pinned
+      // openEmbedStore handle
+      val embBase = java.nio.file.Files
+        .createTempDirectory("graft-bench-emb").toString
+      val (centP, storeP) = (s"$embBase/cent", s"$embBase/store")
+      val emb = sources.Tables.embeddings(spark, sfDir)
+      val tE = System.nanoTime()
+      operators.Similarity.saveCentroids(
+        emb.select("vec_id", "embedding"), centP)
+      operators.Similarity
+        .ivfAssignTo(operators.Similarity
+          .withNormOf(emb.select("vec_id", "embedding")),
+          spark.read.parquet(centP))
+        .write.partitionBy("bucket").mode("overwrite").parquet(storeP)
+      serveBuf += "serve:embed_build" -> (System.nanoTime() - tE) / 1e9
+      val probes = emb.orderBy("vec_id").limit(10)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      import spark.implicits._
+      def knnLat(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+          : Seq[Double] = probes.toSeq.map { case (vid, e) =>
+        val t0 = System.nanoTime()
+        f(Seq((vid, e)).toDF("vec_id", "embedding")).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val perQ = knnLat(q => streaming.Stream.knnBatchOf(q,
+        spark.read.parquet(centP), streaming.Stream.loadEmbedStore(spark, storeP),
+        k = 10))
+      val oes = streaming.Stream.openEmbedStore(spark, storeP, centP)
+      val prepQ = knnLat(q => streaming.Stream.knnServeOn(oes, q, k = 10))
+      serveBuf += "serve:knn_p50" -> Serving.pct(perQ, 0.50)
+      serveBuf += "serve:knn_p95" -> Serving.pct(perQ, 0.95)
+      serveBuf += "serve:prep_knn_p50" -> Serving.pct(prepQ, 0.50)
+      serveBuf += "serve:prep_knn_p95" -> Serving.pct(prepQ, 0.95)
     } catch { case _: Throwable => serveBuf += "serve:index_build" -> -1.0 }
     val all = results ++ prodResults ++ serveBuf.toSeq
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }

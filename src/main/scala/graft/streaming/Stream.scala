@@ -620,25 +620,61 @@ object Stream {
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val cent = spark.read.parquet(centroidPath)
-        val q = graft.operators.Similarity
-          .ivfAssignTo(graft.operators.Similarity.withNormOf(batch), cent)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-            col("nm").as("qnm"), col("bucket"))
-        val store = loadEmbedStore(spark, storePath)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-        store.join(broadcast(q), "bucket")
-          .filter(col("vec_id") =!= col("query_id"))
-          .withColumn("cos", graft.functions.VectorFns.dot(col("qe"), col("embedding")) /
-            (col("qnm") * col("nm")))
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= k)
-          .select(col("query_id"), col("rk"), col("vec_id"),
-            round(col("cos"), 6).as("cosine"))
+        knnBatchOf(batch, spark.read.parquet(centroidPath),
+            loadEmbedStore(spark, storePath), k)
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         ()
       }
+
+  /** The ANN retrieval kernel [[knnServe]] lands per micro-batch and
+    * [[knnServeOn]] serves per request: IVF-assign the query vectors
+    * against `cent`, join ONLY their buckets of `store` (the bucket
+    * equality prunes the partitioned store's directories at planning
+    * time), exact-cosine re-rank, top-`k` per query.
+    */
+  def knnBatchOf(batch: DataFrame, cent: DataFrame, store: DataFrame,
+                 k: Int): DataFrame = {
+    val q = graft.operators.Similarity
+      .ivfAssignTo(graft.operators.Similarity.withNormOf(batch), cent)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nm").as("qnm"), col("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    store.join(broadcast(q), "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", graft.functions.VectorFns.dot(col("qe"), col("embedding")) /
+        (col("qnm") * col("nm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** A pinned DENSE serving session — the embed-store analogue of
+    * [[graft.sources.IndexStore.OpenIndex]] (r14's prepared sparse
+    * sessions, applied to the ANN path): one segment-resolved,
+    * tombstone-anti-joined store read ([[loadEmbedStore]]) and one
+    * centroid read held for the session, so each query pays only its
+    * own bucket-pruned probe instead of re-listing the store and
+    * re-reading centroids. Snapshot semantics are the handle family's:
+    * takedowns or segments landed after [[openEmbedStore]] need a
+    * re-open; the streaming [[knnServe]] loop stays read-latest
+    * per batch.
+    */
+  final case class OpenEmbedStore(store: DataFrame, cent: DataFrame)
+
+  def openEmbedStore(spark: SparkSession, storePath: String,
+                     centroidPath: String): OpenEmbedStore =
+    OpenEmbedStore(loadEmbedStore(spark, storePath),
+      spark.read.parquet(centroidPath))
+
+  /** Per-request ANN top-`k` against a pinned [[OpenEmbedStore]] —
+    * identical rows to a [[knnServe]] micro-batch over the same store
+    * state (spec-asserted), as a DataFrame the caller materializes.
+    */
+  def knnServeOn(oes: OpenEmbedStore, queries: DataFrame,
+                 k: Int = 5): DataFrame =
+    knnBatchOf(queries, oes.cent, oes.store, k)
 
   /** Streaming sequence packing — [[graft.operators.Pipeline
     * .packChunksOf]] kept current over a document stream: each
@@ -1718,53 +1754,84 @@ object Stream {
         val terms = batch.select("term").distinct()
           .collect().map(_.getString(0)).toSeq
         if (terms.nonEmpty) {
-          val W = org.apache.spark.sql.expressions.Window
-          val post = graft.sources.IndexStore.lookupTerms(spark, indexPath, terms, nBuckets)
-          val ws = W.partitionBy("query_id").orderBy(col("tf").desc, col("doc_id"))
-          val sparse = post
-            .join(broadcast(batch.select(col("query_id"), col("term"))), "term")
-            // a multi-term query yields one posting row per matched term:
-            // collapse to one candidate per (query, doc) — summed tf, the
-            // same accumulation the batch twin's BM25 leg does — so a
-            // two-term match occupies one rank slot, not two.
-            .groupBy(col("query_id"), col("doc_id"))
-            .agg(sum(col("tf")).as("tf"))
-            .withColumn("rank_sparse", row_number().over(ws).cast("long"))
-            .filter(col("rank_sparse") <= k * 4)
-            .select(col("query_id"), col("doc_id"), col("rank_sparse"))
-          val cent = spark.read.parquet(centroidPath)
-          // one (query_id, term) row per term ⇒ the embedding repeats per
-          // term row; dedupe before assignment or each query probes (and
-          // ranks) once per term.
-          val qv = graft.operators.Similarity.ivfAssignTo(
-              graft.operators.Similarity.withNormOf(
-                batch.select(col("query_id").as("vec_id"), col("embedding"))
-                  .dropDuplicates("vec_id")), cent)
-            .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-              col("nm").as("qnm"), col("bucket"))
-          val store = loadEmbedStore(spark, storePath)
-          val wd = W.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-          val dense = store.join(broadcast(qv), "bucket")
-            .withColumn("cos",
-              graft.functions.VectorFns.dot(col("qe"), col("embedding")) /
-                (col("qnm") * col("nm")))
-            .withColumn("rank_dense", row_number().over(wd).cast("long"))
-            .filter(col("rank_dense") <= k * 4)
-            .select(col("query_id"), col("vec_id").as("doc_id"), col("rank_dense"))
-          val wf = W.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
-          sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
-            .withColumn("rrf", round(
-              coalesce(lit(1.0) / (lit(60.0) + col("rank_sparse")), lit(0.0)) +
-                coalesce(lit(1.0) / (lit(60.0) + col("rank_dense")), lit(0.0)), 6))
-            .withColumn("rk", row_number().over(wf).cast("long"))
-            .filter(col("rk") <= k)
-            .select(col("query_id"), col("rk"), col("doc_id"),
-              coalesce(col("rank_sparse"), lit(0L)).as("rank_sparse"),
-              coalesce(col("rank_dense"), lit(0L)).as("rank_dense"), col("rrf"))
+          hybridBatchOf(batch,
+              graft.sources.IndexStore.lookupTerms(spark, indexPath, terms, nBuckets),
+              spark.read.parquet(centroidPath), loadEmbedStore(spark, storePath), k)
             .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         }
         ()
       }
+
+  /** The hybrid retrieval kernel [[hybridServe]] lands per micro-batch
+    * and [[hybridServeOn]] serves per request: tf-ranked sparse
+    * candidates from the batch's term postings (`post` — already
+    * bucket-pruned by the caller's fetch), bucket-pruned exact-cosine
+    * dense candidates from `store`, RRF-fused top-`k` per query.
+    * Both candidate lists are bounded at `k * 4` before the fusion
+    * join, so the fusion frames stay small however large the corpus.
+    */
+  def hybridBatchOf(batch: DataFrame, post: DataFrame, cent: DataFrame,
+                    store: DataFrame, k: Int): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ws = W.partitionBy("query_id").orderBy(col("tf").desc, col("doc_id"))
+    val sparse = post
+      .join(broadcast(batch.select(col("query_id"), col("term"))), "term")
+      // a multi-term query yields one posting row per matched term:
+      // collapse to one candidate per (query, doc) — summed tf, the
+      // same accumulation the batch twin's BM25 leg does — so a
+      // two-term match occupies one rank slot, not two.
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("tf")).as("tf"))
+      .withColumn("rank_sparse", row_number().over(ws).cast("long"))
+      .filter(col("rank_sparse") <= k * 4)
+      .select(col("query_id"), col("doc_id"), col("rank_sparse"))
+    // one (query_id, term) row per term ⇒ the embedding repeats per
+    // term row; dedupe before assignment or each query probes (and
+    // ranks) once per term.
+    val qv = graft.operators.Similarity.ivfAssignTo(
+        graft.operators.Similarity.withNormOf(
+          batch.select(col("query_id").as("vec_id"), col("embedding"))
+            .dropDuplicates("vec_id")), cent)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nm").as("qnm"), col("bucket"))
+    val wd = W.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    val dense = store.join(broadcast(qv), "bucket")
+      .withColumn("cos",
+        graft.functions.VectorFns.dot(col("qe"), col("embedding")) /
+          (col("qnm") * col("nm")))
+      .withColumn("rank_dense", row_number().over(wd).cast("long"))
+      .filter(col("rank_dense") <= k * 4)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rank_dense"))
+    val wf = W.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
+    sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60.0) + col("rank_sparse")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("rank_dense")), lit(0.0)), 6))
+      .withColumn("rk", row_number().over(wf).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("doc_id"),
+        coalesce(col("rank_sparse"), lit(0L)).as("rank_sparse"),
+        coalesce(col("rank_dense"), lit(0L)).as("rank_dense"), col("rrf"))
+  }
+
+  /** Per-request hybrid top-`k` against a pinned sparse session
+    * ([[graft.sources.IndexStore.OpenIndex]]) and a pinned dense
+    * session ([[OpenEmbedStore]]) — identical rows to a
+    * [[hybridServe]] micro-batch over the same store states
+    * (spec-asserted). The one driver-side collect is the request's
+    * distinct term list, the collect a serving loop legitimately
+    * makes. Snapshot semantics are both handles': takedowns or
+    * segments landed after either open need a re-open of that handle.
+    */
+  def hybridServeOn(oi: graft.sources.IndexStore.OpenIndex,
+                    oes: OpenEmbedStore, queries: DataFrame,
+                    k: Int = 5): DataFrame = {
+    val terms = queries.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(terms.nonEmpty, "hybridServeOn needs at least one query term")
+    hybridBatchOf(queries, graft.sources.IndexStore.lookupTermsOn(oi, terms),
+      oes.cent, oes.store, k)
+  }
 
   /** Continuous weighted reservoir: a document stream keeps the
     * global top-k Efraimidis–Spirakis sample fresh — each micro-batch

@@ -552,6 +552,95 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
     } finally q.stop()
   }
 
+  test("knnServeOn: prepared dense session matches the streamed batch; snapshot needs re-open") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-knn-open").toString
+    val (centPath, storePath) = (s"$base/centroids", s"$base/store")
+    graft.operators.Similarity.saveCentroids(
+      Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f))).toDF("vec_id", "embedding"),
+      centPath)
+    val idx = MemoryStream[(Long, Array[Float])]
+    val qi = Stream.embedIndexMaintenance(
+      idx.toDF().toDF("vec_id", "embedding"), centPath, storePath).start()
+    try {
+      idx.addData((100L, Array(0.9f, 0.1f)), (101L, Array(0.8f, 0.3f)),
+        (102L, Array(0.1f, 0.9f)), (103L, Array(0.2f, 0.8f)))
+      qi.processAllAvailable()
+    } finally qi.stop()
+    val queries = Seq((1000L, Array(1f, 0.05f)), (1001L, Array(0.1f, 1f)))
+    // the streamed reference batch over the same store state
+    val qs = MemoryStream[(Long, Array[Float])]
+    val q = Stream.knnServe(qs.toDF().toDF("vec_id", "embedding"),
+      centPath, storePath, s"$base/out", k = 2).start()
+    try { qs.addData(queries: _*); q.processAllAvailable() } finally q.stop()
+    val want = spark.read.parquet(s"$base/out/batch=0")
+      .orderBy("query_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val oes = Stream.openEmbedStore(spark, storePath, centPath)
+    def served(o: Stream.OpenEmbedStore): Seq[(Long, Long, Long, Double)] =
+      Stream.knnServeOn(o, queries.toDF("vec_id", "embedding"), k = 2)
+        .orderBy("query_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(served(oes) === want && want.nonEmpty)
+    // snapshot semantics, the handle family's contract: a takedown
+    // landed after open() is invisible through the held frames but
+    // live on a re-open (and on the per-batch streaming path)
+    sources.Tombstones.append(spark, storePath, Seq(100L), key = "vec_id")
+    assert(served(oes) === want)
+    val after = served(Stream.openEmbedStore(spark, storePath, centPath))
+    assert(!after.map(_._3).contains(100L) && after.map(_._3).contains(101L))
+  }
+
+  test("hybridServeOn: prepared sparse+dense sessions match the streamed batch; snapshot per handle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-hyb-open").toString
+    val (idxP, centP, storeP) = (s"$base/index", s"$base/cent", s"$base/store")
+    val docs = Seq((100L, "spark join spark"), (101L, "spark filter"),
+      (102L, "sort merge")).toDF("doc_id", "text")
+    graft.sources.IndexStore.save(
+      graft.operators.Index.invertedIndexOf(docs), idxP, nBuckets = 4)
+    graft.operators.Similarity.saveCentroids(
+      Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f))).toDF("vec_id", "embedding"),
+      centP)
+    val vecs = MemoryStream[(Long, Array[Float])]
+    val qi = Stream.embedIndexMaintenance(
+      vecs.toDF().toDF("vec_id", "embedding"), centP, storeP).start()
+    try {
+      vecs.addData((100L, Array(0.9f, 0.1f)), (101L, Array(0.8f, 0.3f)),
+        (102L, Array(0.1f, 0.9f)))
+      qi.processAllAvailable()
+    } finally qi.stop()
+    val hq = Seq((5000L, "spark", Array(1f, 0.05f)))
+    val qs = MemoryStream[(Long, String, Array[Float])]
+    val s = Stream.hybridServe(qs.toDF().toDF("query_id", "term", "embedding"),
+      idxP, centP, storeP, s"$base/out", k = 3, nBuckets = 4).start()
+    try { qs.addData(hq: _*); s.processAllAvailable() } finally s.stop()
+    type Row6 = (Long, Long, Long, Long, Long, Double)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Row6] =
+      df.orderBy("query_id", "rk").collect().map(r => (r.getLong(0),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    val want = rows(spark.read.parquet(s"$base/out/batch=0"))
+    val oi = graft.sources.IndexStore.open(spark, idxP, nBuckets = 4)
+    val oes = Stream.openEmbedStore(spark, storeP, centP)
+    def served(i: graft.sources.IndexStore.OpenIndex): Seq[Row6] =
+      rows(Stream.hybridServeOn(i, oes,
+        hq.toDF("query_id", "term", "embedding"), k = 3))
+    assert(served(oi) === want && want.nonEmpty)
+    assert(want.exists(r => r._3 == 100L && r._4 > 0L)) // 100 sparse-ranked
+    // an index takedown after open: invisible through the held sparse
+    // handle; after re-opening it, doc 100 keeps only its DENSE rank
+    // (the embed handle was not re-opened — per-handle snapshots)
+    graft.sources.IndexStore.delete(spark, idxP, Seq(100L))
+    assert(served(oi) === want)
+    val fresh = served(graft.sources.IndexStore.open(spark, idxP, nBuckets = 4))
+    val d100 = fresh.filter(_._3 == 100L)
+    assert(d100.nonEmpty && d100.forall(r => r._4 === 0L && r._5 > 0L))
+  }
+
   test("stream_index: a mid-swap crash state is repaired by the next batch") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
