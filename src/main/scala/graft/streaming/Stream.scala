@@ -640,7 +640,7 @@ object Stream {
         col("nm").as("qnm"), col("bucket"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    store.join(broadcast(q), "bucket")
+    prunedToBuckets(store, q).join(broadcast(q), "bucket")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", graft.functions.VectorFns.dot(col("qe"), col("embedding")) /
         (col("qnm") * col("nm")))
@@ -648,6 +648,30 @@ object Stream {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("vec_id"),
         round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Restrict `store` to the bucket set its probes (`assigned` — an
+    * already-IVF-assigned frame with a `bucket` column) actually hit,
+    * as a LITERAL planning-time partition filter. The broadcast
+    * bucket equi-join alone leaves directory pruning to runtime
+    * dynamic partition pruning, whose cost heuristics may ELIDE it
+    * (observed: `dynamicpruningexpression(true)` on the store scan) —
+    * a full store scan per probe at 100 TB. The probed bucket list is
+    * one bounded collect (≤ |batch| ids, ≤ the centroid count
+    * distinct — the collect a serving loop legitimately makes, like
+    * the hybrid path's term list), and the literal IN prunes like a
+    * term lookup. Literals are cast to the store column's own type so
+    * partition-dir inference (int dirs vs the assignment's long cid)
+    * never blocks static pruning behind a cast.
+    */
+  private def prunedToBuckets(store: DataFrame, assigned: DataFrame): DataFrame = {
+    val bids = assigned.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val bt = store.schema("bucket").dataType
+    val pred =
+      if (bids.isEmpty) lit(false)
+      else bids.map(b => col("bucket") === lit(b).cast(bt)).reduce(_ || _)
+    store.filter(pred)
   }
 
   /** A pinned DENSE serving session — the embed-store analogue of
@@ -1795,7 +1819,7 @@ object Stream {
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nm").as("qnm"), col("bucket"))
     val wd = W.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    val dense = store.join(broadcast(qv), "bucket")
+    val dense = prunedToBuckets(store, qv).join(broadcast(qv), "bucket")
       .withColumn("cos",
         graft.functions.VectorFns.dot(col("qe"), col("embedding")) /
           (col("qnm") * col("nm")))

@@ -584,6 +584,15 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
         .orderBy("query_id", "rk").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(served(oes) === want && want.nonEmpty)
+    // the store scan is LITERALLY partition-pruned to the probed
+    // buckets at planning time (not left to runtime DPP, whose cost
+    // heuristics can elide the pruning into a full store scan)
+    val probePlan = Stream.knnServeOn(oes,
+        queries.take(1).toDF("vec_id", "embedding"), k = 2)
+      .queryExecution.executedPlan.toString
+    assert(probePlan.split('\n').exists(l =>
+      l.contains("PartitionFilters: [") && l.contains("bucket#") &&
+        l.contains("=")), s"store scan not literally bucket-pruned:\n$probePlan")
     // snapshot semantics, the handle family's contract: a takedown
     // landed after open() is invisible through the held frames but
     // live on a re-open (and on the per-batch streaming path)
