@@ -56,9 +56,11 @@ object Serving {
 
   /** `langs` non-empty widens the 4-shape mix with the two r14
     * serving surfaces: `fielded` (`lang:<l> AND term` — `_meta` side
-    * table must exist at `idxPath`) and `fuzzy` (`term~1` — the
-    * declared full-dictionary probe, exempt from the pruning counter
-    * because an edit can land in any bucket by design).
+    * table must exist at `idxPath`) and `fuzzy` (`term~1` — served
+    * via the `_fuzzy` SymSpell probe when that table exists, else
+    * the full-dictionary levenshtein scan; exempt from the pruning
+    * counter because the scan fallback cannot bucket-prune by
+    * design).
     */
   def mix(spark: org.apache.spark.sql.SparkSession, idxPath: String,
           nBuckets: Int, vocab: Array[String], nQueries: Int = 100,

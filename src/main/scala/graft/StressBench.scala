@@ -127,6 +127,11 @@ object IndexScaleStress {
     sources.IndexStore.saveMeta(StressData.docsOf(spark, dir)
       .select("doc_id", "lang", "source"), idxPath)
     println(f"IDXSTRESS dir=$dir%-20s meta  ${(System.nanoTime() - tM) / 1e9}%8.2fs")
+    // SymSpell fuzzy dictionary (late r14) — the mix's fuzzy shape
+    // probes it instead of levenshtein-scanning 500k docs' terms
+    val tF = System.nanoTime()
+    sources.IndexStore.saveFuzzy(spark, idxPath)
+    println(f"IDXSTRESS dir=$dir%-20s fuzzy ${(System.nanoTime() - tF) / 1e9}%8.2fs")
     val shapes = Seq(
       "term_lookup" -> (() =>
         sources.IndexStore.lookup(spark, idxPath, "the", nBuckets = 64)),
@@ -151,6 +156,11 @@ object IndexScaleStress {
     // query; every plan is asserted bucket-pruned in all three runs.
     locally {
       val vocab = Serving.vocabOf(spark, idxPath)
+      // the 6-shape mix (late r14): fielded + fuzzy ride beside
+      // term/bool/phrase/ranked, langs drawn from the `_meta` table
+      val langs = sources.IndexStore.loadMeta(spark, idxPath)
+        .select("lang").distinct().orderBy("lang").limit(4)
+        .collect().map(_.getString(0))
       // per-query (read-latest) AND prepared-session (one
       // IndexStore.open pinned across the mix — r13 verdict item 7)
       // rows side by side, so the planning-floor delta is measured at
@@ -158,8 +168,8 @@ object IndexScaleStress {
       Seq(false, true).foreach { prep =>
         val tag = if (prep) "serve+prep" else "serve"
         Seq(1, 4, 16).foreach { threads =>
-          val r = Serving.mix(spark, idxPath, 64, vocab, nQueries = 100,
-            threads = threads, prepared = prep)
+          val r = Serving.mix(spark, idxPath, 64, vocab, nQueries = 120,
+            threads = threads, prepared = prep, langs = langs)
           (r.shapes :+ "all").foreach { sh =>
             val n = if (sh == "all") r.all.size else r.latencies.getOrElse(sh, Vector.empty).size
             println(f"IDXSTRESS dir=$dir%-20s $tag%-10s thr=$threads%-3d $sh%-7s n=$n%3d " +
@@ -168,6 +178,41 @@ object IndexScaleStress {
           println(s"IDXSTRESS $tag thr=$threads unpruned-plans: ${r.unpruned}")
         }
       }
+    }
+    // DENSE serving at the dir's embeddings (late r14 — the prepared
+    // openEmbedStore session vs the per-request read-latest path,
+    // measured at the big store like the sparse mix above)
+    if (new java.io.File(s"$dir/embeddings.parquet").exists) {
+      import spark.implicits._
+      val eb = java.nio.file.Files
+        .createTempDirectory("graft-emb-stress").toString
+      val (centP, storeP) = (s"$eb/cent", s"$eb/store")
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val tE = System.nanoTime()
+      operators.Similarity.saveCentroids(emb, centP)
+      operators.Similarity
+        .ivfAssignTo(operators.Similarity.withNormOf(emb),
+          spark.read.parquet(centP))
+        .write.partitionBy("bucket").mode("overwrite").parquet(storeP)
+      println(f"IDXSTRESS dir=$dir%-20s embed_build ${(System.nanoTime() - tE) / 1e9}%8.2fs")
+      val probes = emb.orderBy("vec_id").limit(20)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      def lat(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+          : Seq[Double] = probes.toSeq.map { case (vid, e) =>
+        val s = System.nanoTime()
+        f(Seq((vid, e)).toDF("vec_id", "embedding")).queryExecution.toRdd.count()
+        (System.nanoTime() - s) / 1e9
+      }
+      val perQ = lat(q => streaming.Stream.knnBatchOf(q,
+        spark.read.parquet(centP),
+        streaming.Stream.loadEmbedStore(spark, storeP), k = 10))
+      val oes = streaming.Stream.openEmbedStore(spark, storeP, centP)
+      val prepQ = lat(q => streaming.Stream.knnServeOn(oes, q, k = 10))
+      println(f"IDXSTRESS dir=$dir%-20s knn        n=${perQ.size}%3d " +
+        f"p50=${Serving.pct(perQ, 0.50)}%6.3fs p95=${Serving.pct(perQ, 0.95)}%6.3fs")
+      println(f"IDXSTRESS dir=$dir%-20s knn+prep   n=${prepQ.size}%3d " +
+        f"p50=${Serving.pct(prepQ, 0.50)}%6.3fs p95=${Serving.pct(prepQ, 0.95)}%6.3fs")
     }
 
     // the small-index plan pins, re-checked at scale

@@ -318,12 +318,31 @@ object Query {
     val byPrefix = ps.distinct.map(p =>
       graft.sources.IndexStore.load(spark, indexPath)
         .filter(col("term").startsWith(p)).drop("term_bucket"))
-    // fuzzy leaves can't bucket-prune (an edit can land in any
-    // bucket) — they scan the term dictionary like a prefix without
-    // a pushable pattern; distance runs on the aggregated terms
+    // fuzzy leaves can't bucket-prune directly (an edit can land in
+    // any bucket). With the `_fuzzy` SymSpell side table the leaf
+    // resolves to its candidate TERM SET first (variant-IN probe +
+    // exact verify, a bounded driver collect like the hybrid path's
+    // term list) and fetches those terms' postings bucket-pruned;
+    // without it, the declared fallback is the full-dictionary
+    // levenshtein scan
+    val fuzzyTable =
+      if (fz.nonEmpty && graft.sources.IndexStore.hasFuzzy(spark, indexPath))
+        Some(graft.sources.IndexStore.loadFuzzy(spark, indexPath))
+      else None
     val byFuzzy = fz.distinct.map { case (t, d) =>
-      graft.sources.IndexStore.load(spark, indexPath)
-        .filter(levenshtein(col("term"), lit(t)) <= d).drop("term_bucket")
+      fuzzyTable match {
+        case Some(fzt) if d <= graft.sources.IndexStore.FuzzyMaxEdits =>
+          val cands = graft.sources.IndexStore.fuzzyTermsVia(fzt, t, d)
+            .collect().map(_.getString(0)).toSeq
+          if (cands.isEmpty)
+            graft.sources.IndexStore.load(spark, indexPath)
+              .limit(0).drop("term_bucket")
+          else graft.sources.IndexStore.lookupTerms(spark, indexPath,
+            cands, nBuckets)
+        case _ =>
+          graft.sources.IndexStore.load(spark, indexPath)
+            .filter(levenshtein(col("term"), lit(t)) <= d).drop("term_bucket")
+      }
     }
     require(byTerm.nonEmpty || byPrefix.nonEmpty || byFuzzy.nonEmpty,
       s"query has no leaves: $query")
@@ -353,7 +372,17 @@ object Query {
     val byPrefix = ps.distinct.map(p =>
       oi.idx.filter(col("term").startsWith(p)).drop("term_bucket"))
     val byFuzzy = fz.distinct.map { case (t, d) =>
-      oi.idx.filter(levenshtein(col("term"), lit(t)) <= d).drop("term_bucket")
+      oi.fuzzy match {
+        // the handle's pinned `_fuzzy` table: candidate terms by
+        // variant probe, then a bucket-pruned postings fetch
+        case Some(fzt) if d <= graft.sources.IndexStore.FuzzyMaxEdits =>
+          val cands = graft.sources.IndexStore.fuzzyTermsVia(fzt, t, d)
+            .collect().map(_.getString(0)).toSeq
+          if (cands.isEmpty) oi.idx.limit(0).drop("term_bucket")
+          else graft.sources.IndexStore.lookupTermsOn(oi, cands)
+        case _ =>
+          oi.idx.filter(levenshtein(col("term"), lit(t)) <= d).drop("term_bucket")
+      }
     }
     require(byTerm.nonEmpty || byPrefix.nonEmpty || byFuzzy.nonEmpty,
       s"query has no leaves: $query")

@@ -174,6 +174,9 @@ object IndexStore {
       nBuckets.orElse(savedBuckets(spark, path)).getOrElse(DefaultBuckets))
     if (hasStats(spark, path)) saveStats(spark, outPath)
     if (hasMeta(spark, path)) carryMeta(spark, path, outPath, outPath)
+    // the fuzzy dictionary rebuilds from the compacted output (terms
+    // whose last postings folded away leave the dictionary here)
+    if (hasFuzzy(spark, path)) saveFuzzy(spark, outPath)
   }
 
   /** Rewrite the `_meta` table of the index at `fromPath` into
@@ -343,6 +346,97 @@ object IndexStore {
     }
   }
 
+  // ---- SymSpell deletion-neighborhood fuzzy dictionary -------------
+  //
+  // The fuzzy leaf (`term~1`/`term~2`) cannot bucket-prune — an edit
+  // can land in any bucket — so without a side table it pays a
+  // levenshtein scan over the FULL term dictionary per query (5.5s
+  // p50 at the 500k-doc store). The `_fuzzy` side table is the
+  // SymSpell answer (public-domain algorithm, Garbe): for every
+  // distinct term, persist all strings reachable by deleting ≤ 2
+  // characters, keyed (variant, term). Candidate generation is then
+  // one variant-IN equi-probe: if lev(a, b) ≤ d there are ≤ d-delete
+  // reductions a' of a and b' of b with a' == b' (align the edit
+  // script: a substitution deletes one char on each side, an
+  // insert/delete deletes on one side), so probing the query term's
+  // own ≤ d-delete variants finds EVERY dictionary term within
+  // distance d — superset candidates, trimmed by one exact
+  // levenshtein verify over the (tiny) candidate set. Dictionary-
+  // sized × O(L²) rows, hash-partitioned and variant-sorted so the
+  // IN probe prunes row groups; refreshed by compaction like the
+  // other side tables. A takedown can orphan a dictionary term until
+  // the next fold — harmless: its postings lookup anti-joins to
+  // empty, identical to the scan path's behavior.
+
+  private val FuzzyDir = "_fuzzy"
+
+  /** The deletion depth `_fuzzy` is built for — covers the grammar's
+    * whole `~1`/`~2` range (Lucene's cap, enforced at parse). */
+  val FuzzyMaxEdits = 2
+
+  /** All strings reachable from `s` by deleting at most `d`
+    * characters (including `s` itself), distinct. |result| ≤
+    * 1 + L + C(L,2) for d = 2.
+    */
+  def deleteVariants(s: String, d: Int): Seq[String] = {
+    val all = scala.collection.mutable.LinkedHashSet(s)
+    var frontier = Set(s)
+    for (_ <- 1 to d) {
+      frontier = frontier.flatMap(x =>
+        x.indices.map(i => x.take(i) + x.drop(i + 1)))
+      all ++= frontier
+    }
+    all.toSeq
+  }
+
+  /** Whether the index at `path` carries a persisted fuzzy dictionary. */
+  def hasFuzzy(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, FuzzyDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Build + land the `_fuzzy` table from the saved index's distinct
+    * terms (one dictionary pass; same atomic tmp-dir + rename landing
+    * as [[saveStats]]/[[saveMeta]]).
+    */
+  def saveFuzzy(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val table = load(spark, path).select("term").distinct().as[String]
+      .flatMap(t => deleteVariants(t, FuzzyMaxEdits).map(v => (v, t)))
+      .toDF("variant", "term")
+      .repartition(col("variant")).sortWithinPartitions("variant")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path, s".$FuzzyDir-tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    table.write.mode("overwrite").parquet(tmp.toString)
+    val dest = new org.apache.hadoop.fs.Path(path, FuzzyDir)
+    if (fs.exists(dest)) fs.delete(dest, true)
+    StoreSwap.mustRename(fs, tmp, dest)
+  }
+
+  /** The persisted fuzzy dictionary; fails loudly when absent. */
+  def loadFuzzy(spark: SparkSession, path: String): DataFrame = {
+    require(hasFuzzy(spark, path),
+      s"index at $path has no $FuzzyDir side table — run " +
+        "IndexStore.saveFuzzy(spark, path) beside the index build " +
+        "(compaction carries it forward)")
+    spark.read.parquet(new org.apache.hadoop.fs.Path(path, FuzzyDir).toString)
+  }
+
+  /** Dictionary terms within levenshtein `d` of `t`, via the
+    * `_fuzzy` probe: literal variant-IN candidate fetch + one exact
+    * verify. `d` must be ≤ [[FuzzyMaxEdits]] (the depth the table
+    * was built for).
+    */
+  def fuzzyTermsVia(fuzzy: DataFrame, t: String, d: Int): DataFrame = {
+    require(d <= FuzzyMaxEdits,
+      s"fuzzy distance $d exceeds the $FuzzyDir table's build depth $FuzzyMaxEdits")
+    fuzzy.filter(col("variant").isin(deleteVariants(t, d): _*))
+      .select("term").distinct()
+      .filter(levenshtein(col("term"), lit(t)) <= d)
+  }
+
   /** Read an index back, transparently decoding a delta-gap `gaps`
     * column to absolute `positions` (see [[save]]) and anti-joining
     * out any tombstoned doc_ids. The decode is a narrow codegen'd map
@@ -425,7 +519,8 @@ object IndexStore {
   final case class OpenIndex(spark: SparkSession, path: String, nBuckets: Int,
                              idx: DataFrame, universe: DataFrame,
                              stats: Option[(DataFrame, DataFrame)],
-                             meta: Option[DataFrame]) {
+                             meta: Option[DataFrame],
+                             fuzzy: Option[DataFrame] = None) {
     /** Indexed doc count from the `_stats` corpus row (−1 without
       * stats) — collected once per handle; the ranked path's ladder
       * gate reads it instead of running a per-query count job.
@@ -451,7 +546,8 @@ object IndexStore {
     OpenIndex(spark, path, nBuckets, idx,
       idx.select(idCol).distinct(),
       if (hasStats(spark, path)) Some(loadStats(spark, path)) else None,
-      if (withMeta && hasMeta(spark, path)) Some(loadMeta(spark, path)) else None)
+      if (withMeta && hasMeta(spark, path)) Some(loadMeta(spark, path)) else None,
+      if (hasFuzzy(spark, path)) Some(loadFuzzy(spark, path)) else None)
   }
 
   /** [[lookup]] against a pinned [[OpenIndex]] snapshot — same plan
@@ -657,6 +753,10 @@ object IndexStore {
     if (hasMeta(spark, path))
       carryMeta(spark, path, tmpRoot,
         if (segs.nonEmpty) s"$tmpRoot/seg=${segs.max}" else tmpRoot)
+    // the fuzzy dictionary rebuilds from the fold's output inside the
+    // same swap (derivable from postings, unlike `_meta` — a term
+    // whose last postings folded away leaves the dictionary here)
+    if (hasFuzzy(spark, path)) saveFuzzy(spark, tmpRoot)
     StoreSwap.swap(fs, root, tmpRoot)
   }
 

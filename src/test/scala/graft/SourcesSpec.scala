@@ -537,6 +537,54 @@ class SourcesSpec extends SparkSpec {
       "fielded ranked serving must survive the fold minus the takedown")
   }
 
+  test("fuzzy dictionary: SymSpell probe is lossless vs brute force; serving parity; compaction carries it") {
+    import spark.implicits._
+    // seeded vocab with adversarial shapes for the deletion-
+    // neighborhood lemma: short terms, prefix/suffix-edited twins,
+    // terms identical after two deletes
+    val rnd = new scala.util.Random(11)
+    val alpha = "abcde"
+    val vocab = ((0 until 120).map { _ =>
+      Seq.fill(3 + rnd.nextInt(8))(alpha(rnd.nextInt(alpha.length))).mkString
+    } ++ Seq("a", "ab", "abc", "xabc", "abcx", "bc")).distinct
+    val docs = vocab.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val path = tmpDir("graft-idxfuzzy") + "/index"
+    IndexStore.save(Index.invertedIndexOf(docs), path, nBuckets = 4)
+    IndexStore.saveFuzzy(spark, path)
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
+        if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val fzt = IndexStore.loadFuzzy(spark, path)
+    for (probe <- Seq("abc", "abcd", "a", "abcde", "eabc", "zzz", vocab(7));
+         d <- Seq(1, 2)) {
+      val got = IndexStore.fuzzyTermsVia(fzt, probe, d)
+        .collect().map(_.getString(0)).toSet
+      val want = vocab.filter(w => lev(w, probe) <= d).toSet
+      assert(got === want, s"probe=$probe d=$d")
+    }
+    // index-served fuzzy equals the corpus path with the table present
+    // (the candidate-probe leg, not the scan fallback)
+    val fq = "abc~1 OR xabc~2"
+    def idsIdx(p: String): Seq[Long] = operators.Query
+      .searchIndex(spark, p, fq, nBuckets = 4)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val fromCorpus = operators.Query.search(docs, fq)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(idsIdx(path) === fromCorpus && fromCorpus.nonEmpty)
+    // compaction rebuilds the dictionary inside the fold and the
+    // compacted index answers identically
+    val out = tmpDir("graft-idxfuzzy-c") + "/index"
+    IndexStore.compact(spark, path, out)
+    assert(IndexStore.hasFuzzy(spark, out))
+    assert(idsIdx(out) === fromCorpus)
+  }
+
   test("prepared serving session: OpenIndex *On variants match the per-query path row for row") {
     import org.apache.spark.sql.functions.col
     val docs = sources.Tables.documents(spark, sfDir)
@@ -544,6 +592,9 @@ class SourcesSpec extends SparkSpec {
     IndexStore.save(Index.invertedIndexOf(docs), path, nBuckets = 8)
     IndexStore.saveStats(spark, path)
     IndexStore.saveMeta(docs.select("doc_id", "lang", "source"), path)
+    // the handle pins the fuzzy dictionary too, so the spask~1 shape
+    // below goes through the prepared SymSpell probe leg
+    IndexStore.saveFuzzy(spark, path)
     val oi = IndexStore.open(spark, path, nBuckets = 8)
     // term lookup
     assert(IndexStore.lookupOn(oi, "spark").orderBy("doc_id").collect().toSeq ===
