@@ -63,6 +63,10 @@ object Cli {
       val fields = corpus.columns.filter(c => c == "lang" || c == "source").toSeq
       if (fields.nonEmpty)
         IndexStore.saveMeta(corpus.select(id, fields: _*), out)
+      // ...and the SymSpell fuzzy dictionary, so `term~d` queries
+      // against this index probe candidates instead of scanning the
+      // term dictionary (one extra dictionary pass at build time)
+      IndexStore.saveFuzzy(spark, out)
       IndexStore.load(spark, out)
         .groupBy().agg(count(lit(1)).as("postings"),
           countDistinct(col("term")).as("terms"))

@@ -763,6 +763,12 @@ class SourcesSpec extends SparkSpec {
       .map(r => (r.getAs[String]("title"), r.getAs[Double]("score")))
     assert(iq.toSeq === cq.toSeq && iq.nonEmpty)
     assert(IndexStore.hasStats(spark, s"$dir/index"))
+    // the build persisted the SymSpell dictionary: `~1` against the
+    // index goes through the candidate probe, not the scan fallback
+    assert(IndexStore.hasFuzzy(spark, s"$dir/index"))
+    val fq = Cli.run(spark,
+        Seq("bquery", s"$dir/index", "spork~1 AND NOT filter", "4")).collect()
+    assert(fq.map(_.getAs[String]("title")).toSeq === Seq("Doc One"))
     intercept[IllegalArgumentException](Cli.run(spark, Seq("bogus")))
   }
 
