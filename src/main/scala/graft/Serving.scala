@@ -76,6 +76,11 @@ object Serving {
     // Results are parity-specced identical; only latency may differ.
     val oi = if (prepared) Some(sources.IndexStore.open(spark, idxPath, nBuckets))
              else None
+    // with the `_fuzzy` SymSpell table present, the fuzzy shape's
+    // candidate-probe postings fetch must bucket-prune like any term
+    // lookup — only the table-less dictionary-scan fallback earns the
+    // pruning-counter exemption
+    val fuzzyScans = !sources.IndexStore.hasFuzzy(spark, idxPath)
     def mkQuery(i: Int): (String, () => DataFrame) = {
       val t1 = vocab(i % vocab.length)
       val t2 = vocab((i * 7 + 3) % vocab.length)
@@ -128,11 +133,11 @@ object Serving {
       // checkpointed fetch; pruning is audited on the fetch subtree —
       // `searchranked_fetch`). A term_bucket scan WITHOUT
       // PartitionFilters is the regression this counter exists for.
-      // fuzzy is exempt: its dictionary probe scans every bucket BY
-      // CONTRACT (an edit can land in any bucket), so an unpruned
-      // term_bucket scan is its correct plan, not a regression
+      // the table-less fuzzy fallback is exempt: its dictionary scan
+      // reads every bucket BY CONTRACT (an edit can land in any
+      // bucket), so an unpruned term_bucket scan is its correct plan
       val plan = df.queryExecution.executedPlan.toString
-      val ok = shape == "fuzzy" ||
+      val ok = (shape == "fuzzy" && fuzzyScans) ||
         plan.contains("PartitionFilters") || !plan.contains("term_bucket")
       if (!ok) unpruned.incrementAndGet()
       shape -> dt
