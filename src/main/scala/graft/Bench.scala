@@ -122,7 +122,10 @@ object Bench {
       // sfDir's embeddings, then serve 10 single-vector probes
       // per-query (fresh store listing + centroid read each time, the
       // streaming micro-batch shape) vs through one pinned
-      // openEmbedStore handle
+      // openEmbedStore handle. Own try scope (r15): an embed-leg
+      // failure lands its own sentinel instead of masking the sparse
+      // serving numbers already recorded above.
+      try {
       val embBase = java.nio.file.Files
         .createTempDirectory("graft-bench-emb").toString
       val (centP, storeP) = (s"$embBase/cent", s"$embBase/store")
@@ -154,7 +157,36 @@ object Bench {
       serveBuf += "serve:knn_p95" -> Serving.pct(perQ, 0.95)
       serveBuf += "serve:prep_knn_p50" -> Serving.pct(prepQ, 0.50)
       serveBuf += "serve:prep_knn_p95" -> Serving.pct(prepQ, 0.95)
-    } catch { case _: Throwable => serveBuf += "serve:index_build" -> -1.0 }
+      // SQ8 quantized serving leg (r15): deploy cost of the `_sq8`
+      // layout, the ADC-shortlist+rerank latency through a prepared
+      // handle, and the memory-wall number — on-disk bytes/vector for
+      // codes vs raw fp32 (the measured side of ann_memory_report's
+      // 4× prediction)
+      val tQ = System.nanoTime()
+      streaming.Stream.quantizeEmbedStore(spark, storeP)
+      serveBuf += "serve:sq8_build" -> (System.nanoTime() - tQ) / 1e9
+      val oqs = streaming.Stream.openEmbedStoreQuantized(spark, storeP, centP)
+      val quantQ = knnLat(q => streaming.Stream.knnServeQuantized(oqs, q, k = 10))
+      serveBuf += "serve:prep_knnq_p50" -> Serving.pct(quantQ, 0.50)
+      serveBuf += "serve:prep_knnq_p95" -> Serving.pct(quantQ, 0.95)
+      val efs = new org.apache.hadoop.fs.Path(storeP)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val nVec = emb.count().toDouble
+      val codeB = efs.getContentSummary(
+        new org.apache.hadoop.fs.Path(storeP, "_sq8/codes")).getLength
+      val rawB = efs.listStatus(new org.apache.hadoop.fs.Path(storeP))
+        .filter(_.getPath.getName.startsWith("bucket="))
+        .map(s => efs.getContentSummary(s.getPath).getLength).sum
+      serveBuf += "serve:sq8_bytes_per_vec" -> codeB / nVec
+      serveBuf += "serve:raw_bytes_per_vec" -> rawB / nVec
+      } catch { case _: Throwable => serveBuf += "serve:embed_error" -> -1.0 }
+    } catch {
+      // distinct sentinel (r15): the old catch-all re-appended
+      // serve:index_build -> -1.0, which duplicated the key when the
+      // build itself had already landed a real time — partial serve
+      // results then carried an ambiguous failure point
+      case _: Throwable => serveBuf += "serve:error" -> -1.0
+    }
     val all = results ++ prodResults ++ serveBuf.toSeq
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -66,8 +66,14 @@ object Serving {
           nBuckets: Int, vocab: Array[String], nQueries: Int = 100,
           threads: Int = 1, prepared: Boolean = false,
           langs: Array[String] = Array.empty): MixResult = {
+    // fielded queries interpolate lang values into the query grammar —
+    // restrict them to the grammar's token charset (r15): a metadata
+    // value carrying whitespace/':'/'~'/parens from a real corpus made
+    // parse throw and abort the whole serve block through the catch-all
+    val safeLangs = langs.filter(l =>
+      l.nonEmpty && l.forall(c => c.isLetterOrDigit || c == '_' || c == '-'))
     val shapes =
-      if (langs.isEmpty) Array("term", "bool", "phrase", "ranked")
+      if (safeLangs.isEmpty) Array("term", "bool", "phrase", "ranked")
       else Array("term", "bool", "phrase", "ranked", "fielded", "fuzzy")
     // prepared = the serving-session shape (r13 verdict item 7): ONE
     // IndexStore.open pins the resolved index relation + side tables,
@@ -107,7 +113,7 @@ object Serving {
               k = 10, nBuckets = nBuckets)
         }
         case "fielded" =>
-          val q = s"lang:${langs(i % langs.length)} AND $t1"
+          val q = s"lang:${safeLangs(i % safeLangs.length)} AND $t1"
           () => oi match {
             case Some(h) => operators.Query.searchIndexOn(h, q)
             case None => operators.Query.searchIndex(spark, idxPath, q, nBuckets)

@@ -122,11 +122,18 @@ object IndexScaleStress {
     sources.IndexStore.saveStats(spark, idxPath)
     println(f"IDXSTRESS dir=$dir%-20s stats ${(System.nanoTime() - tS) / 1e9}%8.2fs")
     // fielded-search metadata: deploy-time cost priced like the stats
-    // table, and the fielded audit rule below needs the side table
-    val tM = System.nanoTime()
-    sources.IndexStore.saveMeta(StressData.docsOf(spark, dir)
-      .select("doc_id", "lang", "source"), idxPath)
-    println(f"IDXSTRESS dir=$dir%-20s meta  ${(System.nanoTime() - tM) / 1e9}%8.2fs")
+    // table, and the fielded audit rule below needs the side table.
+    // Guarded on column presence (the zipf:<n> synthetic corpora carry
+    // only doc_id/text): a field-less corpus simply runs the 4-shape
+    // mix, it must not kill the whole stress run before measurement.
+    val stressDocs = StressData.docsOf(spark, dir)
+    val metaFields = Seq("lang", "source").filter(stressDocs.columns.contains)
+    if (metaFields.nonEmpty) {
+      val tM = System.nanoTime()
+      sources.IndexStore.saveMeta(
+        stressDocs.select(("doc_id" +: metaFields).map(org.apache.spark.sql.functions.col): _*), idxPath)
+      println(f"IDXSTRESS dir=$dir%-20s meta  ${(System.nanoTime() - tM) / 1e9}%8.2fs")
+    }
     // SymSpell fuzzy dictionary (late r14) — the mix's fuzzy shape
     // probes it instead of levenshtein-scanning 500k docs' terms
     val tF = System.nanoTime()
@@ -157,10 +164,16 @@ object IndexScaleStress {
     locally {
       val vocab = Serving.vocabOf(spark, idxPath)
       // the 6-shape mix (late r14): fielded + fuzzy ride beside
-      // term/bool/phrase/ranked, langs drawn from the `_meta` table
-      val langs = sources.IndexStore.loadMeta(spark, idxPath)
-        .select("lang").distinct().orderBy("lang").limit(4)
-        .collect().map(_.getString(0))
+      // term/bool/phrase/ranked, langs drawn from the `_meta` table —
+      // absent `_meta` (field-less corpus) falls back to the 4-shape mix
+      val langs =
+        if (sources.IndexStore.hasMeta(spark, idxPath)) {
+          val meta = sources.IndexStore.loadMeta(spark, idxPath)
+          if (meta.columns.contains("lang"))
+            meta.select("lang").distinct().orderBy("lang").limit(4)
+              .collect().map(_.getString(0))
+          else Array.empty[String]
+        } else Array.empty[String]
       // per-query (read-latest) AND prepared-session (one
       // IndexStore.open pinned across the mix — r13 verdict item 7)
       // rows side by side, so the planning-floor delta is measured at
@@ -213,6 +226,25 @@ object IndexScaleStress {
         f"p50=${Serving.pct(perQ, 0.50)}%6.3fs p95=${Serving.pct(perQ, 0.95)}%6.3fs")
       println(f"IDXSTRESS dir=$dir%-20s knn+prep   n=${prepQ.size}%3d " +
         f"p50=${Serving.pct(prepQ, 0.50)}%6.3fs p95=${Serving.pct(prepQ, 0.95)}%6.3fs")
+      // SQ8 quantized serving at the big store (r15): deploy cost,
+      // prepared ADC+rerank latency, and on-disk bytes/vector
+      val tQ = System.nanoTime()
+      streaming.Stream.quantizeEmbedStore(spark, storeP)
+      println(f"IDXSTRESS dir=$dir%-20s sq8_build ${(System.nanoTime() - tQ) / 1e9}%8.2fs")
+      val oq = streaming.Stream.openEmbedStoreQuantized(spark, storeP, centP)
+      val quantQ = lat(q => streaming.Stream.knnServeQuantized(oq, q, k = 10))
+      println(f"IDXSTRESS dir=$dir%-20s knn+sq8    n=${quantQ.size}%3d " +
+        f"p50=${Serving.pct(quantQ, 0.50)}%6.3fs p95=${Serving.pct(quantQ, 0.95)}%6.3fs")
+      val efs = new org.apache.hadoop.fs.Path(storeP)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val nVec = emb.count().toDouble
+      val codeB = efs.getContentSummary(
+        new org.apache.hadoop.fs.Path(storeP, "_sq8/codes")).getLength
+      val rawB = efs.listStatus(new org.apache.hadoop.fs.Path(storeP))
+        .filter(_.getPath.getName.startsWith("bucket="))
+        .map(s => efs.getContentSummary(s.getPath).getLength).sum
+      println(f"IDXSTRESS dir=$dir%-20s sq8_bytes/vec ${codeB / nVec}%8.1f " +
+        f"raw_bytes/vec ${rawB / nVec}%8.1f ratio ${rawB.toDouble / codeB}%5.2fx")
     }
 
     // the small-index plan pins, re-checked at scale

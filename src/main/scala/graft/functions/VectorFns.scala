@@ -100,6 +100,44 @@ object VectorImpl {
     }
     new GenericArrayData(out)
   }
+
+  /** The PERSISTED-code split of [[sq8Dequant]] (r15 — the quantized
+    * serving layout): encode emits the 8-bit level per dimension as
+    * one byte (binary column, 1 byte/dim on disk vs 4 for fp32);
+    * decode reverses it. decode(encode(x)) is BIT-IDENTICAL to
+    * sq8Dequant(x): both compute the same q and the same
+    * mn + q/255·(mx−mn) float, so every recall/parity statement about
+    * the in-memory SQ8 ranking transfers to the stored-codes ranking
+    * verbatim.
+    */
+  def sq8Encode(emb: ArrayData, mns: ArrayData, mxs: ArrayData): Array[Byte] = {
+    val n = emb.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val x = emb.getFloat(i).toDouble
+      val mn = mns.getFloat(i).toDouble
+      val mx = mxs.getFloat(i).toDouble
+      val q = if (mx > mn) math.floor((x - mn) / (mx - mn) * 255.0 + 0.5) else 0.0
+      out(i) = q.toInt.toByte // 0..255 wraps to a signed byte; decode masks back
+      i += 1
+    }
+    out
+  }
+
+  def sq8Decode(codes: Array[Byte], mns: ArrayData, mxs: ArrayData): ArrayData = {
+    val n = codes.length
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      val q = (codes(i) & 0xFF).toDouble
+      val mn = mns.getFloat(i).toDouble
+      val mx = mxs.getFloat(i).toDouble
+      out(i) = (mn + q / 255.0 * (mx - mn)).toFloat
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Codegen'd cosine similarity — a native Catalyst Expression so the
@@ -202,6 +240,41 @@ case class Sq8Dequant(first: Expression, second: Expression, third: Expression)
   override def prettyName: String = "sq8_dequant"
 }
 
+/** Codegen'd SQ8 encode: embedding → one byte per dimension (the
+  * persisted form of the quantized serving layout; [[Sq8Decode]]
+  * reverses it and decode∘encode ≡ [[Sq8Dequant]] bit for bit).
+  */
+case class Sq8Encode(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullSafeEval(e: Any, mn: Any, mx: Any): Any =
+    VectorImpl.sq8Encode(e.asInstanceOf[ArrayData],
+      mn.asInstanceOf[ArrayData], mx.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (e, mn, mx) => s"graft.functions.VectorImpl.sq8Encode($e, $mn, $mx)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Sq8Encode =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "sq8_encode"
+}
+
+/** Codegen'd SQ8 decode: stored byte codes → the dequantized float
+  * vector ([[Sq8Encode]]'s inverse up to quantization).
+  */
+case class Sq8Decode(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(c: Any, mn: Any, mx: Any): Any =
+    VectorImpl.sq8Decode(c.asInstanceOf[Array[Byte]],
+      mn.asInstanceOf[ArrayData], mx.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, mn, mx) => s"graft.functions.VectorImpl.sq8Decode($c, $mn, $mx)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Sq8Decode =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "sq8_decode"
+}
+
 object VectorFns {
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(
@@ -226,5 +299,13 @@ object VectorFns {
 
   def sq8Dequant(emb: Column, mns: Column, mxs: Column): Column =
     GraftBridge.column(Sq8Dequant(GraftBridge.expression(emb),
+      GraftBridge.expression(mns), GraftBridge.expression(mxs)))
+
+  def sq8Encode(emb: Column, mns: Column, mxs: Column): Column =
+    GraftBridge.column(Sq8Encode(GraftBridge.expression(emb),
+      GraftBridge.expression(mns), GraftBridge.expression(mxs)))
+
+  def sq8Decode(codes: Column, mns: Column, mxs: Column): Column =
+    GraftBridge.column(Sq8Decode(GraftBridge.expression(codes),
       GraftBridge.expression(mns), GraftBridge.expression(mxs)))
 }

@@ -80,6 +80,10 @@ object CorpusStore {
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
     if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
     save(load(spark, path), tmp)
+    // the takedown epoch survives the purge (r15): it is the one
+    // artifact rebuild-on-takedown consumers (pack/interleave stores)
+    // check, and it must not reset when the landings fold away
+    Tombstones.carryEpoch(spark, path, tmp)
     StoreSwap.swap(fs, root, tmp)
   }
 
@@ -96,9 +100,12 @@ object CorpusStore {
     * IndexStore's swap). Idempotent: re-running compaction over the
     * same input produces the same output layout.
     */
-  def compact(spark: SparkSession, inPath: String, outPath: String): Unit =
+  def compact(spark: SparkSession, inPath: String, outPath: String): Unit = {
     // reads through [[load]], so any tombstones fold away with the
     // small files (the rewrite is clean either way; `_tombstones`
-    // never travels into `outPath`)
+    // never travels into `outPath` — the takedown EPOCH does, see
+    // [[foldTombstones]])
     save(load(spark, inPath), outPath)
+    Tombstones.carryEpoch(spark, inPath, outPath)
+  }
 }

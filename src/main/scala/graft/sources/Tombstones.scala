@@ -38,6 +38,7 @@ import org.apache.spark.sql.functions._
 object Tombstones {
   private val Dir = "_tombstones"
   private val AppliedUpToPrefix = "_applied_upto_"
+  private val EpochFile = "_takedown_epoch"
 
   private def dirOf(path: String) = new org.apache.hadoop.fs.Path(path, Dir)
 
@@ -62,6 +63,27 @@ object Tombstones {
   def hasAny(spark: SparkSession, path: String): Boolean = {
     val p = dirOf(path)
     hasDataFilesUnder(fsOf(spark, p), p)
+  }
+
+  /** A listing-derived fingerprint of the store's tombstone tree —
+    * the sorted recursive file names (markers included, so folds and
+    * horizon advances flip it too). One driver-side recursive listing
+    * of a tree that is O(landings)-sized by construction, no job.
+    * "" when the store carries no tombstone dir. Feeds the serving
+    * handles' staleness probes ([[IndexStore.stale]]): any takedown
+    * landing, replay, or fold changes at least one file name here.
+    */
+  def treeFingerprint(spark: SparkSession, path: String): String = {
+    val p = dirOf(path)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return ""
+    val names = scala.collection.mutable.ArrayBuffer[String]()
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      names += f.getParent.getName + "/" + f.getName
+    }
+    names.sorted.mkString(",")
   }
 
   /** How many batch-keyed landings the store carries — the streaming
@@ -93,6 +115,57 @@ object Tombstones {
       .map(_.stripPrefix("src_batch=").toLong).maxOption.getOrElse(-1L)
   }
 
+  // ---- takedown epoch (r15 — the rebuild-on-takedown tripwire key) ----
+  //
+  // The horizon and the tombstone tree both RESET when a fold purges
+  // the landings, so "did ANY takedown ever happen after time X?" is
+  // unanswerable from them alone — exactly the question a
+  // rebuild-on-takedown store (pack/interleave: in-place excision
+  // would rewrite every straddling pack) must ask before serving. The
+  // epoch is a monotonic landing counter at the store root
+  // (underscore-prefixed file): every append/landBatch bumps it
+  // BEFORE landing (a crash between bump and landing over-counts —
+  // the conservative direction), and every fold CARRIES it through
+  // the swap, so it only ever moves forward.
+
+  /** Monotonic count of takedown landings the store has processed;
+    * 0 for a store that never saw one. One driver-side file read.
+    */
+  def epoch(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path, EpochFile)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def bumpEpoch(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, EpochFile)
+    val fs = fsOf(spark, p)
+    val next = epoch(spark, path) + 1L
+    val out = fs.create(p, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Re-write the epoch file into a fold's staging dir so the
+    * store-root swap carries it — every fold of a tombstone-covered
+    * store must call this (the epoch is the one takedown artifact
+    * that SURVIVES the purge, by design).
+    */
+  def carryEpoch(spark: SparkSession, fromPath: String,
+                 toPath: String): Unit = {
+    val e = epoch(spark, fromPath)
+    if (e > 0L) {
+      val p = new org.apache.hadoop.fs.Path(toPath, EpochFile)
+      val fs = fsOf(spark, p)
+      val out = fs.create(p, true)
+      try out.write(e.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** One-shot tombstone append (see object doc). `key` names the
     * store's content key column (doc_id, vec_id, ...).
     */
@@ -100,6 +173,7 @@ object Tombstones {
              key: String = "doc_id"): Unit = {
     require(ids.nonEmpty, "append needs at least one id")
     import spark.implicits._
+    bumpEpoch(spark, path)
     ids.toDF(key).coalesce(1).write.mode("append")
       .parquet(dirOf(path).toString)
   }
@@ -121,6 +195,7 @@ object Tombstones {
         "store before re-pointing a fresh stream at it")
     val dels = ids.select(col(key)).distinct()
     if (dels.isEmpty) return false
+    bumpEpoch(spark, path)
     val tomb = dirOf(path)
     dels.coalesce(1).write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(tomb, s"src_batch=$srcBatch").toString)
@@ -145,10 +220,25 @@ object Tombstones {
     */
   def setOf(spark: SparkSession, path: String,
             key: String = "doc_id"): Option[DataFrame] =
-    if (hasAny(spark, path))
-      Some(spark.read.option("recursiveFileLookup", "true")
+    if (hasAny(spark, path)) {
+      // mergeSchema: landings under different key names must surface
+      // BOTH columns (footer-of-first-file inference would silently
+      // null out the other file's ids); the tree is O(landings)-sized,
+      // so the footer merge is driver-cheap
+      val raw = spark.read.option("recursiveFileLookup", "true")
+        .option("mergeSchema", "true")
         .parquet(dirOf(path).toString)
-        .withColumnRenamed("doc_id", key) // pre-r14 landings stored doc_id
-        .select(col(key)).distinct())
-    else None
+      // normalize the key column at read (r15): a store can accumulate
+      // landings under BOTH names — pre-r14 landings stored doc_id, and
+      // a caller appending with the default key to a vec_id-keyed store
+      // leaves a union schema carrying both columns. A blind rename then
+      // duplicated the column and every later read failed ambiguous.
+      val keyed =
+        if (raw.columns.contains(key) && raw.columns.contains("doc_id") &&
+            key != "doc_id")
+          raw.select(coalesce(col(key), col("doc_id")).as(key))
+        else if (raw.columns.contains(key)) raw.select(col(key))
+        else raw.select(col("doc_id").as(key))
+      Some(keyed.distinct())
+    } else None
 }

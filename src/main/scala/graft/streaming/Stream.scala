@@ -447,7 +447,10 @@ object Stream {
     * excision would rewrite every straddling pack — the documented
     * contract is REBUILD-ON-TAKEDOWN (re-run packing from the
     * already-purged corpus store; `pack_tokens`/`media_interleave`
-    * are one-pass rebuilds).
+    * are one-pass rebuilds), and the r15 TRIPWIRE makes staleness
+    * loud: stores stamped with the corpus takedown epoch
+    * ([[stampCorpusEpoch]]) refuse to load once the corpus processed
+    * a takedown past the stamp ([[requirePackFresh]]).
     */
   def takedownMaintenance(ids: DataFrame, indexPath: String,
                           compactEvery: Int = 16,
@@ -634,10 +637,15 @@ object Stream {
     */
   def knnBatchOf(batch: DataFrame, cent: DataFrame, store: DataFrame,
                  k: Int): DataFrame = {
+    // the assignment frame is consumed TWICE — [[prunedToBuckets]]
+    // collects its probed buckets, then the probe join broadcasts it —
+    // so materialize it once (r15): uncached, the centroid read +
+    // per-vector assignment executed twice per micro-batch/request
     val q = graft.operators.Similarity
       .ivfAssignTo(graft.operators.Similarity.withNormOf(batch), cent)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nm").as("qnm"), col("bucket"))
+      .localCheckpoint()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     prunedToBuckets(store, q).join(broadcast(q), "bucket")
@@ -685,7 +693,8 @@ object Stream {
     * re-open; the streaming [[knnServe]] loop stays read-latest
     * per batch.
     */
-  final case class OpenEmbedStore(store: DataFrame, cent: DataFrame)
+  final case class OpenEmbedStore(store: DataFrame, cent: DataFrame,
+                                  sq8: Option[(DataFrame, DataFrame)] = None)
 
   def openEmbedStore(spark: SparkSession, storePath: String,
                      centroidPath: String): OpenEmbedStore =
@@ -699,6 +708,244 @@ object Stream {
   def knnServeOn(oes: OpenEmbedStore, queries: DataFrame,
                  k: Int = 5): DataFrame =
     knnBatchOf(queries, oes.cent, oes.store, k)
+
+  // ---- SQ8 quantized dense serving layout (r15 — VERDICT item 3) ----
+  //
+  // The embed store serves raw fp32 vectors, and at 100 TB of vectors
+  // the store IS the memory/IO wall. The engine already owns the
+  // quantization ladder as OPERATORS (`knn_sq8`, `knn_pq_rerank`,
+  // `ann_memory_report` prices 4–16×); this persists the FAISS-shaped
+  // serving form of it: byte codes (+ per-dimension levels) land as a
+  // `_sq8` side layout inside the store (underscore-prefixed, rides
+  // the swaps), and serving runs ADC-style — a bucket-pruned
+  // shortlist over the 4×-smaller codes, then an EXACT rerank that
+  // touches raw vectors only for the ≤ k·mult shortlist ids. The
+  // first-pass read drops ~4× (1 byte/dim vs 4), and the result is
+  // row-identical to raw serving whenever the true top-k survives the
+  // shortlist (spec-asserted recall floor; the decode is bit-equal to
+  // `sq8Embeddings`' dequant, so `ann_recall_sq8` prices exactly this
+  // layout's first pass).
+
+  private val Sq8Dir = "_sq8"
+
+  /** Recursive file-name fingerprint of the store's DATA (underscore
+    * and dot entries — `_sq8`, `_tombstones`, markers, temp dirs —
+    * excluded at every depth): the provenance key the quantized
+    * layout stamps. Segments landing or folding flip it; takedowns
+    * do NOT (the codes reader anti-joins tombstones live, so a
+    * takedown needs no requantize).
+    */
+  private def embedDataFingerprint(spark: SparkSession,
+                                   storePath: String): String = {
+    val base = new org.apache.hadoop.fs.Path(storePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return "absent"
+    val baseStr = base.toUri.getPath
+    val names = scala.collection.mutable.ArrayBuffer[String]()
+    val it = fs.listFiles(base, true)
+    while (it.hasNext) {
+      val rel = it.next().getPath.toUri.getPath.stripPrefix(baseStr)
+      if (!rel.split("/").exists(s => s.startsWith("_") || s.startsWith(".")))
+        names += rel
+    }
+    names.sorted.mkString(",")
+  }
+
+  /** Build (or refresh) the `_sq8` quantized serving layout from the
+    * store's resolved content: per-dimension (mn, mx) levels (one
+    * tiny agg) and a bucket-partitioned codes table (vec_id, nm of
+    * the DEQUANTIZED vector, 1-byte-per-dim code). One store pass at
+    * deploy time — the cost `saveStats` pays for ranked text serving,
+    * paid here for dense serving. Atomic tmp + rename landing;
+    * stamped with the store's data fingerprint so a later segment
+    * landing/fold makes [[openEmbedStoreQuantized]] fail loudly
+    * instead of silently missing the new vectors.
+    */
+  def quantizeEmbedStore(spark: SparkSession, storePath: String): Unit = {
+    val resolved = loadEmbedStore(spark, storePath)
+    val base = new org.apache.hadoop.fs.Path(storePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(storePath, s".$Sq8Dir-tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val stats = resolved.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    stats.agg(
+        transform(sort_array(collect_list(struct(col("i"), col("mn")))),
+          s => s("mn")).as("mns"),
+        transform(sort_array(collect_list(struct(col("i"), col("mx")))),
+          s => s("mx")).as("mxs"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(tmp, "levels").toString)
+    val lv = spark.read.parquet(
+      new org.apache.hadoop.fs.Path(tmp, "levels").toString)
+    resolved.crossJoin(broadcast(lv))
+      .select(col("vec_id"), col("bucket"),
+        graft.functions.VectorFns.sq8Encode(
+          col("embedding"), col("mns"), col("mxs")).as("code"),
+        sqrt(graft.functions.VectorFns.norm2(
+          graft.functions.VectorFns.sq8Dequant(
+            col("embedding"), col("mns"), col("mxs")))).as("nm"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(new org.apache.hadoop.fs.Path(tmp, "codes").toString)
+    val prov = fs.create(new org.apache.hadoop.fs.Path(tmp, "_provenance"), true)
+    try prov.write(embedDataFingerprint(spark, storePath).getBytes("UTF-8"))
+    finally prov.close()
+    val dest = new org.apache.hadoop.fs.Path(storePath, Sq8Dir)
+    if (fs.exists(dest)) fs.delete(dest, true)
+    graft.sources.StoreSwap.mustRename(fs, tmp, dest)
+  }
+
+  /** Whether the `_sq8` layout exists AND still matches the store
+    * data it was built from. Jobless (one listing + one file read).
+    */
+  def embedQuantFresh(spark: SparkSession, storePath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(storePath, Sq8Dir), "_provenance")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val in = fs.open(p)
+    val stamped = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    stamped == embedDataFingerprint(spark, storePath)
+  }
+
+  /** [[openEmbedStore]] plus the pinned `_sq8` frames for
+    * [[knnServeQuantized]]. Fails loudly when the quantized layout is
+    * absent or STALE (segments landed/folded after the quantize) —
+    * serving a code table that silently misses vectors is the failure
+    * mode the provenance stamp exists to prevent. Takedowns do not
+    * stale the layout: codes anti-join the live tombstone set here,
+    * exactly like the raw reader.
+    */
+  def openEmbedStoreQuantized(spark: SparkSession, storePath: String,
+                              centroidPath: String): OpenEmbedStore = {
+    require(embedQuantFresh(spark, storePath),
+      s"embed store at $storePath has no current $Sq8Dir layout — run " +
+        "Stream.quantizeEmbedStore(spark, storePath) after the last " +
+        "segment landing/fold (takedowns alone need no requantize)")
+    val codesRaw = spark.read.parquet(
+      new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(storePath, Sq8Dir), "codes").toString)
+    val codes = graft.sources.Tombstones.setOf(spark, storePath,
+        key = "vec_id") match {
+      case Some(t) => codesRaw.join(t, Seq("vec_id"), "left_anti")
+      case None => codesRaw
+    }
+    val levels = spark.read.parquet(
+      new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(storePath, Sq8Dir), "levels").toString)
+    OpenEmbedStore(loadEmbedStore(spark, storePath),
+      spark.read.parquet(centroidPath), Some((codes, levels)))
+  }
+
+  /** ADC-style quantized top-`k`: bucket-pruned shortlist of
+    * `k·shortlistMult` per query over the byte codes (approx cosine
+    * in the dequantized space — `knn_sq8`'s exact ranking), then an
+    * EXACT rerank reading raw vectors ONLY for the shortlist ids.
+    * Output schema and cosine values match [[knnServeOn]]; rows match
+    * whenever the true top-k survives the shortlist (the spec
+    * measures that recall floor; `ann_recall_sq8` prices the
+    * first-pass ranking corpus-wide).
+    */
+  def knnServeQuantized(oes: OpenEmbedStore, queries: DataFrame,
+                        k: Int = 5, shortlistMult: Int = 4): DataFrame = {
+    require(oes.sq8.nonEmpty,
+      "knnServeQuantized needs a handle from openEmbedStoreQuantized")
+    val (codes, lv) = oes.sq8.get
+    val q = graft.operators.Similarity
+      .ivfAssignTo(graft.operators.Similarity.withNormOf(queries), oes.cent)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nm").as("qnm"), col("bucket"))
+      .localCheckpoint() // consumed by two pruned scans + two joins
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("acos").desc, col("vec_id"))
+    val short = prunedToBuckets(codes, q).join(broadcast(q), "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .crossJoin(broadcast(lv))
+      .withColumn("acos",
+        graft.functions.VectorFns.dot(col("qe"),
+          graft.functions.VectorFns.sq8Decode(
+            col("code"), col("mns"), col("mxs"))) /
+          (col("qnm") * col("nm")))
+      .withColumn("srk", row_number().over(wS))
+      .filter(col("srk") <= k * shortlistMult)
+      .select(col("query_id"), col("vec_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    prunedToBuckets(oes.store, q).join(broadcast(q), "bucket")
+      .join(broadcast(short), Seq("query_id", "vec_id"), "left_semi")
+      .withColumn("cos",
+        graft.functions.VectorFns.dot(col("qe"), col("embedding")) /
+          (col("qnm") * col("nm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  // ---- rebuild-on-takedown tripwire (r15 — VERDICT r14 missing #4) ----
+  //
+  // Pack/interleave stores are NOT tombstone-covered by design (a
+  // pack concatenates many documents into one training row; in-place
+  // excision would rewrite every straddling pack) — the contract is
+  // REBUILD-ON-TAKEDOWN. But nothing recorded WHICH corpus takedown
+  // state a pack store was built at, so a pipeline could keep serving
+  // packs containing taken-down text with no loud signal. The
+  // tripwire: each landing stamps the corpus store's monotonic
+  // takedown EPOCH ([[graft.sources.Tombstones.epoch]] — landings
+  // bump it, folds carry it, so it never resets) into the pack store;
+  // loaders compare the stamp against the corpus's CURRENT epoch and
+  // fail loudly on mismatch, naming the rebuild.
+
+  private val CorpusEpochStamp = "_corpus_epoch"
+
+  /** Stamp the corpus store's current takedown epoch into a
+    * rebuild-on-takedown store. The maintenance sinks call this per
+    * landing (pass `corpusPath` to [[packMaintenance]]/
+    * [[interleaveMaintenance]]); a batch rebuild calls it once after
+    * writing the store from the purged corpus.
+    */
+  def stampCorpusEpoch(spark: SparkSession, storePath: String,
+                       corpusPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(storePath, CorpusEpochStamp)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(graft.sources.Tombstones.epoch(spark, corpusPath)
+      .toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Whether the store's stamped corpus epoch matches the corpus's
+    * current one. A store with NO stamp is fresh only while the
+    * corpus never processed a takedown (epoch 0) — conservative: an
+    * unstamped store against a takedown-bearing corpus is
+    * indistinguishable from a stale one.
+    */
+  def packFresh(spark: SparkSession, storePath: String,
+                corpusPath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(storePath, CorpusEpochStamp)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stamped =
+      if (!fs.exists(p)) 0L
+      else {
+        val in = fs.open(p)
+        try new String(in.readAllBytes(), "UTF-8").trim.toLong
+        finally in.close()
+      }
+    stamped == graft.sources.Tombstones.epoch(spark, corpusPath)
+  }
+
+  /** Loud form of [[packFresh]] — the check the pack-store loaders
+    * run when handed a `corpusPath`.
+    */
+  def requirePackFresh(spark: SparkSession, storePath: String,
+                       corpusPath: String): Unit =
+    require(packFresh(spark, storePath, corpusPath),
+      s"pack store at $storePath was built before the corpus at " +
+        s"$corpusPath processed a takedown (stamped corpus epoch != " +
+        "current) — its packs may contain taken-down text. Rebuild the " +
+        "store from the purged corpus (re-run packing, then " +
+        "stampCorpusEpoch) before serving it")
 
   /** Streaming sequence packing — [[graft.operators.Pipeline
     * .packChunksOf]] kept current over a document stream: each
@@ -726,7 +973,8 @@ object Stream {
     * store, which would double-count every replayed pack.
     */
   def packMaintenance(docs: DataFrame, storePath: String,
-                      budget: Long = 256L): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                      budget: Long = 256L,
+                      corpusPath: Option[String] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -766,6 +1014,9 @@ object Stream {
           // bounds the merge width — the old path rewrote the whole
           // pack table every batch
           landBatchSegment(delta, storePath, batchId, fs)
+          // takedown tripwire: record which corpus takedown state
+          // this landing reflects ([[stampCorpusEpoch]])
+          corpusPath.foreach(cp => stampCorpusEpoch(spark, storePath, cp))
           if (segmentIdsAt(fs, basePath).size >= 16)
             compactChunkStore(spark, storePath)
         }
@@ -777,7 +1028,11 @@ object Stream {
     * min/max across segments); a plain or compacted store passes
     * through. Column order matches the pack_chunks batch schema.
     */
-  def loadChunkStore(spark: SparkSession, storePath: String): DataFrame = {
+  def loadChunkStore(spark: SparkSession, storePath: String,
+                     corpusPath: Option[String] = None): DataFrame = {
+    // takedown tripwire: refuse a store whose stamped corpus epoch
+    // lags the corpus's current one ([[requirePackFresh]])
+    corpusPath.foreach(cp => requirePackFresh(spark, storePath, cp))
     val raw = spark.read.parquet(storePath)
     if (!raw.columns.contains("seg")) raw
     else raw.groupBy("pack_id")
@@ -821,7 +1076,8 @@ object Stream {
     * restart drill included).
     */
   def interleaveMaintenance(docs: DataFrame, storePath: String,
-                            compactEvery: Int = 16)
+                            compactEvery: Int = 16,
+                            corpusPath: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
@@ -849,6 +1105,8 @@ object Stream {
             .withColumn("cb", col("running") - col("cost") + lit(offset))
           val delta = graft.operators.Multimodal.interleavePackRollup(cum)
           landBatchSegment(delta, storePath, batchId, fs)
+          // takedown tripwire stamp, like [[packMaintenance]]'s
+          corpusPath.foreach(cp => stampCorpusEpoch(spark, storePath, cp))
           if (segmentIdsAt(fs, basePath).size >= compactEvery)
             compactPackStore(spark, storePath)
         }
@@ -1086,6 +1344,18 @@ object Stream {
     }
     carried.foreach(u => fs.create(new org.apache.hadoop.fs.Path(
       out, AppliedUpToPrefix + u), true).close())
+    // takedown epoch + corpus-epoch stamp survive the swap (r15):
+    // both are root-level marker files that would otherwise vanish
+    // with the replaced root
+    graft.sources.Tombstones.carryEpoch(spark, storePath, tmpRoot)
+    val stamp = new org.apache.hadoop.fs.Path(base, CorpusEpochStamp)
+    if (fs.exists(stamp)) {
+      val in = fs.open(stamp)
+      val bytes = try in.readAllBytes() finally in.close()
+      val o = fs.create(
+        new org.apache.hadoop.fs.Path(tmpRoot, CorpusEpochStamp), true)
+      try o.write(bytes) finally o.close()
+    }
     swapStore(fs, base, tmpRoot)
   }
 
@@ -1104,7 +1374,10 @@ object Stream {
     * plain (already-compacted or single-layout) store passes through.
     * Column order matches `media_interleave`'s batch schema exactly.
     */
-  def loadPackStore(spark: SparkSession, storePath: String): DataFrame = {
+  def loadPackStore(spark: SparkSession, storePath: String,
+                    corpusPath: Option[String] = None): DataFrame = {
+    // takedown tripwire ([[requirePackFresh]], like [[loadChunkStore]])
+    corpusPath.foreach(cp => requirePackFresh(spark, storePath, cp))
     val raw = spark.read.parquet(storePath)
     if (!raw.columns.contains("seg")) raw
     else raw
@@ -1818,6 +2091,8 @@ object Stream {
             .dropDuplicates("vec_id")), cent)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nm").as("qnm"), col("bucket"))
+      // consumed twice (bucket collect + probe join) — see knnBatchOf
+      .localCheckpoint()
     val wd = W.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     val dense = prunedToBuckets(store, qv).join(broadcast(qv), "bucket")
       .withColumn("cos",

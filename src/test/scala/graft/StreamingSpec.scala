@@ -1887,4 +1887,141 @@ class StreamingSpec extends SparkSpec with TimeLimitedTests {
       assert(r1.getLong(5) > gain0, "gain grows as the shift persists")
     } finally q2.stop()
   }
+
+  test("pack-store takedown tripwire: corpus takedown after build fails the load loudly; rebuild + restamp loads clean") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-tripwire").toString
+    val (cp, packP) = (s"$base/corpus", s"$base/packs")
+    graft.sources.CorpusStore.save(
+      Seq((0L, "alpha beta", "en", "s0"), (1L, "gamma delta", "en", "s0"))
+        .toDF("doc_id", "text", "lang", "source"), cp)
+    // a (simulated) pack build from the corpus + the epoch stamp
+    Seq((0L, 2L, 4L, 0L, 1L)).toDF(
+        "pack_id", "n_docs", "n_tokens", "first_doc", "last_doc")
+      .write.parquet(packP)
+    graft.streaming.Stream.stampCorpusEpoch(spark, packP, cp)
+    assert(graft.streaming.Stream.packFresh(spark, packP, cp))
+    assert(graft.streaming.Stream.loadChunkStore(spark, packP,
+      corpusPath = Some(cp)).count() === 1L)
+    // a takedown lands on the corpus: the pack store is now stale and
+    // the tripwired load must fail loudly, naming the rebuild
+    graft.sources.CorpusStore.delete(spark, cp, Seq(0L))
+    assert(!graft.streaming.Stream.packFresh(spark, packP, cp))
+    val boom = intercept[IllegalArgumentException] {
+      graft.streaming.Stream.loadChunkStore(spark, packP, corpusPath = Some(cp))
+    }
+    assert(boom.getMessage.contains("Rebuild"))
+    // folding the corpus purges the tombstones but CARRIES the epoch —
+    // the stale pack must stay loud after the fold too
+    graft.sources.CorpusStore.foldTombstones(spark, cp)
+    assert(!graft.sources.Tombstones.hasAny(spark, cp))
+    assert(graft.sources.Tombstones.epoch(spark, cp) === 1L,
+      "the takedown epoch must survive the fold")
+    assert(!graft.streaming.Stream.packFresh(spark, packP, cp))
+    // the rebuild-from-purged-corpus + restamp loads clean
+    val fs = new org.apache.hadoop.fs.Path(packP)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(packP), true)
+    Seq((0L, 1L, 2L, 1L, 1L)).toDF(
+        "pack_id", "n_docs", "n_tokens", "first_doc", "last_doc")
+      .write.parquet(packP)
+    graft.streaming.Stream.stampCorpusEpoch(spark, packP, cp)
+    assert(graft.streaming.Stream.loadChunkStore(spark, packP,
+      corpusPath = Some(cp)).count() === 1L)
+    // an UNSTAMPED store against a takedown-bearing corpus is
+    // indistinguishable from stale — conservative refusal
+    fs.delete(new org.apache.hadoop.fs.Path(packP, "_corpus_epoch"), false)
+    assert(!graft.streaming.Stream.packFresh(spark, packP, cp))
+  }
+
+  test("sq8 quantized dense serving: ADC shortlist + exact rerank vs raw serving; staleness and takedowns") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-sq8").toString
+    val (centP, storeP) = (s"$base/cent", s"$base/store")
+    val emb = sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+    graft.operators.Similarity.saveCentroids(emb, centP)
+    graft.operators.Similarity
+      .ivfAssignTo(graft.operators.Similarity.withNormOf(emb),
+        spark.read.parquet(centP))
+      .select("vec_id", "embedding", "nm", "bucket")
+      .write.partitionBy("bucket").mode("overwrite").parquet(storeP)
+    Stream.quantizeEmbedStore(spark, storeP)
+    assert(Stream.embedQuantFresh(spark, storeP))
+    val queries = emb.orderBy("vec_id").limit(10)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val oes = Stream.openEmbedStore(spark, storeP, centP)
+    val oq = Stream.openEmbedStoreQuantized(spark, storeP, centP)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val raw = rows(Stream.knnServeOn(oes, queries.toDF("vec_id", "embedding"), k = 5))
+    val quant = rows(Stream.knnServeQuantized(oq,
+      queries.toDF("vec_id", "embedding"), k = 5))
+    assert(raw.nonEmpty && quant.size === raw.size)
+    // the recall floor of the default shortlist (k·4), measured: the
+    // exact rerank returns raw-identical cosines, so any common
+    // (query, vec) row is bit-identical; the floor is how often the
+    // true top-k survived the SQ8 first pass
+    val recall = quant.map(r => (r._1, r._3)).toSet
+      .intersect(raw.map(r => (r._1, r._3)).toSet).size.toDouble / raw.size
+    assert(recall >= 0.9, s"SQ8 shortlist recall@5 floor broke: $recall")
+    val rawByKey = raw.map(r => (r._1, r._3) -> r._4).toMap
+    quant.foreach { r =>
+      rawByKey.get((r._1, r._3)).foreach(c =>
+        assert(c === r._4, "rerank cosine must be the raw exact cosine"))
+    }
+    // a bucket-covering shortlist makes parity STRUCTURAL: every
+    // in-bucket candidate is reranked exactly, so rows must be equal
+    val quantFull = rows(Stream.knnServeQuantized(oq,
+      queries.toDF("vec_id", "embedding"), k = 5, shortlistMult = 100000))
+    assert(quantFull === raw,
+      "bucket-covering shortlist + exact rerank must equal raw serving")
+    // the code scan is literally bucket-pruned like the raw scan
+    val plan = Stream.knnServeQuantized(oq,
+        queries.take(1).toDF("vec_id", "embedding"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.split('\n').exists(l =>
+      l.contains("PartitionFilters: [") && l.contains("bucket#")),
+      s"code scan not literally bucket-pruned:\n$plan")
+    // on-disk: codes must undercut the raw fp32 layout
+    val fs = new org.apache.hadoop.fs.Path(storeP)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val codeBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(storeP, "_sq8/codes")).getLength
+    val rawBytes = fs.listStatus(new org.apache.hadoop.fs.Path(storeP))
+      .filter(s => s.getPath.getName.startsWith("bucket="))
+      .map(s => fs.getContentSummary(s.getPath).getLength).sum
+    assert(codeBytes < rawBytes,
+      s"codes ($codeBytes B) must undercut raw fp32 ($rawBytes B)")
+    // a takedown does NOT stale the layout — the codes reader
+    // anti-joins it live, identical to the raw reader
+    val victim = raw.head._3
+    sources.Tombstones.append(spark, storeP, Seq(victim), key = "vec_id")
+    assert(Stream.embedQuantFresh(spark, storeP))
+    val afterTd = rows(Stream.knnServeQuantized(
+      Stream.openEmbedStoreQuantized(spark, storeP, centP),
+      queries.toDF("vec_id", "embedding"), k = 5))
+    assert(!afterTd.map(_._3).contains(victim))
+    // new DATA landed after the quantize DOES stale it — loudly
+    graft.operators.Similarity
+      .ivfAssignTo(graft.operators.Similarity.withNormOf(
+        Seq((999999L, queries.head._2)).toDF("vec_id", "embedding")),
+        spark.read.parquet(centP))
+      .select("vec_id", "embedding", "nm", "bucket")
+      .write.partitionBy("bucket").mode("append").parquet(storeP)
+    assert(!Stream.embedQuantFresh(spark, storeP))
+    val boom = intercept[IllegalArgumentException] {
+      Stream.openEmbedStoreQuantized(spark, storeP, centP)
+    }
+    assert(boom.getMessage.contains("quantizeEmbedStore"))
+    // ...and a re-quantize picks the new vector up
+    Stream.quantizeEmbedStore(spark, storeP)
+    val afterRe = rows(Stream.knnServeQuantized(
+      Stream.openEmbedStoreQuantized(spark, storeP, centP),
+      queries.toDF("vec_id", "embedding"), k = 5))
+    assert(afterRe.map(_._3).contains(999999L),
+      "re-quantize must serve the newly landed vector")
+  }
 }
