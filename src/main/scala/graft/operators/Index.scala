@@ -39,6 +39,53 @@ object Index {
   def tokenStream(spark: SparkSession, dir: String): DataFrame =
     tokenStreamOf(Tables.documents(spark, dir))
 
+  /** Fielded positional token stream (r15 — per-field text search):
+    * one stream per named text field, tagged by a `field` column,
+    * positions counted WITHIN each field. `fields` maps a field name
+    * to the COLUMN holding its text — derived columns welcome (the
+    * gate synthesizes `title` as the first [[TitleTokens]] body
+    * tokens, since the corpus carries no separate title text; the
+    * machinery itself takes any real title/abstract/anchor column).
+    * `body` is the grammar's DEFAULT field: plain term/phrase/NEAR
+    * leaves match it alone, `title:term` leaves pick their own.
+    */
+  def fieldedTokenStreamOf(docs: DataFrame, fields: Map[String, Column],
+                           id: String = "doc_id"): DataFrame = {
+    require(fields.nonEmpty, "fielded stream needs at least one field")
+    fields.toSeq.sortBy(_._1).map { case (f, c) =>
+      docs.select(col(id), posexplode(TextFns.tokens(c)).as(Seq("pos", "term")))
+        .select(col(id), lit(f).as("field"), col("term"),
+          col("pos").cast("long").as("pos"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Per-field positional postings — the fielded index layout
+    * (field, term, doc, tf, positions). [[graft.sources.IndexStore]]
+    * buckets by TERM, so a field-scoped lookup prunes to exactly the
+    * same one bucket as a plain term lookup and reads its postings
+    * plus a narrow field tag — field never multiplies the bucket
+    * count or breaks pruning (spec-audited).
+    */
+  def fieldedInvertedIndexOf(docs: DataFrame, fields: Map[String, Column],
+                             id: String = "doc_id"): DataFrame =
+    fieldedTokenStreamOf(docs, fields, id)
+      .groupBy(col("field"), col("term"), col(id))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+      .orderBy(col("field"), col("term"), col(id))
+
+  /** The synthesized `title` field of the gate corpus: its first
+    * [[TitleTokens]] body tokens (re-joined, so the field column is
+    * real text that round-trips the tokenizer — the DuckDB twin is
+    * `pos < TitleTokens` over the shared tok CTE).
+    */
+  val TitleTokens = 3
+
+  private[operators] def gateFields: Map[String, Column] = Map(
+    "body" -> col("text"),
+    "title" -> concat_ws(" ",
+      slice(TextFns.tokens(col("text")), 1, TitleTokens)))
+
   /** Positional postings over any document frame (see [[invertedIndex]]). */
   def invertedIndexOf(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
     tokenStreamOf(docs, id, text)
@@ -483,73 +530,122 @@ object Index {
       .withColumn("rk", row_number().over(aWin))
       .filter(col("rk") <= ProfileProbes)
       .select(col("doc_id"), col("cid"))
-    // union-kNN sparsification (r14): inside each probed cell, each
-    // doc keeps only its top-[[ProfileCap]] most profile-similar
-    // neighbors (sim = the bitwise float→double cosine fold both
-    // engines replay; ties by doc id — a total order, so both engines
-    // keep identical sets), and a pair survives when EITHER endpoint
-    // keeps the other. Implemented as an IN-PARTITION kNN
-    // (mapPartitions over cell-keyed membership rows): the Θ(Σ n_c²)
-    // profile-dot work runs over primitive arrays inside one task per
-    // cell, and only the ≤ probes·cap·N survivors ever hit a shuffle —
-    // the declarative twin (co-probe join + distinct + window) was
+    // union-kNN sparsification (r14; r15 spread the fat-cell compute):
+    // inside each probed cell, each doc keeps only its
+    // top-[[ProfileCap]] most profile-similar neighbors (sim = the
+    // bitwise float→double cosine fold both engines replay; ties by
+    // doc id — a total order, so both engines keep identical sets),
+    // and a pair survives when EITHER endpoint keeps the other. The
+    // declarative twin (co-probe join + distinct + window) was
     // measured 12× slower at sf0.1 because it shuffles the quadratic
-    // relation twice. Memory bound: one cell's members (id +
-    // ProfileDims floats) per task — the degenerate-regime fallback's
-    // declared envelope (production scales/trains cells long before a
-    // cell outgrows a task; see [[ProfileCap]]).
+    // relation twice; instead the kNN runs as primitive-array kernels
+    // over grouped membership rows, in two size regimes:
+    //
+    //  - cells ≤ `spark.graft.knnCellBlock` members (default 4096):
+    //    ONE flatMapGroups task per cell — ≤ blockSize² dots, bounded
+    //    memory (one cell's ids + ProfileDims floats per group).
+    //  - FAT cells (the r14 verdict's one `weak`: a 100×-degenerate
+    //    34k-member cell ran ~10⁹ dots in ONE task, and a bigger one
+    //    is a multi-hour task): the cell splits into ⌈m/blockSize⌉
+    //    doc_id-ordered blocks; every UNORDERED block pair (bi ≤ bj)
+    //    is its own task computing both directions' per-doc
+    //    top-[[cap]] PARTIALS (block-nested-loop kNN), and a per-doc
+    //    window merges partials to the global top-cap. Any globally
+    //    kept neighbor is in its own block's top-cap, so the merged
+    //    set is EXACTLY the one-task result (same sims, same
+    //    (sim desc, id asc) total order — the oracle is unchanged).
+    //    Costs: compute ≤ blockSize² dots per task however fat the
+    //    cell; shuffle = rows replicated ⌈m/blockSize⌉× (the standard
+    //    block-nested-loop replication) + ≤ nb·cap partials per doc.
     val spark = w.sparkSession
     import spark.implicits._
-    val memb = assigned.join(prof, "doc_id")
+    val blockSize = spark.conf.get("spark.graft.knnCellBlock", "4096").toInt
+    require(blockSize > 0, "spark.graft.knnCellBlock must be positive")
+    val m0 = assigned.join(prof, "doc_id")
       .select(col("cid"), col("doc_id"), col("emb"))
-      .as[(Long, Long, Array[Float])]
-    val knn = memb
-      .repartition(col("cid"))
-      .mapPartitions { it =>
-        it.toArray.groupBy(_._1).iterator.flatMap { case (_, rows) =>
-          val m = rows.length
-          val ids = rows.map(_._2)
-          if (m - 1 <= cap) {
-            // every in-cell neighbor survives the cap: no scoring
-            // needed, the kept set is the whole cell either way
-            for (i <- 0 until m; j <- 0 until m if i != j)
-              yield (ids(i), ids(j))
-          } else {
-            val embs = rows.map(_._3)
-            def dotf(a: Array[Float], b: Array[Float]): Double = {
-              var s = 0.0; var k = 0
-              val n = math.min(a.length, b.length)
-              while (k < n) { s += a(k).toDouble * b(k).toDouble; k += 1 }
-              s
-            }
-            val nrm = embs.map(e => math.sqrt(dotf(e, e)))
-            // worst-first bounded heap: the queue's max is the WORST
-            // kept neighbor under (sim desc, id asc)
-            val ord = new Ordering[(Double, Long)] {
-              def compare(x: (Double, Long), y: (Double, Long)): Int = {
-                val c = java.lang.Double.compare(y._1, x._1)
-                if (c != 0) c else java.lang.Long.compare(x._2, y._2)
-              }
-            }
-            (0 until m).iterator.flatMap { i =>
-              val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
-              var j = 0
-              while (j < m) {
-                if (j != i) {
-                  val s = dotf(embs(i), embs(j)) / (nrm(i) * nrm(j) + 1e-12)
-                  if (pq.size < cap) pq.enqueue((s, ids(j)))
-                  else if (ord.compare((s, ids(j)), pq.head) < 0) {
-                    pq.dequeue(); pq.enqueue((s, ids(j)))
-                  }
-                }
-                j += 1
-              }
-              pq.toList.map(t => (ids(i), t._2))
+    val csize = m0.groupBy("cid").agg(count(lit(1)).as("csz"))
+    val withSz = m0.join(broadcast(csize), "cid") // |cells| rows: broadcast
+    def dotf(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var k = 0
+      val n = math.min(a.length, b.length)
+      while (k < n) { s += a(k).toDouble * b(k).toDouble; k += 1 }
+      s
+    }
+    val ord = new Ordering[(Double, Long)] {
+      def compare(x: (Double, Long), y: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(y._1, x._1)
+        if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+      }
+    }
+    // per-query bounded-heap kNN of `qs` against `ds` (worst-first
+    // heap: the queue's max is the WORST kept neighbor under
+    // (sim desc, id asc)); `same` skips the self pair
+    def knnPartial(qs: Array[(Long, Array[Float])],
+                   ds: Array[(Long, Array[Float])],
+                   same: Boolean): Iterator[(Long, Long, Double)] = {
+      val qn = qs.map(q => math.sqrt(dotf(q._2, q._2)))
+      val dn = if (same) qn else ds.map(d => math.sqrt(dotf(d._2, d._2)))
+      qs.indices.iterator.flatMap { i =>
+        val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+        var j = 0
+        while (j < ds.length) {
+          if (!(same && j == i)) {
+            val s = dotf(qs(i)._2, ds(j)._2) / (qn(i) * dn(j) + 1e-12)
+            if (pq.size < cap) pq.enqueue((s, ds(j)._1))
+            else if (ord.compare((s, ds(j)._1), pq.head) < 0) {
+              pq.dequeue(); pq.enqueue((s, ds(j)._1))
             }
           }
+          j += 1
         }
+        pq.toList.map(t => (qs(i)._1, t._2, t._1))
       }
-    knn.toDF("doc_a", "doc_b")
+    }
+    val small = withSz.filter(col("csz") <= blockSize)
+      .select(col("cid"), col("doc_id"), col("emb"))
+      .as[(Long, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        val m = rows.length
+        if (m - 1 <= cap)
+          // every in-cell neighbor survives the cap: no scoring
+          // needed, the kept set is the whole cell either way
+          (for (i <- 0 until m; j <- 0 until m if i != j)
+            yield (rows(i)._2, rows(j)._2)).iterator
+        else {
+          val members = rows.map(r => (r._2, r._3))
+          knnPartial(members, members, same = true).map(t => (t._1, t._2))
+        }
+      }.toDF("doc_a", "doc_b")
+    val wBlk = Window.partitionBy("cid").orderBy("doc_id")
+    val repl = withSz.filter(col("csz") > blockSize)
+      .withColumn("bid",
+        ((row_number().over(wBlk) - 1) / lit(blockSize)).cast("long"))
+      .select(col("cid"), col("doc_id"), col("emb"), col("bid"),
+        explode(expr(
+          s"sequence(0L, (csz + ${blockSize - 1}) div $blockSize - 1)")).as("pb"))
+      .select(col("cid"), col("doc_id"), col("emb"), col("bid"),
+        least(col("bid"), col("pb")).as("bi"),
+        greatest(col("bid"), col("pb")).as("bj"))
+      .as[(Long, Long, Array[Float], Long, Long, Long)]
+    val partials = repl.groupByKey(r => (r._1, r._5, r._6))
+      .flatMapGroups { (key: (Long, Long, Long), it: Iterator[(Long, Long, Array[Float], Long, Long, Long)]) =>
+        val (_, bi, bj) = key
+        val rows = it.toArray // ≤ 2·blockSize members per group
+        val a = rows.filter(_._4 == bi).map(r => (r._2, r._3))
+        if (bi == bj) knnPartial(a, a, same = true)
+        else {
+          val b = rows.filter(_._4 == bj).map(r => (r._2, r._3))
+          knnPartial(a, b, same = false) ++ knnPartial(b, a, same = false)
+        }
+      }.toDF("qid", "nid", "sim")
+    val wMerge = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    val fat = partials
+      .withColumn("rk", row_number().over(wMerge))
+      .filter(col("rk") <= cap)
+      .select(col("qid").as("doc_a"), col("nid").as("doc_b"))
+    small.unionByName(fat)
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"))
       .distinct()

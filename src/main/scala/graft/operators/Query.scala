@@ -33,6 +33,12 @@ object Query {
   final case class Term(t: String) extends Q
   final case class Boost(t: String, w: Double) extends Q
   final case class Field(f: String, v: String) extends Q
+  /** TEXT-field-scoped term (`title:spark` — r15): matches `t` in the
+    * named text field's token stream, vs [[Field]]'s METADATA equality
+    * (`lang:en`). Needs a fielded token source ([[searchFielded]] or
+    * a [[Index.fieldedInvertedIndexOf]] index).
+    */
+  final case class TField(f: String, t: String) extends Q
   final case class Prefix(p: String) extends Q
   final case class Fuzzy(t: String, d: Int) extends Q
   final case class Phrase(ts: Seq[String]) extends Q
@@ -82,6 +88,12 @@ object Query {
         // surface of prefixSearch); bare '*' alone is rejected
         if (w.startsWith("lang:") || w.startsWith("source:")) {
           val i = w.indexOf(':'); Field(w.take(i), w.drop(i + 1))
+        }
+        // text-field prefixes scope a TERM to one field's stream
+        else if (w.startsWith("title:") || w.startsWith("body:")) {
+          val i = w.indexOf(':')
+          require(w.length > i + 1, s"empty fielded term in query: $s")
+          TField(w.take(i), w.drop(i + 1))
         }
         else if (w.endsWith("*") && w.length > 1) Prefix(w.dropRight(1))
         // Lucene-style boost suffix on a bare term: spark^3 — a
@@ -139,7 +151,16 @@ object Query {
     * distinct id frame NOT ranges over.
     */
   def eval(tok: DataFrame, universe: DataFrame, q: Q, id: String = "doc_id",
-           meta: DataFrame = null): DataFrame = q match {
+           meta: DataFrame = null): DataFrame = {
+    // a FIELDED token source (r15 — `field`-tagged rows from
+    // [[searchFielded]] or a fielded index) scopes every plain text
+    // leaf to the default `body` field; TField leaves pick their own.
+    // An unfielded source passes through unchanged — plain search
+    // plans are untouched.
+    val btok =
+      if (tok.columns.contains("field")) tok.filter(col("field") === "body")
+      else tok
+    q match {
     case Field(f, v) =>
       // metadata leaves filter the doc frame, not the token stream —
       // an equality Catalyst pushes into the metadata scan. The corpus
@@ -150,28 +171,35 @@ object Query {
         s"field query '$f:$v' needs a metadata frame (for a saved " +
           "index: IndexStore.saveMeta beside the build)")
       meta.filter(col(f) === v).select(col(id)).distinct()
+    case TField(f, t) =>
+      require(tok.columns.contains("field"),
+        s"text-field query '$f:$t' needs a fielded token source — " +
+          "searchFielded on a corpus, or an index built with " +
+          "Index.fieldedInvertedIndexOf")
+      tok.filter(col("field") === f && col("term") === t)
+        .select(col(id)).distinct()
     case Term(t) =>
-      tok.filter(col("term") === t).select(col(id)).distinct()
+      btok.filter(col("term") === t).select(col(id)).distinct()
     case Boost(t, _) => // boost weighs ranking only; matching is the term
       eval(tok, universe, Term(t), id, meta)
     case Prefix(p) =>
       // StartsWith pushes into the scan like the equality; over a
       // term-sorted IndexStore bucket it min/max-prunes row groups too
-      tok.filter(col("term").startsWith(p)).select(col(id)).distinct()
+      btok.filter(col("term").startsWith(p)).select(col(id)).distinct()
     case Fuzzy(t, d) =>
       // expand against the AGGREGATED vocabulary (distinct terms, not
       // the token stream), then one broadcast semi-join back — the
       // [[Index.fuzzyTermOf]] probe as a grammar leaf
-      val vt = tok.select("term").distinct()
+      val vt = btok.select("term").distinct()
         .filter(levenshtein(col("term"), lit(t)) <= d)
-      tok.join(broadcast(vt), "term").select(col(id)).distinct()
+      btok.join(broadcast(vt), "term").select(col(id)).distinct()
     case Phrase(ts) =>
       // positional adjacency chain anchored on the first word: one
       // filtered frame per word, joined on (id, pos offset)
-      val anchor = tok.filter(col("term") === ts.head)
+      val anchor = btok.filter(col("term") === ts.head)
         .select(col(id), col("pos"))
       ts.zipWithIndex.tail.foldLeft(anchor) { case (acc, (w, i)) =>
-        val nxt = tok.filter(col("term") === w)
+        val nxt = btok.filter(col("term") === w)
           .select(col(id).as("__id"), col("pos").as("__p"))
         acc.join(nxt, acc(id) === col("__id") && col("__p") === acc("pos") + i)
           .select(acc(id), acc("pos"))
@@ -179,10 +207,10 @@ object Query {
     case PhraseSlop(ts, k) =>
       // ordered chain like Phrase, but each step tracks the PREVIOUS
       // word's position and admits gaps of 1..k+1 (k = 0 ≡ Phrase)
-      val anchor = tok.filter(col("term") === ts.head)
+      val anchor = btok.filter(col("term") === ts.head)
         .select(col(id), col("pos").as("__last"))
       ts.tail.foldLeft(anchor) { (acc, w) =>
-        val nxt = tok.filter(col("term") === w)
+        val nxt = btok.filter(col("term") === w)
           .select(col(id).as("__id"), col("pos").as("__p"))
         acc.join(nxt, acc(id) === col("__id") &&
             col("__p") > col("__last") && col("__p") <= col("__last") + (k + 1))
@@ -191,8 +219,8 @@ object Query {
     case Near(a, b, k) =>
       // positional co-occurrence within ±k (unordered) — the grammar
       // surface of proximitySearch; both leaves are term-pruned scans
-      val pa = tok.filter(col("term") === a).select(col(id), col("pos"))
-      val pb = tok.filter(col("term") === b)
+      val pa = btok.filter(col("term") === a).select(col(id), col("pos"))
+      val pb = btok.filter(col("term") === b)
         .select(col(id).as("__nid"), col("pos").as("__np"))
       pa.join(pb, pa(id) === col("__nid") &&
           abs(col("__np") - col("pos")) <= k && col("__np") =!= col("pos"))
@@ -205,12 +233,29 @@ object Query {
         .unionByName(eval(tok, universe, r, id, meta)).distinct()
     case Not(inner) =>
       universe.join(eval(tok, universe, inner, id, meta), Seq(id), "left_anti")
+    }
   }
 
   /** Parse + run a query string against a document corpus. */
   def search(docs: DataFrame, query: String, id: String = "doc_id",
              text: String = "text"): DataFrame = {
     val tok = Index.tokenStreamOf(docs, id, text)
+    eval(tok, docs.select(col(id)).distinct(), parse(query), id, meta = docs)
+  }
+
+  /** [[search]] over MULTIPLE text fields (r15): `fields` names each
+    * field's text column ([[Index.fieldedTokenStreamOf]]); plain
+    * leaves match the mandatory `body` field, `title:term` leaves
+    * their own. Metadata (`lang:`) and boolean composition are
+    * unchanged — fielded and metadata leaves compose through the same
+    * semi-join AND.
+    */
+  def searchFielded(docs: DataFrame, query: String,
+                    fields: Map[String, org.apache.spark.sql.Column],
+                    id: String = "doc_id"): DataFrame = {
+    require(fields.contains("body"),
+      "fielded search needs a 'body' field — the grammar's default scope")
+    val tok = Index.fieldedTokenStreamOf(docs, fields, id)
     eval(tok, docs.select(col(id)).distinct(), parse(query), id, meta = docs)
   }
 
@@ -221,6 +266,9 @@ object Query {
     case Term(t) => (Seq(t), Nil, Nil)
     case Boost(t, _) => (Seq(t), Nil, Nil)
     case Field(_, _) => (Nil, Nil, Nil)
+    // a fielded term fetches the SAME bucket-pruned postings as the
+    // plain term; eval scopes them to the field afterwards
+    case TField(_, t) => (Seq(t), Nil, Nil)
     case Prefix(p) => (Nil, Seq(p), Nil)
     case Fuzzy(t, d) => (Nil, Nil, Seq((t, d)))
     case Phrase(ts) => (ts, Nil, Nil)
@@ -253,12 +301,23 @@ object Query {
                   nBuckets: Int = graft.sources.IndexStore.DefaultBuckets,
                   id: String = "doc_id"): DataFrame = {
     val ast = parse(query)
-    val tok = leafPostings(spark, indexPath, ast, nBuckets, query)
-      .select(col(id), col("term"), explode(col("positions")).as("pos"))
+    val fetched = leafPostings(spark, indexPath, ast, nBuckets, query)
+    val tok = fetched.select(tokCols(fetched, id): _*)
     val universe = graft.sources.IndexStore.load(spark, indexPath)
       .select(id).distinct()
     eval(tok, universe, ast, id, metaOf(spark, indexPath, ast))
   }
+
+  /** The exploded-positions projection of a leaf fetch — carries the
+    * `field` tag when the index is fielded
+    * ([[Index.fieldedInvertedIndexOf]]), so [[eval]] can scope plain
+    * leaves to `body` and `title:` leaves to theirs.
+    */
+  private def tokCols(fetched: DataFrame,
+                      id: String): Seq[org.apache.spark.sql.Column] =
+    (Seq(col(id), col("term")) ++
+      (if (fetched.columns.contains("field")) Seq(col("field")) else Nil)) :+
+      explode(col("positions")).as("pos")
 
   /** [[searchIndex]] against a pinned serving snapshot
     * ([[graft.sources.IndexStore.open]]) — identical results and
@@ -272,9 +331,9 @@ object Query {
                     query: String): DataFrame = {
     val id = oi.universe.columns.head
     val ast = parse(query)
-    val tok = leafPostingsOn(oi, ast, query)
-      .select(col(id), col("term"), explode(col("positions")).as("pos"))
-    eval(tok, oi.universe, ast, id, oi.meta.orNull)
+    val fetched = leafPostingsOn(oi, ast, query)
+    eval(fetched.select(tokCols(fetched, id): _*), oi.universe, ast, id,
+      oi.meta.orNull)
   }
 
   /** Whether the AST carries a [[Field]] leaf anywhere — the gate
@@ -344,6 +403,12 @@ object Query {
             .filter(levenshtein(col("term"), lit(t)) <= d).drop("term_bucket")
       }
     }
+    // a PURE-field query (`lang:en`) has no postings to fetch — its
+    // evaluation runs entirely against `_meta`; hand eval an empty
+    // token stream instead of refusing the query (r15)
+    if (byTerm.isEmpty && byPrefix.isEmpty && byFuzzy.isEmpty && hasFieldLeaf(ast))
+      return graft.sources.IndexStore.load(spark, indexPath)
+        .limit(0).drop("term_bucket")
     require(byTerm.nonEmpty || byPrefix.nonEmpty || byFuzzy.nonEmpty,
       s"query has no leaves: $query")
     (byTerm ++ byPrefix ++ byFuzzy).reduce(_ unionByName _)
@@ -384,6 +449,9 @@ object Query {
           oi.idx.filter(levenshtein(col("term"), lit(t)) <= d).drop("term_bucket")
       }
     }
+    // pure-field query: empty token stream, evaluation rides `_meta`
+    if (byTerm.isEmpty && byPrefix.isEmpty && byFuzzy.isEmpty && hasFieldLeaf(ast))
+      return oi.idx.limit(0).drop("term_bucket")
     require(byTerm.nonEmpty || byPrefix.nonEmpty || byFuzzy.nonEmpty,
       s"query has no leaves: $query")
     (byTerm ++ byPrefix ++ byFuzzy).reduce(_ unionByName _)
@@ -396,6 +464,10 @@ object Query {
     case Term(t) => Seq(t)
     case Boost(t, _) => Seq(t)
     case Field(_, _) => Seq.empty
+    // a fielded term retrieves but does not rank (per-field scoring —
+    // BM25F — is a different weighting model; the body tf of a
+    // title-matched doc still scores via any plain leaves)
+    case TField(_, _) => Seq.empty
     // a prefix or fuzzy leaf retrieves but does not rank: scoring
     // would need the expanded term set, which only the match step
     // materializes
@@ -611,13 +683,17 @@ object Query {
       .get("spark.graft.maxscoreRows", "10000000").toLong
     val postings0 = leafPostingsOn(oi, ast, query)
     val postings = if (ladder) postings0.localCheckpoint() else postings0
-    val tok = postings
-      .select(col(id), col("term"), explode(col("positions")).as("pos"))
+    val tok = postings.select(tokCols(postings, id): _*)
     // the universe frame only enters the plan under a NOT node — a
     // NOT-less ranked query never scans beyond its terms' buckets
     val matches = eval(tok, oi.universe, ast, id, oi.meta.orNull)
     val (dl, corpus) = oi.stats.get
-    val ranked = postings.filter(col("term").isin(terms: _*))
+    // over a FIELDED index, ranking scores the BODY field's tf only
+    // (title rows would double-count the title tokens; per-field
+    // weighting — BM25F — is a different model)
+    val ranked0 = postings.filter(col("term").isin(terms: _*))
+    val ranked = (if (postings.columns.contains("field"))
+        ranked0.filter(col("field") === "body") else ranked0)
       .select(col(id), col("term"), col("tf").cast("double").as("tf"))
     // df AND the bound's maxtf ride the same complete-list fetch —
     // both exact even between stats refreshes
@@ -626,7 +702,17 @@ object Query {
     val boostCol = boosts.foldLeft(lit(1.0)) { case (acc, (t, bw)) =>
       when(col("term") === t, lit(bw)).otherwise(acc)
     }
-    val idfCol = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    // idf CLAMPED at 0 (r15): with FRESH stats idf is provably
+    // positive (df ≤ n ⇒ the log argument > 1), so the clamp is an
+    // identity and oracle/corpus parity is untouched — but a STALE n
+    // snapshot can sit below a live df (docs landed after the stats
+    // refresh), turning idf negative, and a negative term weight
+    // INVERTS the MaxScore bound (ub < score ⇒ cand can prune
+    // everything ⇒ empty results). Clamped, an over-common term
+    // contributes 0 until the refresh — drift semantics, and the
+    // bound stays a bound.
+    val idfCol = greatest(
+      log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), lit(0.0))
     val ub = tstats.crossJoin(broadcast(corpus))
       .select(col("term"), col("df"),
         (boostCol * idfCol * (col("maxtf") * (k1 + 1.0)) /
@@ -634,14 +720,25 @@ object Query {
     val rankedM = ranked.join(matches, Seq(id), "left_semi")
     val docUb = rankedM.join(broadcast(ub.select("term", "ubt")), "term")
       .groupBy(id).agg(round(sum(col("ubt")), 4).as("ub"))
+    // dl joins LEFT with an avgdl fallback (r15 — the stats-staleness
+    // doc DROP): the dl table is a snapshot, so a doc whose segment
+    // landed after the last stats refresh matches term/bool/phrase
+    // serving yet had NO dl row — the old inner join silently dropped
+    // it from ranked results, which is stronger than the documented
+    // score-drift contract. Now it scores with dl = avgdl (drift,
+    // exactly like the contract's n/avgdl drift) until the refresh;
+    // [[graft.sources.IndexStore.saveSegment]]'s incremental stats
+    // fold makes the fallback a crash-window-only path, and
+    // [[graft.sources.IndexStore.statsFresh]] is the loud signal.
     def scored(sel: DataFrame): DataFrame =
       rankedM.join(sel, Seq(id), "left_semi")
         .join(broadcast(tstats.select("term", "df")), "term")
-        .join(dl, id)
+        .join(dl, Seq(id), "left")
         .crossJoin(broadcast(corpus))
         .withColumn("w", boostCol * idfCol *
           (col("tf") * (k1 + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * coalesce(col("dl"), col("avgdl")) / col("avgdl"))))
         .groupBy(id).agg(round(sum(col("w")), 4).as("score"))
     val seed = docUb.orderBy(col("ub").desc, col(id)).limit(k).select(id)
     val theta = scored(seed).agg(min(col("score")).as("theta"))
@@ -728,7 +825,19 @@ object Query {
     search(Tables.documents(spark, dir), "lang:en AND (spark OR query) AND NOT source:src0")
       .orderBy("doc_id")
 
+  /** Gate query: per-field text search (r15 — [[TField]]): the
+    * `title:` leaf matches inside the synthesized title field (the
+    * corpus' first [[Index.TitleTokens]] tokens — it has no separate
+    * title text; the machinery takes any real field column), composed
+    * with a plain body term through the boolean AND.
+    */
+  def fieldSearch(spark: SparkSession, dir: String): DataFrame =
+    searchFielded(Tables.documents(spark, dir), "title:spark AND line",
+      Index.gateFields)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "field_search" -> fieldSearch,
     "query_field" -> queryField,
     "query_search" -> querySearch,
     "wildcard_search" -> wildcardSearch,
@@ -740,6 +849,12 @@ object Query {
     "phrase3_search" -> phrase3Search)
 
   val oracles: Map[String, String] = Map(
+    "field_search" ->
+      s"""${Index.TokSql}
+         |SELECT DISTINCT t.doc_id AS doc_id FROM tok t
+         |WHERE t.term = 'spark' AND t.pos < ${Index.TitleTokens}
+         |  AND t.doc_id IN (SELECT doc_id FROM tok WHERE term = 'line')
+         |ORDER BY doc_id""".stripMargin,
     "query_fuzzy" ->
       s"""${Index.TokSql}, fz AS (
          |  SELECT DISTINCT term FROM tok WHERE levenshtein(term, 'spark') <= 2

@@ -177,6 +177,7 @@ object IndexStore {
     // the fuzzy dictionary rebuilds from the compacted output (terms
     // whose last postings folded away leave the dictionary here)
     if (hasFuzzy(spark, path)) saveFuzzy(spark, outPath)
+    Tombstones.carryEpoch(spark, path, outPath)
   }
 
   /** Rewrite the `_meta` table of the index at `fromPath` into
@@ -213,20 +214,115 @@ object IndexStore {
   //
   // Staleness contract: [[saveStats]] snapshots the RESOLVED index
   // (segments last-writer-wins, tombstones anti-joined). Deletes and
-  // segment landings between refreshes leave n/avgdl/dl at their
+  // segment landings between refreshes leave n/avgdl at their
   // snapshot values — absolute scores drift slightly, exactly like a
-  // production engine serving between index refreshes — but can never
-  // resurrect a doc: matching and tf ride the live posting fetch.
-  // Compaction ([[compact]] / [[compactSegments]]) refreshes in place.
+  // production engine serving between index refreshes — but staleness
+  // can never resurrect a doc (matching and tf ride the live posting
+  // fetch) and can never DROP one either (r15): a doc with no dl row
+  // yet scores through the ranked path's LEFT join with dl = avgdl,
+  // and [[saveSegment]] folds each landed segment's real lengths in
+  // incrementally ([[refreshStatsWith]]), so the fallback is a
+  // crash-window-only path. [[statsFresh]] is the jobless loud
+  // signal; compaction ([[compact]] / [[compactSegments]]) refreshes
+  // in place.
 
   /** Underscore-prefixed stats directory inside an index. */
   private val StatsDir = "_stats"
+
+  /** Provenance stamp inside [[StatsDir]]: the content fingerprint the
+    * stats snapshot was computed against (see [[statsFresh]]).
+    */
+  private val StatsProvenance = "_provenance"
 
   /** Whether the index at `path` carries a persisted stats table. */
   def hasStats(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path, StatsDir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  // ---- staleness probes (r15) ------------------------------------------
+  //
+  // Serving loops hold pinned snapshots ([[OpenIndex]], the stats
+  // side table) while maintenance loops land segments and takedowns
+  // behind them. These probes make "did the store move?" a jobless
+  // driver-side question — one or two directory listings — so a
+  // refresh loop can notice a landing and re-open/re-refresh instead
+  // of either polling with jobs or serving stale state blindly.
+
+  /** A listing-derived fingerprint of the index CONTENT at `path`:
+    * the top-level visible entries (segment dirs, bucket dirs, data
+    * files — sufficient because segments land and fold by atomic
+    * RENAME, never in-place edits) plus the tombstone tree's file
+    * names. Flips on every segment landing, takedown landing/replay,
+    * and compaction swap. Side tables are deliberately EXCLUDED: this
+    * is the provenance key [[saveStats]] stamps, and a stats refresh
+    * must not invalidate itself.
+    */
+  def contentFingerprint(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return "absent"
+    val top = fs.listStatus(p).map(_.getPath.getName)
+      .filter(n => !n.startsWith(".") && !n.startsWith("_")).sorted
+    top.mkString(",") + "|" + Tombstones.treeFingerprint(spark, path)
+  }
+
+  /** [[contentFingerprint]] plus the side tables' file names — the
+    * full serving-snapshot key [[open]] captures: a stats/meta/fuzzy
+    * refresh flips it too, so [[reopenIfStale]] picks up refreshed
+    * side tables, not just data landings.
+    */
+  def fingerprint(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val side = Seq(StatsDir, MetaDir, FuzzyDir).map { d =>
+      val sp = new org.apache.hadoop.fs.Path(p, d)
+      if (!fs.exists(sp)) ""
+      else {
+        val names = scala.collection.mutable.ArrayBuffer[String]()
+        val it = fs.listFiles(sp, true)
+        while (it.hasNext) names += it.next().getPath.getName
+        names.sorted.mkString(",")
+      }
+    }
+    contentFingerprint(spark, path) + "||" + side.mkString("|")
+  }
+
+  /** Whether the `_stats` snapshot still matches the index content it
+    * was computed against (provenance stamp vs live fingerprint).
+    * False after any landing/takedown/fold since the last refresh —
+    * the loud signal that ranked scores are riding the drift contract
+    * (and new docs the avgdl fallback) until a refresh. Also false
+    * for a pre-provenance stats table (unverifiable — refresh it).
+    * Jobless: one file read + one listing.
+    */
+  def statsFresh(spark: SparkSession, path: String): Boolean = {
+    if (!hasStats(spark, path)) return false
+    val p = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path, StatsDir), StatsProvenance)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val in = fs.open(p)
+    val stamped = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    stamped == contentFingerprint(spark, path)
+  }
+
+  /** Whether the store moved since `oi` was opened — segments,
+    * takedowns, folds, or side-table refreshes landed after [[open]]
+    * make the pinned snapshot stale. Jobless (listings only); a
+    * serving loop calls this between requests and [[reopenIfStale]]s
+    * on true.
+    */
+  def stale(oi: OpenIndex): Boolean =
+    fingerprint(oi.spark, oi.path) != oi.fp
+
+  /** Re-open the handle iff the store moved ([[stale]]); the common
+    * serving-loop refresh idiom. The returned handle serves the new
+    * state (landed segments visible, takedowns anti-joined, refreshed
+    * side tables picked up).
+    */
+  def reopenIfStale(oi: OpenIndex): OpenIndex =
+    if (stale(oi)) open(oi.spark, oi.path, oi.nBuckets) else oi
 
   /** Build (or refresh) the serving-stats side table at `path` from
     * the index's own resolved content: `dl` (one row per indexed doc:
@@ -237,24 +333,72 @@ object IndexStore {
     * [[StatsDir]], so readers never see a half-written table.
     */
   def saveStats(spark: SparkSession, path: String): Unit = {
-    val idx = load(spark, path)
+    val idx0 = load(spark, path)
+    // a FIELDED index (r15, field-tagged postings) measures doc length
+    // over the BODY field — the ranked path scores body tf, and title
+    // rows would overcount every titled doc's length
+    val idx =
+      if (idx0.columns.contains("field")) idx0.filter(col("field") === "body")
+      else idx0
     val id = Seq("title", "doc_id").find(idx.columns.contains).getOrElse(
       throw new IllegalArgumentException(
         s"index at $path has neither a doc_id nor a title column"))
+    landStats(spark, path,
+      idx.groupBy(col(id)).agg(sum(col("tf")).cast("double").as("dl")))
+  }
+
+  /** Fold a delta's doc lengths into the existing `_stats` table
+    * WITHOUT re-reading the index — O(|delta| + |dl|), vs
+    * [[saveStats]]' full index pass: the base dl table anti-joins the
+    * delta's doc set (a re-crawled doc's new length replaces its old
+    * row — the [[merge]] rule applied to lengths), the delta rows
+    * union in, and n/avgdl recompute from the merged table. Same
+    * atomic tmp-dir + rename landing. `deltaDl` is (id, dl) rows;
+    * [[saveSegment]] derives it from the just-landed segment when the
+    * store carries stats, so a doc landed after the last full
+    * [[saveStats]] scores with its REAL length instead of riding the
+    * avgdl fallback. dl is the smallest table in the store (two
+    * values per doc), so the per-landing rewrite is priced like the
+    * compaction's `_meta` carry, not like an index pass.
+    */
+  def refreshStatsWith(spark: SparkSession, path: String,
+                       deltaDl: DataFrame): Unit = {
+    val (dl0, _) = loadStats(spark, path)
+    val id = dl0.columns.filter(_ != "dl").head
+    require(deltaDl.columns.contains(id) && deltaDl.columns.contains("dl"),
+      s"delta dl frame needs ($id, dl) columns; got " +
+        deltaDl.columns.mkString("(", ", ", ")"))
+    val delta = deltaDl.select(col(id), col("dl").cast("double").as("dl"))
+    landStats(spark, path,
+      dl0.join(delta.select(col(id)), Seq(id), "left_anti").unionByName(delta))
+  }
+
+  /** Shared landing tail of [[saveStats]]/[[refreshStatsWith]]: write
+    * the dl frame + scalars + the provenance stamp into a dot-prefixed
+    * tmp dir, then one atomic rename over [[StatsDir]].
+    */
+  private def landStats(spark: SparkSession, path: String,
+                        dl: DataFrame): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path, s".$StatsDir-tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    val dl = idx.groupBy(col(id))
-      .agg(sum(col("tf")).cast("double").as("dl"))
     dl.write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(tmp, "dl").toString)
     // derive the scalars from the just-written dl table (column-pruned
-    // re-read) instead of executing the index pass a second time
+    // re-read) instead of executing the dl plan a second time
     spark.read.parquet(new org.apache.hadoop.fs.Path(tmp, "dl").toString)
       .agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
       .coalesce(1).write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(tmp, "corpus").toString)
+    // provenance stamp (r15): the index CONTENT fingerprint these
+    // stats were computed against — [[statsFresh]] compares it to the
+    // live layout so a serving loop can see "a landing/takedown
+    // happened since the stats snapshot" without running a job
+    val prov = fs.create(
+      new org.apache.hadoop.fs.Path(tmp, StatsProvenance), true)
+    try prov.write(contentFingerprint(spark, path).getBytes("UTF-8"))
+    finally prov.close()
     val dest = new org.apache.hadoop.fs.Path(path, StatsDir)
     if (fs.exists(dest)) fs.delete(dest, true)
     StoreSwap.mustRename(fs, tmp, dest)
@@ -520,7 +664,8 @@ object IndexStore {
                              idx: DataFrame, universe: DataFrame,
                              stats: Option[(DataFrame, DataFrame)],
                              meta: Option[DataFrame],
-                             fuzzy: Option[DataFrame] = None) {
+                             fuzzy: Option[DataFrame] = None,
+                             fp: String = "") {
     /** Indexed doc count from the `_stats` corpus row (−1 without
       * stats) — collected once per handle; the ranked path's ladder
       * gate reads it instead of running a per-query count job.
@@ -547,7 +692,8 @@ object IndexStore {
       idx.select(idCol).distinct(),
       if (hasStats(spark, path)) Some(loadStats(spark, path)) else None,
       if (withMeta && hasMeta(spark, path)) Some(loadMeta(spark, path)) else None,
-      if (hasFuzzy(spark, path)) Some(loadFuzzy(spark, path)) else None)
+      if (hasFuzzy(spark, path)) Some(loadFuzzy(spark, path)) else None,
+      fingerprint(spark, path))
   }
 
   /** [[lookup]] against a pinned [[OpenIndex]] snapshot — same plan
@@ -617,6 +763,32 @@ object IndexStore {
       .unionByName(delta)
       .select(base.columns.map(col): _*)
     save(merged, outPath, nBuckets)
+    // side tables travel with the merge (r15 — the r14 verdict's gap
+    // #3: a bare merged index failed loudly on ranked/fielded/fuzzy
+    // serving until the caller re-ran three builders it may not know
+    // exist). Same carries compaction already does: `_stats` and
+    // `_fuzzy` rebuild from the merged output; `_meta` CANNOT be
+    // derived from postings, so it merges doc-granular like the
+    // postings themselves (a doc_id the delta rewrote takes the
+    // delta's metadata row) and is filtered to the output's survivors.
+    if (hasStats(spark, basePath) || hasStats(spark, deltaPath))
+      saveStats(spark, outPath)
+    val metaSrc = Seq(deltaPath -> true, basePath -> false)
+      .filter { case (p, _) => hasMeta(spark, p) }
+    if (metaSrc.nonEmpty) {
+      val frames = metaSrc.map {
+        case (p, isDelta) =>
+          val m = spark.read.parquet(
+            new org.apache.hadoop.fs.Path(p, MetaDir).toString)
+          if (isDelta) m else m.join(updated, Seq("doc_id"), "left_anti")
+      }
+      val survivors = spark.read.parquet(outPath)
+        .select(col("doc_id")).distinct()
+      saveMeta(frames.reduce(_.unionByName(_, allowMissingColumns = true))
+        .join(survivors, Seq("doc_id"), "left_semi"), outPath)
+    }
+    if (hasFuzzy(spark, basePath) || hasFuzzy(spark, deltaPath))
+      saveFuzzy(spark, outPath)
   }
 
   // ---- segmented (LSM-style) layout -----------------------------------
@@ -702,6 +874,25 @@ object IndexStore {
       try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
     }
     StoreSwap.mustRename(fs, tmp, seg)
+    // incremental stats refresh (r15 — the landed-after-stats doc
+    // drop): when the store carries `_stats`, fold the just-landed
+    // segment's doc lengths in ([[refreshStatsWith]] — O(|delta|+|dl|),
+    // never an index pass), so ranked serving scores new docs with
+    // their real lengths instead of the avgdl fallback. A crash in
+    // this window leaves the segment landed and stats one refresh
+    // behind — [[statsFresh]] reads false and the ranked path's left
+    // join still serves the segment's docs (drift, never a drop).
+    if (hasStats(spark, path)) {
+      val landed0 = spark.read.parquet(seg.toString)
+      val landed = // fielded segment: body-field lengths, like saveStats
+        if (landed0.columns.contains("field"))
+          landed0.filter(col("field") === "body")
+        else landed0
+      val segIdCol = Seq("title", "doc_id").find(landed.columns.contains)
+        .getOrElse("doc_id")
+      refreshStatsWith(spark, path, landed.groupBy(col(segIdCol))
+        .agg(sum(col("tf")).cast("double").as("dl")))
+    }
     true
   }
 
@@ -757,6 +948,8 @@ object IndexStore {
     // same swap (derivable from postings, unlike `_meta` — a term
     // whose last postings folded away leaves the dictionary here)
     if (hasFuzzy(spark, path)) saveFuzzy(spark, tmpRoot)
+    // the takedown epoch survives the fold ([[Tombstones.carryEpoch]])
+    Tombstones.carryEpoch(spark, path, tmpRoot)
     StoreSwap.swap(fs, root, tmpRoot)
   }
 

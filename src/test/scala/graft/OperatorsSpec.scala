@@ -2597,5 +2597,17 @@ class OperatorsSpec extends SparkSpec {
       s"top-20 must be the cosine-1.0 profile pairs, got ${g.map(_.getDouble(2)).min}")
     assert(g.forall(r => r.getLong(0) / 2 === r.getLong(1) / 2),
       "every guarded pair must be a same-profile pair")
+    // the FAT-CELL block path (r15 — spreads a degenerate cell's
+    // Θ(n_c²) dot pass across block-pair tasks instead of one task
+    // per cell) must be row-identical to the in-task path: same sims,
+    // same (sim desc, id asc) keep order, merged partials ≡ one-pass
+    val want = g.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    spark.conf.set("spark.graft.knnCellBlock", "8")
+    try {
+      val blocked = Index.tfidfCosineGuardedOf(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(blocked === want,
+        "block-partitioned fat-cell kNN must equal the in-task path")
+    } finally spark.conf.unset("spark.graft.knnCellBlock")
   }
 }

@@ -903,4 +903,197 @@ class SourcesSpec extends SparkSpec {
     } finally Seq("b_orders", "b_cust", "b_cust4").foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("stats staleness: a doc landed after saveStats serves ranked (never drops); landings refresh dl incrementally") {
+    import spark.implicits._
+    val path = tmpDir("graft-stale") + "/index"
+    val docs1 = Seq((0L, "spark query engine"), (1L, "spark join fast"))
+      .toDF("doc_id", "text")
+    IndexStore.saveSegment(Index.invertedIndexOf(docs1), path, 0L, nBuckets = 4)
+    IndexStore.saveStats(spark, path)
+    assert(IndexStore.statsFresh(spark, path))
+    // --- the r14 sharp edge, forced: land a segment while _stats is
+    // held aside so saveSegment's incremental refresh cannot run —
+    // the crash-window state (segment landed, stats one refresh
+    // behind). The doc must STILL appear in ranked results (left
+    // join + avgdl fallback), and statsFresh must read false.
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statsP = new org.apache.hadoop.fs.Path(path, "_stats")
+    val hold = new org.apache.hadoop.fs.Path(path, ".stats-hold")
+    assert(fs.rename(statsP, hold))
+    val docs2 = Seq((2L, "spark spark streaming")).toDF("doc_id", "text")
+    IndexStore.saveSegment(Index.invertedIndexOf(docs2), path, 1L, nBuckets = 4)
+    assert(fs.rename(hold, statsP))
+    assert(!IndexStore.statsFresh(spark, path),
+      "a landing after the stats snapshot must read as stale")
+    val staleGot = operators.Query
+      .searchRankedIndex(spark, path, "spark", k = 10, nBuckets = 4)
+      .collect().map(_.getLong(0))
+    assert(staleGot.contains(2L),
+      "a doc landed after saveStats must never vanish from ranked results")
+    // ...and through the forced MaxScore ladder too
+    spark.conf.set("spark.graft.maxscoreRows", "0")
+    try assert(operators.Query
+        .searchRankedIndex(spark, path, "spark", k = 10, nBuckets = 4)
+        .collect().map(_.getLong(0)).contains(2L))
+    finally spark.conf.unset("spark.graft.maxscoreRows")
+    // --- the incremental refresh closes the drift: after
+    // refreshStatsWith with the landed segment's lengths, scores are
+    // bit-identical to a full saveStats of the resolved index
+    val segDl = spark.read.parquet(s"$path/seg=1")
+      .groupBy(col("doc_id")).agg(sum(col("tf")).cast("double").as("dl"))
+    IndexStore.refreshStatsWith(spark, path, segDl)
+    assert(IndexStore.statsFresh(spark, path))
+    val all = Seq((0L, "spark query engine"), (1L, "spark join fast"),
+      (2L, "spark spark streaming")).toDF("doc_id", "text")
+    val want = operators.Query.searchRanked(all, "spark", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = operators.Query
+      .searchRankedIndex(spark, path, "spark", k = 10, nBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === want, "incremental dl refresh must equal the full rebuild")
+    // --- the NORMAL landing path needs no manual step: saveSegment
+    // folds the new segment's lengths in by itself
+    val docs3 = Seq((3L, "spark core")).toDF("doc_id", "text")
+    IndexStore.saveSegment(Index.invertedIndexOf(docs3), path, 2L, nBuckets = 4)
+    assert(IndexStore.statsFresh(spark, path),
+      "saveSegment must refresh _stats incrementally when present")
+    val all4 = all.unionByName(Seq((3L, "spark core")).toDF("doc_id", "text"))
+    val want4 = operators.Query.searchRanked(all4, "spark", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got4 = operators.Query
+      .searchRankedIndex(spark, path, "spark", k = 10, nBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got4 === want4)
+  }
+
+  test("serving handle staleness: landings and takedowns flip stale; reopenIfStale serves the new state") {
+    import spark.implicits._
+    val path = tmpDir("graft-handle") + "/index"
+    val docs1 = Seq((0L, "alpha beta"), (1L, "alpha gamma")).toDF("doc_id", "text")
+    IndexStore.saveSegment(Index.invertedIndexOf(docs1), path, 0L, nBuckets = 4)
+    val oi = IndexStore.open(spark, path, nBuckets = 4)
+    assert(!IndexStore.stale(oi), "a just-opened handle is not stale")
+    assert(IndexStore.reopenIfStale(oi) eq oi, "no reopen when nothing moved")
+    // a segment landing flips stale; reopen sees the new doc
+    IndexStore.saveSegment(Index.invertedIndexOf(
+      Seq((2L, "alpha delta")).toDF("doc_id", "text")), path, 1L, nBuckets = 4)
+    assert(IndexStore.stale(oi), "a landed segment must flip stale")
+    val oi2 = IndexStore.reopenIfStale(oi)
+    assert(operators.Query.searchIndexOn(oi2, "alpha")
+      .collect().map(_.getLong(0)).toSet === Set(0L, 1L, 2L))
+    assert(!IndexStore.stale(oi2))
+    // a takedown flips stale again; reopen anti-joins it out
+    IndexStore.delete(spark, path, Seq(1L))
+    assert(IndexStore.stale(oi2), "a takedown landing must flip stale")
+    val oi3 = IndexStore.reopenIfStale(oi2)
+    assert(operators.Query.searchIndexOn(oi3, "alpha")
+      .collect().map(_.getLong(0)).toSet === Set(0L, 2L))
+    // a side-table refresh flips stale too (the handle pins _stats)
+    IndexStore.saveStats(spark, path)
+    assert(IndexStore.stale(oi3), "a stats refresh must flip stale")
+  }
+
+  test("index merge carries side tables: merged store serves ranked/fielded/fuzzy immediately") {
+    import spark.implicits._
+    val base = tmpDir("graft-mergeside") + "/base"
+    val delta = tmpDir("graft-mergeside") + "/delta"
+    val out = tmpDir("graft-mergeside") + "/merged"
+    val docs1 = Seq((0L, "spark engine"), (1L, "spark query"))
+      .toDF("doc_id", "text")
+    val docs2 = Seq((1L, "spark stream"), (2L, "fast stream"))
+      .toDF("doc_id", "text") // doc 1 re-crawled
+    IndexStore.save(Index.invertedIndexOf(docs1), base, nBuckets = 4)
+    IndexStore.saveStats(spark, base)
+    IndexStore.saveMeta(Seq((0L, "en"), (1L, "de")).toDF("doc_id", "lang"), base)
+    IndexStore.saveFuzzy(spark, base)
+    IndexStore.save(Index.invertedIndexOf(docs2), delta, nBuckets = 4)
+    IndexStore.saveMeta(Seq((1L, "fr"), (2L, "en")).toDF("doc_id", "lang"), delta)
+    IndexStore.merge(spark, base, delta, out, nBuckets = 4)
+    assert(IndexStore.hasStats(spark, out) && IndexStore.hasMeta(spark, out) &&
+      IndexStore.hasFuzzy(spark, out))
+    // ranked: parity with a fresh build over the merged corpus
+    val mergedDocs = Seq((0L, "spark engine"), (1L, "spark stream"),
+      (2L, "fast stream")).toDF("doc_id", "text")
+    val want = operators.Query.searchRanked(mergedDocs, "spark", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = operators.Query
+      .searchRankedIndex(spark, out, "spark", k = 10, nBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === want, "merged _stats must equal a fresh build's")
+    // fielded: the re-crawled doc carries the DELTA's metadata row
+    assert(operators.Query.searchIndexOn(
+        IndexStore.open(spark, out, nBuckets = 4), "lang:fr AND spark")
+      .collect().map(_.getLong(0)).toSet === Set(1L))
+    assert(operators.Query.searchIndex(spark, out, "lang:en", nBuckets = 4)
+      .collect().map(_.getLong(0)).toSet === Set(0L, 2L))
+    // fuzzy: the dictionary covers terms that exist only in the delta
+    assert(operators.Query.searchIndex(spark, out, "strean~1", nBuckets = 4)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
+  test("fielded index: title:/body: leaves match the corpus path; plain terms stay body-scoped; bucket-pruned") {
+    import spark.implicits._
+    // REAL distinct fields — the title has words the body lacks, so
+    // field scoping is observable (the gate key's synthesized title is
+    // a body prefix; this spec proves the general machinery)
+    val docs = Seq(
+      (0L, "spark engine fast", "intro guide"),
+      (1L, "query planner", "spark overview"),
+      (2L, "spark spark join", "join notes")).toDF("doc_id", "text", "title")
+    val fields = Map("body" -> col("text"), "title" -> col("title"))
+    assert(operators.Query.searchFielded(docs, "title:spark", fields)
+      .collect().map(_.getLong(0)).toSet === Set(1L),
+      "title: must match the title stream only")
+    assert(operators.Query.searchFielded(docs, "spark", fields)
+      .collect().map(_.getLong(0)).toSet === Set(0L, 2L),
+      "plain terms must stay body-scoped on a fielded stream")
+    // saved fielded index: corpus↔index parity across compositions
+    val path = tmpDir("graft-fielded") + "/index"
+    IndexStore.save(Index.fieldedInvertedIndexOf(docs, fields), path, nBuckets = 4)
+    Seq("title:spark", "spark", "title:join AND spark",
+        "body:planner OR title:guide", "\"spark spark\" AND title:notes")
+      .foreach { q =>
+        val want = operators.Query.searchFielded(docs, q, fields)
+          .collect().map(_.getLong(0)).toSet
+        val viaIdx = operators.Query.searchIndex(spark, path, q, nBuckets = 4)
+          .collect().map(_.getLong(0)).toSet
+        assert(viaIdx === want, s"fielded corpus<->index parity for '$q'")
+        assert(want.nonEmpty, s"vacuous fielded parity for '$q'")
+      }
+    // a title: leaf is the SAME bucket-pruned term fetch as a plain
+    // term — field never costs pruning
+    val plan = operators.Query.searchIndex(spark, path, "title:spark", nBuckets = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("term_bucket"),
+      s"fielded leaf fetch not bucket-pruned:\n$plan")
+    // ranked serving over a fielded index scores BODY tf only: row
+    // parity with a plain body-only index (incl. dl from saveStats'
+    // body filter)
+    val plainPath = tmpDir("graft-fielded") + "/plain"
+    IndexStore.save(Index.invertedIndexOf(docs), plainPath, nBuckets = 4)
+    IndexStore.saveStats(spark, path)
+    IndexStore.saveStats(spark, plainPath)
+    val wantRanked = operators.Query
+      .searchRankedIndex(spark, plainPath, "spark", k = 10, nBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val gotRanked = operators.Query
+      .searchRankedIndex(spark, path, "spark", k = 10, nBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotRanked === wantRanked && wantRanked.nonEmpty,
+      "fielded-index ranking must equal the body-only index's")
+  }
+
+  test("tombstones: landings keyed under both doc_id and a custom key normalize at read") {
+    val store = tmpDir("graft-tombkeys") + "/store"
+    // a vec_id-keyed landing plus a default doc_id-keyed one: the
+    // union schema carries BOTH columns; setOf must coalesce instead
+    // of renaming into a duplicate-column wreck
+    sources.Tombstones.append(spark, store, Seq(1L), key = "vec_id")
+    sources.Tombstones.append(spark, store, Seq(2L))
+    val got = sources.Tombstones.setOf(spark, store, key = "vec_id").get
+    assert(got.columns.toSeq === Seq("vec_id"))
+    assert(got.collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
 }
