@@ -54,6 +54,29 @@ object VectorImpl {
     s
   }
 
+  /** Sparse dot of two term-sorted (term string, w double) struct
+    * arrays: a single merge walk — shared terms multiply, the rest
+    * skip. Accumulation order is ascending term (deterministic and
+    * identical on both engines' sorted representations). The r15
+    * cosine-rescore kernel: per candidate pair ONE codegen'd call over
+    * the two attached doc vectors, replacing the pair×term join
+    * explosion (guide §2.3) — and a native kernel rather than the
+    * interpreted `map_zip_with`/`aggregate` lambdas, which measured
+    * 3.8× SLOWER than the join they were meant to replace.
+    */
+  def sparseDotW(a: ArrayData, b: ArrayData): Double = {
+    var i = 0; var j = 0; var s = 0.0
+    val na = a.numElements(); val nb = b.numElements()
+    while (i < na && j < nb) {
+      val sa = a.getStruct(i, 2); val sb = b.getStruct(j, 2)
+      val c = sa.getUTF8String(0).compareTo(sb.getUTF8String(0))
+      if (c == 0) { s += sa.getDouble(1) * sb.getDouble(1); i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    s
+  }
+
   /** Sign-LSH bucket of Charikar's random-hyperplane scheme with the
     * deterministic rational planes r(b,j) = ((709b + 1013j) mod 97 − 48)/48.
     * Term order and grouping — (c/48.0) * x, left-to-right accumulation —
@@ -208,6 +231,21 @@ case class Norm2D(child: Expression) extends UnaryExpression {
   override def prettyName: String = "norm2_d"
 }
 
+/** Codegen'd sparse term-weight dot ([[VectorImpl.sparseDotW]]) — the
+  * per-pair rescore kernel of the tf-idf cosine family.
+  */
+case class SparseDotW(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorImpl.sparseDotW(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorImpl.sparseDotW($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SparseDotW =
+    copy(left = l, right = r)
+  override def prettyName: String = "sparse_dot_w"
+}
+
 /** Codegen'd sign-LSH bucket assignment — the whole nBits-plane loop in
   * one kernel call, replacing an interpreted `aggregate` lambda per row
   * per hyperplane (the SURVEY §3 no-interpreted-hot-loop rule).
@@ -293,6 +331,10 @@ object VectorFns {
 
   def norm2(a: Column): Column =
     GraftBridge.column(Norm2(GraftBridge.expression(a)))
+
+  def sparseDotW(a: Column, b: Column): Column =
+    GraftBridge.column(
+      SparseDotW(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   def lshBucket(emb: Column, nBits: Int): Column =
     GraftBridge.column(LshBucket(GraftBridge.expression(emb), nBits))

@@ -312,27 +312,62 @@ object Index {
       .filter(col("df") < col("n"))
       .select(col("doc_id"), col("term"), col("df"), col("n"),
         (col("tf") * log(col("n") / col("df"))).as("w"))
-    val nrm = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val rare = w.filter(col("df") <= col("n") * RareDfFrac)
       .select("doc_id", "term")
     val cand = rare.select(col("doc_id").as("doc_a"), col("term"))
       .join(rare.select(col("doc_id").as("doc_b"), col("term")), "term")
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val dots = cand
-      .join(w.select(col("doc_id").as("doc_a"), col("term"), col("w").as("wa")),
-        Seq("doc_a"))
-      .join(w.select(col("doc_id").as("doc_b"), col("term"), col("w").as("wb")),
-        Seq("doc_b", "term"))
-      .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
-    dots
-      .join(nrm.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
-      .join(nrm.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        round(col("dot") / (col("na") * col("nb")), 4).as("cosine"))
+    rescoredTop20(cand, docVecsOf(w), extra = Nil)
+  }
+
+  /** Per-doc sparse tf-idf vector as a term-sorted map plus its norm —
+    * ONE doc-keyed aggregation feeding the pair rescoring (r15, guide
+    * §2.3 "aggregate before you shuffle"/§8 "move small rows"). The
+    * previous rescore joined each candidate pair with the exploded
+    * (doc, term, w) frame — |pairs|·|terms-per-doc| rows through a
+    * (doc_b, term)-keyed exchange plus a pair-keyed aggregation
+    * (measured sf0.1: 110M rows, 7.3s inside `tfidf_cosine_guarded`).
+    * Attaching the map moves the same bytes in |pairs| rows, keyed by
+    * doc id only, and the dot collapses to a per-row codegen'd
+    * map_zip_with fold — no pair-level aggregation at all.
+    */
+  private[graft] def docVecsOf(w: DataFrame): DataFrame =
+    w.groupBy("doc_id").agg(
+      sort_array(collect_list(struct(col("term"), col("w")))).as("tw"),
+      sqrt(sum(col("w") * col("w"))).as("nrm"))
+
+  /** Sparse dot of two term-sorted vectors — the codegen'd merge-walk
+    * kernel [[graft.functions.VectorFns.sparseDotW]]. Accumulation
+    * order is ascending term: DETERMINISTIC, where the previous
+    * groupBy sum depended on shuffle arrival order (the oracle already
+    * matched that at 4 decimals, so a fixed order is strictly safer).
+    * An interpreted `map_zip_with`+`aggregate` spelling was measured
+    * first and REJECTED: higher-order functions don't codegen, and the
+    * audit leg ran 3.8× slower than the join it replaced.
+    */
+  private[graft] def mapDot(ta: Column, tb: Column): Column =
+    graft.functions.VectorFns.sparseDotW(ta, tb)
+
+  /** Shared tail of the cosine-pair operators: attach each side's
+    * vector+norm (doc-keyed joins), per-row map dot, keep positive
+    * dots only (dot > 0 ⇔ the pair shares ≥ 1 term, since every w is
+    * strictly positive — exactly the pairs the old term-keyed inner
+    * join produced), top-20 presentation.
+    */
+  private def rescoredTop20(cand: DataFrame, dv: DataFrame,
+                            extra: Seq[Column]): DataFrame =
+    cand
+      .join(dv.select(col("doc_id").as("doc_a"), col("tw").as("ta"),
+        col("nrm").as("na")), "doc_a")
+      .join(dv.select(col("doc_id").as("doc_b"), col("tw").as("tb"),
+        col("nrm").as("nb")), "doc_b")
+      .withColumn("dot", mapDot(col("ta"), col("tb")))
+      .filter(col("dot") > 0.0)
+      .select(Seq(col("doc_a"), col("doc_b"),
+        round(col("dot") / (col("na") * col("nb")), 4).as("cosine")) ++ extra: _*)
       .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
       .limit(20)
-  }
 
   /** The GUARDED composition of [[tfidfCosinePairs]] (r12 VERDICT
     * item 2): the two guard keys measure the blocking regime but a
@@ -387,7 +422,6 @@ object Index {
       .localCheckpoint()
     val regime = tfidfBlockingRecallOfW(w)
       .select("regime").head().getString(0)
-    val nrm = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val rare = w.filter(col("df") <= col("n") * RareDfFrac)
       .select("doc_id", "term")
     val blocked = rare.select(col("doc_id").as("doc_a"), col("term"))
@@ -410,19 +444,7 @@ object Index {
           .unionByName(profileIvfCandidatesOf(w))
           .unionByName(blocked)
           .distinct()
-    cand
-      .join(w.select(col("doc_id").as("doc_a"), col("term"), col("w").as("wa")),
-        Seq("doc_a"))
-      .join(w.select(col("doc_id").as("doc_b"), col("term"), col("w").as("wb")),
-        Seq("doc_b", "term"))
-      .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
-      .join(nrm.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
-      .join(nrm.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        round(col("dot") / (col("na") * col("nb")), 4).as("cosine"),
-        lit(regime).as("regime"))
-      .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
-      .limit(20)
+    rescoredTop20(cand, docVecsOf(w), extra = Seq(lit(regime).as("regime")))
   }
 
   /** Profile-space fallback dimensions/cells/probes (r13). Constants,
@@ -519,17 +541,30 @@ object Index {
         s"transform(sequence(0, ${ProfileDims - 1}), " +
           "i -> cast(coalesce(try_element_at(m, i), 0.0d) as float))").as("emb"))
       .localCheckpoint() // feeds centroid pick + assignment
-    val cents = prof.orderBy("doc_id").limit(ProfileCells)
-      .select(col("doc_id").as("cid"), col("emb").as("ce"))
-    val aWin = Window.partitionBy("doc_id").orderBy(col("sim").desc, col("cid"))
-    val assigned = prof.crossJoin(broadcast(cents))
-      .withColumn("sim",
-        VectorFns.dot(col("emb"), col("ce")) /
+    // Probe assignment as a NARROW per-row expression (r15): the
+    // centroid frame is ≤ [[ProfileCells]] rows BY CONSTANT CONTRACT,
+    // so it collects to the driver (the engine's bounded-collect
+    // discipline) and each doc's top-[[ProfileProbes]] cells come from
+    // sorting a 16-element literal-centroid sim array inside codegen.
+    // The previous crossJoin(broadcast)+row_number spelling paid a
+    // cells×N-row exchange + sort for the window, and the membership
+    // frame then re-joined prof by doc_id for the embedding this
+    // projection already has in hand — three exchanges of rung latency
+    // for a result the planner can compute in the prof scan itself.
+    // sort_array ascending on struct(-sim, cid) IS the window's
+    // (sim desc, cid asc) total order: sims are ≥ 0 (weights are
+    // strictly positive), so negation introduces no -0.0/0.0 mix, and
+    // the centroid self-dots constant-fold at plan time.
+    val centRows = prof.orderBy("doc_id").limit(ProfileCells)
+      .select(col("doc_id"), col("emb")).collect()
+    val simCols = centRows.map { r =>
+      val ce = typedLit(r.getSeq[Float](1).toArray)
+      struct(
+        (-(VectorFns.dot(col("emb"), ce) /
           (sqrt(VectorFns.dot(col("emb"), col("emb"))) *
-            sqrt(VectorFns.dot(col("ce"), col("ce"))) + lit(1e-12)))
-      .withColumn("rk", row_number().over(aWin))
-      .filter(col("rk") <= ProfileProbes)
-      .select(col("doc_id"), col("cid"))
+            sqrt(VectorFns.dot(ce, ce)) + lit(1e-12)))).as("ns"),
+        lit(r.getLong(0)).as("cid"))
+    }.toSeq
     // union-kNN sparsification (r14; r15 spread the fat-cell compute):
     // inside each probed cell, each doc keeps only its
     // top-[[ProfileCap]] most profile-similar neighbors (sim = the
@@ -561,8 +596,13 @@ object Index {
     import spark.implicits._
     val blockSize = spark.conf.get("spark.graft.knnCellBlock", "4096").toInt
     require(blockSize > 0, "spark.graft.knnCellBlock must be positive")
-    val m0 = assigned.join(prof, "doc_id")
-      .select(col("cid"), col("doc_id"), col("emb"))
+    if (centRows.isEmpty)
+      // empty corpus: no cells, no candidates (schema preserved)
+      return prof.select(col("doc_id").as("doc_a"),
+        col("doc_id").as("doc_b")).limit(0)
+    val m0 = prof.select(col("doc_id"), col("emb"),
+        explode(slice(sort_array(array(simCols: _*)), 1, ProfileProbes)).as("sc"))
+      .select(col("sc.cid").as("cid"), col("doc_id"), col("emb"))
     val csize = m0.groupBy("cid").agg(count(lit(1)).as("csz"))
     val withSz = m0.join(broadcast(csize), "cid") // |cells| rows: broadcast
     def dotf(a: Array[Float], b: Array[Float]): Double = {
@@ -571,34 +611,67 @@ object Index {
       while (k < n) { s += a(k).toDouble * b(k).toDouble; k += 1 }
       s
     }
-    val ord = new Ordering[(Double, Long)] {
-      def compare(x: (Double, Long), y: (Double, Long)): Int = {
-        val c = java.lang.Double.compare(y._1, x._1)
-        if (c != 0) c else java.lang.Long.compare(x._2, y._2)
-      }
-    }
-    // per-query bounded-heap kNN of `qs` against `ds` (worst-first
-    // heap: the queue's max is the WORST kept neighbor under
-    // (sim desc, id asc)); `same` skips the self pair
+    // per-query bounded-heap kNN of `qs` against `ds`: the heap's root
+    // is the WORST kept neighbor under (sim desc, id asc); `same`
+    // skips the self pair. Primitive parallel-array heap (r15): the
+    // boxed PriorityQueue[(Double, Long)] allocated a tuple per
+    // CANDIDATE (25M at sf0.1) — measured 5.1s for a kernel whose
+    // arithmetic is ~0.8G flops; the sift loops below keep the kept
+    // set bit-identical (same sims, same strict total order).
     def knnPartial(qs: Array[(Long, Array[Float])],
                    ds: Array[(Long, Array[Float])],
-                   same: Boolean): Iterator[(Long, Long, Double)] = {
+                   same: Boolean): Iterator[(Long, Array[Long], Array[Double])] = {
       val qn = qs.map(q => math.sqrt(dotf(q._2, q._2)))
       val dn = if (same) qn else ds.map(d => math.sqrt(dotf(d._2, d._2)))
-      qs.indices.iterator.flatMap { i =>
-        val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+      // worse(a, b): a ranks strictly below b under (sim desc, id asc)
+      @inline def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+        s1 < s2 || (s1 == s2 && i1 > i2)
+      qs.indices.iterator.map { i =>
+        val qe = qs(i)._2; val qid = qs(i)._1; val qnn = qn(i)
+        val hs = new Array[Double](cap)
+        val hid = new Array[Long](cap)
+        var n = 0
+        def siftUp(k0: Int): Unit = {
+          var k = k0
+          while (k > 0) {
+            val p = (k - 1) >> 1
+            if (worse(hs(k), hid(k), hs(p), hid(p))) {
+              val ts = hs(k); val ti = hid(k)
+              hs(k) = hs(p); hid(k) = hid(p); hs(p) = ts; hid(p) = ti
+              k = p
+            } else return
+          }
+        }
+        def siftDown(): Unit = {
+          var k = 0
+          while (true) {
+            val l = 2 * k + 1; val r = l + 1
+            var m = k
+            if (l < n && worse(hs(l), hid(l), hs(m), hid(m))) m = l
+            if (r < n && worse(hs(r), hid(r), hs(m), hid(m))) m = r
+            if (m == k) return
+            val ts = hs(k); val ti = hid(k)
+            hs(k) = hs(m); hid(k) = hid(m); hs(m) = ts; hid(m) = ti
+            k = m
+          }
+        }
         var j = 0
         while (j < ds.length) {
           if (!(same && j == i)) {
-            val s = dotf(qs(i)._2, ds(j)._2) / (qn(i) * dn(j) + 1e-12)
-            if (pq.size < cap) pq.enqueue((s, ds(j)._1))
-            else if (ord.compare((s, ds(j)._1), pq.head) < 0) {
-              pq.dequeue(); pq.enqueue((s, ds(j)._1))
+            val s = dotf(qe, ds(j)._2) / (qnn * dn(j) + 1e-12)
+            if (n < cap) {
+              hs(n) = s; hid(n) = ds(j)._1; n += 1; siftUp(n - 1)
+            } else if (worse(hs(0), hid(0), s, ds(j)._1)) {
+              hs(0) = s; hid(0) = ds(j)._1; siftDown()
             }
           }
           j += 1
         }
-        pq.toList.map(t => (qs(i)._1, t._2, t._1))
+        // ONE object row per query — (qid, kept ids, kept sims) — not
+        // one per kept PAIR (r15): the per-pair tuple stream paid the
+        // object→Tungsten encoder 7.7M times at sf0.1; the array row
+        // pays it once per query and a codegen'd explode unpacks it.
+        (qid, java.util.Arrays.copyOf(hid, n), java.util.Arrays.copyOf(hs, n))
       }
     }
     val small = withSz.filter(col("csz") <= blockSize)
@@ -608,16 +681,17 @@ object Index {
       .flatMapGroups { (_, it) =>
         val rows = it.toArray
         val m = rows.length
-        if (m - 1 <= cap)
+        if (m - 1 <= cap) {
           // every in-cell neighbor survives the cap: no scoring
           // needed, the kept set is the whole cell either way
-          (for (i <- 0 until m; j <- 0 until m if i != j)
-            yield (rows(i)._2, rows(j)._2)).iterator
-        else {
+          val ids = rows.map(_._2)
+          rows.iterator.map(r => (r._2, ids.filter(_ != r._2)))
+        } else {
           val members = rows.map(r => (r._2, r._3))
           knnPartial(members, members, same = true).map(t => (t._1, t._2))
         }
-      }.toDF("doc_a", "doc_b")
+      }.toDF("doc_a", "nbrs")
+      .select(col("doc_a"), explode(col("nbrs")).as("doc_b"))
     val wBlk = Window.partitionBy("cid").orderBy("doc_id")
     val repl = withSz.filter(col("csz") > blockSize)
       .withColumn("bid",
@@ -639,16 +713,22 @@ object Index {
           val b = rows.filter(_._4 == bj).map(r => (r._2, r._3))
           knnPartial(a, b, same = false) ++ knnPartial(b, a, same = false)
         }
-      }.toDF("qid", "nid", "sim")
+      }.toDF("qid", "nids", "sims")
+      .select(col("qid"), explode(arrays_zip(col("nids"), col("sims"))).as("z"))
+      .select(col("qid"), col("z.nids").as("nid"), col("z.sims").as("sim"))
     val wMerge = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     val fat = partials
       .withColumn("rk", row_number().over(wMerge))
       .filter(col("rk") <= cap)
       .select(col("qid").as("doc_a"), col("nid").as("doc_b"))
+    // oriented but NOT distinct'd (r15): every caller unions this
+    // relation with the textual rungs and distincts the union — the
+    // inner distinct was a second full exchange+agg of the 7.7M-row
+    // pair stream (measured ~4.6s at sf0.1) deduping rows the outer
+    // distinct dedupes again.
     small.unionByName(fat)
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"))
-      .distinct()
   }
 
   /** Coverage floor below which [[tfidfBlockingCoverage]] declares the
@@ -773,16 +853,24 @@ object Index {
     // deterministic ~1k-doc sample; ceil(double) is a long on both
     // engines after the oracle's explicit cast
     val wS = w.filter(col("doc_id") % ceil(col("n") / 1024.0) === 0)
-    val nrm = wS.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val sampleN = wS.select("doc_id").distinct()
       .agg(count(lit(1)).as("n_sample"))
-    val exact = wS.select(col("doc_id").as("doc_a"), col("term"), col("w").as("wa"))
-      .join(wS.select(col("doc_id").as("doc_b"), col("term"), col("w").as("wb")),
-        Seq("term"))
+    // exact truth via the per-doc vector maps (r15): the sample is
+    // ≤ ~1k docs BY CONTRACT, so its vector frame broadcasts and the
+    // ≤ ~0.5M ordered pairs stream through a broadcast nested loop
+    // with a per-row codegen'd map dot — where the term-keyed
+    // self-join materialized |pairs|·|shared terms| rows (15M at
+    // sf0.1, 3.1s) through a pair-keyed aggregation. dot > 0 keeps
+    // exactly the pairs that share ≥ 1 term (every w > 0), the same
+    // relation the term equijoin produced.
+    val dvS = docVecsOf(wS)
+    val exact = dvS.select(col("doc_id").as("doc_a"), col("tw").as("ta"),
+        col("nrm").as("na"))
+      .crossJoin(broadcast(dvS.select(col("doc_id").as("doc_b"),
+        col("tw").as("tb"), col("nrm").as("nb"))))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
-      .join(nrm.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
-      .join(nrm.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
+      .withColumn("dot", mapDot(col("ta"), col("tb")))
+      .filter(col("dot") > 0.0)
       .select(col("doc_a"), col("doc_b"),
         round(col("dot") / (col("na") * col("nb")), 4).as("cosine"))
     val top = exact
