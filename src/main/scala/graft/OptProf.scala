@@ -180,6 +180,47 @@ object OptProf {
           .distinct())
       }
     }
+    if (sections("graph")) {
+      val docs = Tables.documents(spark, sfDir)
+      time("graph: simhashDf") { noop(Dedup.simhashDf(docs)) }
+      time("graph: edges (simhash pairs h<=1)") {
+        noop(Dedup.simhashPairsOf(docs, maxHamming = 1))
+      }
+      val e = Dedup.simhashPairsOf(docs, maxHamming = 1)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .localCheckpoint()
+      println(s"[prof] edge rows = ${e.count()}")
+      val deg = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      time("graph: degrees") { noop(deg) }
+      val o = e
+        .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+        .select(
+          when(struct(col("da").as("d"), col("a").as("n")) <
+              struct(col("db").as("d"), col("b").as("n")), col("a"))
+            .otherwise(col("b")).as("lo"),
+          when(struct(col("da").as("d"), col("a").as("n")) <
+              struct(col("db").as("d"), col("b").as("n")),
+            struct(col("db").as("d"), col("b").as("n")))
+            .otherwise(struct(col("da").as("d"), col("a").as("n"))).as("rhi"))
+        .withColumn("hi", col("rhi")("n"))
+      time("graph: orient (no ckpt)") { noop(o) }
+      val oc = o.localCheckpoint()
+      time("graph: wedge join + close") {
+        noop(oc.as("x").join(oc.as("y"),
+            col("x.lo") === col("y.lo") && col("x.rhi") < col("y.rhi"))
+          .select(col("x.lo").as("u"), col("x.hi").as("p"), col("y.hi").as("q"))
+          .as("w")
+          .join(oc.as("z"), col("w.p") === col("z.lo") && col("w.q") === col("z.hi"),
+            "left_semi")
+          .select(array_sort(array(col("u"), col("p"), col("q"))).as("t"))
+          .select(col("t")(0).as("a"), col("t")(1).as("b"), col("t")(2).as("c")))
+      }
+      time("graph: neardup_triangles e2e") {
+        noop(Dedup.neardupTriangles(spark, sfDir))
+      }
+    }
     spark.stop()
   }
 }

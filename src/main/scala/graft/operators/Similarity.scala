@@ -1226,27 +1226,39 @@ object Similarity {
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         round(VectorFns.dot(col("a.embedding"), col("b.embedding")) /
           (col("a.nm") * col("b.nm")), 6).as("sim"))
-      .localCheckpoint()
-    var sel = cand
-      .select(col("vec_id"), round(lit(lam) * col("rel"), 6).as("mmr_score"))
-      .orderBy(col("mmr_score").desc, col("vec_id")).limit(1)
-      .withColumn("rank", lit(1L))
-      .localCheckpoint()
-    for (i <- 2 to kSel) {
-      val div = sims.join(broadcast(sel.select(col("vec_id").as("vb"))), "vb")
-        .groupBy(col("va").as("vec_id")).agg(max(col("sim")).as("div"))
-      val next = cand.join(sel.select("vec_id"), Seq("vec_id"), "left_anti")
-        .join(div, "vec_id")
-        .select(col("vec_id"),
-          // literal 0.3, NOT 1.0 - lam: the Scala subtraction yields
-          // 0.30000000000000004 while the oracle's SQL literal parses
-          // to the 0.3 double — they must be the same bits
-          round(lit(lam) * col("rel") - lit(0.3) * col("div"), 6).as("mmr_score"))
-        .orderBy(col("mmr_score").desc, col("vec_id")).limit(1)
-        .withColumn("rank", lit(i.toLong))
-      sel = sel.unionByName(next).localCheckpoint()
+    // The greedy selection runs on the DRIVER (r15): cand and sims are
+    // ≤ MmrCand / MmrCand² rows BY CONSTANT CONTRACT, and the previous
+    // per-step join + localCheckpoint spelling paid ~3 tiny jobs and a
+    // checkpoint barrier per rank for frames of ≤ 20 rows. The collected
+    // rel/sim values are the frames' already-rounded doubles, the step
+    // scores replicate Spark's Round (BigDecimal.valueOf + HALF_UP)
+    // bit for bit, and ordering is the same (mmr_score desc, vec_id) —
+    // the oracle sees identical rows. The corpus-sized stage (the
+    // top-MmrCand TakeOrdered pass) is unchanged.
+    import spark.implicits._
+    val rels = cand.select(col("vec_id"), col("rel")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val simOf = sims.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    def rnd(v: Double): Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    var out = Vector.empty[(Long, Long, Double)] // (rank, vec_id, mmr_score)
+    var chosen = Vector.empty[Long]
+    for (i <- 1 to kSel) {
+      val step = rels.filterNot(r => chosen.contains(r._1)).map { case (v, rel) =>
+        if (chosen.isEmpty) (v, rnd(lam * rel))
+        // literal 0.3, NOT 1.0 - lam: the Scala subtraction yields
+        // 0.30000000000000004 while the oracle's SQL literal parses
+        // to the 0.3 double — they must be the same bits
+        else (v, rnd(lam * rel - 0.3 * chosen.map(c => simOf((v, c))).max))
+      }
+      if (step.nonEmpty) {
+        val (v, s) = step.minBy { case (vv, ss) => (-ss, vv) }
+        out :+= ((i.toLong, v, s))
+        chosen :+= v
+      }
     }
-    sel.select("rank", "vec_id", "mmr_score").orderBy("rank")
+    out.toDF("rank", "vec_id", "mmr_score").orderBy("rank")
   }
 
   /** Farthest-point (greedy k-center / Gonzalez'85) coreset selection
@@ -1264,23 +1276,44 @@ object Similarity {
   def kcenterSelect(spark: SparkSession, dir: String): DataFrame = {
     val kSel = 8
     val en = withNorm(Tables.embeddings(spark, dir)).localCheckpoint()
-    var sel = en.filter(col("vec_id") === 0)
-      .select(col("vec_id"), lit(0.0).as("dist"), lit(1L).as("rank"))
-      .localCheckpoint()
+    // Chosen centers live on the DRIVER (≤ kSel rows by contract —
+    // the bounded-collect discipline), r15: each greedy step is then
+    // ONE narrow TakeOrdered pass over the checkpointed corpus —
+    // min-dist is `least` over ≤ k literal-center dot expressions, no
+    // anti-join, no broadcast build, no per-step localCheckpoint
+    // barrier (the previous spelling paid 3 jobs + a checkpoint per
+    // step). Arithmetic is unchanged bit for bit: same dot kernel,
+    // same rounding, and `least` over k doubles ≡ the k-row min
+    // aggregate; the per-step argmax keeps the (dist desc, vec_id)
+    // order. Each pass still scans the corpus once — the Gonzalez
+    // algorithm's k−1 passes are inherent, only their latency shrank.
+    import spark.implicits._
+    val seed = en.filter(col("vec_id") === 0)
+      .select(col("vec_id"), col("embedding"), col("nm")).collect()
+    if (seed.isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("rank", "vec_id", "dist")
+    var centers = Seq((seed(0).getLong(0), seed(0).getSeq[Float](1).toArray,
+      seed(0).getDouble(2)))
+    var out = Seq((1L, seed(0).getLong(0), 0.0))
     for (i <- 2 to kSel) {
-      val centers = en.join(sel.select("vec_id"), Seq("vec_id"), "left_semi")
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"),
-          col("nm").as("cnm"))
-      val next = en.join(sel.select("vec_id"), Seq("vec_id"), "left_anti")
-        .crossJoin(broadcast(centers))
-        .withColumn("d", round(lit(1.0) -
-          VectorFns.dot(col("embedding"), col("ce")) / (col("nm") * col("cnm")), 6))
-        .groupBy("vec_id").agg(min(col("d")).as("dist"))
+      val dCols = centers.map { case (_, ce, cnm) =>
+        round(lit(1.0) -
+          VectorFns.dot(col("embedding"), typedLit(ce)) /
+            (col("nm") * lit(cnm)), 6)
+      }
+      val chosen = centers.map(_._1)
+      val next = en.filter(!col("vec_id").isInCollection(chosen))
+        .select(col("vec_id"), col("embedding"), col("nm"),
+          (if (dCols.size == 1) dCols.head else least(dCols: _*)).as("dist"))
         .orderBy(col("dist").desc, col("vec_id")).limit(1)
-        .withColumn("rank", lit(i.toLong))
-      sel = sel.unionByName(next).localCheckpoint()
+        .collect()
+      if (next.nonEmpty) {
+        val r = next(0)
+        centers :+= ((r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+        out :+= ((i.toLong, r.getLong(0), r.getDouble(3)))
+      }
     }
-    sel.select("rank", "vec_id", "dist").orderBy("rank")
+    out.toDF("rank", "vec_id", "dist").orderBy("rank")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
