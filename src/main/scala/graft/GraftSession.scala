@@ -19,6 +19,16 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing stays at its parallelismFirst=true default —
+      // MEASURED both ways (r16): with parallelismFirst=false (the
+      // byte-based §2.2 "fewer, larger partitions" posture) the 8-key
+      // heavy board ran 88.1s at local[32] vs 47.5s at default — this
+      // engine's hot stages (kNN kernels, wedge joins, sparse-dot
+      // rescores) are CPU-DENSE PER BYTE, so coalescing their few-MB
+      // exchanges to one 64 MB-advisory task serializes the compute.
+      // Byte-based coalescing is only right when stage cost tracks
+      // bytes; a 100 TB deployment tunes advisoryPartitionSizeInBytes
+      // against its own CPU-per-byte profile instead.
 
   def builder(cores: String): SparkSession.Builder =
     withGraftConfs(SparkSession.builder())
