@@ -525,6 +525,13 @@ object Index {
     * All arithmetic is the bitwise cross-engine float→double fold
     * ([[graft.functions.VectorFns.dot]] ↔ OracleSql.dot), so both
     * engines assign identical cells and identical kNN ranks.
+    *
+    * CONTRACT (r15/r16): the returned relation is normalized
+    * (doc_a < doc_b) but MAY CONTAIN DUPLICATES — a pair co-probed in
+    * several cells emits once per cell (and the fat-cell block path
+    * emits both union-kNN directions). Callers must `.distinct()`
+    * after unioning it with their other candidate rungs; the ≤
+    * [[ProfileCap]]·N bound holds for the DISTINCT'd relation.
     */
   private[graft] def profileIvfCandidatesOf(w: DataFrame,
                                             cap: Int = ProfileCap): DataFrame = {
@@ -674,6 +681,20 @@ object Index {
         (qid, java.util.Arrays.copyOf(hid, n), java.util.Arrays.copyOf(hs, n))
       }
     }
+    // Per-cell LOCAL dedup before emission (r16, guide §2.3 "shuffle
+    // fewer bytes"): union-kNN emits a pair from BOTH endpoints' kept
+    // sets, and every caller re-dedupes the union — the callers'
+    // distinct was measured re-aggregating 7.7M oriented rows (~3.5s
+    // of `tfidf_cosine_guarded` at sf0.1) of which roughly half are
+    // the both-direction twins. Each small-path task holds its WHOLE
+    // cell's kept sets, so the surviving normalized pair set
+    // {(lo, hi) : hi ∈ kept(lo) ∨ lo ∈ kept(hi)} is computable
+    // locally: pack each normalized pair as (loRank<<32 | hiRank)
+    // over the cell's id-sorted member ranks (m ≤ blockSize < 2³¹),
+    // sort the packed array, emit each pair once grouped by lo —
+    // primitive-array work only (the r15 kernel discipline).
+    // Cross-CELL duplicates still exist; callers must still distinct
+    // (operator contract below).
     val small = withSz.filter(col("csz") <= blockSize)
       .select(col("cid"), col("doc_id"), col("emb"))
       .as[(Long, Long, Array[Float])]
@@ -681,14 +702,45 @@ object Index {
       .flatMapGroups { (_, it) =>
         val rows = it.toArray
         val m = rows.length
+        val sortedIds = rows.map(_._2)
+        java.util.Arrays.sort(sortedIds)
         if (m - 1 <= cap) {
-          // every in-cell neighbor survives the cap: no scoring
-          // needed, the kept set is the whole cell either way
-          val ids = rows.map(_._2)
-          rows.iterator.map(r => (r._2, ids.filter(_ != r._2)))
+          // every in-cell neighbor survives the cap: the kept set is
+          // the whole cell — emit each unordered pair exactly once,
+          // already normalized (lo < hi by id)
+          (0 until m - 1).iterator.map { k =>
+            (sortedIds(k), java.util.Arrays.copyOfRange(sortedIds, k + 1, m))
+          }
         } else {
           val members = rows.map(r => (r._2, r._3))
-          knnPartial(members, members, same = true).map(t => (t._1, t._2))
+          val packed = new scala.collection.mutable.ArrayBuilder.ofLong
+          knnPartial(members, members, same = true).foreach { case (qid, nids, _) =>
+            val qr = java.util.Arrays.binarySearch(sortedIds, qid).toLong
+            var j = 0
+            while (j < nids.length) {
+              val nr = java.util.Arrays.binarySearch(sortedIds, nids(j)).toLong
+              packed += (if (qr < nr) (qr << 32) | nr else (nr << 32) | qr)
+              j += 1
+            }
+          }
+          val arr = packed.result()
+          java.util.Arrays.sort(arr)
+          // sorted packed pairs: duplicates adjacent, groups share lo
+          new Iterator[(Long, Array[Long])] {
+            private var k = 0
+            def hasNext: Boolean = k < arr.length
+            def next(): (Long, Array[Long]) = {
+              val lo = (arr(k) >>> 32).toInt
+              val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+              var prev = -1L
+              while (k < arr.length && (arr(k) >>> 32).toInt == lo) {
+                if (arr(k) != prev)
+                  buf += sortedIds((arr(k) & 0xffffffffL).toInt)
+                prev = arr(k); k += 1
+              }
+              (sortedIds(lo), buf.result())
+            }
+          }
         }
       }.toDF("doc_a", "nbrs")
       .select(col("doc_a"), explode(col("nbrs")).as("doc_b"))
@@ -705,27 +757,43 @@ object Index {
       .as[(Long, Long, Array[Float], Long, Long, Long)]
     val partials = repl.groupByKey(r => (r._1, r._5, r._6))
       .flatMapGroups { (key: (Long, Long, Long), it: Iterator[(Long, Long, Array[Float], Long, Long, Long)]) =>
-        val (_, bi, bj) = key
+        val (cid, bi, bj) = key
         val rows = it.toArray // ≤ 2·blockSize members per group
         val a = rows.filter(_._4 == bi).map(r => (r._2, r._3))
-        if (bi == bj) knnPartial(a, a, same = true)
+        val ps = if (bi == bj) knnPartial(a, a, same = true)
         else {
           val b = rows.filter(_._4 == bj).map(r => (r._2, r._3))
           knnPartial(a, b, same = false) ++ knnPartial(b, a, same = false)
         }
-      }.toDF("qid", "nids", "sims")
-      .select(col("qid"), explode(arrays_zip(col("nids"), col("sims"))).as("z"))
-      .select(col("qid"), col("z.nids").as("nid"), col("z.sims").as("sim"))
-    val wMerge = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+        ps.map(t => (cid, t._1, t._2, t._3))
+      }.toDF("cid", "qid", "nids", "sims")
+      .select(col("cid"), col("qid"),
+        explode(arrays_zip(col("nids"), col("sims"))).as("z"))
+      .select(col("cid"), col("qid"),
+        col("z.nids").as("nid"), col("z.sims").as("sim"))
+    // merge partials PER CELL (r16 fix): the window was partitioned by
+    // qid alone, so a query co-probing several fat cells merged all
+    // its cells' partials into ONE top-cap — and a neighbor sharing
+    // k > 1 fat cells contributed k duplicate rows that ate the
+    // rk ≤ cap budget (a crafted 4-shared-fat-cell corpus kept 3
+    // copies of one neighbor instead of the top 3 neighbors). The
+    // declared contract is "merged ≡ the per-cell one-task result":
+    // keyed by (cid, qid) each cell's merge sees exactly one partial
+    // row per (q, n) — blk(q)×blk(n) is a single group — so row_number
+    // ranks distinct neighbors, identically to the small path.
+    val wMerge = Window.partitionBy("cid", "qid")
+      .orderBy(col("sim").desc, col("nid"))
     val fat = partials
       .withColumn("rk", row_number().over(wMerge))
       .filter(col("rk") <= cap)
       .select(col("qid").as("doc_a"), col("nid").as("doc_b"))
-    // oriented but NOT distinct'd (r15): every caller unions this
-    // relation with the textual rungs and distincts the union — the
-    // inner distinct was a second full exchange+agg of the 7.7M-row
-    // pair stream (measured ~4.6s at sf0.1) deduping rows the outer
-    // distinct dedupes again.
+    // normalized but NOT globally distinct'd (r15/r16): every caller
+    // unions this relation with the textual rungs and distincts the
+    // union — an inner global distinct would be a second full
+    // exchange+agg of the pair stream (measured ~4.6s at sf0.1)
+    // deduping rows the outer distinct dedupes again. The small path
+    // is per-cell-unique (dedup above); the fat path and CROSS-cell
+    // co-probes still emit duplicates.
     small.unionByName(fat)
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"))

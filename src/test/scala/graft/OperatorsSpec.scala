@@ -2610,4 +2610,44 @@ class OperatorsSpec extends SparkSpec {
         "block-partitioned fat-cell kNN must equal the in-task path")
     } finally spark.conf.unset("spark.graft.knnCellBlock")
   }
+
+  test("profile rung: per-cell dedup emits the normalized union-kNN pair set") {
+    import spark.implicits._
+    // 60 docs over a tiny shared vocabulary; term v_j is ABSENT when
+    // (i + j) % 5 == 0 so every term's df < n (idf weights exist).
+    // cap = 3 << cell occupancy forces the kNN branch (the whole-cell
+    // shortcut only fires when m - 1 <= cap).
+    val rows = (0 until 60).map { i =>
+      (i.toLong, (0 until 8).flatMap(j =>
+        Seq.fill((i + j) % 5)(s"v$j")).mkString(" "))
+    }
+    val docsDf = rows.toDF("doc_id", "text")
+    val base = Index.tokenStreamOf(docsDf).groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val nDf = docsDf.agg(count(lit(1)).cast("double").as("n"))
+    val dfT = base.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val w = base.join(dfT, "term").crossJoin(broadcast(nDf))
+      .filter(col("df") < col("n"))
+      .select(col("doc_id"), col("term"), col("df"), col("n"),
+        (col("tf") * log(col("n") / col("df"))).as("w"))
+    val raw = Index.profileIvfCandidatesOf(w, cap = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(raw.nonEmpty && raw.forall { case (a, b) => a < b },
+      "rung rows must be normalized doc_a < doc_b")
+    // the r16 small path dedupes per cell, so a pair may repeat at
+    // most once per SHARED probed cell — never once per kept direction
+    val worstDup = raw.groupBy(identity).map(_._2.length).max
+    assert(worstDup <= Index.ProfileProbes,
+      s"a pair repeated $worstDup times — more than the co-probe bound")
+    // semantics: the DISTINCT'd relation must equal the fat-cell block
+    // path's (both-direction emission + window merge, distinct'd)
+    val want = {
+      spark.conf.set("spark.graft.knnCellBlock", "8")
+      try Index.profileIvfCandidatesOf(w, cap = 3).distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally spark.conf.unset("spark.graft.knnCellBlock")
+    }
+    assert(raw.toSet === want,
+      "small-path deduped relation must equal the fat-path relation as a set")
+  }
 }
